@@ -1,0 +1,25 @@
+"""pithos_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of exoscale/pithos (an S3-compatible object
+store), re-expressed Spark-first.
+
+The reference (/root/reference, Clojure) hand-writes CQL query shapes over
+six Cassandra wide-row tables plus one real relational pipeline (S3
+ListObjects: range scan -> regex split -> anti-join -> sort/limit,
+src/io/pithos/meta.clj:153-251).  This package expresses every one of those
+operators as declarative DataFrame plans so Catalyst handles pushdown,
+pruning, join strategy and whole-stage codegen, and adds the
+training-data-pipeline operators (dedup, similarity search, text analysis,
+multimodal plumbing) the reference never had.
+
+Design rules (enforced across modules):
+ - DataFrame API only; no RDDs.
+ - Plan-time Python helpers build literals/regexes on the driver
+   (pithos_spark.plans.helpers); the hot path stays JVM-side.
+ - Money/measure aggregations go through DECIMAL so results are
+   deterministic and engine-independent (sum order cannot change them).
+ - Small dimensions are broadcast; big tables are partitioned by their
+   natural partition key (bucket / inode) mirroring the reference's
+   Cassandra partition keys.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,123 @@
+"""S3 ListObjects — the reference's flagship query pipeline (A1).
+
+Reference: get-prefixes loop at src/io/pithos/meta.clj:230-251, built on
+ - fetch-object-q range scan   meta.clj:153-173
+ - filter-keys                 meta.clj:199-208
+ - filter-prefixes             meta.clj:210-222
+ - marker pagination + limit   meta.clj:160-173,244-251
+
+The reference loops page-by-page only because Cassandra paginates; Spark
+expresses the whole listing as ONE bounded declarative plan:
+
+    range filter (prefix -> [prefix, inc_prefix(prefix)) pushed to the
+    scan as a sortable range, parquet min/max skipping applies)
+    -> regex split into direct keys vs common prefixes
+    -> distinct on prefixes
+    -> union -> global top-(max_keys) by name
+
+Scale notes: the final ``orderBy(name).limit(k)`` compiles to
+TakeOrderedAndProject (per-partition top-k then a k-row merge on the
+driver) — no global sort shuffle.  With the objects table partitioned by
+``bucket`` and sorted by ``object``, the scan prunes to a single
+partition's slice regardless of table size.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from pithos_spark.plans.helpers import (
+    inc_prefix,
+    key_pattern,
+    prefix_pattern,
+    sql_str,
+)
+
+
+def _ranged(objects: DataFrame, bucket: str, prefix: str, marker: str | None) -> DataFrame:
+    df = objects.filter(F.col("bucket") == bucket)
+    if prefix:
+        df = df.filter(F.col("object") >= prefix)
+        hi = inc_prefix(prefix)
+        if hi is not None:
+            df = df.filter(F.col("object") < hi)
+    if marker:
+        df = df.filter(F.col("object") > marker)
+    return df
+
+
+def list_objects(
+    objects: DataFrame,
+    bucket: str,
+    prefix: str = "",
+    delimiter: str | None = None,
+    marker: str | None = None,
+    max_keys: int = 1000,
+) -> DataFrame:
+    """One-shot ListObjects plan -> DataFrame(name, entry_type).
+
+    ``entry_type`` is 'key' (S3 Contents) or 'prefix' (CommonPrefixes).
+    Both kinds count toward ``max_keys``, matching meta.clj:240-244.
+    """
+    ranged = _ranged(objects, bucket, prefix, marker)
+    if delimiter:
+        pfx = (
+            ranged.select(
+                F.regexp_extract("object", prefix_pattern(prefix, delimiter), 1).alias(
+                    "name"
+                )
+            )
+            .filter(F.col("name") != "")
+            .distinct()
+            .withColumn("entry_type", F.lit("prefix"))
+        )
+        keys = ranged.filter(
+            F.col("object").rlike(key_pattern(prefix, delimiter))
+        ).select(F.col("object").alias("name"), F.lit("key").alias("entry_type"))
+        entries = keys.unionByName(pfx)
+    else:
+        entries = ranged.select(
+            F.col("object").alias("name"), F.lit("key").alias("entry_type")
+        )
+    # names are unique within a bucket -> deterministic page
+    return entries.orderBy("name").limit(max_keys)
+
+
+def list_objects_oracle(
+    bucket: str,
+    prefix: str = "",
+    delimiter: str | None = None,
+    marker: str | None = None,
+    max_keys: int = 1000,
+) -> str:
+    """DuckDB-SQL twin of :func:`list_objects` (body only; caller prepends
+    the model CTEs).  Kept adjacent so the two stay in lock-step."""
+    conds = [f"bucket = {sql_str(bucket)}"]
+    if prefix:
+        conds.append(f"object >= {sql_str(prefix)}")
+        hi = inc_prefix(prefix)
+        if hi is not None:
+            conds.append(f"object < {sql_str(hi)}")
+    if marker:
+        conds.append(f"object > {sql_str(marker)}")
+    where = " AND ".join(conds)
+    if delimiter:
+        kp = sql_str(key_pattern(prefix, delimiter))
+        pp = sql_str(prefix_pattern(prefix, delimiter))
+        body = f"""\
+, ranged AS (SELECT object FROM objects WHERE {where}),
+entries AS (
+    SELECT object AS name, 'key' AS entry_type FROM ranged
+    WHERE regexp_matches(object, {kp})
+    UNION ALL
+    SELECT DISTINCT regexp_extract(object, {pp}, 1) AS name, 'prefix' AS entry_type
+    FROM ranged
+    WHERE regexp_extract(object, {pp}, 1) <> ''
+)
+SELECT name, entry_type FROM entries ORDER BY name LIMIT {max_keys}"""
+    else:
+        body = f"""\
+, entries AS (SELECT object AS name, 'key' AS entry_type FROM objects WHERE {where})
+SELECT name, entry_type FROM entries ORDER BY name LIMIT {max_keys}"""
+    return body

@@ -1,0 +1,3 @@
+from pithos_spark.plans.helpers import inc_prefix, rx_escape, sql_str
+
+__all__ = ["inc_prefix", "rx_escape", "sql_str"]

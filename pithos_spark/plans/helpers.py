@@ -1,0 +1,68 @@
+"""Plan-time helpers (driver side, never UDFs).
+
+These mirror the reference's scalar utilities that shape query plans:
+ - inc_prefix      <- src/io/pithos/util.clj:35-41 (prefix -> exclusive
+                      upper bound so a LIKE 'p%' becomes a sortable range
+                      that pushes down to parquet min/max skipping)
+ - rx_escape       <- src/io/pithos/util.clj:109-121 (string->pattern)
+
+They run once at plan-build time on the driver; the emitted literals and
+regex patterns are embedded in the DataFrame plan (and in the DuckDB oracle
+SQL), so the executors only ever see constant-folded expressions.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def inc_prefix(prefix: str | None) -> str | None:
+    """Exclusive upper bound of the key range starting with ``prefix``.
+
+    "foo" -> "fop": every key with prefix "foo" satisfies
+    ``"foo" <= key < "fop"``.  Returns None for an empty prefix (no upper
+    bound).  Mirrors src/io/pithos/util.clj:35-41, including the
+    increment-last-character behavior.
+    """
+    if not prefix:
+        return None
+    head, last = prefix[:-1], prefix[-1]
+    code = ord(last)
+    if code >= 0x10FFFF:  # cannot increment the last unicode scalar
+        return inc_prefix(head)
+    return head + chr(code + 1)
+
+
+def rx_escape(s: str) -> str:
+    """Regex-escape a literal for embedding in a pattern.
+
+    Python's re.escape output is valid in both Java regex (Spark) and RE2
+    (DuckDB) for the characters that appear in object keys.
+    Mirrors src/io/pithos/util.clj:109-121.
+    """
+    return re.escape(s)
+
+
+def sql_str(s: str) -> str:
+    """Quote a python string as a SQL string literal (single-quote doubling)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def key_pattern(prefix: str, delimiter: str) -> str:
+    """Pattern keeping keys *directly* under ``prefix`` (no further
+    delimiter).  Mirrors filter-keys, src/io/pithos/meta.clj:199-208."""
+    return "^" + rx_escape(prefix) + "[^" + rx_escape(delimiter) + "]*$"
+
+
+def prefix_pattern(prefix: str, delimiter: str) -> str:
+    """Pattern whose group 1 extracts the S3 "common prefix" (pseudo
+    directory).  Mirrors filter-prefixes, src/io/pithos/meta.clj:210-222."""
+    return (
+        "^("
+        + rx_escape(prefix)
+        + "[^"
+        + rx_escape(delimiter)
+        + "]*"
+        + rx_escape(delimiter)
+        + ").*$"
+    )

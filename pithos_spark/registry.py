@@ -1,0 +1,191 @@
+"""Query registry — the driver-facing catalog of implemented operators.
+
+Every operator from SURVEY.md §2 that is implemented gets:
+  - a callable (spark, sf_dir) -> DataFrame  in QUERIES
+  - a DuckDB-SQL oracle string               in ORACLES (omitted only for
+    genuinely non-SQL-expressible operators; the driver then records a
+    weaker rows-only check)
+
+Column names are aliased identically on both sides — the driver's compare
+sorts columns by name before hashing values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pithos_spark import tables as T
+from pithos_spark.operators import listing, lookups
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# A1 — ListObjects (flagship).  Parameter sets chosen to exercise every
+# branch: delimiter grouping (prefixes + direct keys), marker pagination,
+# prefix-only range, bare scan with limit.
+# ---------------------------------------------------------------------------
+
+_LIST_CASES = {
+    # top level with delimiter: every order priority becomes a common
+    # prefix; no direct keys at depth 0.
+    "list_objects_root": dict(bucket="NATION_2", prefix="", delimiter="/", max_keys=1000),
+    # inside one priority: '-' keys are direct, '/' keys group into prefixes
+    "list_objects_flagship": dict(
+        bucket="NATION_2", prefix="1-URGENT/", delimiter="/", max_keys=100
+    ),
+    # marker-resumable page, small max_keys (truncation path)
+    "list_objects_paged": dict(
+        bucket="NATION_2",
+        prefix="1-URGENT/",
+        delimiter="/",
+        marker="1-URGENT/F-z",
+        max_keys=10,
+    ),
+    # prefix range without delimiter: plain bounded scan
+    "list_objects_no_delim": dict(
+        bucket="NATION_2", prefix="3-MEDIUM/O", delimiter=None, max_keys=50
+    ),
+}
+
+
+def _make_list_query(params):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = T.load_tables(spark, sf_dir)
+        return listing.list_objects(T.objects_df(t), **params)
+
+    return q
+
+
+for _name, _params in _LIST_CASES.items():
+    QUERIES[_name] = _make_list_query(_params)
+    ORACLES[_name] = T.with_model(listing.list_objects_oracle(**_params))
+
+
+# ---------------------------------------------------------------------------
+# S1/S2 — bucket scans & point lookups
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bucket_by_tenant",
+    T.with_model(
+        "SELECT bucket, tenant, versioned, acl, bucket_seq FROM buckets "
+        "WHERE tenant = 'ASIA' ORDER BY bucket"
+    ),
+)
+def bucket_by_tenant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = T.load_tables(spark, sf_dir)
+    return lookups.buckets_by_tenant(T.buckets_df(t), "ASIA").orderBy("bucket")
+
+
+@register(
+    "fetch_bucket",
+    T.with_model(
+        "SELECT bucket, tenant, versioned, acl, bucket_seq FROM buckets "
+        "WHERE bucket = 'NATION_2' LIMIT 1"
+    ),
+)
+def fetch_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = T.load_tables(spark, sf_dir)
+    return lookups.fetch_bucket(T.buckets_df(t), "NATION_2")
+
+
+@register(
+    "objects_page",
+    T.with_model(
+        "SELECT bucket, object, inode, size, checksum FROM objects "
+        "WHERE bucket = 'NATION_2' AND object >= '2-HIGH/' AND object < '2-HIGI/' "
+        "ORDER BY object LIMIT 25"
+    ),
+)
+def objects_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = T.load_tables(spark, sf_dir)
+    page = lookups.fetch_objects_page(
+        T.objects_df(t), "NATION_2", prefix="2-HIGH/", max_keys=25
+    )
+    return page.select("bucket", "object", "inode", "size", "checksum")
+
+
+# ---------------------------------------------------------------------------
+# J1 — object descriptor (object ⋈ bucket, ACL fallback via coalesce)
+# reference: src/io/pithos/desc.clj:59-133
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "object_descriptor",
+    T.with_model(
+        """\
+SELECT o.bucket AS bucket, o.object AS object, o.inode AS inode,
+       o.size AS size, b.tenant AS tenant,
+       coalesce(o.acl, b.acl) AS effective_acl
+FROM objects o LEFT JOIN buckets b ON o.bucket = b.bucket
+WHERE o.bucket = 'NATION_7'"""
+    ),
+)
+def object_descriptor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    o = T.objects_df(t).filter(F.col("bucket") == "NATION_7")
+    b = T.buckets_df(t).select(
+        F.col("bucket").alias("b_bucket"), "tenant", F.col("acl").alias("b_acl")
+    )
+    # bucket dim is tiny -> broadcast left join, no shuffle of the fact side
+    return o.join(F.broadcast(b), o.bucket == b.b_bucket, "left").select(
+        o.bucket.alias("bucket"),
+        "object",
+        "inode",
+        "size",
+        "tenant",
+        F.coalesce(o.acl, F.col("b_acl")).alias("effective_acl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 — usage reporting: per-bucket / per-tenant storage accounting
+# reference: src/io/pithos/reporter.clj:4-16 (event emission); aggregation
+# is the natural batch analog.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bucket_usage",
+    T.with_model(
+        """\
+SELECT b.tenant AS tenant, o.bucket AS bucket,
+       count(*) AS object_count, sum(o.size) AS total_bytes
+FROM objects o JOIN buckets b ON o.bucket = b.bucket
+GROUP BY b.tenant, o.bucket
+ORDER BY tenant, bucket"""
+    ),
+)
+def bucket_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    o = T.objects_df(t)
+    b = T.buckets_df(t).select(F.col("bucket").alias("b_bucket"), "tenant")
+    return (
+        o.join(F.broadcast(b), o.bucket == F.col("b_bucket"))
+        .groupBy("tenant", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("object_count"),
+            F.sum("size").alias("total_bytes"),
+        )
+        .orderBy("tenant", "bucket")
+    )

@@ -1,0 +1,234 @@
+"""Table loading + the derived pithos data model.
+
+The reference stores six Cassandra wide-row tables (SURVEY.md §1.2):
+bucket, object, upload, object_uploads, inode_blocks, block.  The driver's
+testdata is a TPC-H-ish star schema, so we *derive* the pithos model from
+it deterministically — the same derivation is expressed twice, once as a
+DataFrame program (this module) and once as SQL CTEs (``MODEL_CTES``) that
+the DuckDB oracle prepends, so the correctness gate exercises the real
+operator pipelines on identical inputs.
+
+Derived model:
+ - buckets  <- nation x region     (bucket per nation, tenant = region)
+               reference schema: src/io/pithos/bucket.clj:30-43
+ - objects  <- orders x customer x nation  (one object per order; key =
+               "<priority>/<status>[/-]<orderkey>" so listings exercise
+               both direct keys and common prefixes)
+               reference schema: src/io/pithos/meta.clj:29-45
+ - parts    <- lineitem            (multipart upload parts; partno =
+               l_linenumber, clustered ordering src/io/pithos/meta.clj:54-68)
+ - chunks   <- documents           (payload rows of the blobstore;
+               src/io/pithos/blob.clj:79-93 — text stands in for the blob)
+
+100 TB layout note: at scale, ``objects`` would be written
+``partitionBy("bucket")`` + sorted by ``object`` within partitions
+(mirroring the reference's (bucket) partition key + object clustering key,
+meta.clj:45), so bucket-scoped listings prune to one partition and the
+range predicate prunes row groups via parquet min/max stats.  ``chunks``
+would be bucketed by ``inode`` and sorted by (block, offset)
+(blob.clj:77,93).  The derivations below broadcast the dimension sides
+(nation/region: 25/5 rows) so they add no shuffle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+class Tables(dict):
+    """Lazy table catalog: reads a parquet footer only when the table is
+    first accessed (queries touching two tables shouldn't pay ten schema
+    reads)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __missing__(self, name: str) -> DataFrame:
+        if name not in TPCH_TABLES:
+            raise KeyError(name)
+        df = _read_table(self._spark, self._sf_dir, name)
+        self[name] = df
+        return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS), which Spark's vectorized parquet
+        # reader rejects; read it as raw nanos and truncate to micros the
+        # same way DuckDB does (integer division, not rounding).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Lazy catalog of the driver-generated parquet tables under ``sf_dir``."""
+    return Tables(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side derivations.  Each must stay semantically identical to the
+# same-named CTE in MODEL_CTES below.
+# ---------------------------------------------------------------------------
+
+
+def buckets_df(t: dict[str, DataFrame]) -> DataFrame:
+    """bucket dimension: PK ``bucket``; cf. src/io/pithos/bucket.clj:30-43."""
+    nation, region = t["nation"], t["region"]
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("n_name").alias("bucket"),
+            F.col("r_name").alias("tenant"),
+            (F.col("n_nationkey") % 2 == 0).alias("versioned"),
+            F.concat(F.lit("tenant:"), F.col("r_name")).alias("acl"),
+            F.col("n_nationkey").cast("long").alias("bucket_seq"),
+        )
+    )
+
+
+def _object_key() -> F.Column:
+    # two key shapes so delimiter listings see both direct keys and
+    # common prefixes: every 3rd order nests one level deeper.
+    deep = F.concat_ws(
+        "/", "o_orderpriority", "o_orderstatus", F.col("o_orderkey").cast("string")
+    )
+    flat = F.concat(
+        F.col("o_orderpriority"),
+        F.lit("/"),
+        F.col("o_orderstatus"),
+        F.lit("-"),
+        F.col("o_orderkey").cast("string"),
+    )
+    return F.when(F.col("o_orderkey") % 3 == 0, deep).otherwise(flat)
+
+
+def objects_df(t: dict[str, DataFrame]) -> DataFrame:
+    """object metadata table: PK (bucket, object) with keys clustered
+    lexicographically; cf. src/io/pithos/meta.clj:29-45.
+
+    customer/nation resolve the owning bucket; both joins broadcast
+    (dimension-sized sides) so deriving objects adds no shuffle.
+    """
+    orders, customer, nation = t["orders"], t["customer"], t["nation"]
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("bucket"),
+            _object_key().alias("object"),
+            F.col("o_orderkey").cast("string").alias("inode"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("size"),
+            F.col("o_orderdate").cast("string").alias("atime"),
+            F.md5(F.col("o_orderkey").cast("string")).alias("checksum"),
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit("private"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("acl"),
+            F.lit("STANDARD").alias("storageclass"),
+        )
+    )
+
+
+def parts_df(t: dict[str, DataFrame]) -> DataFrame:
+    """multipart-upload parts: PK ((bucket,object,upload), partno);
+    cf. src/io/pithos/meta.clj:54-68."""
+    li = t["lineitem"]
+    okey = F.col("l_orderkey").cast("string")
+    return li.select(
+        F.concat(F.lit("mp/"), okey).alias("object"),
+        F.md5(okey).alias("upload"),
+        F.col("l_linenumber").cast("long").alias("partno"),
+        F.floor(F.col("l_quantity") * 1000).cast("long").alias("size"),
+        F.md5(
+            F.concat(okey, F.lit("-"), F.col("l_linenumber").cast("string"))
+        ).alias("etag"),
+    )
+
+
+def chunks_df(t: dict[str, DataFrame]) -> DataFrame:
+    """blob chunk rows: PK ((inode,...), offset) clustered by position;
+    cf. src/io/pithos/blob.clj:79-93.  ``text`` stands in for the binary
+    payload (md5 of utf-8 bytes is identical either way)."""
+    d = t["documents"]
+    return d.select(
+        F.col("source").alias("inode"),
+        F.col("doc_id").cast("long").alias("chunk_seq"),
+        F.col("n_chars").cast("long").alias("chunksize"),
+        F.col("text").alias("payload"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-side CTEs.  DuckDB prepends these to every oracle query; they MUST
+# stay semantically identical to the DataFrame derivations above.
+# ---------------------------------------------------------------------------
+
+MODEL_CTES = """\
+buckets AS (
+    SELECT n_name AS bucket,
+           r_name AS tenant,
+           (n_nationkey % 2 = 0) AS versioned,
+           'tenant:' || r_name AS acl,
+           CAST(n_nationkey AS BIGINT) AS bucket_seq
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+objects AS (
+    SELECT n_name AS bucket,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN o_orderpriority || '/' || o_orderstatus || '/' || CAST(o_orderkey AS VARCHAR)
+                ELSE o_orderpriority || '/' || o_orderstatus || '-' || CAST(o_orderkey AS VARCHAR)
+           END AS object,
+           CAST(o_orderkey AS VARCHAR) AS inode,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS size,
+           CAST(o_orderdate AS VARCHAR) AS atime,
+           md5(CAST(o_orderkey AS VARCHAR)) AS checksum,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'private' ELSE NULL END AS acl,
+           'STANDARD' AS storageclass
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+),
+parts AS (
+    SELECT 'mp/' || CAST(l_orderkey AS VARCHAR) AS object,
+           md5(CAST(l_orderkey AS VARCHAR)) AS upload,
+           CAST(l_linenumber AS BIGINT) AS partno,
+           CAST(floor(l_quantity * 1000) AS BIGINT) AS size,
+           md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS etag
+    FROM lineitem
+),
+chunks AS (
+    SELECT source AS inode,
+           CAST(doc_id AS BIGINT) AS chunk_seq,
+           CAST(n_chars AS BIGINT) AS chunksize,
+           text AS payload
+    FROM documents
+)"""
+
+
+def with_model(sql: str) -> str:
+    """Prepend the shared model CTEs to an oracle query body."""
+    return "WITH " + MODEL_CTES + "\n" + sql

@@ -1,0 +1,58 @@
+"""Local replica of the driver's correctness gate: run a registry query on
+Spark and its oracle on DuckDB, compare row count, column names, and
+order-insensitive values (exact equality — the driver hashes values, so
+'close enough' floats would still fail there)."""
+
+from __future__ import annotations
+
+import math
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    # numpy / decimal / timestamps -> python
+    if hasattr(v, "item"):
+        return _norm_cell(v.item())
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    return out
+
+
+def compare(spark_df, duck_con, oracle_sql: str, name: str = "?", expect_rows: bool = True):
+    mine_cols = list(spark_df.columns)
+    mine_rows = [tuple(r) for r in spark_df.collect()]
+
+    cur = duck_con.execute(oracle_sql)
+    oracle_cols = [d[0] for d in cur.description]
+    oracle_rows = cur.fetchall()
+
+    assert sorted(mine_cols) == sorted(oracle_cols), (
+        f"[{name}] column mismatch: spark={sorted(mine_cols)} "
+        f"oracle={sorted(oracle_cols)}"
+    )
+    assert len(mine_rows) == len(oracle_rows), (
+        f"[{name}] row count mismatch: spark={len(mine_rows)} "
+        f"oracle={len(oracle_rows)}"
+    )
+    if expect_rows:
+        # a 0=0 match is vacuous — usually a wrong literal (bad bucket name,
+        # bad prefix), not a verified operator
+        assert len(mine_rows) > 0, f"[{name}] query returned 0 rows on both sides (vacuous)"
+    a = _normalize(mine_rows, mine_cols)
+    b = _normalize(oracle_rows, oracle_cols)
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        assert ra == rb, f"[{name}] first differing row {i}:\n  spark={ra}\n oracle={rb}"

@@ -1,0 +1,38 @@
+"""Driver-gate replica: every registry query with an oracle must match
+DuckDB exactly at sf0.01 — same check the driver runs for
+CORRECTNESS_r{N}.json."""
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+from tests.harness import compare
+
+
+def _names():
+    from pithos_spark.registry import ORACLES
+
+    return sorted(ORACLES)
+
+
+@pytest.mark.parametrize("name", _names())
+def test_oracle_match(spark, duck, name):
+    from pithos_spark.registry import ORACLES, QUERIES
+
+    compare(QUERIES[name](spark, SF_ORACLE), duck, ORACLES[name], name)
+
+
+def test_rows_only_queries_run(spark):
+    """Queries without an oracle still must run and return a DataFrame."""
+    from pithos_spark.registry import ORACLES, QUERIES
+
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        df = QUERIES[name](spark, SF_ORACLE)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    assert set(e.queries()).issuperset(set(e.oracle_sql()))
