@@ -1,0 +1,188 @@
+"""Bulk analytics over the store — the 100 TB-scale workloads
+(BASELINE.json north star: "bulk read/write ... via Spark").
+
+These are the queries a tenant runs over object-store accounting and
+event data at warehouse scale: pricing rollups, revenue joins, top-k.
+They double as the bench headliners.
+
+Determinism discipline: every aggregated double goes through integer
+quantization (``floor(x * 10^k)`` into a BIGINT) *before* the sum, so
+results are exact integers — identical regardless of partial-aggregation
+order, and hash-identical between Spark and the DuckDB oracle.  Division
+happens once, after aggregation (single double op — deterministic).
+
+Scale notes per query are inline; the common pattern is: partial
+aggregation map-side (Spark gives it automatically for sum/count over
+groupBy), broadcast the dimension chain, and let AQE pick shuffle
+partitioning.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _cents(col: str | F.Column, scale: int = 100) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * scale).cast("long")
+
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: one wide aggregation over the fact table.
+
+    Scale: pure map-side partial agg + tiny shuffle (|groups| = 6);
+    the shipdate filter pushes to the parquet scan.
+    """
+    li = lineitem.filter(F.col("l_shipdate") <= ship_cutoff)
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents("l_quantity")).alias("sum_qty_e2"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_price_e2"),
+            F.sum(_cents(disc_price, 10000)).alias("sum_disc_price_e4"),
+            F.sum(_cents(charge, 10000)).alias("sum_charge_e4"),
+            F.sum(_cents("l_discount", 10000)).alias("sum_discount_e4"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """\
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_e2,
+       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_e2,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS sum_disc_price_e4,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 10000) AS BIGINT)) AS sum_charge_e4,
+       sum(CAST(floor(l_discount * 10000) AS BIGINT)) AS sum_discount_e4,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+
+def top_unshipped_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> grouped
+    revenue -> top-k.
+
+    Scale: customer(filtered segment) broadcasts; orders⋈lineitem is the
+    one real shuffle; final top-k is TakeOrdered (no global sort).
+    """
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.filter(F.col("l_shipdate") > cutoff)
+    revenue = _cents(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).alias("revenue_e4"))
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("string"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+TOP_UNSHIPPED_SQL = """\
+SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_e4 DESC, o_orderkey
+LIMIT 10"""
+
+
+def region_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 shape: the full dimension chain rolled up to region.
+
+    Scale: nation/region/customer broadcast up the chain (all dimension
+    sized); one shuffle for orders⋈lineitem, one for the 5-group agg.
+    """
+    revenue = _cents(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000
+    )
+    dim = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(dim), F.col("o_custkey") == dim.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(revenue).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("lineitem_count"),
+        )
+        .orderBy("r_name")
+    )
+
+
+REGION_REVENUE_SQL = """\
+SELECT r_name,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS revenue_e4,
+       count(*) AS lineitem_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name"""
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a broadcast join.
+
+    Scale: part is the broadcast side at these SFs; at 100 TB part
+    outgrows broadcast and AQE falls back to shuffle-hash — the plan
+    text stays the same.
+    """
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000)
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(promo).alias("promo_revenue_e4"),
+            F.sum(rev).alias("total_revenue_e4"),
+        )
+    )
+
+
+PROMO_REVENUE_SQL = """\
+SELECT sum(CASE WHEN p_type LIKE 'PROMO%'
+                THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
+                ELSE 0 END) AS promo_revenue_e4,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS total_revenue_e4
+FROM lineitem JOIN part ON l_partkey = p_partkey"""

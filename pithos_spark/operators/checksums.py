@@ -1,0 +1,78 @@
+"""Blob checksum / assembly aggregations (SURVEY §2: A5, A7, F6).
+
+Reference anchors:
+ - running MD5 + size over the chunk stream  src/io/pithos/stream.clj:105-141
+ - md5 helpers                               src/io/pithos/util.clj:16-33
+ - range-read chunk overlap + crop           src/io/pithos/stream.clj:32-64,75-103
+
+The reference streams chunks through a mutable MD5 state.  The Spark
+expression of "md5 of the exact byte concatenation in chunk order" is an
+order-sensitive aggregation: collect the chunks of one inode, sort by
+position, concatenate, hash.  ``array_sort`` over (chunk_seq, payload)
+structs gives the deterministic ordering; everything stays JVM-side
+(no Python UDF).
+
+Scale note: this materializes one object's payload in one row, which is
+the documented driver-side risk for multi-GB objects (SURVEY §7.4-5).
+At 100 TB the same plan holds because objects (not tables) bound the
+row size; for objects beyond memory comfort, the chunked MD5 would move
+to applyInPandas with a streaming hashlib.md5 per inode group — the
+groupBy shape (shuffle on inode) is identical.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def object_checksums(chunks: DataFrame) -> DataFrame:
+    """A5: per inode — md5 of payloads concatenated in chunk order, plus
+    total byte size and chunk count."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("chunk_seq"), F.col("payload")))
+    )
+    joined = F.array_join(F.transform(ordered, lambda s: s["payload"]), "")
+    return chunks.groupBy("inode").agg(
+        F.md5(joined).alias("checksum"),
+        F.sum("chunksize").alias("total_bytes"),
+        F.count(F.lit(1)).alias("chunk_count"),
+    )
+
+
+def range_read_chunks(
+    chunks: DataFrame, inode: str, start: int, end: int
+) -> DataFrame:
+    """A7/F6: the chunks overlapping byte range [start, end], with crop
+    bounds re-based into each chunk (the reference's crop-chunk math,
+    stream.clj:37-64) — here chunk_seq stands in for the byte offset
+    with chunksize giving each chunk's extent.
+
+    Produces (chunk_seq, skip_head, take_len) so a consumer can slice
+    payload bytes; the overlap predicate pushes down to the scan.
+    """
+    from pyspark.sql import Window
+
+    cum = (
+        Window.partitionBy("inode")
+        .orderBy("chunk_seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    df = chunks.filter(F.col("inode") == inode).withColumn(
+        "offset", F.coalesce(F.sum("chunksize").over(cum), F.lit(0)).cast("long")
+    )
+    overlap = (F.col("offset") < end) & (F.col("offset") + F.col("chunksize") > start)
+    return (
+        df.filter(overlap)
+        .withColumn(
+            "skip_head", F.greatest(F.lit(start) - F.col("offset"), F.lit(0))
+        )
+        .withColumn(
+            "take_len",
+            F.least(F.lit(end), F.col("offset") + F.col("chunksize"))
+            - F.greatest(F.lit(start), F.col("offset")),
+        )
+        .filter(F.col("take_len") > 0)  # degenerate [x,x) ranges yield nothing
+        .select("inode", "chunk_seq", "offset", "chunksize", "skip_head", "take_len")
+        .orderBy("chunk_seq")
+    )

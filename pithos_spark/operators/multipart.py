@@ -1,0 +1,53 @@
+"""Multipart-upload operators (SURVEY §2: S8, A6, J3, M7/M10).
+
+Reference anchors:
+ - part listing (clustering by partno)   src/io/pithos/meta.clj:134-139
+ - complete-upload part validation        src/io/pithos/operations.clj:755-763
+ - multipart assembly offset re-basing    src/io/pithos/stream.clj:209-255
+ - abort + orphan GC                      src/io/pithos/meta.clj:96-108,
+                                          src/io/pithos/blob.clj:135-146
+
+The reference folds over parts imperatively, carrying (global-offset,
+md5-state).  Spark expresses the same math declaratively: the re-base
+offset of part N is the cumulative size of parts 1..N-1 — a window
+cumulative sum partitioned by upload, which executes as one shuffle on
+the upload key and scales linearly (each upload's parts land in one
+partition; uploads are small — ≤10k parts in S3 — so no skew concern).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def part_base_offsets(parts: DataFrame) -> DataFrame:
+    """A6: per part, the byte offset where it lands in the assembled
+    object = sum of sizes of all prior parts of the same upload."""
+    w = (
+        Window.partitionBy("upload")
+        .orderBy("partno")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return parts.withColumn(
+        "base_offset", F.coalesce(F.sum("size").over(w), F.lit(0)).cast("long")
+    )
+
+
+def validate_complete_manifest(parts: DataFrame, manifest: DataFrame) -> DataFrame:
+    """J3: client-supplied (upload, partno, etag) manifest vs stored parts.
+
+    Returns manifest rows with NO matching stored part (each is an
+    InvalidPart error in S3 terms); empty result = upload may complete.
+    Implemented as a left-anti equi-join — at scale a shuffle-hash join
+    on (upload, partno, etag), or broadcast when the manifest is a
+    single upload's worth of rows.
+    """
+    return manifest.join(parts, on=["upload", "partno", "etag"], how="left_anti")
+
+
+def aborted_upload_parts(parts: DataFrame, active_uploads: DataFrame) -> DataFrame:
+    """M7/M10 batch analog: the GC sweep — parts whose upload is no longer
+    active.  The reference deletes per-part in a loop (meta.clj:96-108);
+    set-based anti-join computes the whole delete set in one pass."""
+    return parts.join(active_uploads.select("upload"), on="upload", how="left_anti")

@@ -189,3 +189,202 @@ def bucket_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tenant", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multipart: A6 assembly offsets, J3 manifest validation, M7/M10 abort GC
+# ---------------------------------------------------------------------------
+
+from pithos_spark.operators import analytics, checksums, multipart  # noqa: E402
+from pithos_spark.streaming import events as ev  # noqa: E402
+
+
+@register(
+    "part_base_offsets",
+    T.with_model(
+        """\
+SELECT upload, partno, size,
+       coalesce(sum(size) OVER (PARTITION BY upload ORDER BY partno
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS base_offset
+FROM parts"""
+    ),
+)
+def part_base_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = T.load_tables(spark, sf_dir)
+    return multipart.part_base_offsets(T.parts_df(t)).select(
+        "upload", "partno", "size", "base_offset"
+    )
+
+
+@register(
+    "complete_upload_validate",
+    T.with_model(
+        """\
+, manifest AS (
+    SELECT upload, partno,
+           CASE WHEN partno % 7 = 0 THEN 'corrupted' ELSE etag END AS etag
+    FROM parts
+)
+SELECT m.upload AS upload, m.partno AS partno, m.etag AS etag
+FROM manifest m
+LEFT JOIN parts p
+  ON m.upload = p.upload AND m.partno = p.partno AND m.etag = p.etag
+WHERE p.upload IS NULL"""
+    ),
+)
+def complete_upload_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    parts = T.parts_df(t)
+    manifest = parts.select(
+        "upload",
+        "partno",
+        F.when(F.col("partno") % 7 == 0, F.lit("corrupted"))
+        .otherwise(F.col("etag"))
+        .alias("etag"),
+    )
+    return multipart.validate_complete_manifest(parts, manifest)
+
+
+@register(
+    "aborted_upload_gc",
+    T.with_model(
+        """\
+, active AS (
+    SELECT DISTINCT md5(CAST(l_orderkey AS VARCHAR)) AS upload
+    FROM lineitem WHERE l_orderkey % 11 <> 0
+)
+SELECT p.upload AS upload, p.object AS object, p.partno AS partno, p.size AS size, p.etag AS etag
+FROM parts p LEFT JOIN active a ON p.upload = a.upload
+WHERE a.upload IS NULL"""
+    ),
+)
+def aborted_upload_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    parts = T.parts_df(t)
+    active = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") % 11 != 0)
+        .select(F.md5(F.col("l_orderkey").cast("string")).alias("upload"))
+        .distinct()
+    )
+    return multipart.aborted_upload_parts(parts, active).select(
+        "upload", "object", "partno", "size", "etag"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — order-sensitive checksum aggregation; A7/F6 — range-read math
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "object_checksums",
+    T.with_model(
+        """\
+SELECT inode,
+       md5(string_agg(payload, '' ORDER BY chunk_seq)) AS checksum,
+       sum(chunksize) AS total_bytes,
+       count(*) AS chunk_count
+FROM chunks
+GROUP BY inode
+ORDER BY inode"""
+    ),
+)
+def object_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = T.load_tables(spark, sf_dir)
+    return checksums.object_checksums(T.chunks_df(t)).orderBy("inode")
+
+
+@register(
+    "range_read_chunks",
+    T.with_model(
+        """\
+, with_offsets AS (
+    SELECT inode, chunk_seq, chunksize,
+           coalesce(sum(chunksize) OVER (PARTITION BY inode ORDER BY chunk_seq
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS "offset"
+    FROM chunks
+    WHERE inode = 'src3'
+)
+SELECT inode, chunk_seq, "offset", chunksize,
+       greatest(1000 - "offset", 0) AS skip_head,
+       least(5000, "offset" + chunksize) - greatest(1000, "offset") AS take_len
+FROM with_offsets
+WHERE "offset" < 5000 AND "offset" + chunksize > 1000
+  AND least(5000, "offset" + chunksize) - greatest(1000, "offset") > 0
+ORDER BY chunk_seq"""
+    ),
+)
+def range_read_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = T.load_tables(spark, sf_dir)
+    return checksums.range_read_chunks(T.chunks_df(t), "src3", 1000, 5000)
+
+
+# ---------------------------------------------------------------------------
+# Event-stream operators (batch forms; streaming twins in streaming.events)
+# ---------------------------------------------------------------------------
+
+QUERIES["events_hourly_rollup"] = lambda spark, sf_dir: ev.hourly_rollup(
+    T.load_tables(spark, sf_dir)["events"]
+)
+ORACLES["events_hourly_rollup"] = ev.HOURLY_ROLLUP_SQL
+
+QUERIES["events_sliding_activity"] = lambda spark, sf_dir: ev.sliding_activity(
+    T.load_tables(spark, sf_dir)["events"]
+)
+ORACLES["events_sliding_activity"] = ev.SLIDING_ACTIVITY_SQL
+
+QUERIES["events_dedup_first"] = lambda spark, sf_dir: ev.dedup_first_event(
+    T.load_tables(spark, sf_dir)["events"]
+)
+ORACLES["events_dedup_first"] = ev.DEDUP_FIRST_EVENT_SQL
+
+QUERIES["events_sessionize"] = lambda spark, sf_dir: ev.sessionize(
+    T.load_tables(spark, sf_dir)["events"]
+)
+ORACLES["events_sessionize"] = ev.SESSIONIZE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Bulk analytics over the store (bench headliners)
+# ---------------------------------------------------------------------------
+
+QUERIES["q1_pricing_summary"] = lambda spark, sf_dir: analytics.pricing_summary(
+    T.load_tables(spark, sf_dir)["lineitem"]
+)
+ORACLES["q1_pricing_summary"] = analytics.PRICING_SUMMARY_SQL
+
+
+def _q3(spark, sf_dir):
+    t = T.load_tables(spark, sf_dir)
+    return analytics.top_unshipped_orders(t["lineitem"], t["orders"], t["customer"])
+
+
+QUERIES["q3_top_unshipped"] = _q3
+ORACLES["q3_top_unshipped"] = analytics.TOP_UNSHIPPED_SQL
+
+
+def _q5(spark, sf_dir):
+    t = T.load_tables(spark, sf_dir)
+    return analytics.region_revenue(
+        t["lineitem"], t["orders"], t["customer"], t["nation"], t["region"]
+    )
+
+
+QUERIES["q5_region_revenue"] = _q5
+ORACLES["q5_region_revenue"] = analytics.REGION_REVENUE_SQL
+
+
+def _q14(spark, sf_dir):
+    t = T.load_tables(spark, sf_dir)
+    return analytics.promo_revenue_share(t["lineitem"], t["part"])
+
+
+QUERIES["q14_promo_revenue"] = _q14
+ORACLES["q14_promo_revenue"] = analytics.PROMO_REVENUE_SQL

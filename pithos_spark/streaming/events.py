@@ -1,0 +1,193 @@
+"""Event-stream operators (SURVEY §2.9 + BASELINE.json north star).
+
+The reference streams bytes, not events (stream.clj) — watermarks and
+event-time windows are the *additions* this engine provides for the
+driver's ``events`` table.  Each operator exists in two forms:
+
+ - a batch form (DataFrame in, DataFrame out) used by the correctness
+   gate — semantically the final state a streaming run would converge to;
+ - :func:`streamify`, which re-binds the same transformation onto a
+   ``readStream`` source with a watermark, for real incremental runs.
+
+Determinism: value sums are integer-quantized (see operators.analytics);
+timestamps are exposed as ``unix_micros`` BIGINTs so the DuckDB oracle
+(``epoch_us``) hashes identically.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window per event_type: count + quantized value sum.
+
+    Batch form of ``groupBy(window('ts', '1 hour'), 'event_type')`` —
+    date_trunc is the same bucketing and keeps the column SQL-comparable.
+    Scale: partial agg map-side; shuffle width = |hours| x |types|.
+    """
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_sum_e2"),
+            F.count_distinct(F.col("user_id")).alias("distinct_users"),
+        )
+        .withColumn("window_start", F.unix_micros("window_start"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+HOURLY_ROLLUP_SQL = """\
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start,
+       event_type,
+       count(*) AS event_count,
+       sum(CAST(floor(value * 100) AS BIGINT)) AS value_sum_e2,
+       count(DISTINCT user_id) AS distinct_users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2"""
+
+
+def sliding_activity(events: DataFrame) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide) per event_type.
+
+    Expressed by exploding each event into the two windows containing it
+    — exactly what Spark's ``window(ts, '1 hour', '30 minutes')`` does —
+    then aggregating.  Kept as explicit arithmetic so the oracle can
+    mirror it.
+    """
+    half = 30 * 60 * 1_000_000  # 30 min in micros
+    us = F.unix_micros(F.col("ts"))
+    w0 = (us - us % half) - half  # window starting one slide earlier
+    exploded = events.select(
+        F.explode(F.array(w0, w0 + half)).alias("window_start"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    return (
+        exploded.groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+SLIDING_ACTIVITY_SQL = """\
+WITH base AS (
+    SELECT epoch_us(ts) - (epoch_us(ts) % 1800000000) - 1800000000 AS w0,
+           event_type
+    FROM events
+), exploded AS (
+    SELECT w0 AS window_start, event_type FROM base
+    UNION ALL
+    SELECT w0 + 1800000000 AS window_start, event_type FROM base
+)
+SELECT window_start, event_type, count(*) AS event_count
+FROM exploded
+GROUP BY 1, 2
+ORDER BY 1, 2"""
+
+
+def dedup_first_event(events: DataFrame) -> DataFrame:
+    """Keep each user's first event per type (dropDuplicates semantics with
+    deterministic keep-earliest tie-break) — the batch form of streaming
+    ``dropDuplicates(['user_id','event_type'])``.
+
+    Scale: one shuffle on the dedup key; state size in the streaming
+    form is bounded by the watermark.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.unix_micros("ts").alias("first_ts_us"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+DEDUP_FIRST_EVENT_SQL = """\
+SELECT user_id, event_type,
+       event_id AS first_event_id,
+       epoch_us(ts) AS first_ts_us
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+ORDER BY user_id, event_type"""
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session windows per user: a new session starts when the gap from
+    the previous event exceeds ``gap_minutes`` (the classic lag +
+    cumulative-sum session assignment — what Structured Streaming's
+    ``session_window`` computes incrementally).
+
+    Scale: two stacked windows over the same (user_id, ts) partitioning
+    — a single shuffle; whole-stage codegen keeps it JVM-side.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    with_gap = events.withColumn(
+        "new_session",
+        F.when(
+            ts_us - F.lag(ts_us).over(by_user) > gap_us, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_id = with_gap.withColumn("session_seq", F.sum("new_session").over(running))
+    return (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SESSIONIZE_SQL = """\
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), numbered AS (
+    SELECT user_id, event_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us
+FROM numbered
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq"""
+
+
+def streamify(spark, parquet_path: str, schema, watermark: str = "1 hour"):
+    """Bind the events source as a Structured Streaming DataFrame with a
+    watermark — the incremental twin of the batch operators above.
+    (Tested with the file source; in production this is Kafka/Delta.)
+    """
+    return (
+        spark.readStream.schema(schema)
+        .parquet(parquet_path)
+        .withWatermark("ts", watermark)
+    )

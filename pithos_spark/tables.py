@@ -157,15 +157,24 @@ def parts_df(t: dict[str, DataFrame]) -> DataFrame:
     """multipart-upload parts: PK ((bucket,object,upload), partno);
     cf. src/io/pithos/meta.clj:54-68."""
     li = t["lineitem"]
+    # the synthetic lineitem has duplicate (orderkey, linenumber) pairs;
+    # collapse them with a deterministic integer sum so partno is a real
+    # clustering key (cumulative sums over ties would be engine-dependent).
+    # Aggregate on the two integer keys FIRST, derive the string/md5
+    # columns after: the shuffle then carries longs, and each md5 is
+    # computed once per group instead of twice per input row.
+    agg = li.groupBy(
+        F.col("l_orderkey"), F.col("l_linenumber").cast("long").alias("partno")
+    ).agg(F.sum(F.floor(F.col("l_quantity") * 1000).cast("long")).alias("size"))
     okey = F.col("l_orderkey").cast("string")
-    return li.select(
+    return agg.select(
         F.concat(F.lit("mp/"), okey).alias("object"),
         F.md5(okey).alias("upload"),
-        F.col("l_linenumber").cast("long").alias("partno"),
-        F.floor(F.col("l_quantity") * 1000).cast("long").alias("size"),
-        F.md5(
-            F.concat(okey, F.lit("-"), F.col("l_linenumber").cast("string"))
-        ).alias("etag"),
+        "partno",
+        "size",
+        F.md5(F.concat(okey, F.lit("-"), F.col("partno").cast("string"))).alias(
+            "etag"
+        ),
     )
 
 
@@ -216,9 +225,10 @@ parts AS (
     SELECT 'mp/' || CAST(l_orderkey AS VARCHAR) AS object,
            md5(CAST(l_orderkey AS VARCHAR)) AS upload,
            CAST(l_linenumber AS BIGINT) AS partno,
-           CAST(floor(l_quantity * 1000) AS BIGINT) AS size,
-           md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS etag
+           md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS etag,
+           sum(CAST(floor(l_quantity * 1000) AS BIGINT)) AS size
     FROM lineitem
+    GROUP BY 1, 2, 3, 4
 ),
 chunks AS (
     SELECT source AS inode,
