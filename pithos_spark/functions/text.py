@@ -1,0 +1,190 @@
+"""Text-analysis operators for training-data pipelines (north-star scope;
+the reference has no text ops — these extend the engine over the driver's
+``documents`` table).
+
+All hot-path expressions are built-in column functions (JVM-side,
+whole-stage codegen); nothing here drops to Python.  Ratios are computed
+with a single double division after integer counting, so results are
+engine-deterministic.
+
+Scale: every operator is a narrow per-row projection + optional
+aggregation — embarrassingly parallel, no shuffle except final rollups.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# language marker words -> language code, smallest usable stopword sets.
+# Deliberately tiny: the point is the operator shape (argmax over
+# per-language hit counts), not lexical coverage.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "und", "das", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "la", "los", "que", "es", "una"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _tokens(col: F.Column) -> F.Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def _marker_hits(col: F.Column, words: list[str]) -> F.Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(col, F.lit(pat))
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Per-document token/char counts — the unit economics of a corpus.
+
+    Token = whitespace-delimited run (the BPE-ish refinement lives in
+    ``token_count_bpe`` below).
+    """
+    toks = _tokens(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.col("lang"),
+        F.length("text").alias("char_count"),
+        F.size(toks).alias("token_count"),
+        (F.length("text") / F.size(toks)).alias("chars_per_token"),
+    )
+
+
+TOKEN_STATS_SQL = """\
+SELECT doc_id, lang,
+       length(text) AS char_count,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS token_count,
+       length(text) * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')) AS chars_per_token
+FROM documents"""
+
+
+def token_count_bpe(documents: DataFrame) -> DataFrame:
+    """BPE-ish token counting: words plus digit runs plus punctuation
+    singles — the standard pre-tokenizer regex family.  Counted as
+    non-overlapping regex matches, identical in Java regex and RE2."""
+    pat = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    return documents.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(pat)).alias("bpe_token_count"),
+    )
+
+
+TOKEN_COUNT_BPE_SQL = """\
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_token_count
+FROM documents"""
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality signals: length, stopword ratio, repetition.
+
+    ``stop_hits``/``token_count`` and the distinct-token ratio are the
+    classic cheap filters (C4/Gopher-style) for corpus curation.
+    """
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    stop_hits = _marker_hits(F.col("text"), STOPWORDS)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("char_count"),
+        n_tok.alias("token_count"),
+        stop_hits.alias("stop_hits"),
+        (stop_hits / n_tok).alias("stop_ratio"),
+        distinct_ratio.alias("distinct_token_ratio"),
+        (
+            (F.length("text") >= 50)
+            & (n_tok >= 10)
+            & (distinct_ratio >= 0.2)
+        ).alias("passes_quality"),
+    )
+
+
+QUALITY_SCORE_SQL = """\
+WITH base AS (
+    SELECT doc_id, text,
+           length(text) AS char_count,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS token_count,
+           len(regexp_extract_all(text, '\\b(the|and|of|to|a|in|is)\\b')) AS stop_hits,
+           len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS distinct_tokens
+    FROM documents
+)
+SELECT doc_id, char_count, token_count, stop_hits,
+       stop_hits * 1.0 / token_count AS stop_ratio,
+       distinct_tokens * 1.0 / token_count AS distinct_token_ratio,
+       (char_count >= 50 AND token_count >= 10
+        AND distinct_tokens * 1.0 / token_count >= 0.2) AS passes_quality
+FROM base"""
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-argmax language identification, compared against the
+    labeled ``lang`` column.  Ties and zero-hit rows fall back to 'und'
+    (undetermined) — deterministic because the argmax is over integer
+    counts with a fixed language order."""
+    hit_cols = [
+        _marker_hits(F.col("text"), words).alias(f"hits_{code}")
+        for code, words in LANG_MARKERS.items()
+    ]
+    scored = documents.select("doc_id", "lang", *hit_cols)
+    codes = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{c}") for c in codes])
+    pred = F.when(best == 0, F.lit("und"))
+    for c in codes:  # first language (in fixed order) achieving the max wins
+        pred = pred.when(F.col(f"hits_{c}") == best, F.lit(c))
+    return (
+        scored.select("doc_id", "lang", pred.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+def _lang_sql_case() -> str:
+    hits = {
+        c: "len(regexp_extract_all(text, '\\b(" + "|".join(w) + ")\\b'))"
+        for c, w in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = "\n           ".join(
+        f"WHEN {hits[c]} = {best} THEN '{c}'" for c in LANG_MARKERS
+    )
+    return (
+        f"CASE WHEN {best} = 0 THEN 'und'\n           {whens}\n           END"
+    )
+
+
+LANGUAGE_ID_SQL = f"""\
+WITH pred AS (
+    SELECT doc_id, lang,
+           {_lang_sql_case()} AS predicted_lang
+    FROM documents
+)
+SELECT lang, predicted_lang, count(*) AS n_docs
+FROM pred
+GROUP BY lang, predicted_lang
+ORDER BY lang, predicted_lang"""
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over case-folded, whitespace-collapsed
+    text — the canonical form used by exact dedup across formatting
+    variants."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return documents.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        F.length(normalized).alias("normalized_len"),
+    )
+
+
+FINGERPRINT_SQL = """\
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS normalized_len
+FROM documents"""

@@ -35,7 +35,13 @@ from pithos_spark.plans.helpers import (
 )
 
 
-def _ranged(objects: DataFrame, bucket: str, prefix: str, marker: str | None) -> DataFrame:
+def _ranged(
+    objects: DataFrame,
+    bucket: str,
+    prefix: str,
+    marker: str | None,
+    delimiter: str | None = None,
+) -> DataFrame:
     df = objects.filter(F.col("bucket") == bucket)
     if prefix:
         df = df.filter(F.col("object") >= prefix)
@@ -43,7 +49,15 @@ def _ranged(objects: DataFrame, bucket: str, prefix: str, marker: str | None) ->
         if hi is not None:
             df = df.filter(F.col("object") < hi)
     if marker:
-        df = df.filter(F.col("object") > marker)
+        # S3 pagination contract: a marker that IS a common-prefix entry
+        # (ends with the delimiter) resumes after the whole subtree, not
+        # just after the marker string — otherwise the next page would
+        # re-emit the same prefix for every remaining key under it.
+        if delimiter and marker.endswith(delimiter):
+            lo = inc_prefix(marker)
+            df = df.filter(F.col("object") >= lo) if lo else df
+        else:
+            df = df.filter(F.col("object") > marker)
     return df
 
 
@@ -60,7 +74,7 @@ def list_objects(
     ``entry_type`` is 'key' (S3 Contents) or 'prefix' (CommonPrefixes).
     Both kinds count toward ``max_keys``, matching meta.clj:240-244.
     """
-    ranged = _ranged(objects, bucket, prefix, marker)
+    ranged = _ranged(objects, bucket, prefix, marker, delimiter)
     if delimiter:
         pfx = (
             ranged.select(
@@ -100,7 +114,12 @@ def list_objects_oracle(
         if hi is not None:
             conds.append(f"object < {sql_str(hi)}")
     if marker:
-        conds.append(f"object > {sql_str(marker)}")
+        if delimiter and marker.endswith(delimiter):
+            lo = inc_prefix(marker)
+            if lo is not None:
+                conds.append(f"object >= {sql_str(lo)}")
+        else:
+            conds.append(f"object > {sql_str(marker)}")
     where = " AND ".join(conds)
     if delimiter:
         kp = sql_str(key_pattern(prefix, delimiter))

@@ -388,3 +388,88 @@ def _q14(spark, sf_dir):
 
 QUERIES["q14_promo_revenue"] = _q14
 ORACLES["q14_promo_revenue"] = analytics.PROMO_REVENUE_SQL
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: text analysis, dedup, similarity, multimodal
+# ---------------------------------------------------------------------------
+
+from pithos_spark.functions import dedup, similarity, text  # noqa: E402
+from pithos_spark.sources import multimodal  # noqa: E402
+
+
+def _doc_query(fn):
+    return lambda spark, sf_dir: fn(T.load_tables(spark, sf_dir)["documents"])
+
+
+QUERIES["text_token_stats"] = _doc_query(text.token_stats)
+ORACLES["text_token_stats"] = text.TOKEN_STATS_SQL
+
+QUERIES["text_token_count_bpe"] = _doc_query(text.token_count_bpe)
+ORACLES["text_token_count_bpe"] = text.TOKEN_COUNT_BPE_SQL
+
+QUERIES["text_quality_score"] = _doc_query(text.quality_score)
+ORACLES["text_quality_score"] = text.QUALITY_SCORE_SQL
+
+QUERIES["text_language_id"] = _doc_query(text.language_id)
+ORACLES["text_language_id"] = text.LANGUAGE_ID_SQL
+
+QUERIES["text_fingerprint"] = _doc_query(text.fingerprint)
+ORACLES["text_fingerprint"] = text.FINGERPRINT_SQL
+
+
+@register(
+    "dedup_exact",
+    """\
+WITH doubled AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS copies
+FROM doubled
+GROUP BY md5(text)""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup demo over a corpus with planted duplicates (the raw
+    documents table has none, so we double it — every text then has
+    exactly two copies and dedup must collapse back to the original)."""
+    import pyspark.sql.functions as F
+
+    d = T.load_tables(spark, sf_dir)["documents"]
+    doubled = d.select("doc_id", "text").unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return dedup.exact_dedup(doubled)
+
+
+QUERIES["dedup_jaccard_pairs"] = _doc_query(dedup.jaccard_pairs)
+ORACLES["dedup_jaccard_pairs"] = dedup.jaccard_pairs_oracle()
+
+# MinHash-LSH and SimHash use Spark's xxhash64 (no DuckDB twin) ->
+# rows-only driver check; recall vs the exact jaccard answer is asserted
+# in tests/test_dedup.py.
+QUERIES["dedup_minhash_lsh"] = _doc_query(dedup.minhash_lsh_pairs)
+QUERIES["dedup_simhash_pairs"] = _doc_query(dedup.simhash_near_pairs)
+
+
+def _emb_query(fn, *args, **kwargs):
+    return lambda spark, sf_dir: fn(
+        T.load_tables(spark, sf_dir)["embeddings"], *args, **kwargs
+    )
+
+
+QUERIES["ann_brute_force_topk"] = _emb_query(similarity.brute_force_topk, 0, 10)
+ORACLES["ann_brute_force_topk"] = similarity.brute_force_topk_oracle(0, 10)
+
+QUERIES["ann_label_centroids"] = _emb_query(similarity.label_centroid_norms)
+ORACLES["ann_label_centroids"] = similarity.LABEL_CENTROID_NORMS_SQL
+
+# LSH ANN: deterministic but hash-based -> rows-only; recall asserted in
+# tests/test_similarity.py against brute force.
+QUERIES["ann_lsh_topk"] = _emb_query(similarity.lsh_topk, 0, 10)
+
+QUERIES["multimodal_features"] = _doc_query(multimodal.media_features)
+ORACLES["multimodal_features"] = multimodal.MEDIA_FEATURES_SQL

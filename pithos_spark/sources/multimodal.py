@@ -1,0 +1,120 @@
+"""Multimodal column plumbing (north-star scope).
+
+Treats media as opaque ``binary`` payloads with typed metadata — the same
+modeling the reference applies to blob chunks (BinaryType rows,
+src/io/pithos/blob.clj:79-93) lifted to whole assets.
+
+The decode step (image/audio libraries) is STUBBED — the container has no
+media libs — behind ``decode_stub``, a deterministic fake that derives
+"features" from the payload bytes.  Everything around it is real and
+tested: the asset schema, the Arrow-batched ``mapInPandas`` pipeline
+shape, batch-size control, and the metadata pushdown.
+
+Scale: mapInPandas processes Arrow record batches (not rows); payload
+columns stream executor-side without driver involvement.  Partitioning by
+asset group keeps one worker's batches homogeneous (same codec path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.MapType(T.StringType(), T.StringType()),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("fake_width", T.LongType()),
+        T.StructField("fake_height", T.LongType()),
+        T.StructField("checksum_head", T.StringType()),
+    ]
+)
+
+
+def assets_from_documents(documents: DataFrame) -> DataFrame:
+    """Derive a multimodal asset table from the documents corpus: the
+    utf-8 payload stands in for media bytes; media_type cycles through the
+    three modalities so group-wise processing paths are exercised."""
+    mt = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        mt.alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.create_map(
+            F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
+        ).alias("meta"),
+    )
+
+
+def decode_stub(assets: DataFrame) -> DataFrame:
+    """The decode / feature-extract stage as an Arrow-batched
+    ``mapInPandas`` pipeline.
+
+    REAL: batch iteration, schema contract, per-batch vectorized work.
+    FAKE: the "decode" derives width/height deterministically from the
+    byte length (a real build would call PIL/ffmpeg here and raise
+    ``NotImplementedError`` if the lib is missing).
+    """
+
+    def decode_batches(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n_bytes,
+                    # deterministic fake decode: dimensions from length
+                    "fake_width": n_bytes % 640 + 1,
+                    "fake_height": n_bytes % 480 + 1,
+                    "checksum_head": pdf["payload"].map(
+                        lambda b: hashlib.md5(b).hexdigest()[:8]
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(decode_batches, FEATURE_SCHEMA)
+
+
+def media_features(documents: DataFrame) -> DataFrame:
+    """End-to-end multimodal pipeline: derive assets -> Arrow-batched
+    decode stub -> typed feature rows."""
+    return decode_stub(assets_from_documents(documents)).orderBy("asset_id")
+
+
+# The decode math is simple enough to mirror in SQL, so even the
+# Pandas-UDF path gets a full value-hash oracle (the fake decode is
+# length arithmetic + md5 prefix):
+MEDIA_FEATURES_SQL = """\
+SELECT doc_id AS asset_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(strlen(text) % 640 + 1 AS BIGINT) AS fake_width,
+       CAST(strlen(text) % 480 + 1 AS BIGINT) AS fake_height,
+       substr(md5(text), 1, 8) AS checksum_head
+FROM documents
+ORDER BY asset_id"""

@@ -1,0 +1,53 @@
+"""Dedup ladder invariants: the probabilistic tiers must agree with the
+exact tier on the planted near-duplicates."""
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_on_planted_dups(documents):
+    from pithos_spark.functions.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    exact = _pairs(jaccard_pairs(documents, threshold_pct=80))
+    assert exact, "testdata should contain planted near-dup pairs"
+    lsh = _pairs(minhash_lsh_pairs(documents, threshold_pct=80))
+    # at j >= 0.8 the 8-band/4-row S-curve accepts with p ~ 1;
+    # candidates are verified exactly, so lsh ⊆ exact and recall ~ 1
+    assert lsh.issubset(exact)
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} over {len(exact)} planted pairs"
+
+
+def test_simhash_finds_planted_dups(documents):
+    from pithos_spark.functions.dedup import jaccard_pairs, simhash_near_pairs
+
+    exact = _pairs(jaccard_pairs(documents, threshold_pct=90))
+    sim = _pairs(simhash_near_pairs(documents, max_hamming=10))
+    recall = len(sim & exact) / len(exact)
+    assert recall >= 0.8, f"simhash recall {recall} on jaccard>=0.9 pairs"
+
+
+def test_exact_dedup_collapses_doubled_corpus(documents, spark):
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions.dedup import exact_dedup
+
+    doubled = documents.select("doc_id", "text").unionByName(
+        documents.select((F.col("doc_id") + 10**6).alias("doc_id"), "text")
+    )
+    out = exact_dedup(doubled)
+    n_docs = documents.count()
+    assert out.count() == n_docs
+    assert out.filter(F.col("copies") != 2).count() == 0
+    # canonical representative is always the original (smaller) id
+    assert out.filter(F.col("canonical_doc_id") >= 10**6).count() == 0

@@ -1,0 +1,105 @@
+"""Ported reference listing-semantics tests.
+
+The reference table-drives filter-keys / filter-prefixes / get-prefixes
+against a simulated wide-row fetcher (test/io/pithos/meta_test.clj:8-119).
+Here the same fixture keys run through the one-shot DataFrame plan; the
+expectations are the reference's documented S3 semantics.
+"""
+
+import pytest
+
+from pithos_spark.operators.listing import list_objects
+from pithos_spark.plans.helpers import inc_prefix
+
+FIXTURE_KEYS = [
+    # mirrors the shape of meta_test.clj's fixtures: top-level files plus
+    # nested pseudo-directories
+    "a.txt",
+    "b.txt",
+    "dir1/x.txt",
+    "dir1/y.txt",
+    "dir1/sub/z.txt",
+    "dir2/only.txt",
+    "zzz",
+]
+
+
+@pytest.fixture(scope="module")
+def objects(spark):
+    return spark.createDataFrame(
+        [("bkt", k) for k in FIXTURE_KEYS], ["bucket", "object"]
+    )
+
+
+def _entries(df):
+    return {(r["entry_type"], r["name"]) for r in df.collect()}
+
+
+def test_no_delimiter_lists_everything(objects):
+    got = _entries(list_objects(objects, "bkt"))
+    assert got == {("key", k) for k in FIXTURE_KEYS}
+
+
+def test_delimiter_splits_keys_and_prefixes(objects):
+    got = _entries(list_objects(objects, "bkt", "", "/"))
+    assert got == {
+        ("key", "a.txt"),
+        ("key", "b.txt"),
+        ("key", "zzz"),
+        ("prefix", "dir1/"),
+        ("prefix", "dir2/"),
+    }
+
+
+def test_prefix_with_delimiter_descends_one_level(objects):
+    got = _entries(list_objects(objects, "bkt", "dir1/", "/"))
+    assert got == {
+        ("key", "dir1/x.txt"),
+        ("key", "dir1/y.txt"),
+        ("prefix", "dir1/sub/"),
+    }
+
+
+def test_prefix_without_delimiter_is_range_scan(objects):
+    got = _entries(list_objects(objects, "bkt", "dir1/"))
+    assert got == {
+        ("key", "dir1/x.txt"),
+        ("key", "dir1/y.txt"),
+        ("key", "dir1/sub/z.txt"),
+    }
+
+
+def test_marker_resumes_after_key(objects):
+    got = _entries(list_objects(objects, "bkt", "", "/", marker="b.txt"))
+    assert got == {
+        ("key", "zzz"),
+        ("prefix", "dir1/"),
+        ("prefix", "dir2/"),
+    }
+
+
+def test_max_keys_truncates_in_name_order(objects):
+    rows = list_objects(objects, "bkt", "", "/", max_keys=2).collect()
+    assert [r["name"] for r in rows] == ["a.txt", "b.txt"]
+
+
+def test_pagination_walks_whole_listing(objects):
+    seen, marker = [], None
+    for _ in range(10):
+        page = list_objects(objects, "bkt", "", "/", marker=marker, max_keys=2).collect()
+        if not page:
+            break
+        seen += [r["name"] for r in page]
+        marker = max(r["name"] for r in page)
+    assert seen == sorted(
+        ["a.txt", "b.txt", "zzz", "dir1/", "dir2/"]
+    )
+
+
+def test_inc_prefix_edge_cases():
+    # mirrors test/io/pithos/util_test.clj inc-prefix cases
+    assert inc_prefix("foo") == "fop"
+    assert inc_prefix("a") == "b"
+    assert inc_prefix("") is None
+    assert inc_prefix(None) is None
+    assert inc_prefix("a\U0010ffff") == "b"  # unincrementable last char recurses

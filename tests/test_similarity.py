@@ -1,0 +1,41 @@
+"""ANN invariants: the LSH path must agree with brute force on what it
+returns, and find a reasonable share of the true top-k."""
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+
+
+def test_lsh_results_subset_of_bucket_with_exact_scores(embeddings):
+    from pithos_spark.functions.similarity import brute_force_topk, lsh_topk
+
+    exact = {r["vec_id"]: r["dot_q"] for r in brute_force_topk(embeddings, 0, 50).collect()}
+    approx = lsh_topk(embeddings, 0, 10).collect()
+    assert approx, "query vector's bucket should not be empty"
+    for r in approx:
+        # scores are the same exact quantized dot product
+        if r["vec_id"] in exact:
+            assert exact[r["vec_id"]] == r["dot_q"]
+
+
+def test_lsh_recall_at_10(embeddings):
+    from pithos_spark.functions.similarity import brute_force_topk, lsh_topk
+
+    true10 = {r["vec_id"] for r in brute_force_topk(embeddings, 0, 10).collect()}
+    got = {r["vec_id"] for r in lsh_topk(embeddings, 0, 10).collect()}
+    recall = len(true10 & got) / 10
+    # 4 planes -> 16 buckets; neighbors correlate with the query's bucket
+    assert recall >= 0.5, f"LSH recall@10 = {recall}"
+
+
+def test_brute_force_is_deterministic(embeddings):
+    from pithos_spark.functions.similarity import brute_force_topk
+
+    a = [tuple(r) for r in brute_force_topk(embeddings, 7, 10).collect()]
+    b = [tuple(r) for r in brute_force_topk(embeddings, 7, 10).collect()]
+    assert a == b
