@@ -1,0 +1,73 @@
+"""CORS rule matching (SURVEY §2: F10, F11, A9).
+
+Reference anchors:
+ - origin-matches? / origins-match?   src/io/pithos/cors.clj:72-81
+ - header pattern matching            src/io/pithos/cors.clj:89-112
+ - matching-rules merge               src/io/pithos/cors.clj:83-87,139-145
+
+A CORS config is a list of rules (origins with ``*`` wildcards, methods,
+headers, max_age).  The reference walks rules per request; here a
+request set joins the rule table with the wildcard predicate as a column
+expression, and the merge step is an aggregation — the batch shape for
+"evaluate a million preflights against tenant configs".
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def origin_match_expr(origin_col: F.Column, pattern_col: F.Column) -> F.Column:
+    """F10: S3 CORS origin wildcard — ``*`` matches any run of
+    characters; at most one ``*`` per pattern (cors.clj:72-76).
+    Implemented as split-on-* prefix/suffix anchoring — no regex
+    compilation per row."""
+    star = F.instr(pattern_col, "*")
+    prefix = F.substring(pattern_col, 1, star - 1)
+    suffix = F.substr(pattern_col, star + 1)
+    return F.when(star == 0, origin_col == pattern_col).otherwise(
+        origin_col.startswith(prefix)
+        & origin_col.endswith(suffix)
+        & (F.length(origin_col) >= F.length(prefix) + F.length(suffix))
+    )
+
+
+def matching_rules(requests: DataFrame, rules: DataFrame) -> DataFrame:
+    """F10/F11: for each preflight request (bucket, origin, method),
+    the rules that match origin wildcard + method membership."""
+    joined = requests.join(rules, "bucket").filter(
+        origin_match_expr(F.col("origin"), F.col("origin_pattern"))
+        & F.array_contains(F.col("methods"), F.col("method"))
+    )
+    return joined
+
+
+def preflight_response(requests: DataFrame, rules: DataFrame) -> DataFrame:
+    """A9: merge all matching rules per request — union of methods,
+    min of max_age (cors.clj:83-87) — plus an allow/deny verdict."""
+    m = matching_rules(requests, rules)
+    merged = (
+        m.groupBy("bucket", "origin", "method")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("methods")))
+            ).alias("allowed_methods"),
+            F.min("max_age").alias("max_age"),
+            F.count(F.lit(1)).alias("n_rules"),
+        )
+    )
+    return (
+        requests.join(merged, ["bucket", "origin", "method"], "left")
+        .select(
+            "bucket",
+            "origin",
+            "method",
+            F.col("n_rules").isNotNull().alias("allowed"),
+            F.coalesce("allowed_methods", F.array().cast("array<string>")).alias(
+                "allowed_methods"
+            ),
+            "max_age",
+        )
+        .orderBy("bucket", "origin", "method")
+    )

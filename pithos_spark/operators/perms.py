@@ -1,0 +1,100 @@
+"""ACL / permission predicate evaluation (SURVEY §2: F8, F9, C15, A8).
+
+Reference anchors:
+ - granted-for? / granted?          src/io/pithos/perms.clj:9-19
+ - bucket-satisfies? / authorize    src/io/pithos/perms.clj:21-84
+ - canned ACL expansion             src/io/pithos/perms.clj:86-179
+ - grant merging                    src/io/pithos/acl.clj:85-97
+
+The reference stores ACLs as serialized EDN maps {perm -> [grantee...]}
+and evaluates them in application code.  Here grants are a typed table
+(bucket, perm, grantee_id, grantee_type) and every predicate is a column
+expression / join — at scale an authorization sweep over billions of
+objects is a broadcast join against the grants dimension, not a per-row
+interpreter.
+
+S3 semantics preserved:
+ - a needed permission is satisfied by itself OR FULL_CONTROL
+   (perms.clj:30-33)
+ - bucket owner always passes (perms.clj:26-29)
+ - group grants (URI) match the caller's memberof set (perms.clj:34-37)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+CANNED_ACLS = {
+    # canned name -> [(perm, grantee_id, grantee_type)]; expansion table
+    # mirrors perms.clj:86-179 (owner FULL_CONTROL is implicit)
+    "private": [],
+    "public-read": [("READ", "AllUsers", "group")],
+    "public-read-write": [
+        ("READ", "AllUsers", "group"),
+        ("WRITE", "AllUsers", "group"),
+    ],
+    "authenticated-read": [("READ", "AuthenticatedUsers", "group")],
+}
+
+
+def expand_canned_acl(spark, bucket: str, owner: str, canned: str) -> DataFrame:
+    """C15: canned ACL name -> typed grant rows (owner gets
+    FULL_CONTROL, plus the canned expansion)."""
+    rows = [(bucket, "FULL_CONTROL", owner, "canonical")] + [
+        (bucket, p, g, t) for (p, g, t) in CANNED_ACLS[canned]
+    ]
+    return spark.createDataFrame(
+        rows, ["bucket", "perm", "grantee_id", "grantee_type"]
+    )
+
+
+def effective_grants(grants: DataFrame, needed: str) -> DataFrame:
+    """F8: the grant rows that satisfy permission ``needed`` —
+    the permission itself or FULL_CONTROL (perms.clj:30-33)."""
+    return grants.filter(F.col("perm").isin([needed, "FULL_CONTROL"]))
+
+
+def authorized_buckets(
+    buckets: DataFrame,
+    grants: DataFrame,
+    tenant: str,
+    groups: list[str],
+    needed: str,
+) -> DataFrame:
+    """F9: every bucket the caller may access with ``needed`` permission:
+    ownership OR a direct grant OR a group grant.
+
+    Shape: broadcast semi-join of the bucket dim against the matching
+    grant rows, OR'd with the ownership predicate — no row explosion.
+    """
+    matching = effective_grants(grants, needed).filter(
+        (
+            (F.col("grantee_type") == "canonical")
+            & (F.col("grantee_id") == tenant)
+        )
+        | ((F.col("grantee_type") == "group") & F.col("grantee_id").isin(groups))
+    )
+    granted = matching.select("bucket").distinct()
+    owned = buckets.filter(F.col("tenant") == tenant).select("bucket")
+    return (
+        buckets.join(
+            F.broadcast(granted.unionByName(owned).distinct()), "bucket", "left_semi"
+        )
+        .select("bucket", "tenant")
+        .orderBy("bucket")
+    )
+
+
+def merge_grants(grants: DataFrame) -> DataFrame:
+    """A8: merge grantee lists per (bucket, perm) — the reference's
+    ``merge-with concat`` over parsed XML Grant nodes (acl.clj:85-97),
+    with a sorted list for deterministic output."""
+    return (
+        grants.groupBy("bucket", "perm")
+        .agg(
+            F.array_sort(F.collect_set("grantee_id")).alias("grantees"),
+            F.count(F.lit(1)).alias("n_grants"),
+        )
+        .orderBy("bucket", "perm")
+    )

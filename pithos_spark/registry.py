@@ -473,3 +473,275 @@ QUERIES["ann_lsh_topk"] = _emb_query(similarity.lsh_topk, 0, 10)
 
 QUERIES["multimodal_features"] = _doc_query(multimodal.media_features)
 ORACLES["multimodal_features"] = multimodal.MEDIA_FEATURES_SQL
+
+
+# ---------------------------------------------------------------------------
+# ACL / permission evaluation + CORS matching (F8-F11, C15, A8, A9)
+# ---------------------------------------------------------------------------
+
+from pithos_spark.operators import cors, perms  # noqa: E402
+
+
+@register(
+    "acl_read_grants",
+    T.with_model(
+        """\
+SELECT bucket, perm, grantee_id, grantee_type FROM grants
+WHERE perm IN ('READ', 'FULL_CONTROL')
+ORDER BY bucket, perm, grantee_id"""
+    ),
+)
+def acl_read_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = T.load_tables(spark, sf_dir)
+    return perms.effective_grants(T.grants_df(t), "READ").orderBy(
+        "bucket", "perm", "grantee_id"
+    )
+
+
+@register(
+    "acl_authorized_buckets",
+    T.with_model(
+        """\
+, matching AS (
+    SELECT DISTINCT bucket FROM grants
+    WHERE perm IN ('READ', 'FULL_CONTROL')
+      AND ((grantee_type = 'canonical' AND grantee_id = 'ASIA')
+           OR (grantee_type = 'group' AND grantee_id IN ('AllUsers')))
+), allowed AS (
+    SELECT bucket FROM matching
+    UNION
+    SELECT bucket FROM buckets WHERE tenant = 'ASIA'
+)
+SELECT b.bucket AS bucket, b.tenant AS tenant
+FROM buckets b JOIN allowed a ON b.bucket = a.bucket
+ORDER BY bucket"""
+    ),
+)
+def acl_authorized_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = T.load_tables(spark, sf_dir)
+    return perms.authorized_buckets(
+        T.buckets_df(t), T.grants_df(t), "ASIA", ["AllUsers"], "READ"
+    )
+
+
+@register(
+    "acl_merged_grants",
+    T.with_model(
+        """\
+SELECT bucket, perm,
+       list_sort(list_distinct(list(grantee_id))) AS grantees,
+       count(*) AS n_grants
+FROM grants
+GROUP BY bucket, perm
+ORDER BY bucket, perm"""
+    ),
+)
+def acl_merged_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = T.load_tables(spark, sf_dir)
+    return perms.merge_grants(T.grants_df(t))
+
+
+@register(
+    "cors_preflight",
+    T.with_model(
+        """\
+, matched AS (
+    SELECT r.bucket, r.origin, r.method, c.methods, c.max_age
+    FROM cors_requests r
+    JOIN cors_rules c ON r.bucket = c.bucket
+    WHERE (CASE WHEN strpos(c.origin_pattern, '*') = 0
+                THEN r.origin = c.origin_pattern
+                ELSE starts_with(r.origin, substring(c.origin_pattern, 1, strpos(c.origin_pattern, '*') - 1))
+                     AND ends_with(r.origin, substring(c.origin_pattern, strpos(c.origin_pattern, '*') + 1))
+                     AND length(r.origin) >= length(c.origin_pattern) - 1
+           END)
+      AND list_contains(c.methods, r.method)
+), merged AS (
+    SELECT bucket, origin, method,
+           list_sort(list_distinct(flatten(list(methods)))) AS allowed_methods,
+           min(max_age) AS max_age,
+           count(*) AS n_rules
+    FROM matched
+    GROUP BY bucket, origin, method
+)
+SELECT r.bucket AS bucket, r.origin AS origin, r.method AS method,
+       m.n_rules IS NOT NULL AS allowed,
+       coalesce(m.allowed_methods, []) AS allowed_methods,
+       m.max_age AS max_age
+FROM cors_requests r
+LEFT JOIN merged m ON r.bucket = m.bucket AND r.origin = m.origin AND r.method = m.method
+ORDER BY bucket, origin, method"""
+    ),
+)
+def cors_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = T.load_tables(spark, sf_dir)
+    return cors.preflight_response(T.cors_requests_df(t), T.cors_rules_df(t))
+
+
+# ---------------------------------------------------------------------------
+# Mutations as set-based batch plans (M1-M4, M11, A4) + chunked ingest (C13)
+# ---------------------------------------------------------------------------
+
+from pithos_spark.sources import store  # noqa: E402
+
+
+@register(
+    "objects_upsert_merge",
+    T.with_model(
+        """\
+, updates AS (
+    SELECT bucket, object, inode, size * 2 AS size, atime, checksum,
+           'updated' AS acl, storageclass
+    FROM objects WHERE size % 13 = 0
+), tagged AS (
+    SELECT *, 1 AS _pri FROM updates
+    UNION ALL
+    SELECT *, 2 AS _pri FROM objects
+)
+SELECT bucket, object, inode, size, acl
+FROM tagged
+QUALIFY row_number() OVER (PARTITION BY bucket, object ORDER BY _pri) = 1
+ORDER BY bucket, object"""
+    ),
+)
+def objects_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M3: MERGE-upsert of a metadata-update batch; updates win on the
+    (bucket, object) key.  Post-state returned for the gate."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    objects = T.objects_df(t)
+    updates = objects.filter(F.col("size") % 13 == 0).withColumns(
+        {"size": F.col("size") * 2, "acl": F.lit("updated")}
+    )
+    merged = store.merge_upsert(objects, updates, ["bucket", "object"])
+    return merged.select("bucket", "object", "inode", "size", "acl").orderBy(
+        "bucket", "object"
+    )
+
+
+@register(
+    "objects_delete_where",
+    T.with_model(
+        """\
+SELECT bucket, count(*) AS n_objects, sum(size) AS total_bytes
+FROM objects
+WHERE NOT (bucket = 'NATION_3' OR size < 500000)
+GROUP BY bucket
+ORDER BY bucket"""
+    ),
+)
+def objects_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2/M4: DELETE WHERE as surviving-state plan, summarized per
+    bucket (the driver compares the aggregate, not 15k raw rows)."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    survivors = store.delete_where(
+        T.objects_df(t), (F.col("bucket") == "NATION_3") | (F.col("size") < 500000)
+    )
+    return (
+        survivors.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_objects"), F.sum("size").alias("total_bytes"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "objects_bulk_delete",
+    T.with_model(
+        """\
+, doomed AS (
+    SELECT bucket, object FROM objects
+    WHERE bucket = 'NATION_2' AND size % 3 = 0
+)
+SELECT o.bucket AS bucket, o.object AS object, o.size AS size
+FROM objects o
+LEFT JOIN doomed d ON o.bucket = d.bucket AND o.object = d.object
+WHERE o.bucket = 'NATION_2' AND d.object IS NULL
+ORDER BY object"""
+    ),
+)
+def objects_bulk_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11: bulk delete by key list (the parsed Delete-XML key set) as
+    one anti-join; returns the surviving objects of the bucket."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    objects = T.objects_df(t).filter(F.col("bucket") == "NATION_2")
+    doomed = objects.filter(F.col("size") % 3 == 0).select("bucket", "object")
+    return (
+        store.bulk_delete(objects, doomed, ["bucket", "object"])
+        .select("bucket", "object", "size")
+        .orderBy("object")
+    )
+
+
+@register(
+    "buckets_object_presence",
+    T.with_model(
+        """\
+SELECT b.bucket AS bucket,
+       count(o.object) > 0 AS has_objects,
+       count(o.object) AS n_objects
+FROM buckets b LEFT JOIN objects o ON b.bucket = o.bucket
+GROUP BY b.bucket
+ORDER BY bucket"""
+    ),
+)
+def buckets_object_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: the bucket-empty check (409 precondition for delete-bucket),
+    evaluated for every bucket at once."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    o = T.objects_df(t).select("bucket", "object")
+    return (
+        T.buckets_df(t)
+        .join(o, "bucket", "left")
+        .groupBy("bucket")
+        .agg(
+            (F.count("object") > 0).alias("has_objects"),
+            F.count("object").alias("n_objects"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "chunk_ingest_explode",
+    T.with_model(
+        """\
+, offs AS (
+    SELECT source AS inode, text, length(text) AS plen,
+           unnest(range(0, greatest(length(text), 1), 512)) AS "offset"
+    FROM documents WHERE doc_id < 50
+)
+SELECT inode,
+       CAST("offset" // 2048 * 2048 AS BIGINT) AS block,
+       CAST("offset" AS BIGINT) AS "offset",
+       CAST(least(512, plen - "offset") AS BIGINT) AS chunksize,
+       md5(substring(text, CAST("offset" AS INT) + 1, 512)) AS chunk_md5
+FROM offs
+ORDER BY inode, "offset" """
+    ),
+)
+def chunk_ingest_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13/T2: batch PUT ingest — payloads exploded into chunk rows with
+    block assignment (512-byte chunks, 4-chunk blocks)."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    payloads = (
+        t["documents"]
+        .filter(F.col("doc_id") < 50)
+        .select(F.col("source").alias("inode"), F.col("text").alias("payload"))
+    )
+    chunks = store.chunk_ingest(payloads, chunk_size=512, max_block_chunks=4)
+    return chunks.select(
+        "inode",
+        "block",
+        "offset",
+        "chunksize",
+        F.md5("chunk_payload").alias("chunk_md5"),
+    ).orderBy("inode", "offset")

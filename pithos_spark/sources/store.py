@@ -1,0 +1,124 @@
+"""Table mutation plans + storage layout (SURVEY §2.2 M1-M11, §1.5).
+
+The reference mutates Cassandra rows one statement at a time (upserts
+``update-object-q`` meta.clj:183-189, deletes ``delete-object-q``
+meta.clj:191-195, per-part GC loops blob.clj:135-146).  The Spark-native
+analog is set-based: a mutation is a *batch* DataFrame and the new table
+state is a declarative plan (MERGE = precedence union, DELETE =
+anti-join).  On a Delta/Iceberg table these compile to native MERGE
+INTO / DELETE WHERE; on plain parquet the same plans feed an
+overwrite-by-partition writer.
+
+Layout (the 100 TB contract, mirroring the reference's partition keys):
+ - objects:  partitionBy(bucket), sorted by object within partitions ->
+   listings prune to one partition + min/max row-group skipping on key.
+ - chunks:   bucketBy(inode), sorted by (block, offset) -> one object's
+   bytes are one bucket's contiguous run.
+ - dimension tables (buckets, grants, cors_rules): single files,
+   broadcast at query time.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE semantics as a plan: updates win over existing rows on the
+    key; non-matched update rows are inserts (M1/M3).
+
+    One shuffle on the merge key; at scale this is exactly the shape
+    Delta's MERGE INTO executes (join on key + precedence).
+    """
+    tagged = updates.withColumn("_pri", F.lit(1)).unionByName(
+        target.withColumn("_pri", F.lit(2))
+    )
+    w = Window.partitionBy(*keys).orderBy("_pri")
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_pri", "_rn")
+    )
+
+
+def delete_where(target: DataFrame, predicate: F.Column) -> DataFrame:
+    """DELETE WHERE as a plan (M2/M4): the surviving table state."""
+    return target.filter(~predicate)
+
+
+def bulk_delete(target: DataFrame, keys_df: DataFrame, keys: list[str]) -> DataFrame:
+    """M11: delete every row matching a key list (the reference parses
+    the list from Delete XML then loops; here it's one anti-join)."""
+    return target.join(keys_df.select(*keys).distinct(), keys, "left_anti")
+
+
+def chunk_ingest(
+    payloads: DataFrame,
+    chunk_size: int = 512,
+    max_block_chunks: int = 4,
+    id_col: str = "inode",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """C13/T2: explode whole payloads into chunk rows with block
+    assignment — the batch form of the reference's PUT ingest loop
+    (stream.clj:105-141; boundary math blob.clj:161,190-191).
+
+    offset walks the payload in ``chunk_size`` steps; a block holds
+    ``max_block_chunks`` chunks (the reference's 1 GiB block = 2048 x
+    512 KiB — scaled-down defaults here for testability).
+
+    All JVM-side: sequence+transform+explode, substring slicing; the
+    explode multiplies rows before any shuffle, so ingest parallelism
+    is payload-partition parallelism.
+    """
+    plen = F.length(F.col(payload_col))
+    offsets = F.sequence(
+        F.lit(0), F.greatest(plen - 1, F.lit(0)), F.lit(chunk_size)
+    )
+    block_span = chunk_size * max_block_chunks
+    exploded = payloads.select(
+        F.col(id_col).alias("inode"),
+        F.col(payload_col).alias("_payload"),
+        plen.alias("_plen"),
+        F.explode(offsets).alias("offset"),
+    )
+    return exploded.select(
+        "inode",
+        (F.floor(F.col("offset") / block_span) * block_span)
+        .cast("long")
+        .alias("block"),
+        F.col("offset").cast("long"),
+        F.least(F.lit(chunk_size), F.col("_plen") - F.col("offset"))
+        .cast("long")
+        .alias("chunksize"),
+        F.substring(F.col("_payload"), F.col("offset") + 1, chunk_size).alias(
+            "chunk_payload"
+        ),
+    )
+
+
+def write_objects_layout(objects: DataFrame, path: str) -> None:
+    """The 100 TB objects layout: partition by bucket, sort by key within
+    files so the listing range scan becomes partition pruning + row-group
+    skipping (the Spark analog of the reference's (bucket) partition key
+    + object clustering, meta.clj:45)."""
+    (
+        objects.repartition("bucket")
+        .sortWithinPartitions("object")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def write_chunks_layout(chunks: DataFrame, path: str, buckets: int = 32) -> None:
+    """Chunk store layout: hash-bucket by inode, cluster by (block,
+    offset) — one object's bytes land in one bucket file in read order
+    (blob.clj:77,93)."""
+    (
+        chunks.repartition(buckets, "inode")
+        .sortWithinPartitions("inode", "block", "offset")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -178,6 +178,70 @@ def parts_df(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def grants_df(t: dict[str, DataFrame]) -> DataFrame:
+    """typed ACL grant rows (bucket, perm, grantee_id, grantee_type) —
+    the structured form of the reference's EDN acl maps
+    (src/io/pithos/perms.clj:9-37); derived from supplier."""
+    s, nation = t["supplier"], t["nation"]
+    return (
+        s.join(F.broadcast(nation), s.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("bucket"),
+            F.when(F.col("s_suppkey") % 3 == 0, F.lit("READ"))
+            .when(F.col("s_suppkey") % 3 == 1, F.lit("WRITE"))
+            .otherwise(F.lit("FULL_CONTROL"))
+            .alias("perm"),
+            F.when(F.col("s_suppkey") % 5 == 0, F.lit("AllUsers"))
+            .otherwise(F.col("s_name"))
+            .alias("grantee_id"),
+            F.when(F.col("s_suppkey") % 5 == 0, F.lit("group"))
+            .otherwise(F.lit("canonical"))
+            .alias("grantee_type"),
+        )
+    )
+
+
+def cors_rules_df(t: dict[str, DataFrame]) -> DataFrame:
+    """CORS rule table (bucket, origin_pattern, methods, max_age) —
+    typed form of the reference's EDN cors column
+    (src/io/pithos/cors.clj:12-48); derived from part."""
+    p = t["part"]
+    return p.filter(F.col("p_partkey") % 7 == 0).select(
+        F.concat(F.lit("NATION_"), (F.col("p_partkey") % 25).cast("string")).alias(
+            "bucket"
+        ),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("*"))
+        .when(F.col("p_partkey") % 3 == 1, F.lit("https://*.example.com"))
+        .otherwise(F.lit("https://app.example.com"))
+        .alias("origin_pattern"),
+        F.when(
+            F.col("p_partkey") % 2 == 0, F.array(F.lit("GET"), F.lit("HEAD"))
+        )
+        .otherwise(F.array(F.lit("GET"), F.lit("PUT"), F.lit("POST")))
+        .alias("methods"),
+        (F.col("p_size").cast("long") * 10).alias("max_age"),
+    )
+
+
+def cors_requests_df(t: dict[str, DataFrame]) -> DataFrame:
+    """synthetic preflight requests (bucket, origin, method) derived from
+    customer — the probe workload for F10/F11 rule matching."""
+    c = t["customer"]
+    return c.filter(F.col("c_custkey") % 11 == 0).select(
+        F.concat(F.lit("NATION_"), (F.col("c_custkey") % 25).cast("string")).alias(
+            "bucket"
+        ),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("https://app.example.com"))
+        .when(F.col("c_custkey") % 4 == 1, F.lit("https://x.example.com"))
+        .when(F.col("c_custkey") % 4 == 2, F.lit("http://evil.com"))
+        .otherwise(F.lit("https://example.com"))
+        .alias("origin"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("GET"))
+        .otherwise(F.lit("PUT"))
+        .alias("method"),
+    ).distinct()
+
+
 def chunks_df(t: dict[str, DataFrame]) -> DataFrame:
     """blob chunk rows: PK ((inode,...), offset) clustered by position;
     cf. src/io/pithos/blob.clj:79-93.  ``text`` stands in for the binary
@@ -236,6 +300,34 @@ chunks AS (
            CAST(n_chars AS BIGINT) AS chunksize,
            text AS payload
     FROM documents
+),
+grants AS (
+    SELECT n_name AS bucket,
+           CASE CAST(s_suppkey % 3 AS INT) WHEN 0 THEN 'READ' WHEN 1 THEN 'WRITE'
+                ELSE 'FULL_CONTROL' END AS perm,
+           CASE WHEN s_suppkey % 5 = 0 THEN 'AllUsers' ELSE s_name END AS grantee_id,
+           CASE WHEN s_suppkey % 5 = 0 THEN 'group' ELSE 'canonical' END AS grantee_type
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+cors_rules AS (
+    SELECT 'NATION_' || CAST(p_partkey % 25 AS VARCHAR) AS bucket,
+           CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN '*'
+                WHEN 1 THEN 'https://*.example.com'
+                ELSE 'https://app.example.com' END AS origin_pattern,
+           CASE WHEN p_partkey % 2 = 0 THEN ['GET', 'HEAD']
+                ELSE ['GET', 'PUT', 'POST'] END AS methods,
+           CAST(p_size AS BIGINT) * 10 AS max_age
+    FROM part WHERE p_partkey % 7 = 0
+),
+cors_requests AS (
+    SELECT DISTINCT
+           'NATION_' || CAST(c_custkey % 25 AS VARCHAR) AS bucket,
+           CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'https://app.example.com'
+                WHEN 1 THEN 'https://x.example.com'
+                WHEN 2 THEN 'http://evil.com'
+                ELSE 'https://example.com' END AS origin,
+           CASE WHEN c_custkey % 2 = 0 THEN 'GET' ELSE 'PUT' END AS method
+    FROM customer WHERE c_custkey % 11 = 0
 )"""
 
 
