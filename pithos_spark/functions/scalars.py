@@ -1,0 +1,132 @@
+"""Scalar function library (SURVEY §2.8 C1-C16, §2.3 F7/F13/F14).
+
+Two layers, mirroring how the reference splits work between request
+parsing and CQL execution:
+
+ - *plan-time helpers* (plain Python, driver side): range-header
+   parsing, byte-unit parsing, param normalization, template
+   interpolation — these shape literals that get embedded into plans.
+ - *column functions* (JVM-side expressions): bucket-name validation,
+   metadata-header whitelisting, uri-decode, timestamp conversions —
+   these run per-row at scale.
+
+Reference anchors cited per function.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+
+# ---------------------------------------------------------------------------
+# plan-time helpers
+# ---------------------------------------------------------------------------
+
+_UNITS = {
+    "": 1,
+    "k": 1024,
+    "m": 1024**2,
+    "g": 1024**3,
+    "t": 1024**4,
+}
+
+
+def to_bytes(spec: str | int) -> int:
+    """C3: '512k' / '2G' -> byte count (src/io/pithos/util.clj:43-63)."""
+    if isinstance(spec, int):
+        return spec
+    m = re.fullmatch(r"\s*(\d+)\s*([kKmMgGtT]?)[bB]?\s*", spec)
+    if not m:
+        raise ValueError(f"unparseable byte spec: {spec!r}")
+    return int(m.group(1)) * _UNITS[m.group(2).lower()]
+
+
+def parse_range_header(spec: str | None, size: int) -> tuple[bool, int, int]:
+    """F14: HTTP Range header -> (has_range, start, end_exclusive),
+    clamped to the object size; raises ValueError for unsatisfiable
+    ranges (the 416 path).  Mirrors operations.clj:151-189 including the
+    suffix form ``bytes=-N`` and open form ``bytes=N-``."""
+    if not spec:
+        return (False, 0, size)
+    m = re.fullmatch(r"bytes=(\d*)-(\d*)", spec.strip())
+    if not m or (not m.group(1) and not m.group(2)):
+        raise ValueError(f"invalid range: {spec!r}")
+    first, last = m.group(1), m.group(2)
+    if not first:  # suffix: last N bytes
+        n = int(last)
+        if n == 0:
+            raise ValueError("unsatisfiable range: zero-length suffix")
+        return (True, max(size - n, 0), size)
+    start = int(first)
+    end = int(last) + 1 if last else size
+    if start >= size or start >= end:
+        raise ValueError(f"unsatisfiable range: {spec!r} for size {size}")
+    return (True, start, min(end, size))
+
+
+def interpolate_key(template: str, filename: str) -> str:
+    """C8: POST-form key template — ``${filename}`` substitution
+    (src/io/pithos/util.clj:123-126)."""
+    return template.replace("${filename}", filename)
+
+
+KNOWN_PARAMS = {
+    # C16: whitelist of recognized query params (request.clj:22-58)
+    "acl", "cors", "delete", "delimiter", "encoding-type", "lifecycle",
+    "location", "marker", "max-keys", "max-uploads", "partnumber",
+    "policy", "prefix", "requestpayment", "response-cache-control",
+    "response-content-disposition", "response-content-encoding",
+    "response-content-language", "response-content-type",
+    "response-expires", "tagging", "uploadid", "uploads", "versioning",
+    "website",
+}
+
+
+def normalize_params(params: dict[str, str]) -> dict[str, str]:
+    """C16: keep only recognized params, lowercase the keys."""
+    return {k.lower(): v for k, v in params.items() if k.lower() in KNOWN_PARAMS}
+
+
+# ---------------------------------------------------------------------------
+# column functions
+# ---------------------------------------------------------------------------
+
+BUCKET_NAME_PATTERN = "^[A-Za-z0-9._-]{3,63}$"
+
+
+def valid_bucket_name(col: F.Column) -> F.Column:
+    """F7: 3-63 chars of [A-Za-z0-9._-] (operations.clj:198-216)."""
+    return col.rlike(BUCKET_NAME_PATTERN)
+
+
+_META_EXACT = [
+    "content-type",
+    "content-disposition",
+    "content-encoding",
+    "cache-control",
+]
+
+
+def filter_metadata_headers(headers_col: F.Column) -> F.Column:
+    """F13: keep only whitelisted + ``x-amz-meta-*`` headers from a
+    map<string,string> column (operations.clj:83-94)."""
+    return F.map_filter(
+        headers_col,
+        lambda k, _: k.isin(_META_EXACT) | k.startswith("x-amz-meta-"),
+    )
+
+
+def uri_decode(col: F.Column) -> F.Column:
+    """C7: URL-decode a path/key column (util.clj:11-14)."""
+    return F.url_decode(col)
+
+
+def iso8601(ts_col: F.Column) -> F.Column:
+    """C5: timestamp -> ISO8601 string (util.clj:104-107)."""
+    return F.date_format(ts_col, "yyyy-MM-dd'T'HH:mm:ss.SSSxxx")
+
+
+def rfc822(ts_col: F.Column) -> F.Column:
+    """C5: timestamp -> RFC822 date for HTTP headers (util.clj:93-97)."""
+    return F.date_format(ts_col, "EEE, dd MMM yyyy HH:mm:ss 'GMT'")

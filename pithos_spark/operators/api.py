@@ -1,0 +1,107 @@
+"""Composite S3 operation handlers — the reference's request lifecycle
+(SURVEY §3) re-expressed as: parsed params -> one DataFrame plan ->
+collected page -> XML document.
+
+Reference: dispatch + handlers at src/io/pithos/operations.clj
+(get-bucket :243-252, get-service :191-196, list-parts :695-703).  The
+reference loops CQL pages inside the handler; here the handler builds
+one bounded plan, collects <= max_keys+1 rows, and renders — the only
+driver-side work is the (bounded) render.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from pithos_spark.functions.scalars import normalize_params, valid_bucket_name
+from pithos_spark.operators import listing, xmlio
+
+
+def get_bucket(
+    objects: DataFrame,
+    bucket: str,
+    params: dict[str, str],
+) -> str:
+    """GET Bucket (ListObjects) end-to-end: normalize params -> one-shot
+    listing plan (+1 row for truncation detection) -> XML."""
+    p = normalize_params(params)
+    prefix = p.get("prefix", "")
+    delimiter = p.get("delimiter") or None
+    marker = p.get("marker") or None
+    max_keys = int(p.get("max-keys", "1000"))
+
+    page = listing.list_objects(
+        objects, bucket, prefix, delimiter, marker, max_keys + 1
+    ).collect()
+    truncated = len(page) > max_keys
+    entries = [r.asDict() for r in page[:max_keys]]
+    return xmlio.list_bucket(bucket, prefix, delimiter, max_keys, entries, truncated)
+
+
+def get_service(buckets: DataFrame, tenant: str) -> str:
+    """GET Service: the caller's buckets (S1) rendered as
+    ListAllMyBucketsResult."""
+    rows = (
+        buckets.filter(F.col("tenant") == tenant)
+        .orderBy("bucket")
+        .collect()
+    )
+    return xmlio.list_all_my_buckets(tenant, [r.asDict() for r in rows])
+
+
+def put_bucket_validated(buckets: DataFrame, name: str) -> tuple[int, str]:
+    """PUT Bucket precondition chain (operations.clj:198-241): name
+    validation (F7) then existence check (409 path).  Returns
+    (http_status, error_xml_or_empty)."""
+    import re
+
+    if not re.fullmatch("[A-Za-z0-9._-]{3,63}", name):
+        return 400, xmlio.error_response("InvalidBucketName", f"bad name: {name}")
+    exists = buckets.filter(F.col("bucket") == name).limit(1).count() > 0
+    if exists:
+        return 409, xmlio.error_response("BucketAlreadyExists", name)
+    return 200, ""
+
+
+def post_bucket_delete(
+    objects: DataFrame, bucket: str, delete_xml: str
+) -> DataFrame:
+    """POST /?delete: parse the key list (C14) and return the surviving
+    object rows (M11 as anti-join) — the driver of the bulk-delete
+    mutation."""
+    from pithos_spark.sources.store import bulk_delete
+
+    keys = xmlio.parse_delete_keys(delete_xml)
+    spark = objects.sparkSession
+    keys_df = spark.createDataFrame(
+        [(bucket, k) for k in keys], ["bucket", "object"]
+    )
+    scoped = objects.filter(F.col("bucket") == bucket)
+    return bulk_delete(scoped, keys_df, ["bucket", "object"])
+
+
+def complete_multipart_upload(
+    parts: DataFrame, upload: str, manifest_xml: str
+) -> tuple[int, str]:
+    """POST ?uploadId: parse the manifest (C14), validate against stored
+    parts (J3 anti-join); 400 InvalidPart on any mismatch, else the
+    assembled ETag summary."""
+    from pithos_spark.operators.multipart import validate_complete_manifest
+
+    manifest = xmlio.parse_complete_upload(manifest_xml)
+    spark = parts.sparkSession
+    mdf = spark.createDataFrame(
+        [(upload, m["partno"], m["etag"]) for m in manifest],
+        ["upload", "partno", "etag"],
+    )
+    stored = parts.filter(F.col("upload") == upload)
+    bad = validate_complete_manifest(stored, mdf).collect()
+    if bad:
+        return 400, xmlio.error_response(
+            "InvalidPart", f"invalid parts: {[r['partno'] for r in bad]}"
+        )
+    agg = stored.agg(
+        F.sum("size").alias("total"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    return 200, f'{{"parts": {agg["n"]}, "bytes": {agg["total"]}}}'

@@ -1,0 +1,140 @@
+"""AWS request signing v2/v4 (SURVEY §2.8 C10, §2.9 T4 — optional
+module P8).
+
+Reference: src/io/pithos/sig.clj (v2 string-to-sign + HMAC-SHA1),
+src/io/pithos/sig4.clj (v4 canonical request, signing key derivation,
+sha256 body verification).
+
+Two forms:
+ - driver-side functions for per-request auth (signing is request
+   plumbing, not data processing);
+ - a vectorized batch verifier (Arrow pandas UDF) for the analytics
+   case: validating millions of archived request logs in one pass —
+   HMAC has no built-in column function, so this is one of the two
+   justified UDFs in the engine (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql.functions import pandas_udf
+
+# ---------------------------------------------------------------------------
+# v2 (sig.clj)
+# ---------------------------------------------------------------------------
+
+
+def v2_string_to_sign(
+    method: str,
+    content_md5: str,
+    content_type: str,
+    date: str,
+    amz_headers: dict[str, str],
+    resource: str,
+) -> str:
+    """sig.clj:13-38: canonicalized string to sign — amz headers sorted
+    by lowercased name, 'name:value' lines, then the resource path."""
+    canon = "".join(
+        f"{k.lower()}:{v}\n"
+        for k, v in sorted(amz_headers.items(), key=lambda kv: kv[0].lower())
+    )
+    return f"{method}\n{content_md5}\n{content_type}\n{date}\n{canon}{resource}"
+
+
+def v2_sign(secret: str, string_to_sign: str) -> str:
+    """sig.clj:40-50: base64(HMAC-SHA1(secret, string))."""
+    import base64
+
+    mac = hmac.new(secret.encode(), string_to_sign.encode(), hashlib.sha1)
+    return base64.b64encode(mac.digest()).decode()
+
+
+# ---------------------------------------------------------------------------
+# v4 (sig4.clj)
+# ---------------------------------------------------------------------------
+
+
+def sha256_hex(data: bytes | str) -> str:
+    if isinstance(data, str):
+        data = data.encode()
+    return hashlib.sha256(data).hexdigest()
+
+
+def v4_canonical_request(
+    method: str,
+    uri: str,
+    query: list[tuple[str, str]],
+    headers: dict[str, str],
+    signed_headers: list[str],
+    payload_hash: str,
+) -> str:
+    """sig4.clj:73-123: canonical request = method, uri, sorted query,
+    sorted lowercased signed headers, signed-header list, payload hash."""
+    from urllib.parse import quote
+
+    cq = "&".join(
+        f"{quote(k, safe='-_.~')}={quote(v, safe='-_.~')}"
+        for k, v in sorted(query)
+    )
+    low = {k.lower(): " ".join(v.split()) for k, v in headers.items()}
+    sh = sorted(h.lower() for h in signed_headers)
+    ch = "".join(f"{h}:{low.get(h, '')}\n" for h in sh)
+    return "\n".join([method, uri, cq, ch, ";".join(sh), payload_hash])
+
+
+def v4_string_to_sign(
+    amz_date: str, scope: str, canonical_request: str
+) -> str:
+    """sig4.clj:125-139."""
+    return "\n".join(
+        ["AWS4-HMAC-SHA256", amz_date, scope, sha256_hex(canonical_request)]
+    )
+
+
+def v4_signing_key(secret: str, date: str, region: str, service: str) -> bytes:
+    """sig4.clj:52-60: chained HMAC key derivation."""
+    k = hmac.new(f"AWS4{secret}".encode(), date.encode(), hashlib.sha256).digest()
+    for part in (region, service, "aws4_request"):
+        k = hmac.new(k, part.encode(), hashlib.sha256).digest()
+    return k
+
+
+def v4_signature(signing_key: bytes, string_to_sign: str) -> str:
+    return hmac.new(signing_key, string_to_sign.encode(), hashlib.sha256).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# batch verification (the data-processing form)
+# ---------------------------------------------------------------------------
+
+
+def _hmac_sha256_hex_udf():
+    """Vectorized HMAC-SHA256 for bulk signature verification — one of
+    the engine's two justified Python UDFs (Arrow-batched).  Built
+    lazily: pandas_udf registration needs an active session."""
+
+    @pandas_udf("string")
+    def hmac_sha256_hex(key: pd.Series, msg: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                hmac.new(k.encode(), m.encode(), hashlib.sha256).hexdigest()
+                for k, m in zip(key, msg)
+            ]
+        )
+
+    return hmac_sha256_hex
+
+
+def verify_signatures(requests_df, secret_col="secret", sts_col="string_to_sign",
+                      given_col="signature"):
+    """Batch check: recompute HMAC over archived request logs and flag
+    mismatches (the T4 body-digest verification analog for signatures)."""
+    udf = _hmac_sha256_hex_udf()
+    return requests_df.withColumn(
+        "signature_valid",
+        udf(F.col(secret_col), F.col(sts_col)) == F.col(given_col),
+    )

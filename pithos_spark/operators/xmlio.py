@@ -1,0 +1,160 @@
+"""S3 XML rendering / parsing (SURVEY §2.8 C14, §2.11 response shapes).
+
+Reference: the hiccup-seq XML emitter and per-operation renderers at
+src/io/pithos/xml.clj:66-130 (emitter), :153-233 (list-all-my-buckets,
+list-bucket, list-upload-parts...), :291-447 (error taxonomy), and the
+parsers at :32-64 (Delete / CompleteMultipartUpload).
+
+These run driver-side on collected result pages (an S3 response body is
+bounded by max-keys, never big data), so plain xml.etree is the right
+tool — no reason to distribute serialization.  The *content* of each
+document comes straight from the DataFrame operators' output rows.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from xml.sax.saxutils import escape
+
+S3_NS = "http://s3.amazonaws.com/doc/2006-03-01/"
+
+
+def _el(parent, tag, text=None):
+    e = ET.SubElement(parent, tag)
+    if text is not None:
+        e.text = str(text)
+    return e
+
+
+def _render(root: ET.Element) -> str:
+    return '<?xml version="1.0" encoding="UTF-8"?>' + ET.tostring(
+        root, encoding="unicode"
+    )
+
+
+def list_all_my_buckets(owner: str, buckets: list[dict]) -> str:
+    """GET Service response (xml.clj:153-163); ``buckets`` rows need
+    bucket + created."""
+    root = ET.Element("ListAllMyBucketsResult", xmlns=S3_NS)
+    o = _el(root, "Owner")
+    _el(o, "ID", owner)
+    _el(o, "DisplayName", owner)
+    bs = _el(root, "Buckets")
+    for b in buckets:
+        be = _el(bs, "Bucket")
+        _el(be, "Name", b["bucket"])
+        _el(be, "CreationDate", b.get("created", ""))
+    return _render(root)
+
+
+def list_bucket(
+    bucket: str,
+    prefix: str,
+    delimiter: str | None,
+    max_keys: int,
+    entries: list[dict],
+    truncated: bool,
+) -> str:
+    """GET Bucket (ListObjects) response (xml.clj:165-194).  ``entries``
+    are the listing operator's rows: entry_type 'key' rows render as
+    Contents, 'prefix' rows as CommonPrefixes; NextMarker = last entry
+    name when truncated (the reference's semantics, xml.clj:180-181)."""
+    root = ET.Element("ListBucketResult", xmlns=S3_NS)
+    _el(root, "Name", bucket)
+    _el(root, "Prefix", prefix)
+    if delimiter:
+        _el(root, "Delimiter", delimiter)
+    _el(root, "MaxKeys", max_keys)
+    _el(root, "IsTruncated", "true" if truncated else "false")
+    if truncated and entries:
+        _el(root, "NextMarker", entries[-1]["name"])
+    for e in entries:
+        if e["entry_type"] == "key":
+            c = _el(root, "Contents")
+            _el(c, "Key", e["name"])
+            if "atime" in e:
+                _el(c, "LastModified", e["atime"])
+            if "checksum" in e:
+                _el(c, "ETag", f'"{e["checksum"]}"')
+            if "size" in e:
+                _el(c, "Size", e["size"])
+            _el(c, "StorageClass", e.get("storageclass", "STANDARD"))
+        else:
+            cp = _el(root, "CommonPrefixes")
+            _el(cp, "Prefix", e["name"])
+    return _render(root)
+
+
+def list_upload_parts(
+    bucket: str, object_key: str, upload_id: str, parts: list[dict]
+) -> str:
+    """GET ?uploadId response (xml.clj:222-233)."""
+    root = ET.Element("ListPartsResult", xmlns=S3_NS)
+    _el(root, "Bucket", bucket)
+    _el(root, "Key", object_key)
+    _el(root, "UploadId", upload_id)
+    for p in parts:
+        pe = _el(root, "Part")
+        _el(pe, "PartNumber", p["partno"])
+        _el(pe, "ETag", f'"{p["etag"]}"')
+        _el(pe, "Size", p["size"])
+    return _render(root)
+
+
+def error_response(code: str, message: str, request_id: str = "") -> str:
+    """Typed error document (xml.clj:291-447 taxonomy)."""
+    root = ET.Element("Error")
+    _el(root, "Code", code)
+    _el(root, "Message", escape(message))
+    _el(root, "RequestId", request_id)
+    return _render(root)
+
+
+ERROR_CODES = {
+    # the reference's 20-error taxonomy (xml.clj:291-447), code -> HTTP status
+    "AccessDenied": 403,
+    "BadDigest": 400,
+    "BucketAlreadyExists": 409,
+    "BucketNotEmpty": 409,
+    "EntityTooLarge": 400,
+    "EntityTooSmall": 400,
+    "IncompleteBody": 400,
+    "InternalError": 500,
+    "InvalidArgument": 400,
+    "InvalidBucketName": 400,
+    "InvalidDigest": 400,
+    "InvalidPart": 400,
+    "InvalidRange": 416,
+    "InvalidSecurity": 403,
+    "MalformedXML": 400,
+    "NoSuchBucket": 404,
+    "NoSuchKey": 404,
+    "NoSuchUpload": 404,
+    "RequestTimeTooSkewed": 403,
+    "SignatureDoesNotMatch": 403,
+}
+
+
+def parse_delete_keys(body: str) -> list[str]:
+    """POST /?delete body -> key list (xml.clj:32-46)."""
+    root = ET.fromstring(body)
+    return [
+        obj.findtext("Key")
+        for obj in root.findall(".//Object")
+        if obj.findtext("Key") is not None
+    ]
+
+
+def parse_complete_upload(body: str) -> list[dict]:
+    """CompleteMultipartUpload body -> [(partno, etag)] manifest
+    (xml.clj:48-64)."""
+    root = ET.fromstring(body)
+    out = []
+    for part in root.findall(".//Part"):
+        out.append(
+            {
+                "partno": int(part.findtext("PartNumber")),
+                "etag": (part.findtext("ETag") or "").strip('"'),
+            }
+        )
+    return out

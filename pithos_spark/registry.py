@@ -745,3 +745,166 @@ def chunk_ingest_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunksize",
         F.md5("chunk_payload").alias("chunk_md5"),
     ).orderBy("inode", "offset")
+
+
+# ---------------------------------------------------------------------------
+# Upload listings S5-S7 (+F5 prefix filter), COPY re-base, F7 validation
+# ---------------------------------------------------------------------------
+
+from pithos_spark.functions import scalars  # noqa: E402
+
+
+@register(
+    "list_uploads_prefix",
+    T.with_model(
+        """\
+SELECT DISTINCT upload, object FROM parts
+WHERE starts_with(object, 'mp/1')
+ORDER BY object, upload
+LIMIT 200"""
+    ),
+)
+def list_uploads_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 + F5: active uploads filtered by object prefix (the reference
+    post-filters the bucket's upload listing, meta.clj:301-303)."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    return (
+        T.parts_df(t)
+        .filter(F.col("object").startswith("mp/1"))
+        .select("upload", "object")
+        .distinct()
+        .orderBy("object", "upload")
+        .limit(200)
+    )
+
+
+@register(
+    "upload_details",
+    T.with_model(
+        """\
+, target AS (SELECT min(upload) AS upload FROM parts)
+SELECT p.upload AS upload, p.object AS object,
+       count(*) AS n_parts, sum(p.size) AS total_size,
+       min(p.partno) AS first_partno, max(p.partno) AS last_partno
+FROM parts p JOIN target t ON p.upload = t.upload
+GROUP BY p.upload, p.object"""
+    ),
+)
+def upload_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 (+S8 rollup): one upload's summary — point lookup on the
+    composite key, aggregated over its clustered parts."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    parts = T.parts_df(t)
+    target = parts.agg(F.min("upload").alias("upload"))
+    return (
+        parts.join(F.broadcast(target), "upload")
+        .groupBy("upload", "object")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("size").alias("total_size"),
+            F.min("partno").alias("first_partno"),
+            F.max("partno").alias("last_partno"),
+        )
+    )
+
+
+@register(
+    "copy_range_rebase",
+    T.with_model(
+        """\
+, with_offsets AS (
+    SELECT inode, chunk_seq, chunksize,
+           coalesce(sum(chunksize) OVER (PARTITION BY inode ORDER BY chunk_seq
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS "offset"
+    FROM chunks WHERE inode = 'src5'
+)
+SELECT 'copy-of-src5' AS inode,
+       chunk_seq,
+       "offset" - 2000 + greatest(2000 - "offset", 0) AS new_offset,
+       least(9000, "offset" + chunksize) - greatest(2000, "offset") AS new_chunksize
+FROM with_offsets
+WHERE "offset" < 9000 AND "offset" + chunksize > 2000
+  AND least(9000, "offset" + chunksize) - greatest(2000, "offset") > 0
+ORDER BY chunk_seq"""
+    ),
+)
+def copy_range_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranged server-side COPY (stream.clj:163-187): source chunks
+    overlapping [2000, 9000) re-based to offset 0 under the target
+    inode — pure insert-select, no bytes through the driver."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    src = checksums.range_read_chunks(T.chunks_df(t), "src5", 2000, 9000)
+    return src.select(
+        F.lit("copy-of-src5").alias("inode"),
+        "chunk_seq",
+        (F.col("offset") - 2000 + F.col("skip_head")).alias("new_offset"),
+        F.col("take_len").alias("new_chunksize"),
+    ).orderBy("chunk_seq")
+
+
+@register(
+    "bucket_name_validation",
+    """\
+SELECT p_name AS candidate,
+       regexp_matches(p_name, '^[A-Za-z0-9._-]{3,63}$') AS valid
+FROM part
+ORDER BY candidate
+LIMIT 500""",
+)
+def bucket_name_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: bucket-name validation over a candidate column (part names
+    contain spaces -> invalid; exercises the accept and reject paths)."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .select(
+            F.col("p_name").alias("candidate"),
+            scalars.valid_bucket_name(F.col("p_name")).alias("valid"),
+        )
+        .orderBy("candidate")
+        .limit(500)
+    )
+
+
+@register(
+    "tenant_usage_rollup",
+    T.with_model(
+        """\
+SELECT b.tenant AS tenant,
+       count(DISTINCT o.bucket) AS n_buckets,
+       count(*) AS n_objects,
+       sum(o.size) AS total_bytes,
+       max(o.size) AS largest_object
+FROM objects o JOIN buckets b ON o.bucket = b.bucket
+GROUP BY b.tenant
+ORDER BY tenant"""
+    ),
+)
+def tenant_usage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 rollup: per-tenant storage accounting (reporter.clj events
+    aggregated to the billing grain)."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    b = T.buckets_df(t).select(F.col("bucket").alias("b_bucket"), "tenant")
+    o = T.objects_df(t)
+    return (
+        o.join(F.broadcast(b), o.bucket == F.col("b_bucket"))
+        .groupBy("tenant")
+        .agg(
+            F.count_distinct("bucket").alias("n_buckets"),
+            F.count(F.lit(1)).alias("n_objects"),
+            F.sum("size").alias("total_bytes"),
+            F.max("size").alias("largest_object"),
+        )
+        .orderBy("tenant")
+    )

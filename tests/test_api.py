@@ -1,0 +1,105 @@
+"""End-to-end operation tests, modeled on the reference's crown-jewel
+integration suite (operations_test.clj:191-585): drive the composite
+handlers and assert on the rendered documents / status codes."""
+
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from pithos_spark.operators import api, xmlio
+from tests.conftest import SF_ORACLE
+
+NS = {"s3": xmlio.S3_NS}
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    from pithos_spark import tables as T
+
+    t = T.load_tables(spark, SF_ORACLE)
+    return {
+        "objects": T.objects_df(t),
+        "buckets": T.buckets_df(t),
+        "parts": T.parts_df(t),
+    }
+
+
+def test_get_bucket_lifecycle(model):
+    xml = api.get_bucket(
+        model["objects"],
+        "NATION_2",
+        {"prefix": "1-URGENT/", "delimiter": "/", "max-keys": "10", "Bogus": "z"},
+    )
+    root = ET.fromstring(xml)
+    assert root.findtext("s3:IsTruncated", namespaces=NS) == "true"
+    contents = root.findall("s3:Contents", NS)
+    prefixes = root.findall("s3:CommonPrefixes", NS)
+    assert len(contents) + len(prefixes) == 10
+    # delimiter page is sorted by name; NextMarker is the last entry
+    assert root.findtext("s3:NextMarker", namespaces=NS) is not None
+
+
+def test_get_service(model):
+    xml = api.get_service(model["buckets"], "ASIA")
+    root = ET.fromstring(xml)
+    names = [
+        b.findtext("s3:Name", namespaces=NS)
+        for b in root.findall(".//s3:Bucket", NS)
+    ]
+    assert len(names) == 5 and names == sorted(names)
+
+
+@pytest.mark.parametrize(
+    "name,status",
+    [
+        ("ok-bucket.name", 200),
+        ("ab", 400),  # too short
+        ("bad name", 400),  # space
+        ("NATION_2", 409),  # exists
+    ],
+)
+def test_put_bucket_preconditions(model, name, status):
+    got, body = api.put_bucket_validated(model["buckets"], name)
+    assert got == status
+    if status != 200:
+        assert ET.fromstring(body).findtext("Code") in (
+            "InvalidBucketName",
+            "BucketAlreadyExists",
+        )
+
+
+def test_post_bucket_delete_roundtrip(model, spark):
+    import pyspark.sql.functions as F
+
+    victims = [
+        r["object"]
+        for r in model["objects"]
+        .filter(F.col("bucket") == "NATION_2")
+        .limit(3)
+        .collect()
+    ]
+    body = "<Delete>" + "".join(
+        f"<Object><Key>{k}</Key></Object>" for k in victims
+    ) + "</Delete>"
+    before = model["objects"].filter(F.col("bucket") == "NATION_2").count()
+    surviving = api.post_bucket_delete(model["objects"], "NATION_2", body)
+    assert surviving.count() == before - 3
+    assert surviving.filter(F.col("object").isin(victims)).count() == 0
+
+
+def test_complete_upload_validates_manifest(model, spark):
+    import pyspark.sql.functions as F
+
+    up = model["parts"].agg(F.min("upload").alias("u")).collect()[0]["u"]
+    stored = model["parts"].filter(F.col("upload") == up).collect()
+    ok_body = "<CompleteMultipartUpload>" + "".join(
+        f"<Part><PartNumber>{r['partno']}</PartNumber><ETag>\"{r['etag']}\"</ETag></Part>"
+        for r in stored
+    ) + "</CompleteMultipartUpload>"
+    status, body = api.complete_multipart_upload(model["parts"], up, ok_body)
+    assert status == 200, body
+
+    bad_body = ok_body.replace(stored[0]["etag"], "0" * 32)
+    status, body = api.complete_multipart_upload(model["parts"], up, bad_body)
+    assert status == 400
+    assert ET.fromstring(body).findtext("Code") == "InvalidPart"

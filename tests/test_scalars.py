@@ -1,0 +1,78 @@
+"""Tabular scalar-function tests, modeled on the reference's
+util_test.clj / operations_test.clj:24-50 (range cases incl. 416s)."""
+
+import pytest
+
+from pithos_spark.functions.scalars import (
+    interpolate_key,
+    normalize_params,
+    parse_range_header,
+    to_bytes,
+)
+
+
+@pytest.mark.parametrize(
+    "spec,expected",
+    [
+        ("512", 512),
+        ("512k", 512 * 1024),
+        ("512K", 512 * 1024),
+        ("2G", 2 * 1024**3),
+        ("1m", 1024**2),
+        ("3T", 3 * 1024**4),
+        ("128KB", 128 * 1024),
+        (42, 42),
+    ],
+)
+def test_to_bytes(spec, expected):
+    assert to_bytes(spec) == expected
+
+
+@pytest.mark.parametrize("bad", ["", "k", "12q", "-5"])
+def test_to_bytes_rejects(bad):
+    with pytest.raises(ValueError):
+        to_bytes(bad)
+
+
+@pytest.mark.parametrize(
+    "spec,size,expected",
+    [
+        # mirrors operations_test.clj range table incl. off-by-one bounds
+        (None, 100, (False, 0, 100)),
+        ("bytes=0-49", 100, (True, 0, 50)),
+        ("bytes=50-99", 100, (True, 50, 100)),
+        ("bytes=50-1000", 100, (True, 50, 100)),  # end clamps
+        ("bytes=99-99", 100, (True, 99, 100)),
+        ("bytes=50-", 100, (True, 50, 100)),  # open end
+        ("bytes=-10", 100, (True, 90, 100)),  # suffix
+        ("bytes=-1000", 100, (True, 0, 100)),  # suffix larger than object
+    ],
+)
+def test_range_parse(spec, size, expected):
+    assert parse_range_header(spec, size) == expected
+
+
+@pytest.mark.parametrize(
+    "spec,size",
+    [
+        ("bytes=100-", 100),  # start at size -> 416
+        ("bytes=100-200", 100),
+        ("bytes=5-4", 100),  # inverted
+        ("bytes=-0", 100),  # zero suffix
+        ("bytes=", 100),
+        ("bites=0-1", 100),
+    ],
+)
+def test_range_416(spec, size):
+    with pytest.raises(ValueError):
+        parse_range_header(spec, size)
+
+
+def test_interpolate_key():
+    assert interpolate_key("uploads/${filename}", "a.png") == "uploads/a.png"
+    assert interpolate_key("no-template", "a.png") == "no-template"
+
+
+def test_normalize_params():
+    out = normalize_params({"Prefix": "a/", "MAX-KEYS": "10", "bogus": "x"})
+    assert out == {"prefix": "a/", "max-keys": "10"}

@@ -1,0 +1,80 @@
+"""Signature conformance — the reference asserts the official AWS SigV4
+test vectors byte-for-byte (sig4_test.clj:7-242); we use the public
+'get-vanilla' vector from the AWS SigV4 test suite."""
+
+from pithos_spark.operators import sig
+
+# public AWS sigv4 test-suite constants (get-vanilla)
+SECRET = "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY"
+DATE = "20150830"
+AMZ_DATE = "20150830T123600Z"
+REGION = "us-east-1"
+SERVICE = "service"
+SCOPE = f"{DATE}/{REGION}/{SERVICE}/aws4_request"
+EMPTY_SHA256 = "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+
+
+def test_v4_get_vanilla_vector():
+    cr = sig.v4_canonical_request(
+        "GET",
+        "/",
+        [],
+        {"Host": "example.amazonaws.com", "X-Amz-Date": AMZ_DATE},
+        ["host", "x-amz-date"],
+        EMPTY_SHA256,
+    )
+    assert cr == (
+        "GET\n/\n\n"
+        "host:example.amazonaws.com\n"
+        f"x-amz-date:{AMZ_DATE}\n\n"
+        "host;x-amz-date\n" + EMPTY_SHA256
+    )
+    sts = sig.v4_string_to_sign(AMZ_DATE, SCOPE, cr)
+    key = sig.v4_signing_key(SECRET, DATE, REGION, SERVICE)
+    assert (
+        sig.v4_signature(key, sts)
+        == "5fa00fa31553b73ebf1942676e86291e8372ff2a2260956d9b8aae1d763fbf31"
+    )
+
+
+def test_v4_empty_payload_hash():
+    assert sig.sha256_hex(b"") == EMPTY_SHA256
+
+
+def test_v2_string_to_sign_shape():
+    sts = sig.v2_string_to_sign(
+        "PUT",
+        "md5sum",
+        "text/plain",
+        "Tue, 27 Mar 2007 21:15:45 +0000",
+        {"x-amz-acl": "public-read", "X-Amz-Meta-B": "2", "x-amz-meta-a": "1"},
+        "/bucket/key",
+    )
+    # amz headers sorted by lowercased name, resource last
+    assert sts == (
+        "PUT\nmd5sum\ntext/plain\nTue, 27 Mar 2007 21:15:45 +0000\n"
+        "x-amz-acl:public-read\nx-amz-meta-a:1\nx-amz-meta-b:2\n/bucket/key"
+    )
+    # HMAC-SHA1/base64 is deterministic
+    assert sig.v2_sign("secret", sts) == sig.v2_sign("secret", sts)
+
+
+def test_batch_signature_verification(spark):
+    import pyspark.sql.functions as F
+
+    sts = "AWS4-HMAC-SHA256\n20150830T123600Z\nscope\nabc"
+    good = sig.v4_signature(b"k1", sts)
+    df = spark.createDataFrame(
+        [("k1", sts, good), ("k1", sts, "deadbeef")],
+        ["secret", "string_to_sign", "signature"],
+    )
+    # driver-side v4_signature uses a bytes key; the batch UDF takes the
+    # secret as utf-8 text — re-derive expected with the same encoding
+    import hashlib
+    import hmac as hm
+
+    expected = hm.new(b"k1", sts.encode(), hashlib.sha256).hexdigest()
+    out = {r["signature"]: r["signature_valid"]
+           for r in sig.verify_signatures(df).collect()}
+    assert out[expected] is True
+    assert out["deadbeef"] is False

@@ -1,0 +1,80 @@
+"""Golden round-trip tests for the S3 XML layer (the reference golden-
+tests ACL/CORS XML against fixtures, acl_test.clj / cors_test.clj; same
+strategy, own fixtures)."""
+
+import xml.etree.ElementTree as ET
+
+from pithos_spark.operators import xmlio
+
+NS = {"s3": xmlio.S3_NS}
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def test_list_bucket_renders_contents_and_prefixes():
+    xml = xmlio.list_bucket(
+        "bkt",
+        "pfx/",
+        "/",
+        100,
+        [
+            {"entry_type": "key", "name": "pfx/a.txt", "size": 10,
+             "checksum": "abc", "atime": "2024-01-01"},
+            {"entry_type": "prefix", "name": "pfx/dir/"},
+        ],
+        truncated=True,
+    )
+    root = ET.fromstring(xml)
+    assert _local(root.tag) == "ListBucketResult"
+    keys = [c.findtext("s3:Key", namespaces=NS) for c in root.findall("s3:Contents", NS)]
+    prefixes = [
+        c.findtext("s3:Prefix", namespaces=NS)
+        for c in root.findall("s3:CommonPrefixes", NS)
+    ]
+    assert keys == ["pfx/a.txt"]
+    assert prefixes == ["pfx/dir/"]
+    assert root.findtext("s3:IsTruncated", namespaces=NS) == "true"
+    # NextMarker = last entry name (xml.clj:180-181 semantics)
+    assert root.findtext("s3:NextMarker", namespaces=NS) == "pfx/dir/"
+    assert root.findall("s3:Contents", NS)[0].findtext("s3:ETag", namespaces=NS) == '"abc"'
+
+
+def test_delete_parse_roundtrip():
+    body = """<Delete>
+      <Object><Key>a/b.txt</Key></Object>
+      <Object><Key>c &amp; d.txt</Key></Object>
+    </Delete>"""
+    assert xmlio.parse_delete_keys(body) == ["a/b.txt", "c & d.txt"]
+
+
+def test_complete_upload_parse():
+    body = """<CompleteMultipartUpload>
+      <Part><PartNumber>1</PartNumber><ETag>"aaa"</ETag></Part>
+      <Part><PartNumber>2</PartNumber><ETag>bbb</ETag></Part>
+    </CompleteMultipartUpload>"""
+    assert xmlio.parse_complete_upload(body) == [
+        {"partno": 1, "etag": "aaa"},
+        {"partno": 2, "etag": "bbb"},
+    ]
+
+
+def test_error_taxonomy_statuses():
+    assert xmlio.ERROR_CODES["NoSuchKey"] == 404
+    assert xmlio.ERROR_CODES["BucketNotEmpty"] == 409
+    assert xmlio.ERROR_CODES["InvalidRange"] == 416
+    xml = xmlio.error_response("NoSuchKey", "no such key: <a>", "req-1")
+    root = ET.fromstring(xml)
+    assert root.findtext("Code") == "NoSuchKey"
+    assert "no such key" in root.findtext("Message")
+
+
+def test_list_parts_render():
+    xml = xmlio.list_upload_parts(
+        "bkt", "obj", "up-1",
+        [{"partno": 1, "etag": "e1", "size": 5}],
+    )
+    root = ET.fromstring(xml)
+    assert root.findtext("s3:UploadId", namespaces=NS) == "up-1"
+    assert root.findall("s3:Part", NS)[0].findtext("s3:PartNumber", namespaces=NS) == "1"
