@@ -112,13 +112,23 @@ def write_objects_layout(objects: DataFrame, path: str) -> None:
     )
 
 
-def write_chunks_layout(chunks: DataFrame, path: str, buckets: int = 32) -> None:
-    """Chunk store layout: hash-bucket by inode, cluster by (block,
-    offset) — one object's bytes land in one bucket file in read order
-    (blob.clj:77,93)."""
+def write_chunks_layout(
+    chunks: DataFrame,
+    path: str,
+    buckets: int = 32,
+    cluster_cols: list[str] | None = None,
+) -> None:
+    """Chunk store layout: hash-bucket by inode, cluster by position —
+    one object's bytes land in one bucket file in read order
+    (blob.clj:77,93).  ``cluster_cols`` defaults to whichever of
+    (block, offset, chunk_seq) the table carries."""
+    if cluster_cols is None:
+        cluster_cols = [
+            c for c in ("block", "offset", "chunk_seq") if c in chunks.columns
+        ]
     (
         chunks.repartition(buckets, "inode")
-        .sortWithinPartitions("inode", "block", "offset")
+        .sortWithinPartitions("inode", *cluster_cols)
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -1,0 +1,56 @@
+"""Storage-layout tests: writing the 100 TB layout and proving the
+pruning it exists for (partition pruning on bucket, row-group locality
+on sorted keys, chunk clustering)."""
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def layout_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("layout"))
+
+
+def test_objects_layout_prunes_partitions(spark, layout_dir):
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.operators.listing import list_objects
+    from pithos_spark.sources.store import write_objects_layout
+
+    t = T.load_tables(spark, SF_ORACLE)
+    path = f"{layout_dir}/objects"
+    write_objects_layout(T.objects_df(t), path)
+
+    stored = spark.read.parquet(path)
+    df = list_objects(stored, "NATION_2", "1-URGENT/", "/")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # bucket=NATION_2 must become a partition filter (directory pruning),
+    # not a data filter
+    assert "PartitionFilters" in plan and "NATION_2" in plan
+    # and the result must equal the unpartitioned plan's result
+    baseline = {
+        tuple(r)
+        for r in list_objects(
+            T.objects_df(t), "NATION_2", "1-URGENT/", "/"
+        ).collect()
+    }
+    assert {tuple(r) for r in df.collect()} == baseline
+
+
+def test_chunks_layout_roundtrip(spark, layout_dir):
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.operators.checksums import object_checksums
+    from pithos_spark.sources.store import write_chunks_layout
+
+    t = T.load_tables(spark, SF_ORACLE)
+    path = f"{layout_dir}/chunks"
+    write_chunks_layout(T.chunks_df(t), path, buckets=8)
+
+    stored = spark.read.parquet(path)
+    a = {tuple(r) for r in object_checksums(stored).collect()}
+    b = {tuple(r) for r in object_checksums(T.chunks_df(t)).collect()}
+    assert a == b  # layout change cannot change results

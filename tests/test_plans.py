@@ -1,0 +1,92 @@
+"""Physical-plan assertions: the properties that make the operators hold
+at 100 TB.  These are the checks behind every "scale note" docstring —
+if a code change regresses pushdown/broadcast/top-k shape, this fails
+before any benchmark does."""
+
+import re
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    from pithos_spark import tables as T
+
+    return T.load_tables(spark, SF_ORACLE)
+
+
+def test_listing_pushes_range_filter_to_scan(tables):
+    from pithos_spark import tables as T
+    from pithos_spark.operators.listing import list_objects
+
+    df = list_objects(T.objects_df(tables), "NATION_2", "1-URGENT/", "/")
+    plan = _plan(df)
+    # the prefix range must reach the parquet scan as pushed filters on
+    # the *source* column (o_orderpriority via the key is derived, but
+    # bucket resolution pushes the nation equality into the dim scans)
+    assert "PushedFilters: [" in plan
+    # the final page must be distributed top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_point_lookup_pushes_equality(tables, spark):
+    import pyspark.sql.functions as F
+
+    li = tables["lineitem"].filter(F.col("l_orderkey") == 42).select("l_quantity")
+    plan = _plan(li)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "EqualTo(l_orderkey,42)" in m.group(1)
+    # column pruning: only the needed columns reach the ReadSchema
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert "l_quantity" in m.group(1) and "l_extendedprice" not in m.group(1)
+
+
+def test_descriptor_join_broadcasts_dimension(tables):
+    from pithos_spark.registry import QUERIES
+
+    df = QUERIES["object_descriptor"](
+        tables["nation"].sparkSession, SF_ORACLE
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_is_partial_agg_no_expand(tables, spark):
+    from pithos_spark.operators.analytics import pricing_summary
+
+    plan = _plan(pricing_summary(tables["lineitem"]))
+    # two-phase hash aggregation (map-side partial) around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_topk_query_avoids_global_sort(tables):
+    from pithos_spark.operators.analytics import top_unshipped_orders
+
+    plan = _plan(
+        top_unshipped_orders(tables["lineitem"], tables["orders"], tables["customer"])
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_products_in_registry_plans(spark):
+    """Every registry query must be joinable without a cartesian blowup
+    (the one intentional 1-row cross join — the ANN query side — is
+    broadcast, which is fine)."""
+    from pithos_spark.registry import QUERIES
+
+    for name, fn in sorted(QUERIES.items()):
+        df = fn(spark, SF_ORACLE)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name

@@ -1,0 +1,91 @@
+"""Real Structured Streaming runs: the batch operators' streaming twins
+must converge to the same answer (availableNow over the events parquet,
+memory sink)."""
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def test_streaming_hourly_rollup_matches_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.streaming import events as ev
+
+    batch_events = T.load_tables(spark, SF_SMOKE)["events"]
+    # stream source needs a clean parquet dir with the post-conversion
+    # schema (the raw file's nanos timestamps can't be stream-read)
+    src = str(tmp_path / "events_src")
+    batch_events.write.parquet(src)
+
+    stream = ev.streamify(spark, src, batch_events.schema, watermark="2 hours")
+    agg = (
+        stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_sum_e2"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "event_count",
+            "value_sum_e2",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hourly")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["event_count"], r["value_sum_e2"])
+        for r in spark.sql("SELECT * FROM hourly").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["event_count"], r["value_sum_e2"])
+        for r in ev.hourly_rollup(batch_events)
+        .select("window_start", "event_type", "event_count", "value_sum_e2")
+        .collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_dropduplicates(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+
+    batch_events = T.load_tables(spark, SF_SMOKE)["events"]
+    src = str(tmp_path / "events_dedup_src")
+    batch_events.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .parquet(src)
+        .withWatermark("ts", "1 day")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT user_id || '|' || event_type) AS d FROM dedup"
+    ).collect()[0]
+    # one row per (user_id, event_type), all distinct
+    assert got["n"] == got["d"]
+    expected_groups = (
+        batch_events.select("user_id", "event_type").distinct().count()
+    )
+    assert got["n"] == expected_groups
