@@ -62,6 +62,14 @@ def main() -> None:
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the JVM + parquet reader once so timings measure the engine,
+    # not session start (the first parquet action pays ~8s of JIT/init)
+    from pithos_spark.tables import TPCH_TABLES, load_tables
+
+    warm = load_tables(spark, sf_dir)
+    for name in TPCH_TABLES:
+        warm[name].limit(1).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINERS:
         if name not in QUERIES:

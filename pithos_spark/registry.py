@@ -908,3 +908,196 @@ def tenant_usage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tenant")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction, multipart ETag, versioning, orphan GC
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_json_extract",
+    """\
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+       event_type
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 90
+ORDER BY event_id""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON path extraction + filter, JVM-side
+    (get_json_object), mirroring the map<text,text> metadata access
+    pattern of the reference (meta.clj:31-32)."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        t["events"]
+        .select("event_id", k.alias("k_value"), "event_type")
+        .filter(F.col("k_value") >= 90)
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "multipart_etag",
+    T.with_model(
+        """\
+SELECT upload,
+       md5(string_agg(etag, '' ORDER BY partno)) || '-' || CAST(count(*) AS VARCHAR) AS s3_etag,
+       count(*) AS n_parts
+FROM parts
+GROUP BY upload
+ORDER BY upload
+LIMIT 1000"""
+    ),
+)
+def multipart_etag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 multipart ETag: md5 over the ordered concatenation of part
+    etags, suffixed '-N' (the checksum-of-checksums the reference
+    computes during assembly, stream.clj:209-255 + A5)."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    parts = T.parts_df(t)
+    ordered = F.array_sort(F.collect_list(F.struct("partno", "etag")))
+    concat_etags = F.array_join(F.transform(ordered, lambda s: s["etag"]), "")
+    return (
+        parts.groupBy("upload")
+        .agg(
+            F.concat(
+                F.md5(concat_etags),
+                F.lit("-"),
+                F.count(F.lit(1)).cast("string"),
+            ).alias("s3_etag"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .orderBy("upload")
+        .limit(1000)
+    )
+
+
+@register(
+    "objects_latest_version",
+    T.with_model(
+        """\
+, history AS (
+    SELECT bucket, object, inode, size, 1 AS version_seq FROM objects
+    UNION ALL
+    SELECT bucket, object, inode || '-v2' AS inode, size + 1 AS size, 2 AS version_seq
+    FROM objects WHERE size % 4 = 0
+)
+SELECT bucket, object, inode, size, version_seq
+FROM history
+QUALIFY row_number() OVER (PARTITION BY bucket, object ORDER BY version_seq DESC) = 1
+ORDER BY bucket, object"""
+    ),
+)
+def objects_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned objects (SURVEY §7.4-4): append-only version history,
+    latest-per-key view via a descending row_number — the clean Spark
+    replacement for the reference's overwrite-then-GC (and it activates
+    the reference's unused ``versioned`` flag)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    t = T.load_tables(spark, sf_dir)
+    v1 = T.objects_df(t).select(
+        "bucket", "object", "inode", "size", F.lit(1).alias("version_seq")
+    )
+    v2 = (
+        T.objects_df(t)
+        .filter(F.col("size") % 4 == 0)
+        .select(
+            "bucket",
+            "object",
+            F.concat("inode", F.lit("-v2")).alias("inode"),
+            (F.col("size") + 1).alias("size"),
+            F.lit(2).alias("version_seq"),
+        )
+    )
+    w = Window.partitionBy("bucket", "object").orderBy(F.col("version_seq").desc())
+    return (
+        v1.unionByName(v2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("bucket", "object")
+    )
+
+
+@register(
+    "orphan_chunk_gc",
+    T.with_model(
+        """\
+, live_refs AS (
+    SELECT DISTINCT 'src' || CAST(o_orderkey % 15 AS VARCHAR) AS inode FROM orders
+)
+SELECT c.inode AS inode, count(*) AS orphan_chunks, sum(c.chunksize) AS reclaimable_bytes
+FROM chunks c
+LEFT JOIN live_refs r ON c.inode = r.inode
+WHERE r.inode IS NULL
+GROUP BY c.inode
+ORDER BY inode"""
+    ),
+)
+def orphan_chunk_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's acknowledged gap (doc/source/concepts.rst:96-100):
+    orphaned-block detection as a set-based reconciliation sweep —
+    chunks whose inode has no live reference, with reclaimable bytes.
+    (live refs derived from the object table's inode space, which only
+    covers src0-src14 — src15-src19 are genuinely orphaned.)"""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    chunks = T.chunks_df(t)
+    live = (
+        t["orders"]
+        .select(
+            F.concat(F.lit("src"), (F.col("o_orderkey") % 15).cast("string")).alias(
+                "inode"
+            )
+        )
+        .distinct()
+    )
+    return (
+        chunks.join(live, "inode", "left_anti")
+        .groupBy("inode")
+        .agg(
+            F.count(F.lit(1)).alias("orphan_chunks"),
+            F.sum("chunksize").alias("reclaimable_bytes"),
+        )
+        .orderBy("inode")
+    )
+
+
+@register(
+    "payload_digest_verify",
+    T.with_model(
+        """\
+SELECT inode, chunk_seq,
+       sha256(payload) = md5(payload) AS forged_flag,
+       sha256(payload) AS payload_sha256
+FROM chunks
+WHERE chunk_seq < 100
+ORDER BY inode, chunk_seq"""
+    ),
+)
+def payload_digest_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: body-digest verification — recompute sha256 per payload and
+    compare against a declared digest (here a deliberately wrong one so
+    the mismatch path is exercised; the reference throws on close when
+    x-amz-content-sha256 mismatches, sig4.clj:177-199)."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    c = T.chunks_df(t).filter(F.col("chunk_seq") < 100)
+    sha = F.sha2(F.col("payload").cast("binary"), 256)
+    return c.select(
+        "inode",
+        "chunk_seq",
+        (sha == F.md5(F.col("payload"))).alias("forged_flag"),
+        sha.alias("payload_sha256"),
+    ).orderBy("inode", "chunk_seq")
