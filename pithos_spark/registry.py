@@ -1101,3 +1101,198 @@ def payload_digest_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sha == F.md5(F.col("payload"))).alias("forged_flag"),
         sha.alias("payload_sha256"),
     ).orderBy("inode", "chunk_seq")
+
+
+# ---------------------------------------------------------------------------
+# S4 point lookup, A7 reassembly, embedding near-dup, corpus stats, F12
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "get_object_point",
+    T.with_model(
+        """\
+, target AS (
+    SELECT min(object) AS object FROM objects WHERE bucket = 'NATION_2'
+)
+SELECT o.bucket AS bucket, o.object AS object, o.inode AS inode,
+       o.size AS size, o.checksum AS checksum, o.storageclass AS storageclass
+FROM objects o JOIN target t ON o.object = t.object
+WHERE o.bucket = 'NATION_2'
+LIMIT 1"""
+    ),
+)
+def get_object_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: point lookup of one object row (head-object's data source);
+    the key resolves via a 1-row broadcast min (stable at any SF)."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    o = T.objects_df(t).filter(F.col("bucket") == "NATION_2")
+    target = o.agg(F.min("object").alias("object"))
+    return (
+        o.join(F.broadcast(target), "object")
+        .select("bucket", "object", "inode", "size", "checksum", "storageclass")
+        .limit(1)
+    )
+
+
+@register(
+    "object_reassembly_verify",
+    T.with_model(
+        """\
+SELECT inode,
+       md5(string_agg(payload, '' ORDER BY chunk_seq)) =
+           md5(string_agg(payload, '' ORDER BY chunk_seq)) AS self_consistent,
+       sum(chunksize) = sum(length(payload)) AS sizes_consistent,
+       count(*) AS n_chunks
+FROM chunks
+GROUP BY inode
+ORDER BY inode"""
+    ),
+)
+def object_reassembly_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 + A5 reconciliation: reassemble each object from its ordered
+    chunks and verify the stored chunk sizes agree with the payload
+    bytes — the full-read path's integrity sweep."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    c = T.chunks_df(t)
+    ordered = F.array_sort(F.collect_list(F.struct("chunk_seq", "payload")))
+    rebuilt = F.array_join(F.transform(ordered, lambda s: s["payload"]), "")
+    return (
+        c.groupBy("inode")
+        .agg(
+            (F.md5(rebuilt) == F.md5(rebuilt)).alias("self_consistent"),
+            (F.sum("chunksize") == F.sum(F.length("payload"))).alias(
+                "sizes_consistent"
+            ),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .orderBy("inode")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    """\
+WITH q AS (
+    SELECT vec_id, label, embedding FROM embeddings
+), pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           (SELECT sum(CAST(floor(CAST(a.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                       CAST(floor(CAST(b.embedding[i] AS DOUBLE) * 1000) AS BIGINT))
+            FROM generate_series(1, 64) g(i)) AS dot_q
+    FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, label, dot_q
+FROM pairs
+WHERE dot_q >= 300000
+ORDER BY vec_a, vec_b""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: label-blocked self-join with the
+    exact quantized dot product, threshold 0.3 (unit-norm vectors make
+    dot == cosine).  At 100 TB the blocking key becomes the LSH bucket
+    (hyperplane_buckets) instead of the label."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions.similarity import quantized_dot
+
+    t = T.load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("emb_a")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        a.join(b, (a.label == b.label_b) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            quantized_dot(F.col("emb_a"), F.col("emb_b")).alias("dot_q"),
+        )
+        .filter(F.col("dot_q") >= 300000)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "corpus_term_doc_freq",
+    """\
+WITH terms AS (
+    SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents
+)
+SELECT term, count(*) AS doc_freq
+FROM terms
+GROUP BY term
+ORDER BY doc_freq DESC, term
+LIMIT 20""",
+)
+def corpus_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level document frequency (the IDF denominator / stopword
+    extraction primitive): explode distinct terms per doc, count docs
+    per term, top 20."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    terms = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+        .distinct()
+    )
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "term")
+        .limit(20)
+    )
+
+
+@register(
+    "post_policy_validate",
+    """\
+SELECT doc_id,
+       'mp/' || CAST(doc_id AS VARCHAR) AS key,
+       starts_with('mp/' || CAST(doc_id AS VARCHAR), 'mp/')
+           AND n_chars BETWEEN 100 AND 10000
+           AND doc_id % 10 <> 9 AS policy_passes,
+       CASE WHEN NOT starts_with('mp/' || CAST(doc_id AS VARCHAR), 'mp/') THEN 'key-prefix'
+            WHEN n_chars NOT BETWEEN 100 AND 10000 THEN 'content-length-range'
+            WHEN doc_id % 10 = 9 THEN 'expired'
+            ELSE NULL END AS deny_reason
+FROM documents
+ORDER BY doc_id""",
+)
+def post_policy_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: browser-POST policy conditions — starts-with on the key,
+    content-length-range, expiration — evaluated per submission with the
+    first failing condition as the deny reason (operations.clj:591-632)."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    d = t["documents"]
+    key = F.concat(F.lit("mp/"), F.col("doc_id").cast("string"))
+    prefix_ok = key.startswith("mp/")
+    size_ok = F.col("n_chars").between(100, 10000)
+    not_expired = F.col("doc_id") % 10 != 9
+    return d.select(
+        "doc_id",
+        key.alias("key"),
+        (prefix_ok & size_ok & not_expired).alias("policy_passes"),
+        F.when(~prefix_ok, F.lit("key-prefix"))
+        .when(~size_ok, F.lit("content-length-range"))
+        .when(~not_expired, F.lit("expired"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("deny_reason"),
+    ).orderBy("doc_id")

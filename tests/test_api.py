@@ -103,3 +103,18 @@ def test_complete_upload_validates_manifest(model, spark):
     status, body = api.complete_multipart_upload(model["parts"], up, bad_body)
     assert status == 400
     assert ET.fromstring(body).findtext("Code") == "InvalidPart"
+
+
+def test_canned_acl_expansion(spark):
+    from pithos_spark.operators.perms import expand_canned_acl
+
+    rows = {
+        (r["perm"], r["grantee_id"], r["grantee_type"])
+        for r in expand_canned_acl(spark, "bkt", "tenant-1", "public-read").collect()
+    }
+    assert rows == {
+        ("FULL_CONTROL", "tenant-1", "canonical"),
+        ("READ", "AllUsers", "group"),
+    }
+    private = expand_canned_acl(spark, "bkt", "tenant-1", "private").collect()
+    assert len(private) == 1 and private[0]["perm"] == "FULL_CONTROL"
