@@ -76,3 +76,41 @@ def test_interpolate_key():
 def test_normalize_params():
     out = normalize_params({"Prefix": "a/", "MAX-KEYS": "10", "bogus": "x"})
     assert out == {"prefix": "a/", "max-keys": "10"}
+
+
+def test_filter_metadata_headers(spark):
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions.scalars import filter_metadata_headers
+
+    df = spark.createDataFrame(
+        [(1,)], ["id"]
+    ).select(
+        "id",
+        F.create_map(
+            F.lit("content-type"), F.lit("text/plain"),
+            F.lit("x-amz-meta-owner"), F.lit("me"),
+            F.lit("authorization"), F.lit("secret"),
+            F.lit("x-forwarded-for"), F.lit("1.2.3.4"),
+        ).alias("headers"),
+    )
+    kept = df.select(
+        F.map_keys(filter_metadata_headers(F.col("headers"))).alias("k")
+    ).collect()[0]["k"]
+    assert sorted(kept) == ["content-type", "x-amz-meta-owner"]
+
+
+def test_timestamp_formats_and_uridecode(spark):
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions.scalars import iso8601, rfc822, uri_decode
+
+    df = spark.createDataFrame([("2024-03-05 06:07:08", "a%2Fb%20c.txt")], ["ts", "enc"])
+    row = df.select(
+        iso8601(F.to_timestamp("ts")).alias("iso"),
+        rfc822(F.to_timestamp("ts")).alias("rfc"),
+        uri_decode(F.col("enc")).alias("dec"),
+    ).collect()[0]
+    assert row["iso"].startswith("2024-03-05T06:07:08")
+    assert row["rfc"] == "Tue, 05 Mar 2024 06:07:08 GMT"
+    assert row["dec"] == "a/b c.txt"
