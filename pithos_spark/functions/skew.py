@@ -1,0 +1,68 @@
+"""Skew mitigation utilities (100 TB path; SURVEY §7 / BASELINE north
+star "design every operator for 100 TB scale").
+
+A hot key (one bucket holding half the objects, one user generating
+half the events) turns a clean shuffle into a straggler.  Two standard
+remedies, both deterministic (salt derives from row content via
+xxhash64, never from random()):
+
+ - salted two-stage aggregation: groupBy(key, salt) partial -> groupBy
+   (key) final.  Works for any decomposable aggregate (sum/count/min/
+   max); AQE's skew handling covers joins, this covers aggregations.
+ - salted broadcast-replicate join: replicate the small side per salt
+   value so the big side can join on (key, salt) without concentrating
+   a hot key in one task.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def with_salt(df: DataFrame, salt_buckets: int, from_cols: list[str]) -> DataFrame:
+    """Deterministic salt in [0, salt_buckets) derived from row content —
+    reproducible across runs/retries (random() would break retry
+    idempotence and the correctness gate)."""
+    return df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in from_cols]), F.lit(salt_buckets))
+    )
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    salt_buckets: int = 16,
+    salt_from: list[str] | None = None,
+) -> DataFrame:
+    """Two-stage skew-proof aggregation: per-(key, salt) partials, then
+    per-key finals.  Result is identical to a direct groupBy (sums and
+    counts are associative); the first shuffle spreads a hot key over
+    ``salt_buckets`` tasks."""
+    salt_from = salt_from or df.columns
+    salted = with_salt(df, salt_buckets, salt_from)
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        *[F.sum(c).alias(f"_sum_{c}") for c in sum_cols],
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_cnt").alias("row_count"),
+        *[F.sum(f"_sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+    )
+
+
+def salted_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Join a skewed big side against a small side by replicating the
+    small side once per salt value: big rows scatter over (key, salt),
+    small rows match every salt.  Equivalent to the plain inner join."""
+    salted_big = with_salt(big, salt_buckets, big.columns)
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    return salted_big.join(F.broadcast(replicated), [key, "_salt"]).drop("_salt")

@@ -1,0 +1,103 @@
+"""Scale-technique tests: salting equivalence on skewed data and
+bucketed co-located joins (shuffle-free on the pre-bucketed key)."""
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+def test_salted_aggregation_matches_direct(spark):
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions.skew import salted_sum_count
+
+    # skewed: 90% of events on one hot user
+    from pithos_spark import tables as T
+
+    ev = T.load_tables(spark, SF_ORACLE)["events"]
+    skewed = ev.withColumn(
+        "user_id", F.when(F.col("event_id") % 10 < 9, F.lit(1)).otherwise(F.col("user_id"))
+    ).withColumn("v", F.floor(F.col("value") * 100).cast("long"))
+
+    direct = {
+        (r["user_id"],): (r["cnt"], r["sv"])
+        for r in skewed.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sv"))
+        .collect()
+    }
+    salted = {
+        (r["user_id"],): (r["row_count"], r["sum_v"])
+        for r in salted_sum_count(
+            skewed.select("user_id", "v", "event_id"),
+            ["user_id"],
+            ["v"],
+            salt_buckets=8,
+            salt_from=["event_id"],
+        ).collect()
+    }
+    assert direct == salted
+
+
+def test_salted_join_matches_plain(spark):
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions.skew import salted_broadcast_join
+
+    t = T.load_tables(spark, SF_ORACLE)
+    li = t["lineitem"].select("l_orderkey", "l_quantity").limit(5000)
+    dim = t["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = plain_rows = (
+        li.join(dim, "l_orderkey").groupBy("o_orderpriority").count().collect()
+    )
+    salted = (
+        salted_broadcast_join(li, dim, "l_orderkey", 8)
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    )
+    assert {(r["o_orderpriority"], r["count"]) for r in plain} == {
+        (r["o_orderpriority"], r["count"]) for r in salted
+    }
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Pre-bucketed tables co-locate the join key: the join plan has no
+    shuffle on either side — the layout investment the chunks/parts
+    tables make at 100 TB."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+
+    t = T.load_tables(spark, SF_ORACLE)
+    orders = t["orders"].select("o_orderkey", "o_totalprice")
+    li = t["lineitem"].select("l_orderkey", "l_quantity")
+
+    # external bucketed tables (warehouse dir is a static conf; an
+    # explicit path gives the same bucketed layout)
+    orders.write.mode("overwrite").option(
+        "path", str(tmp_path / "orders_b")
+    ).bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
+    li.write.mode("overwrite").option(
+        "path", str(tmp_path / "lineitem_b")
+    ).bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
+
+    ob = spark.table("orders_b")
+    lb = spark.table("lineitem_b")
+    # at these sizes the planner prefers broadcast (which ignores
+    # bucketing); disable it to exercise the big-big case the layout
+    # exists for, where bucketing must eliminate the shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # no shuffle on either side
+        assert joined.count() == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
