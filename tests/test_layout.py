@@ -54,3 +54,27 @@ def test_chunks_layout_roundtrip(spark, layout_dir):
     a = {tuple(r) for r in object_checksums(stored).collect()}
     b = {tuple(r) for r in object_checksums(T.chunks_df(t)).collect()}
     assert a == b  # layout change cannot change results
+
+
+def test_compaction_reduces_file_count(spark, layout_dir):
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.sources.store import compact_table, table_file_stats
+
+    t = T.load_tables(spark, SF_ORACLE)
+    frag_path = f"{layout_dir}/fragmented"
+    # fragment deliberately: 64 tiny files
+    t["lineitem"].repartition(64).write.mode("overwrite").parquet(frag_path)
+    before = table_file_stats(spark, frag_path).collect()[0]
+    assert before["n_files"] >= 64
+
+    out_path = f"{layout_dir}/compacted"
+    n_out = compact_table(spark, frag_path, out_path, target_file_bytes=2**20)
+    after = table_file_stats(spark, out_path).collect()[0]
+    assert after["n_files"] == n_out < before["n_files"]
+    # compaction must not change the data
+    a = spark.read.parquet(frag_path).agg(F.sum("l_quantity")).collect()[0][0]
+    b = spark.read.parquet(out_path).agg(F.sum("l_quantity")).collect()[0][0]
+    assert a == b
+    assert spark.read.parquet(out_path).count() == t["lineitem"].count()

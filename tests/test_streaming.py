@@ -89,3 +89,54 @@ def test_streaming_dedup_dropduplicates(spark, tmp_path):
         batch_events.select("user_id", "event_type").distinct().count()
     )
     assert got["n"] == expected_groups
+
+
+def test_stateful_user_totals_matches_batch(spark, tmp_path):
+    """applyInPandasWithState lifetime totals must converge to the batch
+    groupBy answer once the stream drains (update mode: take each
+    user's LAST emitted row)."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.streaming.stateful import user_lifetime_totals
+
+    batch_events = T.load_tables(spark, SF_SMOKE)["events"]
+    src = str(tmp_path / "events_stateful_src")
+    # several files -> several micro-batches with maxFilesPerTrigger
+    batch_events.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        user_lifetime_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # update mode appends one row per (user, micro-batch); the final
+    # state is the max running total per user
+    got = {
+        r["user_id"]: (r["events_total"], r["value_total_e2"])
+        for r in spark.sql(
+            """SELECT user_id, max(events_total) AS events_total,
+                      max(value_total_e2) AS value_total_e2
+               FROM user_totals GROUP BY user_id"""
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in batch_events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("v"),
+        )
+        .collect()
+    }
+    assert got == want
