@@ -1,0 +1,108 @@
+"""Property-based listing-semantics test.
+
+The reference validates get-prefixes against a simulated Cassandra
+wide-row fetcher (make-fetcher: sort + drop-while + take-while + take,
+test/io/pithos/meta_test.clj:81-95) — the executable oracle for S3
+range-scan semantics.  Here the same oracle is a pure-Python function
+and hypothesis drives randomized key sets and listing parameters
+against the DataFrame plan.
+
+One shared Spark session; keys are small ASCII so shrinking stays
+readable.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pithos_spark.operators.listing import list_objects
+from pithos_spark.plans.helpers import inc_prefix
+
+# -- the pure-Python oracle (the reference's make-fetcher semantics) ----------
+
+
+def oracle_list(
+    keys: list[str],
+    prefix: str,
+    delimiter: str | None,
+    marker: str | None,
+    max_keys: int,
+) -> list[tuple[str, str]]:
+    ks = sorted(set(keys))
+    if prefix:
+        hi = inc_prefix(prefix)
+        ks = [k for k in ks if k >= prefix and (hi is None or k < hi)]
+    if marker:
+        if delimiter and marker.endswith(delimiter):
+            lo = inc_prefix(marker)
+            ks = [k for k in ks if lo is None or k >= lo]
+        else:
+            ks = [k for k in ks if k > marker]
+    entries: set[tuple[str, str]] = set()
+    if delimiter:
+        kp = re.compile(
+            "^" + re.escape(prefix) + "[^" + re.escape(delimiter) + "]*$"
+        )
+        pp = re.compile(
+            "^("
+            + re.escape(prefix)
+            + "[^"
+            + re.escape(delimiter)
+            + "]*"
+            + re.escape(delimiter)
+            + ").*$"
+        )
+        for k in ks:
+            if kp.match(k):
+                entries.add(("key", k))
+            else:
+                m = pp.match(k)
+                if m and m.group(1):
+                    entries.add(("prefix", m.group(1)))
+    else:
+        entries = {("key", k) for k in ks}
+    ordered = sorted(entries, key=lambda e: e[1])
+    return ordered[:max_keys]
+
+
+# -- strategies ---------------------------------------------------------------
+
+key_alphabet = "abc/."
+keys_st = st.lists(
+    st.text(alphabet=key_alphabet, min_size=1, max_size=8), min_size=0, max_size=25
+)
+prefix_st = st.text(alphabet=key_alphabet, min_size=0, max_size=4)
+marker_st = st.one_of(st.none(), st.text(alphabet=key_alphabet, min_size=1, max_size=6))
+delim_st = st.one_of(st.none(), st.just("/"), st.just("."))
+maxk_st = st.integers(min_value=1, max_value=10)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=keys_st,
+    prefix=prefix_st,
+    delimiter=delim_st,
+    marker=marker_st,
+    max_keys=maxk_st,
+)
+def test_listing_matches_python_oracle(spark, keys, prefix, delimiter, marker, max_keys):
+    df = spark.createDataFrame(
+        [("b", k) for k in set(keys)] or [("b", "sentinel-unused")],
+        ["bucket", "object"],
+    )
+    if not keys:
+        df = df.filter("object <> object")  # empty relation, stable schema
+    got = [
+        (r["entry_type"], r["name"])
+        for r in list_objects(df, "b", prefix, delimiter, marker, max_keys).collect()
+    ]
+    want = oracle_list(list(set(keys)), prefix, delimiter, marker, max_keys)
+    assert got == want
