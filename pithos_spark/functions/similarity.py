@@ -204,3 +204,77 @@ SELECT label, count(*) AS n_vectors, sum(sumsq_q) AS total_sumsq_q
 FROM per_vec
 GROUP BY label
 ORDER BY label"""
+
+
+def ivf_centroids(embeddings: DataFrame, scale: int = 1000) -> DataFrame:
+    """IVF coarse quantizer: per-cluster centroid in the quantized
+    integer space.  The driver's ``label`` column stands in for the
+    k-means assignment (a real build would run
+    pyspark.ml.clustering.KMeans once at index time); everything
+    downstream — centroid scoring, probe selection, in-list rerank —
+    is the genuine IVF query path.
+    """
+    qv = _quantized(F.col("embedding"), scale)
+    dim_idx = F.sequence(F.lit(0), F.size(qv) - 1)
+    exploded = embeddings.select(
+        "label", F.explode(F.arrays_zip(qv.alias("q"), dim_idx.alias("i"))).alias("z")
+    ).select("label", F.col("z.q").alias("q"), F.col("z.i").alias("i"))
+    return (
+        exploded.groupBy("label", "i")
+        .agg(F.avg("q").cast("long").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+            ).alias("centroid_q")
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_probe: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF ANN: score the query against the (few) centroids, keep the
+    ``n_probe`` nearest inverted lists, exact-rerank only their members.
+
+    Scale shape: centroids are a broadcast dim (thousands of rows at
+    most); the candidate scan prunes to n_probe/n_clusters of the corpus
+    — with cluster-partitioned storage that's partition pruning, not a
+    filter.
+    """
+    cents = ivf_centroids(embeddings, scale)
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    qq = _quantized(F.col("query_embedding"), scale)
+    cq = F.col("centroid_q")
+    cent_score = F.aggregate(
+        F.zip_with(cq, qq, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    probes = (
+        cents.join(F.broadcast(q))
+        .select("label", cent_score.alias("cscore"))
+        .orderBy(F.col("cscore").desc(), F.col("label"))
+        .limit(n_probe)
+        .select("label")
+    )
+    return (
+        embeddings.join(F.broadcast(probes), "label")
+        .join(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            quantized_dot(F.col("embedding"), F.col("query_embedding")).alias(
+                "dot_q"
+            ),
+        )
+        .orderBy(F.col("dot_q").desc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -1296,3 +1296,8 @@ def post_policy_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("string"))
         .alias("deny_reason"),
     ).orderBy("doc_id")
+
+
+# IVF ANN (rows-only: cluster probing is hash/label-dependent; recall
+# curve asserted in tests/test_similarity.py)
+QUERIES["ann_ivf_topk"] = _emb_query(similarity.ivf_topk, 0, 10)
