@@ -76,20 +76,23 @@ def list_objects(
     """
     ranged = _ranged(objects, bucket, prefix, marker, delimiter)
     if delimiter:
-        pfx = (
+        # single-pass split: each key is either a direct entry (no
+        # further delimiter past the prefix) or rolls up into its
+        # common prefix.  One projection instead of a two-branch union
+        # (a union would scan the source twice).
+        is_key = F.col("object").rlike(key_pattern(prefix, delimiter))
+        rolled = F.regexp_extract("object", prefix_pattern(prefix, delimiter), 1)
+        entries = (
             ranged.select(
-                F.regexp_extract("object", prefix_pattern(prefix, delimiter), 1).alias(
-                    "name"
-                )
+                F.when(is_key, F.col("object")).otherwise(rolled).alias("name"),
+                F.when(is_key, F.lit("key")).otherwise(F.lit("prefix")).alias(
+                    "entry_type"
+                ),
             )
             .filter(F.col("name") != "")
+            # keys are unique; distinct only collapses repeated prefixes
             .distinct()
-            .withColumn("entry_type", F.lit("prefix"))
         )
-        keys = ranged.filter(
-            F.col("object").rlike(key_pattern(prefix, delimiter))
-        ).select(F.col("object").alias("name"), F.lit("key").alias("entry_type"))
-        entries = keys.unionByName(pfx)
     else:
         entries = ranged.select(
             F.col("object").alias("name"), F.lit("key").alias("entry_type")

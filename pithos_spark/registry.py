@@ -529,7 +529,7 @@ def acl_authorized_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     T.with_model(
         """\
 SELECT bucket, perm,
-       list_sort(list_distinct(list(grantee_id))) AS grantees,
+       array_to_string(list_sort(list_distinct(list(grantee_id))), ',') AS grantees,
        count(*) AS n_grants
 FROM grants
 GROUP BY bucket, perm
@@ -537,8 +537,14 @@ ORDER BY bucket, perm"""
     ),
 )
 def acl_merged_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
     t = T.load_tables(spark, sf_dir)
-    return perms.merge_grants(T.grants_df(t))
+    # arrays hash differently across engines' client layers; expose the
+    # merged grantee list as a joined string for the gate
+    return perms.merge_grants(T.grants_df(t)).withColumn(
+        "grantees", F.array_join("grantees", ",")
+    )
 
 
 @register(
@@ -566,7 +572,7 @@ def acl_merged_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 SELECT r.bucket AS bucket, r.origin AS origin, r.method AS method,
        m.n_rules IS NOT NULL AS allowed,
-       coalesce(m.allowed_methods, []) AS allowed_methods,
+       array_to_string(coalesce(m.allowed_methods, []), ',') AS allowed_methods,
        m.max_age AS max_age
 FROM cors_requests r
 LEFT JOIN merged m ON r.bucket = m.bucket AND r.origin = m.origin AND r.method = m.method
@@ -574,8 +580,12 @@ ORDER BY bucket, origin, method"""
     ),
 )
 def cors_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
     t = T.load_tables(spark, sf_dir)
-    return cors.preflight_response(T.cors_requests_df(t), T.cors_rules_df(t))
+    return cors.preflight_response(
+        T.cors_requests_df(t), T.cors_rules_df(t)
+    ).withColumn("allowed_methods", F.array_join("allowed_methods", ","))
 
 
 # ---------------------------------------------------------------------------
