@@ -266,11 +266,14 @@ def aborted_upload_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = T.load_tables(spark, sf_dir)
     parts = T.parts_df(t)
+    # distinct the integer keys BEFORE hashing: the distinct then
+    # shuffles 15k longs (map-side combined) instead of 55k md5 strings
     active = (
         t["lineitem"]
+        .select("l_orderkey")
+        .distinct()
         .filter(F.col("l_orderkey") % 11 != 0)
         .select(F.md5(F.col("l_orderkey").cast("string")).alias("upload"))
-        .distinct()
     )
     return multipart.aborted_upload_parts(parts, active).select(
         "upload", "object", "partno", "size", "etag"
