@@ -70,8 +70,8 @@ WITH q AS (
     SELECT embedding AS query_embedding FROM embeddings WHERE vec_id = {query_vec_id}
 ), scored AS (
     SELECT e.vec_id, e.label,
-           (SELECT sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
-                       CAST(floor(CAST(q.query_embedding[i] AS DOUBLE) * 1000) AS BIGINT))
+           (SELECT CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                            CAST(floor(CAST(q.query_embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
             FROM generate_series(1, {dim}) g(i)) AS dot_q
     FROM embeddings e, q
     WHERE e.vec_id <> {query_vec_id}
@@ -195,12 +195,12 @@ def label_centroid_norms(embeddings: DataFrame) -> DataFrame:
 LABEL_CENTROID_NORMS_SQL = """\
 WITH per_vec AS (
     SELECT label,
-           (SELECT sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
-                       CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT))
+           (SELECT CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                            CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
             FROM generate_series(1, 64) g(i)) AS sumsq_q
     FROM embeddings
 )
-SELECT label, count(*) AS n_vectors, sum(sumsq_q) AS total_sumsq_q
+SELECT label, count(*) AS n_vectors, CAST(sum(sumsq_q) AS BIGINT) AS total_sumsq_q
 FROM per_vec
 GROUP BY label
 ORDER BY label"""

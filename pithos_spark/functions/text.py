@@ -46,11 +46,13 @@ def token_stats(documents: DataFrame) -> DataFrame:
     ``token_count_bpe`` below).
     """
     toks = _tokens(F.col("text"))
+    # longs, not ints: the DuckDB oracle's length()/len() are BIGINT and
+    # the driver compares schemas
     return documents.select(
         "doc_id",
         F.col("lang"),
-        F.length("text").alias("char_count"),
-        F.size(toks).alias("token_count"),
+        F.length("text").cast("long").alias("char_count"),
+        F.size(toks).cast("long").alias("token_count"),
         (F.length("text") / F.size(toks)).alias("chars_per_token"),
     )
 
@@ -70,7 +72,7 @@ def token_count_bpe(documents: DataFrame) -> DataFrame:
     pat = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
     return documents.select(
         "doc_id",
-        F.regexp_count("text", F.lit(pat)).alias("bpe_token_count"),
+        F.regexp_count("text", F.lit(pat)).cast("long").alias("bpe_token_count"),
     )
 
 
@@ -92,9 +94,9 @@ def quality_score(documents: DataFrame) -> DataFrame:
     distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
     return documents.select(
         "doc_id",
-        F.length("text").alias("char_count"),
-        n_tok.alias("token_count"),
-        stop_hits.alias("stop_hits"),
+        F.length("text").cast("long").alias("char_count"),
+        n_tok.cast("long").alias("token_count"),
+        stop_hits.cast("long").alias("stop_hits"),
         (stop_hits / n_tok).alias("stop_ratio"),
         distinct_ratio.alias("distinct_token_ratio"),
         (
@@ -179,7 +181,7 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
         F.md5(normalized).alias("fingerprint"),
-        F.length(normalized).alias("normalized_len"),
+        F.length(normalized).cast("long").alias("normalized_len"),
     )
 
 

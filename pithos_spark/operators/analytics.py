@@ -53,11 +53,11 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> Dat
 
 PRICING_SUMMARY_SQL = """\
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_e2,
-       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_e2,
-       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS sum_disc_price_e4,
-       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 10000) AS BIGINT)) AS sum_charge_e4,
-       sum(CAST(floor(l_discount * 10000) AS BIGINT)) AS sum_discount_e4,
+       CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_e2,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 10000) AS BIGINT)) AS BIGINT) AS sum_charge_e4,
+       CAST(sum(CAST(floor(l_discount * 10000) AS BIGINT)) AS BIGINT) AS sum_discount_e4,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -100,7 +100,7 @@ def top_unshipped_orders(
 
 TOP_UNSHIPPED_SQL = """\
 SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority,
-       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS revenue_e4
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -151,7 +151,7 @@ def region_revenue(
 
 REGION_REVENUE_SQL = """\
 SELECT r_name,
-       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS revenue_e4,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
        count(*) AS lineitem_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -181,8 +181,8 @@ def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
 
 
 PROMO_REVENUE_SQL = """\
-SELECT sum(CASE WHEN p_type LIKE 'PROMO%'
-                THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
-                ELSE 0 END) AS promo_revenue_e4,
-       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS total_revenue_e4
+SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS promo_revenue_e4,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_revenue_e4
 FROM lineitem JOIN part ON l_partkey = p_partkey"""

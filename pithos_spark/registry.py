@@ -168,7 +168,7 @@ def object_descriptor(spark: SparkSession, sf_dir: str) -> DataFrame:
     T.with_model(
         """\
 SELECT b.tenant AS tenant, o.bucket AS bucket,
-       count(*) AS object_count, sum(o.size) AS total_bytes
+       count(*) AS object_count, CAST(sum(o.size) AS BIGINT) AS total_bytes
 FROM objects o JOIN buckets b ON o.bucket = b.bucket
 GROUP BY b.tenant, o.bucket
 ORDER BY tenant, bucket"""
@@ -204,9 +204,9 @@ from pithos_spark.streaming import events as ev  # noqa: E402
     T.with_model(
         """\
 SELECT upload, partno, size,
-       coalesce(sum(size) OVER (PARTITION BY upload ORDER BY partno
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                0) AS base_offset
+       CAST(coalesce(sum(size) OVER (PARTITION BY upload ORDER BY partno
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS base_offset
 FROM parts"""
     ),
 )
@@ -291,7 +291,7 @@ def aborted_upload_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
         """\
 SELECT inode,
        md5(string_agg(payload, '' ORDER BY chunk_seq)) AS checksum,
-       sum(chunksize) AS total_bytes,
+       CAST(sum(chunksize) AS BIGINT) AS total_bytes,
        count(*) AS chunk_count
 FROM chunks
 GROUP BY inode
@@ -309,15 +309,15 @@ def object_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         """\
 , with_offsets AS (
     SELECT inode, chunk_seq, chunksize,
-           coalesce(sum(chunksize) OVER (PARTITION BY inode ORDER BY chunk_seq
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                    0) AS "offset"
+           CAST(coalesce(sum(chunksize) OVER (PARTITION BY inode ORDER BY chunk_seq
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS "offset"
     FROM chunks
     WHERE inode = 'src3'
 )
 SELECT inode, chunk_seq, "offset", chunksize,
-       greatest(1000 - "offset", 0) AS skip_head,
-       least(5000, "offset" + chunksize) - greatest(1000, "offset") AS take_len
+       CAST(greatest(1000 - "offset", 0) AS BIGINT) AS skip_head,
+       CAST(least(5000, "offset" + chunksize) - greatest(1000, "offset") AS BIGINT) AS take_len
 FROM with_offsets
 WHERE "offset" < 5000 AND "offset" + chunksize > 1000
   AND least(5000, "offset" + chunksize) - greatest(1000, "offset") > 0
@@ -637,7 +637,7 @@ def objects_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "objects_delete_where",
     T.with_model(
         """\
-SELECT bucket, count(*) AS n_objects, sum(size) AS total_bytes
+SELECT bucket, count(*) AS n_objects, CAST(sum(size) AS BIGINT) AS total_bytes
 FROM objects
 WHERE NOT (bucket = 'NATION_3' OR size < 500000)
 GROUP BY bucket
@@ -799,7 +799,7 @@ def list_uploads_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         """\
 , target AS (SELECT min(upload) AS upload FROM parts)
 SELECT p.upload AS upload, p.object AS object,
-       count(*) AS n_parts, sum(p.size) AS total_size,
+       count(*) AS n_parts, CAST(sum(p.size) AS BIGINT) AS total_size,
        min(p.partno) AS first_partno, max(p.partno) AS last_partno
 FROM parts p JOIN target t ON p.upload = t.upload
 GROUP BY p.upload, p.object"""
@@ -831,15 +831,15 @@ def upload_details(spark: SparkSession, sf_dir: str) -> DataFrame:
         """\
 , with_offsets AS (
     SELECT inode, chunk_seq, chunksize,
-           coalesce(sum(chunksize) OVER (PARTITION BY inode ORDER BY chunk_seq
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                    0) AS "offset"
+           CAST(coalesce(sum(chunksize) OVER (PARTITION BY inode ORDER BY chunk_seq
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS "offset"
     FROM chunks WHERE inode = 'src5'
 )
 SELECT 'copy-of-src5' AS inode,
        chunk_seq,
-       "offset" - 2000 + greatest(2000 - "offset", 0) AS new_offset,
-       least(9000, "offset" + chunksize) - greatest(2000, "offset") AS new_chunksize
+       CAST("offset" - 2000 + greatest(2000 - "offset", 0) AS BIGINT) AS new_offset,
+       CAST(least(9000, "offset" + chunksize) - greatest(2000, "offset") AS BIGINT) AS new_chunksize
 FROM with_offsets
 WHERE "offset" < 9000 AND "offset" + chunksize > 2000
   AND least(9000, "offset" + chunksize) - greatest(2000, "offset") > 0
@@ -895,7 +895,7 @@ def bucket_name_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT b.tenant AS tenant,
        count(DISTINCT o.bucket) AS n_buckets,
        count(*) AS n_objects,
-       sum(o.size) AS total_bytes,
+       CAST(sum(o.size) AS BIGINT) AS total_bytes,
        max(o.size) AS largest_object
 FROM objects o JOIN buckets b ON o.bucket = b.bucket
 GROUP BY b.tenant
@@ -1048,7 +1048,7 @@ def objects_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
 , live_refs AS (
     SELECT DISTINCT 'src' || CAST(o_orderkey % 15 AS VARCHAR) AS inode FROM orders
 )
-SELECT c.inode AS inode, count(*) AS orphan_chunks, sum(c.chunksize) AS reclaimable_bytes
+SELECT c.inode AS inode, count(*) AS orphan_chunks, CAST(sum(c.chunksize) AS BIGINT) AS reclaimable_bytes
 FROM chunks c
 LEFT JOIN live_refs r ON c.inode = r.inode
 WHERE r.inode IS NULL
@@ -1194,8 +1194,8 @@ WITH q AS (
     SELECT vec_id, label, embedding FROM embeddings
 ), pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-           (SELECT sum(CAST(floor(CAST(a.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
-                       CAST(floor(CAST(b.embedding[i] AS DOUBLE) * 1000) AS BIGINT))
+           (SELECT CAST(sum(CAST(floor(CAST(a.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                            CAST(floor(CAST(b.embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
             FROM generate_series(1, 64) g(i)) AS dot_q
     FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
 )

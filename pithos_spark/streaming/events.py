@@ -46,7 +46,7 @@ HOURLY_ROLLUP_SQL = """\
 SELECT epoch_us(date_trunc('hour', ts)) AS window_start,
        event_type,
        count(*) AS event_count,
-       sum(CAST(floor(value * 100) AS BIGINT)) AS value_sum_e2,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_sum_e2,
        count(DISTINCT user_id) AS distinct_users
 FROM events
 GROUP BY 1, 2
@@ -168,8 +168,8 @@ WITH flagged AS (
     FROM events
 ), numbered AS (
     SELECT user_id, event_id, ts,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
     FROM flagged
 )
 SELECT user_id, session_seq,

@@ -290,7 +290,7 @@ parts AS (
            md5(CAST(l_orderkey AS VARCHAR)) AS upload,
            CAST(l_linenumber AS BIGINT) AS partno,
            md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS etag,
-           sum(CAST(floor(l_quantity * 1000) AS BIGINT)) AS size
+           CAST(sum(CAST(floor(l_quantity * 1000) AS BIGINT)) AS BIGINT) AS size
     FROM lineitem
     GROUP BY 1, 2, 3, 4
 ),
