@@ -1314,3 +1314,48 @@ def post_policy_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF ANN (rows-only: cluster probing is hash/label-dependent; recall
 # curve asserted in tests/test_similarity.py)
 QUERIES["ann_ivf_topk"] = _emb_query(similarity.ivf_topk, 0, 10)
+
+
+@register(
+    "events_top_users_per_type",
+    """\
+WITH totals AS (
+    SELECT event_type, user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_e2
+    FROM events
+    GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, n_events, value_e2
+FROM totals
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY n_events DESC, value_e2 DESC, user_id) <= 5
+ORDER BY event_type, n_events DESC, value_e2 DESC, user_id""",
+)
+def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (heavy hitters): rank users inside each event
+    type by activity — the grouped-top-k shape (window rank, one
+    shuffle) that plain orderBy/limit can't express."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    t = T.load_tables(spark, sf_dir)
+    totals = (
+        t["events"]
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_e2"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("value_e2").desc(), F.col("user_id")
+    )
+    return (
+        totals.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .drop("_rn")
+        .orderBy(
+            "event_type", F.col("n_events").desc(), F.col("value_e2").desc(), "user_id"
+        )
+    )
