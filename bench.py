@@ -33,6 +33,10 @@ HEADLINERS = [
     "events_sessionize",
     "part_base_offsets",
     "object_checksums",
+    # north-star training-data ops
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_brute_force_topk",
 ]
 
 
@@ -82,6 +86,26 @@ def main() -> None:
         # row-to-Python conversion
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # the production path: listing against the partitioned+sorted objects
+    # layout (what a deployed store would serve reads from) — shows the
+    # layout payoff next to the derive-on-the-fly number above
+    import tempfile
+
+    from pithos_spark import tables as PT
+    from pithos_spark.operators.listing import list_objects
+    from pithos_spark.sources.store import write_objects_layout
+
+    layout = tempfile.mkdtemp(prefix="bench_layout_")
+    t0 = time.perf_counter()
+    write_objects_layout(PT.objects_df(warm), f"{layout}/objects")
+    timings["materialize_objects_layout"] = round(time.perf_counter() - t0, 3)
+    stored = spark.read.parquet(f"{layout}/objects")
+    t0 = time.perf_counter()
+    list_objects(stored, "NATION_2", "1-URGENT/", "/", None, 100).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    timings["list_objects_materialized"] = round(time.perf_counter() - t0, 3)
     spark.stop()
 
     print(
