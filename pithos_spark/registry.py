@@ -1359,3 +1359,131 @@ def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.col("n_events").desc(), F.col("value_e2").desc(), "user_id"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join, interval trailing window, grouping-sets rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_asof_last_click",
+    """\
+WITH marked AS (
+    SELECT user_id, event_id, event_type, ts,
+           max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+    FROM events
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, last_click_us,
+       epoch_us(ts) - last_click_us AS us_since_click
+FROM marked
+WHERE event_type = 'error'
+ORDER BY event_id""",
+)
+def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): for every error event, the user's most
+    recent prior click — expressed as a running conditional max over the
+    user's time-ordered history (one shuffle on user_id; the same plan
+    Structured Streaming's state would maintain incrementally).  The
+    classic as-of-join semantics without a range-join explosion."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    t = T.load_tables(spark, sf_dir)
+    ev = t["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_us = F.when(
+        F.col("event_type") == "click", F.unix_micros(F.col("ts"))
+    )
+    marked = ev.withColumn("last_click_us", F.max(click_us).over(w))
+    return (
+        marked.filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "last_click_us",
+            (F.unix_micros("ts") - F.col("last_click_us")).alias("us_since_click"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "events_trailing_hour_count",
+    """\
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS events_last_hour
+FROM events
+WHERE user_id < 20
+ORDER BY user_id, ts_us, event_id""",
+)
+def events_trailing_hour_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-frame window: per event, how many events the same user
+    produced in the trailing hour (RANGE frame over event-time micros —
+    the rate-limiting / anomaly primitive).  Restricted to a user slice
+    to keep the gate payload small."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    t = T.load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id") < 20)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            us.alias("ts_us"),
+            F.count(F.lit(1)).over(w).alias("events_last_hour"),
+        )
+        .orderBy("user_id", "ts_us", "event_id")
+    )
+
+
+@register(
+    "usage_grouping_sets",
+    T.with_model(
+        """\
+SELECT coalesce(b.tenant, '(all)') AS tenant,
+       coalesce(o.bucket, '(all)') AS bucket,
+       count(*) AS n_objects,
+       CAST(sum(o.size) AS BIGINT) AS total_bytes
+FROM objects o JOIN buckets b ON o.bucket = b.bucket
+GROUP BY GROUPING SETS ((b.tenant, o.bucket), (b.tenant), ())
+ORDER BY tenant, bucket"""
+    ),
+)
+def usage_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usage accounting at three grains in one pass — GROUPING SETS
+    (per-bucket, per-tenant, grand total), the rollup shape the
+    reference's reporter events feed (A10 generalized).  Spark executes
+    this as a single Expand + aggregation."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    o = T.objects_df(t)
+    b = T.buckets_df(t).select(F.col("bucket").alias("b_bucket"), "tenant")
+    joined = o.join(F.broadcast(b), o.bucket == F.col("b_bucket"))
+    joined.createOrReplaceTempView("_usage_src")
+    return joined.sparkSession.sql(
+        """SELECT coalesce(tenant, '(all)') AS tenant,
+                  coalesce(bucket, '(all)') AS bucket,
+                  count(*) AS n_objects,
+                  sum(size) AS total_bytes
+           FROM _usage_src
+           GROUP BY GROUPING SETS ((tenant, bucket), (tenant), ())
+           ORDER BY tenant, bucket"""
+    )
