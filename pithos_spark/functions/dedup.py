@@ -129,27 +129,22 @@ ORDER BY doc_a, doc_b"""
 def minhash_signatures(
     documents: DataFrame, n: int = 3, num_hashes: int = 32
 ) -> DataFrame:
-    """MinHash signatures: (doc_id, seed, min_hash) — one row per doc per
-    hash function.  Hash_i(shingle) = xxhash64(seed_i, shingle); the min
-    over a doc's shingles approximates a random permutation's first
-    element, so P(min_a = min_b) = jaccard(a, b).
+    """MinHash signatures: one row per doc with ``mh_0..mh_{k-1}``
+    columns.  Hash_i(shingle) = xxhash64(seed_i, shingle); the min over
+    a doc's shingles approximates a random permutation's first element,
+    so P(min_a = min_b) = jaccard(a, b).
 
-    Row-explosion is (shingles x num_hashes) but it never leaves the
-    stage: the groupBy(doc_id, seed) min() partial-aggregates map-side
-    before the one shuffle.
+    Computed as ``num_hashes`` min-aggregates over the shingle rows —
+    no seed explosion (a (shingles x num_hashes) explode would shuffle
+    32x the rows; wide aggregation partial-aggregates map-side and
+    shuffles one row per doc).
     """
     sh = shingles(documents, n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .select(
-            "doc_id",
-            "seed",
-            F.xxhash64(F.col("seed"), F.col("shingle")).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("min_hash"))
-    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
 
 
 def minhash_lsh_pairs(
@@ -172,17 +167,26 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(documents, n, num_hashes)
-    band_sig = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    # one (doc, band, band_key) row per band: md5 over the band's
+    # minhash columns in seed order (docs collide iff all values equal)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
                 F.concat_ws(
-                    ",", F.array_sort(F.collect_list(F.col("min_hash").cast("string")))
+                    ",",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
                 )
-            ).alias("band_key")
+            ).alias("band_key"),
         )
-    )
+        for b in range(bands)
+    ]
+    band_sig = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.band_key")
     a = band_sig.alias("a")
     b = band_sig.alias("b")
     candidates = (
