@@ -1,0 +1,39 @@
+"""Approximate aggregates: sketch outputs can't hash-match an oracle,
+so they're bounded against the exact answers instead (the standard
+error guarantees are part of the operator contract at 100 TB, where
+exact distinct counts are the expensive path)."""
+
+from tests.conftest import SF_ORACLE
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+
+    ev = T.load_tables(spark, SF_ORACLE)["events"]
+    exact = ev.select(F.count_distinct("user_id").alias("d")).collect()[0]["d"]
+    approx = ev.select(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("d")
+    ).collect()[0]["d"]
+    assert abs(approx - exact) / exact <= 0.15  # 3x the configured rsd
+
+
+def test_approx_percentile_brackets_exact(spark):
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+
+    li = T.load_tables(spark, SF_ORACLE)["lineitem"]
+    exact_median = li.approxQuantile("l_extendedprice", [0.5], 0.0)[0]
+    sketch = li.select(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p")
+    ).collect()[0]["p"]
+    lo, hi = (
+        li.selectExpr(
+            "percentile(l_extendedprice, 0.45) AS lo",
+            "percentile(l_extendedprice, 0.55) AS hi",
+        ).collect()[0]
+    )
+    assert lo <= sketch <= hi
+    assert lo <= exact_median <= hi

@@ -106,3 +106,53 @@ def test_listing_matches_python_oracle(spark, keys, prefix, delimiter, marker, m
     ]
     want = oracle_list(list(set(keys)), prefix, delimiter, marker, max_keys)
     assert got == want
+
+
+# -- chunk-ingest roundtrip property ------------------------------------------
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    payloads=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    chunk_size=st.sampled_from([1, 7, 64]),
+)
+def test_chunk_ingest_roundtrip(spark, payloads, chunk_size):
+    """Exploding a payload into chunks and reassembling in offset order
+    must reproduce the exact original bytes, for any payload length
+    (incl. empty) and chunk size."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.sources.store import chunk_ingest
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], ["inode", "payload"]
+    )
+    chunks = chunk_ingest(df, chunk_size=chunk_size, max_block_chunks=2)
+    rebuilt = {
+        r["inode"]: r["rebuilt"]
+        for r in chunks.groupBy("inode")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("offset", "chunk_payload"))),
+                    lambda s: s["chunk_payload"],
+                ),
+                "",
+            ).alias("rebuilt")
+        )
+        .collect()
+    }
+    for i, p in enumerate(payloads):
+        assert rebuilt.get(i, "") == p, (i, chunk_size)
