@@ -76,3 +76,46 @@ def range_read_chunks(
         .select("inode", "chunk_seq", "offset", "chunksize", "skip_head", "take_len")
         .orderBy("chunk_seq")
     )
+
+
+def object_checksums_streaming(chunks: DataFrame) -> DataFrame:
+    """A5, the beyond-memory variant: per-inode MD5 computed by an
+    Arrow-batched ``applyInPandas`` that feeds a running hashlib.md5 in
+    chunk order — O(chunk) memory per group instead of materializing the
+    whole object in one row.
+
+    Same groupBy shape (one shuffle on inode) as
+    :func:`object_checksums`; use this one when single objects can
+    exceed executor row-size comfort (multi-GB).  Equivalence of the two
+    is asserted in tests/test_checksums_streaming.py.
+    """
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("inode", T.StringType()),
+            T.StructField("checksum", T.StringType()),
+            T.StructField("total_bytes", T.LongType()),
+            T.StructField("chunk_count", T.LongType()),
+        ]
+    )
+
+    def md5_group(pdf):
+        import hashlib
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("chunk_seq")
+        h = hashlib.md5()
+        for payload in pdf["payload"]:
+            h.update(payload.encode() if isinstance(payload, str) else payload)
+        return pd.DataFrame(
+            {
+                "inode": [pdf["inode"].iloc[0]],
+                "checksum": [h.hexdigest()],
+                "total_bytes": [int(pdf["chunksize"].sum())],
+                "chunk_count": [len(pdf)],
+            }
+        )
+
+    return chunks.groupBy("inode").applyInPandas(md5_group, out_schema)

@@ -1,0 +1,18 @@
+"""The Arrow-batched streaming-MD5 path must agree exactly with the
+JVM-side sorted-collect_list path — they are the same operator at two
+memory envelopes."""
+
+from tests.conftest import SF_ORACLE
+
+
+def test_streaming_md5_matches_collect_list(spark):
+    from pithos_spark import tables as T
+    from pithos_spark.operators.checksums import (
+        object_checksums,
+        object_checksums_streaming,
+    )
+
+    chunks = T.chunks_df(T.load_tables(spark, SF_ORACLE))
+    a = {tuple(r) for r in object_checksums(chunks).collect()}
+    b = {tuple(r) for r in object_checksums_streaming(chunks).collect()}
+    assert a == b
