@@ -139,9 +139,12 @@ def minhash_signatures(
     32x the rows; wide aggregation partial-aggregates map-side and
     shuffles one row per doc).
     """
-    sh = shingles(documents, n)
+    # hash the (possibly long) shingle string ONCE; the k family members
+    # then hash the resulting 8-byte value — same independence story
+    # (xxhash64 seeded by i over the base hash), k x cheaper on strings
+    sh = shingles(documents, n).withColumn("h0", F.xxhash64("shingle"))
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("doc_id").agg(*mins)

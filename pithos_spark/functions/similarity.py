@@ -278,3 +278,64 @@ def ivf_topk(
         .orderBy(F.col("dot_q").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def batch_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """Batched exact top-k: many query vectors scored in ONE pass — the
+    production shape (per-query broadcast loops don't amortize the
+    corpus scan).  Queries broadcast against the corpus, grouped window
+    rank keeps k per query.
+
+    Scale: one corpus scan regardless of |queries|; the rank shuffle is
+    keyed by query_id so queries parallelize across the cluster.
+    """
+    from pyspark.sql import Window
+
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    scored = (
+        embeddings.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            quantized_dot(F.col("embedding"), F.col("query_embedding")).alias(
+                "dot_q"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.col("dot_q").desc(), "vec_id")
+    )
+
+
+def batch_topk_oracle(query_ids: list[int], k: int = 5, dim: int = 64) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""\
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS query_embedding
+    FROM embeddings WHERE vec_id IN ({ids})
+), scored AS (
+    SELECT q.query_id, e.vec_id,
+           (SELECT CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                            CAST(floor(CAST(q.query_embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+            FROM generate_series(1, {dim}) g(i)) AS dot_q
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, dot_q
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) <= {k}
+ORDER BY query_id, dot_q DESC, vec_id"""

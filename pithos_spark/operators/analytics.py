@@ -186,3 +186,111 @@ SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
                      ELSE 0 END) AS BIGINT) AS promo_revenue_e4,
        CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_revenue_e4
 FROM lineitem JOIN part ON l_partkey = p_partkey"""
+
+
+def nation_pair_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    pair: tuple[str, str] = ("NATION_1", "NATION_2"),
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — the fact table joined to
+    TWO dimension chains (customer nation and supplier nation), filtered
+    to a nation pair in both directions, rolled up by year.
+
+    Scale: both nation chains broadcast; orders⋈lineitem is the only
+    fact shuffle.  Year extraction stays on the scan side of the agg.
+    """
+    a, b = pair
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000)
+    cust_nat = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    supp_nat = (
+        supplier.join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+            supplier.s_nationkey == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    return (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust_nat), F.col("o_custkey") == cust_nat.c_custkey)
+        .join(F.broadcast(supp_nat), lineitem.l_suppkey == supp_nat.s_suppkey)
+        .filter(
+            ((F.col("cust_nation") == a) & (F.col("supp_nation") == b))
+            | ((F.col("cust_nation") == b) & (F.col("supp_nation") == a))
+        )
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(F.sum(rev).alias("volume_e4"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("cust_nation", "supp_nation", "ship_year")
+    )
+
+
+NATION_PAIR_VOLUME_SQL = """\
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS volume_e4,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+   OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3"""
+
+
+def returned_item_report(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer in a
+    quarter, top-k.  Selective order-date window + returnflag filter,
+    grouped on a high-cardinality key, distributed top-k."""
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000)
+    ords = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    ).select("o_orderkey", "o_custkey")
+    cust = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", F.col("n_name").alias("cust_nation"))
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(ords, lineitem.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "cust_nation")
+        .agg(F.sum(rev).alias("lost_revenue_e4"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("lost_revenue_e4").desc(), F.col("c_custkey"))
+        .limit(k)
+    )
+
+
+RETURNED_ITEM_SQL = """\
+SELECT c_custkey, c_name, n_name AS cust_nation,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS lost_revenue_e4,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY lost_revenue_e4 DESC, c_custkey
+LIMIT 20"""

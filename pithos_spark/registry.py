@@ -1487,3 +1487,29 @@ def usage_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY GROUPING SETS ((tenant, bucket), (tenant), ())
            ORDER BY tenant, bucket"""
     )
+
+
+def _q7(spark, sf_dir):
+    t = T.load_tables(spark, sf_dir)
+    return analytics.nation_pair_volume(
+        t["lineitem"], t["orders"], t["customer"], t["supplier"], t["nation"]
+    )
+
+
+QUERIES["q7_nation_pair_volume"] = _q7
+ORACLES["q7_nation_pair_volume"] = analytics.NATION_PAIR_VOLUME_SQL
+
+
+def _q10(spark, sf_dir):
+    t = T.load_tables(spark, sf_dir)
+    return analytics.returned_item_report(
+        t["lineitem"], t["orders"], t["customer"], t["nation"]
+    )
+
+
+QUERIES["q10_returned_items"] = _q10
+ORACLES["q10_returned_items"] = analytics.RETURNED_ITEM_SQL
+
+
+QUERIES["ann_batch_topk"] = _emb_query(similarity.batch_topk, [0, 7, 42, 99, 123])
+ORACLES["ann_batch_topk"] = similarity.batch_topk_oracle([0, 7, 42, 99, 123])
