@@ -339,3 +339,61 @@ SELECT query_id, vec_id, dot_q
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) <= {k}
 ORDER BY query_id, dot_q DESC, vec_id"""
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF with a REAL trained coarse quantizer: MLlib KMeans clusters
+    the corpus (index-build time), queries probe the ``n_probe`` nearest
+    centroids and exactly rerank inside those inverted lists with the
+    quantized dot product.
+
+    At 100 TB: KMeans trains on a sample, assignment is one scan at
+    ingest, and cluster id becomes a partition column — probing is then
+    partition pruning.  (Rows-only for the driver gate: trained
+    centroids are float state; ranking inside lists stays exact.)
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = embeddings.withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(vecs)
+    assigned = model.transform(vecs).withColumnRenamed("prediction", "cluster")
+
+    q_row = assigned.filter(F.col("vec_id") == query_vec_id).select(
+        "features", F.col("embedding").alias("query_embedding")
+    )
+    centers = model.clusterCenters()
+    # rank clusters by distance to the query (driver-side: |centers| is
+    # tiny by construction)
+    import numpy as np
+
+    qvec = np.array(
+        q_row.select(vector_to_array("features").alias("a")).collect()[0]["a"]
+    )
+    order = np.argsort([float(np.linalg.norm(qvec - c)) for c in centers])
+    probes = [int(c) for c in order[:n_probe]]
+
+    q = q_row.select("query_embedding")
+    return (
+        assigned.filter(F.col("cluster").isin(probes))
+        .filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            quantized_dot(F.col("embedding"), F.col("query_embedding")).alias(
+                "dot_q"
+            ),
+        )
+        .orderBy(F.col("dot_q").desc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -1513,3 +1513,8 @@ ORACLES["q10_returned_items"] = analytics.RETURNED_ITEM_SQL
 
 QUERIES["ann_batch_topk"] = _emb_query(similarity.batch_topk, [0, 7, 42, 99, 123])
 ORACLES["ann_batch_topk"] = similarity.batch_topk_oracle([0, 7, 42, 99, 123])
+
+
+# KMeans-IVF ANN (rows-only: trained float centroids; recall asserted
+# in tests/test_similarity.py)
+QUERIES["ann_ivf_kmeans_topk"] = _emb_query(similarity.ivf_kmeans_topk, 0, 10)

@@ -61,3 +61,15 @@ def test_ivf_topk_recall_curve(embeddings):
     assert r2 >= 0.2, f"IVF recall@10 with 2/10 probes = {r2}"
     assert r4 >= 0.6, f"IVF recall@10 with 4/10 probes = {r4}"
     assert r4 >= r2, "recall must not degrade with more probes"
+
+
+def test_ivf_kmeans_recall(embeddings):
+    from pithos_spark.functions.similarity import brute_force_topk, ivf_kmeans_topk
+
+    true10 = {r["vec_id"] for r in brute_force_topk(embeddings, 0, 10).collect()}
+    got = ivf_kmeans_topk(embeddings, 0, 10, n_clusters=16, n_probe=4).collect()
+    assert len(got) == 10
+    recall = len(true10 & {r["vec_id"] for r in got}) / 10
+    # a trained quantizer concentrates true neighbors far better than
+    # label blocking: 4/16 lists should capture most of the top-10
+    assert recall >= 0.5, f"KMeans-IVF recall@10 with 4/16 probes = {recall}"
