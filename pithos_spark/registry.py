@@ -1518,3 +1518,13 @@ ORACLES["ann_batch_topk"] = similarity.batch_topk_oracle([0, 7, 42, 99, 123])
 # KMeans-IVF ANN (rows-only: trained float centroids; recall asserted
 # in tests/test_similarity.py)
 QUERIES["ann_ivf_kmeans_topk"] = _emb_query(similarity.ivf_kmeans_topk, 0, 10)
+
+
+@register("multimodal_frame_sample", multimodal.FRAME_SAMPLE_SQL)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding multimodal pipeline: video assets -> fixed-window
+    frame samples via Arrow mapInPandas (deterministic fake decode; the
+    oracle mirrors the windowing arithmetic in SQL)."""
+    t = T.load_tables(spark, sf_dir)
+    assets = multimodal.assets_from_documents(t["documents"])
+    return multimodal.frame_sample(assets).orderBy("asset_id", "frame_idx")

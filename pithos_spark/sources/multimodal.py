@@ -118,3 +118,66 @@ SELECT doc_id AS asset_id,
        substr(md5(text), 1, 8) AS checksum_head
 FROM documents
 ORDER BY asset_id"""
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def frame_sample(assets: DataFrame, frame_bytes: int = 256) -> DataFrame:
+    """Frame sampling: a row-EXPANDING Arrow pipeline — each video asset
+    yields one row per fixed-size frame window (a real build would call
+    the decoder's keyframe iterator here; the windowing, batch shape and
+    schema contract are the real thing).
+
+    mapInPandas output length is independent of input length — the
+    contract that matters for decode-style UDFs.
+    """
+
+    def sample_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"asset_id": [], "frame_idx": [], "frame_offset": [], "frame_md5": []}
+            for aid, payload, mt in zip(
+                pdf["asset_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mt != "video":
+                    continue
+                data = bytes(payload)
+                for idx, off in enumerate(range(0, max(len(data), 1), frame_bytes)):
+                    rows["asset_id"].append(aid)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_offset"].append(off)
+                    rows["frame_md5"].append(
+                        hashlib.md5(data[off : off + frame_bytes]).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(sample_batches, FRAME_SCHEMA)
+
+
+# the fake frame decode is pure windowing arithmetic -> SQL oracle
+FRAME_SAMPLE_SQL = """\
+WITH vids AS (
+    SELECT doc_id AS asset_id, text
+    FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+), offs AS (
+    SELECT asset_id, text,
+           unnest(range(0, greatest(length(text), 1), 256)) AS frame_offset
+    FROM vids
+)
+SELECT asset_id,
+       CAST(frame_offset // 256 AS BIGINT) AS frame_idx,
+       CAST(frame_offset AS BIGINT) AS frame_offset,
+       md5(substring(text, CAST(frame_offset AS INT) + 1, 256)) AS frame_md5
+FROM offs
+ORDER BY asset_id, frame_idx"""
