@@ -1528,3 +1528,109 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = T.load_tables(spark, sf_dir)
     assets = multimodal.assets_from_documents(t["documents"])
     return multimodal.frame_sample(assets).orderBy("asset_id", "frame_idx")
+
+
+@register(
+    "q18_large_orders",
+    T.with_model(
+        """\
+, big AS (
+    SELECT l_orderkey
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CAST(floor(l_quantity * 100) AS BIGINT)) > 30000
+)
+SELECT o.o_orderkey AS o_orderkey, CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+       CAST(floor(o.o_totalprice * 100) AS BIGINT) AS totalprice_e2
+FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+ORDER BY totalprice_e2 DESC, o_orderkey
+LIMIT 50"""
+    ),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: magnitude filter AFTER aggregation (HAVING on
+    the grouped fact) feeding a semi-join back to the order header —
+    the find-the-whales pattern."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("q"))
+        .filter(F.col("q") > 30000)
+        .select("l_orderkey")
+    )
+    o = t["orders"]
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("totalprice_e2"),
+        )
+        .orderBy(F.col("totalprice_e2").desc(), "o_orderkey")
+        .limit(50)
+    )
+
+
+@register(
+    "list_object_uploads",
+    T.with_model(
+        """\
+, target AS (SELECT min(object) AS object FROM parts)
+SELECT p.upload AS upload, p.object AS object,
+       count(*) AS n_parts
+FROM parts p JOIN target t ON p.object = t.object
+GROUP BY p.upload, p.object
+ORDER BY upload"""
+    ),
+)
+def list_object_uploads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: the active uploads of ONE object (exact key match —
+    meta.clj:147-151), resolved via a 1-row broadcast."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    parts = T.parts_df(t)
+    target = parts.agg(F.min("object").alias("object"))
+    return (
+        parts.join(F.broadcast(target), "object")
+        .groupBy("upload", "object")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("upload")
+    )
+
+
+@register(
+    "events_type_pivot",
+    """\
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+FROM events
+GROUP BY user_id
+ORDER BY user_id""",
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts spread into one column per type
+    (groupBy().pivot() with a declared value list, so the plan needs no
+    discovery pass — the wide-activity-matrix shape)."""
+    import pyspark.sql.functions as F
+
+    types = ["click", "view", "purchase", "signup", "error"]
+    t = T.load_tables(spark, sf_dir)
+    pv = (
+        t["events"]
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    out = pv.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c}") for c in types],
+    )
+    return out.orderBy("user_id")
