@@ -294,3 +294,424 @@ WHERE l_returnflag = 'R'
 GROUP BY 1, 2, 3
 ORDER BY lost_revenue_e4 DESC, c_custkey
 LIMIT 20"""
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+    disc_lo: float = 0.04,
+    disc_hi: float = 0.06,
+    max_qty: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side filter + single global sum — the
+    canonical predicate-pushdown showcase.
+
+    Scale: every predicate (date range, discount band, quantity cap)
+    reaches the parquet scan as a pushed filter; min/max row-group stats
+    prune whole files on a date-partitioned layout.  No shuffle at all —
+    partial sums combine in one tiny final reduce.
+    """
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= start)
+        & (F.col("l_shipdate") < end)
+        & (F.col("l_discount") >= disc_lo)
+        & (F.col("l_discount") <= disc_hi)
+        & (F.col("l_quantity") < max_qty)
+    )
+    return li.agg(
+        F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"), 10000)).alias(
+            "forecast_revenue_e4"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+FORECAST_REVENUE_SQL = """\
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS forecast_revenue_e4,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24"""
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_3",
+    target_region: str = "ASIA",
+    part_type: str | None = None,
+    part: DataFrame | None = None,
+) -> DataFrame:
+    """TPC-H Q8 shape: a target nation's share of revenue within a
+    region's market, per order year — conditional numerator over the
+    same aggregate scan as the denominator.
+
+    Scale: the customer->nation->region chain restricts the fact rows
+    (broadcast), the supplier->nation chain tags the numerator
+    (broadcast); the single fact shuffle is the orders⋈lineitem join.
+    Emits numerator and denominator as exact integers; the ratio is a
+    client-side division (one double op, deterministic).
+    """
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000)
+    cust_region = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == target_region)
+        .select("c_custkey")
+    )
+    supp_nat = supplier.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+            )
+        ),
+        supplier.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    li = lineitem
+    if part is not None and part_type is not None:
+        pk = part.filter(F.col("p_type") == part_type).select("p_partkey")
+        li = li.join(F.broadcast(pk), li.l_partkey == F.col("p_partkey"))
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust_region), F.col("o_custkey") == cust_region.c_custkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == target_nation, rev).otherwise(F.lit(0))
+            ).alias("nation_revenue_e4"),
+            F.sum(rev).alias("market_revenue_e4"),
+        )
+        .orderBy("order_year")
+    )
+
+
+MARKET_SHARE_SQL = """\
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                     THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS nation_revenue_e4,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS market_revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+ORDER BY 1"""
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame, exclude_priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q13 shape: histogram of orders-per-customer including the
+    zero bucket — LEFT OUTER join then two stacked aggregations.
+
+    Scale: first agg shuffles on c_custkey (high cardinality, well
+    distributed); second agg's key space is tiny (|distinct counts|).
+    The outer join preserves order-less customers — an anti-join +
+    union would scan customer twice; this plan scans it once.
+    """
+    ords = orders.filter(F.col("o_orderpriority") != exclude_priority).select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(ords, customer.c_custkey == ords.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+CUSTOMER_DISTRIBUTION_SQL = """\
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer
+    LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC"""
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, then the
+    supplier(s) achieving the global max — a scalar subquery expressed
+    as a broadcast single-row join (no second scan of the fact table:
+    the revenue view is computed once and reused through the self-join).
+
+    Scale: revenue agg shuffles on l_suppkey; the max is a 1-row
+    broadcast; equality on exact BIGINT revenue makes 'ties' well
+    defined (the classic query's double-equality is nondeterministic).
+    """
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000)
+    revenue = (
+        lineitem.filter((F.col("l_shipdate") >= start) & (F.col("l_shipdate") < end))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev).alias("total_revenue_e4"))
+    )
+    mx = revenue.agg(F.max("total_revenue_e4").alias("max_revenue_e4"))
+    return (
+        revenue.join(
+            F.broadcast(mx), revenue.total_revenue_e4 == mx.max_revenue_e4
+        )
+        .join(supplier, revenue.supplier_no == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_e4")
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_SUPPLIER_SQL = """\
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_revenue_e4
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_e4
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM revenue)
+ORDER BY s_suppkey"""
+
+
+def supplier_diversity(
+    lineitem: DataFrame,
+    part: DataFrame,
+    exclude_brand: str = "Brand#1",
+    exclude_type: str = "PROMO",
+    max_size: int = 25,
+) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each part
+    class — COUNT(DISTINCT) over a filtered dimension join.  (The
+    testdata has no partsupp table; lineitem is the part↔supplier
+    link, which preserves the operator shape exactly.)
+
+    Scale: count-distinct expands to a two-phase agg (distinct shuffle
+    on (group, suppkey), then count) — Spark plans that automatically;
+    the part-side filters broadcast.
+    """
+    pk = part.filter(
+        (F.col("p_brand") != exclude_brand)
+        & (F.col("p_type") != exclude_type)
+        & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(pk), lineitem.l_partkey == pk.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+SUPPLIER_DIVERSITY_SQL = """\
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size <= 25
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#3"
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders far below a part's average
+    quantity — a correlated AVG subquery decorrelated into a per-part
+    aggregate joined back to the fact rows.
+
+    The threshold `qty < 0.2 * avg(qty)` is evaluated in pure BIGINT
+    arithmetic (`5 * qty_e2 * n < sum_qty_e2`) — no float division, so
+    both engines agree bit-for-bit on boundary rows.
+
+    Scale: the per-part stats aggregate shuffles on l_partkey; at these
+    SFs the stats side broadcasts back onto the fact scan, so the fact
+    table is read twice but shuffled once.
+    """
+    pk = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(F.broadcast(pk), lineitem.l_partkey == pk.p_partkey).select(
+        "l_partkey",
+        _cents("l_quantity").alias("qty_e2"),
+        _cents("l_extendedprice").alias("price_e2"),
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("sp_key")).agg(
+        F.sum("qty_e2").alias("sum_qty_e2"), F.count(F.lit(1)).alias("n_li")
+    )
+    return (
+        li.join(F.broadcast(stats), li.l_partkey == F.col("sp_key"))
+        .filter(F.lit(5) * F.col("qty_e2") * F.col("n_li") < F.col("sum_qty_e2"))
+        .agg(
+            F.sum("price_e2").alias("small_qty_revenue_e2"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SMALL_QUANTITY_SQL = """\
+WITH li AS (
+    SELECT l_partkey,
+           CAST(floor(l_quantity * 100) AS BIGINT) AS qty_e2,
+           CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_e2
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#3'
+), stats AS (
+    SELECT l_partkey AS sp_key, sum(qty_e2) AS sum_qty_e2, count(*) AS n_li
+    FROM li GROUP BY 1
+)
+SELECT CAST(sum(price_e2) AS BIGINT) AS small_qty_revenue_e2,
+       count(*) AS n_items
+FROM li JOIN stats ON l_partkey = sp_key
+WHERE 5 * qty_e2 * n_li < sum_qty_e2"""
+
+
+def special_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    bands — the OR-of-ANDs predicate that exercises join-predicate
+    pushdown (each disjunct narrows both join sides).
+
+    Scale: part broadcasts; the common `l_quantity <= 30` bound is
+    factored out of the disjunction so it pushes to the parquet scan
+    independently of the join.
+    """
+    j = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    qty = F.col("l_quantity")
+    band = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 10) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 15) & qty.between(20, 30))
+    )
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000)
+    return j.filter(band).agg(
+        F.sum(rev).alias("special_revenue_e4"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+SPECIAL_REVENUE_SQL = """\
+SELECT CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS special_revenue_e4,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size <= 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 15 AND l_quantity BETWEEN 20 AND 30)"""
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, since: str = "2000-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and no
+    recent orders — scalar AVG subquery (as an exact integer predicate)
+    plus a LEFT ANTI join, rolled up by market segment.  (Every customer
+    in the testdata has at least one order, so the anti-join side is
+    date-restricted to keep the query non-vacuous.)
+
+    The `acctbal > avg(acctbal) over positive balances` predicate runs
+    as `bal_e2 * n > sum_e2` in BIGINT, so the cut line is identical in
+    both engines.
+
+    Scale: the 1-row global aggregate broadcasts; the anti-join
+    shuffles on custkey only if orders outgrows the broadcast
+    threshold — AQE decides.
+    """
+    bal_e2 = _cents("c_acctbal")
+    avg_row = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.sum(bal_e2).alias("sum_e2"), F.count(F.lit(1)).alias("n_pos"))
+    )
+    rich = (
+        customer.select("c_custkey", "c_mktsegment", bal_e2.alias("bal_e2"))
+        .join(F.broadcast(avg_row))
+        .filter(F.col("bal_e2") * F.col("n_pos") > F.col("sum_e2"))
+    )
+    idle = rich.join(
+        orders.filter(F.col("o_orderdate") >= since).select("o_custkey"),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("numcust"), F.sum("bal_e2").alias("totacctbal_e2"))
+        .orderBy("c_mktsegment")
+    )
+
+
+IDLE_RICH_SQL = """\
+WITH avg_row AS (
+    SELECT sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS sum_e2, count(*) AS n_pos
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_e2
+FROM customer, avg_row
+WHERE CAST(floor(c_acctbal * 100) AS BIGINT) * n_pos > sum_e2
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment"""
+
+
+def cheapest_supplier_per_nation(supplier: DataFrame, nation: DataFrame) -> DataFrame:
+    """TPC-H Q2 shape (adapted — no partsupp table in the testdata):
+    the supplier(s) holding each nation's minimum account balance — a
+    correlated MIN subquery decorrelated into groupBy-min + join-back.
+
+    Scale: the per-nation min is 25 rows — broadcast back; ties are
+    exact on the quantized BIGINT balance, not double equality.
+    """
+    bal = _cents("s_acctbal")
+    s = supplier.select(
+        "s_suppkey", "s_name", "s_nationkey", bal.alias("bal_e2")
+    )
+    mins = s.groupBy(F.col("s_nationkey").alias("mn_key")).agg(
+        F.min("bal_e2").alias("min_bal_e2")
+    )
+    return (
+        s.join(
+            F.broadcast(mins),
+            (s.s_nationkey == F.col("mn_key")) & (s.bal_e2 == F.col("min_bal_e2")),
+        )
+        .join(F.broadcast(nation), s.s_nationkey == nation.n_nationkey)
+        .select("n_name", "s_suppkey", "s_name", "bal_e2")
+        .orderBy("n_name", "s_suppkey")
+    )
+
+
+CHEAPEST_SUPPLIER_SQL = """\
+WITH s AS (
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(floor(s_acctbal * 100) AS BIGINT) AS bal_e2
+    FROM supplier
+)
+SELECT n_name, s_suppkey, s_name, bal_e2
+FROM s
+JOIN (SELECT s_nationkey AS mn_key, min(bal_e2) AS min_bal_e2 FROM s GROUP BY 1) m
+  ON s_nationkey = mn_key AND bal_e2 = min_bal_e2
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY n_name, s_suppkey"""

@@ -1634,3 +1634,91 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c}") for c in types],
     )
     return out.orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Extended TPC-H-shape coverage: scalar subqueries, outer-join histogram,
+# count-distinct, OR-of-ANDs pushdown, anti-join with aggregate threshold
+# ---------------------------------------------------------------------------
+
+
+def _q6(spark, sf_dir):
+    return analytics.forecast_revenue(T.load_tables(spark, sf_dir)["lineitem"])
+
+
+QUERIES["q6_forecast_revenue"] = _q6
+ORACLES["q6_forecast_revenue"] = analytics.FORECAST_REVENUE_SQL
+
+
+def _q8(spark, sf_dir):
+    t = T.load_tables(spark, sf_dir)
+    return analytics.market_share(
+        t["lineitem"], t["orders"], t["customer"], t["supplier"], t["nation"], t["region"]
+    )
+
+
+QUERIES["q8_market_share"] = _q8
+ORACLES["q8_market_share"] = analytics.MARKET_SHARE_SQL
+
+
+def _q13(spark, sf_dir):
+    t = T.load_tables(spark, sf_dir)
+    return analytics.customer_order_distribution(t["customer"], t["orders"])
+
+
+QUERIES["q13_customer_distribution"] = _q13
+ORACLES["q13_customer_distribution"] = analytics.CUSTOMER_DISTRIBUTION_SQL
+
+
+def _q15(spark, sf_dir):
+    t = T.load_tables(spark, sf_dir)
+    return analytics.top_supplier(t["lineitem"], t["supplier"])
+
+
+QUERIES["q15_top_supplier"] = _q15
+ORACLES["q15_top_supplier"] = analytics.TOP_SUPPLIER_SQL
+
+
+def _q16(spark, sf_dir):
+    t = T.load_tables(spark, sf_dir)
+    return analytics.supplier_diversity(t["lineitem"], t["part"])
+
+
+QUERIES["q16_supplier_diversity"] = _q16
+ORACLES["q16_supplier_diversity"] = analytics.SUPPLIER_DIVERSITY_SQL
+
+
+def _q17(spark, sf_dir):
+    t = T.load_tables(spark, sf_dir)
+    return analytics.small_quantity_revenue(t["lineitem"], t["part"])
+
+
+QUERIES["q17_small_qty_revenue"] = _q17
+ORACLES["q17_small_qty_revenue"] = analytics.SMALL_QUANTITY_SQL
+
+
+def _q19(spark, sf_dir):
+    t = T.load_tables(spark, sf_dir)
+    return analytics.special_revenue(t["lineitem"], t["part"])
+
+
+QUERIES["q19_special_revenue"] = _q19
+ORACLES["q19_special_revenue"] = analytics.SPECIAL_REVENUE_SQL
+
+
+def _q22(spark, sf_dir):
+    t = T.load_tables(spark, sf_dir)
+    return analytics.idle_rich_customers(t["customer"], t["orders"])
+
+
+QUERIES["q22_idle_rich_customers"] = _q22
+ORACLES["q22_idle_rich_customers"] = analytics.IDLE_RICH_SQL
+
+
+def _q2(spark, sf_dir):
+    t = T.load_tables(spark, sf_dir)
+    return analytics.cheapest_supplier_per_nation(t["supplier"], t["nation"])
+
+
+QUERIES["q2_cheapest_supplier"] = _q2
+ORACLES["q2_cheapest_supplier"] = analytics.CHEAPEST_SUPPLIER_SQL

@@ -90,3 +90,39 @@ def test_no_cartesian_products_in_registry_plans(spark):
         df = fn(spark, SF_ORACLE)
         plan = _plan(df)
         assert "CartesianProduct" not in plan, name
+
+
+def test_q6_pushes_all_predicates_to_scan(tables, spark):
+    """Q6's whole WHERE clause must reach the parquet scan as pushed
+    filters — at 100 TB this is the difference between reading one
+    year's row groups and reading the table."""
+    from pithos_spark.operators.analytics import forecast_revenue
+
+    # the default 100-char metadata truncation hides the filter list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = _plan(forecast_revenue(tables["lineitem"]))
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed.group(1), f"{col} not pushed: {pushed.group(1)}"
+
+
+def test_q17_stats_side_broadcasts(tables):
+    """The decorrelated per-part AVG joins back to the fact rows as a
+    broadcast — the fact table must not shuffle twice."""
+    from pithos_spark.operators.analytics import small_quantity_revenue
+
+    plan = _plan(small_quantity_revenue(tables["lineitem"], tables["part"]))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q13_outer_join_preserves_zero_bucket(tables):
+    """Q13's LEFT OUTER join must stay outer through optimization (a
+    dropped zero-bucket silently corrupts the histogram)."""
+    from pithos_spark.operators.analytics import customer_order_distribution
+
+    plan = _optimized(customer_order_distribution(tables["customer"], tables["orders"]))
+    assert "LeftOuter" in plan, plan
