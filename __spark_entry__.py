@@ -30,7 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(registry.QUERIES)
+    # Ordered so the driver's 50-entry CORRECTNESS window covers the
+    # queries that still need a hard verdict (registry.DRIVER_PRIORITY).
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,267 @@
+"""AccessControlPolicy XML round-trip (SURVEY §2.8 C14 — the ACL form).
+
+Reference: src/io/pithos/acl.clj — ``xml->acl`` (:85-97) parses an
+AccessControlPolicy document into ``{perm: [grantee...]}``, ``as-xml``
+(:114-131) renders it back; golden fixtures test/data/acl1.xml-acl5.xml
+exercised by test/io/pithos/acl_test.clj:7-37 (including two invalid
+inputs: non-XML and a bad root node).
+
+The internal representation mirrors the reference exactly:
+``{"FULL_CONTROL": [{"ID": "foo", "DisplayName": "bar"}, {"URI": "bar",
+"DisplayName": "bar"}], ...}`` — a dict keyed by permission name with a
+list of grantee dicts carrying either ID (canonical user) or URI
+(group).  Parsing and rendering are driver-side (an ACL document is a
+handful of grants, never big data); the bridge to the distributed world
+is :func:`acl_to_grant_rows`, which flattens the parsed form into the
+typed grants table that ``operators.perms`` evaluates with joins.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+XSI_NS = "http://www.w3.org/2001/XMLSchema-instance"
+
+VALID_PERMISSIONS = {"FULL_CONTROL", "READ", "WRITE", "READ_ACP", "WRITE_ACP"}
+
+VALID_GRANTEE_TAGS = {"ID", "DisplayName", "URI", "EmailAddress"}
+
+# acl.clj:33-39 — well-known group URIs get a short internal alias both
+# ways (parse maps URI->alias, render maps alias->URI).
+KNOWN_URIS = {"http://acs.amazonaws.com/groups/global/AllUsers": "anonymous"}
+KNOWN_GROUPS = {v: k for k, v in KNOWN_URIS.items()}
+
+
+class InvalidAclXml(ValueError):
+    """Parse failure -> S3 MalformedACLError / 400 (acl.clj:77-83)."""
+
+
+class InvalidAclRoot(InvalidAclXml):
+    """Root element is not AccessControlPolicy (acl.clj:68-74)."""
+
+
+def _localname(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _node_to_grantee(grantee_el: ET.Element) -> dict:
+    """acl.clj:41-56 — keep known tags; URI values map through the
+    well-known alias table; EmailAddress is treated as an ID."""
+    out: dict[str, str] = {}
+    for child in grantee_el:
+        tag = _localname(child.tag)
+        text = child.text
+        if tag not in VALID_GRANTEE_TAGS or not isinstance(text, str):
+            continue
+        if tag == "URI":
+            out["URI"] = KNOWN_URIS.get(text, text)
+        elif tag == "EmailAddress":
+            out["ID"] = text
+        else:
+            out[tag] = text
+    return out
+
+
+def xml_to_acl(src: str) -> dict[str, list[dict]]:
+    """acl.clj:85-97 ``xml->acl``: AccessControlPolicy document ->
+    {permission: [grantee, ...]}.  Raises InvalidAclRoot on a wrong root
+    element, InvalidAclXml on malformed XML or an unknown permission."""
+    try:
+        root = ET.fromstring(src)
+    except ET.ParseError as e:
+        raise InvalidAclXml("Invalid XML in ACL Body") from e
+    if _localname(root.tag) != "AccessControlPolicy":
+        raise InvalidAclRoot("XML Root Node should be AccessControlPolicy")
+
+    policy: dict[str, list[dict]] = {}
+    for grant in root.iter():
+        if _localname(grant.tag) != "Grant":
+            continue
+        perm = "invalid"
+        grantees = []
+        for child in grant:
+            tag = _localname(child.tag)
+            if tag == "Permission" and isinstance(child.text, str):
+                perm = child.text
+            elif tag == "Grantee":
+                g = _node_to_grantee(child)
+                if g:
+                    grantees.append(g)
+        policy.setdefault(perm, []).extend(grantees)
+    if not set(policy) <= VALID_PERMISSIONS:
+        raise InvalidAclXml("Invalid XML Acl Body")
+    return policy
+
+
+def acl_as_xml(
+    grants: dict[str, list[dict]], indent: bool = False, owner: str = "foo",
+    owner_display: str = "bar",
+) -> str:
+    """acl.clj:99-131 ``as-xml``: internal representation -> XML.  With
+    ``indent`` the output byte-matches the reference fixtures (two-space
+    indent, declaration on the root line, exactly as clojure.data.xml's
+    indent-str emits)."""
+    nl, pad = ("\n", "  ") if indent else ("", "")
+
+    def line(depth: int, s: str) -> str:
+        return f"{pad * depth}{s}{nl}" if indent else s
+
+    parts = ['<?xml version="1.0" encoding="UTF-8"?>']
+    parts.append(
+        '<AccessControlPolicy xmlns="http://s3.amazonaws.com/doc/2006-03-01/">'
+        + nl
+    )
+    parts.append(line(1, "<Owner>"))
+    parts.append(line(2, f"<ID>{owner}</ID>"))
+    parts.append(line(2, f"<DisplayName>{owner_display}</DisplayName>"))
+    parts.append(line(1, "</Owner>"))
+    parts.append(line(1, "<AccessControlList>"))
+    for permission, grantees in grants.items():
+        for g in grantees:
+            uri, gid = g.get("URI"), g.get("ID")
+            display = g.get("DisplayName")
+            parts.append(line(2, "<Grant>"))
+            if uri is not None:
+                parts.append(
+                    line(
+                        3,
+                        f'<Grantee xmlns:xsi="{XSI_NS}" xsi:type="Group">',
+                    )
+                )
+                parts.append(line(4, f"<URI>{KNOWN_GROUPS.get(uri, uri)}</URI>"))
+                parts.append(
+                    line(4, f"<DisplayName>{display or uri}</DisplayName>")
+                )
+            else:
+                parts.append(
+                    line(
+                        3,
+                        f'<Grantee xmlns:xsi="{XSI_NS}" xsi:type="CanonicalUser">',
+                    )
+                )
+                parts.append(line(4, f"<ID>{gid}</ID>"))
+                parts.append(
+                    line(4, f"<DisplayName>{display or gid}</DisplayName>")
+                )
+            parts.append(line(3, "</Grantee>"))
+            parts.append(line(3, f"<Permission>{permission}</Permission>"))
+            parts.append(line(2, "</Grant>"))
+    parts.append(line(1, "</AccessControlList>"))
+    parts.append("</AccessControlPolicy>" + nl)
+    return "".join(parts)
+
+
+def acl_to_grant_rows(bucket: str, policy: dict[str, list[dict]]) -> list[tuple]:
+    """Flatten a parsed ACL into typed grant rows
+    (bucket, perm, grantee_id, grantee_type) — the schema
+    ``operators.perms`` joins against."""
+    rows = []
+    for perm, grantees in policy.items():
+        for g in grantees:
+            if "URI" in g:
+                rows.append((bucket, perm, g["URI"], "group"))
+            else:
+                rows.append((bucket, perm, g.get("ID", ""), "canonical"))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# CORS XML (cors.clj:13-19 node->rule, :42-47 xml->cors, :49-71 as-xml;
+# fixture test/data/cors1.xml, golden test cors_test.clj:6-23)
+# ---------------------------------------------------------------------------
+
+
+class InvalidCorsXml(ValueError):
+    """Parse failure -> 400 (cors.clj:33-40)."""
+
+
+class InvalidCorsRoot(InvalidCorsXml):
+    """Root element is not CORSConfiguration."""
+
+
+def xml_to_cors(src: str) -> list[dict]:
+    """cors.clj:42-47 ``xml->cors``: CORSConfiguration document ->
+    [{origins, methods, headers, exposed, max_age}, ...] with methods
+    lower-cased (the reference keywordizes them lower-case)."""
+    try:
+        root = ET.fromstring(src)
+    except ET.ParseError as e:
+        raise InvalidCorsXml("Invalid XML in CORS Body") from e
+    if _localname(root.tag) != "CORSConfiguration":
+        raise InvalidCorsRoot("XML Root Node should be CORSConfiguration")
+
+    rules = []
+    for rule in root.iter():
+        if _localname(rule.tag) != "CORSRule":
+            continue
+        r = {"origins": [], "methods": [], "headers": [], "exposed": [],
+             "max_age": None}
+        for child in rule:
+            tag, text = _localname(child.tag), child.text
+            if not isinstance(text, str):
+                continue
+            if tag == "AllowedOrigin":
+                r["origins"].append(text)
+            elif tag == "AllowedMethod":
+                r["methods"].append(text.lower())
+            elif tag == "AllowedHeader":
+                r["headers"].append(text)
+            elif tag == "ExposeHeader":
+                r["exposed"].append(text)
+            elif tag == "MaxAgeSeconds":
+                r["max_age"] = text
+        rules.append(r)
+    return rules
+
+
+def cors_as_xml(rules: list[dict], indent: bool = False) -> str:
+    """cors.clj:49-71 ``as-xml``: rules -> CORSConfiguration XML;
+    indented form byte-matches test/data/cors1.xml."""
+    nl, pad = ("\n", "  ") if indent else ("", "")
+
+    def line(depth: int, s: str) -> str:
+        return f"{pad * depth}{s}{nl}" if indent else s
+
+    parts = ['<?xml version="1.0" encoding="UTF-8"?>']
+    parts.append(
+        '<CORSConfiguration xmlns="http://s3.amazonaws.com/doc/2006-03-01/">'
+        + nl
+    )
+    for r in rules:
+        parts.append(line(1, "<CORSRule>"))
+        for o in r.get("origins", []):
+            parts.append(line(2, f"<AllowedOrigin>{o}</AllowedOrigin>"))
+        for m in r.get("methods", []):
+            parts.append(line(2, f"<AllowedMethod>{m.upper()}</AllowedMethod>"))
+        for h in r.get("headers", []):
+            parts.append(line(2, f"<AllowedHeader>{h}</AllowedHeader>"))
+        for e in r.get("exposed", []):
+            parts.append(line(2, f"<ExposeHeader>{e}</ExposeHeader>"))
+        if r.get("max_age") is not None:
+            parts.append(
+                line(2, f"<MaxAgeSeconds>{r['max_age']}</MaxAgeSeconds>")
+            )
+        parts.append(line(1, "</CORSRule>"))
+    parts.append("</CORSConfiguration>" + nl)
+    return "".join(parts)
+
+
+def cors_to_rule_rows(bucket: str, rules: list[dict]) -> list[tuple]:
+    """Flatten parsed CORS rules into the typed rule table that
+    ``operators.cors`` joins against: one row per (rule, origin pattern)
+    with array columns for methods/headers/exposed."""
+    rows = []
+    for i, r in enumerate(rules):
+        for origin in r.get("origins", []):
+            rows.append(
+                (
+                    bucket,
+                    i,
+                    origin,
+                    list(r.get("methods", [])),
+                    list(r.get("headers", [])),
+                    list(r.get("exposed", [])),
+                    int(r["max_age"]) if r.get("max_age") is not None else None,
+                )
+            )
+    return rows

@@ -82,14 +82,24 @@ def post_bucket_delete(
 
 
 def complete_multipart_upload(
-    parts: DataFrame, upload: str, manifest_xml: str
+    parts: DataFrame, bucket: str, object_key: str, upload: str, manifest_xml: str
 ) -> tuple[int, str]:
     """POST ?uploadId: parse the manifest (C14), validate against stored
     parts (J3 anti-join); 400 InvalidPart on any mismatch, else the
-    assembled ETag summary."""
+    CompleteMultipartUploadResult XML (xml.clj:242-250).
+
+    The reference (operations.clj complete-upload) assembles exactly the
+    manifest-listed parts, and S3 requires ascending part numbers — so
+    the summary aggregates only stored rows semi-joined to the manifest,
+    never unlisted stored parts (ADVICE round 1)."""
     from pithos_spark.operators.multipart import validate_complete_manifest
 
     manifest = xmlio.parse_complete_upload(manifest_xml)
+    partnos = [m["partno"] for m in manifest]
+    if partnos != sorted(partnos) or len(set(partnos)) != len(partnos):
+        return 400, xmlio.error_response(
+            "InvalidPartOrder", "part numbers must be ascending and unique"
+        )
     spark = parts.sparkSession
     mdf = spark.createDataFrame(
         [(upload, m["partno"], m["etag"]) for m in manifest],
@@ -101,7 +111,10 @@ def complete_multipart_upload(
         return 400, xmlio.error_response(
             "InvalidPart", f"invalid parts: {[r['partno'] for r in bad]}"
         )
-    agg = stored.agg(
-        F.sum("size").alias("total"), F.count(F.lit(1)).alias("n")
+    listed = stored.join(mdf, on=["upload", "partno", "etag"], how="left_semi")
+    agg = listed.agg(
+        F.md5(F.concat_ws("", F.collect_list(F.col("etag")))).alias("digest"),
+        F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    return 200, f'{{"parts": {agg["n"]}, "bytes": {agg["total"]}}}'
+    etag = f'{agg["digest"]}-{agg["n"]}'
+    return 200, xmlio.complete_multipart_upload(bucket, object_key, etag)

@@ -14,7 +14,6 @@ document comes straight from the DataFrame operators' output rows.
 from __future__ import annotations
 
 import xml.etree.ElementTree as ET
-from xml.sax.saxutils import escape
 
 S3_NS = "http://s3.amazonaws.com/doc/2006-03-01/"
 
@@ -102,11 +101,82 @@ def list_upload_parts(
 
 
 def error_response(code: str, message: str, request_id: str = "") -> str:
-    """Typed error document (xml.clj:291-447 taxonomy)."""
+    """Typed error document (xml.clj:291-447 taxonomy).  ET.tostring
+    escapes text content itself — pre-escaping here double-escaped
+    '&' as '&amp;amp;' (ADVICE round 1)."""
     root = ET.Element("Error")
     _el(root, "Code", code)
-    _el(root, "Message", escape(message))
+    _el(root, "Message", message)
     _el(root, "RequestId", request_id)
+    return _render(root)
+
+
+def initiate_multipart_upload(bucket: str, object_key: str, upload_id: str) -> str:
+    """POST ?uploads response (xml.clj:196-203)."""
+    root = ET.Element("InitiateMultipartUploadResult", xmlns=S3_NS)
+    _el(root, "Bucket", bucket)
+    _el(root, "Key", object_key)
+    _el(root, "UploadId", upload_id)
+    return _render(root)
+
+
+def list_multipart_uploads(bucket: str, prefix: str, uploads: list[dict]) -> str:
+    """GET ?uploads response (xml.clj:205-220).  ``uploads`` rows need
+    object + upload (+ optional metadata['initiated'])."""
+    root = ET.Element("ListMultipartUploadsResult", xmlns=S3_NS)
+    _el(root, "Bucket", bucket)
+    _el(root, "KeyMarker")
+    _el(root, "UploadIdMarker")
+    _el(root, "MaxUploads", 1000)
+    _el(root, "IsTruncated", "false")
+    _el(root, "Prefix", prefix)
+    for u in uploads:
+        ue = _el(root, "Upload")
+        _el(ue, "Key", u["object"])
+        _el(ue, "Initiated", (u.get("metadata") or {}).get("initiated", ""))
+        _el(ue, "UploadId", u["upload"])
+    return _render(root)
+
+
+def multipart_upload_part_copy(etag: str, atime: str) -> str:
+    """PUT part?copy response (xml.clj:235-240)."""
+    root = ET.Element("CopyPartResult")
+    _el(root, "ETag", f'"{etag}"')
+    _el(root, "LastModified", atime)
+    return _render(root)
+
+
+def complete_multipart_upload(bucket: str, object_key: str, etag: str) -> str:
+    """POST ?uploadId response (xml.clj:242-250)."""
+    root = ET.Element("CompleteMultipartUploadResult", xmlns=S3_NS)
+    _el(root, "Bucket", bucket)
+    _el(root, "Key", object_key)
+    _el(root, "Location", f"http://{bucket}.s3.amazonaws.com/{object_key}")
+    _el(root, "ETag", f'"{etag}"')
+    return _render(root)
+
+
+def bucket_location(location: str) -> str:
+    """GET ?location response (xml.clj:252-256)."""
+    root = ET.Element("LocationConstraint", xmlns=S3_NS)
+    root.text = location
+    return _render(root)
+
+
+def copy_object(etag: str, atime: str) -> str:
+    """PUT x-amz-copy-source response (xml.clj:263-269)."""
+    root = ET.Element("CopyObjectResult", xmlns=S3_NS)
+    _el(root, "LastModified", atime)
+    _el(root, "ETag", f'"{etag}"')
+    return _render(root)
+
+
+def delete_objects(keys: list[str]) -> str:
+    """POST /?delete response (xml.clj:271-277)."""
+    root = ET.Element("DeleteResult", xmlns=S3_NS)
+    for k in keys:
+        d = _el(root, "Deleted")
+        _el(d, "Key", k)
     return _render(root)
 
 

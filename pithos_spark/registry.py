@@ -1722,3 +1722,78 @@ def _q2(spark, sf_dir):
 
 QUERIES["q2_cheapest_supplier"] = _q2
 ORACLES["q2_cheapest_supplier"] = analytics.CHEAPEST_SUPPLIER_SQL
+
+
+# ---------------------------------------------------------------------------
+# Driver verification window ordering.
+#
+# The driver's CORRECTNESS gate checks the FIRST 50 entries of the mapping
+# returned by __spark_entry__.queries(), in insertion order.  Round 1 left
+# list(QUERIES)[50:] (31 queries) without a driver verdict (VERDICT.md
+# "What's wrong" #1).  DRIVER_PRIORITY places those 31, plus every query
+# added in round 2, at the front of the window, keeping a small
+# representative already-green core; everything else follows in insertion
+# order (still runnable, just outside the 50-entry hard gate this round).
+# ---------------------------------------------------------------------------
+
+DRIVER_PRIORITY: list[str] = [
+    # round-1 queries with no driver verdict (VERDICT.md next-round item 1)
+    "multipart_etag",
+    "objects_latest_version",
+    "orphan_chunk_gc",
+    "payload_digest_verify",
+    "get_object_point",
+    "object_reassembly_verify",
+    "dedup_embedding_cosine",
+    "corpus_term_doc_freq",
+    "post_policy_validate",
+    "ann_ivf_topk",
+    "events_top_users_per_type",
+    "events_asof_last_click",
+    "events_trailing_hour_count",
+    "usage_grouping_sets",
+    "q7_nation_pair_volume",
+    "q10_returned_items",
+    "ann_batch_topk",
+    "ann_ivf_kmeans_topk",
+    "multimodal_frame_sample",
+    "q18_large_orders",
+    "list_object_uploads",
+    "events_type_pivot",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_qty_revenue",
+    "q19_special_revenue",
+    "q22_idle_rich_customers",
+    "q2_cheapest_supplier",
+    # round-2 additions are inserted here as they land (see ROUND2_NEW)
+    # representative already-green core from CORRECTNESS_r01.json
+    "list_objects_flagship",
+    "q1_pricing_summary",
+    "part_base_offsets",
+    "object_checksums",
+    "dedup_exact",
+    "text_token_stats",
+    "multimodal_features",
+]
+
+# Queries added during round 2 — spliced in front of the green core so they
+# also land inside the 50-entry window.
+ROUND2_NEW: list[str] = []
+
+
+def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """QUERIES reordered so the driver's 50-entry window covers every
+    query that still needs a hard verdict."""
+    front = DRIVER_PRIORITY[:-7] + ROUND2_NEW + DRIVER_PRIORITY[-7:]
+    missing = [n for n in front if n not in QUERIES]
+    if missing:  # fail loudly: a typo here would silently shrink coverage
+        raise KeyError(f"DRIVER_PRIORITY names not in QUERIES: {missing}")
+    out = {n: QUERIES[n] for n in front}
+    for n, fn in QUERIES.items():
+        if n not in out:
+            out[n] = fn
+    return out

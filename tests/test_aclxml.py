@@ -1,0 +1,108 @@
+"""Golden round-trip tests for AccessControlPolicy / CORSConfiguration
+XML, ported from the reference's test/io/pithos/acl_test.clj:7-37 and
+cors_test.clj:6-23.  Fixture documents are embedded verbatim from
+test/data/acl1.xml-acl5.xml and cors1.xml (acl2 = not XML at all,
+acl3 = wrong root node — both must raise)."""
+
+import pytest
+
+from pithos_spark.operators import aclxml
+
+ACL1 = '<?xml version="1.0" encoding="UTF-8"?><AccessControlPolicy xmlns="http://s3.amazonaws.com/doc/2006-03-01/">\n  <Owner>\n    <ID>foo</ID>\n    <DisplayName>bar</DisplayName>\n  </Owner>\n  <AccessControlList>\n    <Grant>\n      <Grantee xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" xsi:type="CanonicalUser">\n        <ID>foo</ID>\n        <DisplayName>bar</DisplayName>\n      </Grantee>\n      <Permission>FULL_CONTROL</Permission>\n    </Grant>\n  </AccessControlList>\n</AccessControlPolicy>\n'
+
+ACL2 = 'foo fa fi\n'
+
+ACL3 = '<?xml version="1.0" encoding="UTF-8"?>\n<BadRootNode>\n  <Owner>\n    <ID>foo</ID>\n    <DisplayName>bar</DisplayName>\n  </Owner>\n  <AccessControlList>\n    <Grant>\n      <Permission>FULL_CONTROL</Permission>\n      <Grantee xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" xsi:type="CanonicalUser">\n        <ID>foo</ID>\n        <DisplayName>bar</DisplayName>\n      </Grantee>\n    </Grant>\n  </AccessControlList>\n</BadRootNode>\n'
+
+ACL4 = '<?xml version="1.0" encoding="UTF-8"?><AccessControlPolicy xmlns="http://s3.amazonaws.com/doc/2006-03-01/">\n  <Owner>\n    <ID>foo</ID>\n    <DisplayName>bar</DisplayName>\n  </Owner>\n  <AccessControlList>\n    <Grant>\n      <Grantee xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" xsi:type="CanonicalUser">\n        <ID>foo</ID>\n        <DisplayName>bar</DisplayName>\n      </Grantee>\n      <Permission>FULL_CONTROL</Permission>\n    </Grant>\n    <Grant>\n      <Grantee xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" xsi:type="Group">\n        <URI>bar</URI>\n        <DisplayName>bar</DisplayName>\n      </Grantee>\n      <Permission>FULL_CONTROL</Permission>\n    </Grant>\n    <Grant>\n      <Grantee xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" xsi:type="CanonicalUser">\n        <ID>foo</ID>\n        <DisplayName>baz</DisplayName>\n      </Grantee>\n      <Permission>READ_ACP</Permission>\n    </Grant>\n    <Grant>\n      <Grantee xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" xsi:type="Group">\n        <URI>baz</URI>\n        <DisplayName>baz</DisplayName>\n      </Grantee>\n      <Permission>READ_ACP</Permission>\n    </Grant>\n  </AccessControlList>\n</AccessControlPolicy>\n'
+
+ACL5 = '<?xml version="1.0" encoding="UTF-8"?><AccessControlPolicy xmlns="http://s3.amazonaws.com/doc/2006-03-01/">\n  <Owner>\n    <ID>foo</ID>\n    <DisplayName>bar</DisplayName>\n  </Owner>\n  <AccessControlList>\n    <Grant>\n      <Grantee xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" xsi:type="Group">\n        <URI>http://acs.amazonaws.com/groups/global/AllUsers</URI>\n        <DisplayName>anonymous</DisplayName>\n      </Grantee>\n      <Permission>READ</Permission>\n    </Grant>\n  </AccessControlList>\n</AccessControlPolicy>\n'
+
+CORS1 = '<?xml version="1.0" encoding="UTF-8"?><CORSConfiguration xmlns="http://s3.amazonaws.com/doc/2006-03-01/">\n  <CORSRule>\n    <AllowedOrigin>http://*.example.com</AllowedOrigin>\n    <AllowedMethod>GET</AllowedMethod>\n    <AllowedHeader>*</AllowedHeader>\n  </CORSRule>\n</CORSConfiguration>\n'
+
+
+ACL1_REPR = {"FULL_CONTROL": [{"ID": "foo", "DisplayName": "bar"}]}
+ACL4_REPR = {
+    "FULL_CONTROL": [
+        {"ID": "foo", "DisplayName": "bar"},
+        {"URI": "bar", "DisplayName": "bar"},
+    ],
+    "READ_ACP": [
+        {"ID": "foo", "DisplayName": "baz"},
+        {"URI": "baz", "DisplayName": "baz"},
+    ],
+}
+ACL5_REPR = {"READ": [{"URI": "anonymous", "DisplayName": "anonymous"}]}
+CORS1_REPR = [
+    {
+        "origins": ["http://*.example.com"],
+        "methods": ["get"],
+        "headers": ["*"],
+        "exposed": [],
+        "max_age": None,
+    }
+]
+
+CASES = [(ACL1, ACL1_REPR), (ACL4, ACL4_REPR), (ACL5, ACL5_REPR)]
+
+
+@pytest.mark.parametrize("src,expected", CASES)
+def test_xml_to_acl(src, expected):
+    assert aclxml.xml_to_acl(src) == expected
+
+
+@pytest.mark.parametrize("src,repr_", CASES)
+def test_acl_as_xml_matches_fixture(src, repr_):
+    # indented render byte-matches the reference fixture (acl_test.clj:25-29)
+    assert aclxml.acl_as_xml(repr_, indent=True) == src
+
+
+@pytest.mark.parametrize("_,repr_", CASES)
+def test_acl_roundtrip_compact(_, repr_):
+    assert aclxml.xml_to_acl(aclxml.acl_as_xml(repr_)) == repr_
+
+
+def test_invalid_acl_not_xml():
+    with pytest.raises(aclxml.InvalidAclXml):
+        aclxml.xml_to_acl(ACL2)
+
+
+def test_invalid_acl_bad_root():
+    with pytest.raises(aclxml.InvalidAclRoot):
+        aclxml.xml_to_acl(ACL3)
+
+
+def test_invalid_acl_bad_permission():
+    bad = ACL1.replace("FULL_CONTROL", "SUPER_ADMIN")
+    with pytest.raises(aclxml.InvalidAclXml):
+        aclxml.xml_to_acl(bad)
+
+
+def test_xml_to_cors():
+    assert aclxml.xml_to_cors(CORS1) == CORS1_REPR
+
+
+def test_cors_as_xml_matches_fixture():
+    assert aclxml.cors_as_xml(CORS1_REPR, indent=True) == CORS1
+
+
+def test_cors_roundtrip_compact():
+    assert aclxml.xml_to_cors(aclxml.cors_as_xml(CORS1_REPR)) == CORS1_REPR
+
+
+def test_cors_bad_root():
+    with pytest.raises(aclxml.InvalidCorsRoot):
+        aclxml.xml_to_cors(ACL1)
+
+
+def test_acl_to_grant_rows():
+    rows = aclxml.acl_to_grant_rows("b1", ACL4_REPR)
+    assert ("b1", "FULL_CONTROL", "foo", "canonical") in rows
+    assert ("b1", "FULL_CONTROL", "bar", "group") in rows
+    assert ("b1", "READ_ACP", "baz", "group") in rows
+    assert len(rows) == 4
+
+
+def test_cors_to_rule_rows():
+    rows = aclxml.cors_to_rule_rows("b1", CORS1_REPR)
+    assert rows == [("b1", 0, "http://*.example.com", ["get"], ["*"], [], None)]

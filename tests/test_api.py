@@ -87,22 +87,68 @@ def test_post_bucket_delete_roundtrip(model, spark):
     assert surviving.filter(F.col("object").isin(victims)).count() == 0
 
 
+def _manifest_xml(rows):
+    return "<CompleteMultipartUpload>" + "".join(
+        f"<Part><PartNumber>{r['partno']}</PartNumber><ETag>\"{r['etag']}\"</ETag></Part>"
+        for r in rows
+    ) + "</CompleteMultipartUpload>"
+
+
 def test_complete_upload_validates_manifest(model, spark):
     import pyspark.sql.functions as F
 
     up = model["parts"].agg(F.min("upload").alias("u")).collect()[0]["u"]
-    stored = model["parts"].filter(F.col("upload") == up).collect()
-    ok_body = "<CompleteMultipartUpload>" + "".join(
-        f"<Part><PartNumber>{r['partno']}</PartNumber><ETag>\"{r['etag']}\"</ETag></Part>"
-        for r in stored
-    ) + "</CompleteMultipartUpload>"
-    status, body = api.complete_multipart_upload(model["parts"], up, ok_body)
+    stored = sorted(
+        model["parts"].filter(F.col("upload") == up).collect(),
+        key=lambda r: r["partno"],
+    )
+    ok_body = _manifest_xml(stored)
+    status, body = api.complete_multipart_upload(
+        model["parts"], "bkt", "obj", up, ok_body
+    )
     assert status == 200, body
+    doc = ET.fromstring(body)
+    ns = "{http://s3.amazonaws.com/doc/2006-03-01/}"
+    assert doc.findtext(f"{ns}Bucket") == "bkt"
+    assert doc.findtext(f"{ns}ETag").endswith(f'-{len(stored)}"')
 
     bad_body = ok_body.replace(stored[0]["etag"], "0" * 32)
-    status, body = api.complete_multipart_upload(model["parts"], up, bad_body)
+    status, body = api.complete_multipart_upload(
+        model["parts"], "bkt", "obj", up, bad_body
+    )
     assert status == 400
     assert ET.fromstring(body).findtext("Code") == "InvalidPart"
+
+
+def test_complete_upload_subset_and_order(model, spark):
+    """A manifest listing a SUBSET of stored parts completes with only
+    those parts in the summary (reference assembles exactly the listed
+    parts); non-ascending part numbers are rejected (S3 semantics)."""
+    import pyspark.sql.functions as F
+
+    counts = (
+        model["parts"].groupBy("upload").count().filter(F.col("count") >= 3)
+    )
+    up = counts.agg(F.min("upload").alias("u")).collect()[0]["u"]
+    stored = sorted(
+        model["parts"].filter(F.col("upload") == up).collect(),
+        key=lambda r: r["partno"],
+    )
+    subset = stored[:2]
+    status, body = api.complete_multipart_upload(
+        model["parts"], "bkt", "obj", up, _manifest_xml(subset)
+    )
+    assert status == 200, body
+    ns = "{http://s3.amazonaws.com/doc/2006-03-01/}"
+    etag = ET.fromstring(body).findtext(f"{ns}ETag")
+    # part count suffix reflects the manifest subset, not all stored parts
+    assert etag.endswith('-2"'), etag
+
+    status, body = api.complete_multipart_upload(
+        model["parts"], "bkt", "obj", up, _manifest_xml(list(reversed(subset)))
+    )
+    assert status == 400
+    assert ET.fromstring(body).findtext("Code") == "InvalidPartOrder"
 
 
 def test_canned_acl_expansion(spark):
