@@ -91,10 +91,19 @@ def complete_multipart_upload(
     The reference (operations.clj complete-upload) assembles exactly the
     manifest-listed parts, and S3 requires ascending part numbers — so
     the summary aggregates only stored rows semi-joined to the manifest,
-    never unlisted stored parts (ADVICE round 1)."""
-    from pithos_spark.operators.multipart import validate_complete_manifest
+    never unlisted stored parts (ADVICE round 1).  The composite ETag is
+    md5 over the partno-ordered BINARY part digests (s3_etag_agg) —
+    deterministic under any partitioning."""
+    from pithos_spark.operators.multipart import (
+        s3_etag_agg,
+        validate_complete_manifest,
+    )
 
     manifest = xmlio.parse_complete_upload(manifest_xml)
+    if not manifest:
+        return 400, xmlio.error_response(
+            "MalformedXML", "empty CompleteMultipartUpload manifest"
+        )
     partnos = [m["partno"] for m in manifest]
     if partnos != sorted(partnos) or len(set(partnos)) != len(partnos):
         return 400, xmlio.error_response(
@@ -112,9 +121,5 @@ def complete_multipart_upload(
             "InvalidPart", f"invalid parts: {[r['partno'] for r in bad]}"
         )
     listed = stored.join(mdf, on=["upload", "partno", "etag"], how="left_semi")
-    agg = listed.agg(
-        F.md5(F.concat_ws("", F.collect_list(F.col("etag")))).alias("digest"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    etag = f'{agg["digest"]}-{agg["n"]}'
+    etag = listed.agg(s3_etag_agg().alias("etag")).collect()[0]["etag"]
     return 200, xmlio.complete_multipart_upload(bucket, object_key, etag)

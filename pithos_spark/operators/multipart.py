@@ -34,6 +34,30 @@ def part_base_offsets(parts: DataFrame) -> DataFrame:
     )
 
 
+def s3_etag_agg() -> F.Column:
+    """The real S3 composite-ETag law, as an aggregate expression over
+    part rows with (partno, etag-hex) columns:
+
+        md5(digest_1 || digest_2 || ... || digest_N) + "-N"
+
+    where digest_i is the RAW 16-byte md5 of part i and the order is
+    ascending part number (the reference assembles parts in partno order,
+    stream.clj:209-255).  ``array_sort`` over (partno, etag) structs makes
+    the concatenation deterministic regardless of partition/arrival order
+    — a bare ``collect_list(etag)`` is partition-order-dependent and can
+    yield a different ETag for the same upload run-to-run.  ``unhex`` of
+    the joined hex strings is byte-identical to concatenating the
+    individually-unhexed digests (each etag is fixed-width hex).
+    """
+    ordered = F.array_sort(F.collect_list(F.struct("partno", "etag")))
+    hex_concat = F.array_join(F.transform(ordered, lambda s: s["etag"]), "")
+    return F.concat(
+        F.md5(F.unhex(hex_concat)),
+        F.lit("-"),
+        F.count(F.lit(1)).cast("string"),
+    )
+
+
 def validate_complete_manifest(parts: DataFrame, manifest: DataFrame) -> DataFrame:
     """J3: client-supplied (upload, partno, etag) manifest vs stored parts.
 

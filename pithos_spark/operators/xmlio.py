@@ -194,6 +194,7 @@ ERROR_CODES = {
     "InvalidBucketName": 400,
     "InvalidDigest": 400,
     "InvalidPart": 400,
+    "InvalidPartOrder": 400,
     "InvalidRange": 416,
     "InvalidSecurity": 403,
     "MalformedXML": 400,

@@ -968,9 +968,14 @@ LIMIT 1000"""
     ),
 )
 def multipart_etag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3 multipart ETag: md5 over the ordered concatenation of part
-    etags, suffixed '-N' (the checksum-of-checksums the reference
-    computes during assembly, stream.clj:209-255 + A5)."""
+    """Partno-ordered checksum-of-checksums per upload (stream.clj:
+    209-255 + A5).  NOTE: this oracle-gated query hashes the ordered
+    HEX concatenation, because DuckDB 1.0 has no md5(BLOB) and so cannot
+    mirror the true S3 law (md5 over the raw 16-byte digests).  What the
+    oracle verifies here is the partno ORDERING + concatenation + count;
+    the real binary-digest law lives in operators.multipart.s3_etag_agg
+    (used by api.complete_multipart_upload) and is vector-tested against
+    a hand-computed S3 composite ETag in tests/test_api.py."""
     import pyspark.sql.functions as F
 
     t = T.load_tables(spark, sf_dir)

@@ -151,6 +151,64 @@ def test_complete_upload_subset_and_order(model, spark):
     assert ET.fromstring(body).findtext("Code") == "InvalidPartOrder"
 
 
+def test_s3_etag_binary_vector(spark):
+    """The composite ETag matches a hand-computed S3 vector: md5 over
+    the partno-ordered RAW digests (not their hex spelling), '-N'
+    suffix.  Parts are fed out of order across 8 partitions."""
+    import hashlib
+
+    d1 = hashlib.md5(b"part-one").hexdigest()
+    d2 = hashlib.md5(b"part-two").hexdigest()
+    d3 = hashlib.md5(b"part-three").hexdigest()
+    expected = (
+        hashlib.md5(
+            bytes.fromhex(d1) + bytes.fromhex(d2) + bytes.fromhex(d3)
+        ).hexdigest()
+        + "-3"
+    )
+    parts = spark.createDataFrame(
+        [("u1", 3, d3, 8), ("u1", 1, d1, 8), ("u1", 2, d2, 8)],
+        ["upload", "partno", "etag", "size"],
+    ).repartition(8)
+    manifest = _manifest_xml(
+        [{"partno": i + 1, "etag": d} for i, d in enumerate([d1, d2, d3])]
+    )
+    status, body = api.complete_multipart_upload(parts, "bkt", "obj", "u1", manifest)
+    assert status == 200, body
+    ns = "{http://s3.amazonaws.com/doc/2006-03-01/}"
+    assert ET.fromstring(body).findtext(f"{ns}ETag") == f'"{expected}"'
+
+
+def test_complete_upload_etag_deterministic(model):
+    """Completing the same upload twice under local[32] yields the
+    identical ETag (regression: unordered collect_list over etags)."""
+    import pyspark.sql.functions as F
+
+    up = model["parts"].agg(F.min("upload").alias("u")).collect()[0]["u"]
+    stored = sorted(
+        model["parts"].filter(F.col("upload") == up).collect(),
+        key=lambda r: r["partno"],
+    )
+    body = _manifest_xml(stored)
+    etags = set()
+    for _ in range(3):
+        status, xml = api.complete_multipart_upload(
+            model["parts"].repartition(32), "bkt", "obj", up, body
+        )
+        assert status == 200, xml
+        ns = "{http://s3.amazonaws.com/doc/2006-03-01/}"
+        etags.add(ET.fromstring(xml).findtext(f"{ns}ETag"))
+    assert len(etags) == 1, etags
+
+
+def test_complete_upload_empty_manifest(model):
+    status, body = api.complete_multipart_upload(
+        model["parts"], "bkt", "obj", "u-none", "<CompleteMultipartUpload/>"
+    )
+    assert status == 400
+    assert ET.fromstring(body).findtext("Code") == "MalformedXML"
+
+
 def test_canned_acl_expansion(spark):
     from pithos_spark.operators.perms import expand_canned_acl
 
