@@ -206,29 +206,173 @@ GROUP BY label
 ORDER BY label"""
 
 
-def ivf_centroids(embeddings: DataFrame, scale: int = 1000) -> DataFrame:
-    """IVF coarse quantizer: per-cluster centroid in the quantized
-    integer space.  The driver's ``label`` column stands in for the
-    k-means assignment (a real build would run
-    pyspark.ml.clustering.KMeans once at index time); everything
-    downstream — centroid scoring, probe selection, in-list rerank —
-    is the genuine IVF query path.
+def ivf_centroids(
+    embeddings: DataFrame, scale: int = 1000, cluster_col: str = "label"
+) -> DataFrame:
+    """IVF coarse quantizer (index-BUILD time): per-cluster centroid in
+    the quantized integer space, ``c_i = floor(sum_i / n)`` computed as
+    ``(s - pmod(s, n)) div n`` — the numerator is exactly divisible, so
+    the integer division is bit-identical in any engine regardless of
+    whether its division truncates or floors.  (An ``avg().cast(long)``
+    centroid is NOT portable: engines disagree on double rounding and
+    on negative-value truncation.)
     """
     qv = _quantized(F.col("embedding"), scale)
     dim_idx = F.sequence(F.lit(0), F.size(qv) - 1)
     exploded = embeddings.select(
-        "label", F.explode(F.arrays_zip(qv.alias("q"), dim_idx.alias("i"))).alias("z")
-    ).select("label", F.col("z.q").alias("q"), F.col("z.i").alias("i"))
-    return (
-        exploded.groupBy("label", "i")
-        .agg(F.avg("q").cast("long").alias("c"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
-            ).alias("centroid_q")
+        cluster_col,
+        F.explode(F.arrays_zip(qv.alias("q"), dim_idx.alias("i"))).alias("z"),
+    ).select(cluster_col, F.col("z.q").alias("q"), F.col("z.i").alias("i"))
+    per_dim = (
+        exploded.groupBy(cluster_col, "i")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn("c", F.expr("(s - pmod(s, n)) div n"))
+    )
+    return per_dim.groupBy(cluster_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("centroid_q")
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame, scale: int = 1000, cluster_col: str = "label"
+) -> tuple[DataFrame, DataFrame]:
+    """One-time IVF index build: (assigned corpus, centers table).
+
+    The centers aggregation scans the corpus ONCE here and is
+    materialized into a local (driver-tiny: n_clusters x dim ints)
+    DataFrame — queries never re-derive centroids.  At 100 TB the
+    assigned corpus would be written cluster-partitioned so probing is
+    partition pruning; the centers table is a broadcast dim.
+    """
+    cents = ivf_centroids(embeddings, scale, cluster_col)
+    spark = embeddings.sparkSession
+    rows = cents.collect()
+    centers = spark.createDataFrame(rows, schema=cents.schema)
+    return embeddings, centers
+
+
+def ivf_query(
+    assigned: DataFrame,
+    centers: DataFrame,
+    query_ids: list[int] | int,
+    k: int = 10,
+    n_probe: int = 2,
+    scale: int = 1000,
+    cluster_col: str = "label",
+    metric: str = "dot",
+) -> DataFrame:
+    """Query-time IVF probe — the ONLY per-query work: rank the (few,
+    broadcast) centers per query, keep ``n_probe`` inverted lists,
+    exact-rerank their members with the quantized dot product.  No
+    KMeans fit, no centroid recompute, no driver-side numpy — probe
+    selection is a window rank over the centers x queries broadcast
+    join.  Accepts a batch of query ids (build once, probe many).
+
+    ``metric`` picks the probe-ranking law: "dot" (max quantized dot,
+    right for normalized corpora and SQL-mirrorable) or "l2" (min
+    quantized squared distance — the classic IVF coarse ranking, used
+    by the trained-KMeans index).  The final rerank is always the exact
+    quantized dot product.
+
+    Output: (query_id, vec_id, label, dot_q), top-k per query.
+    """
+    from pyspark.sql import Window
+
+    if isinstance(query_ids, int):
+        query_ids = [query_ids]
+    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    qq = _quantized(F.col("query_embedding"), scale)
+    cscore = F.aggregate(
+        F.zip_with(F.col("centroid_q"), qq, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    if metric == "l2":
+        cscore = F.aggregate(
+            F.zip_with(F.col("centroid_q"), qq, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        rank_key = F.col("cscore").asc()
+    else:
+        rank_key = F.col("cscore").desc()
+    wp = Window.partitionBy("query_id").orderBy(rank_key, F.col(cluster_col))
+    probes = (
+        centers.join(F.broadcast(q))
+        .select(cluster_col, "query_id", cscore.alias("cscore"))
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+        .select(cluster_col, "query_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), cluster_col)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            quantized_dot(F.col("embedding"), F.col("query_embedding")).alias(
+                "dot_q"
+            ),
         )
     )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.col("dot_q").desc(), "vec_id")
+    )
+
+
+def ivf_query_oracle(
+    query_ids: list[int], k: int = 10, n_probe: int = 2, dim: int = 64
+) -> str:
+    """DuckDB twin of build_ivf_index + ivf_query(metric="dot"): the
+    centroid math is exact integer arithmetic (floor-div via the
+    mod-adjusted identity), so the whole plan — centroids, probe
+    ranking, in-list rerank — is SQL-mirrorable bit-for-bit."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""\
+WITH qe AS (
+    SELECT vec_id AS query_id, embedding AS query_embedding
+    FROM embeddings WHERE vec_id IN ({ids})
+), ex AS (
+    SELECT label, i, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+    FROM embeddings, generate_series(1, {dim}) g(i)
+), sums AS (
+    SELECT label, i, CAST(sum(q) AS BIGINT) AS s, count(*) AS n
+    FROM ex GROUP BY label, i
+), cent AS (
+    SELECT label, i, (s - ((s % n + n) % n)) // n AS c FROM sums
+), cs AS (
+    SELECT qe.query_id, cent.label,
+           CAST(sum(cent.c * CAST(floor(CAST(qe.query_embedding[cent.i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS cscore
+    FROM cent, qe GROUP BY qe.query_id, cent.label
+), probes AS (
+    SELECT query_id, label FROM cs
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cscore DESC, label) <= {n_probe}
+), scored AS (
+    SELECT p.query_id, e.vec_id, e.label,
+           (SELECT CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                            CAST(floor(CAST(qe.query_embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+            FROM generate_series(1, {dim}) g(i)) AS dot_q
+    FROM embeddings e
+    JOIN probes p ON e.label = p.label
+    JOIN qe ON qe.query_id = p.query_id
+    WHERE e.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, label, dot_q FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) <= {k}
+ORDER BY query_id, dot_q DESC, vec_id"""
 
 
 def ivf_topk(
@@ -238,45 +382,13 @@ def ivf_topk(
     n_probe: int = 2,
     scale: int = 1000,
 ) -> DataFrame:
-    """IVF ANN: score the query against the (few) centroids, keep the
-    ``n_probe`` nearest inverted lists, exact-rerank only their members.
-
-    Scale shape: centroids are a broadcast dim (thousands of rows at
-    most); the candidate scan prunes to n_probe/n_clusters of the corpus
-    — with cluster-partitioned storage that's partition pruning, not a
-    filter.
-    """
-    cents = ivf_centroids(embeddings, scale)
-    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("query_embedding")
-    )
-    qq = _quantized(F.col("query_embedding"), scale)
-    cq = F.col("centroid_q")
-    cent_score = F.aggregate(
-        F.zip_with(cq, qq, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    probes = (
-        cents.join(F.broadcast(q))
-        .select("label", cent_score.alias("cscore"))
-        .orderBy(F.col("cscore").desc(), F.col("label"))
-        .limit(n_probe)
-        .select("label")
-    )
-    return (
-        embeddings.join(F.broadcast(probes), "label")
-        .join(F.broadcast(q))
-        .filter(F.col("vec_id") != query_vec_id)
-        .select(
-            "vec_id",
-            "label",
-            quantized_dot(F.col("embedding"), F.col("query_embedding")).alias(
-                "dot_q"
-            ),
-        )
-        .orderBy(F.col("dot_q").desc(), F.col("vec_id"))
-        .limit(k)
+    """Convenience wrapper (tests / one-shot use): build + single-query
+    probe.  Long-lived sessions should call build_ivf_index once and
+    ivf_query per request — the registry's ann_ivf_topk does exactly
+    that through its index cache."""
+    assigned, centers = build_ivf_index(embeddings, scale)
+    return ivf_query(assigned, centers, query_vec_id, k, n_probe, scale).drop(
+        "query_id"
     )
 
 
@@ -341,6 +453,48 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) <=
 ORDER BY query_id, dot_q DESC, vec_id"""
 
 
+def build_ivf_kmeans_index(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    seed: int = 42,
+    scale: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build with a REAL trained coarse quantizer (run ONCE):
+    MLlib KMeans fits the quantizer, one corpus scan assigns every
+    vector to its inverted list, and the trained float centers are
+    quantized into the integer space as a local (cluster, centroid_q)
+    centers table.
+
+    At 100 TB: KMeans trains on a sample, assignment is one scan at
+    ingest, and cluster id becomes a partition column — probing is then
+    partition pruning.  Queries (ivf_query with cluster_col="cluster",
+    metric="l2") touch only the centers broadcast and the probed lists —
+    no fit, no driver numpy.
+    """
+    import math
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(vecs)
+    assigned = (
+        model.transform(vecs)
+        .withColumnRenamed("prediction", "cluster")
+        .drop("features")
+    )
+    rows = [
+        (int(cid), [int(math.floor(float(v) * scale)) for v in c])
+        for cid, c in enumerate(model.clusterCenters())
+    ]
+    centers = embeddings.sparkSession.createDataFrame(
+        rows, "cluster int, centroid_q array<bigint>"
+    )
+    return assigned, centers
+
+
 def ivf_kmeans_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -349,51 +503,19 @@ def ivf_kmeans_topk(
     n_probe: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """IVF with a REAL trained coarse quantizer: MLlib KMeans clusters
-    the corpus (index-build time), queries probe the ``n_probe`` nearest
-    centroids and exactly rerank inside those inverted lists with the
-    quantized dot product.
-
-    At 100 TB: KMeans trains on a sample, assignment is one scan at
-    ingest, and cluster id becomes a partition column — probing is then
-    partition pruning.  (Rows-only for the driver gate: trained
-    centroids are float state; ranking inside lists stays exact.)
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    vecs = embeddings.withColumn(
-        "features", array_to_vector(F.col("embedding").cast("array<double>"))
-    )
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(vecs)
-    assigned = model.transform(vecs).withColumnRenamed("prediction", "cluster")
-
-    q_row = assigned.filter(F.col("vec_id") == query_vec_id).select(
-        "features", F.col("embedding").alias("query_embedding")
-    )
-    centers = model.clusterCenters()
-    # rank clusters by distance to the query (driver-side: |centers| is
-    # tiny by construction)
-    import numpy as np
-
-    qvec = np.array(
-        q_row.select(vector_to_array("features").alias("a")).collect()[0]["a"]
-    )
-    order = np.argsort([float(np.linalg.norm(qvec - c)) for c in centers])
-    probes = [int(c) for c in order[:n_probe]]
-
-    q = q_row.select("query_embedding")
-    return (
-        assigned.filter(F.col("cluster").isin(probes))
-        .filter(F.col("vec_id") != query_vec_id)
-        .join(F.broadcast(q))
-        .select(
-            "vec_id",
-            "label",
-            quantized_dot(F.col("embedding"), F.col("query_embedding")).alias(
-                "dot_q"
-            ),
-        )
-        .orderBy(F.col("dot_q").desc(), F.col("vec_id"))
-        .limit(k)
-    )
+    """Convenience wrapper (tests / one-shot use): trained-quantizer
+    build + single-query probe.  Long-lived sessions build once via
+    build_ivf_kmeans_index and probe via ivf_query — the registry's
+    ann_ivf_kmeans_topk does that through its index cache.  (Rows-only
+    for the driver gate: trained centroids are float state; ranking
+    inside lists stays exact.)"""
+    assigned, centers = build_ivf_kmeans_index(embeddings, n_clusters, seed)
+    return ivf_query(
+        assigned,
+        centers,
+        query_vec_id,
+        k,
+        n_probe,
+        cluster_col="cluster",
+        metric="l2",
+    ).drop("query_id")
