@@ -156,12 +156,33 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*mins)
 
 
+def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Drop every row of an LSH bucket larger than ``max_bucket``.
+
+    The scale guard: one degenerate bucket (a viral boilerplate string,
+    an all-zeros signature) makes the band self-join quadratic — at
+    100 TB a single 10M-doc bucket is 10^13 candidate pairs.  Capping
+    bounds the worst bucket at max_bucket^2/2 pairs.
+
+    Recall impact: pairs living ONLY in dropped buckets are lost.  Those
+    are (a) exact/boilerplate duplicates — which tier-1 exact_dedup
+    already collapses upstream, and (b) pairs that usually still collide
+    in one of the other, smaller bands.  The partial agg makes the size
+    count one cheap map-side pass; the semi-join reuses the bucket-key
+    shuffle the candidate join needs anyway.
+    """
+    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
+    ok = sizes.filter(F.col("_bn") <= max_bucket).drop("_bn")
+    return df.join(ok, keys, "left_semi")
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
     threshold_pct: int = 50,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Tier 3: MinHash + LSH banding, verified against exact jaccard.
 
@@ -172,7 +193,9 @@ def minhash_lsh_pairs(
     planted >=0.9 pairs is ~1 by construction.
 
     Scale: candidate generation is linear in corpus size; only
-    candidate pairs (not all pairs) reach the quadratic verifier.
+    candidate pairs (not all pairs) reach the quadratic verifier, and
+    band buckets over ``max_bucket`` docs are dropped (_cap_buckets) so
+    no single hot bucket can go quadratic.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(documents, n, num_hashes)
@@ -196,6 +219,7 @@ def minhash_lsh_pairs(
     band_sig = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc_id", "bs.band", "bs.band_key")
+    band_sig = _cap_buckets(band_sig, ["band", "band_key"], max_bucket)
     a = band_sig.alias("a")
     b = band_sig.alias("b")
     candidates = (
@@ -277,10 +301,14 @@ def simhash_fingerprints(documents: DataFrame, n: int = 2) -> DataFrame:
     return per_doc.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_near_pairs(
+    documents: DataFrame, max_hamming: int = 8, max_bucket: int = 1000
+) -> DataFrame:
     """SimHash near-dup pairs: banding on 4 x 16-bit chunks (pigeonhole:
     any pair within hamming distance 3 shares a chunk; wider distances
-    are caught probabilistically), verified by exact popcount."""
+    are caught probabilistically), verified by exact popcount.  Chunk
+    buckets over ``max_bucket`` docs are dropped (_cap_buckets) — same
+    hot-bucket guard and recall tradeoff as minhash_lsh_pairs."""
     fps = simhash_fingerprints(documents)
     chunk = F.explode(
         F.array(
@@ -298,6 +326,7 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
     banded = fps.select("doc_id", "simhash", chunk.alias("c")).select(
         "doc_id", "simhash", "c.chunk_id", "c.chunk_val"
     )
+    banded = _cap_buckets(banded, ["chunk_id", "chunk_val"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

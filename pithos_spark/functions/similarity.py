@@ -133,6 +133,7 @@ def lsh_topk(
     k: int = 10,
     num_planes: int = 4,
     num_tables: int = 8,
+    max_bucket: int = 10000,
 ) -> DataFrame:
     """ANN top-k: exact rerank restricted to vectors sharing ANY LSH
     bucket with the query (union over ``num_tables`` independent
@@ -144,15 +145,34 @@ def lsh_topk(
     precomputed at ingest (one pass), queries prune to matching buckets
     via partition/file skipping, and the exact rerank touches only the
     candidate rows.
+
+    Hot-bucket guard: a candidate bucket is truncated to its
+    ``max_bucket`` members with the smallest xxhash64(vec_id) — a
+    deterministic uniform subsample, so one degenerate bucket (all-equal
+    vectors, a zero-heavy corpus) bounds the rerank instead of scanning
+    millions of rows.  Unlike the dedup caps this samples rather than
+    drops: an ANN query inside a hot bucket must still get answers;
+    recall within that bucket degrades gracefully (uniformly random
+    max_bucket-of-N) rather than collapsing to zero.
     """
+    from pyspark.sql import Window
+
     bucketed = hyperplane_buckets(embeddings, num_planes, num_tables=num_tables)
+    wb = Window.partitionBy("table", "bucket").orderBy(
+        F.xxhash64("vec_id"), F.col("vec_id")
+    )
+    capped = (
+        bucketed.withColumn("_bn", F.row_number().over(wb))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
     q = bucketed.filter(F.col("vec_id") == query_vec_id).select(
         F.col("table").alias("q_table"),
         F.col("bucket").alias("q_bucket"),
         F.col("embedding").alias("query_embedding"),
     )
     candidates = (
-        bucketed.join(
+        capped.join(
             F.broadcast(q),
             (F.col("table") == F.col("q_table"))
             & (F.col("bucket") == F.col("q_bucket")),

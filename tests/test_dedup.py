@@ -37,6 +37,64 @@ def test_simhash_finds_planted_dups(documents):
     assert recall >= 0.8, f"simhash recall {recall} on jaccard>=0.9 pairs"
 
 
+def test_lsh_hot_bucket_capped(documents, spark):
+    """A degenerate corpus — hundreds of byte-identical boilerplate docs
+    whose every band collides — must not go quadratic: with the bucket
+    cap those buckets are dropped entirely, while a planted near-dup
+    pair in its own small bucket is still found."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions.dedup import minhash_lsh_pairs
+
+    boiler = " ".join(f"w{i % 7}" for i in range(60))
+    pair_a = " ".join(f"tok{i}" for i in range(40))
+    pair_b = " ".join(f"tok{i}" for i in range(38)) + " zz yy"
+    rows = [(i, boiler) for i in range(400)]
+    rows += [(10_000, pair_a), (10_001, pair_b)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(16)
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, threshold_pct=80, max_bucket=50).collect()
+    }
+    assert (10_000, 10_001) in got
+    # no pair from the dropped boilerplate buckets survives
+    assert all(a >= 10_000 for a, _ in got), sorted(got)[:5]
+
+
+def test_simhash_hot_bucket_capped(spark):
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from pithos_spark.functions.dedup import simhash_near_pairs
+
+    boiler = " ".join(f"b{i % 5}" for i in range(50))
+    rows = [(i, boiler) for i in range(300)]
+    rows += [(9_000, "alpha beta gamma delta " * 10),
+             (9_001, "alpha beta gamma delta " * 10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(16)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_pairs(docs, max_bucket=50).collect()
+    }
+    assert (9_000, 9_001) in got
+    assert all(a >= 9_000 for a, _ in got)
+
+
+def test_lsh_topk_hot_bucket_sampled(spark):
+    """ANN inside a degenerate bucket still answers (sampled, not
+    dropped): 500 identical vectors + the query must yield k results
+    with the candidate set bounded by max_bucket."""
+    from pithos_spark.functions.similarity import lsh_topk
+
+    base = [0.1] * 64
+    rows = [(i, i % 3, base) for i in range(500)]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    got = lsh_topk(emb, 0, k=10, max_bucket=50).collect()
+    assert len(got) == 10
+    # scores are exact on the sampled candidates
+    assert len({r["dot_q"] for r in got}) == 1
+
+
 def test_exact_dedup_collapses_doubled_corpus(documents, spark):
     import pyspark.sql.functions as F
 
