@@ -33,9 +33,36 @@ def origin_match_expr(origin_col: F.Column, pattern_col: F.Column) -> F.Column:
     )
 
 
+def header_match_expr(header_col: F.Column, pattern_col: F.Column) -> F.Column:
+    """F11: AllowedHeader pattern match (cors.clj:89-112).  Both sides
+    lowercased; a pattern containing ``*`` prefix-matches on everything
+    BEFORE the first star (the reference strips from the star to the
+    end — ``x-*-z`` means prefix ``x-``), otherwise exact match."""
+    h = F.lower(header_col)
+    p = F.lower(pattern_col)
+    star = F.instr(p, "*")
+    prefix = F.substring(p, 1, star - 1)
+    return F.when(star == 0, h == p).otherwise(h.startswith(prefix))
+
+
+def matched_headers_expr(
+    req_headers_col: F.Column, patterns_col: F.Column
+) -> F.Column:
+    """F11 (cors.clj match-headers): the requested headers that match
+    ANY AllowedHeader pattern, in request order.  NULL propagates (a
+    preflight without Access-Control-Request-Headers stays NULL, like
+    the reference's ``when req-headers``)."""
+    return F.filter(
+        req_headers_col,
+        lambda h: F.exists(patterns_col, lambda p: header_match_expr(h, p)),
+    )
+
+
 def matching_rules(requests: DataFrame, rules: DataFrame) -> DataFrame:
-    """F10/F11: for each preflight request (bucket, origin, method),
-    the rules that match origin wildcard + method membership."""
+    """F10: for each preflight request (bucket, origin, method), the
+    rules that match origin wildcard + method membership.  Requested
+    headers do NOT gate rule matching (cors.clj origins-match? ignores
+    them); they only shape the Allow-Headers echo downstream."""
     joined = requests.join(rules, "bucket").filter(
         origin_match_expr(F.col("origin"), F.col("origin_pattern"))
         & F.array_contains(F.col("methods"), F.col("method"))
@@ -44,8 +71,11 @@ def matching_rules(requests: DataFrame, rules: DataFrame) -> DataFrame:
 
 
 def preflight_response(requests: DataFrame, rules: DataFrame) -> DataFrame:
-    """A9: merge all matching rules per request — union of methods,
-    min of max_age (cors.clj:83-87) — plus an allow/deny verdict."""
+    """A9 + F11: merge all matching rules per request — union of
+    methods and header patterns, min of max_age (cors.clj:83-87,
+    merge-rules) — plus an allow/deny verdict and the Allow-Headers
+    echo: requested headers filtered through the merged AllowedHeader
+    patterns (cors.clj rule->headers)."""
     m = matching_rules(requests, rules)
     merged = (
         m.groupBy("bucket", "origin", "method")
@@ -53,6 +83,9 @@ def preflight_response(requests: DataFrame, rules: DataFrame) -> DataFrame:
             F.array_sort(
                 F.array_distinct(F.flatten(F.collect_list("methods")))
             ).alias("allowed_methods"),
+            F.array_distinct(F.flatten(F.collect_list("headers"))).alias(
+                "_header_patterns"
+            ),
             F.min("max_age").alias("max_age"),
             F.count(F.lit(1)).alias("n_rules"),
         )
@@ -67,6 +100,9 @@ def preflight_response(requests: DataFrame, rules: DataFrame) -> DataFrame:
             F.coalesce("allowed_methods", F.array().cast("array<string>")).alias(
                 "allowed_methods"
             ),
+            matched_headers_expr(
+                F.col("req_headers"), F.col("_header_patterns")
+            ).alias("allowed_headers"),
             "max_age",
         )
         .orderBy("bucket", "origin", "method")

@@ -555,7 +555,7 @@ def acl_merged_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
     T.with_model(
         """\
 , matched AS (
-    SELECT r.bucket, r.origin, r.method, c.methods, c.max_age
+    SELECT r.bucket, r.origin, r.method, c.methods, c.headers, c.max_age
     FROM cors_requests r
     JOIN cors_rules c ON r.bucket = c.bucket
     WHERE (CASE WHEN strpos(c.origin_pattern, '*') = 0
@@ -568,27 +568,50 @@ def acl_merged_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
 ), merged AS (
     SELECT bucket, origin, method,
            list_sort(list_distinct(flatten(list(methods)))) AS allowed_methods,
+           list_distinct(flatten(list(headers))) AS header_patterns,
            min(max_age) AS max_age,
            count(*) AS n_rules
     FROM matched
     GROUP BY bucket, origin, method
 )
-SELECT r.bucket AS bucket, r.origin AS origin, r.method AS method,
-       m.n_rules IS NOT NULL AS allowed,
-       array_to_string(coalesce(m.allowed_methods, []), ',') AS allowed_methods,
-       m.max_age AS max_age
-FROM cors_requests r
-LEFT JOIN merged m ON r.bucket = m.bucket AND r.origin = m.origin AND r.method = m.method
-ORDER BY bucket, origin, method"""
+SELECT bucket, origin, method, allowed,
+       -- DuckDB's array_to_string([]) is NULL where Spark's array_join
+       -- is '' — distinguish NULL-list (no request headers) from
+       -- empty-list (nothing matched) explicitly
+       coalesce(array_to_string(am, ','), '') AS allowed_methods,
+       CASE WHEN ah IS NULL THEN NULL
+            ELSE coalesce(array_to_string(ah, ','), '') END AS allowed_headers,
+       max_age
+FROM (
+    SELECT r.bucket AS bucket, r.origin AS origin, r.method AS method,
+           m.n_rules IS NOT NULL AS allowed,
+           coalesce(m.allowed_methods, []) AS am,
+           list_filter(r.req_headers, h ->
+               len(list_filter(m.header_patterns, p ->
+                   CASE WHEN strpos(p, '*') = 0 THEN lower(h) = lower(p)
+                        ELSE starts_with(lower(h), lower(substring(p, 1, strpos(p, '*') - 1)))
+                   END)) > 0) AS ah,
+           m.max_age AS max_age
+    FROM cors_requests r
+    LEFT JOIN merged m ON r.bucket = m.bucket AND r.origin = m.origin AND r.method = m.method
+)
+ORDER BY bucket, origin, method, allowed_headers"""
     ),
 )
 def cors_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10+F11+A9 end-to-end: origin wildcard + method membership gate
+    the rules; the merged rules' AllowedHeader patterns filter the
+    requested headers into the Allow-Headers echo (cors.clj:72-112,
+    139-145)."""
     import pyspark.sql.functions as F
 
     t = T.load_tables(spark, sf_dir)
-    return cors.preflight_response(
-        T.cors_requests_df(t), T.cors_rules_df(t)
-    ).withColumn("allowed_methods", F.array_join("allowed_methods", ","))
+    return (
+        cors.preflight_response(T.cors_requests_df(t), T.cors_rules_df(t))
+        .withColumn("allowed_methods", F.array_join("allowed_methods", ","))
+        .withColumn("allowed_headers", F.array_join("allowed_headers", ","))
+        .orderBy("bucket", "origin", "method", "allowed_headers")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1782,6 +1805,7 @@ ORACLES["q2_cheapest_supplier"] = analytics.CHEAPEST_SUPPLIER_SQL
 ROUND_NEW: list[str] = [
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
+    "cors_preflight",
 ]
 
 DRIVER_PRIORITY: list[str] = [

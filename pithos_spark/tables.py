@@ -219,6 +219,14 @@ def cors_rules_df(t: dict[str, DataFrame]) -> DataFrame:
         )
         .otherwise(F.array(F.lit("GET"), F.lit("PUT"), F.lit("POST")))
         .alias("methods"),
+        F.when(F.col("p_partkey") % 4 == 0, F.array(F.lit("*")))
+        .when(
+            F.col("p_partkey") % 4 == 1,
+            F.array(F.lit("x-amz-*"), F.lit("Content-Type")),
+        )
+        .when(F.col("p_partkey") % 4 == 2, F.array(F.lit("Authorization")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("headers"),
         (F.col("p_size").cast("long") * 10).alias("max_age"),
     )
 
@@ -239,6 +247,16 @@ def cors_requests_df(t: dict[str, DataFrame]) -> DataFrame:
         F.when(F.col("c_custkey") % 2 == 0, F.lit("GET"))
         .otherwise(F.lit("PUT"))
         .alias("method"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.array(F.lit("X-Amz-Date"), F.lit("Content-Type")),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.array(F.lit("Authorization"), F.lit("X-Custom")),
+        )
+        .otherwise(F.lit(None).cast("array<string>"))
+        .alias("req_headers"),
     ).distinct()
 
 
@@ -316,6 +334,10 @@ cors_rules AS (
                 ELSE 'https://app.example.com' END AS origin_pattern,
            CASE WHEN p_partkey % 2 = 0 THEN ['GET', 'HEAD']
                 ELSE ['GET', 'PUT', 'POST'] END AS methods,
+           CASE CAST(p_partkey % 4 AS INT) WHEN 0 THEN ['*']
+                WHEN 1 THEN ['x-amz-*', 'Content-Type']
+                WHEN 2 THEN ['Authorization']
+                ELSE CAST([] AS VARCHAR[]) END AS headers,
            CAST(p_size AS BIGINT) * 10 AS max_age
     FROM part WHERE p_partkey % 7 = 0
 ),
@@ -326,7 +348,11 @@ cors_requests AS (
                 WHEN 1 THEN 'https://x.example.com'
                 WHEN 2 THEN 'http://evil.com'
                 ELSE 'https://example.com' END AS origin,
-           CASE WHEN c_custkey % 2 = 0 THEN 'GET' ELSE 'PUT' END AS method
+           CASE WHEN c_custkey % 2 = 0 THEN 'GET' ELSE 'PUT' END AS method,
+           CASE CAST(c_custkey % 3 AS INT)
+                WHEN 0 THEN ['X-Amz-Date', 'Content-Type']
+                WHEN 1 THEN ['Authorization', 'X-Custom']
+                ELSE CAST(NULL AS VARCHAR[]) END AS req_headers
     FROM customer WHERE c_custkey % 11 = 0
 )"""
 

@@ -1,0 +1,122 @@
+"""F11 CORS request-header matching (cors.clj:89-112): AllowedHeader
+patterns filter the requested headers into the Allow-Headers echo —
+lowercase comparison, '*' = prefix match on everything before the first
+star, exact otherwise.  Plus the fixture path: cors1.xml's
+``AllowedHeader *`` flowing through cors_to_rule_rows into a preflight.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pithos_spark.operators import aclxml, cors
+
+
+def _requests(spark, rows):
+    return spark.createDataFrame(
+        rows, "bucket string, origin string, method string, req_headers array<string>"
+    )
+
+
+def _rules(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "bucket string, origin_pattern string, methods array<string>, "
+        "headers array<string>, max_age long",
+    )
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_header_patterns_star_prefix_exact(spark):
+    """'x-amz-*' prefix-matches case-insensitively; 'Content-Type' is an
+    exact (lowercased) match; unlisted headers are filtered out, request
+    order preserved."""
+    req = _requests(
+        spark,
+        [("b", "https://a.com", "GET",
+          ["X-Amz-Date", "Content-Type", "X-Other", "x-amz-acl"])],
+    )
+    rules = _rules(
+        spark, [("b", "*", ["GET"], ["x-amz-*", "content-TYPE"], 100)]
+    )
+    r = _one(cors.preflight_response(req, rules))
+    assert r["allowed"]
+    assert r["allowed_headers"] == ["X-Amz-Date", "Content-Type", "x-amz-acl"]
+
+
+def test_header_star_after_prefix_is_stripped(spark):
+    """The reference strips from the FIRST star to the end: 'x-*-z'
+    means prefix 'x-' (make-pattern, cors.clj:96-101)."""
+    req = _requests(spark, [("b", "https://a.com", "GET", ["x-anything", "y-no"])])
+    rules = _rules(spark, [("b", "*", ["GET"], ["x-*-z"], None)])
+    assert _one(cors.preflight_response(req, rules))["allowed_headers"] == [
+        "x-anything"
+    ]
+
+
+def test_headers_merged_across_matching_rules(spark):
+    req = _requests(spark, [("b", "https://a.com", "GET", ["Authorization", "X-Q"])])
+    rules = _rules(
+        spark,
+        [
+            ("b", "*", ["GET"], ["authorization"], 10),
+            ("b", "https://*", ["GET"], ["x-q"], 20),
+        ],
+    )
+    r = _one(cors.preflight_response(req, rules))
+    assert r["allowed_headers"] == ["Authorization", "X-Q"]
+    assert r["max_age"] == 10
+
+
+def test_no_request_headers_stays_null(spark):
+    req = _requests(spark, [("b", "https://a.com", "GET", None)])
+    rules = _rules(spark, [("b", "*", ["GET"], ["*"], None)])
+    assert _one(cors.preflight_response(req, rules))["allowed_headers"] is None
+
+
+def test_no_pattern_matches_empty_echo(spark):
+    req = _requests(spark, [("b", "https://a.com", "GET", ["X-Q"])])
+    rules = _rules(spark, [("b", "*", ["GET"], [], None)])
+    assert _one(cors.preflight_response(req, rules))["allowed_headers"] == []
+
+
+def test_denied_request_has_no_header_echo(spark):
+    req = _requests(spark, [("b", "https://evil.com", "PUT", ["X-Q"])])
+    rules = _rules(spark, [("b", "https://good.com", ["GET"], ["*"], None)])
+    r = _one(cors.preflight_response(req, rules))
+    assert not r["allowed"]
+    assert r["allowed_headers"] == []
+
+
+def test_cors1_fixture_wildcard_header_end_to_end(spark):
+    """cors1.xml: AllowedHeader '*' admits every requested header for a
+    GET from a matching subdomain origin."""
+    rules_rows = aclxml.cors_to_rule_rows(
+        "b",
+        [
+            {
+                "origins": ["http://*.example.com"],
+                "methods": ["GET"],
+                "headers": ["*"],
+                "exposed": [],
+                "max_age": None,
+            }
+        ],
+    )
+    rules = spark.createDataFrame(
+        rules_rows,
+        "bucket string, rule_id int, origin_pattern string, "
+        "methods array<string>, headers array<string>, "
+        "exposed array<string>, max_age long",
+    )
+    req = _requests(
+        spark,
+        [("b", "http://www.example.com", "GET", ["X-Whatever", "Authorization"])],
+    )
+    r = _one(cors.preflight_response(req, rules))
+    assert r["allowed"]
+    assert r["allowed_headers"] == ["X-Whatever", "Authorization"]
