@@ -19,6 +19,7 @@ typed grants table that ``operators.perms`` evaluates with joins.
 from __future__ import annotations
 
 import xml.etree.ElementTree as ET
+from xml.sax.saxutils import escape
 
 XSI_NS = "http://www.w3.org/2001/XMLSchema-instance"
 
@@ -112,8 +113,8 @@ def acl_as_xml(
         + nl
     )
     parts.append(line(1, "<Owner>"))
-    parts.append(line(2, f"<ID>{owner}</ID>"))
-    parts.append(line(2, f"<DisplayName>{owner_display}</DisplayName>"))
+    parts.append(line(2, f"<ID>{escape(owner)}</ID>"))
+    parts.append(line(2, f"<DisplayName>{escape(owner_display)}</DisplayName>"))
     parts.append(line(1, "</Owner>"))
     parts.append(line(1, "<AccessControlList>"))
     for permission, grantees in grants.items():
@@ -128,9 +129,11 @@ def acl_as_xml(
                         f'<Grantee xmlns:xsi="{XSI_NS}" xsi:type="Group">',
                     )
                 )
-                parts.append(line(4, f"<URI>{KNOWN_GROUPS.get(uri, uri)}</URI>"))
                 parts.append(
-                    line(4, f"<DisplayName>{display or uri}</DisplayName>")
+                    line(4, f"<URI>{escape(KNOWN_GROUPS.get(uri, uri))}</URI>")
+                )
+                parts.append(
+                    line(4, f"<DisplayName>{escape(display or uri)}</DisplayName>")
                 )
             else:
                 parts.append(
@@ -139,12 +142,12 @@ def acl_as_xml(
                         f'<Grantee xmlns:xsi="{XSI_NS}" xsi:type="CanonicalUser">',
                     )
                 )
-                parts.append(line(4, f"<ID>{gid}</ID>"))
+                parts.append(line(4, f"<ID>{escape(gid)}</ID>"))
                 parts.append(
-                    line(4, f"<DisplayName>{display or gid}</DisplayName>")
+                    line(4, f"<DisplayName>{escape(display or gid)}</DisplayName>")
                 )
             parts.append(line(3, "</Grantee>"))
-            parts.append(line(3, f"<Permission>{permission}</Permission>"))
+            parts.append(line(3, f"<Permission>{escape(permission)}</Permission>"))
             parts.append(line(2, "</Grant>"))
     parts.append(line(1, "</AccessControlList>"))
     parts.append("</AccessControlPolicy>" + nl)
@@ -230,13 +233,15 @@ def cors_as_xml(rules: list[dict], indent: bool = False) -> str:
     for r in rules:
         parts.append(line(1, "<CORSRule>"))
         for o in r.get("origins", []):
-            parts.append(line(2, f"<AllowedOrigin>{o}</AllowedOrigin>"))
+            parts.append(line(2, f"<AllowedOrigin>{escape(o)}</AllowedOrigin>"))
         for m in r.get("methods", []):
-            parts.append(line(2, f"<AllowedMethod>{m.upper()}</AllowedMethod>"))
+            parts.append(
+                line(2, f"<AllowedMethod>{escape(m.upper())}</AllowedMethod>")
+            )
         for h in r.get("headers", []):
-            parts.append(line(2, f"<AllowedHeader>{h}</AllowedHeader>"))
+            parts.append(line(2, f"<AllowedHeader>{escape(h)}</AllowedHeader>"))
         for e in r.get("exposed", []):
-            parts.append(line(2, f"<ExposeHeader>{e}</ExposeHeader>"))
+            parts.append(line(2, f"<ExposeHeader>{escape(e)}</ExposeHeader>"))
         if r.get("max_age") is not None:
             parts.append(
                 line(2, f"<MaxAgeSeconds>{r['max_age']}</MaxAgeSeconds>")

@@ -37,9 +37,10 @@ def v2_string_to_sign(
     resource: str,
 ) -> str:
     """sig.clj:13-38: canonicalized string to sign — amz headers sorted
-    by lowercased name, 'name:value' lines, then the resource path."""
+    by lowercased name, 'name:value' lines with the value trimmed (the
+    reference applies s/trim), then the resource path."""
     canon = "".join(
-        f"{k.lower()}:{v}\n"
+        f"{k.lower()}:{v.strip()}\n"
         for k, v in sorted(amz_headers.items(), key=lambda kv: kv[0].lower())
     )
     return f"{method}\n{content_md5}\n{content_type}\n{date}\n{canon}{resource}"
@@ -73,12 +74,17 @@ def v4_canonical_request(
     payload_hash: str,
 ) -> str:
     """sig4.clj:73-123: canonical request = method, uri, sorted query,
-    sorted lowercased signed headers, signed-header list, payload hash."""
+    sorted lowercased signed headers, signed-header list, payload hash.
+    Query params are URI-encoded FIRST and sorted by encoded key/value
+    (AWS sigv4 spec: code points of the encoded form — 'a b' sorts as
+    'a%20b', after 'a!b' even though ' ' < '!')."""
     from urllib.parse import quote
 
     cq = "&".join(
-        f"{quote(k, safe='-_.~')}={quote(v, safe='-_.~')}"
-        for k, v in sorted(query)
+        f"{ek}={ev}"
+        for ek, ev in sorted(
+            (quote(k, safe="-_.~"), quote(v, safe="-_.~")) for k, v in query
+        )
     )
     low = {k.lower(): " ".join(v.split()) for k, v in headers.items()}
     sh = sorted(h.lower() for h in signed_headers)

@@ -72,9 +72,22 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is TIMESTAMP(NANOS), which Spark's vectorized parquet
         # reader rejects; read it as raw nanos and truncate to micros the
-        # same way DuckDB does (integer division, not rounding).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        # same way DuckDB does (integer division, not rounding).  The
+        # nanosAsLong conf only needs to hold during plan *analysis* (the
+        # schema is resolved eagerly), so save/restore it rather than
+        # leaking a session-global that would silently change how later,
+        # unrelated nanos-parquet reads are typed.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force analysis while the conf is set
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(path)
 

@@ -106,3 +106,25 @@ def test_acl_to_grant_rows():
 def test_cors_to_rule_rows():
     rows = aclxml.cors_to_rule_rows("b1", CORS1_REPR)
     assert rows == [("b1", 0, "http://*.example.com", ["get"], ["*"], [], None)]
+
+
+def test_acl_xml_escapes_user_supplied_values():
+    """Grantee ID/DisplayName containing XML metacharacters must render
+    as escaped text and survive a round-trip — '&lt;Grant&gt;' in a
+    display name must NOT re-render as raw markup (grant injection)."""
+    policy = {"READ": [{"ID": "a&b", "DisplayName": "x<y>&<Grant>"}]}
+    doc = aclxml.acl_as_xml(policy)
+    assert "a&amp;b" in doc and "x&lt;y&gt;" in doc
+    assert aclxml.xml_to_acl(doc)["READ"] == [
+        {"ID": "a&b", "DisplayName": "x<y>&<Grant>"}
+    ]
+
+
+def test_cors_xml_escapes_user_supplied_values():
+    rules = [{"origins": ["https://a.com?x=1&y=<2>"], "methods": ["get"],
+              "headers": ["x-<evil>"], "exposed": [], "max_age": None}]
+    doc = aclxml.cors_as_xml(rules)
+    assert "&amp;y=&lt;2&gt;" in doc and "x-&lt;evil&gt;" in doc
+    rt = aclxml.xml_to_cors(doc)
+    assert rt[0]["origins"] == ["https://a.com?x=1&y=<2>"]
+    assert rt[0]["headers"] == ["x-<evil>"]

@@ -78,3 +78,16 @@ def test_compaction_reduces_file_count(spark, layout_dir):
     b = spark.read.parquet(out_path).agg(F.sum("l_quantity")).collect()[0][0]
     assert a == b
     assert spark.read.parquet(out_path).count() == t["lineitem"].count()
+
+
+def test_events_read_restores_nanos_conf(spark):
+    """_read_table scopes the legacy nanosAsLong conf to the events read:
+    after loading, the session conf is back to its prior value, and the
+    returned DataFrame still executes (analysis happened under the conf)."""
+    from pithos_spark.tables import _read_table
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    df = _read_table(spark, "/root/testdata/sf0.001", "events")
+    assert spark.conf.get(key) == "false"  # back to default, not leaked
+    assert df.count() > 0
+    assert df.schema["ts"].dataType.typeName() == "timestamp"

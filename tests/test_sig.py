@@ -78,3 +78,27 @@ def test_batch_signature_verification(spark):
            for r in sig.verify_signatures(df).collect()}
     assert out[expected] is True
     assert out["deadbeef"] is False
+
+
+def test_v2_amz_header_values_trimmed():
+    """sig.clj trims x-amz header values (s/trim) before canonicalizing —
+    a client sending 'public-read ' must sign identically to one sending
+    'public-read'."""
+    base = dict(
+        method="PUT", content_md5="m", content_type="t",
+        date="Tue, 27 Mar 2007 21:15:45 +0000", resource="/b/k",
+    )
+    a = sig.v2_string_to_sign(amz_headers={"x-amz-acl": "public-read"}, **base)
+    b = sig.v2_string_to_sign(amz_headers={"x-amz-acl": "  public-read \t"}, **base)
+    assert a == b
+
+
+def test_v4_query_params_sorted_after_encoding():
+    """AWS sigv4 sorts canonical query params by their URI-ENCODED form.
+    '@' encodes to '%40' which sorts BEFORE '0' ('%'=0x25 < '0'=0x30),
+    while the raw strings sort the other way ('0'=0x30 < '@'=0x40)."""
+    cr = sig.v4_canonical_request(
+        "GET", "/", [("0", "2"), ("@", "1")],
+        {"Host": "example.amazonaws.com"}, ["host"], EMPTY_SHA256,
+    )
+    assert cr.split("\n")[2] == "%40=1&0=2"
