@@ -1,0 +1,298 @@
+"""EDN <-> typed ACL/CORS conversion (SURVEY §7.4.3 — migration loader).
+
+The reference persists bucket/object ACLs and bucket CORS configs as
+``pr-str``'d EDN text in Cassandra (src/io/pithos/perms.clj:25,34
+``read-string``, src/io/pithos/operations.clj:286,306 ``pr-str``), so
+migrating real pithos data into this engine means parsing that EDN into
+the typed grant / CORS-rule tables the join operators evaluate.
+
+This is a self-contained parser for the EDN *subset* pithos actually
+writes — maps, vectors, lists, sets, keywords, strings, numbers,
+booleans, nil — not a full EDN reader (no tagged literals, no
+metadata; pithos never emits them).  Rendering (`*_to_edn`) emits
+Clojure ``pr-str``-compatible text: map entries joined with ", ",
+collection elements with " ", keywords with their leading colon.
+
+Distributed form: :func:`acl_edn_to_grant_rows_udf` wraps the parser in
+an Arrow-batched pandas UDF so a migration sweep over billions of
+stored ACL strings is one vectorized column pass (the EDN strings are
+tiny — a handful of grants — so per-batch Python cost is bounded by
+row count, not payload size).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+class Keyword(str):
+    """An EDN keyword — compares equal to its name (no colon)."""
+
+    __slots__ = ()
+
+
+class EdnParseError(ValueError):
+    pass
+
+
+_WS = set(" \t\n\r,")
+_DELIM = _WS | {"(", ")", "[", "]", "{", "}", '"', ";"}
+
+_STR_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\"}
+
+
+def _skip_ws(s: str, i: int) -> int:
+    while i < len(s):
+        c = s[i]
+        if c in _WS:
+            i += 1
+        elif c == ";":  # comment to end of line
+            while i < len(s) and s[i] != "\n":
+                i += 1
+        else:
+            break
+    return i
+
+
+def _parse_string(s: str, i: int) -> tuple[str, int]:
+    out = []
+    i += 1  # opening quote
+    while i < len(s):
+        c = s[i]
+        if c == '"':
+            return "".join(out), i + 1
+        if c == "\\":
+            i += 1
+            if i >= len(s):
+                break
+            esc = s[i]
+            out.append(_STR_ESCAPES.get(esc, esc))
+        else:
+            out.append(c)
+        i += 1
+    raise EdnParseError("unterminated string")
+
+
+def _parse_token(s: str, i: int) -> tuple[object, int]:
+    j = i
+    while j < len(s) and s[j] not in _DELIM:
+        j += 1
+    tok = s[i:j]
+    if not tok:
+        raise EdnParseError(f"unexpected character at {i}: {s[i:i+10]!r}")
+    if tok == "nil":
+        return None, j
+    if tok == "true":
+        return True, j
+    if tok == "false":
+        return False, j
+    if tok.startswith(":"):
+        return Keyword(tok[1:]), j
+    # number?
+    try:
+        return int(tok), j
+    except ValueError:
+        pass
+    try:
+        return float(tok), j
+    except ValueError:
+        pass
+    return tok, j  # bare symbol -> its name
+
+
+def _parse_seq(s: str, i: int, closer: str) -> tuple[list, int]:
+    items = []
+    while True:
+        i = _skip_ws(s, i)
+        if i >= len(s):
+            raise EdnParseError(f"unterminated collection, expected {closer!r}")
+        if s[i] == closer:
+            return items, i + 1
+        v, i = _parse_value(s, i)
+        items.append(v)
+
+
+def _parse_value(s: str, i: int) -> tuple[object, int]:
+    i = _skip_ws(s, i)
+    if i >= len(s):
+        raise EdnParseError("empty input")
+    c = s[i]
+    if c == '"':
+        return _parse_string(s, i)
+    if c == "[":
+        return _parse_seq(s, i + 1, "]")
+    if c == "(":
+        items, i = _parse_seq(s, i + 1, ")")
+        return items, i
+    if c == "{":
+        items, i = _parse_seq(s, i + 1, "}")
+        if len(items) % 2:
+            raise EdnParseError("map literal with odd number of forms")
+        return dict(zip(items[0::2], items[1::2])), i
+    if c == "#" and i + 1 < len(s) and s[i + 1] == "{":
+        items, i = _parse_seq(s, i + 2, "}")
+        return set(items), i
+    return _parse_token(s, i)
+
+
+def parse_edn(src: str):
+    """Parse one EDN form (the pithos subset)."""
+    v, i = _parse_value(src, 0)
+    if _skip_ws(src, i) != len(src):
+        raise EdnParseError(f"trailing content at {i}")
+    return v
+
+
+# ---------------------------------------------------------------------------
+# pr-str-compatible rendering
+# ---------------------------------------------------------------------------
+
+
+def _render(v) -> str:
+    if v is None:
+        return "nil"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, Keyword):
+        return f":{v}"
+    if isinstance(v, str):
+        e = v.replace("\\", "\\\\").replace('"', '\\"')
+        return f'"{e}"'
+    if isinstance(v, dict):
+        return "{" + ", ".join(f"{_render(k)} {_render(x)}" for k, x in v.items()) + "}"
+    if isinstance(v, (list, tuple)):
+        return "[" + " ".join(_render(x) for x in v) + "]"
+    if isinstance(v, set):
+        return "#{" + " ".join(_render(x) for x in sorted(v, key=str)) + "}"
+    return str(v)  # numbers
+
+
+def to_edn(v) -> str:
+    """Clojure ``pr-str``-compatible rendering of the parsed subset."""
+    return _render(v)
+
+
+# ---------------------------------------------------------------------------
+# typed conversions: the shapes perms.py / cors.py consume
+# ---------------------------------------------------------------------------
+
+
+def edn_to_acl(src: str) -> dict[str, list[dict]]:
+    """Stored ACL EDN (``pr-str`` of acl.clj's xml->acl output, e.g.
+    ``{:FULL_CONTROL [{:ID "foo", :DisplayName "bar"}]}``) -> the same
+    ``{perm: [grantee...]}`` dict :mod:`~pithos_spark.operators.aclxml`
+    produces, so ``acl_to_grant_rows`` works on either source."""
+    v = parse_edn(src)
+    if v is None:
+        return {}
+    if not isinstance(v, dict):
+        raise EdnParseError(f"ACL EDN must be a map, got {type(v).__name__}")
+    out: dict[str, list[dict]] = {}
+    for perm, grantees in v.items():
+        out[str(perm)] = [
+            {str(k): g[k] for k in g} for g in (grantees or [])
+        ]
+    return out
+
+
+def acl_to_edn(policy: dict[str, list[dict]]) -> str:
+    """Inverse: the typed ACL dict -> storable EDN (keyword perms and
+    grantee fields, matching what the reference persists)."""
+    return to_edn(
+        {
+            Keyword(perm): [
+                {Keyword(k): v for k, v in g.items()} for g in grantees
+            ]
+            for perm, grantees in policy.items()
+        }
+    )
+
+
+def edn_to_cors(src: str) -> list[dict]:
+    """Stored CORS EDN (``pr-str`` of cors.clj's xml->cors output:
+    ``[{:origins [...], :methods [:get], :headers [...], :exposed [...],
+    :max-age "30"}]``) -> the list-of-dicts shape
+    ``aclxml.cors_to_rule_rows`` consumes (methods as lowercase strings,
+    ``max_age`` key)."""
+    v = parse_edn(src)
+    if v is None:
+        return []
+    if not isinstance(v, list):
+        raise EdnParseError(f"CORS EDN must be a vector, got {type(v).__name__}")
+    out = []
+    for rule in v:
+        out.append(
+            {
+                "origins": [str(o) for o in rule.get(Keyword("origins"), [])],
+                "methods": [str(m) for m in rule.get(Keyword("methods"), [])],
+                "headers": [str(h) for h in rule.get(Keyword("headers"), [])],
+                "exposed": [str(e) for e in rule.get(Keyword("exposed"), [])],
+                "max_age": rule.get(Keyword("max-age")),
+            }
+        )
+    return out
+
+
+def cors_to_edn(rules: list[dict]) -> str:
+    return to_edn(
+        [
+            {
+                Keyword("origins"): list(r.get("origins", [])),
+                Keyword("methods"): [Keyword(m) for m in r.get("methods", [])],
+                Keyword("headers"): list(r.get("headers", [])),
+                Keyword("exposed"): list(r.get("exposed", [])),
+                Keyword("max-age"): r.get("max_age"),
+            }
+            for r in rules
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed migration path
+# ---------------------------------------------------------------------------
+
+GRANT_ROW_SCHEMA = (
+    "array<struct<perm:string,grantee_id:string,grantee_type:string>>"
+)
+
+
+def acl_edn_grants_udf():
+    """Arrow-batched UDF: EDN ACL string column -> array of typed grant
+    structs (explode downstream).  Built lazily — pandas_udf registration
+    needs an active session."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(GRANT_ROW_SCHEMA)
+    def acl_edn_grants(col: pd.Series) -> pd.Series:
+        def conv(s):
+            if s is None:
+                return []
+            rows = []
+            for perm, grantees in edn_to_acl(s).items():
+                for g in grantees:
+                    if "URI" in g:
+                        rows.append((perm, g["URI"], "group"))
+                    else:
+                        rows.append((perm, g.get("ID", ""), "canonical"))
+            return rows
+
+        return col.map(conv)
+
+    return acl_edn_grants
+
+
+def grants_from_edn(df, edn_col: str, keep_cols: list[str]):
+    """Migration sweep: a DataFrame with a stored-EDN ACL column ->
+    exploded typed grant rows (keep_cols + perm, grantee_id,
+    grantee_type) — the one-pass loader for real pithos data."""
+    import pyspark.sql.functions as F
+
+    udf = acl_edn_grants_udf()
+    return (
+        df.withColumn("_grants", udf(F.col(edn_col)))
+        .select(*keep_cols, F.explode("_grants").alias("_g"))
+        .select(*keep_cols, "_g.perm", "_g.grantee_id", "_g.grantee_type")
+    )

@@ -1788,6 +1788,65 @@ QUERIES["q2_cheapest_supplier"] = _q2
 ORACLES["q2_cheapest_supplier"] = analytics.CHEAPEST_SUPPLIER_SQL
 
 
+@register(
+    "acl_edn_grants",
+    T.with_model(
+        """\
+SELECT bucket, perm, grantee_id, grantee_type
+FROM (
+    SELECT bucket, 'FULL_CONTROL' AS perm, tenant AS grantee_id,
+           'canonical' AS grantee_type
+    FROM buckets
+    UNION ALL
+    SELECT bucket, 'READ', 'anonymous', 'group'
+    FROM buckets WHERE bucket_seq % 2 = 0
+    UNION ALL
+    SELECT bucket, 'WRITE', 'user_' || CAST(bucket_seq AS VARCHAR), 'canonical'
+    FROM buckets WHERE bucket_seq % 3 = 0
+)
+ORDER BY bucket, perm, grantee_id"""
+    ),
+)
+def acl_edn_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDN migration loader end-to-end (SURVEY §7.4.3; the reference
+    persists ACLs as pr-str'd EDN, src/io/pithos/perms.clj:25
+    read-string / operations.clj:306 pr-str): construct the stored-EDN
+    text per bucket, parse it back with the Arrow-batched EDN UDF, and
+    explode into the typed grants table.  The oracle derives the same
+    rows directly from the model fields, so a green hash proves the
+    parser exactly inverts the pr-str encoding."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions import edn as E
+
+    t = T.load_tables(spark, sf_dir)
+    b = T.buckets_df(t)
+    acl_edn = F.concat(
+        F.lit('{:FULL_CONTROL [{:ID "'),
+        F.col("tenant"),
+        F.lit('", :DisplayName "'),
+        F.col("tenant"),
+        F.lit('"}]'),
+        F.when(
+            F.col("bucket_seq") % 2 == 0,
+            F.lit(', :READ [{:URI "anonymous", :DisplayName "anonymous"}]'),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("bucket_seq") % 3 == 0,
+            F.concat(
+                F.lit(', :WRITE [{:ID "user_'),
+                F.col("bucket_seq").cast("string"),
+                F.lit('"}]'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    src = b.withColumn("acl_edn", acl_edn)
+    return E.grants_from_edn(src, "acl_edn", ["bucket"]).orderBy(
+        "bucket", "perm", "grantee_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window ordering.
 #
@@ -1806,6 +1865,7 @@ ROUND_NEW: list[str] = [
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
     "cors_preflight",
+    "acl_edn_grants",
 ]
 
 DRIVER_PRIORITY: list[str] = [
