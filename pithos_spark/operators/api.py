@@ -39,6 +39,69 @@ def get_bucket(
     return xmlio.list_bucket(bucket, prefix, delimiter, max_keys, entries, truncated)
 
 
+def _crop(row) -> bytes:
+    p = row["payload"]
+    b = p.encode() if isinstance(p, str) else bytes(p)
+    return b[row["skip_head"]: row["skip_head"] + row["take_len"]]
+
+
+def stream_object_range(chunks: DataFrame, inode: str, start: int, end: int):
+    """T1 beyond-memory GET (operations.clj:480-514 — the reference
+    pipes chunk bytes to the client as they arrive): a generator that
+    yields cropped payload slices in chunk order via ``toLocalIterator``,
+    so driver residency is one partition of chunk rows at a time — a
+    multi-GB object streams instead of materializing.
+
+    The plan is :func:`~pithos_spark.operators.checksums
+    .range_read_chunks`'s overlap+crop math with the payload carried
+    through; the final sort makes ``toLocalIterator`` yield global
+    chunk order (sorted output is range-partitioned, and partitions are
+    drained in order)."""
+    from pyspark.sql import Window
+
+    cum = (
+        Window.partitionBy("inode")
+        .orderBy("chunk_seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    df = chunks.filter(F.col("inode") == inode).withColumn(
+        "offset", F.coalesce(F.sum("chunksize").over(cum), F.lit(0)).cast("long")
+    )
+    overlap = (F.col("offset") < end) & (F.col("offset") + F.col("chunksize") > start)
+    plan = (
+        df.filter(overlap)
+        .withColumn(
+            "skip_head", F.greatest(F.lit(start) - F.col("offset"), F.lit(0))
+        )
+        .withColumn(
+            "take_len",
+            F.least(F.lit(end), F.col("offset") + F.col("chunksize"))
+            - F.greatest(F.lit(start), F.col("offset")),
+        )
+        .filter(F.col("take_len") > 0)
+        .select("chunk_seq", "payload", "skip_head", "take_len")
+        .orderBy("chunk_seq")
+    )
+    for row in plan.toLocalIterator():
+        yield _crop(row)
+
+
+def read_object_range(chunks: DataFrame, inode: str, start: int, end: int) -> bytes:
+    """The bounded collect twin of :func:`stream_object_range` — fine
+    for ranges known to fit driver memory; byte-equality of the two is
+    asserted in tests/test_api.py."""
+    from pithos_spark.operators.checksums import range_read_chunks
+
+    meta = range_read_chunks(chunks, inode, start, end)
+    rows = (
+        meta.join(chunks.select("inode", "chunk_seq", "payload"),
+                  ["inode", "chunk_seq"])
+        .orderBy("chunk_seq")
+        .collect()
+    )
+    return b"".join(_crop(r) for r in rows)
+
+
 def get_service(buckets: DataFrame, tenant: str) -> str:
     """GET Service: the caller's buckets (S1) rendered as
     ListAllMyBucketsResult."""

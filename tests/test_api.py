@@ -222,3 +222,31 @@ def test_canned_acl_expansion(spark):
     }
     private = expand_canned_acl(spark, "bkt", "tenant-1", "private").collect()
     assert len(private) == 1 and private[0]["perm"] == "FULL_CONTROL"
+
+
+def _chunk_fixture(spark, n=40, size=100):
+    """n chunks of `size` bytes each, distinct content, many partitions —
+    the shape where unordered iteration would scramble bytes."""
+    rows = [("ino-1", i, size, f"{i:03d}".ljust(size, chr(97 + i % 26)))
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "inode string, chunk_seq long, chunksize long, payload string"
+    ).repartition(16)
+
+
+def test_stream_object_range_matches_collect_path(spark):
+    """T1: the toLocalIterator stream yields the same bytes as the
+    bounded-collect path, in order, across partition boundaries."""
+    chunks = _chunk_fixture(spark)
+    for start, end in [(0, 4000), (0, 1), (150, 250), (3999, 4000), (250, 250)]:
+        streamed = b"".join(api.stream_object_range(chunks, "ino-1", start, end))
+        collected = api.read_object_range(chunks, "ino-1", start, end)
+        assert streamed == collected, (start, end)
+        assert len(streamed) == max(0, end - start)
+
+
+def test_stream_object_range_full_content(spark):
+    chunks = _chunk_fixture(spark, n=5, size=10)
+    got = b"".join(api.stream_object_range(chunks, "ino-1", 0, 50))
+    want = "".join(f"{i:03d}".ljust(10, chr(97 + i)) for i in range(5)).encode()
+    assert got == want
