@@ -715,3 +715,278 @@ JOIN (SELECT s_nationkey AS mn_key, min(bal_e2) AS min_bal_e2 FROM s GROUP BY 1)
   ON s_nationkey = mn_key AND bal_e2 = min_bal_e2
 JOIN nation ON s_nationkey = n_nationkey
 ORDER BY n_name, s_suppkey"""
+
+
+def priority_order_check(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: orders in a quarter with at least one problem
+    line (EXISTS -> left-semi join), counted per priority.
+
+    Scale: the semi-join shuffles only (orderkey) pairs — the probe side
+    is deduplicated by the semi-join itself; the final 5-row agg is a
+    broadcastable reduce.  (Testdata has no l_commitdate/l_receiptdate;
+    'returned' stands in for 'late' — the plan shape is identical.)"""
+    ords = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    problem = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        ords.join(problem, ords.o_orderkey == problem.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+PRIORITY_ORDER_CHECK_SQL = """\
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1
+ORDER BY 1"""
+
+
+def product_profit(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    name_fragment: str = "widget",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per order year over a
+    part-name-filtered join of five tables.  (Testdata has no partsupp;
+    cost is derived from p_retailprice — same join graph and rollup.)
+
+    Scale: part filter first (smallest surviving side), broadcast for
+    part/supplier/nation dims; the only big shuffle is lineitem-orders
+    on orderkey, then the (nation, year) agg is low-cardinality."""
+    p = part.filter(F.col("p_name").contains(name_fragment)).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    amount = _cents(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity"),
+        100,
+    )
+    return (
+        lineitem.join(F.broadcast(p), lineitem.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("supp_nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(amount).alias("profit_e2"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("supp_nation", F.col("o_year").desc())
+    )
+
+
+PRODUCT_PROFIT_SQL = """\
+SELECT n_name AS supp_nation,
+       EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)
+                            - 0.6 * p_retailprice * l_quantity) * 100) AS BIGINT)) AS BIGINT) AS profit_e2,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY supp_nation, o_year DESC"""
+
+
+def important_brands(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q11 shape: group value sums kept only when they exceed a
+    fixed fraction of the global total (scalar-subquery HAVING).
+
+    Scale: one shuffle for the per-brand agg; the global total is a
+    one-row broadcast cross-join; the threshold compare is exact
+    integer math (value * 25 > total), no float drift."""
+    val = _cents("l_extendedprice")
+    per_brand = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(F.sum(val).alias("value_e2"))
+    )
+    total = per_brand.agg(F.sum("value_e2").alias("total_e2"))
+    return (
+        per_brand.crossJoin(F.broadcast(total))
+        .filter(F.col("value_e2") * 25 > F.col("total_e2"))
+        .select("p_brand", "value_e2")
+        .orderBy(F.col("value_e2").desc(), "p_brand")
+    )
+
+
+IMPORTANT_BRANDS_SQL = """\
+WITH per_brand AS (
+    SELECT p_brand,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_e2
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+)
+SELECT p_brand, value_e2
+FROM per_brand
+WHERE value_e2 * 25 > (SELECT sum(value_e2) FROM per_brand)
+ORDER BY value_e2 DESC, p_brand"""
+
+
+def priority_shipping(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape: per-group conditional counts — high- vs
+    low-priority orders among lines shipped in a window, grouped by line
+    status (testdata has no l_shipmode; l_linestatus is the stand-in).
+
+    Scale: the conditional sums are map-side partial aggregates; one
+    shuffle on a 3-value key."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(orders.select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+PRIORITY_SHIPPING_SQL = """\
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+ORDER BY 1"""
+
+
+def excess_shippers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_prefix: str = "red",
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+    qty_threshold: int = 50,
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose shipped quantity of a part
+    family in a year exceeds a threshold — nested aggregate feeding a
+    semi-join against the supplier dimension.  (Testdata has no
+    partsupp/availqty; a fixed quantity threshold stands in.)
+
+    Scale: the inner agg shuffles only the name-filtered lines on
+    (suppkey, partkey); its distinct suppkeys are tiny and broadcast
+    into the semi-join."""
+    p = part.filter(F.col("p_name").startswith(name_prefix)).select("p_partkey")
+    heavy = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= year_start) & (F.col("l_shipdate") < year_end)
+        )
+        .join(F.broadcast(p), lineitem.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > qty_threshold)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(F.broadcast(heavy), supplier.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_name", F.col("n_name").alias("supp_nation"))
+        .orderBy("s_name")
+    )
+
+
+EXCESS_SHIPPERS_SQL = """\
+SELECT s_name, n_name AS supp_nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 50
+)
+ORDER BY s_name"""
+
+
+def waiting_suppliers(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame, k: int = 20
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for a problem in a
+    multi-supplier order — correlated EXISTS (another supplier shipped
+    in the same order) plus NOT EXISTS (no other supplier had a problem
+    line), reformulated as per-order counts so each predicate is one
+    aggregate instead of a per-row subquery.  ('Problem' = returned
+    line; testdata has no receipt/commit dates.)
+
+    Scale: the big table is shuffled exactly once — dedup to
+    (orderkey, suppkey, had_problem) pairs with a map-side-combining
+    max — and both existence counts plus the final join run over the
+    far smaller pair set."""
+    pairs = lineitem.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+        ).alias("had_problem")
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("had_problem").alias("n_failed"),
+    )
+    sole_blame = pairs.filter(F.col("had_problem") == 1).join(
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_failed") == 1)),
+        "l_orderkey",
+    )
+    s = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
+    return (
+        sole_blame.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "supp_nation", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(k)
+    )
+
+
+WAITING_SUPPLIERS_SQL = """\
+WITH pairs AS (
+    SELECT l_orderkey, l_suppkey,
+           max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS had_problem
+    FROM lineitem GROUP BY 1, 2
+), per_order AS (
+    SELECT l_orderkey, count(*) AS n_supp, sum(had_problem) AS n_failed
+    FROM pairs GROUP BY 1
+)
+SELECT s_name, n_name AS supp_nation, numwait
+FROM (
+    SELECT p.l_suppkey, count(*) AS numwait
+    FROM pairs p
+    JOIN per_order o ON p.l_orderkey = o.l_orderkey
+    WHERE p.had_problem = 1 AND o.n_supp > 1 AND o.n_failed = 1
+    GROUP BY 1
+)
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY numwait DESC, s_name
+LIMIT 20"""

@@ -1788,6 +1788,64 @@ QUERIES["q2_cheapest_supplier"] = _q2
 ORACLES["q2_cheapest_supplier"] = analytics.CHEAPEST_SUPPLIER_SQL
 
 
+def _q4(spark, sf_dir):
+    t = T.load_tables(spark, sf_dir)
+    return analytics.priority_order_check(t["orders"], t["lineitem"])
+
+
+QUERIES["q4_priority_order_check"] = _q4
+ORACLES["q4_priority_order_check"] = analytics.PRIORITY_ORDER_CHECK_SQL
+
+
+def _q9(spark, sf_dir):
+    t = T.load_tables(spark, sf_dir)
+    return analytics.product_profit(
+        t["lineitem"], t["part"], t["supplier"], t["nation"], t["orders"]
+    )
+
+
+QUERIES["q9_product_profit"] = _q9
+ORACLES["q9_product_profit"] = analytics.PRODUCT_PROFIT_SQL
+
+
+def _q11(spark, sf_dir):
+    t = T.load_tables(spark, sf_dir)
+    return analytics.important_brands(t["lineitem"], t["part"])
+
+
+QUERIES["q11_important_brands"] = _q11
+ORACLES["q11_important_brands"] = analytics.IMPORTANT_BRANDS_SQL
+
+
+def _q12(spark, sf_dir):
+    t = T.load_tables(spark, sf_dir)
+    return analytics.priority_shipping(t["lineitem"], t["orders"])
+
+
+QUERIES["q12_priority_shipping"] = _q12
+ORACLES["q12_priority_shipping"] = analytics.PRIORITY_SHIPPING_SQL
+
+
+def _q20(spark, sf_dir):
+    t = T.load_tables(spark, sf_dir)
+    return analytics.excess_shippers(
+        t["lineitem"], t["part"], t["supplier"], t["nation"]
+    )
+
+
+QUERIES["q20_excess_shippers"] = _q20
+ORACLES["q20_excess_shippers"] = analytics.EXCESS_SHIPPERS_SQL
+
+
+def _q21(spark, sf_dir):
+    t = T.load_tables(spark, sf_dir)
+    return analytics.waiting_suppliers(t["lineitem"], t["supplier"], t["nation"])
+
+
+QUERIES["q21_waiting_suppliers"] = _q21
+ORACLES["q21_waiting_suppliers"] = analytics.WAITING_SUPPLIERS_SQL
+
+
 @register(
     "acl_edn_grants",
     T.with_model(
@@ -1866,6 +1924,12 @@ ROUND_NEW: list[str] = [
     "ann_ivf_kmeans_topk",
     "cors_preflight",
     "acl_edn_grants",
+    "q4_priority_order_check",
+    "q9_product_profit",
+    "q11_important_brands",
+    "q12_priority_shipping",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
 ]
 
 DRIVER_PRIORITY: list[str] = [
