@@ -1,0 +1,123 @@
+"""End-to-end training-corpus curation — the composite pipeline a
+100 TB pretraining-data run actually executes, built purely from the
+engine's existing primitives: quality gates (functions/text), exact
+dedup (functions/dedup discipline), token economics, and an embedding
+join with integer-quantized norms (functions/similarity discipline).
+
+One declarative plan, so Catalyst fuses the gates into the scan:
+the length/token/lang predicates are scan-side filters, the dedup is
+one shuffle keyed on md5 (never on payload), and the embedding join
+shuffles only curated ids.  At 100 TB: documents and embeddings both
+arrive bucketed by id, making the final join co-located; the md5
+group-by is the only unavoidable wide exchange and its key space is
+uniform by construction.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+BPE_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+KEEP_LANGS = ("en", "de", "fr", "es")
+
+
+def curate_corpus(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    langs: tuple[str, ...] = KEEP_LANGS,
+    min_chars: int = 50,
+    min_tokens: int = 10,
+    min_distinct_ratio: float = 0.2,
+) -> DataFrame:
+    """documents + embeddings -> curated corpus rows.
+
+    Stages (all one plan):
+      1. gate: language allowlist + C4/Gopher-style cheap quality
+         filters (length, token count, distinct-token ratio);
+      2. exact dedup: min doc_id per md5(text) survives — the
+         group-by shuffles 16-byte digests, not document payloads;
+      3. token economics: whitespace tokens + BPE-ish pre-tokenizer
+         count per surviving doc;
+      4. embedding join on id with an integer-quantized L2 norm
+         (floor(x*1000) per element — exact in any engine).
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = documents.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        F.length("text").cast("long").alias("char_count"),
+        F.size(toks).cast("long").alias("token_count"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("distinct_ratio"),
+    )
+    gated = base.filter(
+        F.col("lang").isin(*langs)
+        & (F.col("char_count") >= min_chars)
+        & (F.col("token_count") >= min_tokens)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+    )
+    keep = gated.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    dedup = gated.join(
+        keep.select("keep_id"), gated.doc_id == F.col("keep_id"), "left_semi"
+    )
+    norm = embeddings.select(
+        "vec_id",
+        F.aggregate(
+            F.transform("embedding", lambda x: F.floor(x * 1000).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e * e,
+        ).alias("norm_q"),
+    )
+    return (
+        dedup.join(norm, dedup.doc_id == norm.vec_id)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "char_count",
+            "token_count",
+            F.regexp_count("text", F.lit(BPE_PAT)).cast("long").alias(
+                "bpe_token_count"
+            ),
+            "norm_q",
+        )
+        .orderBy("doc_id")
+    )
+
+
+CURATE_CORPUS_SQL = """\
+WITH base AS (
+    SELECT doc_id, source, lang, text,
+           length(text) AS char_count,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS token_count,
+           len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS distinct_tokens
+    FROM documents
+), gated AS (
+    SELECT * FROM base
+    WHERE lang IN ('en', 'de', 'fr', 'es')
+      AND char_count >= 50
+      AND token_count >= 10
+      AND distinct_tokens * 1.0 / token_count >= 0.2
+), keep AS (
+    SELECT md5(text) AS h, min(doc_id) AS keep_id
+    FROM gated GROUP BY 1
+), dedup AS (
+    SELECT g.* FROM gated g
+    WHERE g.doc_id IN (SELECT keep_id FROM keep)
+), norm AS (
+    SELECT vec_id,
+           CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)
+                    * CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS norm_q
+    FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
+    GROUP BY 1
+)
+SELECT d.doc_id, d.source, d.lang, d.char_count, d.token_count,
+       len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_token_count,
+       n.norm_q
+FROM dedup d JOIN norm n ON d.doc_id = n.vec_id
+ORDER BY d.doc_id"""

@@ -1846,6 +1846,19 @@ QUERIES["q21_waiting_suppliers"] = _q21
 ORACLES["q21_waiting_suppliers"] = analytics.WAITING_SUPPLIERS_SQL
 
 
+def _curate(spark, sf_dir):
+    from pithos_spark.functions.curate import curate_corpus
+
+    t = T.load_tables(spark, sf_dir)
+    return curate_corpus(t["documents"], t["embeddings"])
+
+
+from pithos_spark.functions.curate import CURATE_CORPUS_SQL  # noqa: E402
+
+QUERIES["corpus_curation_pipeline"] = _curate
+ORACLES["corpus_curation_pipeline"] = CURATE_CORPUS_SQL
+
+
 @register(
     "acl_edn_grants",
     T.with_model(
@@ -1930,6 +1943,7 @@ ROUND_NEW: list[str] = [
     "q12_priority_shipping",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
+    "corpus_curation_pipeline",
 ]
 
 DRIVER_PRIORITY: list[str] = [
