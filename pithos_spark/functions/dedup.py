@@ -136,19 +136,21 @@ def minhash_signatures(
     documents: DataFrame, n: int = 3, num_hashes: int = 32
 ) -> DataFrame:
     """MinHash signatures: one row per doc with ``mh_0..mh_{k-1}``
-    columns.  Hash_i(shingle) = xxhash64(seed_i, shingle); the min over
-    a doc's shingles approximates a random permutation's first element,
-    so P(min_a = min_b) = jaccard(a, b).
+    columns.  Hash_i(shingle) = xxhash64(seed_i, xxhash64(shingle)); the
+    min over a doc's shingles approximates a random permutation's first
+    element, so P(min_a = min_b) = jaccard(a, b).
 
-    Computed as ``num_hashes`` min-aggregates over the shingle rows —
-    no seed explosion (a (shingles x num_hashes) explode would shuffle
-    32x the rows; wide aggregation partial-aggregates map-side and
-    shuffles one row per doc).
+    Computed as ``num_hashes`` min-aggregates over the RAW (multiset)
+    shingle rows — min is duplicate-insensitive, so the distinct
+    shuffle is skipped entirely, the partial mins combine map-side, and
+    the exchange carries 32 longs per doc, never a shingle string.
     """
     # hash the (possibly long) shingle string ONCE; the k family members
     # then hash the resulting 8-byte value — same independence story
     # (xxhash64 seeded by i over the base hash), k x cheaper on strings
-    sh = shingles(documents, n).withColumn("h0", F.xxhash64("shingle"))
+    sh = shingles(documents, n, distinct=False).withColumn(
+        "h0", F.xxhash64("shingle")
+    )
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -167,13 +169,23 @@ def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
     Recall impact: pairs living ONLY in dropped buckets are lost.  Those
     are (a) exact/boilerplate duplicates — which tier-1 exact_dedup
     already collapses upstream, and (b) pairs that usually still collide
-    in one of the other, smaller bands.  The partial agg makes the size
-    count one cheap map-side pass; the semi-join reuses the bucket-key
-    shuffle the candidate join needs anyway.
+    in one of the other, smaller bands.
+
+    Implemented as a window count over the bucket key — ONE pass, no
+    second aggregation subtree, and the window's hash partitioning on
+    ``keys`` is exactly what the downstream candidate self-join needs,
+    so the exchange is shared rather than repeated (a groupBy+semi-join
+    formulation would re-execute the whole upstream signature plan for
+    the size count).
     """
-    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
-    ok = sizes.filter(F.col("_bn") <= max_bucket).drop("_bn")
-    return df.join(ok, keys, "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
 
 
 def minhash_lsh_pairs(
@@ -236,7 +248,9 @@ def minhash_lsh_pairs(
     )
     # exact verification restricted to candidates — the full quadratic
     # jaccard never runs; intersection counts come from joining each
-    # side's shingle set through the candidate pair list
+    # side's (distinct) shingle rows through the candidate pair list.
+    # The three uses of the distinct shingle set below canonicalize to
+    # the same subplan, so ReuseExchange executes its shuffle once.
     sh = shingles(documents, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
