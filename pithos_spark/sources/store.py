@@ -98,14 +98,28 @@ def chunk_ingest(
     )
 
 
-def write_objects_layout(objects: DataFrame, path: str) -> None:
+def write_objects_layout(
+    objects: DataFrame, path: str, n_files: int | None = None
+) -> None:
     """The 100 TB objects layout: partition by bucket, sort by key within
     files so the listing range scan becomes partition pruning + row-group
     skipping (the Spark analog of the reference's (bucket) partition key
-    + object clustering, meta.clj:45)."""
+    + object clustering, meta.clj:45).
+
+    Range-partitioned on (bucket, object) rather than hash-partitioned
+    on bucket: a hot bucket splits across many write tasks instead of
+    serializing into one, and because the split is by key RANGE, the
+    files inside a bucket carry disjoint object intervals — min/max
+    row-group skipping keeps working, which hash salting would destroy.
+    The range sampler handles skew adaptively; this is the skew story
+    for reingest, not just the fixture."""
+    part = (
+        objects.repartitionByRange(n_files, "bucket", "object")
+        if n_files
+        else objects.repartitionByRange("bucket", "object")
+    )
     (
-        objects.repartition("bucket")
-        .sortWithinPartitions("object")
+        part.sortWithinPartitions("bucket", "object")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
