@@ -1,0 +1,101 @@
+"""Stateful streaming sessionization (SURVEY §2.9 north-star scope):
+the incremental twin of ``streaming.events.sessionize`` — session
+windows maintained across micro-batches with explicit per-user state
+via ``applyInPandasWithState``.
+
+The batch form assigns sessions with lag + cumulative sum in one
+shuffle; that needs every event of a user visible at once.  This
+operator carries the OPEN session in the state store instead, so an
+unbounded stream sessionizes with O(1) state per user: each batch
+merges its events (in event-time order) into the open session, emits a
+session row whenever one closes, and re-emits the still-open session in
+update mode so downstream always sees the current picture.
+
+Scale: state is one (start, end, count) triple per user in the state
+store (RocksDB in production); per-batch work touches only users
+present in the batch.  Production adds a watermark + event-time timeout
+to finalize sessions of idle users and drop late events; the operator
+itself assumes watermark-ordered arrival (same contract as the built-in
+``session_window``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+GAP_MINUTES_DEFAULT = 30
+
+
+def _make_update(gap_us: int):
+    def _update_sessions(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        cur = state.get if state.exists else None  # (start, end, n)
+        out: list[tuple[int, int, int, bool]] = []
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            ts_list.extend(int(t) for t in pdf["ts_us"])
+        for t in sorted(ts_list):
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > gap_us:
+                out.append((cur[0], cur[1], cur[2], True))
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+            out.append((cur[0], cur[1], cur[2], False))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out),
+                "session_start_us": [o[0] for o in out],
+                "session_end_us": [o[1] for o in out],
+                "n_events": [o[2] for o in out],
+                "closed": [o[3] for o in out],
+            }
+        )
+
+    return _update_sessions
+
+
+def sessionize_stream(stream_df, gap_minutes: int = GAP_MINUTES_DEFAULT):
+    """Bind the stateful sessionizer onto an events stream (needs the
+    ``ts`` timestamp column; ``ts_us`` is projected here so the pandas
+    side sees plain integers, not timezone-bearing datetimes)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return (
+        stream_df.withColumn("ts_us", F.unix_micros("ts"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_update(gap_us),
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -140,3 +140,62 @@ def test_stateful_user_totals_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """The stateful streaming sessionizer must converge to the batch
+    lag+cumsum sessionization: same (user, start, end, count) sessions
+    once the stream drains.  Files are written oldest-first so the file
+    source's mtime ordering delivers watermark-ordered batches, with a
+    session deliberately spanning the file boundary."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.streaming.events import sessionize
+    from pithos_spark.streaming.sessions import sessionize_stream
+
+    batch_events = T.load_tables(spark, SF_SMOKE)["events"]
+    cutoff_us = batch_events.select(
+        F.unix_micros("ts").alias("us")
+    ).approxQuantile("us", [0.5], 0.0)[0]
+    cutoff = F.timestamp_micros(F.lit(int(cutoff_us)))
+    src = str(tmp_path / "events_sessions_src")
+    early = batch_events.filter(F.col("ts") <= cutoff)
+    late = batch_events.filter(F.col("ts") > cutoff)
+    early.coalesce(1).write.parquet(src)
+    time.sleep(1.1)  # distinct mtimes: oldest-first processing order
+    late.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # sessions only grow: the final emission per (user, start) is the
+    # one with the largest n_events
+    got = {
+        (r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
+        for r in spark.sql(
+            """SELECT user_id, session_start_us,
+                      max_by(session_end_us, n_events) AS session_end_us,
+                      max(n_events) AS n_events
+               FROM sessions_stream GROUP BY user_id, session_start_us"""
+        ).collect()
+    }
+    want = {
+        (r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
+        for r in sessionize(batch_events).collect()
+    }
+    assert got == want
