@@ -1,0 +1,145 @@
+"""Property-based round-trip tests for the EDN loader and the CORS
+header matcher.
+
+EDN: any policy/rules value in the shapes pithos persists must survive
+``parse(render(x)) == x`` — including quotes, backslashes, newlines and
+unicode in strings (the reference's pr-str/read-string pair guarantees
+the same).
+
+CORS: the column-expression header matcher must agree with a pure-Python
+transcription of the reference's make-pattern/pattern-matches?
+semantics (cors.clj:96-112) on randomized patterns and headers.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pithos_spark.functions import edn
+
+# -- EDN round-trips ----------------------------------------------------------
+
+# strings as pithos stores them: any printable text incl. escapes
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+)
+_perm = st.sampled_from(
+    ["FULL_CONTROL", "READ", "WRITE", "READ_ACP", "WRITE_ACP"]
+)
+_grantee = st.one_of(
+    st.fixed_dictionaries({"ID": _text}),
+    st.fixed_dictionaries({"ID": _text, "DisplayName": _text}),
+    st.fixed_dictionaries({"URI": _text, "DisplayName": _text}),
+)
+_policy = st.dictionaries(_perm, st.lists(_grantee, max_size=4), max_size=5)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_policy)
+def test_acl_edn_roundtrip_property(policy):
+    assert edn.edn_to_acl(edn.acl_to_edn(policy)) == policy
+
+
+_method = st.sampled_from(["get", "put", "post", "delete", "head"])
+_rule = st.fixed_dictionaries(
+    {
+        "origins": st.lists(_text, max_size=3),
+        "methods": st.lists(_method, max_size=3),
+        "headers": st.lists(_text, max_size=3),
+        "exposed": st.lists(_text, max_size=2),
+        "max_age": st.one_of(st.none(), st.text("0123456789", min_size=1, max_size=5)),
+    }
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_rule, max_size=3))
+def test_cors_edn_roundtrip_property(rules):
+    assert edn.edn_to_cors(edn.cors_to_edn(rules)) == rules
+
+
+_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    _text,
+)
+# Clojure keywords cannot contain whitespace or delimiter characters —
+# pr-str of such a keyword is unreadable in Clojure as well, so the
+# round-trip property only holds over the legal keyword charset
+_kw = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_./",
+    min_size=1,
+    max_size=12,
+).map(edn.Keyword)
+_value = st.recursive(
+    _scalar,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=4),
+        st.dictionaries(_kw, inner, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_value)
+def test_parse_render_roundtrip_property(value):
+    assert edn.parse_edn(edn.to_edn(value)) == value
+
+
+# -- CORS header matching vs pure-Python reference ---------------------------
+
+
+def _ref_make_pattern(s: str):
+    """cors.clj:96-101 make-pattern: lowercase; a '*' means prefix-match
+    on everything before the FIRST star."""
+    s = s.lower()
+    if "*" in s:
+        return ("prefix", s.split("*", 1)[0])
+    return ("exact", s)
+
+
+def _ref_match_headers(req_headers, patterns):
+    """cors.clj:103-112 match-headers: requested headers that match any
+    pattern, in request order."""
+    pats = [_ref_make_pattern(p) for p in patterns]
+    out = []
+    for h in req_headers:
+        hl = h.lower()
+        for kind, p in pats:
+            if (kind == "prefix" and hl.startswith(p)) or (
+                kind == "exact" and hl == p
+            ):
+                out.append(h)
+                break
+    return out
+
+
+_hdr_char = st.sampled_from(list("abcxyz-*AMZ0"))
+_hdr = st.text(alphabet=_hdr_char, min_size=1, max_size=8)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    req=st.lists(_hdr.filter(lambda s: "*" not in s), min_size=0, max_size=5),
+    pats=st.lists(_hdr, min_size=0, max_size=4),
+)
+def test_header_matching_matches_reference(spark, req, pats):
+    import pyspark.sql.functions as F
+
+    from pithos_spark.operators.cors import matched_headers_expr
+
+    df = spark.createDataFrame(
+        [(req, pats)], "req array<string>, pats array<string>"
+    )
+    got = df.select(
+        matched_headers_expr(F.col("req"), F.col("pats")).alias("m")
+    ).collect()[0]["m"]
+    assert got == _ref_match_headers(req, pats)
