@@ -80,6 +80,8 @@ KNOWN_PARAMS = {
     "response-content-language", "response-content-type",
     "response-expires", "tagging", "uploadid", "uploads", "versioning",
     "website",
+    # ListObjectsV2 (beyond the reference, which predates V2)
+    "list-type", "continuation-token", "start-after", "fetch-owner",
 }
 
 

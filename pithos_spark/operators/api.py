@@ -39,6 +39,59 @@ def get_bucket(
     return xmlio.list_bucket(bucket, prefix, delimiter, max_keys, entries, truncated)
 
 
+def _v2_token_encode(name: str) -> str:
+    """Opaque continuation token: URL-safe base64 of the resume point
+    (real S3 tokens are opaque too; the encoding is an implementation
+    detail the client must not parse)."""
+    import base64
+
+    return base64.urlsafe_b64encode(name.encode()).decode()
+
+
+def _v2_token_decode(token: str) -> str:
+    import base64
+
+    return base64.urlsafe_b64decode(token.encode()).decode()
+
+
+def get_bucket_v2(
+    objects: DataFrame,
+    bucket: str,
+    params: dict[str, str],
+) -> str:
+    """GET Bucket list-type=2 (ListObjectsV2): same one-shot listing
+    plan as V1 — continuation-token and start-after both reduce to the
+    V1 marker semantics (resume strictly after the named entry,
+    skipping a prefix subtree when the marker IS a common prefix)."""
+    p = normalize_params(params)
+    prefix = p.get("prefix", "")
+    delimiter = p.get("delimiter") or None
+    max_keys = int(p.get("max-keys", "1000"))
+    token = p.get("continuation-token") or None
+    start_after = p.get("start-after") or None
+    marker = _v2_token_decode(token) if token else start_after
+
+    page = listing.list_objects(
+        objects, bucket, prefix, delimiter, marker, max_keys + 1
+    ).collect()
+    truncated = len(page) > max_keys
+    entries = [r.asDict() for r in page[:max_keys]]
+    next_token = (
+        _v2_token_encode(entries[-1]["name"]) if truncated and entries else None
+    )
+    return xmlio.list_bucket_v2(
+        bucket,
+        prefix,
+        delimiter,
+        max_keys,
+        entries,
+        truncated,
+        start_after=start_after if not token else None,
+        continuation_token=token,
+        next_token=next_token,
+    )
+
+
 def _crop(row) -> bytes:
     p = row["payload"]
     b = p.encode() if isinstance(p, str) else bytes(p)

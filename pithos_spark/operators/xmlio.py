@@ -84,6 +84,51 @@ def list_bucket(
     return _render(root)
 
 
+def list_bucket_v2(
+    bucket: str,
+    prefix: str,
+    delimiter: str | None,
+    max_keys: int,
+    entries: list[dict],
+    truncated: bool,
+    start_after: str | None = None,
+    continuation_token: str | None = None,
+    next_token: str | None = None,
+) -> str:
+    """GET Bucket list-type=2 (ListObjectsV2) response: KeyCount,
+    ContinuationToken echo, NextContinuationToken when truncated, and
+    StartAfter echo on first pages.  (Beyond the reference — it
+    predates V2 — but the entry rows are the same listing operator
+    output as V1.)"""
+    root = ET.Element("ListBucketResult", xmlns=S3_NS)
+    _el(root, "Name", bucket)
+    _el(root, "Prefix", prefix)
+    if delimiter:
+        _el(root, "Delimiter", delimiter)
+    _el(root, "MaxKeys", max_keys)
+    _el(root, "KeyCount", len(entries))
+    _el(root, "IsTruncated", "true" if truncated else "false")
+    if start_after is not None:
+        _el(root, "StartAfter", start_after)
+    if continuation_token is not None:
+        _el(root, "ContinuationToken", continuation_token)
+    if truncated and next_token is not None:
+        _el(root, "NextContinuationToken", next_token)
+    for e in entries:
+        if e["entry_type"] == "key":
+            c = _el(root, "Contents")
+            _el(c, "Key", e["name"])
+            if "checksum" in e:
+                _el(c, "ETag", f'"{e["checksum"]}"')
+            if "size" in e:
+                _el(c, "Size", e["size"])
+            _el(c, "StorageClass", e.get("storageclass", "STANDARD"))
+        else:
+            cp = _el(root, "CommonPrefixes")
+            _el(cp, "Prefix", e["name"])
+    return _render(root)
+
+
 def list_upload_parts(
     bucket: str, object_key: str, upload_id: str, parts: list[dict]
 ) -> str:

@@ -250,3 +250,69 @@ def test_stream_object_range_full_content(spark):
     got = b"".join(api.stream_object_range(chunks, "ino-1", 0, 50))
     want = "".join(f"{i:03d}".ljust(10, chr(97 + i)) for i in range(5)).encode()
     assert got == want
+
+
+def _v2_entries(xml):
+    root = ET.fromstring(xml)
+    names = [c.findtext("s3:Key", namespaces=NS) for c in root.findall("s3:Contents", NS)]
+    names += [p.findtext("s3:Prefix", namespaces=NS) for p in root.findall("s3:CommonPrefixes", NS)]
+    return root, names
+
+
+def test_get_bucket_v2_pagination_walk(model):
+    """ListObjectsV2: walking NextContinuationToken to exhaustion yields
+    exactly the V1 full listing, in order, with correct KeyCount per
+    page and no overlap across pages."""
+    full_xml = api.get_bucket(
+        model["objects"], "NATION_2",
+        {"prefix": "1-URGENT/", "delimiter": "/", "max-keys": "1000"},
+    )
+    _, want = _v2_entries(full_xml)
+
+    got, token, pages, prev_max = [], None, 0, ""
+    while True:
+        assert pages < 50, "pagination walk did not terminate"
+        params = {"prefix": "1-URGENT/", "delimiter": "/", "max-keys": "7"}
+        if token:
+            params["continuation-token"] = token
+        root, names = _v2_entries(
+            api.get_bucket_v2(model["objects"], "NATION_2", params)
+        )
+        assert int(root.findtext("s3:KeyCount", namespaces=NS)) == len(names)
+        # pages are disjoint, range-ordered: everything on this page
+        # sorts after everything on the previous one (the XML groups
+        # Contents before CommonPrefixes, so compare via min/max, not
+        # document order)
+        assert min(names) > prev_max
+        prev_max = max(names)
+        got += names
+        pages += 1
+        if root.findtext("s3:IsTruncated", namespaces=NS) == "false":
+            assert root.findtext("s3:NextContinuationToken", namespaces=NS) is None
+            break
+        token = root.findtext("s3:NextContinuationToken", namespaces=NS)
+        assert token
+    assert sorted(got) == sorted(want)
+    assert pages >= 2
+    assert len(got) == len(set(got))
+
+
+def test_get_bucket_v2_start_after(model):
+    """start-after resumes strictly after the named key on the first
+    page and is echoed back."""
+    _, all_names = _v2_entries(
+        api.get_bucket_v2(
+            model["objects"], "NATION_2",
+            {"prefix": "1-URGENT/", "delimiter": "/", "max-keys": "1000"},
+        )
+    )
+    pivot = all_names[2]
+    root, names = _v2_entries(
+        api.get_bucket_v2(
+            model["objects"], "NATION_2",
+            {"prefix": "1-URGENT/", "delimiter": "/", "max-keys": "1000",
+             "start-after": pivot},
+        )
+    )
+    assert root.findtext("s3:StartAfter", namespaces=NS) == pivot
+    assert names == all_names[3:]
