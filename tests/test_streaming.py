@@ -199,3 +199,62 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         for r in sessionize(batch_events).collect()
     }
     assert got == want
+
+
+def test_stateful_restart_from_checkpoint(spark, tmp_path):
+    """State survives a full query stop/restart: drain file 1 with a
+    checkpoint, stop, add file 2, restart the SAME query from the same
+    checkpoint — the drained totals must equal the batch answer over
+    both files (i.e. file 1's state was reloaded, not recomputed)."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.streaming.stateful import user_lifetime_totals
+
+    batch_events = T.load_tables(spark, SF_SMOKE)["events"]
+    half1 = batch_events.filter(F.col("event_id") % 2 == 0)
+    half2 = batch_events.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "events_ckpt_src")
+    ckpt = str(tmp_path / "ckpt")
+    half1.coalesce(1).write.parquet(src)
+
+    emitted = []
+
+    def sink(batch_df, batch_id):
+        emitted.extend(batch_df.collect())
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(batch_events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            user_lifetime_totals(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    run_stream()                                   # drains half1
+    half2.coalesce(1).write.mode("append").parquet(src)
+    run_stream()                                   # resumes, drains half2
+
+    got = {}
+    for r in emitted:  # update mode: later emissions supersede earlier
+        prev = got.get(r["user_id"], (0, 0))
+        got[r["user_id"]] = max(prev, (r["events_total"], r["value_total_e2"]))
+    want = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in batch_events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("v"),
+        )
+        .collect()
+    }
+    assert got == want
