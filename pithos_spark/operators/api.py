@@ -197,6 +197,67 @@ def post_bucket_delete(
     return bulk_delete(scoped, keys_df, ["bucket", "object"])
 
 
+def copy_object(
+    objects: DataFrame,
+    chunks: DataFrame,
+    dst_bucket: str,
+    dst_key: str,
+    headers: dict[str, str],
+) -> tuple[int, str, DataFrame | None]:
+    """PUT Object with x-amz-copy-source (operations.clj:521-589; chunk
+    plan stream.clj:163-207): resolve the source object, build the
+    insert-select chunk plan (full or ranged — bytes move executor-side,
+    never through the driver), and render CopyObjectResult.
+
+    Returns (status, xml, chunk_plan) — the caller executes the plan as
+    the write; a missing source is 404 NoSuchKey, a malformed source
+    spec or range is 400."""
+    import re
+
+    from pithos_spark.operators.checksums import range_read_chunks
+    from pithos_spark.functions.scalars import parse_range_header
+
+    src_spec = headers.get("x-amz-copy-source", "")
+    m = re.fullmatch("/?([^/]+)/(.+)", src_spec)
+    if not m:
+        return 400, xmlio.error_response(
+            "InvalidArgument", f"bad copy source: {src_spec}"
+        ), None
+    src_bucket, src_key = m.group(1), m.group(2)
+    src_rows = (
+        objects.filter(
+            (F.col("bucket") == src_bucket) & (F.col("object") == src_key)
+        )
+        .limit(1)
+        .collect()
+    )
+    if not src_rows:
+        return 404, xmlio.error_response("NoSuchKey", src_spec), None
+    src = src_rows[0]
+
+    rng = headers.get("x-amz-copy-source-range")
+    if rng:
+        # same parser as GET ranges (F14), same 416 taxonomy
+        try:
+            _, start, end = parse_range_header(rng, int(src["size"]))
+        except ValueError:
+            return 416, xmlio.error_response("InvalidRange", rng), None
+        plan = range_read_chunks(chunks, src["inode"], start, end)
+        rebase = start
+    else:
+        plan = range_read_chunks(chunks, src["inode"], 0, int(src["size"]))
+        rebase = 0
+    dst_inode = f"{src['inode']}:copy:{dst_bucket}/{dst_key}"
+    chunk_plan = plan.select(
+        F.lit(dst_inode).alias("inode"),
+        "chunk_seq",
+        (F.col("offset") - rebase + F.col("skip_head")).alias("new_offset"),
+        F.col("take_len").alias("new_chunksize"),
+    )
+    xml = xmlio.copy_object_result(src["checksum"], src["atime"])
+    return 200, xml, chunk_plan
+
+
 def complete_multipart_upload(
     parts: DataFrame, bucket: str, object_key: str, upload: str, manifest_xml: str
 ) -> tuple[int, str]:

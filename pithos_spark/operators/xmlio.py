@@ -129,6 +129,14 @@ def list_bucket_v2(
     return _render(root)
 
 
+def copy_object_result(etag: str, last_modified: str) -> str:
+    """CopyObjectResult (PUT Object copy response, xml.clj-style)."""
+    root = ET.Element("CopyObjectResult", xmlns=S3_NS)
+    _el(root, "ETag", f'"{etag}"')
+    _el(root, "LastModified", last_modified)
+    return _render(root)
+
+
 def list_upload_parts(
     bucket: str, object_key: str, upload_id: str, parts: list[dict]
 ) -> str:

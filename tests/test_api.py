@@ -316,3 +316,64 @@ def test_get_bucket_v2_start_after(model):
     )
     assert root.findtext("s3:StartAfter", namespaces=NS) == pivot
     assert names == all_names[3:]
+
+
+@pytest.fixture()
+def copy_fixture(spark):
+    objects = spark.createDataFrame(
+        [("b", "k", "ino1", 400, "2024-01-01", "abc123")],
+        "bucket string, object string, inode string, size long, "
+        "atime string, checksum string",
+    )
+    chunks = spark.createDataFrame(
+        [("ino1", i, 100, "x" * 100) for i in range(4)],
+        "inode string, chunk_seq long, chunksize long, payload string",
+    )
+    return objects, chunks
+
+
+def test_copy_object_full(copy_fixture):
+    objects, chunks = copy_fixture
+    status, xml, plan = api.copy_object(
+        objects, chunks, "b2", "k2", {"x-amz-copy-source": "/b/k"}
+    )
+    assert status == 200
+    root = ET.fromstring(xml)
+    assert root.findtext("s3:ETag", namespaces=NS) == '"abc123"'
+    rows = plan.orderBy("chunk_seq").collect()
+    assert [(r["new_offset"], r["new_chunksize"]) for r in rows] == [
+        (0, 100), (100, 100), (200, 100), (300, 100),
+    ]
+    assert rows[0]["inode"] == "ino1:copy:b2/k2"
+
+
+def test_copy_object_range(copy_fixture):
+    """bytes=150-349 overlaps chunks 1-3; crops re-base to offset 0 of
+    the copy (stream.clj:163-187 semantics)."""
+    objects, chunks = copy_fixture
+    status, _, plan = api.copy_object(
+        objects, chunks, "b2", "k2",
+        {"x-amz-copy-source": "/b/k", "x-amz-copy-source-range": "bytes=150-349"},
+    )
+    assert status == 200
+    rows = plan.orderBy("chunk_seq").collect()
+    assert [(r["chunk_seq"], r["new_offset"], r["new_chunksize"]) for r in rows] == [
+        (1, 0, 50), (2, 50, 100), (3, 150, 50),
+    ]
+
+
+def test_copy_object_errors(copy_fixture):
+    objects, chunks = copy_fixture
+    s404, xml404, _ = api.copy_object(
+        objects, chunks, "b2", "k2", {"x-amz-copy-source": "/b/missing"}
+    )
+    assert s404 == 404 and ET.fromstring(xml404).findtext("Code") == "NoSuchKey"
+    s400, _, _ = api.copy_object(
+        objects, chunks, "b2", "k2", {"x-amz-copy-source": "no-slash"}
+    )
+    assert s400 == 400
+    s416, _, _ = api.copy_object(
+        objects, chunks, "b2", "k2",
+        {"x-amz-copy-source": "/b/k", "x-amz-copy-source-range": "bytes=500-600"},
+    )
+    assert s416 == 416
