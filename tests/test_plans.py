@@ -126,3 +126,57 @@ def test_q13_outer_join_preserves_zero_bucket(tables):
 
     plan = _optimized(customer_order_distribution(tables["customer"], tables["orders"]))
     assert "LeftOuter" in plan, plan
+
+
+def test_q9_broadcasts_all_dimensions(tables):
+    """Q9's five-table join must broadcast part/supplier/nation — the
+    only allowed wide shuffle is lineitem-orders on orderkey."""
+    from pithos_spark.operators.analytics import product_profit
+
+    plan = _plan(
+        product_profit(
+            tables["lineitem"], tables["part"], tables["supplier"],
+            tables["nation"], tables["orders"],
+        )
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q21_single_wide_shuffle_no_expand(tables):
+    """Q21's pair reformulation must not plan an Expand (the
+    count-distinct rewrite) — one dedup aggregation over the pairs."""
+    from pithos_spark.operators.analytics import waiting_suppliers
+
+    plan = _plan(
+        waiting_suppliers(tables["lineitem"], tables["supplier"], tables["nation"])
+    )
+    assert "Expand" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q11_total_is_broadcast_cross_join(tables):
+    """The global-total scalar must broadcast into the HAVING compare,
+    never a cartesian product."""
+    from pithos_spark.operators.analytics import important_brands
+
+    plan = _plan(important_brands(tables["lineitem"], tables["part"]))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_gates_reach_the_scan(tables, spark):
+    """The curation pipeline's language filter must push to the parquet
+    scan (the length/token gates are derived, but lang is a source
+    column — at 100 TB this prunes entire row groups)."""
+    import re as _re
+
+    from pithos_spark.functions.curate import curate_corpus
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = _plan(curate_corpus(tables["documents"], tables["embeddings"]))
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    pushed = _re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("lang" in p for p in pushed), pushed
