@@ -18,6 +18,16 @@ from pithos_spark.functions.scalars import normalize_params, valid_bucket_name
 from pithos_spark.operators import listing, xmlio
 
 
+def _url_encode_entries(entries: list[dict]) -> list[dict]:
+    """S3 encoding-type=url: percent-encode key/prefix names in the
+    response so clients can round-trip keys containing characters that
+    are unsafe in XML transport (S3 encodes space as %20 etc.; '/' is
+    kept — it delimits the key hierarchy)."""
+    from urllib.parse import quote
+
+    return [{**e, "name": quote(e["name"], safe="/")} for e in entries]
+
+
 def get_bucket(
     objects: DataFrame,
     bucket: str,
@@ -36,6 +46,8 @@ def get_bucket(
     ).collect()
     truncated = len(page) > max_keys
     entries = [r.asDict() for r in page[:max_keys]]
+    if p.get("encoding-type") == "url":
+        entries = _url_encode_entries(entries)
     return xmlio.list_bucket(bucket, prefix, delimiter, max_keys, entries, truncated)
 
 
@@ -76,9 +88,13 @@ def get_bucket_v2(
     ).collect()
     truncated = len(page) > max_keys
     entries = [r.asDict() for r in page[:max_keys]]
+    # token is built from the RAW name (it must resume the scan, not the
+    # encoded spelling); encoding applies to the rendered entries only
     next_token = (
         _v2_token_encode(entries[-1]["name"]) if truncated and entries else None
     )
+    if p.get("encoding-type") == "url":
+        entries = _url_encode_entries(entries)
     return xmlio.list_bucket_v2(
         bucket,
         prefix,

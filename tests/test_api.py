@@ -377,3 +377,33 @@ def test_copy_object_errors(copy_fixture):
         {"x-amz-copy-source": "/b/k", "x-amz-copy-source-range": "bytes=500-600"},
     )
     assert s416 == 416
+
+
+def test_encoding_type_url(spark):
+    """encoding-type=url percent-encodes entry names in the rendered
+    listing ('/' preserved — it delimits the hierarchy); the V2
+    continuation token still resumes from the RAW key."""
+    objects = spark.createDataFrame(
+        [("b", f"dir one/key {i}", str(i), 1, "2024-01-01", "h") for i in range(4)],
+        "bucket string, object string, inode string, size long, "
+        "atime string, checksum string",
+    )
+    xml = api.get_bucket(objects, "b", {"encoding-type": "url", "max-keys": "10"})
+    root = ET.fromstring(xml)
+    keys = [c.findtext("s3:Key", namespaces=NS) for c in root.findall("s3:Contents", NS)]
+    assert keys == [f"dir%20one/key%20{i}" for i in range(4)]
+
+    # V2: page of 2, then resume — the token must decode to the raw key
+    xml = api.get_bucket_v2(
+        objects, "b", {"encoding-type": "url", "max-keys": "2"}
+    )
+    root = ET.fromstring(xml)
+    token = root.findtext("s3:NextContinuationToken", namespaces=NS)
+    assert api._v2_token_decode(token) == "dir one/key 1"
+    xml = api.get_bucket_v2(
+        objects, "b",
+        {"encoding-type": "url", "max-keys": "10", "continuation-token": token},
+    )
+    root = ET.fromstring(xml)
+    keys = [c.findtext("s3:Key", namespaces=NS) for c in root.findall("s3:Contents", NS)]
+    assert keys == ["dir%20one/key%202", "dir%20one/key%203"]
