@@ -539,3 +539,35 @@ def ivf_kmeans_topk(
         cluster_col="cluster",
         metric="l2",
     ).drop("query_id")
+
+
+def save_ivf_index(
+    assigned: DataFrame,
+    centers: DataFrame,
+    path: str,
+    cluster_col: str = "cluster",
+) -> None:
+    """Persist an IVF index as tables: the assigned corpus written
+    PARTITIONED BY the cluster id (probing a list = reading one
+    directory — partition pruning does the candidate selection at
+    100 TB) and the centers as a plain (tiny) parquet dim.
+
+    This is the 'build once at ingest, probe many' contract made
+    durable: index build cost is paid once per corpus version, queries
+    across sessions/jobs just load."""
+    part_col = cluster_col if cluster_col in assigned.columns else None
+    w = assigned.write.mode("overwrite")
+    if part_col:
+        w = w.partitionBy(part_col)
+    w.parquet(f"{path}/assigned")
+    centers.write.mode("overwrite").parquet(f"{path}/centers")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted IVF index: (assigned corpus, centers table).
+    The assigned side keeps its cluster partitioning, so ivf_query's
+    probe filter prunes directories, not rows."""
+    return (
+        spark.read.parquet(f"{path}/assigned"),
+        spark.read.parquet(f"{path}/centers"),
+    )

@@ -73,3 +73,35 @@ def test_ivf_kmeans_recall(embeddings):
     # a trained quantizer concentrates true neighbors far better than
     # label blocking: 4/16 lists should capture most of the top-10
     assert recall >= 0.5, f"KMeans-IVF recall@10 with 4/16 probes = {recall}"
+
+
+def test_ivf_index_persistence_roundtrip(spark, tmp_path):
+    """A persisted KMeans-IVF index probes identically to the freshly
+    built one, and the probe filter prunes the cluster partitions of
+    the stored layout."""
+    from pithos_spark import tables as T
+    from pithos_spark.functions.similarity import (
+        build_ivf_kmeans_index,
+        ivf_query,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    e = T.load_tables(spark, SF_ORACLE)["embeddings"]
+    assigned, centers = build_ivf_kmeans_index(e, n_clusters=8)
+    path = str(tmp_path / "ivf_index")
+    save_ivf_index(assigned, centers, path, cluster_col="cluster")
+    assigned2, centers2 = load_ivf_index(spark, path)
+
+    fresh = ivf_query(
+        assigned, centers, 7, k=5, cluster_col="cluster", metric="l2"
+    ).collect()
+    loaded = ivf_query(
+        assigned2, centers2, 7, k=5, cluster_col="cluster", metric="l2"
+    ).collect()
+    assert [tuple(r) for r in fresh] == [tuple(r) for r in loaded]
+
+    # layout proof: the assigned side is cluster-partitioned on disk
+    import glob
+
+    assert glob.glob(f"{path}/assigned/cluster=*"), "not partitioned by cluster"
