@@ -477,6 +477,9 @@ QUERIES["ann_lsh_topk"] = _emb_query(similarity.lsh_topk, 0, 10)
 QUERIES["multimodal_features"] = _doc_query(multimodal.media_features)
 ORACLES["multimodal_features"] = multimodal.MEDIA_FEATURES_SQL
 
+QUERIES["multimodal_resize"] = _doc_query(multimodal.media_resize)
+ORACLES["multimodal_resize"] = multimodal.MEDIA_RESIZE_SQL
+
 
 # ---------------------------------------------------------------------------
 # ACL / permission evaluation + CORS matching (F8-F11, C15, A8, A9)
@@ -1944,6 +1947,7 @@ ROUND_NEW: list[str] = [
     "q20_excess_shippers",
     "q21_waiting_suppliers",
     "corpus_curation_pipeline",
+    "multimodal_resize",
 ]
 
 DRIVER_PRIORITY: list[str] = [

@@ -181,3 +181,89 @@ SELECT asset_id,
        md5(substring(text, CAST(frame_offset AS INT) + 1, 256)) AS frame_md5
 FROM offs
 ORDER BY asset_id, frame_idx"""
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("src_bytes", T.LongType()),
+        T.StructField("dst_width", T.LongType()),
+        T.StructField("dst_height", T.LongType()),
+        T.StructField("dst_bytes", T.LongType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def resize_stub(
+    assets: DataFrame, dst_width: int = 224, dst_height: int = 224
+) -> DataFrame:
+    """The resize stage as an Arrow-batched ``mapInPandas`` pipeline —
+    the preprocessing step every vision-training pipeline runs before
+    feature extraction.
+
+    REAL: batch iteration, output schema, payload transformation shape
+    (the resized payload is produced, hashed, and sized executor-side).
+    FAKE: the "resample" deterministically crops-or-cycles the decoded
+    sample sequence to the target budget (dst_width x dst_height / 64
+    samples; characters stand in for pixels) — a real build would call
+    PIL.Image.resize here.
+    """
+    budget = max(1, dst_width * dst_height // 64)
+
+    def resize_batches(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        def fake_resample(b: bytes) -> bytes:
+            s = b.decode("utf-8", errors="replace")
+            if len(s) < budget:
+                s = (s * (budget // max(len(s), 1) + 1))
+            return s[:budget].encode("utf-8")
+
+        for pdf in batches:
+            resized = pdf["payload"].map(fake_resample)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "src_bytes": pdf["payload"].map(len),
+                    "dst_width": dst_width,
+                    "dst_height": dst_height,
+                    "dst_bytes": resized.map(len),
+                    "resized_md5": resized.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(resize_batches, RESIZE_SCHEMA)
+
+
+def media_resize(documents: DataFrame) -> DataFrame:
+    """End-to-end: derive assets -> Arrow-batched resize stub."""
+    return resize_stub(assets_from_documents(documents)).orderBy("asset_id")
+
+
+# the fake resample is substring/repeat arithmetic — SQL-mirrorable, so
+# the Pandas-UDF path gets a full value-hash oracle like the decode stub
+MEDIA_RESIZE_SQL = """\
+WITH sized AS (
+    SELECT doc_id, text,
+           CASE WHEN length(text) >= 784 THEN substr(text, 1, 784)
+                ELSE substr(repeat(text, CAST(784 / greatest(length(text), 1) AS INT) + 1), 1, 784)
+           END AS resized
+    FROM documents
+)
+SELECT doc_id AS asset_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CAST(strlen(text) AS BIGINT) AS src_bytes,
+       CAST(224 AS BIGINT) AS dst_width,
+       CAST(224 AS BIGINT) AS dst_height,
+       CAST(strlen(resized) AS BIGINT) AS dst_bytes,
+       md5(resized) AS resized_md5
+FROM sized
+ORDER BY asset_id"""
