@@ -121,3 +121,116 @@ SELECT d.doc_id, d.source, d.lang, d.char_count, d.token_count,
        n.norm_q
 FROM dedup d JOIN norm n ON d.doc_id = n.vec_id
 ORDER BY d.doc_id"""
+
+
+def pack_sequences(
+    documents: DataFrame, budget_tokens: int = 2048
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget training
+    packs — the standard pretraining step that turns ragged documents
+    into dense fixed-length batches.
+
+    Deterministic streaming first-fit in doc_id order per source:
+    pack boundary = cumulative token count crossing a budget multiple.
+    Expressed as one window cumsum per source partition (a greedy
+    bin-packer is inherently sequential; the window form is its exact
+    parallel equivalent because the running sum fixes each doc's pack
+    in one pass).
+
+    Scale: one shuffle on source; within a source the cumsum is a
+    single window scan.  Output: (doc_id, source, n_tokens, pack_id,
+    pack_offset) — pack_offset is where the doc starts inside its pack.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_cum = documents.select(
+        "doc_id", "source", toks.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return with_cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((F.col("cum_tokens") - 1) / budget_tokens)
+        .cast("long")
+        .alias("pack_id"),
+        ((F.col("cum_tokens") - F.col("n_tokens")) % budget_tokens).alias(
+            "pack_offset"
+        ),
+    ).orderBy("source", "doc_id")
+
+
+PACK_SEQUENCES_SQL = """\
+WITH cum AS (
+    SELECT doc_id, source,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+    FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST((cum_tokens - 1) // 2048 AS BIGINT) AS pack_id,
+       CAST((cum_tokens - n_tokens) % 2048 AS BIGINT) AS pack_offset
+FROM cum
+ORDER BY source, doc_id"""
+
+
+# testdata sources are src0..src19; weight a few at different rates so
+# keep, thin, and drop paths all appear in the fixture
+MIX_WEIGHTS_DEFAULT = {"src0": 1000, "src1": 400, "src2": 800, "src3": 50}
+
+
+def sample_mix(
+    documents: DataFrame, weights_permille: dict[str, int] | None = None
+) -> DataFrame:
+    """Deterministic mix-weight sampling: keep each document with a
+    per-source probability (permille), decided by a content-independent
+    hash of its id — the data-mixing step of a pretraining recipe,
+    reproducible across runs and engines (no RNG state).
+
+    Selector: the first 8 hex chars of md5(doc_id) as an integer,
+    mod 1000 — md5 exists verbatim in DuckDB, so the oracle mirrors
+    the exact keep/drop decision.  Sources missing from the weight
+    table keep permille 0 (dropped) — explicit mixing, no silent
+    passthrough.  One scan, no shuffle; the decision is a scan-side
+    filter."""
+    weights = weights_permille or MIX_WEIGHTS_DEFAULT
+    sel = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 1000
+    rate = F.lit(0)
+    for src, pm in sorted(weights.items()):
+        rate = F.when(F.col("source") == src, F.lit(pm)).otherwise(rate)
+    return (
+        documents.select(
+            "doc_id", "source", sel.alias("selector"), rate.alias("rate_permille")
+        )
+        .filter(F.col("selector") < F.col("rate_permille"))
+        .orderBy("doc_id")
+    )
+
+
+def sample_mix_oracle(weights_permille: dict[str, int] | None = None) -> str:
+    weights = weights_permille or MIX_WEIGHTS_DEFAULT
+    whens = " ".join(
+        f"WHEN '{src}' THEN {pm}" for src, pm in sorted(weights.items())
+    )
+    return f"""\
+WITH sel AS (
+    SELECT doc_id, source,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+               AS selector,
+           CAST(CASE source {whens} ELSE 0 END AS BIGINT) AS rate_permille
+    FROM documents
+)
+SELECT doc_id, source, selector, rate_permille
+FROM sel
+WHERE selector < rate_permille
+ORDER BY doc_id"""

@@ -1856,10 +1856,36 @@ def _curate(spark, sf_dir):
     return curate_corpus(t["documents"], t["embeddings"])
 
 
-from pithos_spark.functions.curate import CURATE_CORPUS_SQL  # noqa: E402
+from pithos_spark.functions.curate import (  # noqa: E402
+    CURATE_CORPUS_SQL,
+    PACK_SEQUENCES_SQL,
+    sample_mix_oracle,
+)
 
 QUERIES["corpus_curation_pipeline"] = _curate
 ORACLES["corpus_curation_pipeline"] = CURATE_CORPUS_SQL
+
+
+def _pack(spark, sf_dir):
+    from pithos_spark.functions.curate import pack_sequences
+
+    t = T.load_tables(spark, sf_dir)
+    return pack_sequences(t["documents"])
+
+
+QUERIES["corpus_pack_sequences"] = _pack
+ORACLES["corpus_pack_sequences"] = PACK_SEQUENCES_SQL
+
+
+def _mix(spark, sf_dir):
+    from pithos_spark.functions.curate import sample_mix
+
+    t = T.load_tables(spark, sf_dir)
+    return sample_mix(t["documents"])
+
+
+QUERIES["corpus_sample_mix"] = _mix
+ORACLES["corpus_sample_mix"] = sample_mix_oracle()
 
 
 @register(
@@ -1948,6 +1974,8 @@ ROUND_NEW: list[str] = [
     "q21_waiting_suppliers",
     "corpus_curation_pipeline",
     "multimodal_resize",
+    "corpus_pack_sequences",
+    "corpus_sample_mix",
 ]
 
 DRIVER_PRIORITY: list[str] = [
