@@ -213,6 +213,72 @@ def post_bucket_delete(
     return bulk_delete(scoped, keys_df, ["bucket", "object"])
 
 
+_RESPONSE_OVERRIDES = {
+    # operations.clj:983-988 override? set (note: the reference spells
+    # cache-control's param 'response-content-cache')
+    "response-content-type",
+    "response-content-language",
+    "response-content-disposition",
+    "response-content-cache",
+    "response-content-encoding",
+    "response-expires",
+}
+
+
+def override_response_headers(
+    headers: dict[str, str],
+    params: dict[str, str],
+    status: int,
+    authenticated: bool,
+) -> dict[str, str]:
+    """operations.clj:981-997 override-response-headers: a signed GET
+    may rewrite selected response headers via response-* query params —
+    only for authenticated requests with a 2xx status.  Header name =
+    the param minus its 'response-' prefix, segment-capitalized."""
+    if not (authenticated and status // 100 == 2):
+        return headers
+    out = dict(headers)
+    for k, v in params.items():
+        kl = k.lower()
+        if kl in _RESPONSE_OVERRIDES:
+            name = "-".join(s.capitalize() for s in kl[len("response-"):].split("-"))
+            out[name] = v
+    return out
+
+
+def head_object(objects: DataFrame, bucket: str, key: str) -> tuple[int, dict]:
+    """HEAD Object (operations.clj:436-449, composes S4/J1): the
+    metadata headers for one object — point-lookup plan, no body."""
+    rows = (
+        objects.filter((F.col("bucket") == bucket) & (F.col("object") == key))
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        return 404, {}
+    r = rows[0]
+    return 200, {
+        "ETag": f'"{r["checksum"]}"',
+        "Content-Length": str(r["size"]),
+        "Last-Modified": r["atime"],
+        "x-amz-storage-class": r["storageclass"],
+    }
+
+
+def get_bucket_location(buckets: DataFrame, bucket: str) -> tuple[int, str]:
+    """GET Bucket location (operations.clj:258-261, S2 point lookup):
+    the reference serves its one configured region; here the tenant's
+    region stands in."""
+    rows = buckets.filter(F.col("bucket") == bucket).limit(1).collect()
+    if not rows:
+        return 404, xmlio.error_response("NoSuchBucket", bucket)
+    return 200, (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<LocationConstraint xmlns="{xmlio.S3_NS}">'
+        f"{rows[0]['tenant']}</LocationConstraint>"
+    )
+
+
 def copy_object(
     objects: DataFrame,
     chunks: DataFrame,

@@ -407,3 +407,38 @@ def test_encoding_type_url(spark):
     root = ET.fromstring(xml)
     keys = [c.findtext("s3:Key", namespaces=NS) for c in root.findall("s3:Contents", NS)]
     assert keys == ["dir%20one/key%202", "dir%20one/key%203"]
+
+
+def test_head_object_and_location(model):
+    status, headers = api.head_object(
+        model["objects"], "NATION_2",
+        model["objects"].filter("bucket = 'NATION_2'").limit(1).collect()[0]["object"],
+    )
+    assert status == 200
+    assert headers["ETag"].startswith('"') and int(headers["Content-Length"]) > 0
+    assert api.head_object(model["objects"], "NATION_2", "nope")[0] == 404
+
+    status, xml = api.get_bucket_location(model["buckets"], "NATION_2")
+    assert status == 200 and "<LocationConstraint" in xml
+    assert api.get_bucket_location(model["buckets"], "nope")[0] == 404
+
+
+def test_override_response_headers():
+    """Only authenticated 2xx responses honor response-* params; header
+    names are segment-capitalized without the prefix (operations.clj
+    :981-997, including the 'response-content-cache' spelling)."""
+    base = {"Content-Type": "application/xml"}
+    params = {
+        "response-content-type": "text/plain",
+        "response-content-cache": "no-cache",
+        "response-expires": "0",
+        "marker": "x",  # not an override param
+    }
+    out = api.override_response_headers(base, params, 200, True)
+    assert out["Content-Type"] == "text/plain"
+    assert out["Content-Cache"] == "no-cache"
+    assert out["Expires"] == "0"
+    assert "Marker" not in out
+    # anonymous or non-2xx: untouched
+    assert api.override_response_headers(base, params, 200, False) == base
+    assert api.override_response_headers(base, params, 404, True) == base
