@@ -279,6 +279,60 @@ def get_bucket_location(buckets: DataFrame, bucket: str) -> tuple[int, str]:
     )
 
 
+def get_bucket_versioning(buckets: DataFrame, bucket: str) -> tuple[int, str]:
+    """GET Bucket versioning (operations.clj:405-409, xml.clj:284-289):
+    the bucket's versioned flag as Enabled/Suspended."""
+    rows = buckets.filter(F.col("bucket") == bucket).limit(1).collect()
+    if not rows:
+        return 404, xmlio.error_response("NoSuchBucket", bucket)
+    status = "Enabled" if rows[0]["versioned"] else "Suspended"
+    return 200, (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<VersioningConfiguration xmlns="{xmlio.S3_NS}">'
+        f"<Status>{status}</Status></VersioningConfiguration>"
+    )
+
+
+def get_bucket_requestpayment(bucket: str) -> tuple[int, str]:
+    """GET Bucket requestPayment (xml.clj:278-282): always BucketOwner."""
+    return 200, (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<RequestPaymentConfiguration xmlns="{xmlio.S3_NS}">'
+        "<Payer>BucketOwner</Payer></RequestPaymentConfiguration>"
+    )
+
+
+# the reference's stub subresources (operations.clj:386-434): writes
+# no-op with 204/200, reads 404 with the matching S3 error code
+_STUB_SUBRESOURCES = {
+    ("GET", "policy"): (404, "NoSuchBucketPolicy"),
+    ("PUT", "policy"): (204, None),
+    ("DELETE", "policy"): (204, None),
+    ("GET", "tagging"): (404, "NoSuchTagSet"),
+    ("GET", "lifecycle"): (404, "NoSuchLifecycleConfiguration"),
+    ("PUT", "lifecycle"): (204, None),
+    ("DELETE", "lifecycle"): (204, None),
+    ("PUT", "versioning"): (200, None),
+}
+
+
+def bucket_subresource_stub(
+    method: str, subresource: str, bucket: str
+) -> tuple[int, str]:
+    """Dispatch for the reference's declared-but-stubbed bucket
+    subresources — same statuses and error codes as operations.clj
+    :386-434 (writes accepted as no-ops, reads 404 with the S3 code)."""
+    try:
+        status, code = _STUB_SUBRESOURCES[(method.upper(), subresource)]
+    except KeyError:
+        return 400, xmlio.error_response(
+            "InvalidArgument", f"{method} ?{subresource}"
+        )
+    if code:
+        return status, xmlio.error_response(code, bucket)
+    return status, ""
+
+
 def copy_object(
     objects: DataFrame,
     chunks: DataFrame,

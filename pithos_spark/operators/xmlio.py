@@ -252,7 +252,10 @@ ERROR_CODES = {
     "InvalidSecurity": 403,
     "MalformedXML": 400,
     "NoSuchBucket": 404,
+    "NoSuchBucketPolicy": 404,
     "NoSuchKey": 404,
+    "NoSuchLifecycleConfiguration": 404,
+    "NoSuchTagSet": 404,
     "NoSuchUpload": 404,
     "RequestTimeTooSkewed": 403,
     "SignatureDoesNotMatch": 403,

@@ -442,3 +442,39 @@ def test_override_response_headers():
     # anonymous or non-2xx: untouched
     assert api.override_response_headers(base, params, 200, False) == base
     assert api.override_response_headers(base, params, 404, True) == base
+
+
+def test_bucket_versioning_and_requestpayment(model):
+    """Versioning reflects the bucket flag (even nationkeys are
+    versioned in the model); requestPayment is always BucketOwner."""
+    s, xml = api.get_bucket_versioning(model["buckets"], "NATION_2")
+    assert s == 200 and "<Status>Enabled</Status>" in xml
+    s, xml = api.get_bucket_versioning(model["buckets"], "NATION_1")
+    assert s == 200 and "<Status>Suspended</Status>" in xml
+    assert api.get_bucket_versioning(model["buckets"], "nope")[0] == 404
+    s, xml = api.get_bucket_requestpayment("b")
+    assert s == 200 and "<Payer>BucketOwner</Payer>" in xml
+
+
+@pytest.mark.parametrize(
+    "method,sub,status,code",
+    [
+        ("GET", "policy", 404, "NoSuchBucketPolicy"),
+        ("PUT", "policy", 204, None),
+        ("GET", "tagging", 404, "NoSuchTagSet"),
+        ("GET", "lifecycle", 404, "NoSuchLifecycleConfiguration"),
+        ("DELETE", "lifecycle", 204, None),
+        ("PUT", "versioning", 200, None),
+        ("PATCH", "policy", 400, "InvalidArgument"),
+    ],
+)
+def test_bucket_subresource_stubs(method, sub, status, code):
+    s, body = api.bucket_subresource_stub(method, sub, "b")
+    assert s == status
+    if code:
+        got = ET.fromstring(body).findtext("Code")
+        assert got == code
+        from pithos_spark.operators.xmlio import ERROR_CODES
+        assert ERROR_CODES[got] in (400, 404)
+    else:
+        assert body == ""
