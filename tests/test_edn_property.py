@@ -143,3 +143,57 @@ def test_header_matching_matches_reference(spark, req, pats):
         matched_headers_expr(F.col("req"), F.col("pats")).alias("m")
     ).collect()[0]["m"]
     assert got == _ref_match_headers(req, pats)
+
+
+# -- packing invariants -------------------------------------------------------
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    token_counts=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=30),
+    budget=st.sampled_from([64, 256, 2048]),
+)
+def test_pack_sequences_invariants(spark, token_counts, budget):
+    """Packing invariants for any doc-size sequence: pack ids start at 0
+    and are nondecreasing in doc order; a pack never exceeds the budget
+    unless a single oversized doc owns it; offsets stay inside the
+    budget; token counts are preserved."""
+    from pithos_spark.functions.curate import pack_sequences
+
+    rows = [(i, "s", " ".join(["w"] * n)) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = pack_sequences(df, budget_tokens=budget).collect()
+
+    assert [r["n_tokens"] for r in out] == token_counts
+    pack_ids = [r["pack_id"] for r in out]
+    # pack ids are nondecreasing in doc order (an oversized doc may
+    # skip ids — its END defines its pack); first doc's pack is its
+    # own end block
+    assert all(a <= b for a, b in zip(pack_ids, pack_ids[1:]))
+    assert pack_ids[0] == (token_counts[0] - 1) // budget
+    assert all(0 <= r["pack_offset"] < budget for r in out)
+    # the defining invariant: pack_id is exactly the budget block the
+    # doc's cumulative END lands in, offset is where it starts mod budget
+    cum = 0
+    for r in out:
+        assert r["pack_id"] == (cum + r["n_tokens"] - 1) // budget
+        assert r["pack_offset"] == cum % budget
+        cum += r["n_tokens"]
+
+
+# -- EDN parser robustness fuzz ----------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=list('{}[]()#":;\\ \n\tabc123.-'), max_size=30))
+def test_parse_edn_never_hangs_or_crashes(s):
+    """Arbitrary garbage either parses or raises EdnParseError — never
+    any other exception, never an infinite loop."""
+    try:
+        edn.parse_edn(s)
+    except edn.EdnParseError:
+        pass
