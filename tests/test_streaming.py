@@ -258,3 +258,69 @@ def test_stateful_restart_from_checkpoint(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed aggregation with a watermark: an event
+    arriving in a later batch but timestamped far before the advanced
+    watermark is DROPPED (its window already finalized) — the core
+    late-data contract bounded streaming state relies on."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from datetime import datetime
+
+    schema = "event_id long, ts timestamp, user_id long"
+    src = str(tmp_path / "late_src")
+    dt = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
+    on_time = spark.createDataFrame(
+        [(1, dt(0, 10), 1),
+         (2, dt(0, 20), 1),
+         (3, dt(6, 0), 1)],  # advances the watermark far ahead
+        schema,
+    )
+    late = spark.createDataFrame(
+        [(4, dt(0, 15), 1)],  # > 1h behind the watermark
+        schema,
+    )
+    ckpt = str(tmp_path / "late_ckpt")
+    emitted = []
+
+    def sink(batch_df, batch_id):
+        emitted.extend(batch_df.collect())
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(on_time.schema)
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_micros(F.col("w.start")).alias("ws"), "n")
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # run 1 drains the on-time events; the checkpoint persists the
+    # advanced watermark (05:00).  run 2 sees only the late file.
+    on_time.coalesce(1).write.parquet(src)
+    run_stream()
+    time.sleep(0.2)
+    late.coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+
+    got = {}
+    for r in emitted:
+        got[r["ws"]] = got.get(r["ws"], 0) + r["n"]
+    # the 00:00 window closed with exactly the two on-time events; the
+    # late event_id=4 (00:15, behind the restored watermark) never lands
+    midnight = 1704067200000000
+    assert got.get(midnight) == 2, got
