@@ -1889,6 +1889,51 @@ ORACLES["corpus_sample_mix"] = sample_mix_oracle()
 
 
 @register(
+    "scalar_conversions",
+    """\
+SELECT o_orderkey,
+       to_base64(encode(o_orderpriority)) AS prio_b64,
+       o_orderpriority AS url_roundtrip,
+       strftime(o_orderdate, '%a, %d %b %Y %H:%M:%S') || ' GMT' AS rfc822,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso8601
+FROM orders
+ORDER BY o_orderkey
+LIMIT 500""",
+)
+def scalar_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level twins of the C5/C7/C9 scalar helpers, oracle-gated:
+    base64 of utf-8 bytes, url_decode inverting a constructed %-encoding
+    (DuckDB lacks url functions, so the oracle yields the decoded
+    original directly — the gate proves Spark's decode inverts the
+    encoding), and RFC822/ISO8601 timestamp rendering (util.clj:16-33
+    date helpers as expressions)."""
+    import pyspark.sql.functions as F
+
+    t = T.load_tables(spark, sf_dir)
+    o = t["orders"]
+    return (
+        o.select(
+            "o_orderkey",
+            F.base64(F.col("o_orderpriority").cast("binary")).alias("prio_b64"),
+            F.url_decode(
+                F.replace(
+                    F.col("o_orderpriority"), F.lit(" "), F.lit("%20")
+                )
+            ).alias("url_roundtrip"),
+            F.concat(
+                F.date_format("o_orderdate", "EEE, dd MMM yyyy HH:mm:ss"),
+                F.lit(" GMT"),
+            ).alias("rfc822"),
+            F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias(
+                "iso8601"
+            ),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+@register(
     "acl_edn_grants",
     T.with_model(
         """\
@@ -1976,6 +2021,7 @@ ROUND_NEW: list[str] = [
     "multimodal_resize",
     "corpus_pack_sequences",
     "corpus_sample_mix",
+    "scalar_conversions",
 ]
 
 DRIVER_PRIORITY: list[str] = [
