@@ -1889,6 +1889,60 @@ ORACLES["corpus_sample_mix"] = sample_mix_oracle()
 
 
 @register(
+    "metadata_header_filter",
+    """\
+SELECT c_custkey,
+       concat_ws(',',
+           'content-type=' || c_mktsegment,
+           CASE WHEN c_custkey % 3 = 0
+                THEN 'x-amz-meta-tag=' || CAST(c_nationkey AS VARCHAR) END
+       ) AS kept_headers
+FROM customer
+ORDER BY c_custkey
+LIMIT 500""",
+)
+def metadata_header_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 as a driver-gated map-column query (operations.clj:83-94):
+    construct a headers map per customer with whitelisted
+    (content-type), x-amz-meta-*, and junk entries; map_filter keeps
+    only the legal ones.  The constructed keys are static, so the
+    oracle states the surviving entries directly — a green hash proves
+    the whitelist predicate keeps exactly the right keys, in
+    deterministic (sorted-key) render order."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions.scalars import filter_metadata_headers
+
+    t = T.load_tables(spark, sf_dir)
+    c = t["customer"]
+    headers = F.map_filter(
+        F.create_map(
+            F.lit("content-type"), F.col("c_mktsegment"),
+            F.lit("x-bogus"), F.col("c_name"),
+            F.lit("x-amz-meta-tag"), F.col("c_nationkey").cast("string"),
+            F.lit("authorization"), F.lit("secret"),
+        ),
+        # x-amz-meta-tag only for every third customer so both the kept
+        # and absent paths appear
+        lambda k, _v: (k != F.lit("x-amz-meta-tag"))
+        | (F.col("c_custkey") % 3 == 0),
+    )
+    kept = filter_metadata_headers(headers)
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(F.map_keys(kept)),
+            lambda k: F.concat(k, F.lit("="), F.element_at(kept, k)),
+        ),
+        ",",
+    )
+    return (
+        c.select("c_custkey", rendered.alias("kept_headers"))
+        .orderBy("c_custkey")
+        .limit(500)
+    )
+
+
+@register(
     "scalar_conversions",
     """\
 SELECT o_orderkey,
@@ -2022,6 +2076,7 @@ ROUND_NEW: list[str] = [
     "corpus_pack_sequences",
     "corpus_sample_mix",
     "scalar_conversions",
+    "metadata_header_filter",
 ]
 
 DRIVER_PRIORITY: list[str] = [
