@@ -73,6 +73,16 @@ def main() -> None:
     warm = load_tables(spark, sf_dir)
     for name in TPCH_TABLES:
         warm[name].limit(1).count()
+    # ...and one untimed listing so whole-stage-codegen compilation of
+    # the listing expression class isn't billed to whichever headliner
+    # happens to run first (measured: first-slot flagship pays ~1.5s of
+    # JIT that a later run of the same query doesn't)
+    from pithos_spark import tables as _PT
+    from pithos_spark.operators.listing import list_objects as _lo
+
+    _lo(_PT.objects_df(warm), "NATION_0", "", "/", None, 10).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINERS:
