@@ -81,7 +81,16 @@ def get_bucket_v2(
     max_keys = int(p.get("max-keys", "1000"))
     token = p.get("continuation-token") or None
     start_after = p.get("start-after") or None
-    marker = _v2_token_decode(token) if token else start_after
+    if token:
+        try:
+            marker = _v2_token_decode(token)
+        except Exception:
+            # S3: an unparseable continuation token is InvalidArgument
+            return xmlio.error_response(
+                "InvalidArgument", "invalid continuation token"
+            )
+    else:
+        marker = start_after
 
     page = listing.list_objects(
         objects, bucket, prefix, delimiter, marker, max_keys + 1

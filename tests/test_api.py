@@ -478,3 +478,15 @@ def test_bucket_subresource_stubs(method, sub, status, code):
         assert ERROR_CODES[got] in (400, 404)
     else:
         assert body == ""
+
+
+def test_get_bucket_v2_bad_token(spark):
+    objects = spark.createDataFrame(
+        [("b", "k", "1", 1, "2024-01-01", "h")],
+        "bucket string, object string, inode string, size long, "
+        "atime string, checksum string",
+    )
+    xml = api.get_bucket_v2(
+        objects, "b", {"continuation-token": "!!!not-base64!!!"}
+    )
+    assert ET.fromstring(xml).findtext("Code") == "InvalidArgument"
