@@ -188,7 +188,9 @@ MIX_WEIGHTS_DEFAULT = {"src0": 1000, "src1": 400, "src2": 800, "src3": 50}
 
 
 def sample_mix(
-    documents: DataFrame, weights_permille: dict[str, int] | None = None
+    documents: DataFrame,
+    weights_permille: dict[str, int] | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Deterministic mix-weight sampling: keep each document with a
     per-source probability (permille), decided by a content-independent
@@ -208,13 +210,12 @@ def sample_mix(
     rate = F.lit(0)
     for src, pm in sorted(weights.items()):
         rate = F.when(F.col("source") == src, F.lit(pm)).otherwise(rate)
-    return (
-        documents.select(
-            "doc_id", "source", sel.alias("selector"), rate.alias("rate_permille")
-        )
-        .filter(F.col("selector") < F.col("rate_permille"))
-        .orderBy("doc_id")
-    )
+    out = documents.select(
+        "doc_id", "source", sel.alias("selector"), rate.alias("rate_permille")
+    ).filter(F.col("selector") < F.col("rate_permille"))
+    # ordered=False for streaming callers — global sort is not
+    # stream-legal, and the filter itself is order-independent
+    return out.orderBy("doc_id") if ordered else out
 
 
 def sample_mix_oracle(weights_permille: dict[str, int] | None = None) -> str:

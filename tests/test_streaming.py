@@ -324,3 +324,44 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # late event_id=4 (00:15, behind the restored watermark) never lands
     midnight = 1704067200000000
     assert got.get(midnight) == 2, got
+
+
+def test_streaming_curation_gates_match_batch(spark, tmp_path):
+    """The curation gates (quality filters + mix sampling) are stateless
+    column expressions, so they stream unchanged: an availableNow pass
+    over the documents corpus emits exactly the batch answer."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions.curate import sample_mix
+
+    docs = T.load_tables(spark, SF_SMOKE)["documents"]
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    gated = sample_mix(
+        stream.filter(F.length("text") >= 50), ordered=False
+    ).drop("selector")  # compare as sets; global sort is not stream-legal
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["source"], r["rate_permille"])
+        for r in spark.sql("SELECT * FROM curated_stream").collect()
+    }
+    want = {
+        (r["doc_id"], r["source"], r["rate_permille"])
+        for r in sample_mix(docs.filter(F.length("text") >= 50)).collect()
+    }
+    assert got == want and len(got) > 0
