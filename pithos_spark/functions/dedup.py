@@ -360,3 +360,165 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Tier 5: resolve near-dup *pairs* into duplicate *clusters* —
+    connected components by min-label propagation.  Output is
+    ``(doc_id, cluster_id)`` for every doc appearing in a pair, where
+    ``cluster_id`` is the smallest doc_id in the component (the
+    canonical representative; reference has no analog — this is the
+    step that turns pair-finding into actual corpus dedup).
+
+    Iteration j: label(v) <- min(label(v), min over neighbors u of
+    label(u)); stop when no label changes.  Converges in O(component
+    diameter) rounds, and near-dup graphs are near-cliques (a cluster of
+    k copies of one page is K_k), so 2-3 rounds is typical — each round
+    is one shuffle join + one aggregation, all JVM-side.
+
+    Scale: edges are shuffled by node id each round — no driver-side
+    graph, no collect; state per round is one (node, label) row per
+    node.  For adversarially chain-shaped graphs (diameter >> 3) the
+    large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce") halves path lengths per round; dedup
+    graphs don't need it, so we keep the simpler fixpoint.  Each round's
+    labels are persisted and the previous round's unpersisted, keeping
+    lineage depth O(1) per round rather than O(rounds) at plan time.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    ).persist()
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.select(
+                        F.col("doc_id").alias("dst"), F.col("label")
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_min"))
+                .withColumnRenamed("src", "doc_id")
+            )
+            new_labels = (
+                labels.join(nbr_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nbr_min"), F.col("label")),
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = not (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .isEmpty()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if not changed:
+                break
+    finally:
+        edges.unpersist()
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+# DuckDB twin: transitive closure by recursive CTE over the symmetrized
+# edge list — tractable because the oracle runs at sf0.01 (dup clusters
+# are tiny); the Spark side stays the scalable fixpoint above.
+def _cluster_reach_sql(n: int = 3, threshold_pct: int = 50) -> str:
+    k = n - 1
+    return f"""\
+WITH RECURSIVE toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t) - {k}, 1) + 1)) AS i FROM toks
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+{k}], ' ') AS shingle FROM idx
+), sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 100 >= (sa.n_shingles + sb.n_shingles - n_common) * {threshold_pct}
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+), reach AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), members AS (
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+)"""
+
+
+def dup_clusters_oracle(n: int = 3, threshold_pct: int = 50) -> str:
+    return (
+        _cluster_reach_sql(n, threshold_pct)
+        + "\nSELECT doc_id, cluster_id FROM members ORDER BY doc_id"
+    )
+
+
+def dedup_keep_best(documents: DataFrame, n: int = 3,
+                    threshold_pct: int = 50) -> DataFrame:
+    """End-to-end near-dup resolution: jaccard pairs -> connected
+    components -> keep the best doc per cluster (most tokens; ties to
+    the smallest doc_id).  ``keep=false`` rows are the curation drop
+    list.  Score is an integer token count — deterministic under the
+    DuckDB oracle, no float comparisons.
+    """
+    from pyspark.sql import Window
+
+    clusters = dup_clusters(jaccard_pairs(documents, n, threshold_pct))
+    toks = documents.select(
+        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("token_count")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("token_count"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(toks, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "token_count", "keep")
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+def dedup_keep_best_oracle(n: int = 3, threshold_pct: int = 50) -> str:
+    return (
+        _cluster_reach_sql(n, threshold_pct)
+        + """
+, scored AS (
+    SELECT m.doc_id, m.cluster_id,
+           len(regexp_split_to_array(trim(d.text), '\\s+')) AS token_count
+    FROM members m JOIN documents d ON m.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id, token_count,
+       row_number() OVER (
+           PARTITION BY cluster_id ORDER BY token_count DESC, doc_id
+       ) = 1 AS keep
+FROM scored ORDER BY cluster_id, doc_id"""
+    )

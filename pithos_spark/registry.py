@@ -451,6 +451,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dedup_jaccard_pairs"] = _doc_query(dedup.jaccard_pairs)
 ORACLES["dedup_jaccard_pairs"] = dedup.jaccard_pairs_oracle()
 
+# Pair lists -> duplicate clusters (connected components) -> keep-best
+# curation verdicts.  Iterative min-label propagation on the Spark side;
+# the DuckDB twin is a recursive-CTE transitive closure (exact, tiny at
+# oracle scale).
+QUERIES["dedup_duplicate_clusters"] = lambda spark, sf_dir: dedup.dup_clusters(
+    dedup.jaccard_pairs(T.load_tables(spark, sf_dir)["documents"])
+)
+ORACLES["dedup_duplicate_clusters"] = dedup.dup_clusters_oracle()
+
+QUERIES["dedup_keep_best"] = _doc_query(dedup.dedup_keep_best)
+ORACLES["dedup_keep_best"] = dedup.dedup_keep_best_oracle()
+
 # MinHash-LSH and SimHash use Spark's xxhash64 (no DuckDB twin) ->
 # rows-only driver check; recall vs the exact jaccard answer is asserted
 # in tests/test_dedup.py.
@@ -2061,6 +2073,8 @@ def acl_edn_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Queries changed or added in the CURRENT round — spliced at the very
 # front of the window so they get a fresh verdict.
 ROUND_NEW: list[str] = [
+    "dedup_duplicate_clusters",
+    "dedup_keep_best",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
     "cors_preflight",

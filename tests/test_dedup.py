@@ -109,3 +109,38 @@ def test_exact_dedup_collapses_doubled_corpus(documents, spark):
     assert out.filter(F.col("copies") != 2).count() == 0
     # canonical representative is always the original (smaller) id
     assert out.filter(F.col("canonical_doc_id") >= 10**6).count() == 0
+
+
+def test_dup_clusters_chain_and_island(spark):
+    """Label propagation resolves a 4-node chain (diameter 3 — needs
+    multiple rounds) and an isolated pair into min-id components."""
+    from pithos_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 7), (7, 4), (4, 9), (20, 30)], "doc_a long, doc_b long"
+    )
+    got = {(r["doc_id"], r["cluster_id"]) for r in dup_clusters(pairs).collect()}
+    assert got == {(2, 2), (7, 2), (4, 2), (9, 2), (20, 20), (30, 20)}
+
+
+def test_keep_best_picks_longest_doc(spark):
+    """keep-best marks exactly one keeper per cluster: most tokens, ties
+    to the smallest doc_id."""
+    from pithos_spark.functions.dedup import dedup_keep_best
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "src0", 0),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota", "en", "src0", 0),
+        (3, "alpha beta gamma delta epsilon zeta eta theta", "en", "src0", 0),
+        (4, "completely different words nothing shared here at all", "en", "src0", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in dedup_keep_best(docs).collect()}
+    # docs 1,2,3 share almost all shingles -> one cluster, 2 has the most
+    # tokens so it is the keeper; doc 4 pairs with nothing -> absent
+    assert out[2] == (1, True)
+    assert out[1] == (1, False) and out[3] == (1, False)
+    assert 4 not in out
