@@ -70,25 +70,17 @@ class Tables(dict):
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS), which Spark's vectorized parquet
-        # reader rejects; read it as raw nanos and truncate to micros the
-        # same way DuckDB does (integer division, not rounding).  The
-        # nanosAsLong conf only needs to hold during plan *analysis* (the
-        # schema is resolved eagerly), so save/restore it rather than
-        # leaking a session-global that would silently change how later,
-        # unrelated nanos-parquet reads are typed.
-        key = "spark.sql.legacy.parquet.nanosAsLong"
-        prev = spark.conf.get(key, None)
-        spark.conf.set(key, "true")
-        try:
-            df = spark.read.parquet(path)
-            df.schema  # force analysis while the conf is set
-        finally:
-            if prev is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prev)
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # events.ts is TIMESTAMP(NANOS).  Spark 4.x reads it natively as
+        # TIMESTAMP_NTZ with the nanos floor-truncated to micros (same
+        # truncation DuckDB applies), so the legacy nanosAsLong workaround
+        # is a no-op there; older readers surface raw nanos as BIGINT.
+        # Handle both shapes and normalize to TIMESTAMP (session tz is
+        # pinned to UTC by every entrypoint, so the cast is exact).
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 
