@@ -12,9 +12,12 @@ Four tiers, cheapest-first — the standard corpus-dedup ladder:
  4. SimHash      — 64-bit weighted-bit fingerprint; hamming-distance
                    banding for near-dup at scale.
 
-Tiers 1-2 are SQL-expressible and oracle-checked; 3-4 use Spark's
-xxhash64 (no DuckDB twin) and are verified in tests against tier 2's
-exact answer (recall on the planted near-dup pairs).
+All four tiers are SQL-expressible and oracle-checked: tiers 3-4 hash
+with a *portable* 60-bit hash (the first 15 hex digits of md5, identical
+in Spark's ``conv(substring(md5(x),1,15),16,10)`` and DuckDB's
+``('0x' || substr(md5(x),1,15))::BIGINT``) so the MinHash family and the
+SimHash fingerprint compute bit-identically in both engines.  Recall vs
+tier 2's exact answer is additionally asserted in tests.
 
 Integer discipline: jaccard thresholds are evaluated as
 ``scale * |∩| >= thr_scaled * |∪|`` in BIGINT arithmetic — no float
@@ -29,6 +32,53 @@ from pyspark.sql import DataFrame
 
 def _tokens(col: F.Column) -> F.Column:
     return F.split(F.trim(col), r"\s+")
+
+
+# --- portable 60-bit hash + MinHash permutation family -------------------
+#
+# 60 bits = 15 hex digits of md5: small enough to never touch the BIGINT
+# sign bit (DuckDB raises on sign-bit shifts; Spark ANSI mode raises on
+# signed overflow), large enough for collision-free shingle hashing.
+# The permutation family is the classic (a*h + b) mod p universal family
+# over the Mersenne prime p = 2^31 - 1: products stay below (p-1)^2 ~
+# 4.6e18 < 2^63, so the arithmetic is exact signed-64 in both engines.
+# Constants are drawn once from a fixed-seed PRNG and embedded as
+# literals in BOTH the Spark plan and the oracle SQL.
+
+_MH_P = 2_147_483_647  # 2^31 - 1
+
+def _mh_constants(num_hashes: int) -> tuple[list[int], list[int]]:
+    import random
+
+    rng = random.Random(0x5EED5EED)
+    a = [rng.randrange(1, _MH_P) for _ in range(num_hashes)]
+    b = [rng.randrange(0, _MH_P) for _ in range(num_hashes)]
+    return a, b
+
+
+def portable_hash60(col: F.Column) -> F.Column:
+    """First 60 bits of md5 as a non-negative BIGINT — bit-identical to
+    DuckDB's ``('0x' || substr(md5(x),1,15))::BIGINT`` (PORTABLE_HASH_SQL)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash60_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _shingle_sql(n: int, distinct: bool = True) -> str:
+    """Shared DuckDB CTE prefix producing (doc_id, shingle) rows named
+    ``sh`` — the SQL twin of :func:`shingles`."""
+    k = n - 1
+    d = "DISTINCT " if distinct else ""
+    return f"""\
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t) - {k}, 1) + 1)) AS i FROM toks
+), sh AS (
+    SELECT {d}doc_id, array_to_string(t[i:i+{k}], ' ') AS shingle FROM idx
+)"""
 
 
 def shingles(documents: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
@@ -136,23 +186,27 @@ def minhash_signatures(
     documents: DataFrame, n: int = 3, num_hashes: int = 32
 ) -> DataFrame:
     """MinHash signatures: one row per doc with ``mh_0..mh_{k-1}``
-    columns.  Hash_i(shingle) = xxhash64(seed_i, xxhash64(shingle)); the
-    min over a doc's shingles approximates a random permutation's first
-    element, so P(min_a = min_b) = jaccard(a, b).
+    columns.  Hash_i(shingle) = (a_i * h60(shingle) + b_i) mod p over the
+    portable 60-bit md5-prefix hash; the min over a doc's shingles
+    approximates a random permutation's first element, so
+    P(min_a = min_b) = jaccard(a, b).
 
     Computed as ``num_hashes`` min-aggregates over the RAW (multiset)
     shingle rows — min is duplicate-insensitive, so the distinct
     shuffle is skipped entirely, the partial mins combine map-side, and
     the exchange carries 32 longs per doc, never a shingle string.
     """
+    a_c, b_c = _mh_constants(num_hashes)
     # hash the (possibly long) shingle string ONCE; the k family members
-    # then hash the resulting 8-byte value — same independence story
-    # (xxhash64 seeded by i over the base hash), k x cheaper on strings
+    # are then integer multiply-add-mod over the 8-byte value — k x
+    # cheaper than k string hashes, and expressible in DuckDB verbatim
     sh = shingles(documents, n, distinct=False).withColumn(
-        "h0", F.xxhash64("shingle")
+        "h0", portable_hash60(F.col("shingle")) % F.lit(_MH_P)
     )
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"mh_{i}")
+        F.min(
+            (F.lit(a_c[i]) * F.col("h0") + F.lit(b_c[i])) % F.lit(_MH_P)
+        ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("doc_id").agg(*mins)
@@ -276,22 +330,92 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_oracle(
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold_pct: int = 50,
+    max_bucket: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`minhash_lsh_pairs` — same portable hash,
+    same permutation constants, same banding, cap, and exact verify, so
+    the candidate set (not just the verified output) is bit-identical."""
+    a_c, b_c = _mh_constants(num_hashes)
+    rows_per_band = num_hashes // bands
+    mins = ",\n           ".join(
+        f"min(({a_c[i]} * h0 + {b_c[i]}) % {_MH_P}) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return (
+        _shingle_sql(n)
+        + f""", hashed AS (
+    SELECT doc_id, {portable_hash60_sql('shingle')} % {_MH_P} AS h0 FROM sh
+), sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM hashed GROUP BY doc_id
+), bands AS (
+{band_selects}
+), capped AS (
+    SELECT doc_id, band, band_key FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, band_key) AS _bn FROM bands
+    ) WHERE _bn <= {max_bucket}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+), inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       sa.n_shingles + sb.n_shingles - n_common AS n_union
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_common * 100 >= (sa.n_shingles + sb.n_shingles - n_common) * {threshold_pct}
+ORDER BY doc_a, doc_b"""
+    )
+
+
+SIMHASH_BITS = 60  # portable md5-prefix hash width; see portable_hash60
+_SIMHASH_CHUNK_BITS = 15  # 4 chunks x 15 bits
+
+
 def simhash_fingerprints(documents: DataFrame, n: int = 2) -> DataFrame:
-    """Tier 4: 64-bit SimHash per document, term-frequency weighted
+    """Tier 4: 60-bit SimHash per document, term-frequency weighted
     (each occurrence contributes — the classic Charikar weighting; a
     distinct-set simhash is too noisy on small vocabularies).
+
+    60 bits (not 64) because the portable md5-prefix hash yields 60
+    clean bits in both Spark and DuckDB — the sign bit stays untouched
+    so neither engine's overflow checks can fire.
 
     bit_j(doc) = sign of sum over shingle occurrences of (+1 if hash bit
     j set else -1).  Expressed as: explode shingles -> per-bit
     contribution via shift/mask -> groupBy doc -> per-bit sums ->
     reassemble the word.  All integer column math; no UDF.
     """
-    # materialize the hash ONCE per shingle row — referencing the
-    # xxhash64 expression inside all 64 aggregates would re-evaluate it
-    # per aggregate (no CSE across aggregate expressions): 64x the hash
+    # materialize the hash ONCE per shingle row — referencing the hash
+    # expression inside all 60 aggregates would re-evaluate it per
+    # aggregate (no CSE across aggregate expressions): 60x the hash
     # cost, measured 36s -> ~8s at sf0.1
     sh = shingles(documents, n, distinct=False).withColumn(
-        "h", F.xxhash64("shingle")
+        "h", portable_hash60(F.col("shingle"))
     )
     h = F.col("h")
     # one +1/-1 contribution column per bit; python loop because the
@@ -302,23 +426,23 @@ def simhash_fingerprints(documents: DataFrame, n: int = 2) -> DataFrame:
             .otherwise(F.lit(-1))
             .cast("long")
         ).alias(f"bit_{j}")
-        for j in range(64)
+        for j in range(SIMHASH_BITS)
     ]
     per_doc = sh.groupBy("doc_id").agg(*bit_terms)
+    # distinct powers of two: sum == bitwise-or, and sum is what the
+    # DuckDB twin uses, so keep the two plans textually parallel
     fp = F.lit(0).cast("long")
-    for j in range(64):
-        fp = fp.bitwiseXOR(
-            F.when(
-                F.col(f"bit_{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
-            ).otherwise(F.lit(0).cast("long"))
-        )
+    for j in range(SIMHASH_BITS):
+        fp = fp + F.when(
+            F.col(f"bit_{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
     return per_doc.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_near_pairs(
     documents: DataFrame, max_hamming: int = 8, max_bucket: int = 1000
 ) -> DataFrame:
-    """SimHash near-dup pairs: banding on 4 x 16-bit chunks (pigeonhole:
+    """SimHash near-dup pairs: banding on 4 x 15-bit chunks (pigeonhole:
     any pair within hamming distance 3 shares a chunk; wider distances
     are caught probabilistically), verified by exact popcount.  Chunk
     buckets over ``max_bucket`` docs are dropped (_cap_buckets) — same
@@ -329,8 +453,8 @@ def simhash_near_pairs(
             *[
                 F.struct(
                     F.lit(i).alias("chunk_id"),
-                    F.shiftright(F.col("simhash"), i * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("simhash"), i * _SIMHASH_CHUNK_BITS)
+                    .bitwiseAND(F.lit(0x7FFF))
                     .alias("chunk_val"),
                 )
                 for i in range(4)
@@ -343,7 +467,9 @@ def simhash_near_pairs(
     banded = _cap_buckets(banded, ["chunk_id", "chunk_val"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
-    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    dist = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
     return (
         a.join(
             b,
@@ -359,6 +485,53 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_near_pairs_oracle(
+    n: int = 2, max_hamming: int = 8, max_bucket: int = 1000
+) -> str:
+    """DuckDB twin of :func:`simhash_near_pairs` — same portable 60-bit
+    hash, TF-weighted bit votes, 4 x 15-bit chunk banding, bucket cap,
+    and exact popcount verify."""
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS bit_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN bit_{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    chunk_selects = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, simhash, {i} AS chunk_id,"
+        f" (simhash >> {i * _SIMHASH_CHUNK_BITS}) & 32767 AS chunk_val FROM fps"
+        for i in range(4)
+    )
+    return (
+        _shingle_sql(n, distinct=False)
+        + f""", hashed AS (
+    SELECT doc_id, {portable_hash60_sql('shingle')} AS h FROM sh
+), bits AS (
+    SELECT doc_id,
+           {bit_sums}
+    FROM hashed GROUP BY doc_id
+), fps AS (
+    SELECT doc_id, {fp_terms} AS simhash FROM bits
+), chunks AS (
+{chunk_selects}
+), capped AS (
+    SELECT doc_id, simhash, chunk_id, chunk_val FROM (
+        SELECT *, count(*) OVER (PARTITION BY chunk_id, chunk_val) AS _bn
+        FROM chunks
+    ) WHERE _bn <= {max_bucket}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM capped a JOIN capped b
+  ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b"""
     )
 
 

@@ -463,11 +463,14 @@ ORACLES["dedup_duplicate_clusters"] = dedup.dup_clusters_oracle()
 QUERIES["dedup_keep_best"] = _doc_query(dedup.dedup_keep_best)
 ORACLES["dedup_keep_best"] = dedup.dedup_keep_best_oracle()
 
-# MinHash-LSH and SimHash use Spark's xxhash64 (no DuckDB twin) ->
-# rows-only driver check; recall vs the exact jaccard answer is asserted
-# in tests/test_dedup.py.
+# MinHash-LSH and SimHash hash with the portable 60-bit md5-prefix hash
+# (dedup.portable_hash60), so the full pipeline — signatures, banding,
+# bucket cap, exact verify — has a bit-identical DuckDB twin.  Recall vs
+# the exact jaccard answer is additionally asserted in tests/test_dedup.py.
 QUERIES["dedup_minhash_lsh"] = _doc_query(dedup.minhash_lsh_pairs)
+ORACLES["dedup_minhash_lsh"] = dedup.minhash_lsh_pairs_oracle()
 QUERIES["dedup_simhash_pairs"] = _doc_query(dedup.simhash_near_pairs)
+ORACLES["dedup_simhash_pairs"] = dedup.simhash_near_pairs_oracle()
 
 
 def _emb_query(fn, *args, **kwargs):

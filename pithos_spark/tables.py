@@ -72,8 +72,10 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is TIMESTAMP(NANOS).  Spark 4.x reads it natively as
         # TIMESTAMP_NTZ with the nanos floor-truncated to micros (same
-        # truncation DuckDB applies), so the legacy nanosAsLong workaround
-        # is a no-op there; older readers surface raw nanos as BIGINT.
+        # truncation DuckDB applies).  Spark 3.x cannot read nanos at all
+        # unless spark.sql.legacy.parquet.nanosAsLong was set externally
+        # before the read (then ts surfaces as BIGINT raw nanos) — the
+        # bigint branch below is that defensive fallback.
         # Handle both shapes and normalize to TIMESTAMP (session tz is
         # pinned to UTC by every entrypoint, so the cast is exact).
         df = spark.read.parquet(path)

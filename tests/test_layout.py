@@ -80,14 +80,25 @@ def test_compaction_reduces_file_count(spark, layout_dir):
     assert spark.read.parquet(out_path).count() == t["lineitem"].count()
 
 
-def test_events_read_restores_nanos_conf(spark):
-    """_read_table scopes the legacy nanosAsLong conf to the events read:
-    after loading, the session conf is back to its prior value, and the
-    returned DataFrame still executes (analysis happened under the conf)."""
+def test_events_ts_normalized_and_matches_oracle(spark):
+    """_read_table normalizes events.ts (TIMESTAMP(NANOS) parquet) to a
+    plain TIMESTAMP without touching session conf, and the truncated
+    micros values match DuckDB's read of the same file exactly."""
+    import duckdb
+    import pyspark.sql.functions as F
+
     from pithos_spark.tables import _read_table
 
     key = "spark.sql.legacy.parquet.nanosAsLong"
     df = _read_table(spark, "/root/testdata/sf0.001", "events")
-    assert spark.conf.get(key) == "false"  # back to default, not leaked
-    assert df.count() > 0
+    assert spark.conf.get(key) == "false"  # never set session-globally
     assert df.schema["ts"].dataType.typeName() == "timestamp"
+    got = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.unix_micros("ts")).alias("s"),
+    ).collect()[0]
+    want = duckdb.sql(
+        "SELECT count(*), sum(epoch_us(ts)) FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    ).fetchone()
+    assert (got["n"], got["s"]) == want
