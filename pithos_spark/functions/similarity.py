@@ -5,8 +5,9 @@ Two paths:
    fully distributed (TakeOrdered top-k; no global sort).
  - LSH-bucketed (random hyperplanes): the 100 TB path — candidates come
    from matching sign-bit buckets, then the exact score reranks.  Planes
-   are derived from xxhash64 so the plan is fully deterministic with no
-   side-channel state.
+   are derived from the portable md5-prefix hash (dedup.portable_hash60)
+   so the plan is fully deterministic with no side-channel state AND has
+   a bit-identical DuckDB twin.
 
 Scoring discipline: dot products are computed on integer-quantized
 components (floor(x*1000) as BIGINT), giving bit-identical results in
@@ -21,6 +22,8 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+from pithos_spark.functions.dedup import portable_hash60, portable_hash60_sql
 
 
 def _quantized(col: F.Column, scale: int = 1000) -> F.Column:
@@ -89,7 +92,9 @@ def hyperplane_buckets(
 ) -> DataFrame:
     """Random-hyperplane LSH buckets: bit_p = sign(v . h_p) where
     component j of plane p is a deterministic pseudo-random value derived
-    from xxhash64(table, p, j), mapped into [-500, 500).
+    from the portable hash of 'plane:table:p:j', mapped into [-500, 500)
+    — the same value DuckDB computes from the same string, so buckets
+    are oracle-checkable.
 
     ``num_tables`` independent hash tables (LSH-forest style): a vector
     gets one bucket per table; neighbors only need to collide in ANY
@@ -102,12 +107,17 @@ def hyperplane_buckets(
     qv = _quantized(F.col("embedding"), scale)
 
     def plane_dot(t: int, p: int) -> F.Column:
+        prefix = f"plane:{t}:{p}:"
         return F.aggregate(
             F.zip_with(
                 qv,
                 F.sequence(F.lit(0), F.size(qv) - 1),
                 lambda x, j: x
-                * (F.pmod(F.xxhash64(F.lit(t), F.lit(p), j), F.lit(1000)) - 500),
+                * (
+                    portable_hash60(F.concat(F.lit(prefix), j.cast("string")))
+                    % F.lit(1000)
+                    - 500
+                ),
             ),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
@@ -147,7 +157,7 @@ def lsh_topk(
     candidate rows.
 
     Hot-bucket guard: a candidate bucket is truncated to its
-    ``max_bucket`` members with the smallest xxhash64(vec_id) — a
+    ``max_bucket`` members with the smallest portable hash of vec_id — a
     deterministic uniform subsample, so one degenerate bucket (all-equal
     vectors, a zero-heavy corpus) bounds the rerank instead of scanning
     millions of rows.  Unlike the dedup caps this samples rather than
@@ -159,7 +169,7 @@ def lsh_topk(
 
     bucketed = hyperplane_buckets(embeddings, num_planes, num_tables=num_tables)
     wb = Window.partitionBy("table", "bucket").orderBy(
-        F.xxhash64("vec_id"), F.col("vec_id")
+        portable_hash60(F.col("vec_id").cast("string")), F.col("vec_id")
     )
     capped = (
         bucketed.withColumn("_bn", F.row_number().over(wb))
@@ -192,6 +202,64 @@ def lsh_topk(
         .orderBy(F.col("dot_q").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def lsh_topk_oracle(
+    query_vec_id: int,
+    k: int = 10,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    max_bucket: int = 10000,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`lsh_topk` — the plane weights, sign-bit
+    buckets, hot-bucket sampling order, and quantized rerank all derive
+    from the same portable md5-prefix hash, so the candidate set and the
+    final top-k are bit-identical."""
+    w_expr = portable_hash60_sql(
+        "'plane:' || t.t::VARCHAR || ':' || p.p::VARCHAR || ':' || j.j::VARCHAR"
+    )
+    cap_hash = portable_hash60_sql("vec_id::VARCHAR")
+    return f"""\
+WITH planes AS (
+    SELECT t.t AS tbl, p.p AS p, j.j AS j, {w_expr} % 1000 - 500 AS w
+    FROM generate_series(0, {num_tables - 1}) t(t),
+         generate_series(0, {num_planes - 1}) p(p),
+         generate_series(0, {dim - 1}) j(j)
+), dots AS (
+    SELECT e.vec_id, pl.tbl, pl.p,
+           sum(CAST(floor(CAST(e.embedding[pl.j + 1] AS DOUBLE) * 1000) AS BIGINT) * pl.w) AS dot
+    FROM embeddings e, planes pl
+    GROUP BY 1, 2, 3
+), buckets AS (
+    SELECT vec_id, tbl,
+           sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+    FROM dots GROUP BY 1, 2
+), capped AS (
+    SELECT vec_id, tbl, bucket FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY tbl, bucket
+            ORDER BY {cap_hash}, vec_id) AS _bn
+        FROM buckets
+    ) WHERE _bn <= {max_bucket}
+), qb AS (
+    SELECT tbl, bucket FROM buckets WHERE vec_id = {query_vec_id}
+), cand AS (
+    SELECT DISTINCT c.vec_id
+    FROM capped c JOIN qb ON c.tbl = qb.tbl AND c.bucket = qb.bucket
+    WHERE c.vec_id <> {query_vec_id}
+), q AS (
+    SELECT embedding AS query_embedding FROM embeddings WHERE vec_id = {query_vec_id}
+), scored AS (
+    SELECT e.vec_id, e.label,
+           (SELECT CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                            CAST(floor(CAST(q.query_embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+            FROM generate_series(1, {dim}) g(i)) AS dot_q
+    FROM embeddings e JOIN cand USING (vec_id), q
+)
+SELECT vec_id, label, dot_q FROM scored
+ORDER BY dot_q DESC, vec_id
+LIMIT {k}"""
 
 
 def label_centroid_norms(embeddings: DataFrame) -> DataFrame:

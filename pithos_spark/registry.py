@@ -485,9 +485,11 @@ ORACLES["ann_brute_force_topk"] = similarity.brute_force_topk_oracle(0, 10)
 QUERIES["ann_label_centroids"] = _emb_query(similarity.label_centroid_norms)
 ORACLES["ann_label_centroids"] = similarity.LABEL_CENTROID_NORMS_SQL
 
-# LSH ANN: deterministic but hash-based -> rows-only; recall asserted in
+# LSH ANN: plane weights and bucket sampling derive from the portable
+# md5-prefix hash -> full DuckDB twin; recall additionally asserted in
 # tests/test_similarity.py against brute force.
 QUERIES["ann_lsh_topk"] = _emb_query(similarity.lsh_topk, 0, 10)
+ORACLES["ann_lsh_topk"] = similarity.lsh_topk_oracle(0, 10)
 
 QUERIES["multimodal_features"] = _doc_query(multimodal.media_features)
 ORACLES["multimodal_features"] = multimodal.MEDIA_FEATURES_SQL
