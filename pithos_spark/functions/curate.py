@@ -235,3 +235,100 @@ SELECT doc_id, source, selector, rate_permille
 FROM sel
 WHERE selector < rate_permille
 ORDER BY doc_id"""
+
+
+# --- PII scrubbing ---------------------------------------------------------
+#
+# The synthetic corpus carries no real PII, so the fixture query
+# deterministically prepends a contact header (email, phone, IPv4 built
+# from doc_id/source) before scrubbing — the *scrubber* is the operator
+# under test, and building its input in-plan keeps the whole thing
+# oracle-checkable.  On a real corpus, point pii_redact at the raw text.
+#
+# Patterns stay inside the Java-regex / RE2 common subset (character
+# classes, bounded repetition, \b) so Spark and DuckDB match the same
+# spans.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b555-[0-9]{4}\b"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def _with_contact_header(documents: DataFrame) -> F.Column:
+    return F.concat_ws(
+        " ",
+        F.concat(
+            F.lit("contact user-"),
+            F.col("doc_id").cast("string"),
+            F.lit("@"),
+            F.col("source"),
+            F.lit(".example.com"),
+        ),
+        F.concat(
+            F.lit("tel 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+        F.concat(
+            F.lit("ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ),
+        F.col("text"),
+    )
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """Scrub emails, phone numbers, and IPv4 addresses from document
+    text, reporting per-doc redaction counts — the privacy pass every
+    training-data pipeline runs before tokenization.
+
+    One scan, zero shuffles: the regex chain is a scan-side projection
+    (JVM codegen, no UDF), so at 100 TB this runs at I/O speed.
+    Replacement order matters and is fixed: email first (its host part
+    would otherwise survive as an IP-like token), then IPv4, then
+    phone.
+    """
+    raw = _with_contact_header(documents)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, PII_EMAIL, "[EMAIL]"),
+            PII_IPV4,
+            "[IP]",
+        ),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    n_red = (
+        F.regexp_count(raw, F.lit(PII_EMAIL))
+        + F.regexp_count(raw, F.lit(PII_IPV4))
+        + F.regexp_count(raw, F.lit(PII_PHONE))
+    ).cast("long")
+    return documents.select(
+        "doc_id",
+        redacted.alias("redacted_text"),
+        n_red.alias("n_redactions"),
+    )
+
+
+def pii_redact_oracle() -> str:
+    email, phone, ipv4 = PII_EMAIL, PII_PHONE, PII_IPV4
+    return f"""\
+WITH raw AS (
+    SELECT doc_id,
+           concat_ws(' ',
+               'contact user-' || doc_id::VARCHAR || '@' || source || '.example.com',
+               'tel 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0'),
+               'ip 10.0.' || (doc_id % 256)::VARCHAR || '.1',
+               text) AS t
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(t, '{email}', '[EMAIL]', 'g'),
+               '{ipv4}', '[IP]', 'g'),
+           '{phone}', '[PHONE]', 'g') AS redacted_text,
+       CAST(len(regexp_extract_all(t, '{email}'))
+          + len(regexp_extract_all(t, '{ipv4}'))
+          + len(regexp_extract_all(t, '{phone}')) AS BIGINT) AS n_redactions
+FROM raw"""

@@ -1876,11 +1876,45 @@ def _curate(spark, sf_dir):
 from pithos_spark.functions.curate import (  # noqa: E402
     CURATE_CORPUS_SQL,
     PACK_SEQUENCES_SQL,
+    pii_redact_oracle,
     sample_mix_oracle,
 )
 
 QUERIES["corpus_curation_pipeline"] = _curate
 ORACLES["corpus_curation_pipeline"] = CURATE_CORPUS_SQL
+
+
+# Lexical + hybrid retrieval (functions/retrieval.py): exact-integer
+# BM25 and Reciprocal Rank Fusion of the BM25 rank with an embedding
+# dot-product rank — both fully oracle-gated.
+def _bm25(spark, sf_dir):
+    from pithos_spark.functions import retrieval
+
+    return retrieval.bm25_topk(T.load_tables(spark, sf_dir)["documents"])
+
+
+def _hybrid(spark, sf_dir):
+    from pithos_spark.functions import retrieval
+
+    t = T.load_tables(spark, sf_dir)
+    return retrieval.hybrid_rrf_topk(t["documents"], t["embeddings"])
+
+
+from pithos_spark.functions import retrieval as _retrieval_mod  # noqa: E402
+
+def _pii(spark, sf_dir):
+    from pithos_spark.functions.curate import pii_redact
+
+    return pii_redact(T.load_tables(spark, sf_dir)["documents"])
+
+
+QUERIES["corpus_pii_redact"] = _pii
+ORACLES["corpus_pii_redact"] = pii_redact_oracle()
+
+QUERIES["corpus_bm25_topk"] = _bm25
+ORACLES["corpus_bm25_topk"] = _retrieval_mod.bm25_topk_oracle()
+QUERIES["corpus_hybrid_search_rrf"] = _hybrid
+ORACLES["corpus_hybrid_search_rrf"] = _retrieval_mod.hybrid_rrf_topk_oracle()
 
 
 def _pack(spark, sf_dir):

@@ -1,0 +1,82 @@
+"""Semantic tests for lexical/hybrid retrieval and PII scrubbing
+(oracle parity is covered by test_correctness.py via the registry)."""
+
+import pyspark.sql.functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", f"src{i}", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_bm25_ranks_term_stuffed_doc_first(spark):
+    from pithos_spark.functions.retrieval import bm25_topk
+
+    docs = _docs(
+        spark,
+        [
+            "spark spark spark spark window",
+            "the quick brown fox",
+            "spark appears once here",
+            "window window nothing else",
+        ],
+    )
+    got = bm25_topk(docs, ("spark",), k=3).collect()
+    assert got[0]["doc_id"] == 0
+    assert {r["doc_id"] for r in got} == {0, 2}  # only docs containing the term
+
+
+def test_bm25_idf_downweights_ubiquitous_terms(spark):
+    from pithos_spark.functions.retrieval import bm25_scores
+
+    # 'common' appears in every doc, 'rare' in one; equal tf in doc 0
+    docs = _docs(
+        spark,
+        ["common rare", "common x", "common y", "common z"],
+    )
+    # score of doc 0 under each single-term query: rare must beat common
+    rare = bm25_scores(docs, ("rare",)).filter(F.col("doc_id") == 0).collect()[0]
+    common = (
+        bm25_scores(docs, ("common",)).filter(F.col("doc_id") == 0).collect()[0]
+    )
+    assert rare["score_q"] > common["score_q"]
+
+
+def test_hybrid_rrf_rewards_presence_in_both_signals(spark):
+    from pithos_spark.functions.retrieval import hybrid_rrf_topk
+
+    docs = _docs(
+        spark,
+        ["spark heavy doc", "nothing relevant", "spark also here", "blank"],
+    )
+    # embeddings: vec 0 is the query; vec 2 is closest, vec 1 orthogonal
+    emb = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 0.0]),
+            (1, 0, [0.0, 1.0]),
+            (2, 0, [0.9, 0.1]),
+            (3, 0, [0.5, 0.5]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = hybrid_rrf_topk(docs, emb, ("spark",), query_vec_id=0, k=4).collect()
+    # doc 2 is in both signals (has 'spark' AND nearest vector) -> first
+    assert got[0]["doc_id"] == 2
+
+
+def test_pii_redact_scrubs_and_counts(spark):
+    from pithos_spark.functions.curate import pii_redact
+
+    docs = _docs(spark, ["body one", "body two"])
+    got = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    for i in (0, 1):
+        r = got[i]
+        assert r["n_redactions"] == 3
+        assert "[EMAIL]" in r["redacted_text"]
+        assert "[PHONE]" in r["redacted_text"]
+        assert "[IP]" in r["redacted_text"]
+        assert "@" not in r["redacted_text"]
+        assert "10.0." not in r["redacted_text"]
+        assert r["redacted_text"].endswith(f"body {'one' if i == 0 else 'two'}")
