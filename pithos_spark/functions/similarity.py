@@ -639,3 +639,192 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
         spark.read.parquet(f"{path}/assigned"),
         spark.read.parquet(f"{path}/centers"),
     )
+
+
+# --- deterministic Lloyd IVF (engine-exact trained quantizer) --------------
+
+
+def _lloyd_l2(q: F.Column, center: list[int]) -> F.Column:
+    lit_c = F.array(*[F.lit(int(v)).cast("long") for v in center])
+    return F.aggregate(
+        F.zip_with(q, lit_c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _lloyd_assign(qv: DataFrame, centers: dict[int, list[int]]) -> F.Column:
+    """Nearest-centroid id: array_min over (distance, cluster) structs —
+    lexicographic struct ordering = min distance, ties to the smallest
+    cluster id (the same ORDER BY d, cluster the SQL twin uses)."""
+    structs = [
+        F.struct(
+            _lloyd_l2(F.col("q"), centers[c]).alias("d"),
+            F.lit(c).alias("c"),
+        )
+        for c in sorted(centers)
+    ]
+    return F.array_min(F.array(*structs))["c"]
+
+
+def build_ivf_lloyd_index(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    n_iter: int = 3,
+    scale: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index with a TRAINED coarse quantizer that is still
+    engine-exact: hand-rolled Lloyd's k-means in the quantized integer
+    space, a fixed ``n_iter`` rounds from deterministic seeds (the
+    ``n_clusters`` vectors with the smallest portable hash of vec_id —
+    an unbiased, reproducible sample).  Every quantity is BIGINT
+    (distances; floor-div centroids via the exactly-divisible
+    ``(s - pmod(s,n)) div n`` identity), so unlike the MLlib variant
+    the whole build+probe pipeline has a bit-identical DuckDB twin.
+
+    Per round, only the k x dim integer centroid table leaves the
+    cluster (driver-tiny, the classic Lloyd control loop); the corpus
+    is scanned once per round and never collected.  At 100 TB you run
+    the same rounds on an ingest sample, then one full assignment scan.
+    """
+    from pithos_spark.functions.dedup import portable_hash60
+
+    qv = embeddings.select(
+        "vec_id", "label", "embedding", _quantized(F.col("embedding"), scale).alias("q")
+    )
+    seed_rows = (
+        qv.select(
+            "vec_id",
+            "q",
+            portable_hash60(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(n_clusters)
+        .collect()
+    )
+    centers = {c: [int(v) for v in r["q"]] for c, r in enumerate(seed_rows)}
+    for _ in range(n_iter):
+        assigned = qv.select(
+            "vec_id", "q", _lloyd_assign(qv, centers).alias("cluster")
+        )
+        new_rows = (
+            assigned.select(
+                "cluster",
+                F.explode(
+                    F.arrays_zip(
+                        F.col("q").alias("qc"),
+                        F.sequence(F.lit(0), F.size("q") - 1).alias("pos"),
+                    )
+                ).alias("z"),
+            )
+            .select("cluster", F.col("z.qc").alias("qc"), F.col("z.pos").alias("pos"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("qc").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("c", F.expr("(s - pmod(s, n)) div n"))
+            .collect()
+        )
+        updated: dict[int, list[int]] = {}
+        for r in new_rows:
+            updated.setdefault(int(r["cluster"]), [0] * len(centers[0]))[
+                int(r["pos"])
+            ] = int(r["c"])
+        # clusters that lost every member keep their previous centroid
+        centers = {
+            c: updated.get(c, centers[c]) for c in range(n_clusters)
+        }
+    final_assigned = qv.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _lloyd_assign(qv, centers).alias("cluster"),
+    )
+    centers_df = embeddings.sparkSession.createDataFrame(
+        [(c, centers[c]) for c in sorted(centers)],
+        "cluster int, centroid_q array<bigint>",
+    )
+    return final_assigned, centers_df
+
+
+def ivf_lloyd_topk_oracle(
+    query_vec_id: int,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_iter: int = 3,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of build_ivf_lloyd_index + ivf_query(metric="l2"):
+    the Lloyd rounds are UNROLLED as one CTE block per iteration —
+    deterministic seeds, integer distances, floor-div centroid updates,
+    empty-cluster carry-over, then the l2 probe ranking and exact dot
+    rerank, all bit-identical to the Spark plan."""
+    h = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT"
+    parts = [
+        f"""\
+WITH qv AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+    FROM embeddings
+), seeds AS (
+    SELECT vec_id, row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cluster
+    FROM embeddings
+    QUALIFY row_number() OVER (ORDER BY {h}, vec_id) <= {n_clusters}
+), cent0 AS (
+    SELECT s.cluster, g.i - 1 AS pos, q.q[g.i] AS c
+    FROM seeds s JOIN qv q USING (vec_id), generate_series(1, {dim}) g(i)
+)"""
+    ]
+    for j in range(n_iter):
+        parts.append(
+            f""", dist{j} AS (
+    SELECT q.vec_id, c.cluster,
+           sum((q.q[c.pos + 1] - c.c) * (q.q[c.pos + 1] - c.c)) AS d
+    FROM qv q, cent{j} c GROUP BY 1, 2
+), assign{j} AS (
+    SELECT vec_id, cluster FROM dist{j}
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1
+), sums{j} AS (
+    SELECT a.cluster, g.i - 1 AS pos,
+           CAST(sum(q.q[g.i]) AS BIGINT) AS s, count(*) AS n
+    FROM assign{j} a JOIN qv q USING (vec_id), generate_series(1, {dim}) g(i)
+    GROUP BY 1, 2
+), cent{j + 1} AS (
+    SELECT cluster, pos, (s - ((s % n + n) % n)) // n AS c FROM sums{j}
+    UNION ALL
+    SELECT p.cluster, p.pos, p.c FROM cent{j} p
+    WHERE p.cluster NOT IN (SELECT DISTINCT cluster FROM sums{j})
+)"""
+        )
+    parts.append(
+        f""", final_assign AS (
+    SELECT vec_id, cluster FROM (
+        SELECT q.vec_id, c.cluster,
+               sum((q.q[c.pos + 1] - c.c) * (q.q[c.pos + 1] - c.c)) AS d
+        FROM qv q, cent{n_iter} c GROUP BY 1, 2
+    ) t
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1
+), cdist AS (
+    SELECT c.cluster,
+           sum((c.c - q.q[c.pos + 1]) * (c.c - q.q[c.pos + 1])) AS cd
+    FROM cent{n_iter} c, (SELECT q FROM qv WHERE vec_id = {query_vec_id}) q(q)
+    GROUP BY 1
+), probes AS (
+    SELECT cluster FROM cdist
+    QUALIFY row_number() OVER (ORDER BY cd, cluster) <= {n_probe}
+), scored AS (
+    SELECT e.vec_id, e.label,
+           (SELECT CAST(sum(e2.q[i] * q.q[i]) AS BIGINT)
+            FROM generate_series(1, {dim}) g(i)) AS dot_q
+    FROM final_assign fa
+    JOIN probes p ON fa.cluster = p.cluster
+    JOIN embeddings e ON e.vec_id = fa.vec_id
+    JOIN qv e2 ON e2.vec_id = e.vec_id,
+         (SELECT q FROM qv WHERE vec_id = {query_vec_id}) q(q)
+    WHERE e.vec_id <> {query_vec_id}
+)
+SELECT vec_id, label, dot_q FROM scored
+ORDER BY dot_q DESC, vec_id
+LIMIT {k}"""
+    )
+    return "".join(parts)

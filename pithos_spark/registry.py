@@ -1587,6 +1587,24 @@ QUERIES["ann_batch_topk"] = _emb_query(similarity.batch_topk, [0, 7, 42, 99, 123
 ORACLES["ann_batch_topk"] = similarity.batch_topk_oracle([0, 7, 42, 99, 123])
 
 
+def ann_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-quantizer IVF that stays engine-exact: deterministic
+    integer Lloyd's k-means (fixed seeds + rounds, floor-div centroids)
+    built once via the index cache, then the standard l2 probe + exact
+    rerank.  Unlike the MLlib KMeans twin this carries a full DuckDB
+    oracle — the Lloyd rounds are unrolled CTE blocks."""
+    assigned, centers = _ivf_index(
+        "ivf_lloyd", similarity.build_ivf_lloyd_index, spark, sf_dir
+    )
+    return similarity.ivf_query(
+        assigned, centers, 0, 10, 4, cluster_col="cluster", metric="l2"
+    ).drop("query_id")
+
+
+QUERIES["ann_ivf_lloyd_topk"] = ann_ivf_lloyd_topk
+ORACLES["ann_ivf_lloyd_topk"] = similarity.ivf_lloyd_topk_oracle(0, 10)
+
+
 # KMeans-IVF ANN (rows-only: trained float centroids; recall asserted
 # in tests/test_similarity.py)
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

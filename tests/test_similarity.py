@@ -105,3 +105,33 @@ def test_ivf_index_persistence_roundtrip(spark, tmp_path):
     import glob
 
     assert glob.glob(f"{path}/assigned/cluster=*"), "not partitioned by cluster"
+
+
+def test_ivf_lloyd_recall_vs_brute_force(embeddings):
+    """Deterministic Lloyd IVF (4 probes of 16 trained clusters) must
+    recover most of the true top-10 and assign every vector."""
+    from pithos_spark.functions.similarity import (
+        brute_force_topk,
+        build_ivf_lloyd_index,
+        ivf_query,
+    )
+
+    assigned, centers = build_ivf_lloyd_index(embeddings)
+    assert assigned.count() == embeddings.count()
+    assert centers.count() == 16
+    true10 = {r["vec_id"] for r in brute_force_topk(embeddings, 0, 10).collect()}
+    got = {
+        r["vec_id"]
+        for r in ivf_query(
+            assigned, centers, 0, 10, 4, cluster_col="cluster", metric="l2"
+        ).collect()
+    }
+    assert len(got & true10) >= 5, f"lloyd-IVF recall {len(got & true10)}/10"
+
+
+def test_ivf_lloyd_build_is_deterministic(embeddings):
+    from pithos_spark.functions.similarity import build_ivf_lloyd_index
+
+    _, c1 = build_ivf_lloyd_index(embeddings)
+    _, c2 = build_ivf_lloyd_index(embeddings)
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
