@@ -249,7 +249,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold_pct: int = 50,
     max_bucket: int = 1000,
-    broadcast_candidates: bool = True,
+    broadcast_candidates: bool = False,
 ) -> DataFrame:
     """Tier 3: MinHash + LSH banding, verified against exact jaccard.
 
@@ -301,12 +301,14 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # after banding + bucket caps the candidate list is tiny relative to
-    # the shingle table, so broadcasting it turns the verify joins into
-    # map-side hash joins (no shuffle of the shingle rows; measured
-    # 3.4s -> 2.7s at sf0.1).  Disable when a pass is expected to emit
-    # more candidate pairs than a broadcast can hold (degenerate
-    # corpora at extreme scale) — the plan falls back to shuffle joins.
+    # broadcast_candidates trades the doc_id shuffle of the shingle rows
+    # for a broadcast of the (tiny) candidate list — BUT it also
+    # forfeits ReuseExchange on the shingle-explode subtree (the two
+    # verify joins then each re-explode and re-hash every shingle),
+    # which costs more than the shuffle it saves on a cold run
+    # (bench: 3.9s plain vs 4.7s broadcast at sf0.1; warm sessions with
+    # the scan cached invert to 3.4 vs 2.7).  Default off: one shingle
+    # materialization + shuffle is the shape that holds at 100 TB.
     if broadcast_candidates:
         candidates = F.broadcast(candidates)
     # exact verification restricted to candidates — the full quadratic
