@@ -332,3 +332,93 @@ SELECT doc_id,
           + len(regexp_extract_all(t, '{ipv4}'))
           + len(regexp_extract_all(t, '{phone}')) AS BIGINT) AS n_redactions
 FROM raw"""
+
+
+def corpus_profile(documents: DataFrame) -> DataFrame:
+    """Per-source corpus profile — the data-sheet a mixing/curation
+    decision reads: volume, token-length distribution (exact p50/p90/p99
+    — Spark's ``percentile`` and DuckDB's ``quantile_cont`` both do
+    linear interpolation and agree bit-for-bit on integer inputs),
+    exact-duplicate rate, and language spread.
+
+    One scan + one shuffle keyed by source.  Exact percentiles hold to
+    ~memory-per-group at 100 TB; swap to approx_percentile when a single
+    source exceeds that, accepting the weaker driver check.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = documents.select(
+        "source",
+        "lang",
+        F.md5(F.col("text")).alias("text_hash"),
+        F.size(toks).cast("long").alias("tc"),
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tc").alias("total_tokens"),
+            F.min("tc").alias("min_tokens"),
+            F.max("tc").alias("max_tokens"),
+            F.expr("percentile(tc, array(0.5D, 0.9D, 0.99D))").alias(
+                "pct_tokens"
+            ),
+            (F.count(F.lit(1)) - F.countDistinct("text_hash")).alias(
+                "n_exact_dupes"
+            ),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_PROFILE_SQL = """\
+WITH base AS (
+    SELECT source, lang, md5(text) AS text_hash,
+           len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS tc
+    FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(tc) AS BIGINT) AS total_tokens,
+       min(tc) AS min_tokens,
+       max(tc) AS max_tokens,
+       quantile_cont(tc, [0.5, 0.9, 0.99]) AS pct_tokens,
+       count(*) - count(DISTINCT text_hash) AS n_exact_dupes,
+       count(DISTINCT lang) AS n_langs
+FROM base
+GROUP BY source
+ORDER BY source"""
+
+
+def shard_assign(documents: DataFrame, n_shards: int = 128) -> DataFrame:
+    """Deterministic output sharding — the step that decides which
+    training-file shard each document lands in (portable hash of doc_id
+    mod n_shards; content-independent so a re-run or a backfill lands
+    every doc in the same shard).  Returns per-shard volume so the
+    writer can spot skew before committing the layout.  One scan, one
+    bounded shuffle (n_shards groups)."""
+    sel = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long") % n_shards
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        documents.select(
+            sel.alias("shard"), F.size(toks).cast("long").alias("tc")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tc").alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+def shard_assign_oracle(n_shards: int = 128) -> str:
+    return f"""\
+SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % {n_shards} AS shard,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY shard
+ORDER BY shard"""

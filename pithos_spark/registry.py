@@ -1892,10 +1892,14 @@ def _curate(spark, sf_dir):
 
 
 from pithos_spark.functions.curate import (  # noqa: E402
+    CORPUS_PROFILE_SQL,
     CURATE_CORPUS_SQL,
     PACK_SEQUENCES_SQL,
+    corpus_profile,
     pii_redact_oracle,
     sample_mix_oracle,
+    shard_assign,
+    shard_assign_oracle,
 )
 
 QUERIES["corpus_curation_pipeline"] = _curate
@@ -1928,6 +1932,16 @@ def _pii(spark, sf_dir):
 
 QUERIES["corpus_pii_redact"] = _pii
 ORACLES["corpus_pii_redact"] = pii_redact_oracle()
+
+QUERIES["corpus_profile"] = lambda spark, sf_dir: corpus_profile(
+    T.load_tables(spark, sf_dir)["documents"]
+)
+ORACLES["corpus_profile"] = CORPUS_PROFILE_SQL
+
+QUERIES["corpus_shard_assign"] = lambda spark, sf_dir: shard_assign(
+    T.load_tables(spark, sf_dir)["documents"]
+)
+ORACLES["corpus_shard_assign"] = shard_assign_oracle()
 
 QUERIES["corpus_bm25_topk"] = _bm25
 ORACLES["corpus_bm25_topk"] = _retrieval_mod.bm25_topk_oracle()

@@ -180,3 +180,55 @@ def test_curation_gates_reach_the_scan(tables, spark):
         spark.conf.unset("spark.sql.maxMetadataStringLength")
     pushed = _re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("lang" in p for p in pushed), pushed
+
+
+def test_pii_redact_is_pure_scan_projection(tables):
+    """The privacy scrub must run at I/O speed: no joins, no exchanges —
+    a single whole-stage-codegen projection over the scan."""
+    from pithos_spark.functions.curate import pii_redact
+
+    plan = _plan(pii_redact(tables["documents"]))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_bm25_broadcasts_stats_and_df(tables):
+    """BM25's per-doc score needs only broadcast (N, TL, df) joins —
+    never a shuffle of the corpus against itself."""
+    from pithos_spark.functions.retrieval import bm25_topk
+
+    plan = _plan(bm25_topk(tables["documents"]))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # top-k must be distributed, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_candidates_never_go_quadratic(tables):
+    """The LSH plan must stay candidate-restricted: no cartesian product
+    anywhere, and the small sides (sizes, candidate pairs) broadcast
+    into the verify joins rather than shuffling the shingle table more
+    than its required doc/shingle partitionings."""
+    from pithos_spark.functions.dedup import minhash_lsh_pairs
+
+    plan = _plan(minhash_lsh_pairs(tables["documents"]))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lloyd_ivf_probe_broadcasts_centers(tables):
+    """Query-time IVF work is a broadcast of the tiny centers table plus
+    the probed lists — the corpus is never shuffled per query."""
+    from pithos_spark.functions.similarity import (
+        build_ivf_lloyd_index,
+        ivf_query,
+    )
+
+    assigned, centers = build_ivf_lloyd_index(tables["embeddings"])
+    plan = _plan(
+        ivf_query(assigned, centers, 0, 10, 4, cluster_col="cluster", metric="l2")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
