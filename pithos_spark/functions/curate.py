@@ -422,3 +422,62 @@ SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % {n_shards} AS sha
 FROM documents
 GROUP BY shard
 ORDER BY shard"""
+
+
+def decontaminate(
+    documents: DataFrame,
+    eval_max_doc_id: int = 50,
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    ``n``-gram with the held-out eval set — the train/test-overlap scrub
+    every serious pretraining run performs (n=8..13 word grams is the
+    standard detection width).
+
+    Fixture protocol: docs with doc_id < ``eval_max_doc_id`` act as the
+    eval set; everything else is the training corpus.  Output: one row
+    per contaminated (train_doc, eval_doc) pair with the overlapping
+    gram count — downstream either drops the train doc or masks the
+    spans.
+
+    Scale: gram explode on both sides, one shuffle keyed by the gram
+    string, candidate pairs only at the join output — identical shape to
+    the LSH verifier, linear in corpus size.  The eval side is tiny by
+    construction, so at 100 TB it broadcasts and the train side never
+    shuffles at all.
+    """
+    from pithos_spark.functions.dedup import shingles
+
+    sh = shingles(documents, n)
+    ev = sh.filter(F.col("doc_id") < eval_max_doc_id).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    train = sh.filter(F.col("doc_id") >= eval_max_doc_id)
+    return (
+        train.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+        .orderBy("doc_id", "eval_doc_id")
+    )
+
+
+def decontaminate_oracle(
+    eval_max_doc_id: int = 50, n: int = 8, min_overlap: int = 1
+) -> str:
+    k = n - 1
+    return f"""\
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t) - {k}, 1) + 1)) AS i FROM toks
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+{k}], ' ') AS shingle FROM idx
+)
+SELECT tr.doc_id, ev.doc_id AS eval_doc_id, count(*) AS n_overlap
+FROM sh tr JOIN sh ev ON tr.shingle = ev.shingle
+WHERE tr.doc_id >= {eval_max_doc_id} AND ev.doc_id < {eval_max_doc_id}
+GROUP BY 1, 2
+HAVING count(*) >= {min_overlap}
+ORDER BY tr.doc_id, eval_doc_id"""

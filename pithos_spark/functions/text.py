@@ -190,3 +190,57 @@ SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
        length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS normalized_len
 FROM documents"""
+
+
+def bigram_lm(documents: DataFrame, top_k: int = 20) -> DataFrame:
+    """Count-based bigram language model summary: the ``top_k`` most
+    frequent bigrams with their integer conditional probability
+    P(w2 | w1) in permille — the statistic a contamination detector or
+    a cheap perplexity proxy reads.  All-integer (count div count), so
+    the table is engine-exact.
+
+    Scale: one shingle explode + two keyed aggregations; the bigram key
+    space is bounded by vocabulary^2 but the heavy hitters this returns
+    combine map-side.  Ties break lexicographically on the bigram.
+    """
+    toks = documents.select(
+        "doc_id", _tokens(F.col("text")).alias("_toks")
+    )
+    t = F.col("_toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, 2)))
+    bi = toks.select(F.explode(grams).alias("bigram")).withColumn(
+        "w1", F.split(F.col("bigram"), " ")[0]
+    )
+    counts = bi.groupBy("w1", "bigram").agg(F.count(F.lit(1)).alias("c2"))
+    uni = counts.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return (
+        counts.join(uni, "w1")
+        .select(
+            "bigram",
+            F.col("c2").alias("n_bigram"),
+            F.expr("(1000 * c2) div c1").alias("cond_permille"),
+        )
+        .orderBy(F.col("n_bigram").desc(), "bigram")
+        .limit(top_k)
+    )
+
+
+def bigram_lm_oracle(top_k: int = 20) -> str:
+    return f"""\
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1) + 1)) AS i FROM toks
+), bi AS (
+    SELECT array_to_string(t[i:i+1], ' ') AS bigram FROM idx
+), counts AS (
+    SELECT split_part(bigram, ' ', 1) AS w1, bigram, count(*) AS c2
+    FROM bi GROUP BY 1, 2
+), uni AS (
+    SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM counts GROUP BY w1
+)
+SELECT bigram, c2 AS n_bigram, (1000 * c2) // c1 AS cond_permille
+FROM counts JOIN uni USING (w1)
+ORDER BY n_bigram DESC, bigram
+LIMIT {top_k}"""

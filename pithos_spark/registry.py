@@ -1943,6 +1943,27 @@ QUERIES["corpus_shard_assign"] = lambda spark, sf_dir: shard_assign(
 )
 ORACLES["corpus_shard_assign"] = shard_assign_oracle()
 
+
+def _decontam(spark, sf_dir):
+    from pithos_spark.functions.curate import decontaminate
+
+    return decontaminate(T.load_tables(spark, sf_dir)["documents"])
+
+
+def _bigram(spark, sf_dir):
+    from pithos_spark.functions.text import bigram_lm
+
+    return bigram_lm(T.load_tables(spark, sf_dir)["documents"])
+
+
+from pithos_spark.functions.curate import decontaminate_oracle  # noqa: E402
+from pithos_spark.functions.text import bigram_lm_oracle  # noqa: E402
+
+QUERIES["corpus_decontaminate"] = _decontam
+ORACLES["corpus_decontaminate"] = decontaminate_oracle()
+QUERIES["corpus_bigram_lm"] = _bigram
+ORACLES["corpus_bigram_lm"] = bigram_lm_oracle()
+
 QUERIES["corpus_bm25_topk"] = _bm25
 ORACLES["corpus_bm25_topk"] = _retrieval_mod.bm25_topk_oracle()
 QUERIES["corpus_hybrid_search_rrf"] = _hybrid

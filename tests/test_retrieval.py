@@ -80,3 +80,38 @@ def test_pii_redact_scrubs_and_counts(spark):
         assert "@" not in r["redacted_text"]
         assert "10.0." not in r["redacted_text"]
         assert r["redacted_text"].endswith(f"body {'one' if i == 0 else 'two'}")
+
+
+def test_decontaminate_flags_planted_leak(spark):
+    from pithos_spark.functions.curate import decontaminate
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(
+        spark,
+        [
+            f"eval doc with the secret span {leak} inside",  # doc 0 (eval)
+            "clean eval doc nothing shared here at all",  # doc 1 (eval)
+        ],
+    ).unionByName(
+        _docs(
+            spark,
+            [
+                f"training doc that copied {leak} verbatim",  # -> doc_id 100
+                "an honest training doc with fresh words only",
+            ],
+        ).withColumn("doc_id", F.col("doc_id") + 100)
+    )
+    got = decontaminate(docs, eval_max_doc_id=50, n=8).collect()
+    assert [(r["doc_id"], r["eval_doc_id"]) for r in got] == [(100, 0)]
+    assert got[0]["n_overlap"] >= 1
+
+
+def test_bigram_lm_conditional_probability(spark):
+    from pithos_spark.functions.text import bigram_lm
+
+    # 'a b' twice, 'a c' once -> P(b|a)=666 permille, P(c|a)=333
+    docs = _docs(spark, ["a b x a b x a c"])
+    got = {r["bigram"]: r for r in bigram_lm(docs, top_k=10).collect()}
+    assert got["a b"]["n_bigram"] == 2
+    assert got["a b"]["cond_permille"] == 666
+    assert got["a c"]["cond_permille"] == 333
