@@ -153,15 +153,36 @@ def list_upload_parts(
     return _render(root)
 
 
-def error_response(code: str, message: str, request_id: str = "") -> str:
+def error_response(
+    code: str,
+    message: str,
+    request_id: str = "",
+    extra: dict[str, str] | None = None,
+) -> str:
     """Typed error document (xml.clj:291-447 taxonomy).  ET.tostring
     escapes text content itself — pre-escaping here double-escaped
-    '&' as '&amp;amp;' (ADVICE round 1)."""
+    '&' as '&amp;amp;' (ADVICE round 1).
+
+    ``extra`` carries the per-type payload elements the reference
+    appends after RequestId/HostId — Key/Upload for NoSuchUpload
+    (xml.clj:334-341), StringToSign/StringToSignBytes for signature
+    mismatch (:313-325), Expires/ServerTime for expired presigned
+    requests (:326-333)."""
     root = ET.Element("Error")
     _el(root, "Code", code)
     _el(root, "Message", message)
     _el(root, "RequestId", request_id)
+    _el(root, "HostId", request_id)
+    for k, v in (extra or {}).items():
+        _el(root, k, v)
     return _render(root)
+
+
+def string_to_sign_bytes(to_sign: str) -> str:
+    """Hex-byte rendering of the canonical string for
+    SignatureDoesNotMatch responses — ``(map (partial format \"%02x\"))``
+    over the bytes, space-joined (xml.clj:322-324)."""
+    return " ".join(f"{b:02x}" for b in to_sign.encode("utf-8"))
 
 
 def initiate_multipart_upload(bucket: str, object_key: str, upload_id: str) -> str:
@@ -259,6 +280,15 @@ ERROR_CODES = {
     "NoSuchUpload": 404,
     "RequestTimeTooSkewed": 403,
     "SignatureDoesNotMatch": 403,
+    # remainder of the xml.clj:291-447 dispatch table
+    "InvalidRequest": 400,          # operations.clj:133
+    "UploadPolicyViolation": 403,   # operations.clj:610-627
+    "MalformedACLError": 400,       # :invalid-acl-xml
+    "AccessForbidden": 403,         # :cors-not-enabled (operations.clj:966)
+    "NoSuchCORSConfiguration": 404,  # :no-such-cors
+    "IncompleteMetadata": 500,      # desc.clj:121-123
+    "Forbidden": 403,
+    "Unknown": 500,                 # xml.clj:443-447 fallback template
 }
 
 

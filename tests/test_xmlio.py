@@ -78,3 +78,33 @@ def test_list_parts_render():
     root = ET.fromstring(xml)
     assert root.findtext("s3:UploadId", namespaces=NS) == "up-1"
     assert root.findall("s3:Part", NS)[0].findtext("s3:PartNumber", namespaces=NS) == "1"
+
+
+def test_error_taxonomy_complete_vs_reference():
+    """Every Code in the reference dispatch table (xml.clj:291-447) has a
+    status row; per-type payload elements render after RequestId/HostId."""
+    for code in [
+        "InvalidRequest", "AccessDenied", "SignatureDoesNotMatch",
+        "NoSuchUpload", "NoSuchKey", "NoSuchBucket", "NoSuchBucketPolicy",
+        "BucketNotEmpty", "InvalidArgument", "UploadPolicyViolation",
+        "MalformedACLError", "MalformedXML", "AccessForbidden",
+        "BucketAlreadyExists", "NoSuchCORSConfiguration",
+        "NoSuchLifecycleConfiguration", "IncompleteMetadata",
+        "NoSuchTagSet", "Forbidden", "Unknown",
+    ]:
+        assert code in xmlio.ERROR_CODES, code
+    xml = xmlio.error_response(
+        "NoSuchUpload",
+        "The specified upload-id does not exist for this key.",
+        "req-9",
+        extra={"Key": "k1", "Upload": "up-1"},
+    )
+    root = ET.fromstring(xml)
+    assert root.findtext("HostId") == "req-9"
+    assert root.findtext("Key") == "k1"
+    assert root.findtext("Upload") == "up-1"
+
+
+def test_string_to_sign_bytes_hex_rendering():
+    # (map (partial format "%02x")) over the bytes, space-joined
+    assert xmlio.string_to_sign_bytes("GET\n") == "47 45 54 0a"
