@@ -144,3 +144,63 @@ def verify_signatures(requests_df, secret_col="secret", sts_col="string_to_sign"
         "signature_valid",
         udf(F.col(secret_col), F.col(sts_col)) == F.col(given_col),
     )
+
+
+# ---------------------------------------------------------------------------
+# presigned query-param auth (sig.clj:29, :110-117)
+# ---------------------------------------------------------------------------
+
+
+def v2_presigned_string_to_sign(
+    method: str,
+    content_md5: str,
+    content_type: str,
+    expires: str,
+    amz_headers: dict[str, str],
+    resource: str,
+) -> str:
+    """Presigned-URL variant: the ``Expires`` query param (epoch
+    seconds, as its literal string) takes the date slot of the v2
+    string to sign — sig.clj:29 ``(or (get params :expires) ...)``."""
+    return v2_string_to_sign(
+        method, content_md5, content_type, expires, amz_headers, resource
+    )
+
+
+def validate_presigned(
+    method: str,
+    resource: str,
+    params: dict[str, str],
+    secret: str,
+    now_epoch: int,
+    content_md5: str = "",
+    content_type: str = "",
+    amz_headers: dict[str, str] | None = None,
+) -> tuple[bool, str]:
+    """Validate a presigned request: recompute the v2 signature with
+    Expires in the date slot, compare against the ``Signature`` param,
+    then reject expired URLs (sig.clj:95-117 order: signature first,
+    THEN expiry — an expired URL with a bad signature reports
+    SignatureDoesNotMatch, matching the reference).
+
+    ``now_epoch`` is an argument, not a clock read, so validation is a
+    pure function (testable, and batch-appliable as a column over an
+    audit log).  Returns (ok, error_code_or_empty).
+    """
+    expires = params.get("Expires", params.get("expires", ""))
+    given = params.get("Signature", params.get("signature", ""))
+    sts = v2_presigned_string_to_sign(
+        method, content_md5, content_type, expires, amz_headers or {}, resource
+    )
+    want = v2_sign(secret, sts)
+    if not given or not hmac.compare_digest(want, given):
+        return False, "SignatureDoesNotMatch"
+    try:
+        exp = int(expires)
+    except ValueError:
+        return False, "AccessDenied"
+    if now_epoch > exp:
+        # reference renders :expired-request as Code AccessDenied
+        # ("Request has expired", xml.clj:326-333)
+        return False, "AccessDenied"
+    return True, ""

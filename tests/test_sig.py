@@ -102,3 +102,35 @@ def test_v4_query_params_sorted_after_encoding():
         {"Host": "example.amazonaws.com"}, ["host"], EMPTY_SHA256,
     )
     assert cr.split("\n")[2] == "%40=1&0=2"
+
+
+def test_presigned_url_validation_order_and_expiry():
+    """sig.clj:95-117: signature checked before expiry; Expires string
+    occupies the date slot of the v2 string to sign."""
+    from pithos_spark.operators.sig import (
+        v2_presigned_string_to_sign,
+        v2_sign,
+        validate_presigned,
+    )
+
+    secret = "s3cr3t"
+    resource = "/bkt/obj"
+    exp = "1700000000"
+    sts = v2_presigned_string_to_sign("GET", "", "", exp, {}, resource)
+    assert sts == f"GET\n\n\n{exp}\n/bkt/obj"
+    sig = v2_sign(secret, sts)
+
+    ok, err = validate_presigned(
+        "GET", resource, {"Expires": exp, "Signature": sig}, secret,
+        now_epoch=1699999999)
+    assert ok and err == ""
+    # expired -> AccessDenied (the reference's :expired-request template)
+    ok, err = validate_presigned(
+        "GET", resource, {"Expires": exp, "Signature": sig}, secret,
+        now_epoch=1700000001)
+    assert (ok, err) == (False, "AccessDenied")
+    # bad signature wins over expiry (checked first)
+    ok, err = validate_presigned(
+        "GET", resource, {"Expires": exp, "Signature": "nope"}, secret,
+        now_epoch=1700000001)
+    assert (ok, err) == (False, "SignatureDoesNotMatch")
