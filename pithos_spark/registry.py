@@ -1438,6 +1438,14 @@ def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@register("events_funnel", ev.FUNNEL_SQL)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequenced conversion funnel view -> click -> purchase: per-step
+    surviving users + integer conversion permille (streaming/events.py
+    funnel; min-after-previous-step semantics, strict ordering)."""
+    return ev.funnel(T.load_tables(spark, sf_dir)["events"])
+
+
 @register(
     "events_asof_last_click",
     """\

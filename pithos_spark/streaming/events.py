@@ -191,3 +191,86 @@ def streamify(spark, parquet_path: str, schema, watermark: str = "1 hour"):
         .parquet(parquet_path)
         .withWatermark("ts", watermark)
     )
+
+
+def funnel(
+    events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Sequenced conversion funnel: step k counts a user only if their
+    earliest qualifying event falls strictly after their step-(k-1)
+    time — first view, then first click after that view, then first
+    purchase after that click.  Output: one row per step with users
+    remaining and integer conversion permille vs the previous step
+    (first step pinned to 1000).
+
+    Plan shape: one filtered min-aggregate per step, all keyed on
+    user_id so the shuffles co-partition; each later stage joins a
+    strictly shrinking user set.  The step counts are single-row
+    aggregates cross-joined (broadcast, 1x1 rows) and unpivoted —
+    no window, no driver loop over data.
+    """
+    aggs = []
+    prev = None
+    for step in steps:
+        cur = events.filter(F.col("event_type") == step)
+        if prev is None:
+            agg = cur.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            agg = (
+                cur.join(
+                    prev.select("user_id", F.col("t").alias("t_prev")),
+                    "user_id",
+                )
+                .filter(F.col("ts") > F.col("t_prev"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        aggs.append(agg)
+        prev = agg
+    row = aggs[0].agg(F.count(F.lit(1)).alias("n_0"))
+    for i, a in enumerate(aggs[1:], start=1):
+        row = row.crossJoin(a.agg(F.count(F.lit(1)).alias(f"n_{i}")))
+    structs = [
+        F.struct(
+            F.lit(steps[0]).alias("step"),
+            F.col("n_0").alias("n"),
+            F.lit(1000).cast("long").alias("conv_permille"),
+        )
+    ]
+    for i in range(1, len(steps)):
+        structs.append(
+            F.struct(
+                F.lit(steps[i]).alias("step"),
+                F.col(f"n_{i}").alias("n"),
+                F.expr(
+                    f"case when n_{i - 1} = 0 then 0 "
+                    f"else (1000 * n_{i}) div n_{i - 1} end"
+                ).alias("conv_permille"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("s")).select(
+        "s.step", "s.n", "s.conv_permille"
+    )
+
+
+FUNNEL_SQL = """\
+WITH s0 AS (
+    SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+), s1 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+    WHERE e.event_type = 'click' GROUP BY 1
+), s2 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+    WHERE e.event_type = 'purchase' GROUP BY 1
+), c AS (
+    SELECT (SELECT count(*) FROM s0) AS n0,
+           (SELECT count(*) FROM s1) AS n1,
+           (SELECT count(*) FROM s2) AS n2
+)
+SELECT 'view' AS step, n0 AS n, 1000::BIGINT AS conv_permille FROM c
+UNION ALL
+SELECT 'click', n1, CASE WHEN n0 = 0 THEN 0 ELSE (1000 * n1) // n0 END FROM c
+UNION ALL
+SELECT 'purchase', n2, CASE WHEN n1 = 0 THEN 0 ELSE (1000 * n2) // n1 END FROM c"""

@@ -115,3 +115,31 @@ def test_bigram_lm_conditional_probability(spark):
     assert got["a b"]["n_bigram"] == 2
     assert got["a b"]["cond_permille"] == 666
     assert got["a c"]["cond_permille"] == 333
+
+
+def test_funnel_strict_ordering(spark):
+    from datetime import datetime
+
+    from pithos_spark.streaming.events import funnel
+
+    rows = [
+        # user 1 completes the funnel in order
+        (1, datetime(2024, 1, 1, 10), 1, "view", 0.0, ""),
+        (2, datetime(2024, 1, 1, 11), 1, "click", 0.0, ""),
+        (3, datetime(2024, 1, 1, 12), 1, "purchase", 0.0, ""),
+        # user 2 clicks BEFORE viewing -> click must not count
+        (4, datetime(2024, 1, 1, 9), 2, "click", 0.0, ""),
+        (5, datetime(2024, 1, 1, 10), 2, "view", 0.0, ""),
+        # user 3 views only
+        (6, datetime(2024, 1, 1, 8), 3, "view", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r["step"]: r for r in funnel(ev).collect()}
+    assert got["view"]["n"] == 3 and got["view"]["conv_permille"] == 1000
+    assert got["click"]["n"] == 1  # only user 1; user 2's click precedes the view
+    assert got["click"]["conv_permille"] == 333
+    assert got["purchase"]["n"] == 1 and got["purchase"]["conv_permille"] == 1000
