@@ -1,0 +1,96 @@
+"""Text-corpus ingest/export: JSONL in, hash-sharded training files out.
+
+The ingestion half of a pretraining pipeline: raw corpora arrive as
+newline-delimited JSON (one document per line) and leave as a fixed
+number of deterministic shards.  Both directions follow the scale
+rules:
+
+ - NO schema inference: an explicit schema means the reader plans one
+   pass; ``spark.read.json`` without one scans everything twice at
+   100 TB.
+ - PERMISSIVE parsing with a corrupt-record column: a single malformed
+   line must neither kill the job nor silently disappear — it lands in
+   ``_corrupt_record`` where the quality gates can count it.
+ - Deterministic sharding: the output shard of a document is a pure
+   function of doc_id (functions/curate.shard_assign discipline), so a
+   backfill or retry rewrites the same shard instead of reshuffling the
+   corpus.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Read a documents corpus from JSONL with the canonical schema plus
+    a ``_corrupt_record`` column holding any unparseable line verbatim.
+    """
+    schema = T.StructType(
+        DOCUMENTS_SCHEMA.fields
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def corrupt_line_report(df: DataFrame) -> DataFrame:
+    """(n_rows, n_corrupt) — the ingest health stat a pipeline logs
+    before accepting a drop.
+
+    Spark refuses to answer queries whose only referenced column is the
+    internal corrupt-record column of a raw JSON scan
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the parse would be
+    unobservable.  The documented pattern, used here, is to cache the
+    parsed frame first; a real ingest does this anyway because the
+    parsed corpus feeds many downstream stages from one materialization.
+    """
+    return df.cache().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+    )
+
+
+def write_training_shards(
+    documents: DataFrame, path: str, n_shards: int = 16
+) -> None:
+    """Export the corpus as ``n_shards`` deterministic parquet shards,
+    partitioned by the content-independent md5 hash of doc_id (same
+    selector as functions/curate.shard_assign, so the profile query
+    predicts exactly what this writes).
+
+    ``repartition(n_shards, shard)`` hash-partitions ON the shard
+    column so each output task owns whole shards (no tiny files), and
+    ``partitionBy`` makes the shard a directory key — downstream
+    training jobs read shard ranges by partition pruning, never by
+    listing+filtering files.
+    """
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % n_shards
+    )
+    (
+        documents.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
