@@ -285,3 +285,88 @@ FROM lex FULL OUTER JOIN vec USING (doc_id)
 ORDER BY rrf_q DESC, doc_id
 LIMIT {k}"""
     )
+
+
+def rerank_crossencoder_stub(
+    documents: DataFrame,
+    terms: tuple[str, ...] = DEFAULT_TERMS,
+    k: int = 20,
+    depth: int = 100,
+) -> DataFrame:
+    """Second-stage reranking over the BM25 candidate list with an
+    Arrow-batched scoring model — the retrieve-then-rerank serving
+    pattern.
+
+    REAL: the candidate cut (BM25 top-``depth``), the
+    ``mapInPandas`` batch contract a cross-encoder needs (query+doc
+    pairs in, scores out, vectorized per Arrow batch), and the final
+    fused ordering.  FAKE: the model itself — a deterministic
+    md5-derived pseudo-score (a real build loads an ONNX/torch
+    cross-encoder here); because the fake scorer is the portable hash,
+    the whole plan still carries a bit-identical DuckDB oracle, which
+    checks the *plumbing* — cut, batch schema, join, ordering — not the
+    fake weights.
+    """
+    from typing import Iterator
+
+    query = " ".join(terms)
+    lex = (
+        bm25_scores(documents, terms)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score_q").desc(), F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("lex_rank") <= depth)
+    )
+    cand = lex.join(documents.select("doc_id", "text"), "doc_id")
+
+    def score_batches(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            scores = pdf["text"].map(
+                lambda t: int(
+                    hashlib.md5(f"{query}|{t}".encode()).hexdigest()[:15], 16
+                )
+                % 1000
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lex_rank": pdf["lex_rank"],
+                    "ce_score_q": scores,
+                }
+            )
+
+    scored = cand.mapInPandas(
+        score_batches, "doc_id long, lex_rank int, ce_score_q long"
+    )
+    return scored.orderBy(
+        F.col("ce_score_q").desc(), F.col("doc_id")
+    ).limit(k)
+
+
+def rerank_crossencoder_stub_oracle(
+    terms: tuple[str, ...] = DEFAULT_TERMS, k: int = 20, depth: int = 100
+) -> str:
+    query = " ".join(terms)
+    return (
+        _bm25_scored_sql(terms)
+        + f""", lex AS (
+    SELECT doc_id, lex_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score_q DESC, doc_id) AS lex_rank
+        FROM bm25
+    ) WHERE lex_rank <= {depth}
+)
+SELECT l.doc_id, l.lex_rank::INT AS lex_rank,
+       ('0x' || substr(md5('{query}|' || d.text), 1, 15))::BIGINT % 1000
+           AS ce_score_q
+FROM lex l JOIN documents d USING (doc_id)
+ORDER BY ce_score_q DESC, doc_id
+LIMIT {k}"""
+    )

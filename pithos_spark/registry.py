@@ -1978,6 +1978,20 @@ QUERIES["corpus_hybrid_search_rrf"] = _hybrid
 ORACLES["corpus_hybrid_search_rrf"] = _retrieval_mod.hybrid_rrf_topk_oracle()
 
 
+def _rerank(spark, sf_dir):
+    from pithos_spark.functions import retrieval
+
+    return retrieval.rerank_crossencoder_stub(
+        T.load_tables(spark, sf_dir)["documents"]
+    )
+
+
+QUERIES["corpus_rerank_stub"] = _rerank
+ORACLES["corpus_rerank_stub"] = (
+    _retrieval_mod.rerank_crossencoder_stub_oracle()
+)
+
+
 def _pack(spark, sf_dir):
     from pithos_spark.functions.curate import pack_sequences
 

@@ -143,3 +143,33 @@ def test_funnel_strict_ordering(spark):
     assert got["click"]["n"] == 1  # only user 1; user 2's click precedes the view
     assert got["click"]["conv_permille"] == 333
     assert got["purchase"]["n"] == 1 and got["purchase"]["conv_permille"] == 1000
+
+
+def test_bm25_empty_when_no_term_matches(spark):
+    from pithos_spark.functions.retrieval import bm25_topk
+
+    docs = _docs(spark, ["nothing here", "still nothing"])
+    assert bm25_topk(docs, ("zzz_absent",), k=5).count() == 0
+
+
+def test_decontaminate_empty_eval_set(spark):
+    from pithos_spark.functions.curate import decontaminate
+
+    docs = _docs(spark, ["a b c d e f g h i", "j k l m n o p q r"])
+    shifted = docs.withColumn("doc_id", F.col("doc_id") + 100)
+    assert decontaminate(shifted, eval_max_doc_id=50, n=8).count() == 0
+
+
+def test_rerank_stub_restricted_to_bm25_candidates(spark):
+    from pithos_spark.functions.retrieval import rerank_crossencoder_stub
+
+    docs = _docs(
+        spark,
+        ["spark doc one", "spark doc two", "irrelevant words only", "spark three"],
+    )
+    got = rerank_crossencoder_stub(docs, ("spark",), k=10).collect()
+    # doc 2 has no 'spark' -> never a candidate, regardless of fake score
+    assert {r["doc_id"] for r in got} == {0, 1, 3}
+    # ordering is by the (deterministic) ce score
+    scores = [r["ce_score_q"] for r in got]
+    assert scores == sorted(scores, reverse=True)
