@@ -1,0 +1,96 @@
+"""Stateful streaming funnel: the incremental twin of
+``streaming/events.funnel``.
+
+The sequenced funnel (first view, then first click strictly after it,
+then first purchase after that) is NOT incrementally computable from
+step timestamps alone — a late-arriving earlier view can move t1 and
+cascade through every later step.  So the state is the user's history
+of *funnel-type* events (ts, type) and each micro-batch re-folds it;
+the fold is O(|history|) with history bounded by the user's funnel
+events (tiny — three event types, and production evicts by watermark
+timeout).  This makes the operator arrival-order-independent: any
+permutation of micro-batches converges to the batch answer, which the
+test asserts by feeding the files through ``availableNow``.
+
+Emitted rows: (user_id, stage) after each batch that touches the user —
+stage in 0..len(steps), the number of funnel steps completed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STEPS = ("view", "click", "purchase")
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage", T.LongType()),
+    ]
+)
+
+# history as parallel arrays: event micros + step index (0=view, ...)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("step_idx", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def fold_stage(events: list[tuple[int, int]], n_steps: int) -> int:
+    """Min-after-previous-step fold over (ts_us, step_idx) pairs — the
+    exact batch semantics: t_k = min ts of step k strictly after
+    t_{k-1}; stage = number of steps reached."""
+    t_prev = None
+    stage = 0
+    for k in range(n_steps):
+        cands = [
+            ts
+            for ts, si in events
+            if si == k and (t_prev is None or ts > t_prev)
+        ]
+        if not cands:
+            break
+        t_prev = min(cands)
+        stage += 1
+    return stage
+
+
+def _update_funnel(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    ts_hist, idx_hist = state.get if state.exists else ([], [])
+    ts_hist = list(ts_hist)
+    idx_hist = list(idx_hist)
+    step_of = {s: i for i, s in enumerate(STEPS)}
+    for pdf in pdfs:
+        mask = pdf["event_type"].isin(STEPS)
+        for ts, et in zip(pdf["ts"][mask], pdf["event_type"][mask]):
+            # pandas Timestamp -> epoch micros, matching Spark micros
+            ts_hist.append(int(ts.value // 1000))
+            idx_hist.append(step_of[et])
+    state.update((ts_hist, idx_hist))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "stage": [fold_stage(list(zip(ts_hist, idx_hist)), len(STEPS))],
+        }
+    )
+
+
+def streaming_funnel_stages(stream_df):
+    """Per-user funnel stage, updated each micro-batch the user appears
+    in (update mode; read the latest row per user downstream)."""
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        _update_funnel,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

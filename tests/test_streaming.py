@@ -365,3 +365,58 @@ def test_streaming_curation_gates_match_batch(spark, tmp_path):
         for r in sample_mix(docs.filter(F.length("text") >= 50)).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_funnel_converges_to_batch(spark, tmp_path):
+    """Stateful funnel over micro-batches (files shuffled into several
+    triggers, so steps arrive interleaved and out of order) must end at
+    the same per-user stage as the batch fold."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.streaming.funnel import (
+        STEPS,
+        fold_stage,
+        streaming_funnel_stages,
+    )
+
+    batch_events = T.load_tables(spark, SF_SMOKE)["events"]
+    src = str(tmp_path / "events_funnel_src")
+    batch_events.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_funnel_stages(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_stages")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # stage only grows as history accumulates -> final answer = max
+    got = {
+        r["user_id"]: r["stage"]
+        for r in spark.sql(
+            "SELECT user_id, max(stage) AS stage FROM funnel_stages GROUP BY user_id"
+        ).collect()
+    }
+
+    step_of = {s: i for i, s in enumerate(STEPS)}
+    rows = (
+        batch_events.filter(F.col("event_type").isin(*STEPS))
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_type")
+        .collect()
+    )
+    hist: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        hist.setdefault(r["user_id"], []).append((r["us"], step_of[r["event_type"]]))
+    want = {u: fold_stage(evs, len(STEPS)) for u, evs in hist.items()}
+    # users with no funnel events never appear in the stream output
+    want = {u: s for u, s in want.items()}
+    assert got == want
