@@ -828,3 +828,102 @@ ORDER BY dot_q DESC, vec_id
 LIMIT {k}"""
     )
     return "".join(parts)
+
+
+def embedding_lsh_dedup_pairs(
+    embeddings: DataFrame,
+    num_planes: int = 8,
+    threshold_q: int = 300_000,
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """Embedding near-dup pairs blocked by LSH bucket instead of label —
+    the 100 TB blocking strategy dedup_embedding_cosine's docstring
+    promises: candidates only form inside a hyperplane sign-bucket
+    (single table; near-identical vectors agree on every sign bit), then
+    the exact quantized dot keeps pairs scoring >= threshold_q
+    (0.3 cosine at scale 1000 for unit-norm inputs).
+
+    Same portable-hash planes as lsh_topk, so the full pipeline —
+    bucketing, capping, pair scoring — is oracle-checkable.  Recall vs
+    label blocking: a near-dup pair straddling a sign boundary is
+    missed; multi-table banding (lsh_topk's num_tables) is the recall
+    dial when that matters.
+    """
+    from pyspark.sql import Window
+
+    bucketed = hyperplane_buckets(embeddings, num_planes, num_tables=1)
+    wb = Window.partitionBy("bucket").orderBy(
+        portable_hash60(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    capped = (
+        bucketed.withColumn("_bn", F.row_number().over(wb))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            quantized_dot(F.col("a.embedding"), F.col("b.embedding")).alias(
+                "dot_q"
+            ),
+        )
+        .filter(F.col("dot_q") >= threshold_q)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_lsh_dedup_pairs_oracle(
+    num_planes: int = 8,
+    threshold_q: int = 300_000,
+    max_bucket: int = 10000,
+    dim: int = 64,
+) -> str:
+    w_expr = portable_hash60_sql(
+        "'plane:' || t.t::VARCHAR || ':' || p.p::VARCHAR || ':' || j.j::VARCHAR"
+    )
+    cap_hash = portable_hash60_sql("vec_id::VARCHAR")
+    return f"""\
+WITH planes AS (
+    SELECT t.t AS tbl, p.p AS p, j.j AS j, {w_expr} % 1000 - 500 AS w
+    FROM generate_series(0, 0) t(t),
+         generate_series(0, {num_planes - 1}) p(p),
+         generate_series(0, {dim - 1}) j(j)
+), dots AS (
+    SELECT e.vec_id, pl.p,
+           sum(CAST(floor(CAST(e.embedding[pl.j + 1] AS DOUBLE) * 1000) AS BIGINT) * pl.w) AS dot
+    FROM embeddings e, planes pl
+    GROUP BY 1, 2
+), buckets AS (
+    SELECT vec_id,
+           sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+    FROM dots GROUP BY 1
+), capped AS (
+    SELECT vec_id, bucket FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY bucket ORDER BY {cap_hash}, vec_id) AS _bn
+        FROM buckets
+    ) WHERE _bn <= {max_bucket}
+), pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+           (SELECT CAST(sum(
+                CAST(floor(CAST(ea.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                CAST(floor(CAST(eb.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+            ) AS BIGINT)
+            FROM generate_series(1, {dim}) g(i)) AS dot_q
+    FROM capped a
+    JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+)
+SELECT vec_a, vec_b, bucket, dot_q FROM pairs
+WHERE dot_q >= {threshold_q}
+ORDER BY vec_a, vec_b"""

@@ -1612,6 +1612,14 @@ def ann_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ann_ivf_lloyd_topk"] = ann_ivf_lloyd_topk
 ORACLES["ann_ivf_lloyd_topk"] = similarity.ivf_lloyd_topk_oracle(0, 10)
 
+# Embedding near-dup blocked by LSH bucket (the 100 TB blocking key)
+QUERIES["dedup_embedding_lsh"] = _emb_query(
+    similarity.embedding_lsh_dedup_pairs
+)
+ORACLES["dedup_embedding_lsh"] = (
+    similarity.embedding_lsh_dedup_pairs_oracle()
+)
+
 
 # KMeans-IVF ANN (rows-only: trained float centroids; recall asserted
 # in tests/test_similarity.py)

@@ -135,3 +135,22 @@ def test_ivf_lloyd_build_is_deterministic(embeddings):
     _, c1 = build_ivf_lloyd_index(embeddings)
     _, c2 = build_ivf_lloyd_index(embeddings)
     assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+
+
+def test_embedding_lsh_dedup_finds_near_identical_vectors(spark):
+    """Two near-identical vectors agree on every hyperplane sign, so
+    LSH blocking must put them in one bucket and the exact dot must
+    keep the pair."""
+    from pithos_spark.functions.similarity import embedding_lsh_dedup_pairs
+
+    base = [0.3] * 32 + [-0.2] * 32
+    near = list(base)
+    near[0] = 0.301  # tiny perturbation, same signs everywhere
+    far = [-x for x in base]
+    emb = spark.createDataFrame(
+        [(0, 0, base), (1, 0, near), (2, 0, far)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = [(r["vec_a"], r["vec_b"]) for r in embedding_lsh_dedup_pairs(emb).collect()]
+    assert (0, 1) in got
+    assert all(2 not in p for p in got)  # the inverted vector never pairs
