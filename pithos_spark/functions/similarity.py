@@ -723,15 +723,16 @@ def build_ivf_lloyd_index(
             .withColumn("c", F.expr("(s - pmod(s, n)) div n"))
             .collect()
         )
+        dim = len(next(iter(centers.values())))
         updated: dict[int, list[int]] = {}
         for r in new_rows:
-            updated.setdefault(int(r["cluster"]), [0] * len(centers[0]))[
+            updated.setdefault(int(r["cluster"]), [0] * dim)[
                 int(r["pos"])
             ] = int(r["c"])
-        # clusters that lost every member keep their previous centroid
-        centers = {
-            c: updated.get(c, centers[c]) for c in range(n_clusters)
-        }
+        # clusters that lost every member keep their previous centroid;
+        # iterate the EXISTING centers (a corpus smaller than n_clusters
+        # seeds fewer than n_clusters)
+        centers = {c: updated.get(c, v) for c, v in centers.items()}
     final_assigned = qv.select(
         "vec_id",
         "label",

@@ -154,3 +154,17 @@ def test_embedding_lsh_dedup_finds_near_identical_vectors(spark):
     got = [(r["vec_a"], r["vec_b"]) for r in embedding_lsh_dedup_pairs(emb).collect()]
     assert (0, 1) in got
     assert all(2 not in p for p in got)  # the inverted vector never pairs
+
+
+def test_ivf_lloyd_handles_corpus_smaller_than_k(spark):
+    """Fewer vectors than requested clusters: seeds = all vectors,
+    empty clusters never materialize, every vector stays assigned."""
+    from pithos_spark.functions.similarity import build_ivf_lloyd_index
+
+    emb = spark.createDataFrame(
+        [(i, 0, [float(i), 1.0 - i]) for i in range(5)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    assigned, centers = build_ivf_lloyd_index(emb, n_clusters=16, n_iter=2)
+    assert assigned.count() == 5
+    assert centers.count() == 5
