@@ -2192,31 +2192,43 @@ def acl_edn_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order (still runnable, just outside the 50-entry hard gate this round).
 # ---------------------------------------------------------------------------
 
-# Queries changed or added in the CURRENT round — spliced at the very
-# front of the window so they get a fresh verdict.
+# Queries changed or added in the CURRENT round (5) — spliced at the
+# very front of the window so they get a fresh verdict: the three
+# approximate operators that moved from rows-only to full oracles via
+# the portable hash, the new retrieval/curation/eventing operators, and
+# the Lloyd IVF.
 ROUND_NEW: list[str] = [
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "ann_lsh_topk",
+    "ann_ivf_lloyd_topk",
+    "dedup_embedding_lsh",
+    "corpus_bm25_topk",
+    "corpus_hybrid_search_rrf",
+    "corpus_rerank_stub",
+    "corpus_pii_redact",
+    "corpus_profile",
+    "corpus_shard_assign",
+    "corpus_decontaminate",
+    "corpus_bigram_lm",
+    "events_funnel",
+    "ann_ivf_kmeans_topk",  # rows-only by design; keeps its honest row
+]
+
+DRIVER_PRIORITY: list[str] = [
+    # round-4 window occupants not re-verified since (keep their verdicts
+    # fresh), then a spread of the remaining registry
     "dedup_duplicate_clusters",
     "dedup_keep_best",
     "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
     "cors_preflight",
     "acl_edn_grants",
-    "q4_priority_order_check",
-    "q9_product_profit",
-    "q11_important_brands",
-    "q12_priority_shipping",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
     "corpus_curation_pipeline",
     "multimodal_resize",
     "corpus_pack_sequences",
     "corpus_sample_mix",
     "scalar_conversions",
     "metadata_header_filter",
-]
-
-DRIVER_PRIORITY: list[str] = [
-    # round-1 queries with no driver verdict (VERDICT.md next-round item 1)
     "multipart_etag",
     "objects_latest_version",
     "orphan_chunk_gc",
@@ -2234,18 +2246,6 @@ DRIVER_PRIORITY: list[str] = [
     "q10_returned_items",
     "ann_batch_topk",
     "multimodal_frame_sample",
-    "q18_large_orders",
-    "list_object_uploads",
-    "events_type_pivot",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_qty_revenue",
-    "q19_special_revenue",
-    "q22_idle_rich_customers",
-    "q2_cheapest_supplier",
 ]
 
 # Representative already-green core (CORRECTNESS_r01/r02) — kept inside
