@@ -928,3 +928,122 @@ WITH planes AS (
 SELECT vec_a, vec_b, bucket, dot_q FROM pairs
 WHERE dot_q >= {threshold_q}
 ORDER BY vec_a, vec_b"""
+
+
+def lsh_batch_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """Batched LSH ANN — the bucket table is computed ONCE and a whole
+    query set probes it (the build-once / probe-many contract lsh_topk
+    demonstrates per query, amortized the way an ingest-time bucketing
+    actually runs).  Each query joins only its own (table, bucket)
+    cells; candidates dedup per query before the exact rerank.
+
+    Output: (query_id, vec_id, label, dot_q), top-k per query, ordered.
+    """
+    from pyspark.sql import Window
+
+    bucketed = hyperplane_buckets(embeddings, num_planes, num_tables=num_tables)
+    wb = Window.partitionBy("table", "bucket").orderBy(
+        portable_hash60(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    capped = (
+        bucketed.withColumn("_bn", F.row_number().over(wb))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+    q = bucketed.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("table").alias("q_table"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    candidates = (
+        capped.join(
+            F.broadcast(q),
+            (F.col("table") == F.col("q_table"))
+            & (F.col("bucket") == F.col("q_bucket")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", "embedding", "query_embedding")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "vec_id",
+        "label",
+        quantized_dot(F.col("embedding"), F.col("query_embedding")).alias(
+            "dot_q"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.col("dot_q").desc(), "vec_id")
+    )
+
+
+def lsh_batch_topk_oracle(
+    query_ids: list[int],
+    k: int = 10,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    max_bucket: int = 10000,
+    dim: int = 64,
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    w_expr = portable_hash60_sql(
+        "'plane:' || t.t::VARCHAR || ':' || p.p::VARCHAR || ':' || j.j::VARCHAR"
+    )
+    cap_hash = portable_hash60_sql("vec_id::VARCHAR")
+    return f"""\
+WITH planes AS (
+    SELECT t.t AS tbl, p.p AS p, j.j AS j, {w_expr} % 1000 - 500 AS w
+    FROM generate_series(0, {num_tables - 1}) t(t),
+         generate_series(0, {num_planes - 1}) p(p),
+         generate_series(0, {dim - 1}) j(j)
+), dots AS (
+    SELECT e.vec_id, pl.tbl, pl.p,
+           sum(CAST(floor(CAST(e.embedding[pl.j + 1] AS DOUBLE) * 1000) AS BIGINT) * pl.w) AS dot
+    FROM embeddings e, planes pl
+    GROUP BY 1, 2, 3
+), buckets AS (
+    SELECT vec_id, tbl,
+           sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+    FROM dots GROUP BY 1, 2
+), capped AS (
+    SELECT vec_id, tbl, bucket FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY tbl, bucket
+            ORDER BY {cap_hash}, vec_id) AS _bn
+        FROM buckets
+    ) WHERE _bn <= {max_bucket}
+), cand AS (
+    SELECT DISTINCT qb.vec_id AS query_id, c.vec_id
+    FROM capped c
+    JOIN buckets qb ON qb.vec_id IN ({ids})
+                   AND c.tbl = qb.tbl AND c.bucket = qb.bucket
+    WHERE c.vec_id <> qb.vec_id
+), scored AS (
+    SELECT cand.query_id, e.vec_id, e.label,
+           (SELECT CAST(sum(
+                CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                CAST(floor(CAST(qe.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+            ) AS BIGINT)
+            FROM generate_series(1, {dim}) g(i)) AS dot_q
+    FROM cand
+    JOIN embeddings e ON e.vec_id = cand.vec_id
+    JOIN embeddings qe ON qe.vec_id = cand.query_id
+)
+SELECT query_id, vec_id, label, dot_q FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) <= {k}
+ORDER BY query_id, dot_q DESC, vec_id"""

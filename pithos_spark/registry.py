@@ -1620,6 +1620,12 @@ ORACLES["dedup_embedding_lsh"] = (
     similarity.embedding_lsh_dedup_pairs_oracle()
 )
 
+# Batched LSH ANN: bucket once, probe a query set
+QUERIES["ann_lsh_batch_topk"] = _emb_query(
+    similarity.lsh_batch_topk, [0, 7, 42]
+)
+ORACLES["ann_lsh_batch_topk"] = similarity.lsh_batch_topk_oracle([0, 7, 42])
+
 
 # KMeans-IVF ANN (rows-only: trained float centroids; recall asserted
 # in tests/test_similarity.py)
@@ -2212,6 +2218,7 @@ ROUND_NEW: list[str] = [
     "corpus_decontaminate",
     "corpus_bigram_lm",
     "events_funnel",
+    "ann_lsh_batch_topk",
     "ann_ivf_kmeans_topk",  # rows-only by design; keeps its honest row
 ]
 
