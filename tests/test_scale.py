@@ -101,3 +101,37 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         ).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_corpus_embedding_join_colocates_when_bucketed(spark, tmp_path):
+    """The curation pipeline's hot join (documents x embeddings on id)
+    runs shuffle-free when both tables are bucketed on the id at ingest —
+    the layout a 100 TB corpus store commits to."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+
+    t = T.load_tables(spark, SF_ORACLE)
+    docs = t["documents"].select("doc_id", "source", "n_chars")
+    emb = t["embeddings"].select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    docs.write.mode("overwrite").option(
+        "path", str(tmp_path / "docs_b")
+    ).bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("docs_b")
+    emb.write.mode("overwrite").option(
+        "path", str(tmp_path / "emb_b")
+    ).bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("emb_b")
+
+    db = spark.table("docs_b")
+    eb = spark.table("emb_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = db.join(eb, "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == docs.join(emb, "doc_id").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
