@@ -1,0 +1,90 @@
+"""Cross-engine property fuzz: random word-soup corpora (including
+empty and whitespace-only docs) must make the Spark plan and its DuckDB
+oracle agree bit-for-bit — the same comparison the driver gate runs,
+but over generated inputs instead of the fixture."""
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.harness import compare
+
+WORDS = ["spark", "window", "hash", "the", "a", "data", "row"]
+
+doc_strategy = st.lists(
+    st.one_of(
+        st.just(""),
+        st.just("   "),
+        st.lists(st.sampled_from(WORDS), min_size=1, max_size=12).map(
+            " ".join
+        ),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _frames(spark, texts):
+    rows = [
+        (i, t, "en", f"src{i % 3}", len(t)) for i, t in enumerate(texts)
+    ]
+    sdf = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    con.register("documents", pdf)
+    return sdf, con
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=doc_strategy)
+def test_bm25_matches_oracle_on_random_corpora(spark, texts):
+    from pithos_spark.functions.retrieval import bm25_topk, bm25_topk_oracle
+
+    sdf, con = _frames(spark, texts)
+    compare(
+        bm25_topk(sdf),
+        con,
+        bm25_topk_oracle(),
+        "bm25-fuzz",
+        expect_rows=False,  # a corpus may legitimately contain no query term
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=doc_strategy)
+def test_profile_matches_oracle_on_random_corpora(spark, texts):
+    from pithos_spark.functions.curate import CORPUS_PROFILE_SQL, corpus_profile
+
+    sdf, con = _frames(spark, texts)
+    compare(corpus_profile(sdf), con, CORPUS_PROFILE_SQL, "profile-fuzz")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=doc_strategy)
+def test_bigram_lm_matches_oracle_on_random_corpora(spark, texts):
+    from pithos_spark.functions.text import bigram_lm, bigram_lm_oracle
+
+    sdf, con = _frames(spark, texts)
+    compare(
+        bigram_lm(sdf), con, bigram_lm_oracle(), "bigram-fuzz",
+        expect_rows=False,
+    )
