@@ -481,3 +481,77 @@ WHERE tr.doc_id >= {eval_max_doc_id} AND ev.doc_id < {eval_max_doc_id}
 GROUP BY 1, 2
 HAVING count(*) >= {min_overlap}
 ORDER BY tr.doc_id, eval_doc_id"""
+
+
+def duplicate_spans(
+    documents: DataFrame, n: int = 10, min_docs: int = 2
+) -> DataFrame:
+    """Span-level exact-duplicate extraction — the mask list a
+    substring-dedup pass consumes (dedup at the span, not the document:
+    boilerplate repeated across otherwise-distinct pages is the main
+    contamination vector a doc-level pass misses).
+
+    A token ``n``-gram occurring in >= ``min_docs`` distinct documents
+    is a duplicate span; output one row per occurrence
+    (doc_id, pos, span_hash, n_docs) — downstream masks [pos, pos+n).
+
+    Scale: one explode (corpus token count rows), one shuffle keyed by
+    the span HASH (8 bytes, never the span text), a self-join back on
+    the hash restricted to surviving spans.  This is the k-gram
+    approximation of suffix-array substring dedup: spans shorter than
+    ``n`` tokens are not flagged, longer duplicates appear as runs of
+    consecutive flagged positions.
+    """
+    from pithos_spark.functions.dedup import portable_hash60
+
+    toks = documents.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
+    )
+    t = F.col("_toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
+    grams = F.transform(
+        idx, lambda i: F.struct(
+            (i - 1).cast("long").alias("pos"),
+            F.concat_ws(" ", F.slice(t, i, n)).alias("gram"),
+        )
+    )
+    spans = (
+        toks.select("doc_id", F.explode(grams).alias("g"))
+        .select(
+            "doc_id",
+            F.col("g.pos").alias("pos"),
+            portable_hash60(F.col("g.gram")).alias("span_hash"),
+        )
+    )
+    dup = (
+        spans.groupBy("span_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return (
+        spans.join(dup, "span_hash")
+        .select("doc_id", "pos", "span_hash", "n_docs")
+        .orderBy("doc_id", "pos", "span_hash")
+    )
+
+
+def duplicate_spans_oracle(n: int = 10, min_docs: int = 2) -> str:
+    k = n - 1
+    return f"""\
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t) - {k}, 1) + 1)) AS i FROM toks
+), spans AS (
+    SELECT doc_id, i - 1 AS pos,
+           ('0x' || substr(md5(array_to_string(t[i:i+{k}], ' ')), 1, 15))::BIGINT
+               AS span_hash
+    FROM idx
+), dup AS (
+    SELECT span_hash, count(DISTINCT doc_id) AS n_docs
+    FROM spans GROUP BY span_hash
+    HAVING count(DISTINCT doc_id) >= {min_docs}
+)
+SELECT s.doc_id, s.pos, s.span_hash, d.n_docs
+FROM spans s JOIN dup d USING (span_hash)
+ORDER BY s.doc_id, s.pos, s.span_hash"""

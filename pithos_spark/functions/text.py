@@ -244,3 +244,55 @@ SELECT bigram, c2 AS n_bigram, (1000 * c2) // c1 AS cond_permille
 FROM counts JOIN uni USING (w1)
 ORDER BY n_bigram DESC, bigram
 LIMIT {top_k}"""
+
+
+def repetition_stats(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Gopher-style within-document repetition signal: the fraction of
+    duplicate token ``n``-grams inside each doc, in permille
+    (1000 * (total - distinct) div total; short docs with no full
+    n-gram report 0).  High values flag boilerplate loops and generated
+    spam — the standard cheap quality gate alongside length and
+    stopword ratios.
+
+    One explode + per-doc aggregation; integer output, engine-exact.
+    """
+    toks = documents.select(
+        "doc_id", _tokens(F.col("text")).alias("_toks")
+    )
+    t = F.col("_toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    per_doc = toks.select("doc_id", F.explode(grams).alias("g")).groupBy(
+        "doc_id"
+    ).agg(
+        F.count(F.lit(1)).alias("total_ngrams"),
+        F.countDistinct("g").alias("distinct_ngrams"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "total_ngrams",
+        "distinct_ngrams",
+        F.expr(
+            "(1000 * (total_ngrams - distinct_ngrams)) div total_ngrams"
+        ).alias("rep_permille"),
+    ).orderBy("doc_id")
+
+
+def repetition_stats_oracle(n: int = 3) -> str:
+    k = n - 1
+    return f"""\
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t) - {k}, 1) + 1)) AS i FROM toks
+), grams AS (
+    SELECT doc_id, array_to_string(t[i:i+{k}], ' ') AS g FROM idx
+), per_doc AS (
+    SELECT doc_id, count(*) AS total_ngrams,
+           count(DISTINCT g) AS distinct_ngrams
+    FROM grams GROUP BY doc_id
+)
+SELECT doc_id, total_ngrams, distinct_ngrams,
+       (1000 * (total_ngrams - distinct_ngrams)) // total_ngrams AS rep_permille
+FROM per_doc
+ORDER BY doc_id"""

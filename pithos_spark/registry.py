@@ -1986,6 +1986,27 @@ ORACLES["corpus_decontaminate"] = decontaminate_oracle()
 QUERIES["corpus_bigram_lm"] = _bigram
 ORACLES["corpus_bigram_lm"] = bigram_lm_oracle()
 
+
+def _dup_spans(spark, sf_dir):
+    from pithos_spark.functions.curate import duplicate_spans
+
+    return duplicate_spans(T.load_tables(spark, sf_dir)["documents"])
+
+
+def _rep_stats(spark, sf_dir):
+    from pithos_spark.functions.text import repetition_stats
+
+    return repetition_stats(T.load_tables(spark, sf_dir)["documents"])
+
+
+from pithos_spark.functions.curate import duplicate_spans_oracle  # noqa: E402
+from pithos_spark.functions.text import repetition_stats_oracle  # noqa: E402
+
+QUERIES["corpus_duplicate_spans"] = _dup_spans
+ORACLES["corpus_duplicate_spans"] = duplicate_spans_oracle()
+QUERIES["corpus_repetition_stats"] = _rep_stats
+ORACLES["corpus_repetition_stats"] = repetition_stats_oracle()
+
 QUERIES["corpus_bm25_topk"] = _bm25
 ORACLES["corpus_bm25_topk"] = _retrieval_mod.bm25_topk_oracle()
 QUERIES["corpus_hybrid_search_rrf"] = _hybrid
@@ -2219,6 +2240,8 @@ ROUND_NEW: list[str] = [
     "corpus_bigram_lm",
     "events_funnel",
     "ann_lsh_batch_topk",
+    "corpus_duplicate_spans",
+    "corpus_repetition_stats",
     "ann_ivf_kmeans_topk",  # rows-only by design; keeps its honest row
 ]
 

@@ -173,3 +173,31 @@ def test_rerank_stub_restricted_to_bm25_candidates(spark):
     # ordering is by the (deterministic) ce score
     scores = [r["ce_score_q"] for r in got]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_duplicate_spans_flags_shared_boilerplate(spark):
+    from pithos_spark.functions.curate import duplicate_spans
+
+    boiler = "one two three four five six seven eight nine ten"
+    docs = _docs(
+        spark,
+        [
+            f"intro words {boiler} tail a",
+            f"other page {boiler} different end",
+            "completely unrelated text with no repeats at all here",
+        ],
+    )
+    got = duplicate_spans(docs, n=10).collect()
+    assert {r["doc_id"] for r in got} == {0, 1}
+    assert all(r["n_docs"] == 2 for r in got)
+    # doc 0: boilerplate starts at token 2; doc 1: at token 2 as well
+    assert {(r["doc_id"], r["pos"]) for r in got} == {(0, 2), (1, 2)}
+
+
+def test_repetition_stats_flags_loops(spark):
+    from pithos_spark.functions.text import repetition_stats
+
+    docs = _docs(spark, ["spam spam spam spam spam spam", "a b c d e f"])
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[0]["rep_permille"] == 750  # 4 trigrams, 1 distinct
+    assert got[1]["rep_permille"] == 0
