@@ -1438,6 +1438,14 @@ def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@register("events_retention", ev.RETENTION_COHORTS_SQL)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (streaming/events.py
+    retention_cohorts): first-event week cohorts x weeks-since-cohort
+    distinct-user counts."""
+    return ev.retention_cohorts(T.load_tables(spark, sf_dir)["events"])
+
+
 @register("events_funnel", ev.FUNNEL_SQL)
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequenced conversion funnel view -> click -> purchase: per-step
@@ -2239,6 +2247,7 @@ ROUND_NEW: list[str] = [
     "corpus_decontaminate",
     "corpus_bigram_lm",
     "events_funnel",
+    "events_retention",
     "ann_lsh_batch_topk",
     "corpus_duplicate_spans",
     "corpus_repetition_stats",

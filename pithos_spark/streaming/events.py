@@ -274,3 +274,61 @@ UNION ALL
 SELECT 'click', n1, CASE WHEN n0 = 0 THEN 0 ELSE (1000 * n1) // n0 END FROM c
 UNION ALL
 SELECT 'purchase', n2, CASE WHEN n1 = 0 THEN 0 ELSE (1000 * n2) // n1 END FROM c"""
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    first event; for each (cohort_week, weeks-since-cohort) cell, the
+    count of distinct cohort members active that week — the classic
+    product-analytics triangle.
+
+    Plan shape: one min-aggregate on user_id (the cohort assignment),
+    broadcast back onto the events (the firsts table is |users| rows),
+    then one distinct-count keyed by (cohort, offset).  Both engines
+    truncate weeks to ISO Monday, and the offset is pure day arithmetic
+    (datediff div 7) — no timezone or week-numbering trap.
+    """
+    firsts = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohorts = firsts.select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.col("first_ts"))).alias(
+            "cohort_week"
+        ),
+    )
+    activity = events.join(F.broadcast(cohorts), "user_id").select(
+        "user_id",
+        "cohort_week",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("activity_week"),
+    )
+    return (
+        activity.select(
+            "user_id",
+            "cohort_week",
+            F.expr(
+                "CAST(datediff(activity_week, cohort_week) div 7 AS BIGINT)"
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+RETENTION_COHORTS_SQL = """\
+WITH firsts AS (
+    SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+), cohorts AS (
+    SELECT user_id, date_trunc('week', first_ts)::DATE AS cohort_week
+    FROM firsts
+), activity AS (
+    SELECT e.user_id, c.cohort_week,
+           date_trunc('week', e.ts)::DATE AS activity_week
+    FROM events e JOIN cohorts c USING (user_id)
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, activity_week) // 7 AS BIGINT)
+           AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM activity
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset"""
