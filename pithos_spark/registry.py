@@ -1438,6 +1438,13 @@ def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@register("events_hourly_gapfill", ev.HOURLY_GAPFILL_SQL)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hour x event_type grid with explicit zeros for silent hours
+    (streaming/events.hourly_gapfill) — the hypertable resample shape."""
+    return ev.hourly_gapfill(T.load_tables(spark, sf_dir)["events"])
+
+
 @register("events_retention", ev.RETENTION_COHORTS_SQL)
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle (streaming/events.py
@@ -2248,6 +2255,7 @@ ROUND_NEW: list[str] = [
     "corpus_bigram_lm",
     "events_funnel",
     "events_retention",
+    "events_hourly_gapfill",
     "ann_lsh_batch_topk",
     "corpus_duplicate_spans",
     "corpus_repetition_stats",

@@ -332,3 +332,62 @@ SELECT cohort_week,
 FROM activity
 GROUP BY 1, 2
 ORDER BY cohort_week, week_offset"""
+
+
+def hourly_gapfill(events: DataFrame) -> DataFrame:
+    """Gap-filled hourly rollup — the hypertable/resample shape: a dense
+    (hour x event_type) grid from the corpus's min to max hour, hours
+    with no events reporting an explicit zero (a downstream anomaly
+    detector or charting layer must see silence, not absence).
+
+    Plan: the [min,max] hour bounds are ONE scalar-aggregate row;
+    ``sequence`` explodes the dense hour axis from it (driver never
+    materializes the axis), the distinct types cross-join it (tiny x
+    tiny), and the sparse counts left-join in.  Scale: the grid is
+    |hours| x |types| rows regardless of event volume; the only wide
+    exchange is the rollup's own group-by.
+    """
+    sparse = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("event_count"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts")
+    )
+    types = events.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    return (
+        grid.join(sparse, ["hour_ts", "event_type"], "left")
+        .select(
+            F.unix_micros("hour_ts").alias("hour_us"),
+            "event_type",
+            F.coalesce(F.col("event_count"), F.lit(0).cast("long")).alias(
+                "event_count"
+            ),
+        )
+        .orderBy("hour_us", "event_type")
+    )
+
+
+HOURLY_GAPFILL_SQL = """\
+WITH sparse AS (
+    SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS event_count
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+    FROM events
+), hours AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts FROM bounds
+), types AS (
+    SELECT DISTINCT event_type FROM events
+)
+SELECT epoch_us(h.hour_ts) AS hour_us, t.event_type,
+       CAST(coalesce(s.event_count, 0) AS BIGINT) AS event_count
+FROM hours h CROSS JOIN types t
+LEFT JOIN sparse s ON s.hour_ts = h.hour_ts AND s.event_type = t.event_type
+ORDER BY hour_us, t.event_type"""
