@@ -1438,6 +1438,13 @@ def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@register("events_hourly_anomalies", ev.hourly_anomalies_oracle())
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier hours per event type over the dense gap-filled
+    series (streaming/events.hourly_anomalies)."""
+    return ev.hourly_anomalies(T.load_tables(spark, sf_dir)["events"])
+
+
 @register("events_hourly_gapfill", ev.HOURLY_GAPFILL_SQL)
 def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hour x event_type grid with explicit zeros for silent hours
@@ -2256,6 +2263,7 @@ ROUND_NEW: list[str] = [
     "events_funnel",
     "events_retention",
     "events_hourly_gapfill",
+    "events_hourly_anomalies",
     "ann_lsh_batch_topk",
     "corpus_duplicate_spans",
     "corpus_repetition_stats",

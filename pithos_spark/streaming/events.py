@@ -391,3 +391,67 @@ SELECT epoch_us(h.hour_ts) AS hour_us, t.event_type,
 FROM hours h CROSS JOIN types t
 LEFT JOIN sparse s ON s.hour_ts = h.hour_ts AND s.event_type = t.event_type
 ORDER BY hour_us, t.event_type"""
+
+
+def hourly_anomalies(events: DataFrame, k: int = 5) -> DataFrame:
+    """Robust anomaly flags over the gap-filled hourly series: an hour is
+    anomalous for a type when |count - median| > k * MAD (median absolute
+    deviation), the classic outlier rule that a mean/stddev z-score can't
+    match on bursty series (the burst drags the mean; the median holds).
+
+    Runs on the DENSE series (hourly_gapfill) — silent hours count as
+    zeros, so a dead hour in a normally-busy type is flaggable.  Median
+    and MAD interpolate identically in Spark (``percentile``) and DuckDB
+    (``quantile_cont``); deviations are |int - double| halves, exact in
+    binary floating point, so the flag set is engine-exact.
+    """
+    dense = hourly_gapfill(events)
+    med = dense.groupBy("event_type").agg(
+        F.expr("percentile(event_count, 0.5D)").alias("med")
+    )
+    with_med = dense.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.expr("percentile(abs(event_count - med), 0.5D)").alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .filter(
+            F.abs(F.col("event_count") - F.col("med"))
+            > F.lit(float(k)) * F.col("mad")
+        )
+        .select("hour_us", "event_type", "event_count", "med", "mad")
+        .orderBy("hour_us", "event_type")
+    )
+
+
+def hourly_anomalies_oracle(k: int = 5) -> str:
+    return f"""\
+WITH sparse AS (
+    SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS event_count
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+    FROM events
+), hours AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts FROM bounds
+), types AS (
+    SELECT DISTINCT event_type FROM events
+), dense AS (
+    SELECT epoch_us(h.hour_ts) AS hour_us, t.event_type,
+           CAST(coalesce(s.event_count, 0) AS BIGINT) AS event_count
+    FROM hours h CROSS JOIN types t
+    LEFT JOIN sparse s ON s.hour_ts = h.hour_ts AND s.event_type = t.event_type
+), med AS (
+    SELECT event_type, quantile_cont(event_count, 0.5) AS med
+    FROM dense GROUP BY event_type
+), mad AS (
+    SELECT d.event_type, quantile_cont(abs(d.event_count - m.med), 0.5) AS mad
+    FROM dense d JOIN med m USING (event_type)
+    GROUP BY d.event_type
+)
+SELECT d.hour_us, d.event_type, d.event_count, m.med, a.mad
+FROM dense d
+JOIN med m USING (event_type)
+JOIN mad a USING (event_type)
+WHERE abs(d.event_count - m.med) > {k} * a.mad
+ORDER BY d.hour_us, d.event_type"""

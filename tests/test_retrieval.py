@@ -201,3 +201,29 @@ def test_repetition_stats_flags_loops(spark):
     got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
     assert got[0]["rep_permille"] == 750  # 4 trigrams, 1 distinct
     assert got[1]["rep_permille"] == 0
+
+
+def test_hourly_anomalies_flags_planted_burst(spark):
+    from datetime import datetime, timedelta
+
+    from pithos_spark.streaming.events import hourly_anomalies
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # steady: 2 clicks/hour for 48 hours; one burst hour with 50
+    for h in range(48):
+        n = 50 if h == 24 else 2
+        for i in range(n):
+            rows.append(
+                (eid, base + timedelta(hours=h, minutes=i % 60), 1, "click", 0.0, "")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = hourly_anomalies(ev).collect()
+    assert len(got) == 1
+    assert got[0]["event_count"] == 50
