@@ -555,3 +555,83 @@ WITH toks AS (
 SELECT s.doc_id, s.pos, s.span_hash, d.n_docs
 FROM spans s JOIN dup d USING (span_hash)
 ORDER BY s.doc_id, s.pos, s.span_hash"""
+
+
+# target mix for the rebalance planner: permille of the token budget per
+# source (sums to 1000); sources absent from the plan get 0.
+MIX_PLAN_TARGETS = {"src0": 300, "src1": 300, "src2": 200, "src3": 200}
+MIX_PLAN_BUDGET_TOKENS = 50_000
+
+
+def mix_rebalance_plan(
+    documents: DataFrame,
+    targets_permille: dict[str, int] | None = None,
+    budget_tokens: int = MIX_PLAN_BUDGET_TOKENS,
+) -> DataFrame:
+    """The planning step ahead of :func:`sample_mix`: given a token
+    budget and a target mix (permille per source), measure each source's
+    actual token mass and derive the keep-permille that hits the target
+    — capped at 1000 (a source can't be upsampled by dropping; the cap
+    surfaces under-represented sources to the recipe author instead of
+    silently re-normalizing).
+
+    All integer: target = budget * weight div 1000; keep_permille =
+    min(1000, 1000 * target div actual); expected = actual *
+    keep_permille div 1000 (the planner's own estimate of what
+    sample_mix will deliver).  One scan + one tiny aggregate.
+    """
+    targets = targets_permille or MIX_PLAN_TARGETS
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    actual = documents.select("source", toks.alias("tc")).groupBy(
+        "source"
+    ).agg(F.sum("tc").alias("actual_tokens"))
+    target_col = F.lit(0).cast("long")
+    for src, pm in sorted(targets.items()):
+        target_col = F.when(
+            F.col("source") == src,
+            F.lit(budget_tokens * pm // 1000).cast("long"),
+        ).otherwise(target_col)
+    return (
+        actual.withColumn("target_tokens", target_col)
+        .withColumn(
+            "keep_permille",
+            F.expr(
+                "CAST(least(1000, (1000 * target_tokens) div actual_tokens)"
+                " AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "expected_tokens",
+            F.expr("(actual_tokens * keep_permille) div 1000"),
+        )
+        .orderBy("source")
+    )
+
+
+def mix_rebalance_plan_oracle(
+    targets_permille: dict[str, int] | None = None,
+    budget_tokens: int = MIX_PLAN_BUDGET_TOKENS,
+) -> str:
+    targets = targets_permille or MIX_PLAN_TARGETS
+    whens = " ".join(
+        f"WHEN '{s}' THEN {budget_tokens * pm // 1000}"
+        for s, pm in sorted(targets.items())
+    )
+    return f"""\
+WITH actual AS (
+    SELECT source,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+               AS actual_tokens
+    FROM documents GROUP BY source
+), planned AS (
+    SELECT source, actual_tokens,
+           CAST(CASE source {whens} ELSE 0 END AS BIGINT) AS target_tokens
+    FROM actual
+)
+SELECT source, actual_tokens, target_tokens,
+       CAST(least(1000, (1000 * target_tokens) // actual_tokens) AS BIGINT)
+           AS keep_permille,
+       (actual_tokens * CAST(least(1000, (1000 * target_tokens) // actual_tokens) AS BIGINT)) // 1000
+           AS expected_tokens
+FROM planned
+ORDER BY source"""

@@ -2009,6 +2009,12 @@ QUERIES["corpus_bigram_lm"] = _bigram
 ORACLES["corpus_bigram_lm"] = bigram_lm_oracle()
 
 
+def _mix_plan(spark, sf_dir):
+    from pithos_spark.functions.curate import mix_rebalance_plan
+
+    return mix_rebalance_plan(T.load_tables(spark, sf_dir)["documents"])
+
+
 def _dup_spans(spark, sf_dir):
     from pithos_spark.functions.curate import duplicate_spans
 
@@ -2024,6 +2030,10 @@ def _rep_stats(spark, sf_dir):
 from pithos_spark.functions.curate import duplicate_spans_oracle  # noqa: E402
 from pithos_spark.functions.text import repetition_stats_oracle  # noqa: E402
 
+from pithos_spark.functions.curate import mix_rebalance_plan_oracle  # noqa: E402
+
+QUERIES["corpus_mix_plan"] = _mix_plan
+ORACLES["corpus_mix_plan"] = mix_rebalance_plan_oracle()
 QUERIES["corpus_duplicate_spans"] = _dup_spans
 ORACLES["corpus_duplicate_spans"] = duplicate_spans_oracle()
 QUERIES["corpus_repetition_stats"] = _rep_stats
@@ -2267,6 +2277,7 @@ ROUND_NEW: list[str] = [
     "ann_lsh_batch_topk",
     "corpus_duplicate_spans",
     "corpus_repetition_stats",
+    "corpus_mix_plan",
     "ann_ivf_kmeans_topk",  # rows-only by design; keeps its honest row
 ]
 
