@@ -2282,19 +2282,13 @@ ROUND_NEW: list[str] = [
 ]
 
 DRIVER_PRIORITY: list[str] = [
-    # round-4 window occupants not re-verified since (keep their verdicts
-    # fresh), then a spread of the remaining registry
-    "dedup_duplicate_clusters",
+    # rotate verdicts across the rest of the registry (entries green in
+    # r04 — curation pipeline, multimodal_resize, pack/sample, scalar
+    # twins — cycle OUT this round to make room for the 22 ROUND_NEW)
     "dedup_keep_best",
     "ann_ivf_topk",
     "cors_preflight",
     "acl_edn_grants",
-    "corpus_curation_pipeline",
-    "multimodal_resize",
-    "corpus_pack_sequences",
-    "corpus_sample_mix",
-    "scalar_conversions",
-    "metadata_header_filter",
     "multipart_etag",
     "objects_latest_version",
     "orphan_chunk_gc",
