@@ -635,3 +635,103 @@ SELECT source, actual_tokens, target_tokens,
            AS expected_tokens
 FROM planned
 ORDER BY source"""
+
+
+def quality_gate_report(
+    documents: DataFrame,
+    langs: tuple[str, ...] = KEEP_LANGS,
+    min_chars: int = 50,
+    min_tokens: int = 10,
+    min_distinct_permille: int = 200,
+) -> DataFrame:
+    """Observability for the curation gates: how many documents each
+    filter rejects, counted INDEPENDENTLY (a doc failing two gates
+    counts in both rows) plus the all-gates pass count — the report that
+    explains why a corpus shrank before anyone re-runs the pipeline.
+
+    The distinct-token ratio is evaluated in integer permille
+    (1000 * distinct >= min_permille * total) — same decision as
+    curate_corpus's float form on non-degenerate inputs, exact in both
+    engines.  One scan, one 5-row aggregate; conditional counts combine
+    map-side.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    flags = documents.select(
+        F.col("lang").isin(*langs).alias("lang_ok"),
+        (F.length("text") >= min_chars).alias("chars_ok"),
+        (F.size(toks) >= min_tokens).alias("tokens_ok"),
+        (
+            F.size(F.array_distinct(toks)) * 1000
+            >= F.lit(min_distinct_permille) * F.size(toks)
+        ).alias("distinct_ok"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(~F.col("lang_ok"), 1).otherwise(0)).alias("fail_lang"),
+        F.sum(F.when(~F.col("chars_ok"), 1).otherwise(0)).alias("fail_chars"),
+        F.sum(F.when(~F.col("tokens_ok"), 1).otherwise(0)).alias("fail_tokens"),
+        F.sum(F.when(~F.col("distinct_ok"), 1).otherwise(0)).alias(
+            "fail_distinct"
+        ),
+        F.sum(
+            F.when(
+                F.col("lang_ok")
+                & F.col("chars_ok")
+                & F.col("tokens_ok")
+                & F.col("distinct_ok"),
+                1,
+            ).otherwise(0)
+        ).alias("pass_all"),
+    )
+    gates = [
+        ("total", "n_total"),
+        ("fail_lang", "fail_lang"),
+        ("fail_chars", "fail_chars"),
+        ("fail_tokens", "fail_tokens"),
+        ("fail_distinct", "fail_distinct"),
+        ("pass_all", "pass_all"),
+    ]
+    structs = [
+        F.struct(F.lit(name).alias("gate"), F.col(col).cast("long").alias("n_docs"))
+        for name, col in gates
+    ]
+    return agg.select(F.explode(F.array(*structs)).alias("s")).select(
+        "s.gate", "s.n_docs"
+    ).orderBy("gate")
+
+
+def quality_gate_report_oracle(
+    langs: tuple[str, ...] = KEEP_LANGS,
+    min_chars: int = 50,
+    min_tokens: int = 10,
+    min_distinct_permille: int = 200,
+) -> str:
+    lang_list = ", ".join(f"'{l}'" for l in langs)
+    return f"""\
+WITH flags AS (
+    SELECT lang IN ({lang_list}) AS lang_ok,
+           length(text) >= {min_chars} AS chars_ok,
+           len(regexp_split_to_array(trim(text), '\\s+')) >= {min_tokens} AS tokens_ok,
+           len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) * 1000
+               >= {min_distinct_permille} * len(regexp_split_to_array(trim(text), '\\s+'))
+               AS distinct_ok
+    FROM documents
+), agg AS (
+    SELECT count(*) AS n_total,
+           sum(CASE WHEN NOT lang_ok THEN 1 ELSE 0 END) AS fail_lang,
+           sum(CASE WHEN NOT chars_ok THEN 1 ELSE 0 END) AS fail_chars,
+           sum(CASE WHEN NOT tokens_ok THEN 1 ELSE 0 END) AS fail_tokens,
+           sum(CASE WHEN NOT distinct_ok THEN 1 ELSE 0 END) AS fail_distinct,
+           sum(CASE WHEN lang_ok AND chars_ok AND tokens_ok AND distinct_ok
+                    THEN 1 ELSE 0 END) AS pass_all
+    FROM flags
+)
+SELECT gate, CAST(n_docs AS BIGINT) AS n_docs FROM (
+    SELECT 'total' AS gate, n_total AS n_docs FROM agg
+    UNION ALL SELECT 'fail_lang', fail_lang FROM agg
+    UNION ALL SELECT 'fail_chars', fail_chars FROM agg
+    UNION ALL SELECT 'fail_tokens', fail_tokens FROM agg
+    UNION ALL SELECT 'fail_distinct', fail_distinct FROM agg
+    UNION ALL SELECT 'pass_all', pass_all FROM agg
+)
+ORDER BY gate"""

@@ -2009,6 +2009,12 @@ QUERIES["corpus_bigram_lm"] = _bigram
 ORACLES["corpus_bigram_lm"] = bigram_lm_oracle()
 
 
+def _gate_report(spark, sf_dir):
+    from pithos_spark.functions.curate import quality_gate_report
+
+    return quality_gate_report(T.load_tables(spark, sf_dir)["documents"])
+
+
 def _mix_plan(spark, sf_dir):
     from pithos_spark.functions.curate import mix_rebalance_plan
 
@@ -2032,6 +2038,10 @@ from pithos_spark.functions.text import repetition_stats_oracle  # noqa: E402
 
 from pithos_spark.functions.curate import mix_rebalance_plan_oracle  # noqa: E402
 
+from pithos_spark.functions.curate import quality_gate_report_oracle  # noqa: E402
+
+QUERIES["corpus_gate_report"] = _gate_report
+ORACLES["corpus_gate_report"] = quality_gate_report_oracle()
 QUERIES["corpus_mix_plan"] = _mix_plan
 ORACLES["corpus_mix_plan"] = mix_rebalance_plan_oracle()
 QUERIES["corpus_duplicate_spans"] = _dup_spans
@@ -2278,6 +2288,7 @@ ROUND_NEW: list[str] = [
     "corpus_duplicate_spans",
     "corpus_repetition_stats",
     "corpus_mix_plan",
+    "corpus_gate_report",
     "ann_ivf_kmeans_topk",  # rows-only by design; keeps its honest row
 ]
 
@@ -2285,7 +2296,6 @@ DRIVER_PRIORITY: list[str] = [
     # rotate verdicts across the rest of the registry (entries green in
     # r04 — curation pipeline, multimodal_resize, pack/sample, scalar
     # twins — cycle OUT this round to make room for the 22 ROUND_NEW)
-    "dedup_keep_best",
     "ann_ivf_topk",
     "cors_preflight",
     "acl_edn_grants",
