@@ -88,3 +88,55 @@ def test_bigram_lm_matches_oracle_on_random_corpora(spark, texts):
         bigram_lm(sdf), con, bigram_lm_oracle(), "bigram-fuzz",
         expect_rows=False,
     )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=doc_strategy)
+def test_repetition_stats_matches_oracle_on_random_corpora(spark, texts):
+    from pithos_spark.functions.text import (
+        repetition_stats,
+        repetition_stats_oracle,
+    )
+
+    sdf, con = _frames(spark, texts)
+    compare(
+        repetition_stats(sdf), con, repetition_stats_oracle(), "rep-fuzz"
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=doc_strategy)
+def test_shard_assign_matches_oracle_on_random_corpora(spark, texts):
+    from pithos_spark.functions.curate import shard_assign, shard_assign_oracle
+
+    sdf, con = _frames(spark, texts)
+    compare(shard_assign(sdf), con, shard_assign_oracle(), "shard-fuzz")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=doc_strategy)
+def test_gate_report_matches_oracle_on_random_corpora(spark, texts):
+    from pithos_spark.functions.curate import (
+        quality_gate_report,
+        quality_gate_report_oracle,
+    )
+
+    sdf, con = _frames(spark, texts)
+    compare(
+        quality_gate_report(sdf),
+        con,
+        quality_gate_report_oracle(),
+        "gate-fuzz",
+    )
