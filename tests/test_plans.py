@@ -232,3 +232,42 @@ def test_lloyd_ivf_probe_broadcasts_centers(tables):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(tables):
+    """The eval set is tiny by construction; the gram join must
+    broadcast it so the training side never shuffles."""
+    from pithos_spark.functions.curate import decontaminate
+
+    plan = _plan(decontaminate(tables["documents"]))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_retention_broadcasts_cohorts(tables):
+    from pithos_spark.streaming.events import retention_cohorts
+
+    plan = _plan(retention_cohorts(tables["events"]))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_duplicate_spans_shuffles_hashes_not_text(tables):
+    """The span group-by must key on the 8-byte hash; no span STRING
+    column may survive into any Exchange."""
+    from pithos_spark.functions.curate import duplicate_spans
+
+    plan = _plan(duplicate_spans(tables["documents"]))
+    assert "CartesianProduct" not in plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "gram" not in m.group(1), m.group(0)
+
+
+def test_gapfill_grid_is_broadcast_joined(tables):
+    from pithos_spark.streaming.events import hourly_gapfill
+
+    plan = _plan(hourly_gapfill(tables["events"]))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
