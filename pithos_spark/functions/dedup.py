@@ -706,3 +706,200 @@ SELECT doc_id, cluster_id, token_count,
        ) = 1 AS keep
 FROM scored ORDER BY cluster_id, doc_id"""
     )
+
+
+# --- incremental dedup: delta vs existing-corpus signature index ----------
+
+
+def band_signatures(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(doc_id, band, band_key) rows — the banded MinHash signature
+    INDEX of a corpus.  Written once at ingest (partitioned by band it
+    becomes the persistent dedup index an incremental pipeline probes);
+    minhash_lsh_pairs derives the same rows inline."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(documents, n, num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.band_key")
+
+
+def incremental_dedup_pairs(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold_pct: int = 50,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Incremental near-dup detection: which NEW documents duplicate the
+    EXISTING corpus — the shape a rolling crawl actually runs, where the
+    existing side's banded signatures are a precomputed index
+    (band_signatures, persisted band-partitioned) and only the delta
+    pays signature cost.
+
+    Candidates: new x existing pairs sharing any band bucket (bucket cap
+    applied to the EXISTING side — the index side is where a viral
+    boilerplate family lives; the delta is assumed bounded).  Verify:
+    exact jaccard over both sides' shingles, restricted to candidates.
+    Output: (new_doc_id, existing_doc_id, n_common, n_union) above the
+    threshold — the delta's drop list.
+
+    Scale: cost is O(delta) signatures + one join against the index —
+    NOT O(corpus); re-running dedup over 100 TB for each daily crawl is
+    exactly what this avoids.
+    """
+    new_bands = band_signatures(new_docs, n, num_hashes, bands)
+    old_bands = _cap_buckets(
+        band_signatures(existing_docs, n, num_hashes, bands),
+        ["band", "band_key"],
+        max_bucket,
+    )
+    candidates = (
+        new_bands.alias("a")
+        .join(
+            old_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc_id"),
+            F.col("b.doc_id").alias("existing_doc_id"),
+        )
+        .distinct()
+    )
+    sh_new = shingles(new_docs, n)
+    sh_old = shingles(existing_docs, n)
+    sizes_new = sh_new.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    sizes_old = sh_old.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    inter = (
+        candidates.join(
+            sh_new.select(
+                F.col("doc_id").alias("new_doc_id"),
+                F.col("shingle").alias("sh_a"),
+            ),
+            "new_doc_id",
+        )
+        .join(
+            sh_old.select(
+                F.col("doc_id").alias("existing_doc_id2"),
+                F.col("shingle").alias("sh_b"),
+            ),
+            (F.col("existing_doc_id") == F.col("existing_doc_id2"))
+            & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("new_doc_id", "existing_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes_new.select(
+                F.col("doc_id").alias("new_doc_id"),
+                F.col("n_shingles").alias("size_a"),
+            ),
+            "new_doc_id",
+        )
+        .join(
+            sizes_old.select(
+                F.col("doc_id").alias("existing_doc_id"),
+                F.col("n_shingles").alias("size_b"),
+            ),
+            "existing_doc_id",
+        )
+        .withColumn(
+            "n_union", F.col("size_a") + F.col("size_b") - F.col("n_common")
+        )
+        .filter(F.col("n_common") * 100 >= F.col("n_union") * threshold_pct)
+        .select("new_doc_id", "existing_doc_id", "n_common", "n_union")
+        .orderBy("new_doc_id", "existing_doc_id")
+    )
+
+
+def incremental_dedup_pairs_oracle(
+    split_doc_id: int,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold_pct: int = 50,
+    max_bucket: int = 1000,
+) -> str:
+    """DuckDB twin for the registry fixture protocol: documents with
+    doc_id >= ``split_doc_id`` act as the new crawl, the rest as the
+    existing corpus."""
+    a_c, b_c = _mh_constants(num_hashes)
+    rows_per_band = num_hashes // bands
+    mins = ",\n           ".join(
+        f"min(({a_c[i]} * h0 + {b_c[i]}) % {_MH_P}) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return (
+        _shingle_sql(n)
+        + f""", hashed AS (
+    SELECT doc_id, {portable_hash60_sql('shingle')} % {_MH_P} AS h0 FROM sh
+), sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM hashed GROUP BY doc_id
+), all_bands AS (
+{band_selects}
+), new_bands AS (
+    SELECT * FROM all_bands WHERE doc_id >= {split_doc_id}
+), old_capped AS (
+    SELECT doc_id, band, band_key FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, band_key) AS _bn
+        FROM all_bands WHERE doc_id < {split_doc_id}
+    ) WHERE _bn <= {max_bucket}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS existing_doc_id
+    FROM new_bands a JOIN old_capped b
+      ON a.band = b.band AND a.band_key = b.band_key
+), sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+), inter AS (
+    SELECT c.new_doc_id, c.existing_doc_id, count(*) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.new_doc_id
+    JOIN sh b ON b.doc_id = c.existing_doc_id AND a.shingle = b.shingle
+    GROUP BY 1, 2
+)
+SELECT new_doc_id, existing_doc_id, n_common,
+       sa.n_shingles + sb.n_shingles - n_common AS n_union
+FROM inter
+JOIN sizes sa ON new_doc_id = sa.doc_id
+JOIN sizes sb ON existing_doc_id = sb.doc_id
+WHERE n_common * 100 >= (sa.n_shingles + sb.n_shingles - n_common) * {threshold_pct}
+ORDER BY new_doc_id, existing_doc_id"""
+    )

@@ -467,6 +467,20 @@ ORACLES["dedup_keep_best"] = dedup.dedup_keep_best_oracle()
 # (dedup.portable_hash60), so the full pipeline — signatures, banding,
 # bucket cap, exact verify — has a bit-identical DuckDB twin.  Recall vs
 # the exact jaccard answer is additionally asserted in tests/test_dedup.py.
+def _incremental_dedup(spark, sf_dir):
+    """Fixture protocol: doc_id >= 400 is the new crawl, the rest the
+    existing corpus whose banded signatures act as the dedup index."""
+    import pyspark.sql.functions as F
+
+    d = T.load_tables(spark, sf_dir)["documents"]
+    return dedup.incremental_dedup_pairs(
+        d.filter(F.col("doc_id") >= 400), d.filter(F.col("doc_id") < 400)
+    )
+
+
+QUERIES["dedup_incremental"] = _incremental_dedup
+ORACLES["dedup_incremental"] = dedup.incremental_dedup_pairs_oracle(400)
+
 QUERIES["dedup_minhash_lsh"] = _doc_query(dedup.minhash_lsh_pairs)
 ORACLES["dedup_minhash_lsh"] = dedup.minhash_lsh_pairs_oracle()
 QUERIES["dedup_simhash_pairs"] = _doc_query(dedup.simhash_near_pairs)
@@ -2289,6 +2303,7 @@ ROUND_NEW: list[str] = [
     "corpus_repetition_stats",
     "corpus_mix_plan",
     "corpus_gate_report",
+    "dedup_incremental",
     "ann_ivf_kmeans_topk",  # rows-only by design; keeps its honest row
 ]
 
@@ -2296,7 +2311,6 @@ DRIVER_PRIORITY: list[str] = [
     # rotate verdicts across the rest of the registry (entries green in
     # r04 — curation pipeline, multimodal_resize, pack/sample, scalar
     # twins — cycle OUT this round to make room for the 22 ROUND_NEW)
-    "ann_ivf_topk",
     "cors_preflight",
     "acl_edn_grants",
     "multipart_etag",

@@ -144,3 +144,30 @@ def test_keep_best_picks_longest_doc(spark):
     assert out[2] == (1, True)
     assert out[1] == (1, False) and out[3] == (1, False)
     assert 4 not in out
+
+
+def test_incremental_dedup_finds_delta_dups_only(spark):
+    """A new doc duplicating an existing one is flagged; dup pairs
+    entirely INSIDE the existing corpus are not re-reported (the
+    incremental contract: the delta pays, the index doesn't)."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions.dedup import incremental_dedup_pairs
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, body),                      # existing
+        (1, body + " lambda"),          # existing near-dup of 0
+        (2, "totally different words about nothing in particular here"),
+        (100, body + " mu"),            # NEW near-dup of 0 and 1
+        (101, "fresh unique content that matches nothing else at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = incremental_dedup_pairs(
+        docs.filter(F.col("doc_id") >= 100),
+        docs.filter(F.col("doc_id") < 100),
+        threshold_pct=50,
+    ).collect()
+    pairs = {(r["new_doc_id"], r["existing_doc_id"]) for r in got}
+    assert (100, 0) in pairs and (100, 1) in pairs
+    assert all(n == 100 for n, _ in pairs)  # 101 clean; (0,1) not re-reported
