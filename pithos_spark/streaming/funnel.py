@@ -94,3 +94,41 @@ def streaming_funnel_stages(stream_df):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_incremental_dedup(
+    new_docs_stream,
+    existing_docs,
+    sink_table: str,
+    checkpoint: str,
+    **dedup_kwargs,
+):
+    """Streaming twin of functions/dedup.incremental_dedup_pairs: each
+    micro-batch of newly-crawled documents is probed against the STATIC
+    existing-corpus signature index, and the flagged near-dup pairs
+    append to ``sink_table``.
+
+    ``foreachBatch`` is the right tool here (not a stream-static join
+    chain): the verify step needs a per-batch aggregation over the
+    batch's own shingles, which is exactly what running the BATCH
+    operator on each micro-batch expresses — one code path, identical
+    semantics, incremental arrival.  State is the persisted index, not
+    stream state: a restart re-probes nothing already committed
+    (checkpointed source offsets) and duplicates nothing.
+    """
+    from pithos_spark.functions.dedup import incremental_dedup_pairs
+
+    def _probe(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        pairs = incremental_dedup_pairs(
+            batch_df, existing_docs, **dedup_kwargs
+        )
+        pairs.write.mode("append").saveAsTable(sink_table)
+
+    return (
+        new_docs_stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

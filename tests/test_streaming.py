@@ -420,3 +420,41 @@ def test_streaming_funnel_converges_to_batch(spark, tmp_path):
     # users with no funnel events never appear in the stream output
     want = {u: s for u, s in want.items()}
     assert got == want
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """Micro-batched crawl delta probed against the static index must
+    flag exactly the pairs the batch operator flags, regardless of how
+    the delta splits into triggers."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions.dedup import incremental_dedup_pairs
+    from pithos_spark.streaming.funnel import streaming_incremental_dedup
+
+    docs = T.load_tables(spark, SF_SMOKE)["documents"]
+    existing = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    src = str(tmp_path / "crawl_delta")
+    new.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    spark.sql("DROP TABLE IF EXISTS inc_dedup_sink")
+    q = streaming_incremental_dedup(
+        stream, existing, "inc_dedup_sink", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["new_doc_id"], r["existing_doc_id"])
+        for r in spark.table("inc_dedup_sink").collect()
+    }
+    want = {
+        (r["new_doc_id"], r["existing_doc_id"])
+        for r in incremental_dedup_pairs(new, existing).collect()
+    }
+    assert got == want and len(want) > 0
