@@ -99,14 +99,15 @@ def streaming_funnel_stages(stream_df):
 def streaming_incremental_dedup(
     new_docs_stream,
     existing_docs,
-    sink_table: str,
+    sink_path: str,
     checkpoint: str,
     **dedup_kwargs,
 ):
     """Streaming twin of functions/dedup.incremental_dedup_pairs: each
     micro-batch of newly-crawled documents is probed against the STATIC
     existing-corpus signature index, and the flagged near-dup pairs
-    append to ``sink_table``.
+    append as parquet under ``sink_path`` (an explicit path, not a
+    managed table — no catalog/warehouse state to collide with).
 
     ``foreachBatch`` is the right tool here (not a stream-static join
     chain): the verify step needs a per-batch aggregation over the
@@ -124,7 +125,7 @@ def streaming_incremental_dedup(
         pairs = incremental_dedup_pairs(
             batch_df, existing_docs, **dedup_kwargs
         )
-        pairs.write.mode("append").saveAsTable(sink_table)
+        pairs.write.mode("append").parquet(sink_path)
 
     return (
         new_docs_stream.writeStream.foreachBatch(_probe)

@@ -443,15 +443,15 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    spark.sql("DROP TABLE IF EXISTS inc_dedup_sink")
+    sink = str(tmp_path / "inc_dedup_sink")
     q = streaming_incremental_dedup(
-        stream, existing, "inc_dedup_sink", str(tmp_path / "ckpt")
+        stream, existing, sink, str(tmp_path / "ckpt")
     )
     q.awaitTermination(180)
 
     got = {
         (r["new_doc_id"], r["existing_doc_id"])
-        for r in spark.table("inc_dedup_sink").collect()
+        for r in spark.read.parquet(sink).collect()
     }
     want = {
         (r["new_doc_id"], r["existing_doc_id"])
