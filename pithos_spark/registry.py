@@ -1459,6 +1459,13 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.hourly_anomalies(T.load_tables(spark, sf_dir)["events"])
 
 
+@register("events_value_percentiles", ev.VALUE_PERCENTILES_SQL)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value distribution (p50/p90/p99 over cents-quantized
+    values; streaming/events.value_percentiles)."""
+    return ev.value_percentiles(T.load_tables(spark, sf_dir)["events"])
+
+
 @register("events_hourly_gapfill", ev.HOURLY_GAPFILL_SQL)
 def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hour x event_type grid with explicit zeros for silent hours
@@ -2298,6 +2305,7 @@ ROUND_NEW: list[str] = [
     "events_retention",
     "events_hourly_gapfill",
     "events_hourly_anomalies",
+    "events_value_percentiles",
     "ann_lsh_batch_topk",
     "corpus_duplicate_spans",
     "corpus_repetition_stats",
@@ -2311,7 +2319,6 @@ DRIVER_PRIORITY: list[str] = [
     # rotate verdicts across the rest of the registry (entries green in
     # r04 — curation pipeline, multimodal_resize, pack/sample, scalar
     # twins — cycle OUT this round to make room for the 22 ROUND_NEW)
-    "cors_preflight",
     "acl_edn_grants",
     "multipart_etag",
     "objects_latest_version",

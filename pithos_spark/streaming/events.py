@@ -455,3 +455,39 @@ JOIN med m USING (event_type)
 JOIN mad a USING (event_type)
 WHERE abs(d.event_count - m.med) > {k} * a.mad
 ORDER BY d.hour_us, d.event_type"""
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Per-type distribution summary of the event value: exact p50/p90/p99
+    over the CENTS-quantized value (floor(value*100) — the same integer
+    discipline as every other value aggregate, and what makes Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` agree bit-for-bit)."""
+    q = events.select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("v_e2")
+    )
+    return (
+        q.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("v_e2").alias("min_e2"),
+            F.max("v_e2").alias("max_e2"),
+            F.expr("percentile(v_e2, array(0.5D, 0.9D, 0.99D))").alias(
+                "pct_e2"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_PERCENTILES_SQL = """\
+WITH q AS (
+    SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v_e2 FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       min(v_e2) AS min_e2,
+       max(v_e2) AS max_e2,
+       quantile_cont(v_e2, [0.5, 0.9, 0.99]) AS pct_e2
+FROM q
+GROUP BY event_type
+ORDER BY event_type"""

@@ -36,3 +36,16 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert set(e.queries()).issuperset(set(e.oracle_sql()))
+
+
+def test_driver_window_covers_new_queries_and_canaries():
+    """The driver's CORRECTNESS gate checks only the first 50 entries of
+    ordered_queries(); every ROUND_NEW query and every GREEN_CORE canary
+    must be inside that window, and the names must all exist."""
+    from pithos_spark import registry
+
+    ordered = list(registry.ordered_queries())
+    window = set(ordered[:50])
+    for name in registry.ROUND_NEW + registry.GREEN_CORE:
+        assert name in registry.QUERIES, f"unknown name {name}"
+        assert name in window, f"{name} fell outside the 50-entry window"
