@@ -735,3 +735,65 @@ SELECT gate, CAST(n_docs AS BIGINT) AS n_docs FROM (
     UNION ALL SELECT 'pass_all', pass_all FROM agg
 )
 ORDER BY gate"""
+
+
+def novelty_scores(documents: DataFrame, n: int = 5) -> DataFrame:
+    """Per-document novelty — the data-selection signal that prioritizes
+    fresh content: the permille of a doc's distinct ``n``-grams that
+    occur in NO other document.  The mirror image of duplicate_spans
+    (which lists what is shared; this scores what is not).
+
+    Plan: distinct grams per doc (hashed — the shuffle carries 8-byte
+    keys), gram document-frequency across the corpus, one join back,
+    integer ratio per doc.  Cost is the same two keyed aggregations the
+    span extractor pays.
+    """
+    from pithos_spark.functions.dedup import portable_hash60, shingles
+
+    grams = shingles(documents, n).select(
+        "doc_id", portable_hash60(F.col("shingle")).alias("g")
+    )
+    df_per_gram = grams.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("gram_df")
+    )
+    per_doc = (
+        grams.join(df_per_gram, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("gram_df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.expr("(1000 * n_novel) div n_grams").alias("novelty_permille"),
+    ).orderBy("doc_id")
+
+
+def novelty_scores_oracle(n: int = 5) -> str:
+    k = n - 1
+    return f"""\
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t) - {k}, 1) + 1)) AS i FROM toks
+), grams AS (
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(array_to_string(t[i:i+{k}], ' ')), 1, 15))::BIGINT AS g
+    FROM idx
+), df_per_gram AS (
+    SELECT g, count(DISTINCT doc_id) AS gram_df FROM grams GROUP BY g
+), per_doc AS (
+    SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+    FROM grams JOIN df_per_gram USING (g)
+    GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       (1000 * n_novel) // n_grams AS novelty_permille
+FROM per_doc
+ORDER BY doc_id"""

@@ -2030,6 +2030,12 @@ QUERIES["corpus_bigram_lm"] = _bigram
 ORACLES["corpus_bigram_lm"] = bigram_lm_oracle()
 
 
+def _novelty(spark, sf_dir):
+    from pithos_spark.functions.curate import novelty_scores
+
+    return novelty_scores(T.load_tables(spark, sf_dir)["documents"])
+
+
 def _gate_report(spark, sf_dir):
     from pithos_spark.functions.curate import quality_gate_report
 
@@ -2061,6 +2067,10 @@ from pithos_spark.functions.curate import mix_rebalance_plan_oracle  # noqa: E40
 
 from pithos_spark.functions.curate import quality_gate_report_oracle  # noqa: E402
 
+from pithos_spark.functions.curate import novelty_scores_oracle  # noqa: E402
+
+QUERIES["corpus_novelty_scores"] = _novelty
+ORACLES["corpus_novelty_scores"] = novelty_scores_oracle()
 QUERIES["corpus_gate_report"] = _gate_report
 ORACLES["corpus_gate_report"] = quality_gate_report_oracle()
 QUERIES["corpus_mix_plan"] = _mix_plan
@@ -2312,6 +2322,7 @@ ROUND_NEW: list[str] = [
     "corpus_mix_plan",
     "corpus_gate_report",
     "dedup_incremental",
+    "corpus_novelty_scores",
     "ann_ivf_kmeans_topk",  # rows-only by design; keeps its honest row
 ]
 
@@ -2319,7 +2330,6 @@ DRIVER_PRIORITY: list[str] = [
     # rotate verdicts across the rest of the registry (entries green in
     # r04 — curation pipeline, multimodal_resize, pack/sample, scalar
     # twins — cycle OUT this round to make room for the 22 ROUND_NEW)
-    "acl_edn_grants",
     "multipart_etag",
     "objects_latest_version",
     "orphan_chunk_gc",
