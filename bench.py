@@ -37,6 +37,9 @@ HEADLINERS = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_brute_force_topk",
+    # round-5 heavy surface, tracked from round 6 on (VERDICT r5 task 5)
+    "dedup_embedding_lsh",
+    "corpus_duplicate_spans",
 ]
 
 

@@ -286,22 +286,20 @@ def pii_redact(documents: DataFrame) -> DataFrame:
     (JVM codegen, no UDF), so at 100 TB this runs at I/O speed.
     Replacement order matters and is fixed: email first (its host part
     would otherwise survive as an IP-like token), then IPv4, then
-    phone.
+    phone.  ``n_redactions`` counts each pattern on the string the
+    corresponding replacement actually ran on (emails on raw, IPs on the
+    email-redacted text, phones after that), so it equals the number of
+    substitutions made — a span consumed by an earlier pass is never
+    double-counted (ADVICE r5).
     """
     raw = _with_contact_header(documents)
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(raw, PII_EMAIL, "[EMAIL]"),
-            PII_IPV4,
-            "[IP]",
-        ),
-        PII_PHONE,
-        "[PHONE]",
-    )
+    after_email = F.regexp_replace(raw, PII_EMAIL, "[EMAIL]")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "[IP]")
+    redacted = F.regexp_replace(after_ip, PII_PHONE, "[PHONE]")
     n_red = (
         F.regexp_count(raw, F.lit(PII_EMAIL))
-        + F.regexp_count(raw, F.lit(PII_IPV4))
-        + F.regexp_count(raw, F.lit(PII_PHONE))
+        + F.regexp_count(after_email, F.lit(PII_IPV4))
+        + F.regexp_count(after_ip, F.lit(PII_PHONE))
     ).cast("long")
     return documents.select(
         "doc_id",
@@ -321,17 +319,21 @@ WITH raw AS (
                'ip 10.0.' || (doc_id % 256)::VARCHAR || '.1',
                text) AS t
     FROM documents
+), pass1 AS (
+    SELECT doc_id, t,
+           regexp_replace(t, '{email}', '[EMAIL]', 'g') AS t1
+    FROM raw
+), pass2 AS (
+    SELECT doc_id, t, t1,
+           regexp_replace(t1, '{ipv4}', '[IP]', 'g') AS t2
+    FROM pass1
 )
 SELECT doc_id,
-       regexp_replace(
-           regexp_replace(
-               regexp_replace(t, '{email}', '[EMAIL]', 'g'),
-               '{ipv4}', '[IP]', 'g'),
-           '{phone}', '[PHONE]', 'g') AS redacted_text,
+       regexp_replace(t2, '{phone}', '[PHONE]', 'g') AS redacted_text,
        CAST(len(regexp_extract_all(t, '{email}'))
-          + len(regexp_extract_all(t, '{ipv4}'))
-          + len(regexp_extract_all(t, '{phone}')) AS BIGINT) AS n_redactions
-FROM raw"""
+          + len(regexp_extract_all(t1, '{ipv4}'))
+          + len(regexp_extract_all(t2, '{phone}')) AS BIGINT) AS n_redactions
+FROM pass2"""
 
 
 def corpus_profile(documents: DataFrame) -> DataFrame:
@@ -341,9 +343,16 @@ def corpus_profile(documents: DataFrame) -> DataFrame:
     linear interpolation and agree bit-for-bit on integer inputs),
     exact-duplicate rate, and language spread.
 
-    One scan + one shuffle keyed by source.  Exact percentiles hold to
-    ~memory-per-group at 100 TB; swap to approx_percentile when a single
-    source exceeds that, accepting the weaker driver check.
+    One scan + one shuffle keyed by source; the three percentiles come
+    from ONE ``percentile(tc, array(...))`` aggregate buffer, then split
+    into scalar columns (the driver canonicalizer can't sort/hash
+    array-typed cells — scalar outputs only).
+
+    Exact percentiles buffer every group value in the agg, so they hold
+    to ~memory-per-group: fine at per-source groups in the millions, NOT
+    at 100 TB with a single dominant source.  `corpus_profile_approx` is
+    the production-scale twin (t-digest sketch, constant memory per
+    group); keep the exact form for audits below the documented bound.
     """
     toks = F.split(F.trim(F.col("text")), r"\s+")
     base = documents.select(
@@ -360,12 +369,69 @@ def corpus_profile(documents: DataFrame) -> DataFrame:
             F.min("tc").alias("min_tokens"),
             F.max("tc").alias("max_tokens"),
             F.expr("percentile(tc, array(0.5D, 0.9D, 0.99D))").alias(
-                "pct_tokens"
+                "_pct"
             ),
             (F.count(F.lit(1)) - F.countDistinct("text_hash")).alias(
                 "n_exact_dupes"
             ),
             F.countDistinct("lang").alias("n_langs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "min_tokens",
+            "max_tokens",
+            F.col("_pct")[0].alias("p50_tokens"),
+            F.col("_pct")[1].alias("p90_tokens"),
+            F.col("_pct")[2].alias("p99_tokens"),
+            "n_exact_dupes",
+            "n_langs",
+        )
+        .orderBy("source")
+    )
+
+
+def corpus_profile_approx(documents: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """100 TB-scale twin of `corpus_profile`: `approx_percentile`
+    (Greenwald-Khanna sketch, bounded memory per group regardless of
+    group size) replaces the exact value-buffering `percentile`.  Same
+    schema; p50/p90/p99 are within rank-error 1/accuracy of exact.
+    Sketches aren't portable across engines, so this variant is
+    tolerance-tested against the exact form rather than oracle-hashed.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = documents.select(
+        "source",
+        "lang",
+        F.md5(F.col("text")).alias("text_hash"),
+        F.size(toks).cast("long").alias("tc"),
+    )
+    pct = f"approx_percentile(tc, array(0.5D, 0.9D, 0.99D), {accuracy})"
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tc").alias("total_tokens"),
+            F.min("tc").alias("min_tokens"),
+            F.max("tc").alias("max_tokens"),
+            F.expr(pct).alias("_pct"),
+            (F.count(F.lit(1)) - F.countDistinct("text_hash")).alias(
+                "n_exact_dupes"
+            ),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "min_tokens",
+            "max_tokens",
+            F.col("_pct")[0].cast("double").alias("p50_tokens"),
+            F.col("_pct")[1].cast("double").alias("p90_tokens"),
+            F.col("_pct")[2].cast("double").alias("p99_tokens"),
+            "n_exact_dupes",
+            "n_langs",
         )
         .orderBy("source")
     )
@@ -382,7 +448,9 @@ SELECT source,
        CAST(sum(tc) AS BIGINT) AS total_tokens,
        min(tc) AS min_tokens,
        max(tc) AS max_tokens,
-       quantile_cont(tc, [0.5, 0.9, 0.99]) AS pct_tokens,
+       quantile_cont(tc, 0.5) AS p50_tokens,
+       quantile_cont(tc, 0.9) AS p90_tokens,
+       quantile_cont(tc, 0.99) AS p99_tokens,
        count(*) - count(DISTINCT text_hash) AS n_exact_dupes,
        count(DISTINCT lang) AS n_langs
 FROM base

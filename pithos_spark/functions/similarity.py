@@ -233,7 +233,8 @@ WITH planes AS (
     GROUP BY 1, 2, 3
 ), buckets AS (
     SELECT vec_id, tbl,
-           sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+           CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                AS BIGINT) AS bucket
     FROM dots GROUP BY 1, 2
 ), capped AS (
     SELECT vec_id, tbl, bucket FROM (
@@ -905,7 +906,8 @@ WITH planes AS (
     GROUP BY 1, 2
 ), buckets AS (
     SELECT vec_id,
-           sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+           CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                AS BIGINT) AS bucket
     FROM dots GROUP BY 1
 ), capped AS (
     SELECT vec_id, bucket FROM (
@@ -1018,7 +1020,8 @@ WITH planes AS (
     GROUP BY 1, 2, 3
 ), buckets AS (
     SELECT vec_id, tbl,
-           sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+           CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                AS BIGINT) AS bucket
     FROM dots GROUP BY 1, 2
 ), capped AS (
     SELECT vec_id, tbl, bucket FROM (

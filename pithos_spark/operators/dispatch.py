@@ -1,0 +1,397 @@
+"""Request → operation resolution + dispatch table (SURVEY.md §2.11).
+
+The reference routes every incoming S3 request in three steps:
+
+1. vhost rewrite — a ``bucket.service-host`` style Host header is folded
+   back into the URI path (src/io/pithos/request.clj:201-217,
+   ``yield-rewrite-bucket``: ``(str "/" bucket (if (seq uri) uri "/"))``).
+2. target extraction — ``/`` → service, ``/:bucket`` or ``/:bucket/`` →
+   bucket, ``/:bucket/*`` → object (request.clj:106-131,
+   ``action-routes`` / ``match-action-route``).
+3. operation naming — ``method-target[-action]`` where the action suffix
+   is a recognized query arg such as ``acl`` / ``uploads`` / ``uploadid``
+   (request.clj:134-160, ``yield-assoc-operation``), then dispatch through
+   the opmap to a handler + required permissions
+   (src/io/pithos/operations.clj:820-944 ``opmap``, :999-1034 ``dispatch``).
+
+This module carries the same model twice:
+
+- ``resolve_operation`` — the scalar, driver-side resolver (pure Python,
+  used for constructing plans and in the table test that enumerates every
+  opmap entry).
+- ``resolve_operations`` — the DataFrame form: resolving an access-log of
+  billions of request rows is a per-row projection plus ONE broadcast join
+  against the 37-row opmap — no shuffle until the caller aggregates.
+  ``OPMAP_SQL_VALUES`` renders the same table for the DuckDB oracle so
+  both engines dispatch from one source of truth.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+#: query args that become part of the operation name when present
+#: (request.clj:60-76 ``actions``).
+ACTIONS = frozenset(
+    {
+        "acl",
+        "cors",
+        "delete",
+        "lifecycle",
+        "location",
+        "logging",
+        "notification",
+        "policy",
+        "requestpayment",
+        "restore",
+        "tagging",
+        "uploads",
+        "uploadid",
+        "versioning",
+        "versions",
+        "website",
+    }
+)
+
+#: operation → (handler, target, perms, cors?) — a faithful transcription
+#: of operations.clj:820-944.  Perms are serialized "<kind>:<value>"
+#: strings ("bucket:WRITE", "object:READ_ACP", "memberof:..."), joined
+#: with "&" when an op requires several (e.g. delete-bucket).
+OPMAP: dict[str, tuple[str, str, tuple[str, ...], bool]] = {
+    "get-service": ("get-service", "service", ("memberof:authenticated-users",), False),
+    "put-bucket": ("put-bucket", "bucket", ("memberof:authenticated-users",), False),
+    "put-bucket-versioning": ("put-bucket-versioning", "bucket", ("bucket:WRITE",), False),
+    "get-bucket-versioning": ("get-bucket-versioning", "bucket", ("bucket:WRITE",), False),
+    "delete-bucket": (
+        "delete-bucket",
+        "bucket",
+        ("memberof:authenticated-users", "bucket:owner"),
+        False,
+    ),
+    "delete-bucket-lifecycle": (
+        "delete-bucket-lifecycle",
+        "bucket",
+        ("memberof:authenticated-users", "bucket:owner"),
+        False,
+    ),
+    "put-bucket-lifecycle": (
+        "put-bucket-lifecycle",
+        "bucket",
+        ("memberof:authenticated-users", "bucket:owner"),
+        False,
+    ),
+    "get-bucket-lifecycle": (
+        "get-bucket-lifecycle",
+        "bucket",
+        ("memberof:authenticated-users", "bucket:owner"),
+        False,
+    ),
+    "head-bucket": ("head-bucket", "bucket", ("bucket:READ",), False),
+    "get-bucket": ("get-bucket", "bucket", ("bucket:READ",), False),
+    "get-bucket-tagging": ("get-bucket-tagging", "bucket", ("bucket:READ",), False),
+    "get-bucket-cors": ("get-bucket-cors", "bucket", ("bucket:READ",), False),
+    "delete-bucket-cors": ("delete-bucket-cors", "bucket", ("bucket:WRITE",), False),
+    "put-bucket-cors": ("put-bucket-cors", "bucket", ("bucket:WRITE",), False),
+    "get-bucket-acl": ("get-bucket-acl", "bucket", ("bucket:READ_ACP",), False),
+    "put-bucket-acl": ("put-bucket-acl", "bucket", ("bucket:WRITE_ACP",), False),
+    "get-bucket-location": ("get-bucket-location", "bucket", ("bucket:READ",), False),
+    "put-bucket-policy": ("put-or-delete-bucket-policy", "bucket", ("bucket:WRITE",), False),
+    "delete-bucket-policy": (
+        "put-or-delete-bucket-policy",
+        "bucket",
+        ("bucket:WRITE",),
+        False,
+    ),
+    "get-bucket-policy": ("get-bucket-policy", "bucket", ("bucket:READ_ACP",), False),
+    "get-bucket-uploads": ("get-bucket-uploads", "bucket", ("bucket:READ",), False),
+    "get-bucket-requestpayment": (
+        "get-bucket-requestpayment",
+        "bucket",
+        ("bucket:READ",),
+        False,
+    ),
+    "options-object": ("options-object", "bucket", (), True),
+    "options-bucket": ("options-object", "bucket", (), True),
+    "post-bucket-delete": ("post-bucket-delete", "bucket", ("bucket:WRITE",), False),
+    "get-object": ("get-object", "object", ("object:READ",), True),
+    "head-object": ("head-object", "object", ("object:READ",), True),
+    "put-object": ("put-object", "object", ("bucket:WRITE",), True),
+    "post-bucket": ("post-bucket", "bucket", ("bucket:WRITE",), True),
+    "delete-object": ("delete-object", "object", ("bucket:WRITE",), True),
+    "get-object-acl": ("get-object-acl", "object", ("object:READ_ACP",), False),
+    "put-object-acl": ("put-object-acl", "object", ("object:WRITE_ACP",), False),
+    "post-object-uploads": ("initiate-upload", "object", ("bucket:WRITE",), False),
+    "put-object-uploadid": ("put-object-part", "upload", ("bucket:WRITE",), False),
+    "delete-object-uploadid": ("abort-upload", "upload", ("bucket:WRITE",), False),
+    "post-object-uploadid": ("complete-upload", "upload", ("bucket:WRITE",), False),
+    "get-object-uploadid": ("get-upload-parts", "upload", ("bucket:WRITE",), False),
+}
+
+_VHOST_RE = r"^(.+)\.s3\.example\.com$"
+_BUCKET_RE = r"^/([^/]+)/?$"
+_OBJECT_RE = r"^/([^/]+)/(.+)$"
+
+
+def rewrite_vhost(host: str | None, uri: str, service_uri: str = "s3.example.com") -> str:
+    """Fold a vhost-style Host header back into the URI
+    (request.clj:209-217): ``bucket.<service-uri>`` + ``<uri>`` →
+    ``/bucket<uri>`` (``/bucket/`` when the uri is empty)."""
+    import re
+
+    if host:
+        m = re.match(rf"^(.+)\.{re.escape(service_uri)}$", host)
+        if m:
+            return f"/{m.group(1)}{uri if uri else '/'}"
+    return uri
+
+
+def resolve_operation(
+    method: str,
+    uri: str,
+    params: dict[str, str | None] | None = None,
+    host: str | None = None,
+) -> dict:
+    """Scalar request resolution: vhost rewrite → target extraction →
+    ``method-target[-action]`` naming → opmap lookup.
+
+    When several action params are present the reference picks one via
+    ``(some suffixes action-params)`` over an unordered Clojure set; real
+    S3 requests carry at most one, and we make the tie deterministic by
+    taking the lexicographically first recognized action.
+    """
+    import re
+
+    uri = rewrite_vhost(host, uri)
+    if uri == "/":
+        target, bucket, obj = "service", None, None
+    elif m := re.match(_BUCKET_RE, uri):
+        target, bucket, obj = "bucket", m.group(1), None
+    elif m := re.match(_OBJECT_RE, uri):
+        target, bucket, obj = "object", m.group(1), m.group(2)
+    else:
+        target, bucket, obj = "unknown", None, None
+    suffix = min((k for k in (params or {}) if k in ACTIONS), default=None)
+    operation = "-".join(
+        [method.lower(), target] + ([suffix] if suffix else [])
+    )
+    handler, op_target, perms, cors = OPMAP.get(
+        operation, ("unknown", target, (), False)
+    )
+    return {
+        "operation": operation,
+        "target": target,
+        "bucket": bucket,
+        "object": obj,
+        "handler": handler,
+        "op_target": op_target,
+        "perms": "&".join(perms),
+        "cors": cors,
+    }
+
+
+def opmap_df(spark: SparkSession) -> DataFrame:
+    """The 37-row dispatch table as a DataFrame (broadcast side of
+    request-log resolution)."""
+    rows = [
+        (op, h, t, "&".join(p), c) for op, (h, t, p, c) in sorted(OPMAP.items())
+    ]
+    return spark.createDataFrame(
+        rows, "operation string, handler string, op_target string, perms string, cors boolean"
+    )
+
+
+def opmap_sql_values() -> str:
+    """The same dispatch table rendered as a SQL VALUES list for the
+    DuckDB oracle — one source of truth for both engines."""
+    rows = ",\n        ".join(
+        f"('{op}', '{h}', '{t}', '{'&'.join(p)}', {str(c).upper()})"
+        for op, (h, t, p, c) in sorted(OPMAP.items())
+    )
+    return (
+        "(VALUES\n        "
+        + rows
+        + "\n    ) AS opmap(operation, handler, op_target, perms, cors)"
+    )
+
+
+def resolve_operations(requests: DataFrame, opmap: DataFrame) -> DataFrame:
+    """Vectorized request-log resolution: per-row projection (vhost
+    rewrite, route match, operation naming — all JVM-side regex/CASE,
+    whole-stage codegen) + one broadcast join against the opmap.  At
+    100 TB of access logs this plan is scan → map → broadcast-hash-join:
+    zero shuffles.
+
+    ``requests`` needs (method, host, uri, action) where ``action`` is
+    the recognized action query-arg or NULL."""
+    uri = (
+        F.when(
+            F.col("host").rlike(_VHOST_RE),
+            F.concat(
+                F.lit("/"),
+                F.regexp_extract("host", _VHOST_RE, 1),
+                F.when(F.length("uri") > 0, F.col("uri")).otherwise(F.lit("/")),
+            ),
+        )
+        .otherwise(F.col("uri"))
+        .alias("_uri")
+    )
+    with_uri = requests.select("*", uri)
+    target = (
+        F.when(F.col("_uri") == "/", F.lit("service"))
+        .when(F.col("_uri").rlike(_BUCKET_RE), F.lit("bucket"))
+        .when(F.col("_uri").rlike(_OBJECT_RE), F.lit("object"))
+        .otherwise(F.lit("unknown"))
+    )
+    resolved = with_uri.select(
+        "*",
+        target.alias("target"),
+        F.concat_ws(
+            "-", F.lower("method"), target, F.col("action")
+        ).alias("operation"),  # concat_ws skips NULL action
+    )
+    return (
+        resolved.join(F.broadcast(opmap), "operation", "left")
+        .select(
+            "*",
+            F.coalesce("handler", F.lit("unknown")).alias("r_handler"),
+            F.coalesce("op_target", F.col("target")).alias("r_target"),
+            F.coalesce("perms", F.lit("")).alias("r_perms"),
+            F.coalesce("cors", F.lit(False)).alias("r_cors"),
+        )
+        .drop("handler", "op_target", "perms", "cors")
+        .withColumnsRenamed(
+            {
+                "r_handler": "handler",
+                "r_target": "op_target",
+                "r_perms": "perms",
+                "r_cors": "cors",
+            }
+        )
+    )
+
+
+def synth_requests(t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic synthetic access log over the derived object store
+    (one request per order): method / URI shape / vhost / action arg all
+    keyed off ``o_orderkey`` so the DuckDB oracle reproduces it exactly.
+    Mirrors ``SYNTH_REQUESTS_CTE``."""
+    from pithos_spark.tables import objects_df
+
+    o = objects_df(t).select(
+        "bucket", "object", F.col("inode").cast("long").alias("k")
+    )
+    method = (
+        F.when(F.col("k") % 6 == 0, F.lit("GET"))
+        .when(F.col("k") % 6 == 1, F.lit("PUT"))
+        .when(F.col("k") % 6 == 2, F.lit("DELETE"))
+        .when(F.col("k") % 6 == 3, F.lit("HEAD"))
+        .when(F.col("k") % 6 == 4, F.lit("POST"))
+        .otherwise(F.lit("OPTIONS"))
+    )
+    shape = F.col("k") % 4
+    vhost = F.col("k") % 7 == 0
+    plain_uri = (
+        F.when(shape == 0, F.lit("/"))
+        .when(shape == 1, F.concat(F.lit("/"), "bucket"))
+        .when(shape == 2, F.concat(F.lit("/"), "bucket", F.lit("/")))
+        .otherwise(F.concat(F.lit("/"), "bucket", F.lit("/"), "object"))
+    )
+    host = F.when(
+        vhost & (shape != 0), F.concat(F.col("bucket"), F.lit(".s3.example.com"))
+    ).otherwise(F.lit("client.example.com"))
+    uri = F.when(
+        vhost & (shape != 0),
+        F.when(shape == 3, F.concat(F.lit("/"), "object")).otherwise(F.lit("")),
+    ).otherwise(plain_uri)
+    action = (
+        F.when(F.col("k") % 9 == 1, F.lit("acl"))
+        .when(F.col("k") % 9 == 2, F.lit("uploads"))
+        .when(F.col("k") % 9 == 3, F.lit("uploadid"))
+        .when(F.col("k") % 9 == 4, F.lit("versioning"))
+        .when(F.col("k") % 9 == 5, F.lit("cors"))
+        .when(F.col("k") % 9 == 6, F.lit("policy"))
+        .when(F.col("k") % 9 == 7, F.lit("delete"))
+        .when(F.col("k") % 9 == 8, F.lit("lifecycle"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return o.select(
+        method.alias("method"),
+        host.alias("host"),
+        uri.alias("uri"),
+        action.alias("action"),
+    )
+
+
+SYNTH_REQUESTS_CTE = """\
+synth_requests AS (
+    SELECT CASE CAST(k % 6 AS INT)
+                WHEN 0 THEN 'GET' WHEN 1 THEN 'PUT' WHEN 2 THEN 'DELETE'
+                WHEN 3 THEN 'HEAD' WHEN 4 THEN 'POST' ELSE 'OPTIONS' END AS method,
+           CASE WHEN k % 7 = 0 AND k % 4 <> 0
+                THEN bucket || '.s3.example.com'
+                ELSE 'client.example.com' END AS host,
+           CASE WHEN k % 7 = 0 AND k % 4 <> 0
+                THEN CASE WHEN k % 4 = 3 THEN '/' || object ELSE '' END
+                ELSE CASE CAST(k % 4 AS INT)
+                          WHEN 0 THEN '/'
+                          WHEN 1 THEN '/' || bucket
+                          WHEN 2 THEN '/' || bucket || '/'
+                          ELSE '/' || bucket || '/' || object END
+           END AS uri,
+           CASE CAST(k % 9 AS INT)
+                WHEN 1 THEN 'acl' WHEN 2 THEN 'uploads' WHEN 3 THEN 'uploadid'
+                WHEN 4 THEN 'versioning' WHEN 5 THEN 'cors' WHEN 6 THEN 'policy'
+                WHEN 7 THEN 'delete' WHEN 8 THEN 'lifecycle'
+                ELSE NULL END AS action
+    FROM (SELECT bucket, object, CAST(inode AS BIGINT) AS k FROM objects)
+)"""
+
+
+def resolve_operations_summary(requests: DataFrame, opmap: DataFrame) -> DataFrame:
+    """Access-log dispatch rollup: every request resolved, then grouped
+    by (operation, handler, target, perms, cors) — the shape an ops
+    dashboard reads.  Resolution itself is shuffle-free (broadcast
+    opmap); the rollup is one bounded shuffle (≤ a few hundred groups)."""
+    return (
+        resolve_operations(requests, opmap)
+        .groupBy("operation", "handler", "op_target", "perms", "cors")
+        .agg(F.count(F.lit(1)).alias("n_requests"))
+        .orderBy("operation", "op_target")
+    )
+
+
+def resolve_operations_summary_oracle() -> str:
+    return f"""\
+, {SYNTH_REQUESTS_CTE}
+, resolved AS (
+    SELECT r.*,
+           CASE WHEN regexp_matches(host, '{_VHOST_RE}')
+                THEN '/' || regexp_extract(host, '{_VHOST_RE}', 1) ||
+                     CASE WHEN len(uri) > 0 THEN uri ELSE '/' END
+                ELSE uri END AS _uri
+    FROM synth_requests r
+), targeted AS (
+    SELECT *,
+           CASE WHEN _uri = '/' THEN 'service'
+                WHEN regexp_matches(_uri, '{_BUCKET_RE}') THEN 'bucket'
+                WHEN regexp_matches(_uri, '{_OBJECT_RE}') THEN 'object'
+                ELSE 'unknown' END AS target
+    FROM resolved
+), named AS (
+    SELECT *,
+           lower(method) || '-' || target ||
+           CASE WHEN action IS NOT NULL THEN '-' || action ELSE '' END
+               AS operation
+    FROM targeted
+)
+SELECT n.operation,
+       coalesce(opmap.handler, 'unknown') AS handler,
+       coalesce(opmap.op_target, n.target) AS op_target,
+       coalesce(opmap.perms, '') AS perms,
+       coalesce(opmap.cors, FALSE) AS cors,
+       count(*) AS n_requests
+FROM named n
+LEFT JOIN {opmap_sql_values()} ON n.operation = opmap.operation
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY 1, 3"""

@@ -198,7 +198,12 @@ def validate_presigned(
     try:
         exp = int(expires)
     except ValueError:
-        return False, "AccessDenied"
+        # reference parity: sig.clj:111 calls Integer/parseInt AFTER the
+        # signature check; an unparseable Expires raises
+        # NumberFormatException, which falls through to the generic
+        # exception handler as a 500 (not AccessDenied).  Surface the
+        # same taxonomy: a distinct InternalError code.
+        return False, "InternalError"
     if now_epoch > exp:
         # reference renders :expired-request as Code AccessDenied
         # ("Request has expired", xml.clj:326-333)

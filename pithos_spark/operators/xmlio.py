@@ -163,18 +163,25 @@ def error_response(
     escapes text content itself — pre-escaping here double-escaped
     '&' as '&amp;amp;' (ADVICE round 1).
 
-    ``extra`` carries the per-type payload elements the reference
-    appends after RequestId/HostId — Key/Upload for NoSuchUpload
-    (xml.clj:334-341), StringToSign/StringToSignBytes for signature
-    mismatch (:313-325), Expires/ServerTime for expired presigned
-    requests (:326-333)."""
+    ``extra`` carries the per-type payload elements.  Element order
+    matches the reference byte-for-byte: every payload goes BEFORE
+    RequestId/HostId — Expires/ServerTime for expired presigned requests
+    (xml.clj:326-333), Key/Upload for NoSuchUpload (:334-341), Key for
+    NoSuchKey (:342-348) — EXCEPT SignatureDoesNotMatch, the one
+    template that appends StringToSignBytes/StringToSign after
+    RequestId/HostId (:313-325)."""
     root = ET.Element("Error")
     _el(root, "Code", code)
     _el(root, "Message", message)
+    payload_after = code == "SignatureDoesNotMatch"
+    if not payload_after:
+        for k, v in (extra or {}).items():
+            _el(root, k, v)
     _el(root, "RequestId", request_id)
     _el(root, "HostId", request_id)
-    for k, v in (extra or {}).items():
-        _el(root, k, v)
+    if payload_after:
+        for k, v in (extra or {}).items():
+            _el(root, k, v)
     return _render(root)
 
 

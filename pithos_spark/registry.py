@@ -1670,21 +1670,22 @@ QUERIES["ann_lsh_batch_topk"] = _emb_query(
 ORACLES["ann_lsh_batch_topk"] = similarity.lsh_batch_topk_oracle([0, 7, 42])
 
 
-# KMeans-IVF ANN (rows-only: trained float centroids; recall asserted
-# in tests/test_similarity.py)
+# KMeans-IVF ANN: NOT registered as a driver query — trained float
+# centroids can't be oracled, so a registry entry could only ever read
+# `no_oracle` and would burn a correctness-window slot every round
+# (VERDICT r5 "What's wrong" #4).  The operator lives on as a library
+# function with recall + index-cache tests (tests/test_similarity.py);
+# the oracle-exact Lloyd variant (`ann_ivf_lloyd_topk`) is the
+# hash-gated IVF representative.
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-quantizer IVF over the cached KMeans index: fit + assign
-    happen once at build; the query is pure probe + in-list rerank
-    (rows-only gate: trained centroids are float state)."""
+    happen once at build; the query is pure probe + in-list rerank."""
     assigned, centers = _ivf_index(
         "ivf_kmeans", similarity.build_ivf_kmeans_index, spark, sf_dir
     )
     return similarity.ivf_query(
         assigned, centers, 0, 10, 4, cluster_col="cluster", metric="l2"
     ).drop("query_id")
-
-
-QUERIES["ann_ivf_kmeans_topk"] = ann_ivf_kmeans_topk
 
 
 @register("multimodal_frame_sample", multimodal.FRAME_SAMPLE_SQL)
@@ -2280,6 +2281,29 @@ def acl_edn_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from pithos_spark.operators import dispatch as _dispatch  # noqa: E402
+
+
+@register(
+    "s3_resolve_operations",
+    T.with_model(_dispatch.resolve_operations_summary_oracle()),
+)
+def s3_resolve_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 request dispatch end-to-end: a synthetic access log (one
+    request per object, method/URI-shape/vhost/action keyed off the
+    order key) resolved through vhost rewrite → route target →
+    ``method-target[-action]`` naming → opmap broadcast join
+    (request.clj:106-160,201-217; operations.clj:820-944,999-1034),
+    rolled up per resolved operation.  The oracle rebuilds the identical
+    log and dispatch table in SQL, so a green hash proves the full
+    resolution pipeline — including the unknown-operation fallback —
+    agrees row-for-row."""
+    t = T.load_tables(spark, sf_dir)
+    return _dispatch.resolve_operations_summary(
+        _dispatch.synth_requests(t), _dispatch.opmap_df(spark)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window ordering.
 #
@@ -2292,74 +2316,82 @@ def acl_edn_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order (still runnable, just outside the 50-entry hard gate this round).
 # ---------------------------------------------------------------------------
 
-# Queries changed or added in the CURRENT round (5) — spliced at the
-# very front of the window so they get a fresh verdict: the three
-# approximate operators that moved from rows-only to full oracles via
-# the portable hash, the new retrieval/curation/eventing operators, and
-# the Lloyd IVF.
+# Queries changed or added in the CURRENT round (6) — spliced at the
+# very front of the window so they get a fresh verdict: the three r5 red
+# rows whose output shape was fixed (scalar percentile columns; BIGINT-
+# cast oracle bucket), plus the new §2.11 dispatch query.
+# (ann_ivf_kmeans_topk was UNREGISTERED this round: float centroids can
+# never hash-match an oracle, so its row was a structurally-permanent
+# `no_oracle` — the operator lives on as a library function with recall
+# tests, and ann_ivf_lloyd_topk is the hash-gated IVF representative.)
 ROUND_NEW: list[str] = [
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "ann_lsh_topk",
-    "ann_ivf_lloyd_topk",
     "dedup_embedding_lsh",
-    "corpus_bm25_topk",
-    "corpus_hybrid_search_rrf",
-    "corpus_rerank_stub",
-    "corpus_pii_redact",
     "corpus_profile",
-    "corpus_shard_assign",
-    "corpus_decontaminate",
-    "corpus_bigram_lm",
-    "events_funnel",
-    "events_retention",
-    "events_hourly_gapfill",
-    "events_hourly_anomalies",
     "events_value_percentiles",
-    "ann_lsh_batch_topk",
-    "corpus_duplicate_spans",
-    "corpus_repetition_stats",
-    "corpus_mix_plan",
-    "corpus_gate_report",
-    "dedup_incremental",
-    "corpus_novelty_scores",
-    "ann_ivf_kmeans_topk",  # rows-only by design; keeps its honest row
+    "s3_resolve_operations",
 ]
 
 DRIVER_PRIORITY: list[str] = [
-    # rotate verdicts across the rest of the registry (entries green in
-    # r04 — curation pipeline, multimodal_resize, pack/sample, scalar
-    # twins — cycle OUT this round to make room for the 22 ROUND_NEW)
-    "multipart_etag",
-    "objects_latest_version",
-    "orphan_chunk_gc",
-    "payload_digest_verify",
-    "get_object_point",
-    "object_reassembly_verify",
-    "dedup_embedding_cosine",
-    "corpus_term_doc_freq",
-    "post_policy_validate",
-    "events_top_users_per_type",
-    "events_asof_last_click",
-    "events_trailing_hour_count",
-    "usage_grouping_sets",
-    "q7_nation_pair_volume",
-    "q10_returned_items",
-    "ann_batch_topk",
-    "multimodal_frame_sample",
+    # rotate verdicts across the rest of the registry: every query whose
+    # most recent green row is ≥3 rounds old (all 31 r1-green + 12
+    # r2-green entries — r4/r5 greens cycle OUT this round).  Keeping
+    # each query's verdict ≤3 rounds stale is the window policy VERDICT
+    # r5 task 8 asks for.
+    "acl_authorized_buckets",
+    "acl_merged_grants",
+    "acl_read_grants",
+    "ann_brute_force_topk",
+    "ann_label_centroids",
+    "bucket_name_validation",
+    "buckets_object_presence",
+    "chunk_ingest_explode",
+    "copy_range_rebase",
+    "dedup_jaccard_pairs",
+    "events_dedup_first",
+    "events_json_extract",
+    "events_sessionize",
+    "events_sliding_activity",
+    "list_uploads_prefix",
+    "objects_bulk_delete",
+    "objects_delete_where",
+    "objects_upsert_merge",
+    "q14_promo_revenue",
+    "q3_top_unshipped",
+    "q5_region_revenue",
+    "tenant_usage_rollup",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_count_bpe",
+    "upload_details",
+    "aborted_upload_gc",
+    "bucket_by_tenant",
+    "bucket_usage",
+    "complete_upload_validate",
+    "events_hourly_rollup",
+    "fetch_bucket",
+    "list_objects_no_delim",
+    "list_objects_paged",
+    "list_objects_root",
+    "object_descriptor",
+    "objects_page",
+    "range_read_chunks",
+    # three spare slots: oldest r4 greens, picked to cover distinct
+    # subsystems (dedup clustering, CORS matching, multimodal resize)
+    "dedup_duplicate_clusters",
+    "cors_preflight",
+    "multimodal_resize",
 ]
 
-# Representative already-green core (CORRECTNESS_r01/r02) — kept inside
-# the window as regression canaries, AFTER anything needing a fresh
-# verdict (ADVICE r2: no magic slice; three explicit lists).
+# Representative already-green core (fresh r5 greens) — kept inside the
+# window as regression canaries, AFTER anything needing a fresh verdict
+# (ADVICE r2: no magic slice; three explicit lists).  dedup_minhash_lsh
+# doubles as the r5→r6 perf-drift re-measure subject (VERDICT r5 task 5).
 GREEN_CORE: list[str] = [
     "list_objects_flagship",
     "q1_pricing_summary",
-    "part_base_offsets",
-    "object_checksums",
     "dedup_exact",
-    "text_token_stats",
-    "multimodal_features",
+    "dedup_minhash_lsh",
 ]
 
 

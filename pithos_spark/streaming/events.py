@@ -461,7 +461,13 @@ def value_percentiles(events: DataFrame) -> DataFrame:
     """Per-type distribution summary of the event value: exact p50/p90/p99
     over the CENTS-quantized value (floor(value*100) — the same integer
     discipline as every other value aggregate, and what makes Spark's
-    ``percentile`` and DuckDB's ``quantile_cont`` agree bit-for-bit)."""
+    ``percentile`` and DuckDB's ``quantile_cont`` agree bit-for-bit).
+
+    One ``percentile(..., array(...))`` buffer split into three scalar
+    columns (the driver canonicalizer can't hash array cells).  Exact
+    percentiles buffer every group value; event_type groups are few and
+    huge, so at 100 TB use `value_percentiles_approx` (constant-memory
+    sketch) and keep this exact form for bounded audits."""
     q = events.select(
         "event_type", F.floor(F.col("value") * 100).cast("long").alias("v_e2")
     )
@@ -472,8 +478,47 @@ def value_percentiles(events: DataFrame) -> DataFrame:
             F.min("v_e2").alias("min_e2"),
             F.max("v_e2").alias("max_e2"),
             F.expr("percentile(v_e2, array(0.5D, 0.9D, 0.99D))").alias(
-                "pct_e2"
+                "_pct"
             ),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "min_e2",
+            "max_e2",
+            F.col("_pct")[0].alias("p50_e2"),
+            F.col("_pct")[1].alias("p90_e2"),
+            F.col("_pct")[2].alias("p99_e2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def value_percentiles_approx(events: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """100 TB-scale twin of `value_percentiles`: `approx_percentile`
+    (bounded memory per group) instead of the exact value-buffering
+    aggregate.  Same schema; tolerance-tested against the exact form
+    (sketches aren't cross-engine portable, so no oracle hash)."""
+    q = events.select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("v_e2")
+    )
+    pct = f"approx_percentile(v_e2, array(0.5D, 0.9D, 0.99D), {accuracy})"
+    return (
+        q.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("v_e2").alias("min_e2"),
+            F.max("v_e2").alias("max_e2"),
+            F.expr(pct).alias("_pct"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "min_e2",
+            "max_e2",
+            F.col("_pct")[0].cast("double").alias("p50_e2"),
+            F.col("_pct")[1].cast("double").alias("p90_e2"),
+            F.col("_pct")[2].cast("double").alias("p99_e2"),
         )
         .orderBy("event_type")
     )
@@ -487,7 +532,9 @@ SELECT event_type,
        count(*) AS n_events,
        min(v_e2) AS min_e2,
        max(v_e2) AS max_e2,
-       quantile_cont(v_e2, [0.5, 0.9, 0.99]) AS pct_e2
+       quantile_cont(v_e2, 0.5) AS p50_e2,
+       quantile_cont(v_e2, 0.9) AS p90_e2,
+       quantile_cont(v_e2, 0.99) AS p99_e2
 FROM q
 GROUP BY event_type
 ORDER BY event_type"""

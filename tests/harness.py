@@ -1,7 +1,22 @@
 """Local replica of the driver's correctness gate: run a registry query on
 Spark and its oracle on DuckDB, compare row count, column names, and
 order-insensitive values (exact equality — the driver hashes values, so
-'close enough' floats would still fail there)."""
+'close enough' floats would still fail there).
+
+`compare` ALSO replays the driver's pandas canonicalization (sort columns
+by name, `sort_values` over all columns, hash the stringified cells) on
+`toPandas()` / duckdb `.df()` frames — the exact conversion path the
+driver takes.  That pass catches the two harness-shape bug classes that
+cost three red rows in round 5 (VERDICT r5 "What's wrong" #1-3) and that
+pure-Python tuple comparison is blind to:
+
+- list/array-typed output columns (pandas `sort_values` dies with
+  "unhashable type: 'list'" — the literal CORRECTNESS_r05 error), and
+- dtype drift the values hide: DuckDB returns an un-cast `sum(BIGINT)`
+  as HUGEINT, pandas renders it float64, and the driver hashes `77.0`
+  against Spark's `77` (`77.0 == 77` is True in Python, so the old
+  tuple check passed while the driver's hash check failed).
+"""
 
 from __future__ import annotations
 
@@ -32,6 +47,37 @@ def _normalize(rows, cols):
     return out
 
 
+def _driver_canon(pdf, side: str):
+    """The driver's canonicalization, replayed: sort columns by name,
+    stable-sort rows over every column, stringify each cell.  Raises the
+    same class of failure the driver would on list-typed cells."""
+    import numpy as np
+
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pdf[c].dtype == object and len(pdf):
+            bad = pdf[c].map(
+                lambda v: isinstance(v, (list, tuple, dict, np.ndarray))
+            )
+            assert not bad.any(), (
+                f"[{side}] column {c!r} holds list/array cells — the "
+                "driver canonicalizer (pandas sort_values) crashes on these; "
+                "emit scalar columns instead"
+            )
+    if len(pdf):
+        pdf = pdf.sort_values(
+            by=list(pdf.columns), kind="mergesort", na_position="last"
+        )
+    # astype(str), not str(): pandas element formatting renders a
+    # midnight datetime64 as '2024-01-01' (driver-green events_retention
+    # proves the driver does the same) while still separating float64
+    # '77.0' from int64 '77' (driver-red dedup_embedding_lsh r5).
+    return [
+        tuple(row)
+        for row in pdf.astype(str).itertuples(index=False, name=None)
+    ]
+
+
 def compare(spark_df, duck_con, oracle_sql: str, name: str = "?", expect_rows: bool = True):
     mine_cols = list(spark_df.columns)
     mine_rows = [tuple(r) for r in spark_df.collect()]
@@ -56,3 +102,16 @@ def compare(spark_df, duck_con, oracle_sql: str, name: str = "?", expect_rows: b
     b = _normalize(oracle_rows, oracle_cols)
     for i, (ra, rb) in enumerate(zip(a, b)):
         assert ra == rb, f"[{name}] first differing row {i}:\n  spark={ra}\n oracle={rb}"
+
+    # driver-faithful pass: same frames the driver hashes (Arrow toPandas
+    # vs duckdb .df()), stringified — catches dtype drift and list cells
+    # that compare equal as Python values but hash differently (or crash)
+    # in the driver.
+    ca = _driver_canon(spark_df.toPandas(), f"{name}:spark")
+    cb = _driver_canon(duck_con.execute(oracle_sql).df(), f"{name}:oracle")
+    for i, (ra, rb) in enumerate(zip(ca, cb)):
+        assert ra == rb, (
+            f"[{name}] driver-canon divergence at row {i} (values may be "
+            f"==-equal but hash differently in the driver):\n"
+            f"  spark={ra}\n oracle={rb}"
+        )

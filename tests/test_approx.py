@@ -19,6 +19,82 @@ def test_approx_count_distinct_within_rsd(spark):
     assert abs(approx - exact) / exact <= 0.15  # 3x the configured rsd
 
 
+def _assert_percentile_twin(exact_df, approx_df, key, pcols, brackets):
+    """Join the exact and sketch outputs on `key` and assert every
+    approx percentile falls inside its exact rank bracket."""
+    exact = {r[key]: r for r in exact_df.collect()}
+    approx = {r[key]: r for r in approx_df.collect()}
+    assert set(exact) == set(approx)
+    for k, er in exact.items():
+        ar = approx[k]
+        # non-percentile columns must agree exactly
+        for c in set(er.asDict()) - set(pcols):
+            assert er[c] == ar[c], (k, c)
+        for c, (lo_c, hi_c) in zip(pcols, brackets):
+            assert lo_c[k] <= ar[c] <= hi_c[k], (k, c, lo_c[k], ar[c], hi_c[k])
+
+
+def test_corpus_profile_approx_brackets_exact(spark):
+    """corpus_profile_approx (the 100 TB constant-memory twin) matches
+    corpus_profile on every non-percentile column and lands each sketch
+    percentile inside the exact ±0.02-rank bracket."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions.curate import corpus_profile, corpus_profile_approx
+
+    docs = T.load_tables(spark, SF_ORACLE)["documents"]
+    exact = corpus_profile(docs)
+    approx = corpus_profile_approx(docs)
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    qs = docs.select("source", toks.alias("tc")).groupBy("source").agg(
+        *[
+            F.expr(f"percentile(tc, {q}D)").alias(f"q{int(q * 100)}")
+            for q in (0.48, 0.52, 0.88, 0.92, 0.97, 1.0)
+        ]
+    )
+    b = {r["source"]: r for r in qs.collect()}
+    _assert_percentile_twin(
+        exact, approx, "source",
+        ["p50_tokens", "p90_tokens", "p99_tokens"],
+        [
+            ({k: v["q48"] for k, v in b.items()}, {k: v["q52"] for k, v in b.items()}),
+            ({k: v["q88"] for k, v in b.items()}, {k: v["q92"] for k, v in b.items()}),
+            ({k: v["q97"] for k, v in b.items()}, {k: v["q100"] for k, v in b.items()}),
+        ],
+    )
+
+
+def test_value_percentiles_approx_brackets_exact(spark):
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.streaming.events import value_percentiles, value_percentiles_approx
+
+    ev = T.load_tables(spark, SF_ORACLE)["events"]
+    exact = value_percentiles(ev)
+    approx = value_percentiles_approx(ev)
+    v = ev.select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("v_e2")
+    )
+    qs = v.groupBy("event_type").agg(
+        *[
+            F.expr(f"percentile(v_e2, {q}D)").alias(f"q{int(q * 100)}")
+            for q in (0.48, 0.52, 0.88, 0.92, 0.97, 1.0)
+        ]
+    )
+    b = {r["event_type"]: r for r in qs.collect()}
+    _assert_percentile_twin(
+        exact, approx, "event_type",
+        ["p50_e2", "p90_e2", "p99_e2"],
+        [
+            ({k: v_["q48"] for k, v_ in b.items()}, {k: v_["q52"] for k, v_ in b.items()}),
+            ({k: v_["q88"] for k, v_ in b.items()}, {k: v_["q92"] for k, v_ in b.items()}),
+            ({k: v_["q97"] for k, v_ in b.items()}, {k: v_["q100"] for k, v_ in b.items()}),
+        ],
+    )
+
+
 def test_approx_percentile_brackets_exact(spark):
     import pyspark.sql.functions as F
 

@@ -1,0 +1,121 @@
+"""§2.11 request-dispatch slice: operation resolution against every entry
+of the reference opmap (operations.clj:820-944), route/target extraction
+(request.clj:106-131), vhost rewrite (request.clj:201-217), and the
+unknown-operation fallback (operations.clj:1020 ``(or handler unknown)``)."""
+
+import pytest
+
+from pithos_spark.operators.dispatch import (
+    ACTIONS,
+    OPMAP,
+    opmap_sql_values,
+    resolve_operation,
+    rewrite_vhost,
+)
+
+_TARGETS = {"service", "bucket", "object"}
+
+
+def _request_for(operation: str):
+    """Reconstruct a (method, uri, params) triple that must resolve to
+    ``operation``: the name is ``method-target[-action]`` by
+    construction (request.clj:152-159)."""
+    parts = operation.split("-")
+    method, target = parts[0], parts[1]
+    suffix = "-".join(parts[2:]) or None
+    uri = {"service": "/", "bucket": "/bkt", "object": "/bkt/a/key"}[target]
+    params = {suffix: None} if suffix else {}
+    return method.upper(), uri, params
+
+
+def test_every_opmap_entry_resolves_to_its_handler_and_perms():
+    """Table test over all 37 opmap operations: each reconstructed
+    request resolves to exactly the reference's handler + permission
+    pair + cors flag."""
+    assert len(OPMAP) == 37
+    for operation, (handler, op_target, perms, cors) in OPMAP.items():
+        method, uri, params = _request_for(operation)
+        r = resolve_operation(method, uri, params)
+        assert r["operation"] == operation, operation
+        assert r["handler"] == handler, operation
+        assert r["op_target"] == op_target, operation
+        assert r["perms"] == "&".join(perms), operation
+        assert r["cors"] is cors, operation
+
+
+def test_action_suffixes_are_known_actions():
+    # every opmap suffix must be a recognized action query-arg
+    for operation in OPMAP:
+        parts = operation.split("-")
+        if len(parts) > 2:
+            assert "-".join(parts[2:]) in ACTIONS, operation
+        assert parts[1] in _TARGETS, operation
+
+
+def test_target_and_key_extraction():
+    # "/" → service; "/b" and "/b/" → bucket; "/b/k..." → object with
+    # slashes preserved in the key (clout "*" route, request.clj:113)
+    assert resolve_operation("GET", "/")["target"] == "service"
+    r = resolve_operation("GET", "/mybucket")
+    assert (r["target"], r["bucket"]) == ("bucket", "mybucket")
+    r = resolve_operation("GET", "/mybucket/")
+    assert (r["target"], r["bucket"]) == ("bucket", "mybucket")
+    r = resolve_operation("GET", "/mybucket/deep/nested/key")
+    assert (r["target"], r["bucket"], r["object"]) == (
+        "object", "mybucket", "deep/nested/key",
+    )
+
+
+def test_vhost_rewrite():
+    # bucket.service-host + path → path prefixed with /bucket
+    # (request.clj:209-217: (str "/" bucket (if (seq uri) uri "/")))
+    assert rewrite_vhost("bkt.s3.example.com", "/key") == "/bkt/key"
+    assert rewrite_vhost("bkt.s3.example.com", "") == "/bkt/"
+    assert rewrite_vhost("client.example.com", "/x") == "/x"
+    assert rewrite_vhost(None, "/x") == "/x"
+    r = resolve_operation("GET", "/some/key", host="photos.s3.example.com")
+    assert r["operation"] == "get-object"
+    assert (r["bucket"], r["object"]) == ("photos", "some/key")
+
+
+def test_unknown_operation_falls_back():
+    # an action that never combines with this method/target →
+    # handler 'unknown' with empty perms (operations.clj:1020)
+    r = resolve_operation("GET", "/", {"uploads": None})
+    assert r["operation"] == "get-service-uploads"
+    assert r["handler"] == "unknown"
+    assert r["perms"] == ""
+    assert r["cors"] is False
+
+
+def test_multiple_action_params_pick_deterministic_suffix():
+    # reference uses (some suffixes action-params) over an unordered
+    # set; we document lexicographic-first for the (unrealistic)
+    # multi-action case
+    r = resolve_operation("GET", "/bkt", {"versioning": None, "acl": None})
+    assert r["operation"] == "get-bucket-acl"
+
+
+def test_opmap_sql_values_renders_all_rows():
+    sql = opmap_sql_values()
+    for operation in OPMAP:
+        assert f"'{operation}'" in sql
+    assert sql.count("(") >= len(OPMAP)
+
+
+@pytest.mark.parametrize(
+    "method,uri,params,expected",
+    [
+        ("GET", "/", {}, "get-service"),
+        ("PUT", "/b", {}, "put-bucket"),
+        ("DELETE", "/b/", {}, "delete-bucket"),
+        ("POST", "/b", {"delete": None}, "post-bucket-delete"),
+        ("POST", "/b/k", {"uploads": None}, "post-object-uploads"),
+        ("PUT", "/b/k", {"uploadid": "u1", "partnumber": "3"},
+         "put-object-uploadid"),
+        ("OPTIONS", "/b/k", {}, "options-object"),
+        ("HEAD", "/b", {}, "head-bucket"),
+    ],
+)
+def test_routing_spot_checks(method, uri, params, expected):
+    assert resolve_operation(method, uri, params)["operation"] == expected

@@ -134,3 +134,13 @@ def test_presigned_url_validation_order_and_expiry():
         "GET", resource, {"Expires": exp, "Signature": "nope"}, secret,
         now_epoch=1700000001)
     assert (ok, err) == (False, "SignatureDoesNotMatch")
+    # unparseable Expires AFTER a valid signature: the reference's
+    # Integer/parseInt (sig.clj:111) throws NumberFormatException ->
+    # generic 500, not AccessDenied — surfaced here as InternalError
+    bad_exp = "not-a-number"
+    bad_sts = v2_presigned_string_to_sign("GET", "", "", bad_exp, {}, resource)
+    ok, err = validate_presigned(
+        "GET", resource,
+        {"Expires": bad_exp, "Signature": v2_sign(secret, bad_sts)}, secret,
+        now_epoch=1700000001)
+    assert (ok, err) == (False, "InternalError")

@@ -82,7 +82,8 @@ def test_list_parts_render():
 
 def test_error_taxonomy_complete_vs_reference():
     """Every Code in the reference dispatch table (xml.clj:291-447) has a
-    status row; per-type payload elements render after RequestId/HostId."""
+    status row; per-type payload elements render BEFORE RequestId/HostId
+    (xml.clj:326-348) except for SignatureDoesNotMatch (:313-325)."""
     for code in [
         "InvalidRequest", "AccessDenied", "SignatureDoesNotMatch",
         "NoSuchUpload", "NoSuchKey", "NoSuchBucket", "NoSuchBucketPolicy",
@@ -103,6 +104,25 @@ def test_error_taxonomy_complete_vs_reference():
     assert root.findtext("HostId") == "req-9"
     assert root.findtext("Key") == "k1"
     assert root.findtext("Upload") == "up-1"
+    # NoSuchUpload payload precedes RequestId/HostId (xml.clj:334-341)
+    assert [e.tag for e in root] == [
+        "Code", "Message", "Key", "Upload", "RequestId", "HostId",
+    ]
+    # ...while SignatureDoesNotMatch appends its payload after (:313-325)
+    sig_xml = xmlio.error_response(
+        "SignatureDoesNotMatch",
+        "The request signature we calculated does not match.",
+        "req-9",
+        extra={
+            "StringToSignBytes": "47 45 54 0a",
+            "StringToSign": "GET\n",
+        },
+    )
+    sig_root = ET.fromstring(sig_xml)
+    assert [e.tag for e in sig_root] == [
+        "Code", "Message", "RequestId", "HostId",
+        "StringToSignBytes", "StringToSign",
+    ]
 
 
 def test_string_to_sign_bytes_hex_rendering():
