@@ -84,11 +84,24 @@ ORDER BY dot_q DESC, vec_id
 LIMIT {k}"""
 
 
+def plane_weight(t: int, p: int, j: int) -> int:
+    """Component j of hyperplane (table t, plane p): the portable 60-bit
+    md5 hash of 'plane:t:p:j' mapped into [-500, 500).  Bit-identical to
+    the oracle's ``{portable_hash60_sql('plane:...')} % 1000 - 500`` and
+    to Spark's ``conv(substr(md5(x),1,15),16,10)`` — computed HERE, once,
+    driver-side, so the executor plan carries the weights as literals."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane:{t}:{p}:{j}".encode()).hexdigest()[:15], 16)
+    return h % 1000 - 500
+
+
 def hyperplane_buckets(
     embeddings: DataFrame,
     num_planes: int = 16,
     scale: int = 1000,
     num_tables: int = 1,
+    dim: int = 64,
 ) -> DataFrame:
     """Random-hyperplane LSH buckets: bit_p = sign(v . h_p) where
     component j of plane p is a deterministic pseudo-random value derived
@@ -102,23 +115,28 @@ def hyperplane_buckets(
     Output: (vec_id, label, embedding, table, bucket).
 
     Everything is integer math on quantized components — reproducible
-    across runs, sessions, and cluster sizes.
+    across runs, sessions, and cluster sizes.  The plane weights are
+    row-independent, so they're hashed ONCE driver-side
+    (:func:`plane_weight`) and embedded as literal arrays: the executor
+    side is pure integer multiply-add, no per-row md5 (the previous
+    in-plan hashing cost planes x dim md5 calls per row — the dominant
+    term of the round-5 bench profile for dedup_embedding_lsh).  The
+    quantized vector is projected once and reused by all planes.
+    ``dim`` must match the stored embedding width (testdata: 64).
     """
-    qv = _quantized(F.col("embedding"), scale)
+    base = embeddings.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _quantized(F.col("embedding"), scale).alias("_qv"),
+    )
 
     def plane_dot(t: int, p: int) -> F.Column:
-        prefix = f"plane:{t}:{p}:"
+        weights = F.array(
+            *[F.lit(plane_weight(t, p, j)) for j in range(dim)]
+        )
         return F.aggregate(
-            F.zip_with(
-                qv,
-                F.sequence(F.lit(0), F.size(qv) - 1),
-                lambda x, j: x
-                * (
-                    portable_hash60(F.concat(F.lit(prefix), j.cast("string")))
-                    % F.lit(1000)
-                    - 500
-                ),
-            ),
+            F.zip_with(F.col("_qv"), weights, lambda x, w: x * w),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
@@ -132,7 +150,7 @@ def hyperplane_buckets(
             )
         tables.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
     tb = F.explode(F.array(*tables)).alias("tb")
-    return embeddings.select("vec_id", "label", "embedding", tb).select(
+    return base.select("vec_id", "label", "embedding", tb).select(
         "vec_id", "label", "embedding", "tb.table", "tb.bucket"
     )
 
