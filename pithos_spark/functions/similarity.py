@@ -765,19 +765,12 @@ def build_ivf_lloyd_index(
     return final_assigned, centers_df
 
 
-def ivf_lloyd_topk_oracle(
-    query_vec_id: int,
-    k: int = 10,
-    n_clusters: int = 16,
-    n_iter: int = 3,
-    n_probe: int = 4,
-    dim: int = 64,
-) -> str:
-    """DuckDB twin of build_ivf_lloyd_index + ivf_query(metric="l2"):
-    the Lloyd rounds are UNROLLED as one CTE block per iteration —
-    deterministic seeds, integer distances, floor-div centroid updates,
-    empty-cluster carry-over, then the l2 probe ranking and exact dot
-    rerank, all bit-identical to the Spark plan."""
+def _lloyd_cte_sql(n_clusters: int, n_iter: int, dim: int) -> str:
+    """Shared DuckDB CTE prefix unrolling the Lloyd build
+    (build_ivf_lloyd_index) through ``final_assign`` — deterministic
+    seeds, integer distances, floor-div centroid updates, empty-cluster
+    carry-over.  Consumed by ivf_lloyd_topk_oracle (probe tail) and
+    semantic_dedup_pairs_oracle (pair tail)."""
     h = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT"
     parts = [
         f"""\
@@ -824,7 +817,26 @@ WITH qv AS (
         FROM qv q, cent{n_iter} c GROUP BY 1, 2
     ) t
     QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1
-), cdist AS (
+)"""
+    )
+    return "".join(parts)
+
+
+def ivf_lloyd_topk_oracle(
+    query_vec_id: int,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_iter: int = 3,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of build_ivf_lloyd_index + ivf_query(metric="l2"):
+    the Lloyd rounds are UNROLLED as one CTE block per iteration
+    (_lloyd_cte_sql), then the l2 probe ranking and exact dot rerank,
+    all bit-identical to the Spark plan."""
+    parts = [_lloyd_cte_sql(n_clusters, n_iter, dim)]
+    parts.append(
+        f""", cdist AS (
     SELECT c.cluster,
            sum((c.c - q.q[c.pos + 1]) * (c.c - q.q[c.pos + 1])) AS cd
     FROM cent{n_iter} c, (SELECT q FROM qv WHERE vec_id = {query_vec_id}) q(q)
@@ -948,6 +960,98 @@ WITH planes AS (
 SELECT vec_a, vec_b, bucket, dot_q FROM pairs
 WHERE dot_q >= {threshold_q}
 ORDER BY vec_a, vec_b"""
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    n_clusters: int = 64,
+    n_iter: int = 2,
+    threshold_q: int = 300_000,
+    max_cluster: int = 500,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: block by TRAINED
+    semantic cluster (the engine-exact Lloyd k-means,
+    build_ivf_lloyd_index) instead of a random LSH sign-bucket, then
+    keep in-cluster pairs whose exact quantized dot clears
+    ``threshold_q`` (cos 0.3 at scale 1000 for unit-norm inputs).
+    Cluster blocking is the published SemDeDup recipe: semantically
+    close points land in the same k-means cell far more reliably than
+    in the same random hyperplane bucket, at the cost of the one-time
+    index build.
+
+    Scale shape: the Lloyd build scans the corpus n_iter times moving
+    only k x dim integer centroids through the driver (at 100 TB: train
+    on an ingest sample, one full assignment scan); pair generation is
+    per-cluster with a hard ``max_cluster`` cap, so no degenerate cell
+    can go quadratic.  Compose with dedup.duplicate_clusters /
+    keep_best to turn pairs into connected keep/drop components.
+
+    Output: (vec_a, vec_b, cluster, dot_q), ordered — bit-identical to
+    semantic_dedup_pairs_oracle (the Lloyd rounds unroll as CTEs).
+    """
+    from pyspark.sql import Window
+
+    from pithos_spark.functions.dedup import portable_hash60
+
+    assigned, _ = build_ivf_lloyd_index(embeddings, n_clusters, n_iter)
+    wb = Window.partitionBy("cluster").orderBy(
+        portable_hash60(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    capped = (
+        assigned.withColumn("_bn", F.row_number().over(wb))
+        .filter(F.col("_bn") <= max_cluster)
+        .drop("_bn", "label")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cluster").alias("cluster"),
+            quantized_dot(F.col("a.embedding"), F.col("b.embedding")).alias(
+                "dot_q"
+            ),
+        )
+        .filter(F.col("dot_q") >= threshold_q)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def semantic_dedup_pairs_oracle(
+    n_clusters: int = 64,
+    n_iter: int = 2,
+    threshold_q: int = 300_000,
+    max_cluster: int = 500,
+    dim: int = 64,
+) -> str:
+    cap_hash = portable_hash60_sql("vec_id::VARCHAR")
+    return (
+        _lloyd_cte_sql(n_clusters, n_iter, dim)
+        + f""", capped AS (
+    SELECT vec_id, cluster FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY cluster ORDER BY {cap_hash}, vec_id) AS _bn
+        FROM final_assign
+    ) WHERE _bn <= {max_cluster}
+), pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster,
+           (SELECT CAST(sum(qa.q[i] * qb.q[i]) AS BIGINT)
+            FROM generate_series(1, {dim}) g(i)) AS dot_q
+    FROM capped a
+    JOIN capped b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    JOIN qv qa ON qa.vec_id = a.vec_id
+    JOIN qv qb ON qb.vec_id = b.vec_id
+)
+SELECT vec_a, vec_b, cluster, dot_q FROM pairs
+WHERE dot_q >= {threshold_q}
+ORDER BY vec_a, vec_b"""
+    )
 
 
 def lsh_batch_topk(

@@ -246,6 +246,91 @@ ORDER BY n_bigram DESC, bigram
 LIMIT {top_k}"""
 
 
+def perplexity_filter(
+    documents: DataFrame, low: int = 200, high: int = 900
+) -> DataFrame:
+    """Perplexity-proxy quality filter over the corpus bigram LM (the
+    CCNet/Gopher-style 'train a cheap LM, drop the tails' gate): each
+    document is scored by the mean conditional probability of its
+    bigrams under the corpus-wide count model — all-integer (permille
+    conditionals, floor-div mean), so the gate is engine-exact.
+
+    ``mean_cond_permille`` low => the doc's word transitions are rare in
+    the corpus (noisy/garbled => verdict 'high_ppl'); high => the doc is
+    near-deterministic boilerplate (verdict 'low_ppl'); the band between
+    passes ('ok').  Self-scored here (the LM is built from the same
+    corpus); a production pipeline scores against a held-out reference
+    LM — same plan with the counts read from a table.
+
+    Scale: one bigram explode; the LM join is keyed by the bigram
+    (vocabulary^2-bounded — too large to broadcast, so it shuffles;
+    at 100 TB pre-build the LM once and bucket both sides by bigram),
+    then one doc-keyed aggregation.  No UDFs anywhere.
+    """
+    toks = documents.select("doc_id", _tokens(F.col("text")).alias("_toks"))
+    t = F.col("_toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, 2)))
+    bi_doc = toks.select(
+        "doc_id", F.explode(grams).alias("bigram")
+    ).withColumn("w1", F.split(F.col("bigram"), " ")[0])
+    counts = bi_doc.groupBy("w1", "bigram").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    uni = counts.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    lm = counts.join(uni, "w1").select(
+        "bigram", F.expr("(1000 * c2) div c1").alias("cond_permille")
+    )
+    scored = (
+        bi_doc.join(lm, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum(cond_permille) div count(1)").alias(
+                "mean_cond_permille"
+            ),
+        )
+    )
+    verdict = (
+        F.when(F.col("mean_cond_permille") < low, F.lit("high_ppl"))
+        .when(F.col("mean_cond_permille") > high, F.lit("low_ppl"))
+        .otherwise(F.lit("ok"))
+    )
+    return scored.select(
+        "doc_id", "n_bigrams", "mean_cond_permille", verdict.alias("verdict")
+    ).orderBy("doc_id")
+
+
+def perplexity_filter_oracle(low: int = 200, high: int = 900) -> str:
+    return f"""\
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1) + 1)) AS i FROM toks
+), bi_doc AS (
+    SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bigram FROM idx
+), counts AS (
+    SELECT split_part(bigram, ' ', 1) AS w1, bigram, count(*) AS c2
+    FROM bi_doc GROUP BY 1, 2
+), uni AS (
+    SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM counts GROUP BY w1
+), lm AS (
+    SELECT bigram, (1000 * c2) // c1 AS cond_permille
+    FROM counts JOIN uni USING (w1)
+), scored AS (
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(cond_permille) AS BIGINT) // count(*) AS mean_cond_permille
+    FROM bi_doc JOIN lm USING (bigram)
+    GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, mean_cond_permille,
+       CASE WHEN mean_cond_permille < {low} THEN 'high_ppl'
+            WHEN mean_cond_permille > {high} THEN 'low_ppl'
+            ELSE 'ok' END AS verdict
+FROM scored
+ORDER BY doc_id"""
+
+
 def repetition_stats(documents: DataFrame, n: int = 3) -> DataFrame:
     """Gopher-style within-document repetition signal: the fraction of
     duplicate token ``n``-grams inside each doc, in permille

@@ -2281,6 +2281,34 @@ def acl_edn_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style near-dup pairs blocked by trained Lloyd cluster
+    (similarity.semantic_dedup_pairs) — the semantic complement of the
+    random-hyperplane blocking in dedup_embedding_lsh; fully
+    oracle-gated (the Lloyd rounds unroll as CTEs)."""
+    return similarity.semantic_dedup_pairs(
+        T.load_tables(spark, sf_dir)["embeddings"]
+    )
+
+
+QUERIES["dedup_semantic"] = _semantic_dedup
+ORACLES["dedup_semantic"] = similarity.semantic_dedup_pairs_oracle()
+
+
+def _ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity-proxy gate (text.perplexity_filter): the
+    CCNet-style 'cheap LM, drop the tails' filter, integer-exact."""
+    from pithos_spark.functions.text import perplexity_filter
+
+    return perplexity_filter(T.load_tables(spark, sf_dir)["documents"])
+
+
+from pithos_spark.functions.text import perplexity_filter_oracle  # noqa: E402
+
+QUERIES["corpus_perplexity_filter"] = _ppl_filter
+ORACLES["corpus_perplexity_filter"] = perplexity_filter_oracle()
+
+
 from pithos_spark.operators import dispatch as _dispatch  # noqa: E402
 
 
@@ -2329,6 +2357,8 @@ ROUND_NEW: list[str] = [
     "corpus_profile",
     "events_value_percentiles",
     "s3_resolve_operations",
+    "dedup_semantic",
+    "corpus_perplexity_filter",
 ]
 
 DRIVER_PRIORITY: list[str] = [
@@ -2376,11 +2406,9 @@ DRIVER_PRIORITY: list[str] = [
     "object_descriptor",
     "objects_page",
     "range_read_chunks",
-    # three spare slots: oldest r4 greens, picked to cover distinct
-    # subsystems (dedup clustering, CORS matching, multimodal resize)
-    "dedup_duplicate_clusters",
+    # one spare slot: an r4 green covering the CORS subsystem (the other
+    # r4 greens are only 2 rounds stale — they rotate in next round)
     "cors_preflight",
-    "multimodal_resize",
 ]
 
 # Representative already-green core (fresh r5 greens) — kept inside the

@@ -168,3 +168,48 @@ def test_ivf_lloyd_handles_corpus_smaller_than_k(spark):
     assigned, centers = build_ivf_lloyd_index(emb, n_clusters=16, n_iter=2)
     assert assigned.count() == 5
     assert centers.count() == 5
+
+
+def test_semantic_dedup_finds_near_identical_vectors(spark):
+    """Near-identical vectors land in the same Lloyd cluster (their l2
+    to every centroid is near-equal, so the argmin agrees), and the
+    exact dot keeps the pair; an inverted vector never pairs."""
+    from pithos_spark.functions.similarity import semantic_dedup_pairs
+
+    base = [0.3] * 32 + [-0.2] * 32
+    near = list(base)
+    near[0] = 0.301
+    far = [-x for x in base]
+    emb = spark.createDataFrame(
+        [(0, 0, base), (1, 0, near), (2, 0, far)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = [
+        (r["vec_a"], r["vec_b"])
+        for r in semantic_dedup_pairs(emb, n_clusters=2, n_iter=2).collect()
+    ]
+    assert (0, 1) in got
+    assert all(2 not in p for p in got)
+
+
+def test_semantic_dedup_cluster_blocking_vs_lsh(embeddings):
+    """The semantic (trained-cluster) and LSH (random-hyperplane)
+    blockings verify pairs with the SAME exact quantized dot: any pair
+    both blockings surface must carry an identical score."""
+    from pithos_spark.functions.similarity import (
+        embedding_lsh_dedup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    sem = {
+        (r["vec_a"], r["vec_b"]): r["dot_q"]
+        for r in semantic_dedup_pairs(embeddings).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["dot_q"]
+        for r in embedding_lsh_dedup_pairs(embeddings).collect()
+    }
+    assert sem, "semantic blocking should surface pairs on the test corpus"
+    common = set(sem) & set(lsh)
+    for p in common:
+        assert sem[p] == lsh[p]

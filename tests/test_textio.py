@@ -73,3 +73,25 @@ def test_sharded_export_partition_prunes_and_roundtrips(spark, tmp_path):
         for r in spark.read.parquet(out).select("doc_id", "shard").collect()
     }
     assert first == second
+
+
+def test_perplexity_filter_separates_boilerplate_from_noise(spark):
+    """A repeated-bigram boilerplate doc must score a higher mean
+    conditional than a doc whose transitions are rare in the corpus
+    ('the' continues as 'cat' 3/6 times but as dog/bird/fish only 1/6
+    each), and the verdict column must reflect the thresholds."""
+    from pithos_spark.functions.text import perplexity_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat the cat sat the cat sat"),
+            (2, "the dog the bird the fish"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in perplexity_filter(docs).collect()}
+    assert rows[1]["mean_cond_permille"] > rows[2]["mean_cond_permille"]
+    for r in rows.values():
+        assert r["verdict"] in {"low_ppl", "ok", "high_ppl"}
+        if r["mean_cond_permille"] > 900:
+            assert r["verdict"] == "low_ppl"
