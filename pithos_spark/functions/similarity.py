@@ -962,6 +962,155 @@ WHERE dot_q >= {threshold_q}
 ORDER BY vec_a, vec_b"""
 
 
+def proj_weight(i: int, j: int) -> int:
+    """Component (i, j) of the random-projection matrix: portable 60-bit
+    md5 of 'proj:i:j' mapped into [-500, 500) — same derivation family
+    as :func:`plane_weight`, distinct namespace."""
+    import hashlib
+
+    h = int(hashlib.md5(f"proj:{i}:{j}".encode()).hexdigest()[:15], 16)
+    return h % 1000 - 500
+
+
+def _bigint_dot(a: F.Column, b: F.Column) -> F.Column:
+    """Exact dot of two already-integer arrays (no re-quantization)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def project_embeddings(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style integer random projection:
+    ``proj[i] = sum_j quantized(v)[j] * w(i, j)`` with the deterministic
+    portable-hash weight matrix (:func:`proj_weight`, literals in the
+    plan — no per-row hashing, no stored model).  Distances are
+    approximately preserved at out_dim << in_dim, so downstream
+    candidate generation runs on out_dim-component integer vectors —
+    the cheap first pass of a project -> shortlist -> exact-rerank ANN.
+
+    Output: (vec_id, label, embedding, proj array<bigint>).  Pure
+    scan-side projection: zero shuffles, codegen throughout.
+    """
+    base = embeddings.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _quantized(F.col("embedding"), scale).alias("_qv"),
+    )
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                F.col("_qv"),
+                F.array(*[F.lit(proj_weight(i, j)) for j in range(in_dim)]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for i in range(out_dim)
+    ]
+    return base.select(
+        "vec_id", "label", "embedding", F.array(*comps).alias("proj")
+    )
+
+
+def projected_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_candidates: int = 50,
+    out_dim: int = 16,
+) -> DataFrame:
+    """ANN via random projection: shortlist ``n_candidates`` by dot
+    product in the ``out_dim``-component projected space (4x cheaper
+    than full-dim at the defaults), then exact-rerank the shortlist with
+    the full quantized dot.  Both stages are TakeOrderedAndProject
+    plans against a broadcast 1-row query — no global sort, no shuffle
+    of the corpus.  Fully oracle-checkable: the projection matrix is
+    the portable hash, so DuckDB reproduces the shortlist exactly.
+    """
+    proj = project_embeddings(embeddings, out_dim)
+    q = proj.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("proj").alias("query_proj"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    cands = (
+        proj.join(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "query_embedding",
+            _bigint_dot(F.col("proj"), F.col("query_proj")).alias("pdot"),
+        )
+        .orderBy(F.col("pdot").desc(), F.col("vec_id"))
+        .limit(n_candidates)
+    )
+    return (
+        cands.select(
+            "vec_id",
+            "label",
+            quantized_dot(F.col("embedding"), F.col("query_embedding")).alias(
+                "dot_q"
+            ),
+        )
+        .orderBy(F.col("dot_q").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def projected_topk_oracle(
+    query_vec_id: int,
+    k: int = 10,
+    n_candidates: int = 50,
+    out_dim: int = 16,
+    in_dim: int = 64,
+) -> str:
+    w_expr = portable_hash60_sql("'proj:' || i.i::VARCHAR || ':' || j.j::VARCHAR")
+    return f"""\
+WITH qv AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+    FROM embeddings
+), pw AS (
+    SELECT i.i, j.j, {w_expr} % 1000 - 500 AS w
+    FROM generate_series(0, {out_dim - 1}) i(i),
+         generate_series(0, {in_dim - 1}) j(j)
+), proj AS (
+    SELECT v.vec_id, v.label, pw.i,
+           CAST(sum(v.q[pw.j + 1] * pw.w) AS BIGINT) AS p
+    FROM qv v, pw GROUP BY 1, 2, 3
+), qp AS (
+    SELECT i, p FROM proj WHERE vec_id = {query_vec_id}
+), cands AS (
+    SELECT pr.vec_id, pr.label,
+           CAST(sum(pr.p * qp.p) AS BIGINT) AS pdot
+    FROM proj pr JOIN qp USING (i)
+    WHERE pr.vec_id <> {query_vec_id}
+    GROUP BY 1, 2
+    QUALIFY row_number() OVER (ORDER BY pdot DESC, vec_id) <= {n_candidates}
+), scored AS (
+    SELECT c.vec_id, c.label,
+           (SELECT CAST(sum(qa.q[i] * qq.q[i]) AS BIGINT)
+            FROM generate_series(1, {in_dim}) g(i)) AS dot_q
+    FROM cands c
+    JOIN qv qa ON qa.vec_id = c.vec_id,
+         (SELECT q FROM qv WHERE vec_id = {query_vec_id}) qq(q)
+)
+SELECT vec_id, label, dot_q FROM scored
+ORDER BY dot_q DESC, vec_id
+LIMIT {k}"""
+
+
 def semantic_dedup_pairs(
     embeddings: DataFrame,
     n_clusters: int = 64,

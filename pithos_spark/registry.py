@@ -2295,6 +2295,19 @@ QUERIES["dedup_semantic"] = _semantic_dedup
 ORACLES["dedup_semantic"] = similarity.semantic_dedup_pairs_oracle()
 
 
+def _projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection ANN (similarity.projected_topk): JL shortlist
+    in 16 integer components, exact full-dim rerank — the
+    dimensionality-reduction scale path, fully oracle-gated."""
+    return similarity.projected_topk(
+        T.load_tables(spark, sf_dir)["embeddings"], 0, 10
+    )
+
+
+QUERIES["ann_projected_topk"] = _projected_topk
+ORACLES["ann_projected_topk"] = similarity.projected_topk_oracle(0, 10)
+
+
 def _ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity-proxy gate (text.perplexity_filter): the
     CCNet-style 'cheap LM, drop the tails' filter, integer-exact."""
@@ -2359,6 +2372,7 @@ ROUND_NEW: list[str] = [
     "s3_resolve_operations",
     "dedup_semantic",
     "corpus_perplexity_filter",
+    "ann_projected_topk",
 ]
 
 DRIVER_PRIORITY: list[str] = [
@@ -2406,9 +2420,6 @@ DRIVER_PRIORITY: list[str] = [
     "object_descriptor",
     "objects_page",
     "range_read_chunks",
-    # one spare slot: an r4 green covering the CORS subsystem (the other
-    # r4 greens are only 2 rounds stale — they rotate in next round)
-    "cors_preflight",
 ]
 
 # Representative already-green core (fresh r5 greens) — kept inside the

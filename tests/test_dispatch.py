@@ -119,3 +119,56 @@ def test_opmap_sql_values_renders_all_rows():
 )
 def test_routing_spot_checks(method, uri, params, expected):
     assert resolve_operation(method, uri, params)["operation"] == expected
+
+
+def test_resolution_invariants_hold_for_arbitrary_requests():
+    """Property: for ANY method/uri/params, resolution is total and
+    self-consistent — operation is method-target[-action] lower-cased,
+    extracted bucket never contains '/', unknown handlers carry no
+    perms, and a vhost request resolves like its rewritten path form."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seg = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789-._", min_size=1, max_size=8
+    )
+    methods = st.sampled_from(["GET", "PUT", "POST", "DELETE", "HEAD", "OPTIONS"])
+    uris = st.one_of(
+        st.just("/"),
+        seg.map(lambda b: f"/{b}"),
+        seg.map(lambda b: f"/{b}/"),
+        st.tuples(seg, st.lists(seg, min_size=1, max_size=3)).map(
+            lambda t: "/" + t[0] + "/" + "/".join(t[1])
+        ),
+    )
+    actions = st.one_of(
+        st.none(), st.sampled_from(sorted(ACTIONS)), st.just("marker")
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(methods, uris, actions)
+    def prop(method, uri, action):
+        params = {action: None} if action else {}
+        r = resolve_operation(method, uri, params)
+        parts = r["operation"].split("-")
+        assert parts[0] == method.lower()
+        assert parts[1] == r["target"]
+        if action in ACTIONS:
+            assert "-".join(parts[2:]) == action
+        else:
+            assert len(parts) == 2  # unrecognized args never name ops
+        if r["bucket"] is not None:
+            assert "/" not in r["bucket"]
+        if r["handler"] == "unknown":
+            assert r["perms"] == "" and r["cors"] is False
+        # vhost form must resolve identically to the rewritten path
+        if r["target"] == "object":
+            rv = resolve_operation(
+                method,
+                f"/{r['object']}",
+                params,
+                host=f"{r['bucket']}.s3.example.com",
+            )
+            assert rv == r
+
+    prop()

@@ -271,3 +271,21 @@ def test_gapfill_grid_is_broadcast_joined(tables):
     plan = _plan(hourly_gapfill(tables["events"]))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dispatch_resolution_is_broadcast_only(tables, spark):
+    """Request-log operation resolution must be a scan-side projection
+    plus broadcast joins (opmap + dims) — the only Exchange allowed
+    before the final rollup/sort is the bounded group-by."""
+    from pithos_spark.operators.dispatch import (
+        opmap_df,
+        resolve_operations_summary,
+        synth_requests,
+    )
+
+    plan = _plan(
+        resolve_operations_summary(synth_requests(tables), opmap_df(spark))
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -213,3 +213,23 @@ def test_semantic_dedup_cluster_blocking_vs_lsh(embeddings):
     common = set(sem) & set(lsh)
     for p in common:
         assert sem[p] == lsh[p]
+
+
+def test_projected_topk_recall_and_exact_scores(embeddings):
+    """The JL-projected shortlist must surface most of the true top-10
+    (random projection preserves dot products approximately), and every
+    returned score must equal the exact brute-force dot."""
+    from pithos_spark.functions.similarity import brute_force_topk, projected_topk
+
+    exact = {
+        r["vec_id"]: r["dot_q"]
+        for r in brute_force_topk(embeddings, 0, 50).collect()
+    }
+    got = projected_topk(embeddings, 0, 10).collect()
+    assert len(got) == 10
+    for r in got:
+        if r["vec_id"] in exact:
+            assert exact[r["vec_id"]] == r["dot_q"]
+    true10 = set(list(exact)[:10])
+    recall = len(true10 & {r["vec_id"] for r in got}) / 10
+    assert recall >= 0.5, recall
