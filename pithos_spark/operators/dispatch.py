@@ -361,6 +361,100 @@ def resolve_operations_summary(requests: DataFrame, opmap: DataFrame) -> DataFra
     )
 
 
+def requests_from_events(events: DataFrame) -> DataFrame:
+    """Timed request log derived from the events table (deterministic
+    event→API mapping: views/clicks read, purchases/signups write,
+    errors probe ACLs), carrying the event time so traffic can be
+    windowed.  Mirrors ``REQUESTS_FROM_EVENTS_CTE``."""
+    bucket = F.concat(F.lit("assets-"), (F.col("user_id") % 25).cast("string"))
+    key = F.concat(F.lit("ev/"), F.col("event_id").cast("string"))
+    et = F.col("event_type")
+    method = (
+        F.when(et.isin("purchase", "signup"), F.lit("PUT"))
+        .otherwise(F.lit("GET"))
+    )
+    uri = F.when(
+        et.isin("signup", "click"), F.concat(F.lit("/"), bucket)
+    ).otherwise(F.concat(F.lit("/"), bucket, F.lit("/"), key))
+    action = F.when(et == "error", F.lit("acl")).otherwise(
+        F.lit(None).cast("string")
+    )
+    return events.select(
+        "ts",
+        method.alias("method"),
+        F.lit("client.example.com").alias("host"),
+        uri.alias("uri"),
+        action.alias("action"),
+    )
+
+
+REQUESTS_FROM_EVENTS_CTE = """\
+synth_requests AS (
+    SELECT ts,
+           CASE WHEN event_type IN ('purchase', 'signup') THEN 'PUT'
+                ELSE 'GET' END AS method,
+           'client.example.com' AS host,
+           CASE WHEN event_type IN ('signup', 'click')
+                THEN '/assets-' || (user_id % 25)::VARCHAR
+                ELSE '/assets-' || (user_id % 25)::VARCHAR
+                     || '/ev/' || event_id::VARCHAR END AS uri,
+           CASE WHEN event_type = 'error' THEN 'acl' ELSE NULL END AS action
+    FROM events
+)"""
+
+
+def api_traffic_hourly(events: DataFrame, opmap: DataFrame) -> DataFrame:
+    """API-traffic rollup: the event stream mapped to requests, each
+    resolved through the dispatch table, counted per (hour, operation,
+    handler).  Resolution stays a scan-side projection + broadcast join;
+    the only shuffle is the bounded (hours x operations) aggregate —
+    at 100 TB of access logs this is scan-speed.  The streaming twin
+    binds the identical transformation onto a watermarked readStream
+    source (tests/test_streaming.py proves convergence)."""
+    reqs = requests_from_events(events)
+    resolved = resolve_operations(reqs, opmap)
+    return (
+        resolved.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "operation",
+            "handler",
+        )
+        .agg(F.count(F.lit(1)).alias("n_requests"))
+        .withColumn("window_start", F.unix_micros("window_start"))
+        .orderBy("window_start", "operation")
+    )
+
+
+def api_traffic_hourly_oracle() -> str:
+    return f"""\
+WITH {REQUESTS_FROM_EVENTS_CTE}
+, resolved AS (
+    SELECT r.*, uri AS _uri
+    FROM synth_requests r
+), targeted AS (
+    SELECT *,
+           CASE WHEN _uri = '/' THEN 'service'
+                WHEN regexp_matches(_uri, '{_BUCKET_RE}') THEN 'bucket'
+                WHEN regexp_matches(_uri, '{_OBJECT_RE}') THEN 'object'
+                ELSE 'unknown' END AS target
+    FROM resolved
+), named AS (
+    SELECT *,
+           lower(method) || '-' || target ||
+           CASE WHEN action IS NOT NULL THEN '-' || action ELSE '' END
+               AS operation
+    FROM targeted
+)
+SELECT epoch_us(date_trunc('hour', n.ts)) AS window_start,
+       n.operation,
+       coalesce(opmap.handler, 'unknown') AS handler,
+       count(*) AS n_requests
+FROM named n
+LEFT JOIN {opmap_sql_values()} ON n.operation = opmap.operation
+GROUP BY 1, 2, 3
+ORDER BY 1, 2"""
+
+
 def resolve_operations_summary_oracle() -> str:
     return f"""\
 , {SYNTH_REQUESTS_CTE}

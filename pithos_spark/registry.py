@@ -2308,6 +2308,8 @@ QUERIES["ann_projected_topk"] = _projected_topk
 ORACLES["ann_projected_topk"] = similarity.projected_topk_oracle(0, 10)
 
 
+
+
 def _ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity-proxy gate (text.perplexity_filter): the
     CCNet-style 'cheap LM, drop the tails' filter, integer-exact."""
@@ -2345,6 +2347,17 @@ def s3_resolve_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_api_traffic", _dispatch.api_traffic_hourly_oracle())
+def events_api_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly API-traffic rollup: the event stream mapped to S3 requests
+    and resolved through the dispatch opmap (operators/dispatch.py) —
+    §2.11 resolution integrated with event-time windowing; the
+    streaming twin binds the same transformation onto a watermarked
+    readStream source (tests/test_streaming.py proves convergence)."""
+    t = T.load_tables(spark, sf_dir)
+    return _dispatch.api_traffic_hourly(t["events"], _dispatch.opmap_df(spark))
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window ordering.
 #
@@ -2373,6 +2386,7 @@ ROUND_NEW: list[str] = [
     "dedup_semantic",
     "corpus_perplexity_filter",
     "ann_projected_topk",
+    "events_api_traffic",
 ]
 
 DRIVER_PRIORITY: list[str] = [
@@ -2429,7 +2443,6 @@ DRIVER_PRIORITY: list[str] = [
 GREEN_CORE: list[str] = [
     "list_objects_flagship",
     "q1_pricing_summary",
-    "dedup_exact",
     "dedup_minhash_lsh",
 ]
 

@@ -458,3 +458,53 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
         for r in incremental_dedup_pairs(new, existing).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_api_traffic_matches_batch(spark, tmp_path):
+    """The dispatch-resolved API-traffic rollup run as a real stream
+    (availableNow, watermarked event-time windows) converges to the
+    batch api_traffic_hourly answer — request derivation, operation
+    resolution, and the broadcast opmap join all work incrementally."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.operators import dispatch as D
+    from pithos_spark.streaming import events as ev
+
+    batch_events = T.load_tables(spark, SF_SMOKE)["events"]
+    src = str(tmp_path / "events_src")
+    batch_events.write.parquet(src)
+
+    opmap = D.opmap_df(spark)
+    stream = ev.streamify(spark, src, batch_events.schema, watermark="2 hours")
+    resolved = D.resolve_operations(D.requests_from_events(stream), opmap)
+    agg = (
+        resolved.groupBy(
+            F.window("ts", "1 hour").alias("w"), "operation", "handler"
+        )
+        .agg(F.count(F.lit(1)).alias("n_requests"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start"),
+            "operation",
+            "handler",
+            "n_requests",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("api_traffic")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["operation"], r["handler"]): r["n_requests"]
+        for r in spark.sql("SELECT * FROM api_traffic").collect()
+    }
+    want = {
+        (r["window_start"], r["operation"], r["handler"]): r["n_requests"]
+        for r in D.api_traffic_hourly(batch_events, opmap).collect()
+    }
+    assert got and got == want
