@@ -82,6 +82,60 @@ SELECT doc_id,
 FROM documents"""
 
 
+def tokenizer_fertility(documents: DataFrame) -> DataFrame:
+    """Per-source tokenizer fertility: BPE-proxy tokens per whitespace
+    word, in permille — the statistic a token-budget planner reads to
+    convert corpus word counts into training-token counts (fertility
+    varies strongly by source: code and non-Latin text fragment more).
+    All-integer (1000 * bpe div words), so engine-exact.
+
+    One scan, one bounded shuffle (|sources| groups), both counts
+    computed scan-side with no UDF.
+    """
+    pat = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    base = documents.select(
+        "source",
+        F.regexp_count("text", F.lit(pat)).cast("long").alias("bpe"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "words"
+        ),
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.sum("bpe").alias("bpe_tokens"),
+            F.sum("words").alias("word_tokens"),
+        )
+        .select(
+            "source",
+            "bpe_tokens",
+            "word_tokens",
+            F.expr("(1000 * bpe_tokens) div word_tokens").alias(
+                "fertility_permille"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+TOKENIZER_FERTILITY_SQL = """\
+WITH base AS (
+    SELECT source,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS bpe,
+           len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS words
+    FROM documents
+), agg AS (
+    SELECT source,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(words) AS BIGINT) AS word_tokens
+    FROM base GROUP BY source
+)
+SELECT source, bpe_tokens, word_tokens,
+       (1000 * bpe_tokens) // word_tokens AS fertility_permille
+FROM agg
+ORDER BY source"""
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Heuristic quality signals: length, stopword ratio, repetition.
 

@@ -2324,6 +2324,20 @@ QUERIES["corpus_perplexity_filter"] = _ppl_filter
 ORACLES["corpus_perplexity_filter"] = perplexity_filter_oracle()
 
 
+def _fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source BPE-proxy tokenizer fertility (text.tokenizer_fertility)
+    — the words-to-training-tokens conversion a token-budget plan uses."""
+    from pithos_spark.functions.text import tokenizer_fertility
+
+    return tokenizer_fertility(T.load_tables(spark, sf_dir)["documents"])
+
+
+from pithos_spark.functions.text import TOKENIZER_FERTILITY_SQL  # noqa: E402
+
+QUERIES["corpus_tokenizer_fertility"] = _fertility
+ORACLES["corpus_tokenizer_fertility"] = TOKENIZER_FERTILITY_SQL
+
+
 from pithos_spark.operators import dispatch as _dispatch  # noqa: E402
 
 
@@ -2387,6 +2401,7 @@ ROUND_NEW: list[str] = [
     "corpus_perplexity_filter",
     "ann_projected_topk",
     "events_api_traffic",
+    "corpus_tokenizer_fertility",
 ]
 
 DRIVER_PRIORITY: list[str] = [
@@ -2442,7 +2457,6 @@ DRIVER_PRIORITY: list[str] = [
 # doubles as the r5→r6 perf-drift re-measure subject (VERDICT r5 task 5).
 GREEN_CORE: list[str] = [
     "list_objects_flagship",
-    "q1_pricing_summary",
     "dedup_minhash_lsh",
 ]
 
