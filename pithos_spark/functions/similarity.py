@@ -1203,6 +1203,68 @@ ORDER BY vec_a, vec_b"""
     )
 
 
+def semantic_topics(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    top_k: int = 5,
+) -> DataFrame:
+    """Topic-model-lite corpus map: Lloyd-cluster the embedding space
+    (engine-exact integer k-means), join each vector back to its
+    document (vec_id == doc_id in the testdata model), and surface the
+    ``top_k`` most frequent terms per semantic cluster — the cheap
+    'what is in this corpus region' readout a curation review uses
+    before deciding mixing weights.
+
+    Scale: the Lloyd build is the shared one-time index cost; the term
+    rollup is one explode + one (cluster, term) keyed aggregation with
+    map-side partial counts, then a per-cluster top-k window over the
+    already-aggregated (small) count table.  Fully oracle-gated — the
+    Lloyd rounds unroll via the shared CTE prefix.
+    """
+    from pyspark.sql import Window
+
+    from pithos_spark.functions.text import _tokens
+
+    assigned, _ = build_ivf_lloyd_index(embeddings, n_clusters, n_iter)
+    toks = documents.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    counts = (
+        assigned.select(F.col("vec_id").alias("doc_id"), "cluster")
+        .join(toks, "doc_id")
+        .groupBy("cluster", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("n").desc(), "term")
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_k)
+        .drop("_rk")
+        .orderBy("cluster", F.col("n").desc(), "term")
+    )
+
+
+def semantic_topics_oracle(
+    n_clusters: int = 8, n_iter: int = 2, top_k: int = 5, dim: int = 64
+) -> str:
+    return (
+        _lloyd_cte_sql(n_clusters, n_iter, dim)
+        + f""", toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents
+), counts AS (
+    SELECT fa.cluster, t.term, count(*) AS n
+    FROM final_assign fa JOIN toks t ON t.doc_id = fa.vec_id
+    GROUP BY 1, 2
+)
+SELECT cluster, term, n FROM counts
+QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY n DESC, term) <= {top_k}
+ORDER BY cluster, n DESC, term"""
+    )
+
+
 def lsh_batch_topk(
     embeddings: DataFrame,
     query_ids: list[int],

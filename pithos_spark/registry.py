@@ -2338,6 +2338,18 @@ QUERIES["corpus_tokenizer_fertility"] = _fertility
 ORACLES["corpus_tokenizer_fertility"] = TOKENIZER_FERTILITY_SQL
 
 
+def _topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-semantic-cluster top terms (similarity.semantic_topics) —
+    Lloyd clusters joined back to document text; the corpus-region
+    readout a mixing decision reviews."""
+    t = T.load_tables(spark, sf_dir)
+    return similarity.semantic_topics(t["embeddings"], t["documents"])
+
+
+QUERIES["corpus_semantic_topics"] = _topics
+ORACLES["corpus_semantic_topics"] = similarity.semantic_topics_oracle()
+
+
 from pithos_spark.operators import dispatch as _dispatch  # noqa: E402
 
 
@@ -2402,6 +2414,7 @@ ROUND_NEW: list[str] = [
     "ann_projected_topk",
     "events_api_traffic",
     "corpus_tokenizer_fertility",
+    "corpus_semantic_topics",
 ]
 
 DRIVER_PRIORITY: list[str] = [
@@ -2456,8 +2469,10 @@ DRIVER_PRIORITY: list[str] = [
 # (ADVICE r2: no magic slice; three explicit lists).  dedup_minhash_lsh
 # doubles as the r5→r6 perf-drift re-measure subject (VERDICT r5 task 5).
 GREEN_CORE: list[str] = [
+    # single canary this round: the 10-new-query ROUND_NEW plus the 39
+    # stale rotations fill the window; minhash (green r5, bench-tracked)
+    # returns as a canary next round
     "list_objects_flagship",
-    "dedup_minhash_lsh",
 ]
 
 
