@@ -233,3 +233,23 @@ def test_projected_topk_recall_and_exact_scores(embeddings):
     true10 = set(list(exact)[:10])
     recall = len(true10 & {r["vec_id"] for r in got}) / 10
     assert recall >= 0.5, recall
+
+
+def test_precomputed_weights_match_duckdb_hash_derivation():
+    """plane_weight / proj_weight are Python md5 precomputations of what
+    the oracles derive in SQL — any drift would silently break every
+    LSH/projection oracle, so pin the parity directly."""
+    import duckdb
+
+    from pithos_spark.functions.dedup import portable_hash60_sql
+    from pithos_spark.functions.similarity import plane_weight, proj_weight
+
+    con = duckdb.connect()
+    for t, p, j in [(0, 0, 0), (0, 7, 63), (3, 2, 17)]:
+        sql = portable_hash60_sql(f"'plane:{t}:{p}:{j}'")
+        want = con.execute(f"SELECT {sql} % 1000 - 500").fetchone()[0]
+        assert plane_weight(t, p, j) == want, (t, p, j)
+    for i, j in [(0, 0), (15, 63), (7, 31)]:
+        sql = portable_hash60_sql(f"'proj:{i}:{j}'")
+        want = con.execute(f"SELECT {sql} % 1000 - 500").fetchone()[0]
+        assert proj_weight(i, j) == want, (i, j)
