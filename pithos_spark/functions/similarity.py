@@ -1190,13 +1190,16 @@ def semantic_dedup_pairs(
     )
 
 
-def semantic_dedup_pairs_oracle(
-    n_clusters: int = 64,
-    n_iter: int = 2,
-    threshold_q: int = 300_000,
-    max_cluster: int = 500,
-    dim: int = 64,
+def _semantic_pairs_cte_sql(
+    n_clusters: int,
+    n_iter: int,
+    threshold_q: int,
+    max_cluster: int,
+    dim: int,
 ) -> str:
+    """Lloyd prefix + capped in-cluster pair generation, ending at the
+    ``kept_pairs`` CTE (pairs clearing the dot threshold) — shared by
+    the pairs oracle and the connected-components clusters oracle."""
     cap_hash = portable_hash60_sql("vec_id::VARCHAR")
     return (
         _lloyd_cte_sql(n_clusters, n_iter, dim)
@@ -1214,10 +1217,84 @@ def semantic_dedup_pairs_oracle(
     JOIN capped b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
     JOIN qv qa ON qa.vec_id = a.vec_id
     JOIN qv qb ON qb.vec_id = b.vec_id
-)
-SELECT vec_a, vec_b, cluster, dot_q FROM pairs
-WHERE dot_q >= {threshold_q}
+), kept_pairs AS (
+    SELECT vec_a, vec_b, cluster, dot_q FROM pairs
+    WHERE dot_q >= {threshold_q}
+)"""
+    )
+
+
+def semantic_dedup_pairs_oracle(
+    n_clusters: int = 64,
+    n_iter: int = 2,
+    threshold_q: int = 300_000,
+    max_cluster: int = 500,
+    dim: int = 64,
+) -> str:
+    return (
+        _semantic_pairs_cte_sql(n_clusters, n_iter, threshold_q, max_cluster, dim)
+        + """
+SELECT vec_a, vec_b, cluster, dot_q FROM kept_pairs
 ORDER BY vec_a, vec_b"""
+    )
+
+
+def semantic_dedup_clusters(
+    embeddings: DataFrame,
+    n_clusters: int = 64,
+    n_iter: int = 2,
+    threshold_q: int = 300_000,
+    max_cluster: int = 500,
+) -> DataFrame:
+    """Semantic near-dup pairs resolved into duplicate components: the
+    SemDeDup keep/drop decision needs GROUPS, not pairs (cos-similarity
+    is not transitive, so a similar-chain must collapse to one
+    representative).  Reuses the distributed min-label-propagation
+    fixpoint from the text dedup ladder (dedup.dup_clusters — one
+    shuffle join per round, no driver-side graph).  Output:
+    (vec_id, cluster_id) for every vector in a pair, cluster_id = the
+    smallest member id (the canonical keeper)."""
+    from pithos_spark.functions.dedup import dup_clusters
+
+    pairs = semantic_dedup_pairs(
+        embeddings, n_clusters, n_iter, threshold_q, max_cluster
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    return (
+        dup_clusters(pairs)
+        .select(F.col("doc_id").alias("vec_id"), "cluster_id")
+        .orderBy("vec_id")
+    )
+
+
+def semantic_dedup_clusters_oracle(
+    n_clusters: int = 64,
+    n_iter: int = 2,
+    threshold_q: int = 300_000,
+    max_cluster: int = 500,
+    dim: int = 64,
+) -> str:
+    # transitive closure via recursive CTE (tractable at oracle scale;
+    # Spark runs the scalable fixpoint) — same twin strategy as
+    # dedup.dup_clusters_oracle
+    prefix = _semantic_pairs_cte_sql(
+        n_clusters, n_iter, threshold_q, max_cluster, dim
+    ).replace("WITH qv AS", "WITH RECURSIVE qv AS", 1)
+    return (
+        prefix
+        + """
+, edges AS (
+    SELECT vec_a AS src, vec_b AS dst FROM kept_pairs
+    UNION
+    SELECT vec_b, vec_a FROM kept_pairs
+), reach AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), members AS (
+    SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+)
+SELECT vec_id, cluster_id FROM members ORDER BY vec_id"""
     )
 
 

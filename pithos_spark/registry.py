@@ -2350,6 +2350,19 @@ QUERIES["corpus_semantic_topics"] = _topics
 ORACLES["corpus_semantic_topics"] = similarity.semantic_topics_oracle()
 
 
+def _semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup components (similarity.semantic_dedup_clusters):
+    pairs resolved into keep/drop groups via distributed min-label
+    propagation; the oracle closes the graph with a recursive CTE."""
+    return similarity.semantic_dedup_clusters(
+        T.load_tables(spark, sf_dir)["embeddings"]
+    )
+
+
+QUERIES["dedup_semantic_clusters"] = _semantic_clusters
+ORACLES["dedup_semantic_clusters"] = similarity.semantic_dedup_clusters_oracle()
+
+
 from pithos_spark.operators import dispatch as _dispatch  # noqa: E402
 
 
@@ -2415,6 +2428,7 @@ ROUND_NEW: list[str] = [
     "events_api_traffic",
     "corpus_tokenizer_fertility",
     "corpus_semantic_topics",
+    "dedup_semantic_clusters",
 ]
 
 DRIVER_PRIORITY: list[str] = [
@@ -2469,10 +2483,10 @@ DRIVER_PRIORITY: list[str] = [
 # (ADVICE r2: no magic slice; three explicit lists).  dedup_minhash_lsh
 # doubles as the r5→r6 perf-drift re-measure subject (VERDICT r5 task 5).
 GREEN_CORE: list[str] = [
-    # single canary this round: the 10-new-query ROUND_NEW plus the 39
-    # stale rotations fill the window; minhash (green r5, bench-tracked)
-    # returns as a canary next round
-    "list_objects_flagship",
+    # no extra canaries this round: the 11-query ROUND_NEW plus the 39
+    # stale rotations fill the window exactly; list_objects_flagship is
+    # still exercised every round as the entry() smoke, and the r4/r5
+    # greens rotate back as canaries next round
 ]
 
 
