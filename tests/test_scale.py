@@ -135,3 +135,47 @@ def test_corpus_embedding_join_colocates_when_bucketed(spark, tmp_path):
         assert joined.count() == docs.join(emb, "doc_id").count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_perplexity_lm_join_colocates_when_bucketed(spark, tmp_path):
+    """The perplexity filter's hot join (per-doc bigrams x the corpus
+    LM, keyed by the bigram string) runs shuffle-free on the probe side
+    when the pre-built LM and the bigram stream are bucketed on the
+    bigram — the 100 TB layout where the LM is built once and scored
+    against many times."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions.text import _tokens
+
+    docs = T.load_tables(spark, SF_ORACLE)["documents"]
+    t = F.col("_toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, 2)))
+    bi_doc = (
+        docs.select("doc_id", _tokens(F.col("text")).alias("_toks"))
+        .select("doc_id", F.explode(grams).alias("bigram"))
+    )
+    lm = (
+        bi_doc.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    bi_doc.write.mode("overwrite").option(
+        "path", str(tmp_path / "bi_b")
+    ).bucketBy(8, "bigram").saveAsTable("bi_b")
+    lm.write.mode("overwrite").option(
+        "path", str(tmp_path / "lm_b")
+    ).bucketBy(8, "bigram").saveAsTable("lm_b")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bi_b").join(spark.table("lm_b"), "bigram")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # bucketed layout satisfies the join's hash requirement on both
+        # sides: the only allowed Exchange would be for the sort, and
+        # bucket pruning keeps even that local
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == bi_doc.join(lm, "bigram").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
