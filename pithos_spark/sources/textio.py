@@ -50,6 +50,27 @@ def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_documents_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Read a documents corpus from CSV with the canonical explicit
+    schema plus a ``_corrupt_record`` column — same contract as the
+    JSONL reader (no inference pass, PERMISSIVE, malformed lines kept
+    observable).  ``multiLine`` stays off: splittable single-line
+    records are what keep a 100 TB CSV read parallel; embedded
+    newlines must be escaped upstream."""
+    schema = T.StructType(
+        DOCUMENTS_SCHEMA.fields
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
 def corrupt_line_report(df: DataFrame) -> DataFrame:
     """(n_rows, n_corrupt) — the ingest health stat a pipeline logs
     before accepting a drop.

@@ -4,7 +4,7 @@ import json
 
 import pyspark.sql.functions as F
 
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 def test_jsonl_roundtrip_matches_parquet(spark, tmp_path):
@@ -95,3 +95,40 @@ def test_perplexity_filter_separates_boilerplate_from_noise(spark):
         assert r["verdict"] in {"low_ppl", "ok", "high_ppl"}
         if r["mean_cond_permille"] > 900:
             assert r["verdict"] == "low_ppl"
+
+
+def test_csv_roundtrip_and_corrupt_handling(spark, tmp_path):
+    """CSV ingest: explicit-schema read reproduces the parquet corpus
+    exactly (quotes/newline-free fields round-trip), and a malformed
+    row lands in _corrupt_record instead of killing or vanishing."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.sources.textio import (
+        corrupt_line_report,
+        read_documents_csv,
+    )
+
+    docs = T.load_tables(spark, SF_SMOKE)["documents"]
+    p = tmp_path / "docs_csv"
+    docs.coalesce(1).write.option("header", "true").option(
+        "escape", '"'
+    ).csv(str(p))
+    back = read_documents_csv(spark, str(p))
+    clean = corrupt_line_report(back).collect()[0]
+    assert clean["n_corrupt"] == 0
+    a = docs.select("doc_id", "text", "source").orderBy("doc_id").collect()
+    b = back.select("doc_id", "text", "source").orderBy("doc_id").collect()
+    assert a == b
+
+    bad = tmp_path / "bad_csv"
+    bad.mkdir()
+    (bad / "part.csv").write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "1,hello,en,web,5\n"
+        "not-a-number,oops,xx,web,zzz\n"
+    )
+    rep = corrupt_line_report(
+        read_documents_csv(spark, str(bad))
+    ).collect()[0]
+    assert (rep["n_rows"], rep["n_corrupt"]) == (2, 1)
