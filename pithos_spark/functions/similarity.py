@@ -740,32 +740,40 @@ def build_ivf_lloyd_index(
         .collect()
     )
     centers = {c: [int(v) for v in r["q"]] for c, r in enumerate(seed_rows)}
+    def _grouped_sums(pdf):
+        # vectorized per-cluster component sums — replaces the previous
+        # dim-way explode (rows x dim exploded rows per round) with one
+        # numpy column sum per cluster group; exact int64 arithmetic
+        import numpy as np
+        import pandas as pd_  # local alias; module-level pd also works
+
+        Q = np.stack(pdf["q"].to_numpy()).astype("int64")
+        return pd_.DataFrame(
+            {
+                "cluster": [int(pdf["cluster"].iloc[0])],
+                "s": [Q.sum(axis=0).tolist()],
+                "n": [int(Q.shape[0])],
+            }
+        )
+
     for _ in range(n_iter):
         assigned = qv.select(
             "vec_id", "q", _lloyd_assign(qv, centers).alias("cluster")
         )
         new_rows = (
-            assigned.select(
-                "cluster",
-                F.explode(
-                    F.arrays_zip(
-                        F.col("q").alias("qc"),
-                        F.sequence(F.lit(0), F.size("q") - 1).alias("pos"),
-                    )
-                ).alias("z"),
+            assigned.groupBy("cluster")
+            .applyInPandas(
+                _grouped_sums, "cluster int, s array<long>, n long"
             )
-            .select("cluster", F.col("z.qc").alias("qc"), F.col("z.pos").alias("pos"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("qc").alias("s"), F.count(F.lit(1)).alias("n"))
-            .withColumn("c", F.expr("(s - pmod(s, n)) div n"))
             .collect()
         )
-        dim = len(next(iter(centers.values())))
         updated: dict[int, list[int]] = {}
         for r in new_rows:
-            updated.setdefault(int(r["cluster"]), [0] * dim)[
-                int(r["pos"])
-            ] = int(r["c"])
+            n = int(r["n"])
+            # floor division, written to match the SQL twin's
+            # (s - pmod(s, n)) div n identity exactly (Python // is
+            # floor for any sign, so s // n is the same value)
+            updated[int(r["cluster"])] = [int(s) // n for s in r["s"]]
         # clusters that lost every member keep their previous centroid;
         # iterate the EXISTING centers (a corpus smaller than n_clusters
         # seeds fewer than n_clusters)
