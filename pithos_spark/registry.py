@@ -2433,10 +2433,10 @@ ROUND_NEW: list[str] = [
 
 DRIVER_PRIORITY: list[str] = [
     # rotate verdicts across the rest of the registry: every query whose
-    # most recent green row is ≥3 rounds old (all 31 r1-green + 12
-    # r2-green entries — r4/r5 greens cycle OUT this round).  Keeping
-    # each query's verdict ≤3 rounds stale is the window policy VERDICT
-    # r5 task 8 asks for.
+    # most recent green row is ≥3 rounds old (the 27 r1-green + 12
+    # r2-green entries — r4/r5 greens cycle OUT this round and return
+    # as canaries next round).  Keeping each query's verdict ≤3 rounds
+    # stale is the window policy VERDICT r5 task 8 asks for.
     "acl_authorized_buckets",
     "acl_merged_grants",
     "acl_read_grants",
