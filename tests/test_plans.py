@@ -289,3 +289,32 @@ def test_dispatch_resolution_is_broadcast_only(tables, spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_projected_topk_avoids_global_sort(tables):
+    """Both ANN stages (projected shortlist, exact rerank) must compile
+    to TakeOrderedAndProject — per-partition top-k + k-row merge, never
+    a full sort of the corpus."""
+    from pithos_spark.functions.similarity import projected_topk
+
+    plan = _plan(projected_topk(tables["embeddings"], 0, 10))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_api_traffic_resolution_stays_broadcast(tables, spark):
+    """events_api_traffic: request derivation + operation resolution
+    must add no shuffle beyond the bounded hourly rollup — broadcast
+    opmap join only."""
+    from pithos_spark.operators.dispatch import (
+        api_traffic_hourly,
+        opmap_df,
+    )
+
+    plan = _plan(api_traffic_hourly(tables["events"], opmap_df(spark)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly: one partial+final agg exchange and the output sort
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

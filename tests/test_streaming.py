@@ -508,3 +508,68 @@ def test_streaming_api_traffic_matches_batch(spark, tmp_path):
         for r in D.api_traffic_hourly(batch_events, opmap).collect()
     }
     assert got and got == want
+
+
+def test_streaming_value_percentiles_approx(spark, tmp_path):
+    """The constant-memory percentile sketch runs as a streaming
+    aggregate (complete mode): per-type approx p50/p90/p99 over the
+    event stream land inside the exact ±0.02-rank brackets computed in
+    batch — the shape a live latency/value dashboard runs."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.streaming import events as ev
+
+    batch_events = T.load_tables(spark, SF_SMOKE)["events"]
+    src = str(tmp_path / "events_src")
+    batch_events.write.parquet(src)
+
+    stream = ev.streamify(spark, src, batch_events.schema, watermark="2 hours")
+    q_col = F.floor(F.col("value") * 100).cast("long").alias("v_e2")
+    agg = (
+        stream.select("event_type", q_col)
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "approx_percentile(v_e2, array(0.5D, 0.9D, 0.99D), 10000)"
+            ).alias("_pct")
+        )
+        .select(
+            "event_type",
+            F.col("_pct")[0].alias("p50"),
+            F.col("_pct")[1].alias("p90"),
+            F.col("_pct")[2].alias("p99"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("vp_approx")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["event_type"]: r for r in spark.sql("SELECT * FROM vp_approx").collect()
+    }
+    brackets = {
+        r["event_type"]: r
+        for r in batch_events.select(
+            "event_type", F.floor(F.col("value") * 100).cast("long").alias("v")
+        )
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.expr(f"percentile(v, {q_}D)").alias(f"q{int(q_ * 100)}")
+                for q_ in (0.48, 0.52, 0.88, 0.92, 0.97, 1.0)
+            ]
+        )
+        .collect()
+    }
+    assert set(got) == set(brackets)
+    for et, r in got.items():
+        b = brackets[et]
+        assert b["q48"] <= r["p50"] <= b["q52"], et
+        assert b["q88"] <= r["p90"] <= b["q92"], et
+        assert b["q97"] <= r["p99"] <= b["q100"], et
