@@ -123,6 +123,83 @@ FROM dedup d JOIN norm n ON d.doc_id = n.vec_id
 ORDER BY d.doc_id"""
 
 
+def chunk_windows(
+    documents: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval-indexing step
+    that splits each document into fixed-size windows with ``overlap``
+    tokens of context carry-over (stride = chunk_tokens - overlap), the
+    standard RAG corpus preparation.  Output is one row per chunk:
+    (doc_id, chunk_idx, start_tok 0-based, n_chunk_tokens, chunk_hash)
+    — the portable 60-bit hash of the space-joined window stands in for
+    the chunk text, keeping the result compact and driver-hashable;
+    downstream re-slices the text by (start_tok, n_chunk_tokens).
+
+    Scale: pure scan-side sequence+transform+explode — no UDF, no
+    shuffle; output rows ≈ corpus_tokens / stride.  Deterministic
+    boundaries: a backfill re-chunks every document identically.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    from pithos_spark.functions.dedup import portable_hash60
+
+    toks = documents.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
+    )
+    t = F.col("_toks")
+    n = F.size(t)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / stride).cast("long").alias("chunk_idx"),
+            (s - 1).cast("long").alias("start_tok"),
+            F.least(F.lit(chunk_tokens), n - s + 1)
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice(t, s, chunk_tokens)).alias("chunk"),
+        ),
+    )
+    return (
+        toks.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.start_tok").alias("start_tok"),
+            F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+            portable_hash60(F.col("c.chunk")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def chunk_windows_oracle(chunk_tokens: int = 64, overlap: int = 16) -> str:
+    from pithos_spark.functions.dedup import portable_hash60_sql
+
+    stride = chunk_tokens - overlap
+    h = portable_hash60_sql(
+        f"array_to_string(t[s:s+{chunk_tokens - 1}], ' ')"
+    )
+    return f"""\
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), starts AS (
+    SELECT doc_id, t, len(t) AS n,
+           unnest(range(1, greatest(len(t) - {overlap}, 1) + 1, {stride})) AS s
+    FROM toks
+)
+SELECT doc_id,
+       CAST((s - 1) // {stride} AS BIGINT) AS chunk_idx,
+       CAST(s - 1 AS BIGINT) AS start_tok,
+       CAST(least({chunk_tokens}, n - s + 1) AS BIGINT) AS n_chunk_tokens,
+       {h} AS chunk_hash
+FROM starts
+ORDER BY doc_id, chunk_idx"""
+
+
 def pack_sequences(
     documents: DataFrame, budget_tokens: int = 2048
 ) -> DataFrame:

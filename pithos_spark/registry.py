@@ -2363,6 +2363,21 @@ QUERIES["dedup_semantic_clusters"] = _semantic_clusters
 ORACLES["dedup_semantic_clusters"] = similarity.semantic_dedup_clusters_oracle()
 
 
+def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunker (curate.chunk_windows): overlapping token windows
+    with deterministic boundaries; chunk text carried as its portable
+    hash."""
+    from pithos_spark.functions.curate import chunk_windows
+
+    return chunk_windows(T.load_tables(spark, sf_dir)["documents"])
+
+
+from pithos_spark.functions.curate import chunk_windows_oracle  # noqa: E402
+
+QUERIES["corpus_chunk_windows"] = _chunks
+ORACLES["corpus_chunk_windows"] = chunk_windows_oracle()
+
+
 from pithos_spark.operators import dispatch as _dispatch  # noqa: E402
 
 
@@ -2429,6 +2444,7 @@ ROUND_NEW: list[str] = [
     "corpus_tokenizer_fertility",
     "corpus_semantic_topics",
     "dedup_semantic_clusters",
+    "corpus_chunk_windows",
 ]
 
 DRIVER_PRIORITY: list[str] = [
@@ -2470,7 +2486,8 @@ DRIVER_PRIORITY: list[str] = [
     "complete_upload_validate",
     "events_hourly_rollup",
     "fetch_bucket",
-    "list_objects_no_delim",
+    # list_objects_no_delim yields its slot to the round's 12th new
+    # query; rotates back in r7 (root/paged keep listing covered)
     "list_objects_paged",
     "list_objects_root",
     "object_descriptor",
