@@ -132,3 +132,34 @@ def test_csv_roundtrip_and_corrupt_handling(spark, tmp_path):
         read_documents_csv(spark, str(bad))
     ).collect()[0]
     assert (rep["n_rows"], rep["n_corrupt"]) == (2, 1)
+
+
+def test_chunk_windows_boundary_semantics(spark):
+    """Hand-computed chunking: 10 tokens, chunk 4, overlap 2 (stride 2)
+    -> starts at 0,2,4,6 (a start past n-overlap would add a chunk
+    fully contained in the previous one); the final chunk is full
+    because 6+4 == 10; a 1-token doc still yields one (short) chunk."""
+    from pithos_spark.functions.curate import chunk_windows
+
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    rows = chunk_windows(docs, chunk_tokens=4, overlap=2).collect()
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_tok"], r["n_chunk_tokens"])
+        for r in rows
+    }
+    assert got == {
+        (1, 0): (0, 4),
+        (1, 1): (2, 4),
+        (1, 2): (4, 4),
+        (1, 3): (6, 4),
+        (2, 0): (0, 1),
+    }
+    # every token position is covered by at least one chunk
+    covered = set()
+    for (d, _), (s, n) in got.items():
+        if d == 1:
+            covered.update(range(s, s + n))
+    assert covered == set(range(10))
