@@ -159,16 +159,27 @@ def resolve_operation(
     ``(some suffixes action-params)`` over an unordered Clojure set; real
     S3 requests carry at most one, and we make the tie deterministic by
     taking the lexicographically first recognized action.
+
+    The extracted bucket/object are URL-decoded AFTER route matching
+    (request.clj:122 wraps the captures in ``uri-decode`` =
+    ``java.net.URLDecoder``, which also maps '+' to space — Python's
+    ``unquote_plus`` / Spark's ``F.url_decode`` are the equivalents), so
+    an escaped slash (%2F) inside a key never changes the route.
     """
     import re
+    from urllib.parse import unquote_plus
 
     uri = rewrite_vhost(host, uri)
     if uri == "/":
         target, bucket, obj = "service", None, None
     elif m := re.match(_BUCKET_RE, uri):
-        target, bucket, obj = "bucket", m.group(1), None
+        target, bucket, obj = "bucket", unquote_plus(m.group(1)), None
     elif m := re.match(_OBJECT_RE, uri):
-        target, bucket, obj = "object", m.group(1), m.group(2)
+        target, bucket, obj = (
+            "object",
+            unquote_plus(m.group(1)),
+            unquote_plus(m.group(2)),
+        )
     else:
         target, bucket, obj = "unknown", None, None
     suffix = min((k for k in (params or {}) if k in ACTIONS), default=None)

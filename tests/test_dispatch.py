@@ -66,6 +66,20 @@ def test_target_and_key_extraction():
     )
 
 
+def test_extracted_keys_are_url_decoded_after_routing():
+    # request.clj:122: captures are uri-decoded AFTER the route match,
+    # so %2F inside a key cannot change the route, and '+' decodes to
+    # space (java.net.URLDecoder semantics)
+    r = resolve_operation("GET", "/my%20bucket/a%2Fb+c")
+    assert r["target"] == "object"
+    assert r["bucket"] == "my bucket"
+    assert r["object"] == "a/b c"
+    # an encoded slash did NOT create an extra path segment: the whole
+    # remainder is one object key
+    r2 = resolve_operation("GET", "/b/x%2Fy")
+    assert r2["object"] == "x/y"
+
+
 def test_vhost_rewrite():
     # bucket.service-host + path → path prefixed with /bucket
     # (request.clj:209-217: (str "/" bucket (if (seq uri) uri "/")))
