@@ -1,0 +1,116 @@
+"""Streaming heavy hitters: a space-saving top-k sketch as a custom
+stateful operator (``applyInPandasWithState``), keyed by event_type.
+
+The built-in windowed aggregations can count per (type, user) exactly,
+but the state then grows with the number of DISTINCT users — unbounded
+on an open stream.  The space-saving sketch (Metwally et al., "Efficient
+computation of frequent and top-k elements in data streams") keeps a
+FIXED number m of counters per key with the classic guarantees:
+
+ - every true count is over-estimated: true <= est <= true + err
+ - any item with true count > N/m is guaranteed to be tracked
+
+so a live "top users per event type" dashboard runs in O(m) state per
+key no matter how many users the stream ever sees.  With m >= distinct
+users the sketch degenerates to exact counting (err = 0) — which is the
+convergence test's oracle (the batch groupBy count).
+
+Determinism: micro-batch contents are processed in sorted user order
+and the minimum-counter victim is chosen by (count, user_id), so a
+replayed stream reproduces the same sketch exactly.
+
+Scale: state is partitioned by event_type in the state store (RocksDB
+in production); each micro-batch touches only the keys present in the
+batch and the per-key work is one pandas value_counts + dict merge.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("est_count", T.LongType()),
+        T.StructField("err", T.LongType()),
+    ]
+)
+
+# parallel arrays: tracked users, their estimated counts, and the
+# overestimation error absorbed when each slot was last recycled
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("users", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("errs", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def make_update_fn(m: int):
+    """Build the state-update function for a sketch of m counters."""
+
+    def _update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        if state.exists:
+            users, counts, errs = state.get
+            table = {
+                int(u): [int(c), int(e)]
+                for u, c, e in zip(users, counts, errs)
+            }
+        else:
+            table = {}
+        for pdf in pdfs:
+            vc = pdf["user_id"].value_counts()
+            # sorted user order -> deterministic victim selection
+            for user in sorted(int(u) for u in vc.index):
+                c = int(vc[user])
+                if user in table:
+                    table[user][0] += c
+                elif len(table) < m:
+                    table[user] = [c, 0]
+                else:
+                    # recycle the minimum counter (ties: smallest user)
+                    victim = min(table, key=lambda u: (table[u][0], u))
+                    vmin = table[victim][0]
+                    del table[victim]
+                    table[user] = [vmin + c, vmin]
+        items = sorted(table.items())
+        state.update(
+            (
+                [u for u, _ in items],
+                [v[0] for _, v in items],
+                [v[1] for _, v in items],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type] * len(items),
+                "user_id": [u for u, _ in items],
+                "est_count": [v[0] for _, v in items],
+                "err": [v[1] for _, v in items],
+            }
+        )
+
+    return _update
+
+
+def heavy_hitters(stream_df, m: int = 64):
+    """Bind the sketch onto an events stream: per event_type, the m
+    tracked (user, est_count, err) rows re-emitted whenever the key
+    appears in a micro-batch (update mode).  Rank/limit downstream for
+    the top-k view."""
+    return stream_df.groupBy("event_type").applyInPandasWithState(
+        make_update_fn(m),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -573,3 +573,101 @@ def test_streaming_value_percentiles_approx(spark, tmp_path):
         assert b["q48"] <= r["p50"] <= b["q52"], et
         assert b["q88"] <= r["p90"] <= b["q92"], et
         assert b["q97"] <= r["p99"] <= b["q100"], et
+
+
+def test_streaming_heavy_hitters_exact_when_m_large(spark, tmp_path):
+    """With m >= distinct users per type the space-saving sketch
+    degenerates to exact counting: est_count matches the batch groupBy
+    count for every (type, user) and err is 0 everywhere."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.streaming import events as ev
+    from pithos_spark.streaming.heavyhitters import heavy_hitters
+
+    batch_events = T.load_tables(spark, SF_SMOKE)["events"]
+    src = str(tmp_path / "events_src")
+    batch_events.write.parquet(src)
+
+    stream = ev.streamify(spark, src, batch_events.schema, watermark="2 hours")
+    q = (
+        heavy_hitters(stream, m=100000)
+        .writeStream.format("memory")
+        .queryName("hh_exact")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # update mode re-emits a key's table each batch: keep the LAST emit
+    got = {}
+    for r in spark.sql("SELECT * FROM hh_exact").collect():
+        got[(r["event_type"], r["user_id"])] = (r["est_count"], r["err"])
+    want = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in batch_events.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, (est, err) in got.items():
+        assert est == want[k], k
+        assert err == 0, k
+
+
+def test_streaming_heavy_hitters_bounds_hold_when_m_small(spark, tmp_path):
+    """With a small m on a skewed stream: state stays bounded at m rows
+    per key, every estimate over-approximates within its recorded err,
+    and the dominant user is tracked (count > N/m guarantee)."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.streaming import events as ev
+    from pithos_spark.streaming.heavyhitters import heavy_hitters
+
+    batch_events = T.load_tables(spark, SF_SMOKE)["events"]
+    # skew: map every 3rd event onto user 7
+    skewed = batch_events.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 3 == 0, F.lit(7)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    src = str(tmp_path / "events_src")
+    skewed.write.parquet(src)
+
+    m = 8
+    stream = ev.streamify(spark, src, skewed.schema, watermark="2 hours")
+    q = (
+        heavy_hitters(stream, m=m)
+        .writeStream.format("memory")
+        .queryName("hh_small")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM hh_small").collect()
+    per_type = {}
+    for r in rows:
+        per_type.setdefault(r["event_type"], {})[r["user_id"]] = (
+            r["est_count"],
+            r["err"],
+        )
+    true_counts = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in skewed.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for et, table in per_type.items():
+        assert len(table) <= m, et
+        # the dominant user must be tracked in every type it appears in
+        if (et, 7) in true_counts:
+            assert 7 in table, et
+        for user, (est, err) in table.items():
+            true = true_counts.get((et, user), 0)
+            assert est >= true, (et, user)
+            assert est - err <= true, (et, user)
