@@ -613,10 +613,12 @@ def ivf_kmeans_topk(
 ) -> DataFrame:
     """Convenience wrapper (tests / one-shot use): trained-quantizer
     build + single-query probe.  Long-lived sessions build once via
-    build_ivf_kmeans_index and probe via ivf_query — the registry's
-    ann_ivf_kmeans_topk does that through its index cache.  (Rows-only
-    for the driver gate: trained centroids are float state; ranking
-    inside lists stays exact.)"""
+    build_ivf_kmeans_index and probe via ivf_query.  Library-only since
+    round 6: float-trained centroids can never hash-match a DuckDB
+    oracle, so this variant is recall-tested (tests/test_similarity.py)
+    rather than registry-gated; `ann_ivf_lloyd_topk` is the engine-exact
+    trained-IVF representative in the correctness window.  Ranking
+    inside lists stays exact either way."""
     assigned, centers = build_ivf_kmeans_index(embeddings, n_clusters, seed)
     return ivf_query(
         assigned,
