@@ -1,0 +1,55 @@
+"""Scale-robustness oracle checks: the driver gates at sf0.01, but the
+cap/training-sensitive operators behave differently at 10x the data —
+bucket caps actually drop rows, the Lloyd iterations see different
+cluster contents, chunk boundaries hit longer documents.  Re-run the
+driver-faithful canon comparison for those queries at sf0.1 so a
+scale-dependent divergence can't hide behind a green sf0.01 row."""
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_ORACLE
+from tests.harness import _driver_canon
+
+SF_LARGE = "/root/testdata/sf0.1"
+
+# the queries whose semantics depend on data volume: LSH/semantic caps,
+# trained Lloyd clustering, percentile distributions, window chunking
+SCALE_SENSITIVE = [
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_embedding_lsh",
+    "dedup_semantic",
+    "ann_lsh_topk",
+    "corpus_profile",
+    "events_value_percentiles",
+    "corpus_chunk_windows",
+]
+
+
+@pytest.fixture(scope="module")
+def duck_large():
+    from pithos_spark.tables import TPCH_TABLES
+
+    con = duckdb.connect()
+    for name in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{SF_LARGE}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SCALE_SENSITIVE)
+def test_oracle_match_at_sf01(spark, duck_large, name):
+    from pithos_spark.registry import ORACLES, QUERIES
+
+    sdf = QUERIES[name](spark, SF_LARGE)
+    got = _driver_canon(sdf.toPandas(), f"{name}:spark")
+    want = _driver_canon(
+        duck_large.execute(ORACLES[name]).df(), f"{name}:oracle"
+    )
+    assert len(got) == len(want) and len(got) > 0, (len(got), len(want))
+    for i, (a, b) in enumerate(zip(got, want)):
+        assert a == b, f"[{name}] sf0.1 divergence at row {i}:\n {a}\n {b}"
