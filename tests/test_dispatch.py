@@ -186,3 +186,52 @@ def test_resolution_invariants_hold_for_arbitrary_requests():
             assert rv == r
 
     prop()
+
+
+def test_dataframe_and_scalar_resolvers_agree(spark):
+    """The column form (regex/CASE + broadcast opmap join) and the
+    scalar resolver must produce identical (operation, handler,
+    op_target, perms, cors) for the same requests — seeded random log
+    covering every method, URI shape, vhost form, and action arg."""
+    import random
+
+    from pithos_spark.operators.dispatch import (
+        opmap_df,
+        resolve_operation,
+        resolve_operations,
+    )
+
+    rng = random.Random(0xD15)
+    methods = ["GET", "PUT", "POST", "DELETE", "HEAD", "OPTIONS"]
+    actions = sorted(ACTIONS) + [None, None, None]
+    rows = []
+    for _ in range(400):
+        m = rng.choice(methods)
+        b = "bkt" + str(rng.randrange(20))
+        key = "/".join("k" + str(rng.randrange(9)) for _ in range(rng.randrange(1, 4)))
+        shape = rng.randrange(5)
+        host, uri = "client.example.com", "/"
+        if shape == 1:
+            uri = f"/{b}"
+        elif shape == 2:
+            uri = f"/{b}/"
+        elif shape == 3:
+            uri = f"/{b}/{key}"
+        elif shape == 4:
+            host, uri = f"{b}.s3.example.com", f"/{key}" if rng.random() < 0.7 else ""
+        rows.append((m, host, uri, rng.choice(actions)))
+
+    df = spark.createDataFrame(
+        rows, "method string, host string, uri string, action string"
+    )
+    got = resolve_operations(df, opmap_df(spark)).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        want = resolve_operation(
+            r["method"],
+            r["uri"],
+            {r["action"]: None} if r["action"] else {},
+            host=r["host"],
+        )
+        for f_ in ("operation", "target", "handler", "op_target", "perms", "cors"):
+            assert r[f_] == want[f_], (r["method"], r["host"], r["uri"], r["action"], f_)
