@@ -445,3 +445,66 @@ def complete_multipart_upload(
     listed = stored.join(mdf, on=["upload", "partno", "etag"], how="left_semi")
     etag = listed.agg(s3_etag_agg().alias("etag")).collect()[0]["etag"]
     return 200, xmlio.complete_multipart_upload(bucket, object_key, etag)
+
+
+# the reference's stubbed bucket subresources serve() routes by the
+# operation's action suffix (operations.clj:386-434)
+_SERVE_STUB_ACTIONS = {"policy", "tagging", "lifecycle", "versioning"}
+
+
+def serve(
+    model: dict[str, DataFrame],
+    method: str,
+    uri: str,
+    params: dict | None = None,
+    host: str | None = None,
+    body: str = "",
+    tenant: str | None = None,
+):
+    """End-to-end dispatch (operations.clj:999-1034): resolve the
+    request to its operation (vhost rewrite, route target, action
+    suffix — operators/dispatch.py), route to the composed handler, and
+    fall through to the reference's UnknownAction 400
+    (operations.clj:813-818, xml.clj:140-145) when no opmap entry
+    matches or the handler isn't wired.
+
+    ``model`` carries the derived store tables (buckets/objects
+    DataFrames).  Authentication/authorization are the separately
+    oracle-gated sig/perms operators; production inserts
+    perms.authorize between resolution and the handler exactly as the
+    reference does.  Returns (status, payload) where payload is XML,
+    a header dict (HEAD), or a DataFrame (bulk delete)."""
+    from pithos_spark.operators.dispatch import resolve_operation
+
+    r = resolve_operation(method, uri, params or {}, host=host)
+    op, b, k = r["operation"], r["bucket"], r["object"]
+    buckets, objects = model["buckets"], model["objects"]
+
+    if op == "get-service":
+        return 200, get_service(buckets, tenant or "")
+    if op == "get-bucket":
+        return 200, get_bucket(objects, b, dict(params or {}))
+    if op == "head-bucket":
+        ok = buckets.filter(F.col("bucket") == b).limit(1).count() > 0
+        return (200, {}) if ok else (404, {})
+    if op == "head-object":
+        return head_object(objects, b, k)
+    if op == "put-bucket":
+        status, err = put_bucket_validated(buckets, b)
+        return status, err
+    if op == "get-bucket-location":
+        return get_bucket_location(buckets, b)
+    if op == "get-bucket-versioning":
+        return get_bucket_versioning(buckets, b)
+    if op == "get-bucket-requestpayment":
+        return get_bucket_requestpayment(b)
+    if op == "post-bucket-delete":
+        return 200, post_bucket_delete(objects, b, body)
+    parts = op.split("-")
+    if (
+        len(parts) == 3
+        and parts[1] == "bucket"
+        and parts[2] in _SERVE_STUB_ACTIONS
+    ):
+        return bucket_subresource_stub(method, parts[2], b)
+    return 400, xmlio.unknown_action(op)

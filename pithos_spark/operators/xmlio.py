@@ -185,6 +185,16 @@ def error_response(
     return _render(root)
 
 
+def unknown_action(operation: str | None) -> str:
+    """The template used when the operation could not be inferred
+    (xml.clj:140-145): UnknownAction/Action/Code, served with 400 by
+    the reference's ``unknown`` handler (operations.clj:813-818)."""
+    root = ET.Element("UnknownAction", xmlns=S3_NS)
+    action = _el(root, "Action")
+    _el(action, "Code", operation or "no operation provided")
+    return _render(root)
+
+
 def string_to_sign_bytes(to_sign: str) -> str:
     """Hex-byte rendering of the canonical string for
     SignatureDoesNotMatch responses — ``(map (partial format \"%02x\"))``

@@ -490,3 +490,76 @@ def test_get_bucket_v2_bad_token(spark):
         objects, "b", {"continuation-token": "!!!not-base64!!!"}
     )
     assert ET.fromstring(xml).findtext("Code") == "InvalidArgument"
+
+
+def test_serve_routes_end_to_end(spark):
+    """serve(): the full resolution->handler path for a representative
+    operation set — listing XML, HEAD metadata, PUT preconditions,
+    subresource stubs, vhost-addressed requests, and the UnknownAction
+    400 fallback (operations.clj:999-1034, :813-818)."""
+    import xml.etree.ElementTree as ET
+
+    from pithos_spark import tables as T
+    from pithos_spark.operators.api import serve
+    from tests.conftest import SF_SMOKE
+
+    t = T.load_tables(spark, SF_SMOKE)
+    model = {"buckets": T.buckets_df(t), "objects": T.objects_df(t)}
+    ns = {"s3": "http://s3.amazonaws.com/doc/2006-03-01/"}
+
+    # GET / (service): all buckets of the tenant
+    status, xml = serve(model, "GET", "/", tenant="AMERICA")
+    assert status == 200
+    assert ET.fromstring(xml).tag.endswith("ListAllMyBucketsResult")
+
+    # GET /bucket: listing XML with the request's prefix echoed
+    status, xml = serve(
+        model, "GET", "/NATION_2", {"prefix": "1-URGENT/", "max-keys": "5"}
+    )
+    assert status == 200
+    root = ET.fromstring(xml)
+    assert root.tag.endswith("ListBucketResult")
+    assert root.findtext("s3:Prefix", namespaces=ns) == "1-URGENT/"
+
+    # vhost addressing resolves to the same bucket listing
+    status2, xml2 = serve(
+        model, "GET", "", {"prefix": "1-URGENT/", "max-keys": "5"},
+        host="NATION_2.s3.example.com",
+    )
+    assert (status2, xml2) == (status, xml)
+
+    # HEAD object: metadata headers, 404 for a missing key
+    import pyspark.sql.functions as F
+
+    key = model["objects"].filter(
+        F.col("bucket") == "NATION_2"
+    ).orderBy("object").limit(1).collect()[0]["object"]
+    status, headers = serve(model, "HEAD", f"/NATION_2/{key}")
+    assert status == 200 and "ETag" in headers
+    assert serve(model, "HEAD", "/NATION_2/definitely-missing")[0] == 404
+
+    # HEAD bucket: presence check
+    assert serve(model, "HEAD", "/NATION_2")[0] == 200
+    assert serve(model, "HEAD", "/no-such-bucket")[0] == 404
+
+    # PUT bucket: name validation + already-exists
+    assert serve(model, "PUT", "/ab")[0] == 400
+    assert serve(model, "PUT", "/NATION_2")[0] == 409
+    assert serve(model, "PUT", "/brand-new-bucket")[0] == 200
+
+    # subresource stubs (operations.clj:386-434)
+    status, xml = serve(model, "GET", "/NATION_2", {"policy": None})
+    assert status == 404
+    assert "NoSuchBucketPolicy" in xml
+    assert serve(model, "PUT", "/NATION_2", {"lifecycle": None})[0] == 204
+    status, xml = serve(model, "GET", "/NATION_2", {"versioning": None})
+    assert status == 200 and "VersioningConfiguration" in xml
+
+    # unknown operation -> UnknownAction 400 (xml.clj:140-145)
+    status, xml = serve(model, "GET", "/", {"uploads": None})
+    assert status == 400
+    root = ET.fromstring(xml)
+    assert root.tag.endswith("UnknownAction")
+    assert root.find(
+        "s3:Action", ns
+    ).findtext("s3:Code", namespaces=ns) == "get-service-uploads"
