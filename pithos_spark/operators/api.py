@@ -500,6 +500,41 @@ def serve(
         return get_bucket_requestpayment(b)
     if op == "post-bucket-delete":
         return 200, post_bucket_delete(objects, b, body)
+    if op == "get-bucket-acl" and "grants" in model:
+        from pithos_spark.operators import aclxml
+
+        rows = sorted(
+            model["grants"].filter(F.col("bucket") == b).collect(),
+            key=lambda g: (g["perm"], g["grantee_id"]),
+        )
+        policy: dict[str, list[dict]] = {}
+        for g in rows:
+            grantee = (
+                {"URI": g["grantee_id"]}
+                if g["grantee_type"] == "group"
+                else {"ID": g["grantee_id"], "DisplayName": g["grantee_id"]}
+            )
+            policy.setdefault(g["perm"], []).append(grantee)
+        return 200, aclxml.acl_as_xml(
+            policy, owner=tenant or "", owner_display=tenant or ""
+        )
+    if op == "get-bucket-cors" and "cors_rules" in model:
+        from pithos_spark.operators import aclxml
+
+        rows = model["cors_rules"].filter(F.col("bucket") == b).collect()
+        if not rows:
+            # xml.clj taxonomy: reading absent CORS config is a 404
+            return 404, xmlio.error_response("NoSuchCORSConfiguration", b)
+        rules = [
+            {
+                "origins": [g["origin_pattern"]],
+                "methods": list(g["methods"]),
+                "headers": list(g["headers"] or []),
+                "max_age": int(g["max_age"]),
+            }
+            for g in rows
+        ]
+        return 200, aclxml.cors_as_xml(rules)
     parts = op.split("-")
     if (
         len(parts) == 3

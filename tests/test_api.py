@@ -563,3 +563,39 @@ def test_serve_routes_end_to_end(spark):
     assert root.find(
         "s3:Action", ns
     ).findtext("s3:Code", namespaces=ns) == "get-service-uploads"
+
+
+def test_serve_acl_and_cors_subresources(spark):
+    """serve() renders GET ?acl from the typed grants table and GET
+    ?cors from the rule table (404 NoSuchCORSConfiguration when the
+    bucket has no rules) — the remaining wired subresources."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.operators.api import serve
+    from tests.conftest import SF_SMOKE
+
+    t = T.load_tables(spark, SF_SMOKE)
+    model = {
+        "buckets": T.buckets_df(t),
+        "objects": T.objects_df(t),
+        "grants": T.grants_df(t),
+        "cors_rules": T.cors_rules_df(t),
+    }
+
+    gb = model["grants"].limit(1).collect()[0]["bucket"]
+    status, xml = serve(model, "GET", f"/{gb}", {"acl": None}, tenant="t1")
+    assert status == 200
+    root = ET.fromstring(xml)
+    assert root.tag.endswith("AccessControlPolicy")
+    assert len(root.find("s3:AccessControlList", NS)) >= 1
+
+    cb = model["cors_rules"].limit(1).collect()[0]["bucket"]
+    status, xml = serve(model, "GET", f"/{cb}", {"cors": None})
+    assert status == 200
+    assert ET.fromstring(xml).tag.endswith("CORSConfiguration")
+
+    # every synthetic bucket carries rules at this SF, so probe a
+    # rule-less name for the 404 path
+    status, xml = serve(model, "GET", "/no-rules-bucket", {"cors": None})
+    assert status == 404 and "NoSuchCORSConfiguration" in xml
