@@ -489,6 +489,59 @@ def serve(
         return (200, {}) if ok else (404, {})
     if op == "head-object":
         return head_object(objects, b, k)
+    if op == "get-object" and "chunks" in model:
+        from pithos_spark.functions.scalars import parse_range_header
+
+        rows = (
+            objects.filter(
+                (F.col("bucket") == b) & (F.col("object") == k)
+            )
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return 404, xmlio.error_response("NoSuchKey", k)
+        inode, size = rows[0]["inode"], int(rows[0]["size"])
+        try:
+            ranged, start, end = parse_range_header(
+                (params or {}).get("range"), size
+            )
+        except ValueError as e:
+            return 416, xmlio.error_response("InvalidRange", str(e))
+        payload = read_object_range(model["chunks"], inode, start, end)
+        return (206 if ranged else 200), payload
+    if op == "post-object-uploads":
+        import hashlib
+
+        upload_id = hashlib.md5(f"{b}/{k}".encode()).hexdigest()
+        return 200, xmlio.initiate_multipart_upload(b, k, upload_id)
+    if op == "get-object-uploadid" and "parts" in model:
+        upload_id = (params or {}).get("uploadid") or ""
+        rows = (
+            model["parts"]
+            .filter(F.col("upload") == upload_id)
+            .orderBy("partno")
+            .collect()
+        )
+        if not rows:
+            return 404, xmlio.error_response(
+                "NoSuchUpload",
+                "The specified upload-id does not exist for this key.",
+                extra={"Key": k or "", "Upload": upload_id},
+            )
+        return 200, xmlio.list_upload_parts(
+            b, k, upload_id, [r.asDict() for r in rows]
+        )
+    if op == "post-object-uploadid" and "parts" in model:
+        upload_id = (params or {}).get("uploadid") or ""
+        return complete_multipart_upload(
+            model["parts"], b, k, upload_id, body
+        )
+    if op == "delete-object-uploadid" and "parts" in model:
+        upload_id = (params or {}).get("uploadid") or ""
+        # M7 abort: the surviving parts table (upload's rows dropped) —
+        # the mutation plan the caller commits
+        return 204, model["parts"].filter(F.col("upload") != upload_id)
     if op == "put-bucket":
         status, err = put_bucket_validated(buckets, b)
         return status, err

@@ -599,3 +599,87 @@ def test_serve_acl_and_cors_subresources(spark):
     # rule-less name for the 404 path
     status, xml = serve(model, "GET", "/no-rules-bucket", {"cors": None})
     assert status == 404 and "NoSuchCORSConfiguration" in xml
+
+
+def test_serve_object_read_and_multipart_lifecycle(spark):
+    """serve(): ranged object GET through the chunk store (F14 range
+    parsing + T1 read path) and the multipart trio — initiate, list
+    parts, complete — through dispatch."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.operators.api import serve
+    from tests.conftest import SF_SMOKE
+
+    t = T.load_tables(spark, SF_SMOKE)
+    chunks = T.chunks_df(t)
+    inode = chunks.limit(1).collect()[0]["inode"]
+    size = int(
+        chunks.filter(F.col("inode") == inode)
+        .agg(F.sum("chunksize"))
+        .collect()[0][0]
+    )
+    objects = spark.createDataFrame(
+        [("bkt", "doc.bin", inode, size, "2024-01-01", "x", None, "STANDARD")],
+        "bucket string, object string, inode string, size long, "
+        "atime string, checksum string, acl string, storageclass string",
+    )
+    model = {
+        "buckets": T.buckets_df(t),
+        "objects": objects,
+        "chunks": chunks,
+        "parts": T.parts_df(t),
+    }
+
+    status, body = serve(model, "GET", "/bkt/doc.bin")
+    assert status == 200 and len(body) == size
+    status, part = serve(
+        model, "GET", "/bkt/doc.bin", {"range": "bytes=5-24"}
+    )
+    assert status == 206 and part == body[5:25]
+    status, err = serve(
+        model, "GET", "/bkt/doc.bin", {"range": f"bytes={size + 10}-"}
+    )
+    assert status == 416 and "InvalidRange" in err
+    assert serve(model, "GET", "/bkt/missing")[0] == 404
+
+    # multipart: initiate -> list parts -> complete
+    status, xml = serve(model, "POST", "/bkt/doc.bin", {"uploads": None})
+    assert status == 200
+    up = ET.fromstring(xml).findtext("s3:UploadId", namespaces=NS)
+    assert up == hashlib.md5(b"bkt/doc.bin").hexdigest()
+
+    real_up = model["parts"].limit(1).collect()[0]["upload"]
+    status, xml = serve(
+        model, "GET", "/bkt/doc.bin", {"uploadid": real_up}
+    )
+    assert status == 200
+    parts_xml = ET.fromstring(xml).findall("s3:Part", NS)
+    assert parts_xml
+
+    stored = (
+        model["parts"].filter(F.col("upload") == real_up)
+        .orderBy("partno").collect()
+    )
+    manifest = (
+        '<CompleteMultipartUpload>'
+        + "".join(
+            f"<Part><PartNumber>{r['partno']}</PartNumber>"
+            f"<ETag>\"{r['etag']}\"</ETag></Part>"
+            for r in stored
+        )
+        + "</CompleteMultipartUpload>"
+    )
+    status, xml = serve(
+        model, "POST", "/bkt/doc.bin", {"uploadid": real_up}, body=manifest
+    )
+    assert status == 200
+    assert ET.fromstring(xml).tag.endswith("CompleteMultipartUploadResult")
+
+    status, surviving = serve(
+        model, "DELETE", "/bkt/doc.bin", {"uploadid": real_up}
+    )
+    assert status == 204
+    assert surviving.filter(F.col("upload") == real_up).count() == 0
