@@ -460,6 +460,7 @@ def serve(
     host: str | None = None,
     body: str = "",
     tenant: str | None = None,
+    headers: dict | None = None,
 ):
     """End-to-end dispatch (operations.clj:999-1034): resolve the
     request to its operation (vhost rewrite, route target, action
@@ -588,6 +589,57 @@ def serve(
             for g in rows
         ]
         return 200, aclxml.cors_as_xml(rules)
+    if op == "delete-object":
+        # M4: surviving objects plan; production commits it + the M10
+        # blob GC pass
+        surviving = objects.filter(
+            ~((F.col("bucket") == b) & (F.col("object") == k))
+        )
+        return 204, surviving
+    if op == "delete-bucket":
+        # A4 precondition (operations.clj:229-241): bucket must be empty
+        if objects.filter(F.col("bucket") == b).limit(1).count() > 0:
+            return 409, xmlio.error_response("BucketNotEmpty", b)
+        return 204, buckets.filter(F.col("bucket") != b)
+    if op == "put-object" and "chunks" in model:
+        import hashlib
+
+        from pithos_spark.sources.store import chunk_ingest
+
+        spark = objects.sparkSession
+        payload_df = spark.createDataFrame(
+            [(f"{b}/{k}", body)], "inode string, payload string"
+        )
+        new_chunks = chunk_ingest(payload_df)
+        etag = hashlib.md5(body.encode()).hexdigest()
+        return 200, {"ETag": f'"{etag}"', "chunks": new_chunks}
+    if op in ("options-object", "options-bucket") and "cors_rules" in model:
+        from pithos_spark.operators.cors import preflight_response
+
+        h = {str(kk).lower(): v for kk, v in (headers or {}).items()}
+        origin = h.get("origin", "")
+        acr_method = h.get("access-control-request-method", "GET")
+        acr_headers = [
+            s.strip()
+            for s in h.get("access-control-request-headers", "").split(",")
+            if s.strip()
+        ]
+        spark = buckets.sparkSession
+        req = spark.createDataFrame(
+            [(b, origin, acr_method, acr_headers)],
+            "bucket string, origin string, method string, "
+            "req_headers array<string>",
+        )
+        row = preflight_response(req, model["cors_rules"]).collect()[0]
+        if not row["allowed"]:
+            # reference: :cors-not-enabled -> 403 (operations.clj:955-979)
+            return 403, xmlio.error_response("AccessForbidden", b)
+        return 200, {
+            "Access-Control-Allow-Origin": origin,
+            "Access-Control-Allow-Methods": ",".join(row["allowed_methods"]),
+            "Access-Control-Allow-Headers": ",".join(row["allowed_headers"]),
+            "Access-Control-Max-Age": str(row["max_age"]),
+        }
     parts = op.split("-")
     if (
         len(parts) == 3
@@ -595,4 +647,10 @@ def serve(
         and parts[2] in _SERVE_STUB_ACTIONS
     ):
         return bucket_subresource_stub(method, parts[2], b)
+    from pithos_spark.operators.dispatch import OPMAP
+
+    if op in OPMAP:
+        # resolved to a real operation whose handler needs model tables
+        # this call didn't provide (or isn't wired in this façade)
+        return 501, xmlio.error_response("NotImplemented", op)
     return 400, xmlio.unknown_action(op)

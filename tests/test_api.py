@@ -683,3 +683,68 @@ def test_serve_object_read_and_multipart_lifecycle(spark):
     )
     assert status == 204
     assert surviving.filter(F.col("upload") == real_up).count() == 0
+
+
+def test_serve_mutations_and_preflight(spark):
+    """serve(): delete-object/delete-bucket mutation plans with the
+    BucketNotEmpty precondition, PUT-object ingest into chunk rows with
+    the body ETag, OPTIONS preflight through the CORS rule tables, and
+    the NotImplemented 501 for resolved-but-unwired operations."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.operators.api import serve
+    from tests.conftest import SF_SMOKE
+
+    t = T.load_tables(spark, SF_SMOKE)
+    model = {
+        "buckets": T.buckets_df(t),
+        "objects": T.objects_df(t),
+        "chunks": T.chunks_df(t),
+        "cors_rules": T.cors_rules_df(t),
+    }
+
+    key = model["objects"].filter(
+        F.col("bucket") == "NATION_2"
+    ).orderBy("object").limit(1).collect()[0]["object"]
+    status, surviving = serve(model, "DELETE", f"/NATION_2/{key}")
+    assert status == 204
+    assert surviving.filter(
+        (F.col("bucket") == "NATION_2") & (F.col("object") == key)
+    ).count() == 0
+
+    status, err = serve(model, "DELETE", "/NATION_2")
+    assert status == 409 and "BucketNotEmpty" in err
+
+    body = "x" * 1300
+    status, out = serve(model, "PUT", "/NATION_2/new-key", body=body)
+    assert status == 200
+    assert out["ETag"] == f'"{hashlib.md5(body.encode()).hexdigest()}"'
+    chunks = out["chunks"].collect()
+    assert sum(int(c["chunksize"]) for c in chunks) == 1300
+    assert all(c["inode"] == "NATION_2/new-key" for c in chunks)
+
+    rule = model["cors_rules"].filter(
+        F.col("origin_pattern") == "*"
+    ).limit(1).collect()[0]
+    status, hdrs = serve(
+        model, "OPTIONS", f"/{rule['bucket']}/k",
+        headers={
+            "Origin": "https://any.example.net",
+            "Access-Control-Request-Method": rule["methods"][0],
+        },
+    )
+    assert status == 200
+    assert rule["methods"][0] in hdrs["Access-Control-Allow-Methods"]
+
+    status, err = serve(
+        model, "OPTIONS", "/no-cors-bucket/k",
+        headers={"Origin": "https://x", "Access-Control-Request-Method": "GET"},
+    )
+    assert status == 403 and "AccessForbidden" in err
+
+    # resolved but unwired here (needs grants the model lacks) -> 501
+    status, err = serve(model, "PUT", "/NATION_2/k", {"acl": None})
+    assert status == 501 and "NotImplemented" in err
