@@ -589,6 +589,85 @@ def serve(
             for g in rows
         ]
         return 200, aclxml.cors_as_xml(rules)
+    if op == "get-bucket-uploads" and "parts" in model:
+        prefix = (params or {}).get("prefix") or ""
+        rows = (
+            model["parts"]
+            .filter(F.col("object").startswith(prefix))
+            .select("upload", "object")
+            .distinct()
+            .orderBy("object", "upload")
+            .collect()
+        )
+        return 200, xmlio.list_multipart_uploads(
+            b, prefix, [r.asDict() for r in rows]
+        )
+    if op in ("put-bucket-cors", "delete-bucket-cors") and "cors_rules" in model:
+        from pithos_spark.operators import aclxml
+
+        remaining = model["cors_rules"].filter(F.col("bucket") != b)
+        if op == "delete-bucket-cors":
+            return 204, remaining
+        try:
+            rules = aclxml.xml_to_cors(body)
+        except ValueError as e:
+            return 400, xmlio.error_response("MalformedXML", str(e))
+        spark = buckets.sparkSession
+        # project the full typed rows onto the rule-table columns
+        # (bucket, origin_pattern, methods, headers, max_age)
+        new = spark.createDataFrame(
+            [
+                (r[0], r[2], r[3], r[4], r[6] if r[6] is not None else 0)
+                for r in aclxml.cors_to_rule_rows(b, rules)
+            ],
+            model["cors_rules"].schema,
+        )
+        return 200, remaining.unionByName(new)
+    if op in ("put-bucket-acl", "put-object-acl") and "grants" in model:
+        from pithos_spark.operators import aclxml
+
+        try:
+            policy = aclxml.xml_to_acl(body)
+        except ValueError as e:
+            return 400, xmlio.error_response("MalformedACLError", str(e))
+        # object ACLs share the typed grants table keyed by the full
+        # path; bucket ACLs key by bucket (perms.clj grants model)
+        grant_key = f"{b}/{k}" if op == "put-object-acl" else b
+        spark = buckets.sparkSession
+        new = spark.createDataFrame(
+            aclxml.acl_to_grant_rows(grant_key, policy),
+            model["grants"].schema,
+        )
+        remaining = model["grants"].filter(F.col("bucket") != grant_key)
+        return 200, remaining.unionByName(new)
+    if op == "get-object-acl":
+        from pithos_spark.operators import aclxml
+        from pithos_spark.operators.perms import expand_canned_acl
+
+        rows = (
+            objects.filter(
+                (F.col("bucket") == b) & (F.col("object") == k)
+            )
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return 404, xmlio.error_response("NoSuchKey", k)
+        canned = rows[0]["acl"] or "private"
+        grant_rows = expand_canned_acl(
+            objects.sparkSession, b, tenant or "", canned
+        ).collect()
+        policy: dict[str, list[dict]] = {}
+        for g in sorted(grant_rows, key=lambda r: (r["perm"], r["grantee_id"])):
+            grantee = (
+                {"URI": g["grantee_id"]}
+                if g["grantee_type"] == "group"
+                else {"ID": g["grantee_id"], "DisplayName": g["grantee_id"]}
+            )
+            policy.setdefault(g["perm"], []).append(grantee)
+        return 200, aclxml.acl_as_xml(
+            policy, owner=tenant or "", owner_display=tenant or ""
+        )
     if op == "delete-object":
         # M4: surviving objects plan; production commits it + the M10
         # blob GC pass

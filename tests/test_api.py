@@ -748,3 +748,83 @@ def test_serve_mutations_and_preflight(spark):
     # resolved but unwired here (needs grants the model lacks) -> 501
     status, err = serve(model, "PUT", "/NATION_2/k", {"acl": None})
     assert status == 501 and "NotImplemented" in err
+
+
+def test_serve_acl_cors_writes_and_uploads_listing(spark):
+    """serve(): CORS replace/delete plans, ACL write plans (bucket and
+    object keyed), canned-ACL expansion for GET object ?acl, and the
+    uploads listing — completing the wired opmap surface."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.operators.api import serve
+    from tests.conftest import SF_SMOKE
+
+    t = T.load_tables(spark, SF_SMOKE)
+    model = {
+        "buckets": T.buckets_df(t),
+        "objects": T.objects_df(t),
+        "grants": T.grants_df(t),
+        "cors_rules": T.cors_rules_df(t),
+        "parts": T.parts_df(t),
+    }
+
+    # PUT ?cors replaces the bucket's rules with the parsed body
+    cors_body = (
+        '<CORSConfiguration><CORSRule>'
+        "<AllowedOrigin>https://new.example.com</AllowedOrigin>"
+        "<AllowedMethod>GET</AllowedMethod>"
+        "<MaxAgeSeconds>60</MaxAgeSeconds>"
+        "</CORSRule></CORSConfiguration>"
+    )
+    status, plan = serve(model, "PUT", "/NATION_2", {"cors": None}, body=cors_body)
+    assert status == 200
+    mine = plan.filter(F.col("bucket") == "NATION_2").collect()
+    assert len(mine) == 1 and mine[0]["origin_pattern"] == "https://new.example.com"
+    status, plan = serve(model, "DELETE", "/NATION_2", {"cors": None})
+    assert status == 204
+    assert plan.filter(F.col("bucket") == "NATION_2").count() == 0
+    assert serve(model, "PUT", "/NATION_2", {"cors": None}, body="<wat/>")[0] == 400
+
+    # PUT ?acl writes bucket-keyed grants; object form keys by path
+    acl_body = (
+        '<AccessControlPolicy><Owner><ID>t1</ID></Owner><AccessControlList>'
+        "<Grant><Grantee "
+        'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" '
+        'xsi:type="CanonicalUser"><ID>alice</ID></Grantee>'
+        "<Permission>READ</Permission></Grant>"
+        "</AccessControlList></AccessControlPolicy>"
+    )
+    status, plan = serve(model, "PUT", "/NATION_2", {"acl": None}, body=acl_body)
+    assert status == 200
+    got = plan.filter(F.col("bucket") == "NATION_2").collect()
+    assert [(g["perm"], g["grantee_id"]) for g in got] == [("READ", "alice")]
+    status, plan = serve(
+        model, "PUT", "/NATION_2/some/key", {"acl": None}, body=acl_body
+    )
+    assert status == 200
+    assert plan.filter(F.col("bucket") == "NATION_2/some/key").count() == 1
+
+    # GET object ?acl expands the stored canned ACL
+    row = model["objects"].filter(
+        (F.col("bucket") == "NATION_2") & (F.col("acl") == "private")
+    ).limit(1).collect()[0]
+    status, xml = serve(
+        model, "GET", f"/NATION_2/{row['object']}", {"acl": None}, tenant="own"
+    )
+    assert status == 200
+    root = ET.fromstring(xml)
+    ids = [e.text for e in root.iter(f"{{{xmlio.S3_NS}}}ID")]
+    assert "own" in ids  # owner always holds FULL_CONTROL
+
+    # uploads listing filtered by prefix
+    status, xml = serve(
+        model, "GET", "/NATION_2", {"uploads": None, "prefix": "mp/1"}
+    )
+    assert status == 200
+    root = ET.fromstring(xml)
+    keys = [
+        u.findtext("s3:Key", namespaces=NS)
+        for u in root.findall("s3:Upload", NS)
+    ]
+    assert keys and all(kk.startswith("mp/1") for kk in keys)
