@@ -533,6 +533,21 @@ def serve(
         return 200, xmlio.list_upload_parts(
             b, k, upload_id, [r.asDict() for r in rows]
         )
+    if op == "put-object-uploadid" and "parts" in model:
+        import hashlib
+
+        from pithos_spark.sources.store import merge_upsert
+
+        upload_id = (params or {}).get("uploadid") or ""
+        partno = int((params or {}).get("partnumber") or "1")
+        etag = hashlib.md5(body.encode()).hexdigest()
+        spark = objects.sparkSession
+        update = spark.createDataFrame(
+            [(k, upload_id, partno, len(body), etag)],
+            model["parts"].schema,
+        )
+        merged = merge_upsert(model["parts"], update, ["upload", "partno"])
+        return 200, {"ETag": f'"{etag}"', "parts": merged}
     if op == "post-object-uploadid" and "parts" in model:
         upload_id = (params or {}).get("uploadid") or ""
         return complete_multipart_upload(

@@ -828,3 +828,41 @@ def test_serve_acl_cors_writes_and_uploads_listing(spark):
         for u in root.findall("s3:Upload", NS)
     ]
     assert keys and all(kk.startswith("mp/1") for kk in keys)
+
+
+def test_serve_upload_part_merges(spark):
+    """serve(): PUT ?uploadId=...&partNumber=N upserts the part row
+    (re-PUT of the same part number replaces it, M6 semantics) and
+    reports the body ETag."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.operators.api import serve
+    from tests.conftest import SF_SMOKE
+
+    t = T.load_tables(spark, SF_SMOKE)
+    model = {
+        "buckets": T.buckets_df(t),
+        "objects": T.objects_df(t),
+        "parts": T.parts_df(t),
+    }
+    body = "part-payload"
+    status, out = serve(
+        model, "PUT", "/bkt/obj",
+        {"uploadid": "up-x", "partnumber": "2"}, body=body,
+    )
+    assert status == 200
+    assert out["ETag"] == f'"{hashlib.md5(body.encode()).hexdigest()}"'
+    mine = out["parts"].filter(F.col("upload") == "up-x").collect()
+    assert [(r["partno"], r["size"]) for r in mine] == [(2, len(body))]
+
+    # re-PUT the same part with a different body -> replaced, not duplicated
+    status, out2 = serve(
+        model, "PUT", "/bkt/obj",
+        {"uploadid": "up-x", "partnumber": "2"}, body="other",
+    )
+    assert status == 200
+    again = out2["parts"].filter(F.col("upload") == "up-x").collect()
+    assert len(again) == 1 and again[0]["size"] == 5
