@@ -461,6 +461,7 @@ def serve(
     body: str = "",
     tenant: str | None = None,
     headers: dict | None = None,
+    form: dict | None = None,
 ):
     """End-to-end dispatch (operations.clj:999-1034): resolve the
     request to its operation (vhost rewrite, route target, action
@@ -707,6 +708,42 @@ def serve(
         new_chunks = chunk_ingest(payload_df)
         etag = hashlib.md5(body.encode()).hexdigest()
         return 200, {"ETag": f'"{etag}"', "chunks": new_chunks}
+    if op == "post-bucket" and "chunks" in model:
+        import hashlib
+
+        from pithos_spark.sources.store import chunk_ingest
+
+        # browser form upload (operations.clj:634-677): the F12 policy
+        # conditions gate the ingest; the policy signature itself is the
+        # separately-tested sig operator's job.  `form` carries the
+        # decoded multipart form fields (NEVER query params — a form
+        # field named like an action arg must not steer routing);
+        # `body` is the file payload.
+        form = form or {}
+        key = form.get("key") or ""
+        policy = form.get("policy") or {}
+        prefix = policy.get("key_prefix", "")
+        lo, hi = policy.get("content_length_range", (0, 2**63 - 1))
+        if not key.startswith(prefix):
+            return 403, xmlio.error_response(
+                "UploadPolicyViolation", "key-prefix"
+            )
+        if not (lo <= len(body) <= hi):
+            return 403, xmlio.error_response(
+                "UploadPolicyViolation", "content-length-range"
+            )
+        if policy.get("expired"):
+            return 403, xmlio.error_response("AccessDenied", "policy expired")
+        spark = objects.sparkSession
+        payload_df = spark.createDataFrame(
+            [(f"{b}/{key}", body)], "inode string, payload string"
+        )
+        etag = hashlib.md5(body.encode()).hexdigest()
+        status = int(form.get("success_action_status") or "204")
+        return status, {
+            "ETag": f'"{etag}"',
+            "chunks": chunk_ingest(payload_df),
+        }
     if op in ("options-object", "options-bucket") and "cors_rules" in model:
         from pithos_spark.operators.cors import preflight_response
 

@@ -866,3 +866,51 @@ def test_serve_upload_part_merges(spark):
     assert status == 200
     again = out2["parts"].filter(F.col("upload") == "up-x").collect()
     assert len(again) == 1 and again[0]["size"] == 5
+
+
+def test_serve_browser_form_upload(spark):
+    """serve(): POST bucket (browser form upload) — the F12 policy
+    conditions gate the ingest (key-prefix, content-length-range,
+    expiration), success_action_status is honored, and the accepted
+    file lands as chunk rows."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.operators.api import serve
+    from tests.conftest import SF_SMOKE
+
+    t = T.load_tables(spark, SF_SMOKE)
+    model = {
+        "buckets": T.buckets_df(t),
+        "objects": T.objects_df(t),
+        "chunks": T.chunks_df(t),
+    }
+    policy = {"key_prefix": "uploads/", "content_length_range": (1, 100)}
+
+    status, out = serve(
+        model, "POST", "/NATION_2",
+        form={"key": "uploads/a.txt", "policy": policy,
+              "success_action_status": "201"},
+        body="hello form",
+    )
+    assert status == 201
+    assert out["chunks"].agg(F.sum("chunksize")).collect()[0][0] == 10
+
+    status, err = serve(
+        model, "POST", "/NATION_2",
+        form={"key": "elsewhere/a.txt", "policy": policy}, body="x",
+    )
+    assert status == 403 and "key-prefix" in err
+
+    status, err = serve(
+        model, "POST", "/NATION_2",
+        form={"key": "uploads/big", "policy": policy}, body="y" * 200,
+    )
+    assert status == 403 and "content-length-range" in err
+
+    status, err = serve(
+        model, "POST", "/NATION_2",
+        form={"key": "uploads/late", "policy": {**policy, "expired": True}},
+        body="z",
+    )
+    assert status == 403 and "AccessDenied" in err
