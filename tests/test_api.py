@@ -914,3 +914,63 @@ def test_serve_browser_form_upload(spark):
         body="z",
     )
     assert status == 403 and "AccessDenied" in err
+
+
+def test_serve_covers_every_opmap_operation(spark):
+    """Completeness: with a full table model, every one of the 37 opmap
+    operations executes through serve() — no NotImplemented 501 and no
+    UnknownAction 400 remains."""
+    from pithos_spark import tables as T
+    from pithos_spark.operators.api import serve
+    from pithos_spark.operators.dispatch import OPMAP
+    from tests.conftest import SF_SMOKE
+
+    t = T.load_tables(spark, SF_SMOKE)
+    model = {
+        "buckets": T.buckets_df(t),
+        "objects": T.objects_df(t),
+        "chunks": T.chunks_df(t),
+        "parts": T.parts_df(t),
+        "grants": T.grants_df(t),
+        "cors_rules": T.cors_rules_df(t),
+    }
+    acl_xml = (
+        '<AccessControlPolicy><Owner><ID>t</ID></Owner>'
+        "<AccessControlList/></AccessControlPolicy>"
+    )
+    bodies = {
+        "put-bucket-cors": (
+            "<CORSConfiguration><CORSRule>"
+            "<AllowedOrigin>*</AllowedOrigin>"
+            "<AllowedMethod>GET</AllowedMethod>"
+            "</CORSRule></CORSConfiguration>"
+        ),
+        "put-bucket-acl": acl_xml,
+        "put-object-acl": acl_xml,
+        "post-object-uploadid": "<CompleteMultipartUpload/>",
+        "post-bucket-delete": "<Delete><Object><Key>x</Key></Object></Delete>",
+    }
+    for operation in sorted(OPMAP):
+        parts = operation.split("-")
+        method, target = parts[0].upper(), parts[1]
+        suffix = "-".join(parts[2:]) or None
+        uri = {
+            "service": "/",
+            "bucket": "/NATION_2",
+            "object": "/NATION_2/somekey",
+        }[target]
+        params = {suffix: None} if suffix else {}
+        if suffix == "uploadid":
+            params["uploadid"] = "up-1"
+        status, payload = serve(
+            model, method, uri, params,
+            body=bodies.get(operation, ""),
+            tenant="AMERICA",
+            headers={
+                "Origin": "https://x.example.com",
+                "Access-Control-Request-Method": "GET",
+            },
+        )
+        assert status != 501, operation
+        if status == 400:
+            assert "UnknownAction" not in str(payload), operation
