@@ -242,6 +242,37 @@ def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
     )
 
 
+def lsh_band_signatures(
+    documents: DataFrame, n: int = 3, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Uncapped LSH band signatures: one (doc_id, band, band_key) row per
+    document per band — md5 over the band's minhash columns in seed
+    order, so two docs collide in a band iff every row value is equal.
+    Shared by the candidate generator (minhash_lsh_pairs) and the bucket
+    telemetry (lsh_bucket_stats); callers apply _cap_buckets themselves
+    because the stats op must see PRE-cap occupancy."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(documents, n, num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.band_key")
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n: int = 3,
@@ -264,28 +295,7 @@ def minhash_lsh_pairs(
     band buckets over ``max_bucket`` docs are dropped (_cap_buckets) so
     no single hot bucket can go quadratic.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(documents, n, num_hashes)
-    # one (doc, band, band_key) row per band: md5 over the band's
-    # minhash columns in seed order (docs collide iff all values equal)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh_{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    band_sig = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc_id", "bs.band", "bs.band_key")
+    band_sig = lsh_band_signatures(documents, n, num_hashes, bands)
     band_sig = _cap_buckets(band_sig, ["band", "band_key"], max_bucket)
     a = band_sig.alias("a")
     b = band_sig.alias("b")
@@ -903,3 +913,197 @@ JOIN sizes sb ON existing_doc_id = sb.doc_id
 WHERE n_common * 100 >= (sa.n_shingles + sb.n_shingles - n_common) * {threshold_pct}
 ORDER BY new_doc_id, existing_doc_id"""
     )
+
+
+def lsh_bucket_stats(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Operational telemetry for the LSH cap: per-band bucket occupancy
+    — how many buckets each band produced, the largest bucket, and how
+    many buckets/docs the ``max_bucket`` guard would drop.  This is the
+    report you run BEFORE a 100 TB dedup pass to size the cap: a band
+    whose max bucket is 10^7 docs means 10^13 candidate pairs without
+    the guard, and ``n_docs_dropped`` quantifies the recall cost of
+    engaging it (reference has no analog; pairs with
+    minhash_lsh_pairs / _cap_buckets).
+
+    Scale: the band explode is linear in corpus size; both aggregations
+    combine map-side and the final output is exactly ``bands`` rows —
+    nothing here grows with the corpus except the one banded shuffle
+    the dedup pass itself already needs.
+    """
+    band_sig = lsh_band_signatures(documents, n, num_hashes, bands)
+    sizes = band_sig.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    over = F.col("bucket_size") > max_bucket
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("bucket_size").alias("n_docs"),
+            F.max("bucket_size").alias("max_bucket_size"),
+            F.sum(F.when(over, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_buckets_over_cap"),
+            F.sum(F.when(over, F.col("bucket_size")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_docs_dropped"),
+        )
+        .orderBy("band")
+    )
+
+
+def lsh_bucket_stats_oracle(
+    n: int = 3, num_hashes: int = 32, bands: int = 8, max_bucket: int = 1000
+) -> str:
+    """DuckDB twin of :func:`lsh_bucket_stats` — same constants, same
+    banding as minhash_lsh_pairs_oracle, aggregated to per-band
+    occupancy instead of pairs."""
+    a_c, b_c = _mh_constants(num_hashes)
+    rows_per_band = num_hashes // bands
+    mins = ",\n           ".join(
+        f"min(({a_c[i]} * h0 + {b_c[i]}) % {_MH_P}) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return (
+        _shingle_sql(n)
+        + f""", hashed AS (
+    SELECT doc_id, {portable_hash60_sql('shingle')} % {_MH_P} AS h0 FROM sh
+), sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM hashed GROUP BY doc_id
+), bands AS (
+{band_selects}
+), sizes AS (
+    SELECT band, band_key, count(*) AS bucket_size
+    FROM bands GROUP BY band, band_key
+)
+SELECT band,
+       count(*) AS n_buckets,
+       CAST(sum(bucket_size) AS BIGINT) AS n_docs,
+       max(bucket_size) AS max_bucket_size,
+       CAST(sum(CASE WHEN bucket_size > {max_bucket} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_buckets_over_cap,
+       CAST(sum(CASE WHEN bucket_size > {max_bucket} THEN bucket_size ELSE 0 END) AS BIGINT)
+           AS n_docs_dropped
+FROM sizes GROUP BY band ORDER BY band"""
+    )
+
+
+def source_minhash_similarity(
+    documents: DataFrame, n: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """Corpus-source overlap matrix by source-level MinHash: estimated
+    shingle-set Jaccard between every pair of sources — the
+    mirror-detection report a crawl pipeline runs before mixing sources
+    (two crawls of the same site waste tokens and skew the mix;
+    reference has no analog).
+
+    A source's signature is the min over ALL its docs' shingle hashes
+    per permutation — set union commutes with min, so this IS the
+    MinHash of the unioned shingle set, and P(sig_a[i] = sig_b[i]) =
+    jaccard(union_a, union_b).
+
+    Scale: one corpus scan; the exchange after partial aggregation is
+    ``sources x num_hashes`` longs (KBs at any corpus size), and the
+    pairwise comparison runs over that tiny table — at 100 TB the whole
+    cost is the shingle scan the dedup ladder already pays.  Integer
+    estimate (``est_jaccard_pct`` = floor(100 * n_agree / num_hashes))
+    keeps the output oracle-exact.
+    """
+    a_c, b_c = _mh_constants(num_hashes)
+    base = documents.select("source", _tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    sh = base.select("source", F.explode(grams).alias("shingle")).withColumn(
+        "h0", portable_hash60(F.col("shingle")) % F.lit(_MH_P)
+    )
+    mins = [
+        F.min(
+            (F.lit(a_c[i]) * F.col("h0") + F.lit(b_c[i])) % F.lit(_MH_P)
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("source").agg(*mins)
+    stack_args = ", ".join(f"{i}, mh_{i}" for i in range(num_hashes))
+    sig_long = sig.selectExpr(
+        "source", f"stack({num_hashes}, {stack_args}) AS (i, mh)"
+    )
+    # the self-join compares the signature table with itself; a broadcast
+    # join would leave the two references as SEPARATE subtrees (the
+    # BroadcastExchange canonicalizes differently), re-scanning and
+    # re-aggregating the whole corpus twice.  Hinting the shuffle join
+    # makes both inputs an identical Exchange(hash(i)) over the same
+    # aggregate, which ReuseExchange collapses — ONE corpus scan, and the
+    # shuffled table is only sources x num_hashes rows.
+    a = sig_long.alias("a").hint("shuffle_hash")
+    b = sig_long.alias("b").hint("shuffle_hash")
+    agree = F.sum(
+        F.when(F.col("a.mh") == F.col("b.mh"), F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(agree.alias("n_agree"))
+        .withColumn(
+            "est_jaccard_pct",
+            F.expr(f"(n_agree * 100) div {num_hashes}"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def source_minhash_similarity_oracle(n: int = 3, num_hashes: int = 64) -> str:
+    """DuckDB twin of :func:`source_minhash_similarity` — the permutation
+    family unrolls as a VALUES table crossed with the hashed shingles
+    (min grouped by (source, i) is the same math as the wide Spark
+    aggregate)."""
+    a_c, b_c = _mh_constants(num_hashes)
+    k = n - 1
+    perm_rows = ", ".join(
+        f"({i}, {a_c[i]}, {b_c[i]})" for i in range(num_hashes)
+    )
+    return f"""\
+WITH toks AS (
+    SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), idx AS (
+    SELECT source, t, unnest(range(1, greatest(len(t) - {k}, 1) + 1)) AS i FROM toks
+), sh AS (
+    SELECT source, array_to_string(t[i:i+{k}], ' ') AS shingle FROM idx
+), hashed AS (
+    SELECT source, {portable_hash60_sql('shingle')} % {_MH_P} AS h0 FROM sh
+), perms(i, a, b) AS (
+    VALUES {perm_rows}
+), sig AS (
+    SELECT source, p.i, min((p.a * h0 + p.b) % {_MH_P}) AS mh
+    FROM hashed CROSS JOIN perms p GROUP BY source, p.i
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) * 100
+           // {num_hashes} AS est_jaccard_pct
+FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2"""

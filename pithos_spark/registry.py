@@ -401,8 +401,10 @@ from pithos_spark.functions import dedup, similarity, text  # noqa: E402
 from pithos_spark.sources import multimodal  # noqa: E402
 
 
-def _doc_query(fn):
-    return lambda spark, sf_dir: fn(T.load_tables(spark, sf_dir)["documents"])
+def _doc_query(fn, *args, **kwargs):
+    return lambda spark, sf_dir: fn(
+        T.load_tables(spark, sf_dir)["documents"], *args, **kwargs
+    )
 
 
 QUERIES["text_token_stats"] = _doc_query(text.token_stats)
@@ -485,6 +487,21 @@ QUERIES["dedup_minhash_lsh"] = _doc_query(dedup.minhash_lsh_pairs)
 ORACLES["dedup_minhash_lsh"] = dedup.minhash_lsh_pairs_oracle()
 QUERIES["dedup_simhash_pairs"] = _doc_query(dedup.simhash_near_pairs)
 ORACLES["dedup_simhash_pairs"] = dedup.simhash_near_pairs_oracle()
+
+# LSH operational telemetry: per-band bucket occupancy + what the
+# max_bucket cap would drop — the sizing report for a 100 TB dedup pass.
+# sf0.01 buckets are all tiny, so max_bucket=2 makes the cap columns
+# exercise non-zero values under the oracle instead of asserting 0=0.
+QUERIES["dedup_lsh_bucket_stats"] = _doc_query(
+    dedup.lsh_bucket_stats, max_bucket=2
+)
+ORACLES["dedup_lsh_bucket_stats"] = dedup.lsh_bucket_stats_oracle(max_bucket=2)
+
+# Source-level MinHash overlap matrix: estimated Jaccard between every
+# source pair — crawl mirror detection before mixing (curate.mix_plan's
+# upstream diagnostic).
+QUERIES["corpus_source_overlap"] = _doc_query(dedup.source_minhash_similarity)
+ORACLES["corpus_source_overlap"] = dedup.source_minhash_similarity_oracle()
 
 
 def _emb_query(fn, *args, **kwargs):
@@ -2445,6 +2462,8 @@ ROUND_NEW: list[str] = [
     "corpus_semantic_topics",
     "dedup_semantic_clusters",
     "corpus_chunk_windows",
+    "dedup_lsh_bucket_stats",
+    "corpus_source_overlap",
 ]
 
 DRIVER_PRIORITY: list[str] = [
@@ -2487,12 +2506,13 @@ DRIVER_PRIORITY: list[str] = [
     "events_hourly_rollup",
     "fetch_bucket",
     # list_objects_no_delim yields its slot to the round's 12th new
-    # query; rotates back in r7 (root/paged keep listing covered)
+    # query; rotates back in r7 (root/paged keep listing covered).
+    # objects_page and range_read_chunks (both r4-green, the least-stale
+    # rotations here) yield their slots to the two round-6 dedup
+    # telemetry queries; they rotate back in r7.
     "list_objects_paged",
     "list_objects_root",
     "object_descriptor",
-    "objects_page",
-    "range_read_chunks",
 ]
 
 # Representative already-green core (fresh r5 greens) — kept inside the

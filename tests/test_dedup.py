@@ -171,3 +171,57 @@ def test_incremental_dedup_finds_delta_dups_only(spark):
     pairs = {(r["new_doc_id"], r["existing_doc_id"]) for r in got}
     assert (100, 0) in pairs and (100, 1) in pairs
     assert all(n == 100 for n, _ in pairs)  # 101 clean; (0,1) not re-reported
+
+
+def test_lsh_bucket_stats_accounts_every_doc(documents, spark):
+    """Per-band doc counts must equal the corpus size (every doc lands
+    in exactly one bucket per band), and a corpus with planted exact
+    copies must show over-cap buckets when the cap is 1."""
+    from pithos_spark.functions.dedup import lsh_bucket_stats
+
+    n_docs = documents.count()
+    stats = lsh_bucket_stats(documents, bands=8).collect()
+    assert len(stats) == 8
+    for r in stats:
+        assert r["n_docs"] == n_docs
+        assert r["max_bucket_size"] >= 1
+        assert r["n_buckets"] <= n_docs
+    # double the corpus: every doc now shares all 8 band buckets with
+    # its clone, so with max_bucket=1 every bucket is over cap
+    import pyspark.sql.functions as F
+
+    doubled = documents.unionByName(
+        documents.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    capped = lsh_bucket_stats(doubled, bands=8, max_bucket=1).collect()
+    for r in capped:
+        assert r["n_buckets_over_cap"] >= 1
+        assert r["n_docs_dropped"] >= 2
+
+
+def test_source_overlap_extremes(documents, spark):
+    """A source unioned with a relabeled copy of itself estimates
+    jaccard 100; two single-doc sources with disjoint vocabulary
+    estimate 0."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions.dedup import source_minhash_similarity
+
+    one = documents.filter(F.col("source") == "src0")
+    mirrored = one.unionByName(one.withColumn("source", F.lit("src0_copy")))
+    sim = {
+        (r["source_a"], r["source_b"]): r["est_jaccard_pct"]
+        for r in source_minhash_similarity(mirrored).collect()
+    }
+    assert sim[("src0", "src0_copy")] == 100
+
+    disjoint = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "sA"),
+         (2, "one two three four five six", "sB")],
+        "doc_id long, text string, source string",
+    )
+    sim2 = {
+        (r["source_a"], r["source_b"]): r["est_jaccard_pct"]
+        for r in source_minhash_similarity(disjoint).collect()
+    }
+    assert sim2[("sA", "sB")] == 0

@@ -318,3 +318,20 @@ def test_api_traffic_resolution_stays_broadcast(tables, spark):
     assert "CartesianProduct" not in plan
     # exactly: one partial+final agg exchange and the output sort
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_source_overlap_reuses_signature_exchange(spark, tables):
+    """The source-overlap self-join must compute the heavy shingle
+    aggregation ONCE: with exchange reuse visible statically (AQE off,
+    where reuse appears in the plan rather than at stage runtime), the
+    signature subtree's second reference collapses to a ReusedExchange —
+    one corpus scan, not two."""
+    from pithos_spark.functions.dedup import source_minhash_similarity
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(source_minhash_similarity(tables["documents"]))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "ReusedExchange" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
