@@ -1483,6 +1483,14 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.value_percentiles(T.load_tables(spark, sf_dir)["events"])
 
 
+@register("events_watermark_lateness", ev.watermark_lateness_oracle())
+def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing diagnostic: per-type lateness histogram under
+    per-source-partition watermarks (streaming/events.watermark_lateness)
+    — the offline measurement that picks streamify's delay."""
+    return ev.watermark_lateness(T.load_tables(spark, sf_dir)["events"])
+
+
 @register("events_hourly_gapfill", ev.HOURLY_GAPFILL_SQL)
 def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hour x event_type grid with explicit zeros for silent hours
@@ -2464,6 +2472,7 @@ ROUND_NEW: list[str] = [
     "corpus_chunk_windows",
     "dedup_lsh_bucket_stats",
     "corpus_source_overlap",
+    "events_watermark_lateness",
 ]
 
 DRIVER_PRIORITY: list[str] = [
@@ -2507,12 +2516,11 @@ DRIVER_PRIORITY: list[str] = [
     "fetch_bucket",
     # list_objects_no_delim yields its slot to the round's 12th new
     # query; rotates back in r7 (root/paged keep listing covered).
-    # objects_page and range_read_chunks (both r4-green, the least-stale
-    # rotations here) yield their slots to the two round-6 dedup
-    # telemetry queries; they rotate back in r7.
+    # objects_page, range_read_chunks, and object_descriptor (all
+    # r4-green, the least-stale rotations here) yield their slots to the
+    # three round-6 telemetry/diagnostic queries; they rotate back in r7.
     "list_objects_paged",
     "list_objects_root",
-    "object_descriptor",
 ]
 
 # Representative already-green core (fresh r5 greens) — kept inside the

@@ -538,3 +538,81 @@ SELECT event_type,
 FROM q
 GROUP BY event_type
 ORDER BY event_type"""
+
+
+def watermark_lateness(
+    events: DataFrame, num_partitions: int = 32, jitter: int = 200
+) -> DataFrame:
+    """Watermark sizing diagnostic: how late do events actually arrive?
+
+    Streaming watermarks trade state size against dropped events; this
+    op measures the trade on historical data BEFORE you pick the delay
+    for :func:`streamify`.  Events are keyed to ``num_partitions``
+    synthetic source partitions by user (as a keyed Kafka topic would),
+    and each partition's watermark at any arrival is the max event time
+    seen so far on that partition.  An event's lateness is watermark
+    minus its own event time — 0 for in-order arrivals; an event later
+    than the delay you choose would be dropped by the stream.
+
+    The fixture has no arrival column and its ``event_id`` is perfectly
+    time-ordered (every event would be on time — a vacuous report), so
+    arrival order is synthesized as ``event_id`` plus a deterministic
+    hash jitter of up to ``jitter`` positions — a bounded out-of-order
+    replay.  On real data, substitute the ingest offset / Kafka offset
+    for the jittered sequence and the rest of the plan is unchanged.
+
+    Output: per (event_type, lateness bucket) counts — read it as "with
+    a 60 s watermark, every bucket past 'late_60s' is the loss".
+
+    Scale: ONE shuffle on the synthetic partition key and a running max
+    within each partition — the window never sees more than
+    1/num_partitions of the stream, matching how per-source-partition
+    watermarks are actually tracked; no global ordering anywhere.
+    """
+    arrival = (
+        f"event_id + conv(substring(md5(cast(event_id AS string)), 1, 15), 16, 10)"
+        f" % {jitter}"
+    )
+    late_s = F.expr(
+        f"(max(unix_micros(ts)) OVER (PARTITION BY pmod(user_id, {num_partitions}) "
+        f"ORDER BY {arrival}, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "- unix_micros(ts)) div 1000000"
+    )
+    bucket = (
+        F.when(late_s == 0, F.lit("on_time"))
+        .when(late_s <= 60, F.lit("late_60s"))
+        .when(late_s <= 300, F.lit("late_300s"))
+        .otherwise(F.lit("late_over_300s"))
+    )
+    return (
+        events.select("event_type", bucket.alias("lateness_bucket"))
+        .groupBy("event_type", "lateness_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type", "lateness_bucket")
+    )
+
+
+def watermark_lateness_oracle(num_partitions: int = 32, jitter: int = 200) -> str:
+    arrival = (
+        f"event_id + ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT"
+        f" % {jitter}"
+    )
+    return f"""\
+WITH wm AS (
+    SELECT event_type,
+           (max(epoch_us(ts)) OVER (
+                PARTITION BY user_id % {num_partitions}
+                ORDER BY {arrival}, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - epoch_us(ts)) // 1000000 AS late_s
+    FROM events
+), b AS (
+    SELECT event_type,
+           CASE WHEN late_s = 0 THEN 'on_time'
+                WHEN late_s <= 60 THEN 'late_60s'
+                WHEN late_s <= 300 THEN 'late_300s'
+                ELSE 'late_over_300s' END AS lateness_bucket
+    FROM wm
+)
+SELECT event_type, lateness_bucket, count(*) AS n_events
+FROM b GROUP BY 1, 2 ORDER BY 1, 2"""

@@ -671,3 +671,26 @@ def test_streaming_heavy_hitters_bounds_hold_when_m_small(spark, tmp_path):
             true = true_counts.get((et, user), 0)
             assert est >= true, (et, user)
             assert est - err <= true, (et, user)
+
+
+def test_watermark_lateness_in_order_and_conservation(spark):
+    """jitter=1 degenerates the synthetic arrival shuffle to the ingest
+    order, and the fixture's event_id is time-ordered, so every event is
+    on time; the default jitter must produce a non-vacuous histogram
+    that still conserves the event count."""
+    from pithos_spark import tables as T
+    from pithos_spark.streaming.events import watermark_lateness
+
+    from tests.conftest import SF_ORACLE
+
+    events = T.load_tables(spark, SF_ORACLE)["events"]
+    n = events.count()
+
+    in_order = watermark_lateness(events, jitter=1).collect()
+    assert {r["lateness_bucket"] for r in in_order} == {"on_time"}
+    assert sum(r["n_events"] for r in in_order) == n
+
+    jittered = watermark_lateness(events).collect()
+    buckets = {r["lateness_bucket"] for r in jittered}
+    assert "on_time" in buckets and len(buckets) > 1, buckets
+    assert sum(r["n_events"] for r in jittered) == n
