@@ -640,13 +640,26 @@ def duplicate_spans(
     is a duplicate span; output one row per occurrence
     (doc_id, pos, span_hash, n_docs) — downstream masks [pos, pos+n).
 
-    Scale: one explode (corpus token count rows), one shuffle keyed by
-    the span HASH (8 bytes, never the span text), a self-join back on
-    the hash restricted to surviving spans.  This is the k-gram
-    approximation of suffix-array substring dedup: spans shorter than
-    ``n`` tokens are not flagged, longer duplicates appear as runs of
-    consecutive flagged positions.
+    Scale: ONE explode (corpus token count rows) and ONE shuffle keyed
+    by the span HASH (8 bytes, never the span text).  The distinct-doc
+    count is computed in-place with two window functions over the same
+    ``span_hash`` partitioning (a first-occurrence marker ordered by
+    doc_id, then an unbounded sum of the markers) instead of the
+    aggregate+join-back formulation — that shape broadcast-joins the
+    survivors and therefore EXPLODES THE CORPUS TWICE (no exchange
+    reuse through a BroadcastExchange); measured 5.9 s -> 2.2 s cold at
+    sf0.1, and at 100 TB the second full-corpus explode is the
+    difference between one pass and two.  Caveat: a span repeated in
+    millions of docs concentrates its occurrences in one partition's
+    sort — the same skew the join shape had on its fan-out side; salt
+    via functions/skew.py if a corpus exhibits it.
+
+    This is the k-gram approximation of suffix-array substring dedup:
+    spans shorter than ``n`` tokens are not flagged, longer duplicates
+    appear as runs of consecutive flagged positions.
     """
+    from pyspark.sql import Window
+
     from pithos_spark.functions.dedup import portable_hash60
 
     toks = documents.select(
@@ -668,13 +681,17 @@ def duplicate_spans(
             portable_hash60(F.col("g.gram")).alias("span_hash"),
         )
     )
-    dup = (
-        spans.groupBy("span_hash")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-    )
+    wo = Window.partitionBy("span_hash").orderBy("doc_id", "pos")
+    wp = Window.partitionBy("span_hash")
+    first_in_doc = F.when(
+        F.lag("doc_id").over(wo).isNull()
+        | (F.lag("doc_id").over(wo) != F.col("doc_id")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
     return (
-        spans.join(dup, "span_hash")
+        spans.withColumn("_first", first_in_doc)
+        .withColumn("n_docs", F.sum("_first").over(wp))
+        .filter(F.col("n_docs") >= min_docs)
         .select("doc_id", "pos", "span_hash", "n_docs")
         .orderBy("doc_id", "pos", "span_hash")
     )
