@@ -193,15 +193,22 @@ def hybrid_rrf_topk(
     """
     from pithos_spark.functions.similarity import quantized_dot
 
+    # each signal's candidate cut is a DISTRIBUTED top-k
+    # (orderBy+limit -> TakeOrderedAndProject: per-partition heaps, then
+    # a depth-sized merge) and only the <= depth survivors get a rank —
+    # ranking directly with a global row_number window would drag the
+    # whole scored corpus into ONE partition (Spark's "No Partition
+    # Defined for Window" warning, a 100 TB single-node sort).
     lex = (
         bm25_scores(documents, terms)
+        .orderBy(F.col("score_q").desc(), F.col("doc_id"))
+        .limit(depth)
         .withColumn(
             "lex_rank",
             F.row_number().over(
                 Window.orderBy(F.col("score_q").desc(), F.col("doc_id"))
             ),
         )
-        .filter(F.col("lex_rank") <= depth)
         .select("doc_id", "lex_rank")
     )
     q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
@@ -216,13 +223,14 @@ def hybrid_rrf_topk(
                 F.col("embedding"), F.col("query_embedding")
             ).alias("dot_q"),
         )
+        .orderBy(F.col("dot_q").desc(), F.col("doc_id"))
+        .limit(depth)
         .withColumn(
             "vec_rank",
             F.row_number().over(
                 Window.orderBy(F.col("dot_q").desc(), F.col("doc_id"))
             ),
         )
-        .filter(F.col("vec_rank") <= depth)
         .select("doc_id", "vec_rank")
     )
     fused = (
@@ -310,15 +318,19 @@ def rerank_crossencoder_stub(
     from typing import Iterator
 
     query = " ".join(terms)
+    # distributed top-k cut first, rank the <= depth survivors after
+    # (see hybrid_rrf_topk — a global-window rank would single-partition
+    # the whole scored corpus)
     lex = (
         bm25_scores(documents, terms)
+        .orderBy(F.col("score_q").desc(), F.col("doc_id"))
+        .limit(depth)
         .withColumn(
             "lex_rank",
             F.row_number().over(
                 Window.orderBy(F.col("score_q").desc(), F.col("doc_id"))
             ),
         )
-        .filter(F.col("lex_rank") <= depth)
     )
     cand = lex.join(documents.select("doc_id", "text"), "doc_id")
 
