@@ -614,12 +614,24 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
                 )
                 .persist()
             )
-            changed = not (
+            # convergence probe as a 1-row aggregate rather than
+            # .isEmpty(): isEmpty's executeTake(1) through AQE proved
+            # intermittently flaky in long-lived sessions, and a full
+            # count of changed labels costs the same join this loop
+            # already pays
+            changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .isEmpty()
-            )
+                .agg(
+                    F.sum(
+                        F.when(
+                            F.col("n.label") != F.col("o.label"), F.lit(1)
+                        ).otherwise(F.lit(0))
+                    ).alias("n_changed")
+                )
+                .first()["n_changed"]
+                or 0
+            ) > 0
             labels.unpersist()
             labels = new_labels
             if not changed:
