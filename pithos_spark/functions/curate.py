@@ -905,21 +905,27 @@ def novelty_scores(documents: DataFrame, n: int = 5) -> DataFrame:
     occur in NO other document.  The mirror image of duplicate_spans
     (which lists what is shared; this scores what is not).
 
-    Plan: distinct grams per doc (hashed — the shuffle carries 8-byte
-    keys), then the gram document-frequency is attached IN PLACE with a
-    count window over the gram hash (grams are already doc-distinct, so
-    a partition count IS the document frequency) — one explode, one
-    shuffle, no join back.  The previous aggregate+join formulation
-    broadcast the per-gram counts and re-exploded the corpus for the
-    probe side (same disease duplicate_spans had); measured
-    6.2 s -> 1.0 s cold at sf0.1 with identical output.
+    Plan: grams are hashed FIRST and deduped on (doc_id, g) — the same
+    stage order as the oracle's ``SELECT DISTINCT doc_id, g``, so a
+    60-bit collision between two distinct shingles of one doc dedupes
+    identically on both sides, and the distinct's shuffle carries
+    8-byte keys instead of shingle strings.  The gram document
+    frequency is then attached IN PLACE with a count window over the
+    gram hash (grams are doc-distinct, so a partition count IS the
+    document frequency) — one explode, no join back.  The previous
+    aggregate+join formulation broadcast the per-gram counts and
+    re-exploded the corpus for the probe side (same disease
+    duplicate_spans had); measured 6.2 s -> 1.0 s cold at sf0.1 with
+    identical output.
     """
     from pyspark.sql import Window
 
     from pithos_spark.functions.dedup import portable_hash60, shingles
 
-    grams = shingles(documents, n).select(
-        "doc_id", portable_hash60(F.col("shingle")).alias("g")
+    grams = (
+        shingles(documents, n, distinct=False)
+        .select("doc_id", portable_hash60(F.col("shingle")).alias("g"))
+        .distinct()
     )
     gram_df = F.count(F.lit(1)).over(Window.partitionBy("g"))
     per_doc = (

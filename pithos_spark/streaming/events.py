@@ -570,8 +570,8 @@ def watermark_lateness(
     watermarks are actually tracked; no global ordering anywhere.
     """
     arrival = (
-        f"event_id + conv(substring(md5(cast(event_id AS string)), 1, 15), 16, 10)"
-        f" % {jitter}"
+        f"event_id + cast(conv(substring(md5(cast(event_id AS string)), 1, 15),"
+        f" 16, 10) AS BIGINT) % {jitter}"
     )
     late_s = F.expr(
         f"(max(unix_micros(ts)) OVER (PARTITION BY pmod(user_id, {num_partitions}) "
