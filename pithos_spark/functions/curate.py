@@ -629,7 +629,10 @@ ORDER BY tr.doc_id, eval_doc_id"""
 
 
 def duplicate_spans(
-    documents: DataFrame, n: int = 10, min_docs: int = 2
+    documents: DataFrame,
+    n: int = 10,
+    min_docs: int = 2,
+    broadcast_counts: bool = True,
 ) -> DataFrame:
     """Span-level exact-duplicate extraction — the mask list a
     substring-dedup pass consumes (dedup at the span, not the document:
@@ -640,19 +643,37 @@ def duplicate_spans(
     is a duplicate span; output one row per occurrence
     (doc_id, pos, span_hash, n_docs) — downstream masks [pos, pos+n).
 
-    Scale: ONE explode (corpus token count rows) and ONE shuffle keyed
-    by the span HASH (8 bytes, never the span text).  The distinct-doc
-    count is computed in-place with two window functions over the same
-    ``span_hash`` partitioning (a first-occurrence marker ordered by
-    doc_id, then an unbounded sum of the markers) instead of the
-    aggregate+join-back formulation — that shape broadcast-joins the
-    survivors and therefore EXPLODES THE CORPUS TWICE (no exchange
-    reuse through a BroadcastExchange); measured 5.9 s -> 2.2 s cold at
-    sf0.1, and at 100 TB the second full-corpus explode is the
-    difference between one pass and two.  Caveat: a span repeated in
-    millions of docs concentrates its occurrences in one partition's
-    sort — the same skew the join shape had on its fan-out side; salt
-    via functions/skew.py if a corpus exhibits it.
+    Scale: ONE explode (corpus token count rows), and the occurrence
+    rows are only ever exchanged on the COMPOSITE ``(span_hash,
+    doc_id)`` key — a span repeated in millions of documents spreads
+    over the doc axis instead of single-tasking one partition, so no
+    viral boilerplate span can concentrate the sort (the skew the
+    earlier window-over-``span_hash`` form had; the doc_id component
+    IS the salt, derived from data, no tuning knob).  The pipeline:
+
+      1. occurrences, repartitioned once by (span_hash, doc_id);
+      2. one row per (span_hash, doc_id) pair via a row_number window
+         over that SAME partitioning (no new exchange — and because
+         the window's sort needs ``pos``, both consumers of the
+         repartition see identical columns, so the exchange is shared
+         via ReuseExchange: the explode runs once, its shuffle files
+         are read twice.  A groupBy here would let column pruning
+         drop ``pos`` below its copy of the exchange and silently
+         fork a second corpus explode — measured, it did);
+      3. n_docs per span over the deduped pairs — partial (map-side)
+         aggregation emits one row per span per task, so the hot key
+         reaches its reducer as <= num_tasks partial counts: skew-free
+         where a span_hash-partitioned window sort is not;
+      4. the counts (one narrow row per span that IS duplicated —
+         tiny after the min_docs filter) broadcast-join back onto the
+         occurrences, which therefore never re-shuffle at all.  For a
+         corpus where the duplicated-span set itself outgrows a
+         broadcast, ``broadcast_counts=False`` switches to a plain
+         span_hash join and leaves the hot key to AQE's skew-join
+         split — still no single-partition window sort.
+
+    Measured 2.2 s -> 1.9 s cold at sf0.1 (r7) versus the window
+    form — the de-skew is free.
 
     This is the k-gram approximation of suffix-array substring dedup:
     spans shorter than ``n`` tokens are not flagged, longer duplicates
@@ -660,6 +681,31 @@ def duplicate_spans(
     """
     from pyspark.sql import Window
 
+    spans = _span_occurrences(documents, n)
+    rn = F.row_number().over(
+        Window.partitionBy("span_hash", "doc_id").orderBy("pos")
+    )
+    pairs = spans.withColumn("_rn", rn).filter(F.col("_rn") == 1)
+    counts = (
+        pairs.groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    if broadcast_counts:
+        counts = F.broadcast(counts)
+    return (
+        spans.join(counts, "span_hash")
+        .select("doc_id", "pos", "span_hash", "n_docs")
+        .orderBy("doc_id", "pos", "span_hash")
+    )
+
+
+def _span_occurrences(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, pos, span_hash) token n-gram occurrences, hash-keyed
+    (8 bytes, never the span text) and exchanged ONCE on the composite
+    (span_hash, doc_id) key.  Factored out so the skew test can assert
+    per-partition row bounds on exactly the exchange the operator
+    uses."""
     from pithos_spark.functions.dedup import portable_hash60
 
     toks = documents.select(
@@ -673,27 +719,14 @@ def duplicate_spans(
             F.concat_ws(" ", F.slice(t, i, n)).alias("gram"),
         )
     )
-    spans = (
+    return (
         toks.select("doc_id", F.explode(grams).alias("g"))
         .select(
             "doc_id",
             F.col("g.pos").alias("pos"),
             portable_hash60(F.col("g.gram")).alias("span_hash"),
         )
-    )
-    wo = Window.partitionBy("span_hash").orderBy("doc_id", "pos")
-    wp = Window.partitionBy("span_hash")
-    first_in_doc = F.when(
-        F.lag("doc_id").over(wo).isNull()
-        | (F.lag("doc_id").over(wo) != F.col("doc_id")),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    return (
-        spans.withColumn("_first", first_in_doc)
-        .withColumn("n_docs", F.sum("_first").over(wp))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("doc_id", "pos", "span_hash", "n_docs")
-        .orderBy("doc_id", "pos", "span_hash")
+        .repartition("span_hash", "doc_id")
     )
 
 

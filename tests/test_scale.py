@@ -179,3 +179,38 @@ def test_perplexity_lm_join_colocates_when_bucketed(spark, tmp_path):
         assert joined.count() == bi_doc.join(lm, "bigram").count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_duplicate_spans_viral_span_spreads_over_partitions(spark):
+    """A span present in EVERY document (viral boilerplate) must not
+    single-partition the occurrence exchange: duplicate_spans keys its
+    only wide shuffle on (span_hash, doc_id), so the hot hash spreads
+    over the doc axis.  Asserts per-partition row bounds on exactly the
+    exchange the operator uses, plus output correctness."""
+    from pithos_spark.functions.curate import _span_occurrences, duplicate_spans
+
+    n_docs = 400
+    boiler = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} filler{i}") for i in range(n_docs)],
+        "doc_id long, text string",
+    )
+    occ = _span_occurrences(docs, n=10)
+    # AQE would coalesce this tiny shuffle into one partition and hide
+    # the key distribution; what's under test is the partitioning KEY.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        sizes = occ.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    total = sum(sizes)
+    # the viral span alone is n_docs rows; under a span_hash-only key
+    # they would all land in ONE partition (max >= n_docs).  Composite
+    # keying bounds every partition well below that.
+    assert max(sizes) < n_docs / 2, sizes
+    assert max(sizes) <= total / len([s for s in sizes if s]) * 4, sizes
+
+    out = duplicate_spans(docs, n=10).collect()
+    # every doc carries the viral span at pos 0, counted across all docs
+    assert len(out) == n_docs
+    assert all(r["n_docs"] == n_docs and r["pos"] == 0 for r in out)
