@@ -452,6 +452,148 @@ def complete_multipart_upload(
 _SERVE_STUB_ACTIONS = {"policy", "tagging", "lifecycle", "versioning"}
 
 
+def _caller_groups(tenant: str | None, memberof: tuple[str, ...]) -> set[str]:
+    """The caller's effective group set (perms.clj:44-46): declared
+    memberships, AllUsers for everyone, and the authenticated-users
+    group (both the reference's spelling and the S3 URI form) for any
+    non-anonymous caller."""
+    groups = set(memberof or ())
+    groups.add("AllUsers")
+    if tenant is not None:
+        groups.update({"authenticated-users", "AuthenticatedUsers"})
+    return groups
+
+
+def _grant_satisfies(
+    grants: DataFrame | None,
+    key: str,
+    needed: str,
+    tenant: str | None,
+    groups: set[str],
+) -> bool:
+    """granted? over the typed grants table (perms.clj:9-19): a row for
+    ``key`` carrying ``needed`` or FULL_CONTROL, granted to the caller
+    directly or to one of their groups."""
+    if grants is None:
+        return False
+    from pithos_spark.operators.perms import effective_grants
+
+    match = effective_grants(grants.filter(F.col("bucket") == key), needed).filter(
+        (
+            (F.col("grantee_type") == "canonical")
+            & (F.col("grantee_id") == (tenant or ""))
+        )
+        | (
+            (F.col("grantee_type") == "group")
+            & F.col("grantee_id").isin(sorted(groups))
+        )
+    )
+    return match.limit(1).count() > 0
+
+
+def _canned_satisfies(
+    canned: str, needed: str, tenant: str | None, groups: set[str]
+) -> bool:
+    """Canned object-ACL check (perms.clj:30-37 over the C15 expansion
+    table): the canned policy's grants, evaluated like any other —
+    the needed permission or FULL_CONTROL, to the caller or a group."""
+    from pithos_spark.operators.perms import CANNED_ACLS
+
+    return any(
+        p in (needed, "FULL_CONTROL")
+        and (
+            (gt == "canonical" and tenant is not None and gid == tenant)
+            or (gt == "group" and gid in groups)
+        )
+        for (p, gid, gt) in CANNED_ACLS.get(canned, [])
+    )
+
+
+def authorize_request(
+    model: dict[str, DataFrame],
+    op_perms: tuple[str, ...],
+    bucket: str | None,
+    object_key: str | None,
+    tenant: str | None,
+    memberof: tuple[str, ...] = (),
+) -> tuple[int, str] | None:
+    """perms/authorize (perms.clj:39-84): evaluate an operation's
+    permission specs against the caller before any handler runs.
+    ``tenant=None`` is the anonymous caller (the reference's
+    ``:anonymous``).  Returns None when authorized, else the
+    (status, error-XML) response the reference raises —
+    403 AccessDenied, or 404 NoSuchBucket for :bucket perms on a
+    bucket that does not exist (perms.clj:57-62).
+
+    Spec grammar matches dispatch.OPMAP: ``memberof:<group>``,
+    ``bucket:<PERM|owner>``, ``object:<PERM>``.  Semantics preserved
+    from the reference: the bucket owner always passes
+    (bucket-satisfies?/object-satisfies? first clause), a needed
+    permission is satisfied by itself or FULL_CONTROL, group grants
+    match the caller's memberof set."""
+    groups = _caller_groups(tenant, memberof)
+    denied = (403, xmlio.error_response("AccessDenied", "access denied"))
+    bucket_row = None
+
+    def _bucket_row():
+        nonlocal bucket_row
+        if bucket_row is None:
+            rows = (
+                model["buckets"]
+                .filter(F.col("bucket") == (bucket or ""))
+                .limit(1)
+                .collect()
+            )
+            bucket_row = rows[0] if rows else False
+        return bucket_row
+
+    for spec in op_perms:
+        kind, _, arg = spec.partition(":")
+        if kind == "memberof":
+            if arg not in groups:
+                return denied
+        elif kind == "bucket":
+            bd = _bucket_row()
+            if bd is False:
+                return 404, xmlio.error_response("NoSuchBucket", bucket or "")
+            if tenant is not None and bd["tenant"] == tenant:
+                continue
+            # :owner admits only ownership or a FULL_CONTROL grant
+            # (bucket-satisfies? wraps needs as [:FULL_CONTROL needs])
+            needed = "FULL_CONTROL" if arg == "owner" else arg
+            if not _grant_satisfies(
+                model.get("grants"), bucket or "", needed, tenant, groups
+            ):
+                return denied
+        elif kind == "object":
+            bd = _bucket_row()
+            if bd is not False and tenant is not None and bd["tenant"] == tenant:
+                continue
+            # explicit path-keyed grant rows (put-object-acl writes
+            # them) take precedence; else the object row's canned ACL
+            if _grant_satisfies(
+                model.get("grants"),
+                f"{bucket}/{object_key}",
+                arg,
+                tenant,
+                groups,
+            ):
+                continue
+            rows = (
+                model["objects"]
+                .filter(
+                    (F.col("bucket") == (bucket or ""))
+                    & (F.col("object") == (object_key or ""))
+                )
+                .limit(1)
+                .collect()
+            )
+            canned = (rows[0]["acl"] if rows else None) or "private"
+            if not _canned_satisfies(canned, arg, tenant, groups):
+                return denied
+    return None
+
+
 def serve(
     model: dict[str, DataFrame],
     method: str,
@@ -462,25 +604,36 @@ def serve(
     tenant: str | None = None,
     headers: dict | None = None,
     form: dict | None = None,
+    memberof: tuple[str, ...] = (),
 ):
     """End-to-end dispatch (operations.clj:999-1034): resolve the
     request to its operation (vhost rewrite, route target, action
-    suffix — operators/dispatch.py), route to the composed handler, and
-    fall through to the reference's UnknownAction 400
-    (operations.clj:813-818, xml.clj:140-145) when no opmap entry
-    matches or the handler isn't wired.
+    suffix — operators/dispatch.py), authorize it against the opmap's
+    permission specs (perms.clj:39-84 — ``tenant=None`` is the
+    anonymous caller; failures short-circuit to 403 AccessDenied /
+    404 NoSuchBucket before any handler runs, exactly the reference's
+    ``(perms/authorize request perms system)`` call), route to the
+    composed handler, and fall through to the reference's
+    UnknownAction 400 (operations.clj:813-818, xml.clj:140-145) when
+    no opmap entry matches or the handler isn't wired.
 
-    ``model`` carries the derived store tables (buckets/objects
-    DataFrames).  Authentication/authorization are the separately
-    oracle-gated sig/perms operators; production inserts
-    perms.authorize between resolution and the handler exactly as the
-    reference does.  Returns (status, payload) where payload is XML,
-    a header dict (HEAD), or a DataFrame (bulk delete)."""
-    from pithos_spark.operators.dispatch import resolve_operation
+    ``model`` carries the derived store tables (buckets/objects, and
+    optionally grants for ACL evaluation).  Signature VERIFICATION is
+    the separately oracle-gated sig operator — callers hand serve()
+    the authenticated identity it established.  Returns
+    (status, payload) where payload is XML, a header dict (HEAD), or
+    a DataFrame (bulk delete)."""
+    from pithos_spark.operators.dispatch import OPMAP, resolve_operation
 
     r = resolve_operation(method, uri, params or {}, host=host)
     op, b, k = r["operation"], r["bucket"], r["object"]
     buckets, objects = model["buckets"], model["objects"]
+
+    entry = OPMAP.get(op)
+    if entry is not None:
+        refusal = authorize_request(model, entry[2], b, k, tenant, memberof)
+        if refusal is not None:
+            return refusal
 
     if op == "get-service":
         return 200, get_service(buckets, tenant or "")

@@ -514,7 +514,8 @@ def test_serve_routes_end_to_end(spark):
 
     # GET /bucket: listing XML with the request's prefix echoed
     status, xml = serve(
-        model, "GET", "/NATION_2", {"prefix": "1-URGENT/", "max-keys": "5"}
+        model, "GET", "/NATION_2", {"prefix": "1-URGENT/", "max-keys": "5"},
+        tenant="ASIA",
     )
     assert status == 200
     root = ET.fromstring(xml)
@@ -524,7 +525,7 @@ def test_serve_routes_end_to_end(spark):
     # vhost addressing resolves to the same bucket listing
     status2, xml2 = serve(
         model, "GET", "", {"prefix": "1-URGENT/", "max-keys": "5"},
-        host="NATION_2.s3.example.com",
+        host="NATION_2.s3.example.com", tenant="ASIA",
     )
     assert (status2, xml2) == (status, xml)
 
@@ -534,25 +535,31 @@ def test_serve_routes_end_to_end(spark):
     key = model["objects"].filter(
         F.col("bucket") == "NATION_2"
     ).orderBy("object").limit(1).collect()[0]["object"]
-    status, headers = serve(model, "HEAD", f"/NATION_2/{key}")
+    status, headers = serve(model, "HEAD", f"/NATION_2/{key}", tenant="ASIA")
     assert status == 200 and "ETag" in headers
-    assert serve(model, "HEAD", "/NATION_2/definitely-missing")[0] == 404
+    assert serve(
+        model, "HEAD", "/NATION_2/definitely-missing", tenant="ASIA"
+    )[0] == 404
 
     # HEAD bucket: presence check
-    assert serve(model, "HEAD", "/NATION_2")[0] == 200
-    assert serve(model, "HEAD", "/no-such-bucket")[0] == 404
+    assert serve(model, "HEAD", "/NATION_2", tenant="ASIA")[0] == 200
+    assert serve(model, "HEAD", "/no-such-bucket", tenant="ASIA")[0] == 404
 
     # PUT bucket: name validation + already-exists
-    assert serve(model, "PUT", "/ab")[0] == 400
-    assert serve(model, "PUT", "/NATION_2")[0] == 409
-    assert serve(model, "PUT", "/brand-new-bucket")[0] == 200
+    assert serve(model, "PUT", "/ab", tenant="ASIA")[0] == 400
+    assert serve(model, "PUT", "/NATION_2", tenant="ASIA")[0] == 409
+    assert serve(model, "PUT", "/brand-new-bucket", tenant="ASIA")[0] == 200
 
     # subresource stubs (operations.clj:386-434)
-    status, xml = serve(model, "GET", "/NATION_2", {"policy": None})
+    status, xml = serve(model, "GET", "/NATION_2", {"policy": None}, tenant="ASIA")
     assert status == 404
     assert "NoSuchBucketPolicy" in xml
-    assert serve(model, "PUT", "/NATION_2", {"lifecycle": None})[0] == 204
-    status, xml = serve(model, "GET", "/NATION_2", {"versioning": None})
+    assert serve(
+        model, "PUT", "/NATION_2", {"lifecycle": None}, tenant="ASIA"
+    )[0] == 204
+    status, xml = serve(
+        model, "GET", "/NATION_2", {"versioning": None}, tenant="ASIA"
+    )
     assert status == 200 and "VersioningConfiguration" in xml
 
     # unknown operation -> UnknownAction 400 (xml.clj:140-145)
@@ -583,22 +590,31 @@ def test_serve_acl_and_cors_subresources(spark):
         "cors_rules": T.cors_rules_df(t),
     }
 
+    def owner(bname):
+        return (
+            model["buckets"].filter(F.col("bucket") == bname)
+            .collect()[0]["tenant"]
+        )
+
     gb = model["grants"].limit(1).collect()[0]["bucket"]
-    status, xml = serve(model, "GET", f"/{gb}", {"acl": None}, tenant="t1")
+    status, xml = serve(model, "GET", f"/{gb}", {"acl": None}, tenant=owner(gb))
     assert status == 200
     root = ET.fromstring(xml)
     assert root.tag.endswith("AccessControlPolicy")
     assert len(root.find("s3:AccessControlList", NS)) >= 1
 
     cb = model["cors_rules"].limit(1).collect()[0]["bucket"]
-    status, xml = serve(model, "GET", f"/{cb}", {"cors": None})
+    status, xml = serve(model, "GET", f"/{cb}", {"cors": None}, tenant=owner(cb))
     assert status == 200
     assert ET.fromstring(xml).tag.endswith("CORSConfiguration")
 
-    # every synthetic bucket carries rules at this SF, so probe a
-    # rule-less name for the 404 path
-    status, xml = serve(model, "GET", "/no-rules-bucket", {"cors": None})
+    # an existing bucket with no rules: 404 NoSuchCORSConfiguration
+    # (a MISSING bucket now 404s earlier, as NoSuchBucket, in authorize)
+    bare = {**model, "cors_rules": model["cors_rules"].filter(F.col("bucket") != cb)}
+    status, xml = serve(bare, "GET", f"/{cb}", {"cors": None}, tenant=owner(cb))
     assert status == 404 and "NoSuchCORSConfiguration" in xml
+    status, xml = serve(model, "GET", "/no-rules-bucket", {"cors": None})
+    assert status == 404 and "NoSuchBucket" in xml
 
 
 def test_serve_object_read_and_multipart_lifecycle(spark):
@@ -626,34 +642,41 @@ def test_serve_object_read_and_multipart_lifecycle(spark):
         "bucket string, object string, inode string, size long, "
         "atime string, checksum string, acl string, storageclass string",
     )
+    bkt_row = spark.createDataFrame(
+        [("bkt", "tester", False, "tenant:tester", 99)],
+        T.buckets_df(t).schema,
+    )
     model = {
-        "buckets": T.buckets_df(t),
+        "buckets": T.buckets_df(t).unionByName(bkt_row),
         "objects": objects,
         "chunks": chunks,
         "parts": T.parts_df(t),
     }
 
-    status, body = serve(model, "GET", "/bkt/doc.bin")
+    status, body = serve(model, "GET", "/bkt/doc.bin", tenant="tester")
     assert status == 200 and len(body) == size
     status, part = serve(
-        model, "GET", "/bkt/doc.bin", {"range": "bytes=5-24"}
+        model, "GET", "/bkt/doc.bin", {"range": "bytes=5-24"}, tenant="tester"
     )
     assert status == 206 and part == body[5:25]
     status, err = serve(
-        model, "GET", "/bkt/doc.bin", {"range": f"bytes={size + 10}-"}
+        model, "GET", "/bkt/doc.bin", {"range": f"bytes={size + 10}-"},
+        tenant="tester",
     )
     assert status == 416 and "InvalidRange" in err
-    assert serve(model, "GET", "/bkt/missing")[0] == 404
+    assert serve(model, "GET", "/bkt/missing", tenant="tester")[0] == 404
 
     # multipart: initiate -> list parts -> complete
-    status, xml = serve(model, "POST", "/bkt/doc.bin", {"uploads": None})
+    status, xml = serve(
+        model, "POST", "/bkt/doc.bin", {"uploads": None}, tenant="tester"
+    )
     assert status == 200
     up = ET.fromstring(xml).findtext("s3:UploadId", namespaces=NS)
     assert up == hashlib.md5(b"bkt/doc.bin").hexdigest()
 
     real_up = model["parts"].limit(1).collect()[0]["upload"]
     status, xml = serve(
-        model, "GET", "/bkt/doc.bin", {"uploadid": real_up}
+        model, "GET", "/bkt/doc.bin", {"uploadid": real_up}, tenant="tester"
     )
     assert status == 200
     parts_xml = ET.fromstring(xml).findall("s3:Part", NS)
@@ -673,13 +696,14 @@ def test_serve_object_read_and_multipart_lifecycle(spark):
         + "</CompleteMultipartUpload>"
     )
     status, xml = serve(
-        model, "POST", "/bkt/doc.bin", {"uploadid": real_up}, body=manifest
+        model, "POST", "/bkt/doc.bin", {"uploadid": real_up}, body=manifest,
+        tenant="tester",
     )
     assert status == 200
     assert ET.fromstring(xml).tag.endswith("CompleteMultipartUploadResult")
 
     status, surviving = serve(
-        model, "DELETE", "/bkt/doc.bin", {"uploadid": real_up}
+        model, "DELETE", "/bkt/doc.bin", {"uploadid": real_up}, tenant="tester"
     )
     assert status == 204
     assert surviving.filter(F.col("upload") == real_up).count() == 0
@@ -709,17 +733,17 @@ def test_serve_mutations_and_preflight(spark):
     key = model["objects"].filter(
         F.col("bucket") == "NATION_2"
     ).orderBy("object").limit(1).collect()[0]["object"]
-    status, surviving = serve(model, "DELETE", f"/NATION_2/{key}")
+    status, surviving = serve(model, "DELETE", f"/NATION_2/{key}", tenant="ASIA")
     assert status == 204
     assert surviving.filter(
         (F.col("bucket") == "NATION_2") & (F.col("object") == key)
     ).count() == 0
 
-    status, err = serve(model, "DELETE", "/NATION_2")
+    status, err = serve(model, "DELETE", "/NATION_2", tenant="ASIA")
     assert status == 409 and "BucketNotEmpty" in err
 
     body = "x" * 1300
-    status, out = serve(model, "PUT", "/NATION_2/new-key", body=body)
+    status, out = serve(model, "PUT", "/NATION_2/new-key", body=body, tenant="ASIA")
     assert status == 200
     assert out["ETag"] == f'"{hashlib.md5(body.encode()).hexdigest()}"'
     chunks = out["chunks"].collect()
@@ -746,7 +770,7 @@ def test_serve_mutations_and_preflight(spark):
     assert status == 403 and "AccessForbidden" in err
 
     # resolved but unwired here (needs grants the model lacks) -> 501
-    status, err = serve(model, "PUT", "/NATION_2/k", {"acl": None})
+    status, err = serve(model, "PUT", "/NATION_2/k", {"acl": None}, tenant="ASIA")
     assert status == 501 and "NotImplemented" in err
 
 
@@ -777,14 +801,18 @@ def test_serve_acl_cors_writes_and_uploads_listing(spark):
         "<MaxAgeSeconds>60</MaxAgeSeconds>"
         "</CORSRule></CORSConfiguration>"
     )
-    status, plan = serve(model, "PUT", "/NATION_2", {"cors": None}, body=cors_body)
+    status, plan = serve(
+        model, "PUT", "/NATION_2", {"cors": None}, body=cors_body, tenant="ASIA"
+    )
     assert status == 200
     mine = plan.filter(F.col("bucket") == "NATION_2").collect()
     assert len(mine) == 1 and mine[0]["origin_pattern"] == "https://new.example.com"
-    status, plan = serve(model, "DELETE", "/NATION_2", {"cors": None})
+    status, plan = serve(model, "DELETE", "/NATION_2", {"cors": None}, tenant="ASIA")
     assert status == 204
     assert plan.filter(F.col("bucket") == "NATION_2").count() == 0
-    assert serve(model, "PUT", "/NATION_2", {"cors": None}, body="<wat/>")[0] == 400
+    assert serve(
+        model, "PUT", "/NATION_2", {"cors": None}, body="<wat/>", tenant="ASIA"
+    )[0] == 400
 
     # PUT ?acl writes bucket-keyed grants; object form keys by path
     acl_body = (
@@ -795,12 +823,15 @@ def test_serve_acl_cors_writes_and_uploads_listing(spark):
         "<Permission>READ</Permission></Grant>"
         "</AccessControlList></AccessControlPolicy>"
     )
-    status, plan = serve(model, "PUT", "/NATION_2", {"acl": None}, body=acl_body)
+    status, plan = serve(
+        model, "PUT", "/NATION_2", {"acl": None}, body=acl_body, tenant="ASIA"
+    )
     assert status == 200
     got = plan.filter(F.col("bucket") == "NATION_2").collect()
     assert [(g["perm"], g["grantee_id"]) for g in got] == [("READ", "alice")]
     status, plan = serve(
-        model, "PUT", "/NATION_2/some/key", {"acl": None}, body=acl_body
+        model, "PUT", "/NATION_2/some/key", {"acl": None}, body=acl_body,
+        tenant="ASIA",
     )
     assert status == 200
     assert plan.filter(F.col("bucket") == "NATION_2/some/key").count() == 1
@@ -810,16 +841,17 @@ def test_serve_acl_cors_writes_and_uploads_listing(spark):
         (F.col("bucket") == "NATION_2") & (F.col("acl") == "private")
     ).limit(1).collect()[0]
     status, xml = serve(
-        model, "GET", f"/NATION_2/{row['object']}", {"acl": None}, tenant="own"
+        model, "GET", f"/NATION_2/{row['object']}", {"acl": None}, tenant="ASIA"
     )
     assert status == 200
     root = ET.fromstring(xml)
     ids = [e.text for e in root.iter(f"{{{xmlio.S3_NS}}}ID")]
-    assert "own" in ids  # owner always holds FULL_CONTROL
+    assert "ASIA" in ids  # owner always holds FULL_CONTROL
 
     # uploads listing filtered by prefix
     status, xml = serve(
-        model, "GET", "/NATION_2", {"uploads": None, "prefix": "mp/1"}
+        model, "GET", "/NATION_2", {"uploads": None, "prefix": "mp/1"},
+        tenant="ASIA",
     )
     assert status == 200
     root = ET.fromstring(xml)
@@ -843,15 +875,19 @@ def test_serve_upload_part_merges(spark):
     from tests.conftest import SF_SMOKE
 
     t = T.load_tables(spark, SF_SMOKE)
+    bkt_row = spark.createDataFrame(
+        [("bkt", "tester", False, "tenant:tester", 99)],
+        T.buckets_df(t).schema,
+    )
     model = {
-        "buckets": T.buckets_df(t),
+        "buckets": T.buckets_df(t).unionByName(bkt_row),
         "objects": T.objects_df(t),
         "parts": T.parts_df(t),
     }
     body = "part-payload"
     status, out = serve(
         model, "PUT", "/bkt/obj",
-        {"uploadid": "up-x", "partnumber": "2"}, body=body,
+        {"uploadid": "up-x", "partnumber": "2"}, body=body, tenant="tester",
     )
     assert status == 200
     assert out["ETag"] == f'"{hashlib.md5(body.encode()).hexdigest()}"'
@@ -861,7 +897,7 @@ def test_serve_upload_part_merges(spark):
     # re-PUT the same part with a different body -> replaced, not duplicated
     status, out2 = serve(
         model, "PUT", "/bkt/obj",
-        {"uploadid": "up-x", "partnumber": "2"}, body="other",
+        {"uploadid": "up-x", "partnumber": "2"}, body="other", tenant="tester",
     )
     assert status == 200
     again = out2["parts"].filter(F.col("upload") == "up-x").collect()
@@ -891,7 +927,7 @@ def test_serve_browser_form_upload(spark):
         model, "POST", "/NATION_2",
         form={"key": "uploads/a.txt", "policy": policy,
               "success_action_status": "201"},
-        body="hello form",
+        body="hello form", tenant="ASIA",
     )
     assert status == 201
     assert out["chunks"].agg(F.sum("chunksize")).collect()[0][0] == 10
@@ -899,19 +935,21 @@ def test_serve_browser_form_upload(spark):
     status, err = serve(
         model, "POST", "/NATION_2",
         form={"key": "elsewhere/a.txt", "policy": policy}, body="x",
+        tenant="ASIA",
     )
     assert status == 403 and "key-prefix" in err
 
     status, err = serve(
         model, "POST", "/NATION_2",
         form={"key": "uploads/big", "policy": policy}, body="y" * 200,
+        tenant="ASIA",
     )
     assert status == 403 and "content-length-range" in err
 
     status, err = serve(
         model, "POST", "/NATION_2",
         form={"key": "uploads/late", "policy": {**policy, "expired": True}},
-        body="z",
+        body="z", tenant="ASIA",
     )
     assert status == 403 and "AccessDenied" in err
 
@@ -965,7 +1003,7 @@ def test_serve_covers_every_opmap_operation(spark):
         status, payload = serve(
             model, method, uri, params,
             body=bodies.get(operation, ""),
-            tenant="AMERICA",
+            tenant="ASIA",
             headers={
                 "Origin": "https://x.example.com",
                 "Access-Control-Request-Method": "GET",
@@ -974,3 +1012,127 @@ def test_serve_covers_every_opmap_operation(spark):
         assert status != 501, operation
         if status == 400:
             assert "UnknownAction" not in str(payload), operation
+
+
+def test_serve_authorization_scenarios(spark):
+    """Ported 403/404 authorization scenarios from the reference
+    integration suite (test/io/pithos/operations_test.clj:191-250):
+    writes to a nonexistent bucket 404, anonymous/foreign writes to
+    another tenant's bucket 403, owners pass, and grants / canned
+    object ACLs admit non-owners exactly as perms.clj:39-84 evaluates
+    them."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.operators.api import serve
+    from tests.conftest import SF_SMOKE
+
+    t = T.load_tables(spark, SF_SMOKE)
+    model = {"buckets": T.buckets_df(t), "objects": T.objects_df(t)}
+
+    # "put to inexistant bucket yields 404": authorize's :bucket check
+    # raises no-such-bucket before any handler runs (perms.clj:57-62)
+    status, err = serve(model, "PUT", "/batman/foo.txt", body="x", tenant="foo")
+    assert status == 404 and "NoSuchBucket" in err
+
+    # "put to wrong bucket yields 403": anonymous PUT to a bucket owned
+    # by another tenant (the reference's :anonymous! request)
+    status, err = serve(model, "PUT", "/NATION_2/foo.txt", body="x")
+    assert status == 403 and "AccessDenied" in err
+    # same for an authenticated caller who is neither owner nor grantee
+    status, err = serve(
+        model, "PUT", "/NATION_2/foo.txt", body="x", tenant="EUROPE"
+    )
+    assert status == 403 and "AccessDenied" in err
+
+    # anonymous callers fail memberof:authenticated-users ops outright
+    assert serve(model, "GET", "/")[0] == 403          # get-service
+    assert serve(model, "PUT", "/new-bucket")[0] == 403  # put-bucket
+    # ... while any authenticated tenant passes them
+    assert serve(model, "PUT", "/new-bucket", tenant="anyone")[0] == 200
+
+    # delete-bucket demands ownership (bucket:owner): foreign tenant
+    # 403, owner reaches the handler (409 here — bucket not empty)
+    assert serve(model, "DELETE", "/NATION_2", tenant="EUROPE")[0] == 403
+    assert serve(model, "DELETE", "/NATION_2", tenant="ASIA")[0] == 409
+
+    # canned object ACL: public-read admits anonymous GET, private 403s
+    chunks = T.chunks_df(t)
+    inode = chunks.limit(1).collect()[0]["inode"]
+    objects = spark.createDataFrame(
+        [
+            ("NATION_2", "pub.bin", inode, 10, "2024-01-01", "x",
+             "public-read", "STANDARD"),
+            ("NATION_2", "priv.bin", inode, 10, "2024-01-01", "x",
+             None, "STANDARD"),
+        ],
+        model["objects"].schema,
+    )
+    omodel = {**model, "objects": objects, "chunks": chunks}
+    assert serve(omodel, "GET", "/NATION_2/pub.bin")[0] == 200
+    status, err = serve(omodel, "GET", "/NATION_2/priv.bin")
+    assert status == 403 and "AccessDenied" in err
+    # authenticated-read: only non-anonymous callers pass
+    objects2 = objects.withColumn(
+        "acl",
+        F.when(F.col("object") == "priv.bin", F.lit("authenticated-read"))
+        .otherwise(F.col("acl")),
+    )
+    omodel2 = {**omodel, "objects": objects2}
+    assert serve(omodel2, "GET", "/NATION_2/priv.bin")[0] == 403
+    assert serve(omodel2, "GET", "/NATION_2/priv.bin", tenant="who")[0] == 200
+
+    # grants table: a group grant (AllUsers READ) opens the bucket
+    # listing to anonymous; a canonical FULL_CONTROL grant lets a
+    # foreign tenant write; a memberof group grant matches the
+    # caller's declared memberships
+    grants = spark.createDataFrame(
+        [
+            ("NATION_2", "READ", "AllUsers", "group"),
+            ("NATION_2", "FULL_CONTROL", "EUROPE", "canonical"),
+            ("NATION_3", "WRITE", "staff", "group"),
+        ],
+        ["bucket", "perm", "grantee_id", "grantee_type"],
+    )
+    gmodel = {**model, "grants": grants}
+    assert serve(gmodel, "GET", "/NATION_2")[0] == 200           # anonymous list
+    assert serve(gmodel, "GET", "/NATION_3")[0] == 403           # no READ grant
+    status, _ = serve(
+        gmodel, "PUT", "/NATION_2/foo.txt", body="x", tenant="EUROPE"
+    )
+    assert status != 403  # FULL_CONTROL covers bucket:WRITE
+    assert serve(
+        gmodel, "DELETE", "/NATION_3/some-key", tenant="who", memberof=("staff",)
+    )[0] != 403
+    assert serve(gmodel, "DELETE", "/NATION_3/some-key", tenant="who")[0] == 403
+
+
+def test_serve_enforces_perms_for_every_opmap_operation(spark):
+    """Completeness, authorization axis: every opmap operation with a
+    non-empty perms spec refuses an anonymous caller on a foreign
+    bucket with no grants — proving serve() carries each op's perms
+    pairs through to authorize_request, not just the handlers."""
+    from pithos_spark import tables as T
+    from pithos_spark.operators.api import serve
+    from pithos_spark.operators.dispatch import OPMAP
+    from tests.conftest import SF_SMOKE
+
+    t = T.load_tables(spark, SF_SMOKE)
+    model = {"buckets": T.buckets_df(t), "objects": T.objects_df(t)}
+    for operation, (_, _, perms, _) in sorted(OPMAP.items()):
+        if not perms:
+            continue  # options-* are deliberately unauthenticated (CORS)
+        parts = operation.split("-")
+        method, target = parts[0].upper(), parts[1]
+        suffix = "-".join(parts[2:]) or None
+        uri = {
+            "service": "/",
+            "bucket": "/NATION_2",
+            "object": "/NATION_2/somekey",
+        }[target]
+        params = {suffix: None} if suffix else {}
+        if suffix == "uploadid":
+            params["uploadid"] = "up-1"
+        status, payload = serve(model, method, uri, params)
+        assert status == 403, (operation, status)
+        assert "AccessDenied" in str(payload), operation
