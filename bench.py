@@ -8,12 +8,21 @@ pipeline, the descriptor join, storage accounting, the TPC-H-style bulk
 analytics, event windowing/sessionization, and the order-sensitive
 checksum agg.  Each query is collected (or counted) to force full
 execution.
+
+Variance control (VERDICT r6 task 2 / r7 task 2): single cold runs moved
+±24% on untouched code between rounds, so every headliner now runs
+REPEATS (default 3) times and the canonical per-query number in
+``queries`` is the MEDIAN.  The raw per-run samples land in ``runs`` and
+the first (coldest) sample in ``cold`` so a regression on the artifact is
+classifiable as noise vs real: a real change moves the median, a noisy
+one only widens the spread.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -42,6 +51,8 @@ HEADLINERS = [
     "corpus_duplicate_spans",
 ]
 
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
 
 def build_session(cpus: str):
     from pyspark.sql import SparkSession
@@ -57,6 +68,13 @@ def build_session(cpus: str):
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .getOrCreate()
     )
+
+
+def _run_noop(df) -> None:
+    # noop sink: forces full computation of every column with zero
+    # driver-side transfer, so timings measure the engine, not
+    # row-to-Python conversion
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -83,26 +101,26 @@ def main() -> None:
     from pithos_spark import tables as _PT
     from pithos_spark.operators.listing import list_objects as _lo
 
-    _lo(_PT.objects_df(warm), "NATION_0", "", "/", None, 10).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    _run_noop(_lo(_PT.objects_df(warm), "NATION_0", "", "/", None, 10))
 
-    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINERS:
         if name not in QUERIES:
             continue
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink: forces full computation of every column with zero
-        # driver-side transfer, so timings measure the engine, not
-        # row-to-Python conversion
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples: list[float] = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            _run_noop(fn(spark, sf_dir))
+            samples.append(round(time.perf_counter() - t0, 3))
+        runs[name] = samples
+        medians[name] = round(statistics.median(samples), 3)
 
     # the production path: listing against the partitioned+sorted objects
     # layout (what a deployed store would serve reads from) — shows the
     # layout payoff next to the derive-on-the-fly number above
+    import shutil
     import tempfile
 
     from pithos_spark import tables as PT
@@ -110,24 +128,38 @@ def main() -> None:
     from pithos_spark.sources.store import write_objects_layout
 
     layout = tempfile.mkdtemp(prefix="bench_layout_")
-    t0 = time.perf_counter()
-    write_objects_layout(PT.objects_df(warm), f"{layout}/objects")
-    timings["materialize_objects_layout"] = round(time.perf_counter() - t0, 3)
-    stored = spark.read.parquet(f"{layout}/objects")
-    t0 = time.perf_counter()
-    list_objects(stored, "NATION_2", "1-URGENT/", "/", None, 100).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    timings["list_objects_materialized"] = round(time.perf_counter() - t0, 3)
+    mat_samples: list[float] = []
+    for i in range(REPEATS):
+        dest = f"{layout}/objects_{i}"
+        t0 = time.perf_counter()
+        write_objects_layout(PT.objects_df(warm), dest)
+        mat_samples.append(round(time.perf_counter() - t0, 3))
+    runs["materialize_objects_layout"] = mat_samples
+    medians["materialize_objects_layout"] = round(statistics.median(mat_samples), 3)
+    stored = spark.read.parquet(f"{layout}/objects_0")
+    list_samples: list[float] = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        _run_noop(list_objects(stored, "NATION_2", "1-URGENT/", "/", None, 100))
+        list_samples.append(round(time.perf_counter() - t0, 3))
+    runs["list_objects_materialized"] = list_samples
+    medians["list_objects_materialized"] = round(statistics.median(list_samples), 3)
     spark.stop()
+    shutil.rmtree(layout, ignore_errors=True)
 
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(medians.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
+                # per-run samples: first entry is the coldest run (plan
+                # compile + codegen for that query); median of the list is
+                # the canonical number above
+                "runs": runs,
+                "cold": {n: s[0] for n, s in runs.items()},
+                "repeats": REPEATS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
