@@ -1464,6 +1464,60 @@ def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_heavy_hitters",
+    """\
+WITH c AS (
+    SELECT event_type, user_id, count(*) AS n_events
+    FROM events GROUP BY event_type, user_id
+),
+t AS (
+    SELECT event_type, count(*) AS total FROM events GROUP BY event_type
+)
+SELECT c.event_type, c.user_id, c.n_events
+FROM c JOIN t USING (event_type)
+WHERE c.n_events * 128 > t.total
+ORDER BY c.event_type, c.user_id""",
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for the space-saving sketch (VERDICT r6 task 4 / r7
+    task 4): run the deterministic batch twin of
+    streaming/heavyhitters.py at m=128, then keep only the users the
+    sketch is THEORETICALLY REQUIRED to get right — those with true count
+    > N/m per event type — and only where the sketch's bounds actually
+    hold (true <= est <= true + err, err <= N/m).  Output values are the
+    exact counts, so the DuckDB oracle is plain SQL; if the sketch ever
+    drops a guaranteed heavy hitter or violates a bound, the inner join /
+    filter loses that row and the driver's row+hash compare goes red.
+
+    Plan: one map-side-combined shuffle for exact counts, per-type totals
+    and the <=m-row sketch both broadcast back onto it.
+    """
+    import pyspark.sql.functions as F
+
+    from pithos_spark.streaming.heavyhitters import heavy_hitters_batch
+
+    m = 128
+    events = T.load_tables(spark, sf_dir)["events"]
+    sketch = heavy_hitters_batch(events, m=m)
+    exact = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    totals = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("total"))
+    return (
+        exact.join(F.broadcast(totals), "event_type")
+        .where(F.col("n_events") * m > F.col("total"))
+        .join(F.broadcast(sketch), ["event_type", "user_id"])
+        .where(
+            (F.col("est_count") >= F.col("n_events"))
+            & (F.col("est_count") <= F.col("n_events") + F.col("err"))
+            & (F.col("err") * m <= F.col("total"))
+        )
+        .select("event_type", "user_id", "n_events")
+        .orderBy("event_type", "user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join, interval trailing window, grouping-sets rollup
 # ---------------------------------------------------------------------------

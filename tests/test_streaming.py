@@ -673,6 +673,83 @@ def test_streaming_heavy_hitters_bounds_hold_when_m_small(spark, tmp_path):
             assert est - err <= true, (et, user)
 
 
+def test_heavy_hitters_batch_twin_bounds_and_determinism(spark):
+    """The deterministic batch twin (heavy_hitters_batch) must honour the
+    space-saving guarantees under real recycling pressure: at m=8 over a
+    skewed table, state stays <= m per type, every estimate brackets the
+    true count (true <= est <= true + err), every user with true count >
+    N/m is tracked, and — because ingest order is fixed — two runs emit
+    byte-identical tables."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.streaming.heavyhitters import heavy_hitters_batch
+
+    batch_events = T.load_tables(spark, SF_SMOKE)["events"]
+    skewed = batch_events.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 3 == 0, F.lit(7)).otherwise(
+            F.col("user_id")
+        ),
+    )
+
+    m = 8
+    rows = heavy_hitters_batch(skewed, m=m).collect()
+    again = heavy_hitters_batch(skewed, m=m).collect()
+    key = lambda r: (r["event_type"], r["user_id"])  # noqa: E731
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    per_type: dict = {}
+    for r in rows:
+        per_type.setdefault(r["event_type"], {})[r["user_id"]] = (
+            r["est_count"],
+            r["err"],
+        )
+    true_counts = {
+        key(r): r["n"]
+        for r in skewed.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    totals: dict = {}
+    for (et, _u), n in true_counts.items():
+        totals[et] = totals.get(et, 0) + n
+    for et, table in per_type.items():
+        assert 0 < len(table) <= m, et
+        for user, (est, err) in table.items():
+            true = true_counts.get((et, user), 0)
+            assert est >= true, (et, user)
+            assert est - err <= true, (et, user)
+        # guarantee: every user above N/m is tracked
+        for (et2, user), n in true_counts.items():
+            if et2 == et and n * m > totals[et]:
+                assert user in table, (et, user)
+
+
+def test_heavy_hitters_batch_twin_exact_when_m_large(spark):
+    """m >= distinct users -> the twin degenerates to exact counting
+    (matches groupBy counts, err 0), mirroring the streaming test."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.streaming.heavyhitters import heavy_hitters_batch
+
+    batch_events = T.load_tables(spark, SF_SMOKE)["events"]
+    got = {
+        (r["event_type"], r["user_id"]): (r["est_count"], r["err"])
+        for r in heavy_hitters_batch(batch_events, m=100000).collect()
+    }
+    want = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in batch_events.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, (est, err) in got.items():
+        assert est == want[k] and err == 0, k
+
+
 def test_watermark_lateness_in_order_and_conservation(spark):
     """jitter=1 degenerates the synthetic arrival shuffle to the ingest
     order, and the fixture's event_id is time-ordered, so every event is
