@@ -464,31 +464,32 @@ def _caller_groups(tenant: str | None, memberof: tuple[str, ...]) -> set[str]:
     return groups
 
 
-def _grant_satisfies(
-    grants: DataFrame | None,
+def _rows_grant(
+    rows,
     key: str,
     needed: str,
     tenant: str | None,
     groups: set[str],
 ) -> bool:
-    """granted? over the typed grants table (perms.clj:9-19): a row for
-    ``key`` carrying ``needed`` or FULL_CONTROL, granted to the caller
-    directly or to one of their groups."""
-    if grants is None:
-        return False
-    from pithos_spark.operators.perms import effective_grants
-
-    match = effective_grants(grants.filter(F.col("bucket") == key), needed).filter(
-        (
-            (F.col("grantee_type") == "canonical")
-            & (F.col("grantee_id") == (tenant or ""))
+    """granted? (perms.clj:9-19) over already-collected grant rows: a row
+    for ``key`` carrying ``needed`` or FULL_CONTROL, granted to the
+    caller directly or to one of their groups.  Pure Python on purpose —
+    authorize_request collects the (tiny, per-request) grant rows once
+    and every spec in the op's perms list evaluates against that list
+    without launching further Spark jobs (ADVICE r7)."""
+    return any(
+        r["bucket"] == key
+        and r["perm"] in (needed, "FULL_CONTROL")
+        and (
+            (
+                r["grantee_type"] == "canonical"
+                and tenant is not None
+                and r["grantee_id"] == tenant
+            )
+            or (r["grantee_type"] == "group" and r["grantee_id"] in groups)
         )
-        | (
-            (F.col("grantee_type") == "group")
-            & F.col("grantee_id").isin(sorted(groups))
-        )
+        for r in rows
     )
-    return match.limit(1).count() > 0
 
 
 def _canned_satisfies(
@@ -530,10 +531,16 @@ def authorize_request(
     from the reference: the bucket owner always passes
     (bucket-satisfies?/object-satisfies? first clause), a needed
     permission is satisfied by itself or FULL_CONTROL, group grants
-    match the caller's memberof set."""
+    match the caller's memberof set.
+
+    Job budget: at most three lazy, memoized driver-side lookups per
+    request — the bucket row, the grant rows for BOTH the bucket key and
+    the object path key (one filter-isin job), and the object row — no
+    matter how many specs the op's perms list carries (ADVICE r7)."""
     groups = _caller_groups(tenant, memberof)
     denied = (403, xmlio.error_response("AccessDenied", "access denied"))
     bucket_row = None
+    grant_rows = None
 
     def _bucket_row():
         nonlocal bucket_row
@@ -546,6 +553,22 @@ def authorize_request(
             )
             bucket_row = rows[0] if rows else False
         return bucket_row
+
+    def _grant_rows():
+        nonlocal grant_rows
+        if grant_rows is None:
+            g = model.get("grants")
+            if g is None:
+                grant_rows = []
+            else:
+                keys = [bucket or ""]
+                if object_key is not None:
+                    keys.append(f"{bucket}/{object_key}")
+                grant_rows = g.filter(F.col("bucket").isin(keys)).collect()
+        return grant_rows
+
+    def _granted(key, needed):
+        return _rows_grant(_grant_rows(), key, needed, tenant, groups)
 
     for spec in op_perms:
         kind, _, arg = spec.partition(":")
@@ -561,23 +584,16 @@ def authorize_request(
             # :owner admits only ownership or a FULL_CONTROL grant
             # (bucket-satisfies? wraps needs as [:FULL_CONTROL needs])
             needed = "FULL_CONTROL" if arg == "owner" else arg
-            if not _grant_satisfies(
-                model.get("grants"), bucket or "", needed, tenant, groups
-            ):
+            if not _granted(bucket or "", needed):
                 return denied
         elif kind == "object":
             bd = _bucket_row()
             if bd is not False and tenant is not None and bd["tenant"] == tenant:
                 continue
-            # explicit path-keyed grant rows (put-object-acl writes
-            # them) take precedence; else the object row's canned ACL
-            if _grant_satisfies(
-                model.get("grants"),
-                f"{bucket}/{object_key}",
-                arg,
-                tenant,
-                groups,
-            ):
+            # explicit path-keyed grant rows (put-object-acl and the
+            # put-object creator grant write them) take precedence; else
+            # the object row's canned ACL
+            if _granted(f"{bucket}/{object_key}", arg):
                 continue
             rows = (
                 model["objects"]
@@ -588,10 +604,102 @@ def authorize_request(
                 .limit(1)
                 .collect()
             )
-            canned = (rows[0]["acl"] if rows else None) or "private"
-            if not _canned_satisfies(canned, arg, tenant, groups):
-                return denied
+            if rows:
+                row = rows[0]
+                # the creating tenant always holds FULL_CONTROL on their
+                # object: the reference's header-acl embeds both bucket
+                # owner and creator as FULL_CONTROL grantees
+                # (perms.clj:109-131), so a non-owner uploader admitted
+                # via a bucket WRITE grant is never locked out of their
+                # own upload (ADVICE r7)
+                if (
+                    tenant is not None
+                    and "owner" in row.__fields__
+                    and row["owner"] == tenant
+                ):
+                    continue
+                canned = row["acl"] or "private"
+                if not _canned_satisfies(canned, arg, tenant, groups):
+                    return denied
+            else:
+                # the object does not exist: inherit the BUCKET ACL
+                # (desc.clj:66-71 — "to avoid returning unexpected
+                # 403s"), so e.g. an anonymous GET of a missing key in a
+                # public-read bucket authorizes here and the handler
+                # answers 404 NoSuchKey, not 403
+                if bd is False:
+                    return 404, xmlio.error_response(
+                        "NoSuchBucket", bucket or ""
+                    )
+                if not _granted(bucket or "", arg):
+                    return denied
     return None
+
+
+def authenticate_v2(
+    method: str,
+    uri: str,
+    params: dict,
+    headers: dict,
+    keystore: dict[str, dict],
+    sign_uri: str | None = None,
+) -> tuple[tuple[str | None, tuple[str, ...]], tuple[int, str] | None]:
+    """sig.clj:52-123 (validate): derive the caller's identity from the
+    request's AWS v2 signature before any authorization runs.
+
+    Credentials come from the ``Authorization: AWS <key>:<sig>`` header
+    or the ``awsaccesskeyid``/``signature`` query params (presigned
+    form); absent both, the request is anonymous (sig.clj:85).  The
+    expected signature is HMAC-SHA1 over the reference's string-to-sign
+    (method, content-md5, content-type, date-or-expires, sorted x-amz
+    headers, sign-uri); a mismatch or unknown access key answers
+    403 SignatureDoesNotMatch (xml.clj:313-318) without reaching
+    authorize.  On success the keystore entry's tenant/memberof become
+    the established identity (plus authenticated-users, which
+    _caller_groups adds for any non-anonymous tenant).
+
+    Returns ((tenant, memberof), refusal): refusal is None unless the
+    signature check failed.
+    """
+    import re
+
+    from pithos_spark.operators import sig
+
+    h = {str(k).lower(): v for k, v in (headers or {}).items()}
+    auth_header = h.get("authorization", "")
+    m = re.match(r"^[Aa][Ww][Ss] (.*):(.*)$", auth_header)
+    if m:
+        access_key, given = m.group(1), m.group(2)
+    elif params.get("awsaccesskeyid") and params.get("signature"):
+        access_key, given = params["awsaccesskeyid"], params["signature"]
+    else:
+        return (None, ()), None
+
+    bad = (
+        403,
+        xmlio.error_response(
+            "SignatureDoesNotMatch",
+            "The request signature we calculated does not match the "
+            "signature you provided.",
+        ),
+    )
+    entry = keystore.get(access_key)
+    if entry is None:
+        return (None, ()), bad
+    date = params.get("expires") or (
+        "" if "x-amz-date" in h else h.get("date", "")
+    )
+    sts = sig.v2_string_to_sign(
+        method.upper(),
+        h.get("content-md5", ""),
+        h.get("content-type", ""),
+        date,
+        {k: v for k, v in h.items() if k.startswith("x-amz")},
+        sign_uri if sign_uri is not None else uri,
+    )
+    if sig.v2_sign(entry["secret"], sts) != given:
+        return (None, ()), bad
+    return (entry.get("tenant"), tuple(entry.get("memberof", ()))), None
 
 
 def serve(
@@ -605,6 +713,8 @@ def serve(
     headers: dict | None = None,
     form: dict | None = None,
     memberof: tuple[str, ...] = (),
+    keystore: dict[str, dict] | None = None,
+    sign_uri: str | None = None,
 ):
     """End-to-end dispatch (operations.clj:999-1034): resolve the
     request to its operation (vhost rewrite, route target, action
@@ -618,12 +728,25 @@ def serve(
     no opmap entry matches or the handler isn't wired.
 
     ``model`` carries the derived store tables (buckets/objects, and
-    optionally grants for ACL evaluation).  Signature VERIFICATION is
-    the separately oracle-gated sig operator — callers hand serve()
-    the authenticated identity it established.  Returns
-    (status, payload) where payload is XML, a header dict (HEAD), or
-    a DataFrame (bulk delete)."""
+    optionally grants for ACL evaluation).  Identity: by default the
+    caller hands serve() the authenticated tenant/memberof it
+    established; pass ``keystore`` ({access_key: {secret, tenant,
+    memberof?}}) to instead AUTHENTICATE the request first, the
+    reference's request.clj:219-246 ordering — v2 signature verified
+    against the keystore before perms/authorize runs, 403
+    SignatureDoesNotMatch on mismatch, anonymous when the request
+    carries no credentials (``sign_uri`` overrides the signed resource
+    path when it differs from ``uri``, e.g. vhost-style requests).
+    Returns (status, payload) where payload is XML, a header dict
+    (HEAD), or a DataFrame (bulk delete)."""
     from pithos_spark.operators.dispatch import OPMAP, resolve_operation
+
+    if keystore is not None:
+        (tenant, memberof), refusal = authenticate_v2(
+            method, uri, params or {}, headers or {}, keystore, sign_uri
+        )
+        if refusal is not None:
+            return refusal
 
     r = resolve_operation(method, uri, params or {}, host=host)
     op, b, k = r["operation"], r["bucket"], r["object"]
@@ -633,6 +756,10 @@ def serve(
     if entry is not None:
         refusal = authorize_request(model, entry[2], b, k, tenant, memberof)
         if refusal is not None:
+            # HTTP HEAD carries no body: refusals keep the header-dict
+            # payload shape HEAD handlers return (ADVICE r7)
+            if method.upper() == "HEAD":
+                return refusal[0], {}
             return refusal
 
     if op == "get-service":
@@ -860,7 +987,20 @@ def serve(
         )
         new_chunks = chunk_ingest(payload_df)
         etag = hashlib.md5(body.encode()).hexdigest()
-        return 200, {"ETag": f'"{etag}"', "chunks": new_chunks}
+        resp = {"ETag": f'"{etag}"', "chunks": new_chunks}
+        if tenant is not None and "grants" in model:
+            # header-acl (perms.clj:109-131) embeds the CREATING tenant
+            # as a FULL_CONTROL grantee, so a non-owner uploader admitted
+            # via a bucket WRITE grant keeps control of their own object;
+            # the path-keyed grant row is what authorize_request's object
+            # branch checks first.  (The bucket owner needs no row — the
+            # ownership clause already admits them.)
+            creator = spark.createDataFrame(
+                [(f"{b}/{k}", "FULL_CONTROL", tenant, "canonical")],
+                model["grants"].schema,
+            )
+            resp["grants"] = model["grants"].unionByName(creator)
+        return 200, resp
     if op == "post-bucket" and "chunks" in model:
         import hashlib
 
