@@ -632,7 +632,7 @@ def duplicate_spans(
     documents: DataFrame,
     n: int = 10,
     min_docs: int = 2,
-    broadcast_counts: bool = True,
+    broadcast_counts: bool | None = None,
 ) -> DataFrame:
     """Span-level exact-duplicate extraction — the mask list a
     substring-dedup pass consumes (dedup at the span, not the document:
@@ -664,13 +664,18 @@ def duplicate_spans(
          aggregation emits one row per span per task, so the hot key
          reaches its reducer as <= num_tasks partial counts: skew-free
          where a span_hash-partitioned window sort is not;
-      4. the counts (one narrow row per span that IS duplicated —
-         tiny after the min_docs filter) broadcast-join back onto the
-         occurrences, which therefore never re-shuffle at all.  For a
-         corpus where the duplicated-span set itself outgrows a
-         broadcast, ``broadcast_counts=False`` switches to a plain
-         span_hash join and leaves the hot key to AQE's skew-join
-         split — still no single-partition window sort.
+      4. the counts (one narrow row per span that IS duplicated)
+         join back onto the occurrences.  ``broadcast_counts=None``
+         (default) lets the optimizer decide: AQE measures the counts
+         side at runtime and broadcasts only under
+         ``spark.sql.autoBroadcastJoinThreshold`` (10 MB default, ~40
+         bytes/row -> ~250k duplicated spans), so a boilerplate-heavy
+         corpus or ``min_docs=1`` cannot OOM the driver by forcing an
+         oversized broadcast (ADVICE r7).  ``True`` forces the hint
+         when the caller KNOWS the duplicated-span set is small (the
+         occurrences then provably never re-shuffle);  ``False``
+         forbids it — plain span_hash shuffle join, hot keys left to
+         AQE's skew-join split — still no single-partition sort.
 
     Measured 2.2 s -> 1.9 s cold at sf0.1 (r7) versus the window
     form — the de-skew is free.
@@ -691,8 +696,12 @@ def duplicate_spans(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
-    if broadcast_counts:
+    if broadcast_counts is True:
         counts = F.broadcast(counts)
+    elif broadcast_counts is False:
+        # forbid the runtime broadcast too: merge-join the shuffle,
+        # leaving a hot span_hash to AQE's skew-join split
+        counts = counts.hint("merge")
     return (
         spans.join(counts, "span_hash")
         .select("doc_id", "pos", "span_hash", "n_docs")
