@@ -40,11 +40,58 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("asset_id", T.LongType()),
         T.StructField("media_type", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("fake_width", T.LongType()),
-        T.StructField("fake_height", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
         T.StructField("checksum_head", T.StringType()),
     ]
 )
+
+
+def _parse_image_header(b: bytes) -> tuple[int, int] | None:
+    """Stdlib image-dimension decode for the formats whose headers carry
+    them: PNG (IHDR), JPEG (SOF frame scan), GIF (logical screen).  The
+    no-dependency fallback when PIL is not importable — real bytes, real
+    dimensions, no media libs."""
+    import struct
+
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        w, h = struct.unpack(">II", b[16:24])
+        return int(w), int(h)
+    if b[:2] == b"\xff\xd8":  # JPEG: walk segments to the first SOFn
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return int(w), int(h)
+            (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+            i += 2 + seglen
+        return None
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return int(w), int(h)
+    return None
+
+
+def _real_decode(b: bytes) -> tuple[int, int] | None:
+    """Real decode: PIL when importable (full decoder), else the stdlib
+    header parse above.  None when the payload is not a decodable
+    image."""
+    try:
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(b)) as img:
+                return int(img.width), int(img.height)
+        except Exception:  # noqa: BLE001 — undecodable payload
+            return None
+    except ImportError:
+        return _parse_image_header(bytes(b))
 
 
 def assets_from_documents(documents: DataFrame) -> DataFrame:
@@ -65,15 +112,14 @@ def assets_from_documents(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_stub(assets: DataFrame) -> DataFrame:
-    """The decode / feature-extract stage as an Arrow-batched
-    ``mapInPandas`` pipeline.
-
-    REAL: batch iteration, schema contract, per-batch vectorized work.
-    FAKE: the "decode" derives width/height deterministically from the
-    byte length (a real build would call PIL/ffmpeg here and raise
-    ``NotImplementedError`` if the lib is missing).
-    """
+def _decode_pipeline(assets: DataFrame, try_real: bool) -> DataFrame:
+    """Shared Arrow-batched ``mapInPandas`` decode stage.  With
+    ``try_real`` each payload first goes through ``_real_decode`` (PIL
+    when importable, stdlib header parse otherwise); payloads that are
+    not decodable images — and everything when ``try_real`` is off —
+    take the deterministic fake (dimensions from byte length), flagged
+    ``decoded=false``.  Both paths emit identical schema, so a mixed
+    corpus (real PNGs next to opaque blobs) flows through one plan."""
 
     def decode_batches(batches: Iterator) -> Iterator:
         import hashlib
@@ -82,14 +128,29 @@ def decode_stub(assets: DataFrame) -> DataFrame:
 
         for pdf in batches:
             n_bytes = pdf["payload"].map(len)
+            fake_w = n_bytes % 640 + 1
+            fake_h = n_bytes % 480 + 1
+            if try_real:
+                dims = pdf["payload"].map(lambda b: _real_decode(bytes(b)))
+                decoded = dims.map(lambda d: d is not None)
+                width = [
+                    d[0] if d is not None else fw
+                    for d, fw in zip(dims, fake_w)
+                ]
+                height = [
+                    d[1] if d is not None else fh
+                    for d, fh in zip(dims, fake_h)
+                ]
+            else:
+                decoded, width, height = False, fake_w, fake_h
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": n_bytes,
-                    # deterministic fake decode: dimensions from length
-                    "fake_width": n_bytes % 640 + 1,
-                    "fake_height": n_bytes % 480 + 1,
+                    "width": width,
+                    "height": height,
+                    "decoded": decoded,
                     "checksum_head": pdf["payload"].map(
                         lambda b: hashlib.md5(b).hexdigest()[:8]
                     ),
@@ -99,22 +160,44 @@ def decode_stub(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(decode_batches, FEATURE_SCHEMA)
 
 
+def decode_features(assets: DataFrame) -> DataFrame:
+    """The decode / feature-extract stage: REAL image decode when the
+    payload is a real image (PIL if importable, else the stdlib
+    PNG/JPEG/GIF header parse), deterministic fake otherwise.  Batch
+    iteration, schema contract, and per-batch vectorized work are
+    identical on both paths."""
+    return _decode_pipeline(assets, try_real=True)
+
+
+def decode_stub(assets: DataFrame) -> DataFrame:
+    """Forced-fake variant of ``decode_features``: every payload takes
+    the deterministic length-arithmetic decode.  Kept as the oracle
+    twin — on non-image payloads ``decode_features`` must agree with it
+    value-for-value (tested), which is what lets the SQL oracle cover
+    the real pipeline."""
+    return _decode_pipeline(assets, try_real=False)
+
+
 def media_features(documents: DataFrame) -> DataFrame:
     """End-to-end multimodal pipeline: derive assets -> Arrow-batched
-    decode stub -> typed feature rows."""
-    return decode_stub(assets_from_documents(documents)).orderBy("asset_id")
+    decode (real-capable; document text payloads are not images, so the
+    fake branch is what the corpus exercises) -> typed feature rows."""
+    return decode_features(assets_from_documents(documents)).orderBy("asset_id")
 
 
-# The decode math is simple enough to mirror in SQL, so even the
-# Pandas-UDF path gets a full value-hash oracle (the fake decode is
-# length arithmetic + md5 prefix):
+# The fallback decode math is simple enough to mirror in SQL, so even
+# the Pandas-UDF path gets a full value-hash oracle: document text
+# payloads are never decodable images, so decode_features provably takes
+# the fake branch on every corpus row (decoded=false; parity with
+# decode_stub is separately unit-tested against real PNG/JPEG fixtures):
 MEDIA_FEATURES_SQL = """\
 SELECT doc_id AS asset_id,
        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
             ELSE 'video' END AS media_type,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
-       CAST(strlen(text) % 640 + 1 AS BIGINT) AS fake_width,
-       CAST(strlen(text) % 480 + 1 AS BIGINT) AS fake_height,
+       CAST(strlen(text) % 640 + 1 AS BIGINT) AS width,
+       CAST(strlen(text) % 480 + 1 AS BIGINT) AS height,
+       false AS decoded,
        substr(md5(text), 1, 8) AS checksum_head
 FROM documents
 ORDER BY asset_id"""

@@ -1,0 +1,117 @@
+"""Multimodal decode: real image payloads through the same mapInPandas
+contract as the deterministic fake (VERDICT r6 task 6).
+
+The fixtures are REAL bytes — a valid zlib-compressed PNG, a minimal
+JPEG with an SOF0 frame header, a GIF89a logical screen — generated
+with the stdlib so the test runs in containers without media libs.
+decode_features must recover their true dimensions; on non-image
+payloads it must agree value-for-value with decode_stub (the property
+that lets the SQL oracle cover the real pipeline)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from tests.conftest import SF_SMOKE
+
+
+def _png(w: int, h: int) -> bytes:
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x00" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 4
+
+
+def test_header_parsers_recover_true_dimensions():
+    from pithos_spark.sources.multimodal import _parse_image_header
+
+    assert _parse_image_header(_png(320, 200)) == (320, 200)
+    assert _parse_image_header(_jpeg(64, 48)) == (64, 48)
+    assert _parse_image_header(_gif(17, 23)) == (17, 23)
+    assert _parse_image_header(b"plain text payload") is None
+    assert _parse_image_header(b"\xff\xd8truncated") is None
+
+
+def test_decode_features_real_images_and_fake_fallback(spark):
+    """A mixed asset table — real PNG/JPEG/GIF next to an opaque text
+    blob — through ONE decode_features plan: image rows come back
+    decoded=true with their true dimensions, the blob takes the fake
+    branch with the stub's length arithmetic."""
+    import hashlib
+
+    from pithos_spark.sources.multimodal import ASSET_SCHEMA, decode_features
+
+    blob = b"not an image at all, just bytes"
+    rows = [
+        (1, "image", _png(320, 200), {}),
+        (2, "image", _jpeg(64, 48), {}),
+        (3, "image", _gif(17, 23), {}),
+        (4, "audio", blob, {}),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in decode_features(assets).collect()}
+
+    assert (got[1]["width"], got[1]["height"], got[1]["decoded"]) == (320, 200, True)
+    assert (got[2]["width"], got[2]["height"], got[2]["decoded"]) == (64, 48, True)
+    assert (got[3]["width"], got[3]["height"], got[3]["decoded"]) == (17, 23, True)
+    # the blob: fake branch, length arithmetic, flagged undecoded
+    n = len(blob)
+    assert (got[4]["width"], got[4]["height"], got[4]["decoded"]) == (
+        n % 640 + 1,
+        n % 480 + 1,
+        False,
+    )
+    for aid, payload in ((1, _png(320, 200)), (4, blob)):
+        assert got[aid]["n_bytes"] == len(payload)
+        assert got[aid]["checksum_head"] == hashlib.md5(payload).hexdigest()[:8]
+
+
+def test_decode_features_agrees_with_stub_on_non_images(spark):
+    """Value parity between the real-capable path and the forced-fake
+    stub on undecodable payloads — the invariant the registry oracle
+    (MEDIA_FEATURES_SQL over text documents) relies on — plus schema
+    equality between the two paths."""
+    from pithos_spark import tables as T
+    from pithos_spark.sources.multimodal import (
+        assets_from_documents,
+        decode_features,
+        decode_stub,
+    )
+
+    docs = T.load_tables(spark, SF_SMOKE)["documents"]
+    assets = assets_from_documents(docs)
+    real = decode_features(assets)
+    stub = decode_stub(assets)
+    assert real.schema == stub.schema
+    real_rows = sorted(map(tuple, real.collect()))
+    stub_rows = sorted(map(tuple, stub.collect()))
+    assert real_rows == stub_rows
