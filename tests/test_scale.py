@@ -181,6 +181,117 @@ def test_perplexity_lm_join_colocates_when_bucketed(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_cap_family_soak_10x_explosion(spark):
+    """Cap soak (VERDICT r6 task 8 / r7 task 5): drive the LSH and
+    semantic cluster caps under a 10x synthetic doc explosion with a
+    planted viral cohort, and assert with explicit bounds that (a) the
+    caps actually BIND — pre-cap occupancy exceeds them — and (b) the
+    candidate set stays sub-quadratic after capping.
+
+    Construction: sf0.01 documents x10 replicas (5,000 docs); every 5th
+    original doc's text is replaced by one shared boilerplate string, so
+    1,000 docs are byte-identical — without the cap each band holds a
+    1,000-doc bucket contributing ~500k candidate pairs per band
+    (~4M over 8 bands), the quadratic blowup a viral template causes at
+    100 TB."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions.dedup import (
+        _cap_buckets,
+        lsh_band_signatures,
+        lsh_bucket_stats,
+    )
+
+    docs = T.load_tables(spark, SF_ORACLE)["documents"]
+    replicas = spark.range(10).withColumnRenamed("id", "rep")
+    boiler = " ".join(f"tok{i} word{i}" for i in range(40))
+    exploded = (
+        docs.crossJoin(F.broadcast(replicas))
+        .select(
+            (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(boiler))
+            .otherwise(F.concat_ws(" ", "text", F.col("rep").cast("string")))
+            .alias("text"),
+        )
+    )
+    n_docs = exploded.count()
+    assert n_docs == 5000
+    cap = 32
+
+    # (a) telemetry shows the pressure AND the cap engaging: every band
+    # carries the 1,000-doc viral bucket, far above the cap, and the
+    # drop accounting matches
+    stats = {r["band"]: r for r in lsh_bucket_stats(exploded, max_bucket=cap).collect()}
+    assert len(stats) == 8
+    for band, r in stats.items():
+        assert r["max_bucket_size"] >= 1000, (band, r)
+        assert r["n_buckets_over_cap"] >= 1, (band, r)
+        assert r["n_docs_dropped"] >= 1000, (band, r)
+        assert r["n_docs"] == n_docs, (band, r)
+
+    # (b) the capped candidate set is sub-quadratic: every surviving
+    # bucket holds <= cap rows, so candidates <= rows_post_cap * cap / 2
+    # per band; the uncapped viral bucket alone would exceed that bound
+    # by orders of magnitude
+    banded = lsh_band_signatures(exploded)
+    capped = _cap_buckets(banded, ["band", "band_key"], cap)
+    a, b = capped.alias("a"), capped.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.band", "a.doc_id", F.col("b.doc_id").alias("doc_b"))
+        .count()
+    )
+    rows_post_cap = capped.count()
+    assert candidates <= rows_post_cap * (cap - 1) / 2, (candidates, rows_post_cap)
+    # the viral bucket's uncapped contribution: 1000*999/2 pairs PER
+    # BAND (~4M total) — the capped total must stay well under it
+    uncapped_viral = 8 * (1000 * 999) // 2
+    assert candidates < uncapped_viral / 10, (candidates, uncapped_viral)
+
+    # (c) the semantic cluster cap binds the same way: x10-replicated
+    # vectors inflate every k-means cell; with max_cluster=40 a cell
+    # keeps at most 40 members, so in-cluster candidates are bounded by
+    # n_clusters * C(40, 2) regardless of occupancy
+    from pithos_spark.functions.similarity import build_ivf_lloyd_index
+
+    emb = T.load_tables(spark, SF_ORACLE)["embeddings"]
+    emb10 = (
+        emb.crossJoin(F.broadcast(replicas))
+        .select(
+            (F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+    )
+    n_clusters, max_cluster = 16, 40
+    assigned, _ = build_ivf_lloyd_index(emb10, n_clusters, n_iter=1)
+    occupancy = assigned.groupBy("cluster").count().collect()
+    assert max(r["count"] for r in occupancy) > max_cluster  # pressure exists
+    from pyspark.sql import Window
+
+    from pithos_spark.functions.dedup import portable_hash60
+
+    wb = Window.partitionBy("cluster").orderBy(
+        portable_hash60(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    kept = (
+        assigned.withColumn("_bn", F.row_number().over(wb))
+        .filter(F.col("_bn") <= max_cluster)
+        .groupBy("cluster")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= max_cluster for r in kept)
+    total_kept_pairs = sum(r["count"] * (r["count"] - 1) // 2 for r in kept)
+    assert total_kept_pairs <= n_clusters * max_cluster * (max_cluster - 1) // 2
+
+
 def test_duplicate_spans_viral_span_spreads_over_partitions(spark):
     """A span present in EVERY document (viral boilerplate) must not
     single-partition the occurrence exchange: duplicate_spans keys its
