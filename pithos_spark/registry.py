@@ -2503,89 +2503,82 @@ def events_api_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order (still runnable, just outside the 50-entry hard gate this round).
 # ---------------------------------------------------------------------------
 
-# Queries changed or added in the CURRENT round (6) — spliced at the
-# very front of the window so they get a fresh verdict: the three r5 red
-# rows whose output shape was fixed (scalar percentile columns; BIGINT-
-# cast oracle bucket), plus the new §2.11 dispatch query.
-# (ann_ivf_kmeans_topk was UNREGISTERED this round: float centroids can
-# never hash-match an oracle, so its row was a structurally-permanent
-# `no_oracle` — the operator lives on as a library function with recall
-# tests, and ann_ivf_lloyd_topk is the hash-gated IVF representative.)
+# Queries changed or added in the CURRENT round (8) — spliced at the
+# very front of the window so they get a fresh verdict: the new
+# heavy-hitters oracle gate, the three multimodal queries (the decode
+# stage gained a real image path and multimodal_features' output schema
+# changed: width/height/decoded), the two operators rewritten in r7
+# that never got a driver verdict (corpus_duplicate_spans — whose
+# broadcast default also changed this round — and
+# corpus_novelty_scores), and events_watermark_lateness (jitter
+# expression changed in 9a83db9; re-verify once more post-change).
 ROUND_NEW: list[str] = [
-    "dedup_embedding_lsh",
-    "corpus_profile",
-    "events_value_percentiles",
-    "s3_resolve_operations",
-    "dedup_semantic",
-    "corpus_perplexity_filter",
-    "ann_projected_topk",
-    "events_api_traffic",
-    "corpus_tokenizer_fertility",
-    "corpus_semantic_topics",
-    "dedup_semantic_clusters",
-    "corpus_chunk_windows",
-    "dedup_lsh_bucket_stats",
-    "corpus_source_overlap",
+    "events_heavy_hitters",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "corpus_duplicate_spans",
+    "corpus_novelty_scores",
     "events_watermark_lateness",
 ]
 
 DRIVER_PRIORITY: list[str] = [
-    # rotate verdicts across the rest of the registry: every query whose
-    # most recent green row is ≥3 rounds old (the 27 r1-green + 12
-    # r2-green entries — r4/r5 greens cycle OUT this round and return
-    # as canaries next round).  Keeping each query's verdict ≤3 rounds
-    # stale is the window policy VERDICT r5 task 8 asks for.
-    "acl_authorized_buckets",
-    "acl_merged_grants",
-    "acl_read_grants",
-    "ann_brute_force_topk",
-    "ann_label_centroids",
-    "bucket_name_validation",
-    "buckets_object_presence",
-    "chunk_ingest_explode",
-    "copy_range_rebase",
-    "dedup_jaccard_pairs",
-    "events_dedup_first",
-    "events_json_extract",
-    "events_sessionize",
-    "events_sliding_activity",
-    "list_uploads_prefix",
-    "objects_bulk_delete",
-    "objects_delete_where",
-    "objects_upsert_merge",
-    "q14_promo_revenue",
-    "q3_top_unshipped",
-    "q5_region_revenue",
-    "tenant_usage_rollup",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_count_bpe",
-    "upload_details",
-    "aborted_upload_gc",
-    "bucket_by_tenant",
-    "bucket_usage",
-    "complete_upload_validate",
-    "events_hourly_rollup",
-    "fetch_bucket",
-    # list_objects_no_delim yields its slot to the round's 12th new
-    # query; rotates back in r7 (root/paged keep listing covered).
-    # objects_page, range_read_chunks, and object_descriptor (all
-    # r4-green, the least-stale rotations here) yield their slots to the
-    # three round-6 telemetry/diagnostic queries; they rotate back in r7.
-    "list_objects_paged",
-    "list_objects_root",
+    # the full ≤r4-stale backlog (VERDICT r7 task 1): the four r2 greens
+    # that have waited longest, then every r4 green.  After this window
+    # no query's last driver verdict is older than r5.
+    "list_objects_no_delim",
+    "object_descriptor",
+    "objects_page",
+    "range_read_chunks",
+    "acl_edn_grants",
+    "ann_ivf_topk",
+    "corpus_curation_pipeline",
+    "corpus_pack_sequences",
+    "corpus_sample_mix",
+    "cors_preflight",
+    "dedup_duplicate_clusters",
+    "dedup_keep_best",
+    "events_type_pivot",
+    "list_object_uploads",
+    "metadata_header_filter",
+    "q11_important_brands",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_special_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q2_cheapest_supplier",
+    "q4_priority_order_check",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "scalar_conversions",
 ]
 
-# Representative already-green core (fresh r5 greens) — kept inside the
-# window as regression canaries, AFTER anything needing a fresh verdict
-# (ADVICE r2: no magic slice; three explicit lists).  dedup_minhash_lsh
-# doubles as the r5→r6 perf-drift re-measure subject (VERDICT r5 task 5).
+# Representative already-green core (r5 greens) — regression canaries
+# AFTER anything needing a fresh verdict (ADVICE r2: no magic slice;
+# three explicit lists).  Picked for subsystem spread: dedup tiers
+# (exact/minhash/simhash/incremental — minhash doubles as the perf-
+# drift re-measure), storage reads (point lookup, reassembly, GC),
+# events (funnel/retention), policy validation, and the grouping-sets
+# rollup.  The ~31 remaining r5 greens rotate in next round.
 GREEN_CORE: list[str] = [
-    # no extra canaries this round: the 11-query ROUND_NEW plus the 39
-    # stale rotations fill the window exactly; list_objects_flagship is
-    # still exercised every round as the entry() smoke, and the r4/r5
-    # greens rotate back as canaries next round
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "dedup_simhash_pairs",
+    "dedup_incremental",
+    "get_object_point",
+    "orphan_chunk_gc",
+    "post_policy_validate",
+    "events_funnel",
+    "events_retention",
+    "object_reassembly_verify",
+    "usage_grouping_sets",
 ]
 
 
