@@ -316,8 +316,9 @@ def minhash_lsh_pairs(
     # forfeits ReuseExchange on the shingle-explode subtree (the two
     # verify joins then each re-explode and re-hash every shingle),
     # which costs more than the shuffle it saves on a cold run
-    # (bench: 3.9s plain vs 4.7s broadcast at sf0.1; warm sessions with
-    # the scan cached invert to 3.4 vs 2.7).  Default off: one shingle
+    # (r8 median-of-3 bench: 2.96 s plain at sf0.1; the r5 head-to-head
+    # measured 3.9 s plain vs 4.7 s broadcast cold, inverting to
+    # 3.4 vs 2.7 warm with the scan cached).  Default off: one shingle
     # materialization + shuffle is the shape that holds at 100 TB.
     if broadcast_candidates:
         candidates = F.broadcast(candidates)
