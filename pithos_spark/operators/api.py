@@ -702,6 +702,84 @@ def authenticate_v2(
     return (entry.get("tenant"), tuple(entry.get("memberof", ()))), None
 
 
+_V4_AUTH_RE = (
+    r"^AWS4-HMAC-SHA256 Credential=(\w+)/(\d{8})/([\w\d-]+)/([\w\d]+)"
+    r"/aws4_request,\s*SignedHeaders=([\w\-;]+),\s*Signature=(\w+)$"
+)
+
+
+def authenticate_v4(
+    method: str,
+    uri: str,
+    params: dict,
+    headers: dict,
+    body: str,
+    keystore: dict[str, dict],
+) -> tuple[tuple[str | None, tuple[str, ...]], tuple[int, str] | None]:
+    """sig4.clj: parse the ``AWS4-HMAC-SHA256`` Authorization header
+    (parse-authorization, sig4.clj:12-26), recompute the signature from
+    the canonical request + chained signing key (is-signed-by?,
+    sig4.clj:162-175), and — when the request declares
+    ``x-amz-content-sha256`` — verify the body digest too (the streaming
+    adapter sig4.clj:177-199 raises the same signature-does-not-match).
+    Returns ((tenant, memberof), refusal) like :func:`authenticate_v2`.
+    """
+    import re
+
+    from pithos_spark.operators import sig
+
+    h = {str(k).lower(): v for k, v in (headers or {}).items()}
+    m = re.match(_V4_AUTH_RE, h.get("authorization", ""))
+    if not m:
+        return (None, ()), None
+    access_key, date, region, service, signed, given = m.groups()
+    bad = (
+        403,
+        xmlio.error_response(
+            "SignatureDoesNotMatch",
+            "The request signature we calculated does not match the "
+            "signature you provided.",
+        ),
+    )
+    entry = keystore.get(access_key)
+    if entry is None:
+        return (None, ()), bad
+    payload_hash = h.get("x-amz-content-sha256", sig.sha256_hex(body))
+    if payload_hash != "UNSIGNED-PAYLOAD" and payload_hash != sig.sha256_hex(
+        body
+    ):
+        return (None, ()), bad
+    query = [(k, v if v is not None else "") for k, v in sorted(params.items())]
+    creq = sig.v4_canonical_request(
+        method.upper(), uri, query, h, signed.split(";"), payload_hash
+    )
+    scope = f"{date}/{region}/{service}/aws4_request"
+    sts = sig.v4_string_to_sign(h.get("x-amz-date", ""), scope, creq)
+    key = sig.v4_signing_key(entry["secret"], date, region, service)
+    if sig.v4_signature(key, sts) != given:
+        return (None, ()), bad
+    return (entry.get("tenant"), tuple(entry.get("memberof", ()))), None
+
+
+def authenticate(
+    method: str,
+    uri: str,
+    params: dict,
+    headers: dict,
+    body: str,
+    keystore: dict[str, dict],
+    sign_uri: str | None = None,
+) -> tuple[tuple[str | None, tuple[str, ...]], tuple[int, str] | None]:
+    """request.clj:219-246 dispatch: AWS4- Authorization headers go
+    through sigv4 validation, everything else through the v2 path
+    (which itself falls back to anonymous when no credentials are
+    present)."""
+    h = {str(k).lower(): v for k, v in (headers or {}).items()}
+    if h.get("authorization", "").startswith("AWS4-"):
+        return authenticate_v4(method, uri, params, headers, body, keystore)
+    return authenticate_v2(method, uri, params, headers, keystore, sign_uri)
+
+
 def serve(
     model: dict[str, DataFrame],
     method: str,
@@ -732,18 +810,20 @@ def serve(
     caller hands serve() the authenticated tenant/memberof it
     established; pass ``keystore`` ({access_key: {secret, tenant,
     memberof?}}) to instead AUTHENTICATE the request first, the
-    reference's request.clj:219-246 ordering — v2 signature verified
-    against the keystore before perms/authorize runs, 403
-    SignatureDoesNotMatch on mismatch, anonymous when the request
-    carries no credentials (``sign_uri`` overrides the signed resource
-    path when it differs from ``uri``, e.g. vhost-style requests).
+    reference's request.clj:219-246 ordering — v2 or v4 signature
+    (AWS4- Authorization headers route to sigv4, including the
+    x-amz-content-sha256 body digest) verified against the keystore
+    before perms/authorize runs, 403 SignatureDoesNotMatch on mismatch,
+    anonymous when the request carries no credentials (``sign_uri``
+    overrides the v2 signed resource path when it differs from
+    ``uri``, e.g. vhost-style requests).
     Returns (status, payload) where payload is XML, a header dict
     (HEAD), or a DataFrame (bulk delete)."""
     from pithos_spark.operators.dispatch import OPMAP, resolve_operation
 
     if keystore is not None:
-        (tenant, memberof), refusal = authenticate_v2(
-            method, uri, params or {}, headers or {}, keystore, sign_uri
+        (tenant, memberof), refusal = authenticate(
+            method, uri, params or {}, headers or {}, body, keystore, sign_uri
         )
         if refusal is not None:
             return refusal
@@ -949,10 +1029,20 @@ def serve(
         )
         if not rows:
             return 404, xmlio.error_response("NoSuchKey", k)
-        canned = rows[0]["acl"] or "private"
-        grant_rows = expand_canned_acl(
-            objects.sparkSession, b, tenant or "", canned
-        ).collect()
+        # a stored per-object policy (put-object-acl / the put-object
+        # creator grant writes path-keyed rows) takes precedence over
+        # the canned expansion — the reference renders the descriptor's
+        # stored acl, not the default
+        grant_rows = []
+        if "grants" in model:
+            grant_rows = (
+                model["grants"].filter(F.col("bucket") == f"{b}/{k}").collect()
+            )
+        if not grant_rows:
+            canned = rows[0]["acl"] or "private"
+            grant_rows = expand_canned_acl(
+                objects.sparkSession, b, tenant or "", canned
+            ).collect()
         policy: dict[str, list[dict]] = {}
         for g in sorted(grant_rows, key=lambda r: (r["perm"], r["grantee_id"])):
             grantee = (

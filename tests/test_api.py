@@ -1313,6 +1313,131 @@ def test_serve_v2_signed_request_end_to_end(spark):
     assert status == 403 and "AccessDenied" in err
 
 
+def test_serve_v4_signed_request_end_to_end(spark):
+    """sigv4 through serve(): an AWS4-HMAC-SHA256 Authorization header
+    routes to validate4 (request.clj:239-240) — canonical request,
+    chained signing key, x-amz-content-sha256 body digest.  A correctly
+    signed request authenticates as the keystore tenant; a tampered
+    signature or a body that does not match its declared digest refuses
+    with 403 SignatureDoesNotMatch before authorization."""
+    from pithos_spark import tables as T
+    from pithos_spark.operators import sig
+    from pithos_spark.operators.api import serve
+    from tests.conftest import SF_SMOKE
+
+    t = T.load_tables(spark, SF_SMOKE)
+    model = {"buckets": T.buckets_df(t), "objects": T.objects_df(t)}
+    access_key, secret = "AKIDEXAMPLE", "wJalrXUtnFEMI"
+    keystore = {access_key: {"secret": secret, "tenant": "foo@example.com"}}
+    date, amz_date = "20260101", "20260101T000000Z"
+    region, service = "myregion", "s3"
+
+    def signed_headers(method, uri, params, body):
+        payload_hash = sig.sha256_hex(body)
+        headers = {
+            "host": "blob.example.com",
+            "x-amz-date": amz_date,
+            "x-amz-content-sha256": payload_hash,
+        }
+        signed = ["host", "x-amz-content-sha256", "x-amz-date"]
+        creq = sig.v4_canonical_request(
+            method, uri, sorted(params.items()), headers, signed, payload_hash
+        )
+        scope = f"{date}/{region}/{service}/aws4_request"
+        sts = sig.v4_string_to_sign(amz_date, scope, creq)
+        key = sig.v4_signing_key(secret, date, region, service)
+        signature = sig.v4_signature(key, sts)
+        headers["authorization"] = (
+            f"AWS4-HMAC-SHA256 Credential={access_key}/{date}/{region}"
+            f"/{service}/aws4_request, "
+            f"SignedHeaders={';'.join(signed)}, Signature={signature}"
+        )
+        return headers
+
+    # signed PUT to a missing bucket: authenticates, then 404s
+    h = signed_headers("PUT", "/batman/foo.txt", {}, "foobar")
+    status, err = serve(
+        model, "PUT", "/batman/foo.txt", body="foobar", headers=h,
+        keystore=keystore,
+    )
+    assert status == 404 and "NoSuchBucket" in err
+
+    # identity flows into authorization: signed caller passes the
+    # authenticated-users gate
+    h = signed_headers("PUT", "/new-bucket", {}, "")
+    assert serve(
+        model, "PUT", "/new-bucket", headers=h, keystore=keystore
+    )[0] == 200
+
+    # tampered signature
+    h = signed_headers("PUT", "/batman/foo.txt", {}, "foobar")
+    h["authorization"] = h["authorization"][:-4] + "beef"
+    status, err = serve(
+        model, "PUT", "/batman/foo.txt", body="foobar", headers=h,
+        keystore=keystore,
+    )
+    assert status == 403 and "SignatureDoesNotMatch" in err
+
+    # body swapped after signing: digest check refuses (sig4.clj's
+    # sha256-input-stream semantics)
+    h = signed_headers("PUT", "/batman/foo.txt", {}, "foobar")
+    status, err = serve(
+        model, "PUT", "/batman/foo.txt", body="EVIL", headers=h,
+        keystore=keystore,
+    )
+    assert status == 403 and "SignatureDoesNotMatch" in err
+
+
+def test_get_object_acl_renders_stored_policy(spark):
+    """put-object-acl -> get-object-acl round trip: once path-keyed
+    grant rows exist for an object, get-object-acl renders THEM (the
+    stored policy), not the canned expansion; objects without stored
+    rows keep the canned rendering."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.operators.api import serve
+    from tests.conftest import SF_SMOKE
+
+    t = T.load_tables(spark, SF_SMOKE)
+    model = {
+        "buckets": T.buckets_df(t),
+        "objects": T.objects_df(t),
+        "grants": spark.createDataFrame(
+            [], "bucket string, perm string, grantee_id string, grantee_type string"
+        ),
+    }
+    key = (
+        T.objects_df(t)
+        .filter(F.col("bucket") == "NATION_2")
+        .limit(1)
+        .collect()[0]["object"]
+    )
+    acl_xml = (
+        "<AccessControlPolicy><Owner><ID>ASIA</ID></Owner>"
+        "<AccessControlList><Grant>"
+        '<Grantee xsi:type="Group" '
+        'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">'
+        "<URI>http://acs.amazonaws.com/groups/global/AllUsers</URI>"
+        "</Grantee><Permission>READ</Permission>"
+        "</Grant></AccessControlList></AccessControlPolicy>"
+    )
+    status, new_grants = serve(
+        model, "PUT", f"/NATION_2/{key}", params={"acl": None},
+        body=acl_xml, tenant="ASIA",
+    )
+    assert status == 200
+    committed = {**model, "grants": new_grants}
+    status, rendered = serve(
+        committed, "GET", f"/NATION_2/{key}", params={"acl": None},
+        tenant="ASIA",
+    )
+    assert status == 200
+    assert "READ" in rendered and "AllUsers" in rendered
+    # FULL_CONTROL (the canned default) is NOT in the stored policy
+    assert "FULL_CONTROL" not in rendered
+
+
 def test_serve_enforces_perms_for_every_opmap_operation(spark):
     """Completeness, authorization axis: every opmap operation with a
     non-empty perms spec refuses an anonymous caller on a foreign
