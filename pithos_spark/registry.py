@@ -1490,30 +1490,41 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops a guaranteed heavy hitter or violates a bound, the inner join /
     filter loses that row and the driver's row+hash compare goes red.
 
-    Plan: one map-side-combined shuffle for exact counts, per-type totals
-    and the <=m-row sketch both broadcast back onto it.
+    Plan: ONE corpus scan — the per-(type, user) count exchange is built
+    once and shared (ReuseExchange) by its three consumers: the exact
+    side, the per-type totals (re-aggregated from counts, not the raw
+    events), and the sketch input; totals and the <=m-row sketch both
+    broadcast back onto the count rows.
     """
     import pyspark.sql.functions as F
 
-    from pithos_spark.streaming.heavyhitters import heavy_hitters_batch
+    from pithos_spark.streaming.heavyhitters import sketch_from_counts
 
     m = 128
     events = T.load_tables(spark, sf_dir)["events"]
-    sketch = heavy_hitters_batch(events, m=m)
-    exact = events.groupBy("event_type", "user_id").agg(
-        F.count(F.lit(1)).alias("n_events")
+    # filter the join keys' null-rejection ONCE below the aggregation:
+    # the downstream joins would otherwise push slightly different
+    # IsNotNull sets into each consumer's copy of the count subtree and
+    # break ReuseExchange (three corpus scans instead of one)
+    counts = (
+        events.where(
+            F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    totals = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("total"))
+    totals = counts.groupBy("event_type").agg(F.sum("cnt").alias("total"))
+    sketch = sketch_from_counts(counts, m=m)
     return (
-        exact.join(F.broadcast(totals), "event_type")
-        .where(F.col("n_events") * m > F.col("total"))
+        counts.join(F.broadcast(totals), "event_type")
+        .where(F.col("cnt") * m > F.col("total"))
         .join(F.broadcast(sketch), ["event_type", "user_id"])
         .where(
-            (F.col("est_count") >= F.col("n_events"))
-            & (F.col("est_count") <= F.col("n_events") + F.col("err"))
+            (F.col("est_count") >= F.col("cnt"))
+            & (F.col("est_count") <= F.col("cnt") + F.col("err"))
             & (F.col("err") * m <= F.col("total"))
         )
-        .select("event_type", "user_id", "n_events")
+        .select("event_type", "user_id", F.col("cnt").alias("n_events"))
         .orderBy("event_type", "user_id")
     )
 

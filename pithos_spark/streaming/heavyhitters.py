@@ -113,31 +113,27 @@ def make_update_fn(m: int):
     return _update
 
 
-def heavy_hitters_batch(events_df, m: int = 64):
-    """Deterministic batch twin of the streaming sketch (VERDICT r6 task
-    4): same ``_ingest`` recycling logic, run once per event_type over the
-    pre-aggregated (user, count) pairs in ascending-user order.
+def sketch_from_counts(counts_df, m: int = 64):
+    """Deterministic batch twin of the streaming sketch over
+    PRE-AGGREGATED (event_type, user_id, cnt) rows: same ``_ingest``
+    recycling logic, folded per event_type in ascending-user order.
 
-    Plan shape: one map-side-combined shuffle (groupBy event_type,
-    user_id) reduces the pandas group payload from raw events to DISTINCT
-    users per type, then ``applyInPandas`` folds that count vector through
-    the weighted space-saving update.  Determinism: the group arrives
-    whole (applyInPandas hands the full group to one task) and is sorted
-    by user_id before ingest, so the victim sequence — and therefore every
+    Taking counts (not raw events) lets the caller build the count
+    exchange ONCE and share it between the sketch, the exact side, and
+    the per-type totals (ReuseExchange) — at 100 TB that is one corpus
+    scan instead of three.  Determinism: the group arrives whole
+    (applyInPandas hands the full group to one task) and is sorted by
+    user_id before ingest, so the victim sequence — and therefore every
     (est_count, err) — is a pure function of the data.
 
-    Scale: the group payload is O(distinct users per type), not O(events).
-    For corpora where even that overflows one task, the streaming operator
-    (bounded O(m) state, incremental) is the production path and this twin
-    is the verification harness; the space-saving guarantees it certifies
-    (true <= est <= true + err; any user with count > N/m is tracked) are
-    what the registry oracle gates.
+    Scale: the group payload is O(distinct users per type), not
+    O(events).  For corpora where even that overflows one task, the
+    streaming operator (bounded O(m) state, incremental) is the
+    production path and this twin is the verification harness; the
+    space-saving guarantees it certifies (true <= est <= true + err;
+    any user with count > N/m is tracked) are what the registry oracle
+    gates.
     """
-    import pyspark.sql.functions as F
-
-    counts = events_df.groupBy("event_type", "user_id").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
 
     def _sketch(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("user_id")
@@ -157,7 +153,20 @@ def heavy_hitters_batch(events_df, m: int = 64):
             }
         )
 
-    return counts.groupBy("event_type").applyInPandas(_sketch, OUTPUT_SCHEMA)
+    return counts_df.groupBy("event_type").applyInPandas(_sketch, OUTPUT_SCHEMA)
+
+
+def heavy_hitters_batch(events_df, m: int = 64):
+    """Batch twin over raw events: one map-side-combined shuffle to
+    per-user counts, then :func:`sketch_from_counts`."""
+    import pyspark.sql.functions as F
+
+    return sketch_from_counts(
+        events_df.groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        m,
+    )
 
 
 def heavy_hitters(stream_df, m: int = 64):

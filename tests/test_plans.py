@@ -320,6 +320,24 @@ def test_api_traffic_resolution_stays_broadcast(tables, spark):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
 
 
+def test_heavy_hitters_gate_reuses_count_exchange(spark):
+    """events_heavy_hitters must build the per-(type, user) count
+    exchange ONCE and share it across its three consumers (exact side,
+    totals re-agg, sketch input): with AQE off the second and third
+    references collapse to ReusedExchange — one corpus scan, not
+    three.  Guards the explicit pre-join IsNotNull alignment: a
+    consumer-specific pushdown would silently fork extra scans."""
+    from pithos_spark.registry import QUERIES
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(QUERIES["events_heavy_hitters"](spark, SF_ORACLE))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("ReusedExchange") >= 2, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_source_overlap_reuses_signature_exchange(spark, tables):
     """The source-overlap self-join must compute the heavy shingle
     aggregation ONCE: with exchange reuse visible statically (AQE off,
