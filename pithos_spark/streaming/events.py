@@ -203,33 +203,46 @@ def funnel(
     remaining and integer conversion permille vs the previous step
     (first step pinned to 1000).
 
-    Plan shape: one filtered min-aggregate per step, all keyed on
-    user_id so the shuffles co-partition; each later stage joins a
-    strictly shrinking user set.  The step counts are single-row
-    aggregates cross-joined (broadcast, 1x1 rows) and unpivoted —
-    no window, no driver loop over data.
+    Plan shape (rewritten r8): ONE corpus scan and ONE user-keyed
+    exchange.  Each user's qualifying event times per step are gathered
+    in a single grouped aggregation (sorted arrays — state is the
+    user's own step events, same per-user bound as sessionize), and the
+    strictly-after chaining is pure array arithmetic on that row:
+    ``t_k = min(x in arr_k where x > t_{k-1})``.  The earlier form ran
+    one filtered min-aggregate per step with each stage joining the
+    previous — semantically identical, but column pruning specialized
+    every stage's copy of the upstream agg and defeated ReuseExchange,
+    so a K-step funnel re-scanned the corpus up to 2K-1 times.  The
+    step counts reduce to one single-row aggregate, unpivoted — no
+    window, no driver loop over data.
     """
-    aggs = []
-    prev = None
-    for step in steps:
-        cur = events.filter(F.col("event_type") == step)
-        if prev is None:
-            agg = cur.groupBy("user_id").agg(F.min("ts").alias("t"))
-        else:
-            agg = (
-                cur.join(
-                    prev.select("user_id", F.col("t").alias("t_prev")),
-                    "user_id",
-                )
-                .filter(F.col("ts") > F.col("t_prev"))
-                .groupBy("user_id")
-                .agg(F.min("ts").alias("t"))
-            )
-        aggs.append(agg)
-        prev = agg
-    row = aggs[0].agg(F.count(F.lit(1)).alias("n_0"))
-    for i, a in enumerate(aggs[1:], start=1):
-        row = row.crossJoin(a.agg(F.count(F.lit(1)).alias(f"n_{i}")))
+    base = events.filter(F.col("event_type").isin(list(steps)))
+    per_user = base.groupBy("user_id").agg(
+        *[
+            F.array_sort(
+                F.collect_list(F.when(F.col("event_type") == s, F.col("ts")))
+            ).alias(f"_a{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    per_user = per_user.withColumn("_t0", F.element_at("_a0", 1))
+    for i in range(1, len(steps)):
+        prev = F.col(f"_t{i - 1}")
+        # join semantics of the stage form: a NULL user never matches
+        # the previous stage's user set, so later steps exclude it
+        per_user = per_user.withColumn(
+            f"_t{i}",
+            F.when(
+                F.col("user_id").isNotNull(),
+                F.array_min(F.filter(F.col(f"_a{i}"), lambda x: x > prev)),
+            ),
+        )
+    row = per_user.agg(
+        *[
+            F.count(F.col(f"_t{i}")).alias(f"n_{i}")
+            for i in range(len(steps))
+        ]
+    )
     structs = [
         F.struct(
             F.lit(steps[0]).alias("step"),

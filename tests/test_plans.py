@@ -320,6 +320,23 @@ def test_api_traffic_resolution_stays_broadcast(tables, spark):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
 
 
+def test_funnel_is_one_scan_one_exchange(spark, tables):
+    """The sequenced funnel must gather per-user step times in ONE
+    grouped aggregation: a single corpus scan and a single user-keyed
+    exchange (the r8 rewrite — the stage-chained form re-scanned the
+    corpus up to 2K-1 times for a K-step funnel because column pruning
+    specialized each stage's copy of the upstream agg)."""
+    from pithos_spark.streaming.events import funnel
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(funnel(tables["events"]))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_heavy_hitters_gate_reuses_count_exchange(spark):
     """events_heavy_hitters must build the per-(type, user) count
     exchange ONCE and share it across its three consumers (exact side,
