@@ -353,26 +353,34 @@ def hourly_gapfill(events: DataFrame) -> DataFrame:
     with no events reporting an explicit zero (a downstream anomaly
     detector or charting layer must see silence, not absence).
 
-    Plan: the [min,max] hour bounds are ONE scalar-aggregate row;
-    ``sequence`` explodes the dense hour axis from it (driver never
-    materializes the axis), the distinct types cross-join it (tiny x
-    tiny), and the sparse counts left-join in.  Scale: the grid is
-    |hours| x |types| rows regardless of event volume; the only wide
-    exchange is the rollup's own group-by.
+    Plan: ONE corpus scan.  The sparse rollup (grid-sized: |hours| x
+    |types| rows regardless of event volume) is persisted and serves
+    all three consumers — the [min,max] hour bounds (min/max over
+    hour_ts equals the truncated corpus bounds, date_trunc being
+    monotone), the distinct types, and the left join — where the
+    earlier form re-scanned the raw events for bounds and types
+    (column pruning specialized each copy, so ReuseExchange could not
+    collapse them).  ``sequence`` explodes the dense hour axis from
+    the 1-row bounds (driver never materializes the axis), the
+    distinct types cross-join it (tiny x tiny), and the sparse counts
+    left-join in; the only wide exchange is the rollup's own group-by.
     """
-    sparse = events.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("event_count"))
-    bounds = events.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    sparse = (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .persist()
+    )
+    bounds = sparse.agg(
+        F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi")
     )
     hours = bounds.select(
         F.explode(
             F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
         ).alias("hour_ts")
     )
-    types = events.select("event_type").distinct()
+    types = sparse.select("event_type").distinct()
     grid = hours.crossJoin(F.broadcast(types))
     return (
         grid.join(sparse, ["hour_ts", "event_type"], "left")
