@@ -57,6 +57,14 @@ def bm25_scores(
     the scaled odds idf.  Everything is BIGINT; div is truncating
     integer division (all operands non-negative, so Spark's `div` and
     DuckDB's `//` agree).
+
+    Plan: the tokenized projection ``toks`` (doc_id, dl, per-term tf
+    structs — narrow, the text column is gone) is persisted: its three
+    consumers (tf rows, corpus stats, and the df-per-term fork above
+    the explode) each column-prune a different copy, which defeats
+    ReuseExchange and would otherwise run the tokenizer over the full
+    corpus three times.  One scan + one tokenize, cache bounded at
+    |docs| x |terms| integers.
     """
     toks = documents.select(
         "doc_id", _tokens(F.col("text")).alias("_toks")
@@ -76,7 +84,7 @@ def bm25_scores(
                 for t in terms
             ]
         ).alias("_tfs"),
-    )
+    ).persist()
     tf_rows = (
         toks.select("doc_id", "dl", F.explode("_tfs").alias("e"))
         .select("doc_id", "dl", "e.term", "e.tf")
