@@ -1529,6 +1529,59 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_heavy_hitters_merged",
+    """\
+WITH c AS (
+    SELECT event_type, user_id, count(*) AS n_events
+    FROM events GROUP BY event_type, user_id
+),
+t AS (
+    SELECT event_type, count(*) AS total FROM events GROUP BY event_type
+)
+SELECT c.event_type, c.user_id, c.n_events
+FROM c JOIN t USING (event_type)
+WHERE c.n_events * 128 > t.total
+ORDER BY c.event_type, c.user_id""",
+)
+def events_heavy_hitters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same guaranteed-hitter gate as ``events_heavy_hitters``, but over
+    the DISTRIBUTED sketch (heavy_hitters_distributed: per-partition
+    partial sketches merged per key — the mergeable-summaries path that
+    runs when one event_type's distinct users overflow a single task).
+    The mergeable-summaries bounds are partitioning-independent, so the
+    identical plain-SQL oracle gates it: a merge that dropped a
+    guaranteed hitter or broke a bound loses rows and goes red.
+    """
+    import pyspark.sql.functions as F
+
+    from pithos_spark.streaming.heavyhitters import heavy_hitters_distributed
+
+    m = 128
+    events = T.load_tables(spark, sf_dir)["events"]
+    counts = (
+        events.where(
+            F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("cnt").alias("total"))
+    sketch = heavy_hitters_distributed(counts, m=m)
+    return (
+        counts.join(F.broadcast(totals), "event_type")
+        .where(F.col("cnt") * m > F.col("total"))
+        .join(F.broadcast(sketch), ["event_type", "user_id"])
+        .where(
+            (F.col("est_count") >= F.col("cnt"))
+            & (F.col("est_count") <= F.col("cnt") + F.col("err"))
+            & (F.col("err") * m <= F.col("total"))
+        )
+        .select("event_type", "user_id", F.col("cnt").alias("n_events"))
+        .orderBy("event_type", "user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join, interval trailing window, grouping-sets rollup
 # ---------------------------------------------------------------------------
@@ -2525,6 +2578,7 @@ def events_api_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # expression changed in 9a83db9; re-verify once more post-change).
 ROUND_NEW: list[str] = [
     "events_heavy_hitters",
+    "events_heavy_hitters_merged",
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frame_sample",
@@ -2589,7 +2643,9 @@ GREEN_CORE: list[str] = [
     "events_funnel",
     "events_retention",
     "object_reassembly_verify",
-    "usage_grouping_sets",
+    # usage_grouping_sets yielded its canary slot to the round's 8th new
+    # query (events_heavy_hitters_merged); it stays r5-green and rotates
+    # back with the remaining r5 cohort next round
 ]
 
 

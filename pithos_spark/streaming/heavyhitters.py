@@ -169,6 +169,114 @@ def heavy_hitters_batch(events_df, m: int = 64):
     )
 
 
+PARTIAL_SCHEMA = T.StructType(
+    OUTPUT_SCHEMA.fields
+    + [
+        T.StructField("partial_id", T.LongType()),
+        # the partial sketch's minimum estimate when it was emitted at
+        # capacity, else 0: the overestimate charged to items the
+        # partial did NOT track (mergeable-summaries accounting)
+        T.StructField("partial_min", T.LongType()),
+    ]
+)
+
+
+def merge_sketches(pdf: pd.DataFrame, m: int) -> pd.DataFrame:
+    """Merge per-partition partial sketches of ONE key (Agarwal et al.,
+    "Mergeable Summaries", PODS'12, space-saving merge): for each user
+    in the union, sum est (charging ``partial_min`` for partials that
+    did not track the user — their true count there is at most that
+    minimum) and err likewise, then keep the m largest estimates.  The
+    bounds survive: true <= est <= true + err with err <= N/m, and any
+    user with total count > N/m stays tracked."""
+    base = {}
+    mins = {}
+    for pid, g in pdf.groupby("partial_id"):
+        mins[pid] = int(g["partial_min"].iloc[0])
+        base[pid] = dict(
+            zip(g["user_id"].astype(int),
+                zip(g["est_count"].astype(int), g["err"].astype(int)))
+        )
+    users = sorted({u for t in base.values() for u in t})
+    merged = {}
+    for u in users:
+        est = err = 0
+        for pid, t in base.items():
+            if u in t:
+                est += t[u][0]
+                err += t[u][1]
+            else:
+                est += mins[pid]
+                err += mins[pid]
+        merged[u] = (est, err)
+    top = sorted(merged.items(), key=lambda kv: (-kv[1][0], kv[0]))[:m]
+    top.sort()
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]] * len(top),
+            "user_id": [u for u, _ in top],
+            "est_count": [v[0] for _, v in top],
+            "err": [v[1] for _, v in top],
+        }
+    )
+
+
+def heavy_hitters_distributed(counts_df, m: int = 64):
+    """The 100 TB shape of the batch sketch: when even the DISTINCT
+    users of one event_type overflow a single task,
+    :func:`sketch_from_counts`'s whole-group applyInPandas cannot run.
+    Here each input partition sketches its own slice of the count rows
+    (``mapInPandas`` — no extra shuffle; the count exchange the caller
+    already paid is the only wide one), emitting <= m rows + the
+    partial's minimum estimate, and the per-key merge then combines
+    <= m * num_partitions tiny rows per key.  Guarantees are preserved
+    under merge (mergeable summaries), so the same guaranteed-hitter
+    oracle gate applies verbatim; the exact (est, err) values depend on
+    the partitioning, which is why the gate asserts bounds, not
+    per-run sketch internals."""
+    import pyspark.sql.functions as F
+
+    def _partials(batches: Iterator) -> Iterator:
+        pid = 0
+        for pdf in batches:
+            for et, g in pdf.groupby("event_type"):
+                g = g.sort_values("user_id")
+                table: dict[int, list[int]] = {}
+                _ingest(
+                    table,
+                    zip(g["user_id"].astype(int), g["cnt"].astype(int)),
+                    m,
+                )
+                items = sorted(table.items())
+                sk_min = (
+                    min(v[0] for v in table.values())
+                    if len(table) >= m
+                    else 0
+                )
+                yield pd.DataFrame(
+                    {
+                        "event_type": [et] * len(items),
+                        "user_id": [u for u, _ in items],
+                        "est_count": [v[0] for _, v in items],
+                        "err": [v[1] for _, v in items],
+                        "partial_id": pid,
+                        "partial_min": sk_min,
+                    }
+                )
+            pid += 1
+
+    partials = counts_df.mapInPandas(_partials, PARTIAL_SCHEMA)
+    # partial_id is only unique within a task: re-key it globally so the
+    # merge distinguishes partials from different tasks
+    partials = partials.withColumn(
+        "partial_id",
+        F.spark_partition_id().cast("long") * 1_000_000 + F.col("partial_id"),
+    )
+    return partials.groupBy("event_type").applyInPandas(
+        lambda pdf: merge_sketches(pdf, m), OUTPUT_SCHEMA
+    )
+
+
 def heavy_hitters(stream_df, m: int = 64):
     """Bind the sketch onto an events stream: per event_type, the m
     tracked (user, est_count, err) rows re-emitted whenever the key

@@ -726,6 +726,86 @@ def test_heavy_hitters_batch_twin_bounds_and_determinism(spark):
                 assert user in table, (et, user)
 
 
+def test_heavy_hitters_distributed_merge_bounds(spark):
+    """The mergeable-summaries path: per-partition partial sketches
+    merged per key must preserve the space-saving guarantees whatever
+    the partitioning — state <= m per type, true <= est <= true + err,
+    err <= N/m, and every user with count > N/m tracked — under real
+    merge pressure (8 input partitions, m=8, skewed data)."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.streaming.heavyhitters import heavy_hitters_distributed
+
+    batch_events = T.load_tables(spark, SF_SMOKE)["events"]
+    skewed = batch_events.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 3 == 0, F.lit(7)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    m = 8
+    counts = skewed.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).repartition(8)
+    rows = heavy_hitters_distributed(counts, m=m).collect()
+
+    true_counts = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in skewed.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    totals: dict = {}
+    for (et, _u), n in true_counts.items():
+        totals[et] = totals.get(et, 0) + n
+    per_type: dict = {}
+    for r in rows:
+        per_type.setdefault(r["event_type"], {})[r["user_id"]] = (
+            r["est_count"],
+            r["err"],
+        )
+    assert set(per_type) == set(totals)
+    for et, table in per_type.items():
+        assert 0 < len(table) <= m, et
+        for user, (est, err) in table.items():
+            true = true_counts.get((et, user), 0)
+            assert est >= true, (et, user)
+            assert est - err <= true, (et, user)
+            assert err * m <= totals[et], (et, user)
+        for (et2, user), n in true_counts.items():
+            if et2 == et and n * m > totals[et]:
+                assert user in table, (et, user)
+
+
+def test_heavy_hitters_distributed_exact_when_m_large(spark):
+    """m >= distinct users: every partial tracks everything (sk_min 0),
+    so the merge degenerates to exact summation — est matches groupBy
+    counts, err 0 — regardless of partitioning."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.streaming.heavyhitters import heavy_hitters_distributed
+
+    batch_events = T.load_tables(spark, SF_SMOKE)["events"]
+    counts = batch_events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).repartition(8)
+    got = {
+        (r["event_type"], r["user_id"]): (r["est_count"], r["err"])
+        for r in heavy_hitters_distributed(counts, m=100000).collect()
+    }
+    want = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in batch_events.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, (est, err) in got.items():
+        assert est == want[k] and err == 0, k
+
+
 def test_heavy_hitters_batch_twin_exact_when_m_large(spark):
     """m >= distinct users -> the twin degenerates to exact counting
     (matches groupBy counts, err 0), mirroring the streaming test."""
