@@ -628,6 +628,77 @@ HAVING count(*) >= {min_overlap}
 ORDER BY tr.doc_id, eval_doc_id"""
 
 
+def decontaminate_semantic(
+    embeddings: DataFrame,
+    eval_max_vec_id: int = 50,
+    threshold_q: int = 300_000,
+) -> DataFrame:
+    """Semantic decontamination: flag training vectors whose embedding
+    is near-identical to a held-out eval vector — the paraphrase-level
+    contamination sweep that n-gram :func:`decontaminate` misses
+    (reworded benchmark questions share no 8-gram but sit at cosine
+    ~1).  Same fixture protocol: vec_id < ``eval_max_vec_id`` is the
+    eval set.  Output: one (vec_id, eval_vec_id, dot_q) row per
+    contaminated pair, ``dot_q`` the exact integer-quantized dot
+    (floor(x*1000) per element — bit-identical in any engine;
+    threshold 300_000 = cosine 0.3 at scale 1000 for unit-norm inputs,
+    the SemDeDup operating point).
+
+    Scale: the eval side is tiny by construction and broadcasts; the
+    sweep is a broadcast nested-loop over the corpus — one scan, no
+    shuffle, |corpus| x |eval| dot products, each a fused
+    zip_with/aggregate inside codegen.  For eval sets too large to
+    broadcast, block both sides first with the LSH machinery
+    (similarity.embedding_lsh_near_pairs) and verify exactly on the
+    candidates — the same two-tier shape the dedup ladder uses.
+    """
+    from pithos_spark.functions.similarity import quantized_dot
+
+    ev = embeddings.filter(F.col("vec_id") < eval_max_vec_id).select(
+        F.col("vec_id").alias("eval_vec_id"),
+        F.col("embedding").alias("_ev_emb"),
+    )
+    train = embeddings.filter(F.col("vec_id") >= eval_max_vec_id).select(
+        "vec_id", "embedding"
+    )
+    return (
+        train.join(
+            F.broadcast(ev),
+            quantized_dot(F.col("embedding"), F.col("_ev_emb"))
+            >= F.lit(threshold_q),
+        )
+        .select(
+            "vec_id",
+            "eval_vec_id",
+            quantized_dot(F.col("embedding"), F.col("_ev_emb")).alias(
+                "dot_q"
+            ),
+        )
+        .orderBy("vec_id", "eval_vec_id")
+    )
+
+
+def decontaminate_semantic_oracle(
+    eval_max_vec_id: int = 50, threshold_q: int = 300_000, dim: int = 64
+) -> str:
+    return f"""\
+WITH ev AS (
+    SELECT vec_id AS eval_vec_id, embedding AS ev_emb
+    FROM embeddings WHERE vec_id < {eval_max_vec_id}
+), tr AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {eval_max_vec_id}
+), scored AS (
+    SELECT tr.vec_id, ev.eval_vec_id,
+           (SELECT CAST(sum(CAST(floor(CAST(tr.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                            CAST(floor(CAST(ev.ev_emb[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+            FROM generate_series(1, {dim}) g(i)) AS dot_q
+    FROM tr, ev
+)
+SELECT vec_id, eval_vec_id, dot_q FROM scored
+WHERE dot_q >= {threshold_q}
+ORDER BY vec_id, eval_vec_id"""
+
+
 def duplicate_spans(
     documents: DataFrame,
     n: int = 10,

@@ -2170,6 +2170,20 @@ from pithos_spark.functions.text import bigram_lm_oracle  # noqa: E402
 
 QUERIES["corpus_decontaminate"] = _decontam
 ORACLES["corpus_decontaminate"] = decontaminate_oracle()
+
+
+def _decontam_semantic(spark, sf_dir):
+    from pithos_spark.functions.curate import decontaminate_semantic
+
+    return decontaminate_semantic(T.load_tables(spark, sf_dir)["embeddings"])
+
+
+from pithos_spark.functions.curate import (  # noqa: E402
+    decontaminate_semantic_oracle,
+)
+
+QUERIES["corpus_decontaminate_semantic"] = _decontam_semantic
+ORACLES["corpus_decontaminate_semantic"] = decontaminate_semantic_oracle()
 QUERIES["corpus_bigram_lm"] = _bigram
 ORACLES["corpus_bigram_lm"] = bigram_lm_oracle()
 

@@ -225,3 +225,35 @@ def test_source_overlap_extremes(documents, spark):
         for r in source_minhash_similarity(disjoint).collect()
     }
     assert sim2[("sA", "sB")] == 0
+
+
+def test_decontaminate_semantic_flags_planted_paraphrase(spark):
+    """A training vector planted equal to an eval vector must be
+    flagged with the maximal dot; an orthogonal one must not.  The plan
+    must be the broadcast sweep: a BroadcastNestedLoopJoin and no hash
+    exchange before the output sort (the corpus side never shuffles)."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions.curate import decontaminate_semantic
+
+    dim = 8
+    e0 = [1.0] + [0.0] * (dim - 1)          # eval vector
+    near = [0.999] + [0.0] * (dim - 1)      # paraphrase-level clone
+    ortho = [0.0, 1.0] + [0.0] * (dim - 2)  # unrelated
+    rows = [(0, e0, 0), (50, near, 0), (51, ortho, 0)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = decontaminate_semantic(emb, eval_max_vec_id=50, threshold_q=900_000)
+    flagged = [(r["vec_id"], r["eval_vec_id"], r["dot_q"]) for r in got.collect()]
+    assert flagged == [(50, 0, 999_000)]
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = got._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the only hashpartitioning-free requirement: no shuffle below the
+    # final orderBy's range exchange
+    assert plan.count("Exchange hashpartitioning") == 0, plan
