@@ -780,6 +780,112 @@ def duplicate_spans(
     )
 
 
+def mask_duplicate_spans(
+    documents: DataFrame, n: int = 10, min_docs: int = 2
+) -> DataFrame:
+    """APPLY the :func:`duplicate_spans` mask list: rebuild each
+    document with every token inside a flagged span window removed —
+    the cleaning step that turns span detection into a deduplicated
+    training corpus (consecutive flagged positions merge naturally,
+    since the masked index set is a union of [pos, pos+n) ranges).
+
+    Output: (doc_id, masked_text, n_masked_tokens) for EVERY input
+    document — clean docs pass through verbatim with 0 masked.
+
+    Scale: the flagged occurrences aggregate to one array of masked
+    indices per affected doc (tiny relative to the corpus: only docs
+    containing duplicated spans appear), left-join back onto the
+    tokenized corpus, and the rebuild is pure array arithmetic
+    (transform/filter/concat_ws) inside codegen — one pass over the
+    corpus beyond the span detection itself, no extra wide shuffle on
+    the doc axis.
+    """
+    spans = _span_occurrences(documents, n)
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("span_hash", "doc_id").orderBy("pos")
+    )
+    pairs = spans.withColumn("_rn", rn).filter(F.col("_rn") == 1)
+    dup = (
+        pairs.groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    masked_idx = (
+        spans.join(dup.select("span_hash"), "span_hash")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("tidx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("tidx").alias("_mask"))
+    )
+    toks = documents.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_t")
+    )
+    joined = toks.join(masked_idx, "doc_id", "left")
+    indexed = F.transform(
+        F.col("_t"),
+        lambda x, i: F.struct(i.cast("long").alias("i"), x.alias("tok")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.coalesce(
+            F.array_contains(F.col("_mask"), s["i"]), F.lit(False)
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform(kept, lambda s: s["tok"])
+        ).alias("masked_text"),
+        (F.size("_t") - F.size(kept)).cast("long").alias("n_masked_tokens"),
+    ).orderBy("doc_id")
+
+
+def mask_duplicate_spans_oracle(n: int = 10, min_docs: int = 2) -> str:
+    k = n - 1
+    return f"""\
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(range(1, greatest(len(t) - {k}, 1) + 1)) AS i FROM toks
+), spans AS (
+    SELECT doc_id, i - 1 AS pos,
+           ('0x' || substr(md5(array_to_string(t[i:i+{k}], ' ')), 1, 15))::BIGINT
+               AS span_hash
+    FROM idx
+), dup AS (
+    SELECT span_hash FROM spans
+    GROUP BY span_hash
+    HAVING count(DISTINCT doc_id) >= {min_docs}
+), mask AS (
+    SELECT DISTINCT s.doc_id, s.pos + g.u AS tidx
+    FROM spans s JOIN dup USING (span_hash)
+    CROSS JOIN (SELECT unnest(range(0, {n})) AS u) g
+), tok_rows AS (
+    SELECT doc_id, t[i] AS tok, i - 1 AS tidx
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)
+), kept AS (
+    SELECT tr.doc_id, tr.tok, tr.tidx
+    FROM tok_rows tr
+    LEFT JOIN mask m ON tr.doc_id = m.doc_id AND tr.tidx = m.tidx
+    WHERE m.doc_id IS NULL
+), agg AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY tidx) AS masked_text,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       coalesce(agg.masked_text, '') AS masked_text,
+       CAST(len(toks.t) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_masked_tokens
+FROM toks LEFT JOIN agg USING (doc_id)
+ORDER BY toks.doc_id"""
+
+
 def _span_occurrences(documents: DataFrame, n: int) -> DataFrame:
     """(doc_id, pos, span_hash) token n-gram occurrences, hash-keyed
     (8 bytes, never the span text) and exchanged ONCE on the composite

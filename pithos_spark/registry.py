@@ -2241,6 +2241,20 @@ QUERIES["corpus_mix_plan"] = _mix_plan
 ORACLES["corpus_mix_plan"] = mix_rebalance_plan_oracle()
 QUERIES["corpus_duplicate_spans"] = _dup_spans
 ORACLES["corpus_duplicate_spans"] = duplicate_spans_oracle()
+
+
+def _mask_spans(spark, sf_dir):
+    from pithos_spark.functions.curate import mask_duplicate_spans
+
+    return mask_duplicate_spans(T.load_tables(spark, sf_dir)["documents"])
+
+
+from pithos_spark.functions.curate import (  # noqa: E402
+    mask_duplicate_spans_oracle,
+)
+
+QUERIES["corpus_mask_duplicate_spans"] = _mask_spans
+ORACLES["corpus_mask_duplicate_spans"] = mask_duplicate_spans_oracle()
 QUERIES["corpus_repetition_stats"] = _rep_stats
 ORACLES["corpus_repetition_stats"] = repetition_stats_oracle()
 

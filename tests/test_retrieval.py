@@ -194,6 +194,31 @@ def test_duplicate_spans_flags_shared_boilerplate(spark):
     assert {(r["doc_id"], r["pos"]) for r in got} == {(0, 2), (1, 2)}
 
 
+def test_mask_duplicate_spans_removes_boilerplate_keeps_unique(spark):
+    """Applying the span masks: the shared 10-token boilerplate is cut
+    from both carriers, their unique prefix/suffix text survives, and
+    the clean document passes through verbatim with 0 masked."""
+    from pithos_spark.functions.curate import mask_duplicate_spans
+
+    boiler = "one two three four five six seven eight nine ten"
+    clean = "completely unrelated text with no repeats at all here"
+    docs = _docs(
+        spark,
+        [
+            f"intro words {boiler} tail a",
+            f"other page {boiler} different end",
+            clean,
+        ],
+    )
+    got = {r["doc_id"]: r for r in mask_duplicate_spans(docs, n=10).collect()}
+    assert got[0]["masked_text"] == "intro words tail a"
+    assert got[1]["masked_text"] == "other page different end"
+    assert got[0]["n_masked_tokens"] == 10
+    assert got[1]["n_masked_tokens"] == 10
+    assert got[2]["masked_text"] == clean
+    assert got[2]["n_masked_tokens"] == 0
+
+
 def test_repetition_stats_flags_loops(spark):
     from pithos_spark.functions.text import repetition_stats
 
