@@ -628,6 +628,81 @@ HAVING count(*) >= {min_overlap}
 ORDER BY tr.doc_id, eval_doc_id"""
 
 
+def leakage_safe_split(
+    documents: DataFrame,
+    n: int = 3,
+    threshold_pct: int = 50,
+    train_permille: int = 800,
+    val_permille: int = 100,
+) -> DataFrame:
+    """Train/val/test split with a DEDUP-CLUSTER leakage guard: the
+    split is keyed by each document's near-duplicate cluster
+    representative, not its own id, so every member of a near-dup
+    cluster lands in the SAME split — the assignment discipline that
+    stops eval leakage through paraphrased or boilerplate-shared
+    training docs (random per-doc splits put near-identical docs on
+    both sides of the boundary).
+
+    Selector: the :func:`sample_mix` idiom — first 8 hex chars of
+    md5(cluster_rep) mod 1000, RNG-free and engine-portable; splits are
+    [0, train) train, [train, train+val) val, rest test.  Singleton
+    docs (no near-dup) are their own representative.
+
+    Scale: the cluster pass is the existing jaccard->components ladder
+    (banded/capped variants swap in at corpus scale); the assignment
+    itself adds one broadcast-sized left join (cluster rows only exist
+    for docs IN clusters) and a scan-side hash — no extra wide shuffle.
+    """
+    from pithos_spark.functions.dedup import dup_clusters, jaccard_pairs
+
+    clusters = dup_clusters(jaccard_pairs(documents, n, threshold_pct))
+    rep = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    sel = (
+        F.conv(F.substring(F.md5(rep.cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 1000
+    )
+    return (
+        documents.join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            rep.alias("cluster_rep"),
+            F.when(sel < train_permille, F.lit("train"))
+            .when(sel < train_permille + val_permille, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def leakage_safe_split_oracle(
+    n: int = 3,
+    threshold_pct: int = 50,
+    train_permille: int = 800,
+    val_permille: int = 100,
+) -> str:
+    from pithos_spark.functions.dedup import _cluster_reach_sql
+
+    return (
+        _cluster_reach_sql(n, threshold_pct)
+        + f"""
+, rep AS (
+    SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS cluster_rep
+    FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id
+)
+SELECT doc_id, cluster_rep,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+                 < {train_permille} THEN 'train'
+            WHEN CAST(('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+                 < {train_permille + val_permille} THEN 'val'
+            ELSE 'test' END AS split
+FROM rep
+ORDER BY doc_id"""
+    )
+
+
 def decontaminate_semantic(
     embeddings: DataFrame,
     eval_max_vec_id: int = 50,

@@ -2190,6 +2190,20 @@ from pithos_spark.functions.curate import (  # noqa: E402
 
 QUERIES["corpus_decontaminate_semantic"] = _decontam_semantic
 ORACLES["corpus_decontaminate_semantic"] = decontaminate_semantic_oracle()
+
+
+def _leakage_split(spark, sf_dir):
+    from pithos_spark.functions.curate import leakage_safe_split
+
+    return leakage_safe_split(T.load_tables(spark, sf_dir)["documents"])
+
+
+from pithos_spark.functions.curate import (  # noqa: E402
+    leakage_safe_split_oracle,
+)
+
+QUERIES["corpus_leakage_safe_split"] = _leakage_split
+ORACLES["corpus_leakage_safe_split"] = leakage_safe_split_oracle()
 QUERIES["corpus_bigram_lm"] = _bigram
 ORACLES["corpus_bigram_lm"] = bigram_lm_oracle()
 

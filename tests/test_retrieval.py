@@ -219,6 +219,27 @@ def test_mask_duplicate_spans_removes_boilerplate_keeps_unique(spark):
     assert got[2]["n_masked_tokens"] == 0
 
 
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    """The leakage guard: two near-duplicate documents must land in the
+    SAME split whatever their own ids hash to, because the split keys
+    on the shared cluster representative; and the full assignment
+    partitions every doc into exactly one of train/val/test."""
+    from pithos_spark.functions.curate import leakage_safe_split
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(
+        spark,
+        [dup, dup + " iota", "totally different content here entirely now"],
+    )
+    got = {r["doc_id"]: r for r in leakage_safe_split(docs).collect()}
+    assert set(got) == {0, 1, 2}
+    # docs 0 and 1 are near-dups: same representative, same split
+    assert got[0]["cluster_rep"] == got[1]["cluster_rep"] == 0
+    assert got[0]["split"] == got[1]["split"]
+    assert got[2]["cluster_rep"] == 2
+    assert all(r["split"] in ("train", "val", "test") for r in got.values())
+
+
 def test_repetition_stats_flags_loops(spark):
     from pithos_spark.functions.text import repetition_stats
 
