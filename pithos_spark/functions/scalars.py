@@ -29,6 +29,7 @@ _UNITS = {
     "m": 1024**2,
     "g": 1024**3,
     "t": 1024**4,
+    "p": 1024**5,
 }
 
 
@@ -36,7 +37,7 @@ def to_bytes(spec: str | int) -> int:
     """C3: '512k' / '2G' -> byte count (src/io/pithos/util.clj:43-63)."""
     if isinstance(spec, int):
         return spec
-    m = re.fullmatch(r"\s*(\d+)\s*([kKmMgGtT]?)[bB]?\s*", spec)
+    m = re.fullmatch(r"\s*(\d+)\s*([kKmMgGtTpP]?)[bB]?\s*", spec)
     if not m:
         raise ValueError(f"unparseable byte spec: {spec!r}")
     return int(m.group(1)) * _UNITS[m.group(2).lower()]

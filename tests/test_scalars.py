@@ -20,6 +20,8 @@ from pithos_spark.functions.scalars import (
         ("2G", 2 * 1024**3),
         ("1m", 1024**2),
         ("3T", 3 * 1024**4),
+        ("2tb", 2 * 1024**4),
+        ("2Pb", 2 * 1024**5),
         ("128KB", 128 * 1024),
         (42, 42),
     ],
