@@ -634,6 +634,7 @@ def leakage_safe_split(
     threshold_pct: int = 50,
     train_permille: int = 800,
     val_permille: int = 100,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Train/val/test split with a DEDUP-CLUSTER leakage guard: the
     split is keyed by each document's near-duplicate cluster
@@ -648,14 +649,20 @@ def leakage_safe_split(
     [0, train) train, [train, train+val) val, rest test.  Singleton
     docs (no near-dup) are their own representative.
 
-    Scale: the cluster pass is the existing jaccard->components ladder
-    (banded/capped variants swap in at corpus scale); the assignment
-    itself adds one broadcast-sized left join (cluster rows only exist
-    for docs IN clusters) and a scan-side hash — no extra wide shuffle.
+    Scale: the default cluster pass is the exact jaccard->components
+    ladder (what the oracle mirrors); at corpus scale pass ``pairs``
+    with any (doc_a, doc_b) edge set instead — e.g.
+    ``dedup.minhash_lsh_pairs`` (banded + capped, sub-quadratic) — and
+    the split keys on THOSE components with identical guarantees.  The
+    assignment itself adds one broadcast-sized left join (cluster rows
+    only exist for docs IN clusters) and a scan-side hash — no extra
+    wide shuffle.
     """
     from pithos_spark.functions.dedup import dup_clusters, jaccard_pairs
 
-    clusters = dup_clusters(jaccard_pairs(documents, n, threshold_pct))
+    if pairs is None:
+        pairs = jaccard_pairs(documents, n, threshold_pct)
+    clusters = dup_clusters(pairs)
     rep = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     sel = (
         F.conv(F.substring(F.md5(rep.cast("string")), 1, 8), 16, 10).cast(

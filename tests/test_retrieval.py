@@ -239,6 +239,17 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
     assert got[2]["cluster_rep"] == 2
     assert all(r["split"] in ("train", "val", "test") for r in got.values())
 
+    # scale path: the same guarantee holds when the caller supplies the
+    # banded MinHash pair set instead of the exact jaccard tier
+    from pithos_spark.functions.dedup import minhash_lsh_pairs
+
+    lsh = leakage_safe_split(
+        docs, pairs=minhash_lsh_pairs(docs, n=3, threshold_pct=50)
+    )
+    got2 = {r["doc_id"]: r for r in lsh.collect()}
+    assert got2[0]["cluster_rep"] == got2[1]["cluster_rep"]
+    assert got2[0]["split"] == got2[1]["split"]
+
 
 def test_repetition_stats_flags_loops(spark):
     from pithos_spark.functions.text import repetition_stats
