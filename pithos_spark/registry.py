@@ -2274,6 +2274,35 @@ ORACLES["corpus_repetition_stats"] = repetition_stats_oracle()
 
 QUERIES["corpus_bm25_topk"] = _bm25
 ORACLES["corpus_bm25_topk"] = _retrieval_mod.bm25_topk_oracle()
+
+# per-session materialized postings layout (same build-once/probe-many
+# pattern as the IVF index cache): first call writes the term-range
+# parquet layout, later calls only read it
+_POSTINGS_CACHE: dict = {}
+
+
+def _postings_path(spark, sf_dir):
+    key = (id(spark), sf_dir)
+    if key not in _POSTINGS_CACHE:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="postings_layout_")
+        _retrieval_mod.write_postings_layout(
+            T.load_tables(spark, sf_dir)["documents"], path
+        )
+        _POSTINGS_CACHE[key] = path
+    return _POSTINGS_CACHE[key]
+
+
+def _bm25_postings(spark, sf_dir):
+    return _retrieval_mod.bm25_topk_from_postings(
+        spark, _postings_path(spark, sf_dir)
+    )
+
+
+QUERIES["corpus_bm25_postings_topk"] = _bm25_postings
+# identical results to the tokenize-on-read form, so the same oracle
+ORACLES["corpus_bm25_postings_topk"] = _retrieval_mod.bm25_topk_oracle()
 QUERIES["corpus_hybrid_search_rrf"] = _hybrid
 ORACLES["corpus_hybrid_search_rrf"] = _retrieval_mod.hybrid_rrf_topk_oracle()
 

@@ -194,6 +194,36 @@ def test_duplicate_spans_flags_shared_boilerplate(spark):
     assert {(r["doc_id"], r["pos"]) for r in got} == {(0, 2), (1, 2)}
 
 
+def test_bm25_postings_layout_matches_tokenize_on_read(spark, tmp_path):
+    """The materialized postings path must return bit-identical top-k to
+    the tokenize-on-read form, and its scan must push the term filter
+    into parquet (the layout's whole point: read only the query terms'
+    posting lists)."""
+    from pithos_spark import tables as T
+    from pithos_spark.functions.retrieval import (
+        bm25_topk,
+        bm25_topk_from_postings,
+        write_postings_layout,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = T.load_tables(spark, SF_SMOKE)["documents"]
+    path = str(tmp_path / "layout")
+    write_postings_layout(docs, path)
+
+    direct = [tuple(r) for r in bm25_topk(docs).collect()]
+    stored = [tuple(r) for r in bm25_topk_from_postings(spark, path).collect()]
+    assert direct == stored and len(direct) > 0
+
+    plan = (
+        bm25_topk_from_postings(spark, path)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "In(term" in plan, plan
+
+
 def test_mask_duplicate_spans_removes_boilerplate_keeps_unique(spark):
     """Applying the span masks: the shared 10-token boilerplate is cut
     from both carriers, their unique prefix/suffix text survives, and
