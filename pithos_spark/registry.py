@@ -2654,10 +2654,11 @@ def events_api_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus_novelty_scores), and events_watermark_lateness (jitter
 # expression changed in 9a83db9; re-verify once more post-change).
 # r9 rotation queue: corpus_decontaminate_semantic,
-# corpus_mask_duplicate_spans, and corpus_leakage_safe_split were added
-# late in r8 after the window filled — they are pytest-oracle-proven and
-# belong at the front of r9's ROUND_NEW, together with the ~34 r5 greens
-# whose verdicts age out next.
+# corpus_mask_duplicate_spans, corpus_leakage_safe_split, and
+# corpus_bm25_postings_topk were added late in r8 after the window
+# filled — they are pytest-oracle-proven and belong at the front of
+# r9's ROUND_NEW, together with the ~34 r5 greens whose verdicts age
+# out next.
 ROUND_NEW: list[str] = [
     "events_heavy_hitters",
     "events_heavy_hitters_merged",
