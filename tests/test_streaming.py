@@ -851,3 +851,107 @@ def test_watermark_lateness_in_order_and_conservation(spark):
     buckets = {r["lateness_bucket"] for r in jittered}
     assert "on_time" in buckets and len(buckets) > 1, buckets
     assert sum(r["n_events"] for r in jittered) == n
+
+
+def test_space_saving_invariants_property():
+    """Property-based: for ANY weighted stream and any m, the _ingest
+    core must satisfy the space-saving invariants against exact counts
+    — the proof obligation behind every gate built on the sketch."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pithos_spark.streaming.heavyhitters import _ingest
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 30), st.integers(1, 50)), max_size=80
+        ),
+        st.integers(1, 12),
+    )
+    def check(pairs, m):
+        exact = Counter()
+        for u, c in pairs:
+            exact[u] += c
+        table: dict = {}
+        _ingest(table, pairs, m)
+        n = sum(exact.values())
+        assert len(table) <= m
+        for u, (est, err) in ((u, tuple(v)) for u, v in table.items()):
+            assert est >= exact[u]
+            assert est - err <= exact[u]
+            assert err * m <= n
+        for u, c in exact.items():
+            if c * m > n:
+                assert u in table, (u, c, n, m)
+
+    check()
+
+
+def test_sketch_merge_invariants_property():
+    """Property-based: merging arbitrary partial sketches of disjoint
+    stream slices preserves the bounds and the guaranteed-hitter set —
+    the mergeable-summaries obligation heavy_hitters_distributed and
+    its oracle gate rely on."""
+    from collections import Counter
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pithos_spark.streaming.heavyhitters import _ingest, merge_sketches
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.tuples(st.integers(0, 20), st.integers(1, 30)),
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        st.integers(2, 10),
+    )
+    def check(slices, m):
+        exact = Counter()
+        rows = {
+            "event_type": [], "user_id": [], "est_count": [], "err": [],
+            "partial_id": [], "partial_min": [],
+        }
+        for pid, pairs in enumerate(slices):
+            for u, c in pairs:
+                exact[u] += c
+            table: dict = {}
+            # arrival order is arbitrary on purpose: the merge bounds
+            # must hold for ANY ingest order
+            _ingest(table, pairs, m)
+            sk_min = (
+                min(v[0] for v in table.values()) if len(table) >= m else 0
+            )
+            for u, (est, err) in sorted(table.items()):
+                rows["event_type"].append("t")
+                rows["user_id"].append(u)
+                rows["est_count"].append(est)
+                rows["err"].append(err)
+                rows["partial_id"].append(pid)
+                rows["partial_min"].append(sk_min)
+        if not rows["user_id"]:
+            return
+        merged = merge_sketches(pd.DataFrame(rows), m)
+        n = sum(exact.values())
+        got = {
+            int(r.user_id): (int(r.est_count), int(r.err))
+            for r in merged.itertuples()
+        }
+        assert len(got) <= m
+        for u, (est, err) in got.items():
+            assert est >= exact[u], (u, est, exact[u])
+            assert est - err <= exact[u], (u, est, err, exact[u])
+        for u, c in exact.items():
+            if c * m > n:
+                assert u in got, (u, c, n, m)
+
+    check()
