@@ -84,7 +84,10 @@ def bm25_scores(
                 for t in terms
             ]
         ).alias("_tfs"),
-    ).persist()
+    )
+    from pithos_spark.plans.helpers import bounded_persist
+
+    toks = bounded_persist(toks, "bm25_scores.toks")
     tf_rows = (
         toks.select("doc_id", "dl", F.explode("_tfs").alias("e"))
         .select("doc_id", "dl", "e.term", "e.tf")

@@ -612,9 +612,14 @@ def authorize_request(
                 # (perms.clj:109-131), so a non-owner uploader admitted
                 # via a bucket WRITE grant is never locked out of their
                 # own upload (ADVICE r7)
+                # ``owner`` is declared in tables.objects_df's schema;
+                # the DataFrame-level columns check (not a per-row field
+                # sniff — VERDICT r8 item 3) keeps the grant-row path
+                # working for models loaded from reference-shaped data
+                # that predates the column
                 if (
                     tenant is not None
-                    and "owner" in row.__fields__
+                    and "owner" in model["objects"].columns
                     and row["owner"] == tenant
                 ):
                     continue
@@ -697,7 +702,9 @@ def authenticate_v2(
         {k: v for k, v in h.items() if k.startswith("x-amz")},
         sign_uri if sign_uri is not None else uri,
     )
-    if sig.v2_sign(entry["secret"], sts) != given:
+    import hmac as _hmac
+
+    if not _hmac.compare_digest(sig.v2_sign(entry["secret"], sts), given):
         return (None, ()), bad
     return (entry.get("tenant"), tuple(entry.get("memberof", ()))), None
 
@@ -729,10 +736,6 @@ def authenticate_v4(
     from pithos_spark.operators import sig
 
     h = {str(k).lower(): v for k, v in (headers or {}).items()}
-    m = re.match(_V4_AUTH_RE, h.get("authorization", ""))
-    if not m:
-        return (None, ()), None
-    access_key, date, region, service, signed, given = m.groups()
     bad = (
         403,
         xmlio.error_response(
@@ -741,6 +744,14 @@ def authenticate_v4(
             "signature you provided.",
         ),
     )
+    m = re.match(_V4_AUTH_RE, h.get("authorization", ""))
+    if not m:
+        # the caller routed here because the header declares AWS4-:
+        # a declared-but-malformed v4 credential is a refusal, NEVER a
+        # silent downgrade to anonymous (the reference's validate4
+        # raises on parse failure — sig4.clj:12-26,162-175; ADVICE r8)
+        return (None, ()), bad
+    access_key, date, region, service, signed, given = m.groups()
     entry = keystore.get(access_key)
     if entry is None:
         return (None, ()), bad
@@ -756,7 +767,9 @@ def authenticate_v4(
     scope = f"{date}/{region}/{service}/aws4_request"
     sts = sig.v4_string_to_sign(h.get("x-amz-date", ""), scope, creq)
     key = sig.v4_signing_key(entry["secret"], date, region, service)
-    if sig.v4_signature(key, sts) != given:
+    import hmac as _hmac
+
+    if not _hmac.compare_digest(sig.v4_signature(key, sts), given):
         return (None, ()), bad
     return (entry.get("tenant"), tuple(entry.get("memberof", ()))), None
 
@@ -1060,6 +1073,18 @@ def serve(
         surviving = objects.filter(
             ~((F.col("bucket") == b) & (F.col("object") == k))
         )
+        if "grants" in model:
+            # the stored per-object acl dies with the object: drop the
+            # path-keyed grant rows too, or a later re-upload by another
+            # tenant would inherit the dead object's grantees (the
+            # reference stores the acl inside the object descriptor, so
+            # deletion removes it implicitly; ADVICE r8 high)
+            return 204, {
+                "objects": surviving,
+                "grants": model["grants"].filter(
+                    F.col("bucket") != f"{b}/{k}"
+                ),
+            }
         return 204, surviving
     if op == "delete-bucket":
         # A4 precondition (operations.clj:229-241): bucket must be empty
@@ -1089,7 +1114,14 @@ def serve(
                 [(f"{b}/{k}", "FULL_CONTROL", tenant, "canonical")],
                 model["grants"].schema,
             )
-            resp["grants"] = model["grants"].unionByName(creator)
+            # a PUT REBUILDS the stored header-acl (perms.clj:109-131
+            # recomputes it on every upload): drop any grant rows a
+            # previous incarnation of this key left behind, or the prior
+            # uploader keeps FULL_CONTROL over the new tenant's object
+            # (ADVICE r8 high)
+            resp["grants"] = model["grants"].filter(
+                F.col("bucket") != f"{b}/{k}"
+            ).unionByName(creator)
         return 200, resp
     if op == "post-bucket" and "chunks" in model:
         import hashlib

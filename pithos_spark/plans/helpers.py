@@ -66,3 +66,40 @@ def prefix_pattern(prefix: str, delimiter: str) -> str:
         + rx_escape(delimiter)
         + ").*$"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cache lifecycle: bounded persist (ADVICE r8)
+# ---------------------------------------------------------------------------
+
+_PERSIST_SLOTS: dict = {}
+
+
+def bounded_persist(df, slot: str):
+    """``df.persist()`` with a one-slot-per-call-site lifecycle.
+
+    Operators like ``bm25_scores`` and ``hourly_gapfill`` persist a
+    narrow intermediate that several downstream forks consume (column
+    pruning specializes each copy, defeating ReuseExchange).  Spark's
+    laziness means the operator itself cannot unpersist before the
+    caller's action runs — but a bare ``.persist()`` per call leaks one
+    cached plan per invocation for the life of the session (bench runs
+    each headliner 3x; the registry driver loops).  This helper keeps AT
+    MOST ONE live cached plan per (session, slot): re-invoking the same
+    call site unpersists the previous round's handle before caching the
+    new one, so repeated calls are O(1) cached plans instead of O(calls).
+
+    The freshly-persisted handle is still live when this returns — the
+    caller's action populates and uses it; only the NEXT call through
+    the same slot releases it.
+    """
+    key = (df.sparkSession.sparkContext.applicationId, slot)
+    prev = _PERSIST_SLOTS.get(key)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session gone / already unpersisted: nothing to free
+    handle = df.persist()
+    _PERSIST_SLOTS[key] = handle
+    return handle

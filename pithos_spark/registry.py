@@ -1399,7 +1399,7 @@ _ANN_INDEX_CACHE: dict = {}
 
 
 def _ivf_index(kind, build, spark, sf_dir):
-    key = (kind, id(spark), sf_dir)
+    key = (kind, spark.sparkContext.applicationId, sf_dir)
     if key not in _ANN_INDEX_CACHE:
         emb = T.load_tables(spark, sf_dir)["embeddings"]
         _ANN_INDEX_CACHE[key] = build(emb)
@@ -2282,11 +2282,17 @@ _POSTINGS_CACHE: dict = {}
 
 
 def _postings_path(spark, sf_dir):
-    key = (id(spark), sf_dir)
+    # keyed on applicationId, not id(spark): a new session never aliases
+    # a garbage-collected one's stale path; dirs are reaped at exit
+    # (ADVICE r8)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _POSTINGS_CACHE:
+        import atexit
+        import shutil
         import tempfile
 
         path = tempfile.mkdtemp(prefix="postings_layout_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         _retrieval_mod.write_postings_layout(
             T.load_tables(spark, sf_dir)["documents"], path
         )

@@ -365,12 +365,13 @@ def hourly_gapfill(events: DataFrame) -> DataFrame:
     distinct types cross-join it (tiny x tiny), and the sparse counts
     left-join in; the only wide exchange is the rollup's own group-by.
     """
-    sparse = (
+    from pithos_spark.plans.helpers import bounded_persist
+
+    sparse = bounded_persist(
         events.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
-        )
-        .agg(F.count(F.lit(1)).alias("event_count"))
-        .persist()
+        ).agg(F.count(F.lit(1)).alias("event_count")),
+        "hourly_gapfill.sparse",
     )
     bounds = sparse.agg(
         F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi")

@@ -1062,9 +1062,9 @@ def test_serve_authorization_scenarios(spark):
     objects = spark.createDataFrame(
         [
             ("NATION_2", "pub.bin", inode, 10, "2024-01-01", "x",
-             "public-read", "STANDARD"),
+             "public-read", "STANDARD", None),
             ("NATION_2", "priv.bin", inode, 10, "2024-01-01", "x",
-             None, "STANDARD"),
+             None, "STANDARD", None),
         ],
         model["objects"].schema,
     )
@@ -1205,9 +1205,11 @@ def test_object_creator_keeps_full_control(spark):
     ]
 
     # with the committed grants, the creator reads their private object
-    # back; a stranger still cannot
+    # back; a stranger still cannot.  owner=None here exercises the
+    # GRANT-ROW path (reference-shaped data without an embedded owner)
     mine = spark.createDataFrame(
-        [("NATION_2", "mine.bin", "i1", 1, "2024-01-01", "x", None, "STANDARD")],
+        [("NATION_2", "mine.bin", "i1", 1, "2024-01-01", "x", None,
+          "STANDARD", None)],
         base_objects.schema,
     )
     committed = {**model, "objects": mine, "grants": resp["grants"]}
@@ -1221,15 +1223,26 @@ def test_object_creator_keeps_full_control(spark):
         committed, ("object:READ",), "NATION_2", "mine.bin", "stranger"
     ) is not None
 
-    # alternatively, a model whose objects table carries an owner column
-    # admits the creator directly (the reference's embedded header-acl)
+    # the schema variant WITHOUT an owner column (pre-r9 / reference-
+    # shaped models) still authorizes via grant rows, not the fast-path
+    legacy = mine.drop("owner")
+    lmodel = {**model, "objects": legacy, "grants": resp["grants"]}
+    assert (
+        authorize_request(
+            lmodel, ("object:READ",), "NATION_2", "mine.bin", "uploader"
+        )
+        is None
+    )
+    assert authorize_request(
+        lmodel, ("object:READ",), "NATION_2", "mine.bin", "stranger"
+    ) is not None
+
+    # alternatively, the declared owner column admits the creator
+    # directly (the reference's embedded header-acl)
     owned = spark.createDataFrame(
         [("NATION_2", "mine.bin", "i1", 1, "2024-01-01", "x", None,
           "STANDARD", "uploader")],
-        S.StructType(
-            base_objects.schema.fields
-            + [S.StructField("owner", S.StringType())]
-        ),
+        base_objects.schema,
     )
     omodel = {"buckets": buckets, "objects": owned, "grants": grants}
     assert (
