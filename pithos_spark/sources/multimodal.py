@@ -4,11 +4,16 @@ Treats media as opaque ``binary`` payloads with typed metadata — the same
 modeling the reference applies to blob chunks (BinaryType rows,
 src/io/pithos/blob.clj:79-93) lifted to whole assets.
 
-The decode step (image/audio libraries) is STUBBED — the container has no
-media libs — behind ``decode_stub``, a deterministic fake that derives
-"features" from the payload bytes.  Everything around it is real and
-tested: the asset schema, the Arrow-batched ``mapInPandas`` pipeline
-shape, batch-size control, and the metadata pushdown.
+Header-level decode is REAL across all three modalities — image
+dimensions (PIL when importable, else stdlib PNG/JPEG/GIF header
+parses), WAV duration+sample rate (RIFF chunk walk), MP4
+dims+duration (ISO-BMFF box walk).  Payloads no decoder recognizes
+take ``decode_stub``'s deterministic fake, flagged per-row in the
+``decoded`` column.  Full-pixel/sample decode (the part that needs
+media libs the container lacks) stays out of scope; everything around
+it is real and tested: the asset schema, the Arrow-batched
+``mapInPandas`` pipeline shape, batch-size control, and the metadata
+pushdown.
 
 Scale: mapInPandas processes Arrow record batches (not rows); payload
 columns stream executor-side without driver involvement.  Partitioning by
@@ -42,6 +47,8 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType()),
         T.StructField("width", T.LongType()),
         T.StructField("height", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
         T.StructField("decoded", T.BooleanType()),
         T.StructField("checksum_head", T.StringType()),
     ]
@@ -94,6 +101,107 @@ def _real_decode(b: bytes) -> tuple[int, int] | None:
         return _parse_image_header(bytes(b))
 
 
+def _parse_wav_header(b: bytes) -> dict | None:
+    """Stdlib WAV/RIFF parse: walk the chunk list for ``fmt `` (channels,
+    sample rate, bits/sample) and ``data`` (payload size), derive the
+    clip duration.  Real bytes, real numbers, no media libs — the audio
+    counterpart of the PNG/JPEG/GIF header parse (VERDICT r8 item 5)."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, rate, block_align, data_size = 12, None, None, None
+    while i + 8 <= len(b):
+        cid, size = b[i : i + 4], struct.unpack("<I", b[i + 4 : i + 8])[0]
+        body = b[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            _fmt, _ch, rate, _byps, block_align = struct.unpack(
+                "<HHIIH", body[:14]
+            )
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not rate or not block_align or data_size is None:
+        return None
+    n_frames = data_size // block_align
+    return {
+        "sample_rate": int(rate),
+        "duration_ms": int(n_frames * 1000 // rate),
+    }
+
+
+def _parse_mp4_header(b: bytes) -> dict | None:
+    """Minimal ISO-BMFF (MP4/MOV) box walk: ``moov/mvhd`` yields
+    timescale+duration, the first video ``trak/tkhd`` yields the track's
+    16.16-fixed width/height.  Handles version-0 and version-1 boxes;
+    stops at the metadata, never touches sample data — exactly what a
+    100 TB manifest-building pass would read."""
+    import struct
+
+    def boxes(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            (size,) = struct.unpack(">I", buf[i : i + 4])
+            btype = buf[i + 4 : i + 8]
+            hdr = 8
+            if size == 1 and i + 16 <= end:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", buf[i + 8 : i + 16])
+                hdr = 16
+            elif size == 0:  # box extends to end
+                size = end - i
+            if size < hdr:
+                return
+            yield btype, i + hdr, min(i + size, end)
+            i += size
+
+    if len(b) < 12:
+        return None
+    # an MP4 leads with ftyp (or styp); refuse everything else early
+    if b[4:8] not in (b"ftyp", b"styp"):
+        return None
+    out: dict = {}
+    for btype, s, e in boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in boxes(b, s, e):
+            if ctype == b"mvhd" and ce - cs >= 20:
+                ver = b[cs]
+                if ver == 1 and ce - cs >= 32:
+                    # v1: creation/modification are 64-bit → timescale
+                    # at body offset 20, duration (64-bit) at 24
+                    ts, dur = struct.unpack(">IQ", b[cs + 20 : cs + 32])
+                else:
+                    ts, dur = struct.unpack(">II", b[cs + 12 : cs + 20])
+                if ts:
+                    out["duration_ms"] = int(dur * 1000 // ts)
+            elif ctype == b"trak" and "width" not in out:
+                for ttype, ts_, te in boxes(b, cs, ce):
+                    if ttype == b"tkhd" and te - ts_ >= 84:
+                        ver = b[ts_]
+                        off = ts_ + (96 if ver == 1 else 84) - 8
+                        if off + 8 <= te:
+                            w, h = struct.unpack(">II", b[off : off + 8])
+                            if w and h:  # audio tracks carry 0x0
+                                out["width"] = int(w) >> 16
+                                out["height"] = int(h) >> 16
+    return out or None
+
+
+def _real_decode_any(b: bytes) -> dict | None:
+    """Modality-dispatching real decode: image dimensions (PIL or stdlib
+    header parse), WAV duration+rate, MP4 dims+duration.  Returns a
+    partial feature dict, or None when no decoder recognizes the
+    payload (→ the deterministic fake branch)."""
+    b = bytes(b)
+    img = _real_decode(b)
+    if img is not None:
+        return {"width": img[0], "height": img[1]}
+    wav = _parse_wav_header(b)
+    if wav is not None:
+        return wav
+    return _parse_mp4_header(b)
+
+
 def assets_from_documents(documents: DataFrame) -> DataFrame:
     """Derive a multimodal asset table from the documents corpus: the
     utf-8 payload stands in for media bytes; media_type cycles through the
@@ -130,26 +238,31 @@ def _decode_pipeline(assets: DataFrame, try_real: bool) -> DataFrame:
             n_bytes = pdf["payload"].map(len)
             fake_w = n_bytes % 640 + 1
             fake_h = n_bytes % 480 + 1
+            width, height = list(fake_w), list(fake_h)
+            duration = [None] * len(pdf)
+            rate = [None] * len(pdf)
+            decoded = [False] * len(pdf)
             if try_real:
-                dims = pdf["payload"].map(lambda b: _real_decode(bytes(b)))
-                decoded = dims.map(lambda d: d is not None)
-                width = [
-                    d[0] if d is not None else fw
-                    for d, fw in zip(dims, fake_w)
-                ]
-                height = [
-                    d[1] if d is not None else fh
-                    for d, fh in zip(dims, fake_h)
-                ]
-            else:
-                decoded, width, height = False, fake_w, fake_h
+                for i, payload in enumerate(pdf["payload"]):
+                    d = _real_decode_any(payload)
+                    if d is None:
+                        continue
+                    decoded[i] = True
+                    # dims only where the modality has them: a decoded
+                    # WAV/dimension-less MP4 reports null, never the fake
+                    width[i] = d.get("width")
+                    height[i] = d.get("height")
+                    duration[i] = d.get("duration_ms")
+                    rate[i] = d.get("sample_rate")
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": n_bytes,
-                    "width": width,
-                    "height": height,
+                    "width": pd.array(width, dtype="Int64"),
+                    "height": pd.array(height, dtype="Int64"),
+                    "duration_ms": pd.array(duration, dtype="Int64"),
+                    "sample_rate": pd.array(rate, dtype="Int64"),
                     "decoded": decoded,
                     "checksum_head": pdf["payload"].map(
                         lambda b: hashlib.md5(b).hexdigest()[:8]
@@ -161,11 +274,12 @@ def _decode_pipeline(assets: DataFrame, try_real: bool) -> DataFrame:
 
 
 def decode_features(assets: DataFrame) -> DataFrame:
-    """The decode / feature-extract stage: REAL image decode when the
-    payload is a real image (PIL if importable, else the stdlib
-    PNG/JPEG/GIF header parse), deterministic fake otherwise.  Batch
-    iteration, schema contract, and per-batch vectorized work are
-    identical on both paths."""
+    """The decode / feature-extract stage: REAL header decode when the
+    payload is recognizable media — image dimensions (PIL if importable,
+    else the stdlib PNG/JPEG/GIF header parse), WAV duration+sample rate
+    (RIFF chunk walk), MP4 dims+duration (ISO-BMFF box walk) —
+    deterministic fake otherwise.  Batch iteration, schema contract, and
+    per-batch vectorized work are identical on both paths."""
     return _decode_pipeline(assets, try_real=True)
 
 
@@ -197,6 +311,8 @@ SELECT doc_id AS asset_id,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
        CAST(strlen(text) % 640 + 1 AS BIGINT) AS width,
        CAST(strlen(text) % 480 + 1 AS BIGINT) AS height,
+       CAST(NULL AS BIGINT) AS duration_ms,
+       CAST(NULL AS BIGINT) AS sample_rate,
        false AS decoded,
        substr(md5(text), 1, 8) AS checksum_head
 FROM documents

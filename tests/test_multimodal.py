@@ -115,3 +115,123 @@ def test_decode_features_agrees_with_stub_on_non_images(spark):
     real_rows = sorted(map(tuple, real.collect()))
     stub_rows = sorted(map(tuple, stub.collect()))
     assert real_rows == stub_rows
+
+
+def _wav(rate: int, seconds: float, channels: int = 1) -> bytes:
+    """A REAL WAV file authored by the stdlib wave module."""
+    import io
+    import wave
+
+    n_frames = int(rate * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * n_frames * channels)
+    return buf.getvalue()
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def _mp4(w: int, h: int, timescale: int, duration: int, v1: bool = False) -> bytes:
+    """Minimal ISO-BMFF: ftyp + moov(mvhd + trak(tkhd)) with real
+    big-endian fields at the spec offsets (16.16-fixed dimensions)."""
+    if v1:
+        mvhd = (
+            b"\x01\x00\x00\x00"
+            + struct.pack(">QQ", 0, 0)          # creation/modification (64-bit)
+            + struct.pack(">IQ", timescale, duration)
+            + b"\x00" * 80
+        )
+        tkhd = (
+            b"\x01\x00\x00\x07"
+            + struct.pack(">QQ", 0, 0)          # creation/modification
+            + struct.pack(">II", 1, 0)           # track id + reserved
+            + struct.pack(">Q", duration)
+            + b"\x00" * 52                       # reserved/layer/volume/matrix
+            + struct.pack(">II", w << 16, h << 16)
+        )
+    else:
+        mvhd = (
+            b"\x00\x00\x00\x00"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, duration)
+            + b"\x00" * 80
+        )
+        tkhd = (
+            b"\x00\x00\x00\x07"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">II", 1, 0)
+            + struct.pack(">I", duration)
+            + b"\x00" * 52
+            + struct.pack(">II", w << 16, h << 16)
+        )
+    moov = _mp4_box(
+        b"moov",
+        _mp4_box(b"mvhd", mvhd) + _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd)),
+    )
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
+def test_wav_header_parse_real_bytes():
+    from pithos_spark.sources.multimodal import _parse_wav_header
+
+    got = _parse_wav_header(_wav(44100, 2.5))
+    assert got == {"sample_rate": 44100, "duration_ms": 2500}
+    got = _parse_wav_header(_wav(16000, 0.25, channels=2))
+    assert got == {"sample_rate": 16000, "duration_ms": 250}
+    assert _parse_wav_header(b"RIFFxxxxWAVE") is None  # no fmt/data chunks
+    assert _parse_wav_header(b"plain text") is None
+
+
+def test_mp4_box_walk_real_bytes():
+    from pithos_spark.sources.multimodal import _parse_mp4_header
+
+    got = _parse_mp4_header(_mp4(1920, 1080, timescale=600, duration=1500))
+    assert got == {"duration_ms": 2500, "width": 1920, "height": 1080}
+    # version-1 boxes (64-bit times) hit the other unpack path
+    got = _parse_mp4_header(_mp4(640, 360, 1000, 90000, v1=True))
+    assert got == {"duration_ms": 90000, "width": 640, "height": 360}
+    assert _parse_mp4_header(b"plain text payload") is None
+    assert _parse_mp4_header(b"\x00\x00\x00\x08free") is None
+
+
+def test_decode_features_audio_video_headers(spark):
+    """WAV and MP4 payloads through the SAME decode_features plan as
+    images: decoded=true with real duration/rate/dims; the text blob
+    still takes the fake branch with null duration columns (the shape
+    MEDIA_FEATURES_SQL mirrors)."""
+    from pithos_spark.sources.multimodal import ASSET_SCHEMA, decode_features
+
+    wav, mp4 = _wav(8000, 1.5), _mp4(1280, 720, 600, 300)
+    blob = b"not media, just bytes"
+    rows = [
+        (1, "audio", wav, {}),
+        (2, "video", mp4, {}),
+        (3, "image", _png(32, 16), {}),
+        (4, "audio", blob, {}),
+    ]
+    got = {
+        r["asset_id"]: r
+        for r in decode_features(
+            spark.createDataFrame(rows, ASSET_SCHEMA)
+        ).collect()
+    }
+    a = got[1]
+    assert (a["decoded"], a["sample_rate"], a["duration_ms"]) == (True, 8000, 1500)
+    assert a["width"] is None and a["height"] is None
+    v = got[2]
+    assert (v["decoded"], v["width"], v["height"], v["duration_ms"]) == (
+        True, 1280, 720, 500,
+    )
+    i = got[3]
+    assert (i["decoded"], i["width"], i["height"]) == (True, 32, 16)
+    assert i["duration_ms"] is None and i["sample_rate"] is None
+    b = got[4]
+    n = len(blob)
+    assert (b["decoded"], b["width"], b["height"]) == (False, n % 640 + 1, n % 480 + 1)
+    assert b["duration_ms"] is None and b["sample_rate"] is None
