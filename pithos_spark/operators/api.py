@@ -648,6 +648,7 @@ def authenticate_v2(
     headers: dict,
     keystore: dict[str, dict],
     sign_uri: str | None = None,
+    now_epoch: int | None = None,
 ) -> tuple[tuple[str | None, tuple[str, ...]], tuple[int, str] | None]:
     """sig.clj:52-123 (validate): derive the caller's identity from the
     request's AWS v2 signature before any authorization runs.
@@ -673,10 +674,12 @@ def authenticate_v2(
     h = {str(k).lower(): v for k, v in (headers or {}).items()}
     auth_header = h.get("authorization", "")
     m = re.match(r"^[Aa][Ww][Ss] (.*):(.*)$", auth_header)
+    presigned = False
     if m:
         access_key, given = m.group(1), m.group(2)
     elif params.get("awsaccesskeyid") and params.get("signature"):
         access_key, given = params["awsaccesskeyid"], params["signature"]
+        presigned = True
     else:
         return (None, ()), None
 
@@ -691,6 +694,40 @@ def authenticate_v2(
     entry = keystore.get(access_key)
     if entry is None:
         return (None, ()), bad
+    if presigned and now_epoch is not None:
+        # presigned query-param form (sig.clj:87-120): Expires sits in
+        # the date slot AND bounds the URL's lifetime — signature first,
+        # THEN the expiry check (an expired URL with a bad signature
+        # reports SignatureDoesNotMatch, reference order).  now_epoch is
+        # an argument, never a clock read, so serve() stays pure.
+        ok, code = sig.validate_presigned(
+            method.upper(),
+            sign_uri if sign_uri is not None else uri,
+            {"Expires": params.get("expires", ""), "Signature": given},
+            entry["secret"],
+            now_epoch,
+            h.get("content-md5", ""),
+            h.get("content-type", ""),
+            {k: v for k, v in h.items() if k.startswith("x-amz")},
+        )
+        if not ok:
+            if code == "AccessDenied":
+                return (None, ()), (
+                    403,
+                    xmlio.error_response(
+                        "AccessDenied", "Request has expired"
+                    ),
+                )
+            if code == "InternalError":
+                return (None, ()), (
+                    500,
+                    xmlio.error_response("InternalError", "Invalid Expires"),
+                )
+            return (None, ()), bad
+        return (
+            entry.get("tenant"),
+            tuple(entry.get("memberof", ())),
+        ), None
     date = params.get("expires") or (
         "" if "x-amz-date" in h else h.get("date", "")
     )
@@ -782,15 +819,19 @@ def authenticate(
     body: str,
     keystore: dict[str, dict],
     sign_uri: str | None = None,
+    now_epoch: int | None = None,
 ) -> tuple[tuple[str | None, tuple[str, ...]], tuple[int, str] | None]:
     """request.clj:219-246 dispatch: AWS4- Authorization headers go
     through sigv4 validation, everything else through the v2 path
     (which itself falls back to anonymous when no credentials are
-    present)."""
+    present; with ``now_epoch`` the presigned query-param form also
+    enforces its Expires bound)."""
     h = {str(k).lower(): v for k, v in (headers or {}).items()}
     if h.get("authorization", "").startswith("AWS4-"):
         return authenticate_v4(method, uri, params, headers, body, keystore)
-    return authenticate_v2(method, uri, params, headers, keystore, sign_uri)
+    return authenticate_v2(
+        method, uri, params, headers, keystore, sign_uri, now_epoch
+    )
 
 
 def serve(
@@ -806,6 +847,7 @@ def serve(
     memberof: tuple[str, ...] = (),
     keystore: dict[str, dict] | None = None,
     sign_uri: str | None = None,
+    now_epoch: int | None = None,
 ):
     """End-to-end dispatch (operations.clj:999-1034): resolve the
     request to its operation (vhost rewrite, route target, action
@@ -836,7 +878,8 @@ def serve(
 
     if keystore is not None:
         (tenant, memberof), refusal = authenticate(
-            method, uri, params or {}, headers or {}, body, keystore, sign_uri
+            method, uri, params or {}, headers or {}, body, keystore,
+            sign_uri, now_epoch,
         )
         if refusal is not None:
             return refusal

@@ -955,3 +955,105 @@ def test_sketch_merge_invariants_property():
                 assert u in got, (u, c, n, m)
 
     check()
+
+
+def test_streaming_heavy_hitters_converges_to_batch_twin(spark, tmp_path):
+    """VERDICT r8 item 6: the STREAMING operator's final state equals
+    sketch_from_counts of the same data, exactly, even with m small
+    enough to force recycling.  A single micro-batch ingests per-user
+    totals in sorted-user order — byte-for-byte the batch twin's fold
+    (heavyhitters.py:17-20 determinism note) — so (est_count, err)
+    match value-for-value, not just within bounds."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.streaming import events as ev
+    from pithos_spark.streaming.heavyhitters import heavy_hitters, sketch_from_counts
+
+    batch_events = T.load_tables(spark, SF_SMOKE)["events"]
+    # skew a third of the traffic onto user 7 so recycling really fires
+    skewed = batch_events.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 3 == 0, F.lit(7)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    src = str(tmp_path / "events_one_file")
+    # ONE file -> availableNow delivers ONE micro-batch: the stream's
+    # ingest order provably matches the twin's
+    skewed.coalesce(1).write.parquet(src)
+
+    m = 8
+    stream = ev.streamify(spark, src, skewed.schema, watermark="2 hours")
+    q = (
+        heavy_hitters(stream, m=m)
+        .writeStream.format("memory")
+        .queryName("hh_twin")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["event_type"], r["user_id"]): (r["est_count"], r["err"])
+        for r in spark.sql("SELECT * FROM hh_twin").collect()
+    }
+    counts = skewed.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    want = {
+        (r["event_type"], r["user_id"]): (r["est_count"], r["err"])
+        for r in sketch_from_counts(counts, m=m).collect()
+    }
+    assert got == want
+    # and the sketch really is lossy here (recycling fired), so the
+    # equality above is a statement about the recycling path too
+    assert any(err > 0 for _, err in got.values())
+
+
+def test_streaming_heavy_hitters_replay_deterministic(spark, tmp_path):
+    """Replaying the SAME multi-micro-batch stream reproduces the same
+    sketch exactly (sorted ingest + (count, user) victim choice): the
+    property that makes streaming restarts reconcilable."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.streaming import events as ev
+    from pithos_spark.streaming.heavyhitters import heavy_hitters
+
+    batch_events = T.load_tables(spark, SF_SMOKE)["events"]
+    src = str(tmp_path / "events_parts")
+    # 3 files + maxFilesPerTrigger=1 -> 3 ordered micro-batches (file
+    # source queues by discovery; a fixed file set replays identically)
+    batch_events.orderBy("event_id").repartitionByRange(
+        3, "event_id"
+    ).write.parquet(src)
+
+    def run(name: str):
+        stream = (
+            spark.readStream.schema(batch_events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "2 hours")
+        )
+        q = (
+            heavy_hitters(stream, m=8)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # update mode re-emits per batch; the LAST emit per key is the
+        # final state (memory sink appends, so dedupe keeping last)
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        final = {}
+        for r in rows:
+            final[(r["event_type"], r["user_id"])] = (
+                r["est_count"], r["err"],
+            )
+        return final
+
+    assert run("hh_replay_a") == run("hh_replay_b")
