@@ -50,9 +50,10 @@ HEADLINERS = [
     "dedup_embedding_lsh",
     "corpus_duplicate_spans",
     # round-8 retrieval layout pair: tokenize-on-read vs the
-    # materialized term-range postings (cold first sample pays the
-    # one-time layout build; the median shows the steady-state serve
-    # cost — the listing-layout story for search)
+    # materialized term-range postings.  The one-time layout build is
+    # benched separately as build_postings_layout (VERDICT r8 item 2),
+    # so every corpus_bm25_postings_topk sample — including the cold
+    # one — times only the serving read
     "corpus_bm25_topk",
     "corpus_bm25_postings_topk",
 ]
@@ -111,6 +112,30 @@ def main() -> None:
 
     medians: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+
+    # the postings layout build, benched as its own line (mirrors the
+    # materialize_objects_layout / list_objects_materialized split):
+    # timing it here ALSO warms the registry's per-session postings
+    # cache, so the corpus_bm25_postings_topk headliner below times
+    # only the serving read — build once, query forever
+    import shutil
+    import tempfile
+
+    from pithos_spark.functions.retrieval import write_postings_layout
+    from pithos_spark.registry import _postings_path
+
+    pbuild = tempfile.mkdtemp(prefix="bench_postings_")
+    pbuild_samples: list[float] = []
+    for i in range(REPEATS):
+        t0 = time.perf_counter()
+        write_postings_layout(warm["documents"], f"{pbuild}/layout_{i}")
+        pbuild_samples.append(round(time.perf_counter() - t0, 3))
+    runs["build_postings_layout"] = pbuild_samples
+    medians["build_postings_layout"] = round(
+        statistics.median(pbuild_samples), 3
+    )
+    shutil.rmtree(pbuild, ignore_errors=True)
+    _postings_path(spark, sf_dir)  # warm the serving cache untimed
     for name in HEADLINERS:
         if name not in QUERIES:
             continue
@@ -126,9 +151,6 @@ def main() -> None:
     # the production path: listing against the partitioned+sorted objects
     # layout (what a deployed store would serve reads from) — shows the
     # layout payoff next to the derive-on-the-fly number above
-    import shutil
-    import tempfile
-
     from pithos_spark import tables as PT
     from pithos_spark.operators.listing import list_objects
     from pithos_spark.sources.store import write_objects_layout

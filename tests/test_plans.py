@@ -370,3 +370,23 @@ def test_source_overlap_reuses_signature_exchange(spark, tables):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "ReusedExchange" in plan, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_postings_read_pushes_term_filter(spark, tables, tmp_path):
+    """The materialized postings serving path must read ONLY the query
+    terms' posting lists: the `term IN (...)` filter has to reach the
+    parquet scan as a pushed filter (the term-range layout then makes
+    it row-group skipping), and the stats/df sides must broadcast —
+    the r8 rewrite this guards replaced a full-corpus re-tokenize per
+    query (retrieval.py:150-217)."""
+    from pithos_spark.functions import retrieval
+
+    path = str(tmp_path / "postings_layout")
+    retrieval.write_postings_layout(tables["documents"], path)
+    plan = _plan(retrieval.bm25_topk_from_postings(spark, path))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("In(term" in p for p in pushed), plan
+    # serving never rescans the corpus: both parquet scans are the
+    # layout's own (postings + 1-row stats), not documents
+    assert "documents" not in plan
+    assert plan.count("BroadcastExchange") >= 2, plan
