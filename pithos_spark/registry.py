@@ -2650,91 +2650,88 @@ def events_api_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order (still runnable, just outside the 50-entry hard gate this round).
 # ---------------------------------------------------------------------------
 
-# Queries changed or added in the CURRENT round (8) — spliced at the
-# very front of the window so they get a fresh verdict: the new
-# heavy-hitters oracle gate, the three multimodal queries (the decode
-# stage gained a real image path and multimodal_features' output schema
-# changed: width/height/decoded), the two operators rewritten in r7
-# that never got a driver verdict (corpus_duplicate_spans — whose
-# broadcast default also changed this round — and
-# corpus_novelty_scores), and events_watermark_lateness (jitter
-# expression changed in 9a83db9; re-verify once more post-change).
-# r9 rotation queue: corpus_decontaminate_semantic,
-# corpus_mask_duplicate_spans, corpus_leakage_safe_split, and
-# corpus_bm25_postings_topk were added late in r8 after the window
-# filled — they are pytest-oracle-proven and belong at the front of
-# r9's ROUND_NEW, together with the ~34 r5 greens whose verdicts age
-# out next.
+# Queries changed or added in the CURRENT round (9) — spliced at the
+# very front of the window so they get a fresh verdict: the four
+# late-r8 operators that were pytest-proven but never driver-checked
+# (the r8 queue, honored verbatim — VERDICT r8 task 1), plus the
+# queries r9 touched: multimodal_features' output schema gained
+# duration_ms/sample_rate (real WAV/MP4 header decode),
+# events_hourly_gapfill and corpus_bm25_topk switched to the bounded
+# persist lifecycle, and corpus_bm25_postings_topk's layout cache was
+# re-keyed (it is also one of the late-r8 four).
+# r10 rotation queue: after this window no query's last driver verdict
+# is older than r7; the ~49 r7 greens age out next and should fill
+# r10's DRIVER_PRIORITY.
 ROUND_NEW: list[str] = [
-    "events_heavy_hitters",
-    "events_heavy_hitters_merged",
+    "corpus_decontaminate_semantic",
+    "corpus_mask_duplicate_spans",
+    "corpus_leakage_safe_split",
+    "corpus_bm25_postings_topk",
     "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "corpus_duplicate_spans",
-    "corpus_novelty_scores",
-    "events_watermark_lateness",
+    "events_hourly_gapfill",
+    "corpus_bm25_topk",
 ]
 
 DRIVER_PRIORITY: list[str] = [
-    # the full ≤r4-stale backlog (VERDICT r7 task 1): the four r2 greens
-    # that have waited longest, then every r4 green.  After this window
-    # no query's last driver verdict is older than r5.
-    "list_objects_no_delim",
-    "object_descriptor",
-    "objects_page",
-    "range_read_chunks",
-    "acl_edn_grants",
-    "ann_ivf_topk",
-    "corpus_curation_pipeline",
-    "corpus_pack_sequences",
-    "corpus_sample_mix",
-    "cors_preflight",
-    "dedup_duplicate_clusters",
-    "dedup_keep_best",
-    "events_type_pivot",
-    "list_object_uploads",
-    "metadata_header_filter",
-    "q11_important_brands",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_special_revenue",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "q2_cheapest_supplier",
-    "q4_priority_order_check",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "scalar_conversions",
+    # the full r5-stale backlog (VERDICT r8 task 1): every query whose
+    # last driver verdict is r5 (computed from CORRECTNESS_r01..r08;
+    # events_hourly_gapfill and corpus_bm25_topk are r5-stale too but
+    # already sit in ROUND_NEW above).  After this window no query's
+    # last driver verdict is older than r7.
+    "ann_batch_topk",
+    # (ann_ivf_kmeans_topk's r5 verdict belongs to the query renamed to
+    # ann_ivf_topk, re-verified r8 — nothing stale to rotate)
+    "ann_ivf_lloyd_topk",
+    "ann_lsh_batch_topk",
+    "ann_lsh_topk",
+    "corpus_bigram_lm",
+    "corpus_decontaminate",
+    "corpus_gate_report",
+    "corpus_hybrid_search_rrf",
+    "corpus_mix_plan",
+    "corpus_pii_redact",
+    "corpus_repetition_stats",
+    "corpus_rerank_stub",
+    "corpus_shard_assign",
+    "corpus_term_doc_freq",
+    "dedup_embedding_cosine",
+    "events_asof_last_click",
+    "events_hourly_anomalies",
+    "events_top_users_per_type",
+    "events_trailing_hour_count",
+    "list_objects_flagship",
+    "multipart_etag",
+    "object_checksums",
+    "objects_latest_version",
+    "part_base_offsets",
+    "payload_digest_verify",
+    "q10_returned_items",
+    "q1_pricing_summary",
+    "q7_nation_pair_volume",
+    "text_token_stats",
+    "usage_grouping_sets",
 ]
 
-# Representative already-green core (r5 greens) — regression canaries
-# AFTER anything needing a fresh verdict (ADVICE r2: no magic slice;
-# three explicit lists).  Picked for subsystem spread: dedup tiers
-# (exact/minhash/simhash/incremental — minhash doubles as the perf-
-# drift re-measure), storage reads (point lookup, reassembly, GC),
-# events (funnel/retention), policy validation, and the grouping-sets
-# rollup.  The ~31 remaining r5 greens rotate in next round.
+# Representative already-green core (r7/r8 greens) — regression
+# canaries AFTER anything needing a fresh verdict (ADVICE r2: no magic
+# slice; three explicit lists).  Picked for subsystem spread: dedup
+# (minhash doubles as the perf-drift re-measure, exact as the cheap
+# baseline), storage reads (point lookup, reassembly, GC), listing,
+# events (funnel + the new heavy-hitters gate), policy/ACL/CORS, and
+# the dispatch layer.  The ~49 r7 greens rotate in next round.
 GREEN_CORE: list[str] = [
     "dedup_minhash_lsh",
     "dedup_exact",
-    "dedup_simhash_pairs",
-    "dedup_incremental",
     "get_object_point",
     "orphan_chunk_gc",
-    "post_policy_validate",
-    "events_funnel",
-    "events_retention",
     "object_reassembly_verify",
-    # usage_grouping_sets yielded its canary slot to the round's 8th new
-    # query (events_heavy_hitters_merged); it stays r5-green and rotates
-    # back with the remaining r5 cohort next round
+    "list_objects_no_delim",
+    "events_funnel",
+    "events_heavy_hitters",
+    "post_policy_validate",
+    "acl_edn_grants",
+    "cors_preflight",
+    "s3_resolve_operations",
 ]
 
 

@@ -1,0 +1,140 @@
+"""Generate larger scale factors from the driver's sf0.1 testdata.
+
+The driver ships sf0.001/0.01/0.1 only; the scale-trend check
+(VERDICT r8 task 4) needs an sf1-shaped dataset to confirm the
+headliners grow ~linearly.  This replicates sf0.1 N times (default 10)
+with transforms that keep the derived-table invariants AND the
+statistical shape the operators care about:
+
+ - primary keys shift by replica * K where K preserves every modular
+   pattern the model layer uses (o_orderkey % 15 -> key shapes + acl,
+   s_suppkey % 15 -> grants, p_partkey % 75 -> cors rules,
+   doc_id % 3 -> media type), so replica rows derive buckets/objects/
+   grants exactly like originals;
+ - document text gets a per-replica deterministic word SHUFFLE:
+   within-replica duplicate clusters survive verbatim (identical texts
+   shuffle identically), while cross-replica near-duplicate pairs are
+   destroyed — corpus growth adds NEW content with the same dup rate,
+   the linear-scaling model, instead of exploding every cluster 10x
+   (which would be a quadratic-candidates stress test, not a scale
+   trend);
+ - embeddings roll by replica index (norm-preserving; per-replica
+   cluster geometry identical, cross-replica cosine uncorrelated);
+ - events shift event_id/user_id and keep the time axis, so windowed
+   state grows in users, not in window count.
+
+Usage: python scripts/gen_scale.py [replicas] [out_dir]
+Defaults: 10 replicas -> ./.scale/sf1
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = Path("/root/testdata/sf0.1")
+
+K_ORD = 150_000  # % 15 == 0: o_orderkey key-shape + acl patterns
+K_CUST = 15_000
+K_SUPP = 1_005  # % 15 == 0: grants perm/grantee patterns
+K_PART = 20_025  # % 75 == 0: cors bucket/origin patterns
+K_DOC = 5_001  # % 3 == 0: multimodal media_type cycle
+K_VEC = 2_000
+K_EVENT = 100_000
+K_USER = 1_500
+
+
+def _shuffle_text(text: str, rep: int) -> str:
+    words = text.split()
+    random.Random(rep).shuffle(words)
+    return " ".join(words)
+
+
+def _replicate(table: pa.Table, rep: int, shifts: dict[str, int]) -> pa.Table:
+    cols = {}
+    for name in table.column_names:
+        col = table.column(name)
+        if name in shifts and rep > 0:
+            col = pa.compute.add(col, shifts[name] * rep)
+        cols[name] = col
+    return pa.table(cols)
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = Path(sys.argv[2]) if len(sys.argv) > 2 else Path(
+        __file__
+    ).resolve().parent.parent / ".scale" / "sf1"
+    out.mkdir(parents=True, exist_ok=True)
+
+    # dimension tables pass through unchanged
+    for t in ("region", "nation"):
+        pq.write_table(pq.read_table(SRC / f"{t}.parquet"), out / f"{t}.parquet")
+
+    plain_shifts = {
+        "orders": {"o_orderkey": K_ORD, "o_custkey": K_CUST},
+        "lineitem": {"l_orderkey": K_ORD, "l_partkey": K_PART,
+                     "l_suppkey": K_SUPP},
+        "customer": {"c_custkey": K_CUST},
+        "supplier": {"s_suppkey": K_SUPP},
+        "part": {"p_partkey": K_PART},
+        "events": {"event_id": K_EVENT, "user_id": K_USER},
+    }
+    for t, shifts in plain_shifts.items():
+        src = pq.read_table(SRC / f"{t}.parquet")
+        parts = [_replicate(src, i, shifts) for i in range(replicas)]
+        pq.write_table(pa.concat_tables(parts), out / f"{t}.parquet")
+        print(f"{t}: {src.num_rows} -> {src.num_rows * replicas}")
+
+    # documents: shift doc_id, shuffle words per replica, recompute n_chars
+    docs = pq.read_table(SRC / "documents.parquet")
+    doc_parts = []
+    for i in range(replicas):
+        texts = docs.column("text").to_pylist()
+        if i > 0:
+            texts = [_shuffle_text(t, i) for t in texts]
+        doc_parts.append(
+            pa.table(
+                {
+                    "doc_id": pa.compute.add(docs.column("doc_id"), K_DOC * i),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": docs.column("lang"),
+                    "source": docs.column("source"),
+                    "n_chars": pa.array(
+                        [len(t) for t in texts], pa.int64()
+                    ),
+                }
+            )
+        )
+    pq.write_table(pa.concat_tables(doc_parts), out / "documents.parquet")
+    print(f"documents: {docs.num_rows} -> {docs.num_rows * replicas}")
+
+    # embeddings: shift vec_id, roll the vector per replica
+    emb = pq.read_table(SRC / "embeddings.parquet")
+    vecs = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
+    emb_parts = []
+    for i in range(replicas):
+        emb_parts.append(
+            pa.table(
+                {
+                    "vec_id": pa.compute.add(emb.column("vec_id"), K_VEC * i),
+                    "embedding": pa.array(
+                        list(np.roll(vecs, i, axis=1)),
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": emb.column("label"),
+                }
+            )
+        )
+    pq.write_table(pa.concat_tables(emb_parts), out / "embeddings.parquet")
+    print(f"embeddings: {emb.num_rows} -> {emb.num_rows * replicas}")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
