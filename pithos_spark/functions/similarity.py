@@ -890,9 +890,21 @@ LIMIT {k}"""
     return "".join(parts)
 
 
+def auto_planes(n: int, target_bucket: int = 16) -> int:
+    """Plane count that keeps EXPECTED bucket occupancy ~target as the
+    corpus grows: ceil(log2(ceil(n / target))), floored at 8 and capped
+    at 32.  With a FIXED plane count, occupancy grows linearly with n
+    and within-bucket candidate pairs grow QUADRATICALLY — the r9 sf1
+    scale run measured exactly that (SCALE_r09.md); scaling planes with
+    log2(n) keeps candidates ~linear in n.  Exact integer math
+    (bit_length, no float log) so the SQL twin agrees bit-for-bit."""
+    k = -(-max(int(n), 1) // target_bucket)  # ceil(n / target)
+    return min(32, max(8, (k - 1).bit_length()))
+
+
 def embedding_lsh_dedup_pairs(
     embeddings: DataFrame,
-    num_planes: int = 8,
+    num_planes: int | None = None,
     threshold_q: int = 300_000,
     max_bucket: int = 10000,
 ) -> DataFrame:
@@ -903,14 +915,26 @@ def embedding_lsh_dedup_pairs(
     the exact quantized dot keeps pairs scoring >= threshold_q
     (0.3 cosine at scale 1000 for unit-norm inputs).
 
+    ``num_planes=None`` (the default) derives the plane count from the
+    corpus size via :func:`auto_planes` — one cheap count() action at
+    plan-build, the same price the IVF path pays for centroids — so
+    expected bucket occupancy stays constant and the candidate join
+    stays ~linear as the corpus grows (fixed planes measured quadratic
+    pair growth at the r9 sf1 run; occupancy 8/bucket at sf0.1 became
+    78/bucket, i.e. ~100x pairs for 10x data).
+
     Same portable-hash planes as lsh_topk, so the full pipeline —
     bucketing, capping, pair scoring — is oracle-checkable.  Recall vs
     label blocking: a near-dup pair straddling a sign boundary is
     missed; multi-table banding (lsh_topk's num_tables) is the recall
-    dial when that matters.
+    dial when that matters (more planes lower per-table recall for
+    merely-similar pairs; near-identical vectors agree on sign bits
+    regardless).
     """
     from pyspark.sql import Window
 
+    if num_planes is None:
+        num_planes = auto_planes(embeddings.count())
     bucketed = hyperplane_buckets(embeddings, num_planes, num_tables=1)
     wb = Window.partitionBy("bucket").orderBy(
         portable_hash60(F.col("vec_id").cast("string")), F.col("vec_id")
@@ -942,7 +966,7 @@ def embedding_lsh_dedup_pairs(
 
 
 def embedding_lsh_dedup_pairs_oracle(
-    num_planes: int = 8,
+    num_planes: int | None = None,
     threshold_q: int = 300_000,
     max_bucket: int = 10000,
     dim: int = 64,
@@ -951,12 +975,30 @@ def embedding_lsh_dedup_pairs_oracle(
         "'plane:' || t.t::VARCHAR || ':' || p.p::VARCHAR || ':' || j.j::VARCHAR"
     )
     cap_hash = portable_hash60_sql("vec_id::VARCHAR")
+    if num_planes is None:
+        # auto_planes in SQL: DuckDB's generate_series needs constant
+        # bounds, so over-generate the 32-plane ceiling and filter by
+        # the derived count.  floor(log2(k-1))+1 == bit_length(k-1)
+        # exactly for integer k-1 (doubles are exact below 2^52 and
+        # only powers of two land on integers), so the twin matches the
+        # Python formula bit-for-bit.
+        nplanes_cte = """nplanes AS (
+    SELECT least(32, greatest(8, CASE WHEN k <= 1 THEN 0
+        ELSE CAST(floor(log2(CAST(k - 1 AS DOUBLE))) AS INT) + 1 END)) AS np
+    FROM (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) AS k
+          FROM embeddings)
+), """
+        plane_bound, plane_filter = 31, "WHERE p.p < (SELECT np FROM nplanes)"
+    else:
+        nplanes_cte = ""
+        plane_bound, plane_filter = num_planes - 1, ""
     return f"""\
-WITH planes AS (
+WITH {nplanes_cte}planes AS (
     SELECT t.t AS tbl, p.p AS p, j.j AS j, {w_expr} % 1000 - 500 AS w
     FROM generate_series(0, 0) t(t),
-         generate_series(0, {num_planes - 1}) p(p),
+         generate_series(0, {plane_bound}) p(p),
          generate_series(0, {dim - 1}) j(j)
+    {plane_filter}
 ), dots AS (
     SELECT e.vec_id, pl.p,
            sum(CAST(floor(CAST(e.embedding[pl.j + 1] AS DOUBLE) * 1000) AS BIGINT) * pl.w) AS dot

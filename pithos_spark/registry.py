@@ -678,7 +678,7 @@ from pithos_spark.sources import store  # noqa: E402
         """\
 , updates AS (
     SELECT bucket, object, inode, size * 2 AS size, atime, checksum,
-           'updated' AS acl, storageclass
+           'updated' AS acl, storageclass, owner
     FROM objects WHERE size % 13 = 0
 ), tagged AS (
     SELECT *, 1 AS _pri FROM updates

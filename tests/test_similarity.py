@@ -253,3 +253,35 @@ def test_precomputed_weights_match_duckdb_hash_derivation():
         sql = portable_hash60_sql(f"'proj:{i}:{j}'")
         want = con.execute(f"SELECT {sql} % 1000 - 500").fetchone()[0]
         assert proj_weight(i, j) == want, (i, j)
+
+
+def test_auto_planes_formula_and_sql_parity():
+    """auto_planes holds expected bucket occupancy constant (planes =
+    ceil(log2(ceil(n/16))), floor 8, cap 32) and the DuckDB twin's
+    floor(log2(k-1))+1 derivation agrees bit-for-bit — including every
+    power-of-two boundary, where float log2 is the classic off-by-one
+    trap."""
+    import duckdb
+
+    from pithos_spark.functions.similarity import auto_planes
+
+    assert auto_planes(1) == 8
+    assert auto_planes(200) == 8       # sf0.01: unchanged behavior
+    assert auto_planes(2000) == 8      # sf0.1: unchanged behavior
+    assert auto_planes(20000) == 11    # sf1: 2048 buckets, ~10/bucket
+    assert auto_planes(16 * 2**31) == 31
+    assert auto_planes(16 * 2**40) == 32  # capped
+
+    con = duckdb.connect()
+    ns = (
+        list(range(1, 600))
+        + [2**i + d for i in range(4, 41) for d in (-1, 0, 1)]
+        + [16 * 2**i + d for i in range(0, 37) for d in (-1, 0, 1)]
+    )
+    for n in ns:
+        got = con.execute(
+            f"""SELECT least(32, greatest(8, CASE WHEN k <= 1 THEN 0
+                ELSE CAST(floor(log2(CAST(k - 1 AS DOUBLE))) AS INT) + 1 END))
+                FROM (SELECT CAST(ceil({n} / 16.0) AS BIGINT) AS k)"""
+        ).fetchone()[0]
+        assert got == auto_planes(n), n
