@@ -15,6 +15,7 @@ uniform by construction.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -601,6 +602,123 @@ def decontaminate(
     train = sh.filter(F.col("doc_id") >= eval_max_doc_id)
     return (
         train.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+        .orderBy("doc_id", "eval_doc_id")
+    )
+
+
+def eval_gram_bloom(
+    eval_shingles: DataFrame, m_bits: int = 1 << 20, k_hashes: int = 5
+) -> bytes:
+    """Build a Bloom filter over the eval set's n-grams, distributed:
+    each gram's ``k_hashes`` portable-hash bit positions are computed
+    JVM-side, DISTINCT dedupes them to at most ``m_bits`` integers
+    (the only driver transfer — bounded by the filter size, never by
+    the gram count), and the driver packs the bitset.  128 KiB at the
+    1M-bit default; size ``m_bits ~ 1.44 * k_hashes * n_grams`` for
+    the standard fpp ~ 0.6185^(m/n) curve."""
+    from pithos_spark.functions.dedup import portable_hash60
+
+    positions = (
+        eval_shingles.select(
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            portable_hash60(
+                                F.concat(
+                                    F.lit(f"bloom:{i}:"), F.col("shingle")
+                                )
+                            )
+                            % m_bits
+                        ).alias(f"p{i}")
+                        for i in range(k_hashes)
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bits = bytearray(m_bits // 8)
+    for r in positions:
+        p = r["p"]
+        bits[p >> 3] |= 1 << (p & 7)
+    return bytes(bits)
+
+
+def decontaminate_bloom(
+    documents: DataFrame,
+    eval_max_doc_id: int = 50,
+    n: int = 8,
+    min_overlap: int = 1,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """:func:`decontaminate` for eval sets too large to broadcast
+    exactly: a Bloom filter over the eval n-grams pre-filters the
+    corpus side, then an exact join on the SURVIVORS removes the false
+    positives.  Bloom filters have no false negatives, so the output
+    is bit-identical to the exact operator — same oracle, different
+    scale envelope.
+
+    Why this matters at 100 TB: the exact path broadcasts the full
+    eval gram set (fine for one benchmark suite, not for a multi-GB
+    decontamination corpus of every known benchmark + their
+    paraphrases).  Here the broadcast is the FIXED-SIZE bitset
+    (``m_bits/8`` bytes — 128 KiB default, 128 MiB for ~100M grams at
+    1% fpp), the corpus side tests membership in a vectorized
+    zero-copy numpy gather (Arrow batches; the k hash positions are
+    computed JVM-side by the same portable md5 the oracles share, so
+    the Python stage is bit arithmetic only), and the exact verify
+    join moves just ``true_hits + fpp * corpus_grams`` rows through
+    the shuffle instead of the whole corpus.
+
+    The verify join deliberately carries no broadcast hint: the
+    survivor side is small by construction, so AQE picks the cheap
+    strategy either way and a pathological fpp cannot OOM the driver.
+    """
+    from pithos_spark.functions.dedup import portable_hash60, shingles
+
+    sh = shingles(documents, n)
+    ev = sh.filter(F.col("doc_id") < eval_max_doc_id).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    train = sh.filter(F.col("doc_id") >= eval_max_doc_id)
+
+    bloom = documents.sparkSession.sparkContext.broadcast(
+        eval_gram_bloom(ev, m_bits, k_hashes)
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def might_contain(positions: pd.Series) -> pd.Series:
+        import numpy as np
+
+        bits = np.frombuffer(bloom.value, dtype=np.uint8)
+        # (rows, k) int64 matrix from the arrow list column, then pure
+        # vectorized gathers — no per-row Python in the hot loop
+        p = np.array(positions.to_list(), dtype=np.int64)
+        hit = (bits[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit.all(axis=1))
+
+    pos_array = F.array(
+        *[
+            (
+                portable_hash60(
+                    F.concat(F.lit(f"bloom:{i}:"), F.col("shingle"))
+                )
+                % m_bits
+            )
+            for i in range(k_hashes)
+        ]
+    )
+    survivors = train.filter(might_contain(pos_array))
+    return (
+        survivors.join(ev, "shingle")
         .groupBy("doc_id", "eval_doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)

@@ -1202,7 +1202,15 @@ def semantic_dedup_pairs(
     only k x dim integer centroids through the driver (at 100 TB: train
     on an ingest sample, one full assignment scan); pair generation is
     per-cluster with a hard ``max_cluster`` cap, so no degenerate cell
-    can go quadratic.  Compose with dedup.duplicate_clusters /
+    can go quadratic.  ``n_clusters`` must GROW with the corpus the
+    same way auto_planes grows the LSH bucket space — SemDeDup sizes k
+    so expected occupancy stays ~constant (k ~ n / target_cell); a
+    fixed k makes occupancy linear in n and in-cluster pairs quadratic
+    until the cap binds, at which point the cap is a recall cliff, not
+    a performance guard.  k is an index-build parameter here (the
+    cached Lloyd index and the unrolled SQL oracle both take it), so
+    the registry demo keeps k=64 for the oracle and deployments set it
+    at ingest.  Compose with dedup.duplicate_clusters /
     keep_best to turn pairs into connected keep/drop components.
 
     Output: (vec_a, vec_b, cluster, dot_q), ordered — bit-identical to

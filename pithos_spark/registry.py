@@ -2178,6 +2178,22 @@ QUERIES["corpus_decontaminate"] = _decontam
 ORACLES["corpus_decontaminate"] = decontaminate_oracle()
 
 
+def _decontam_bloom(spark, sf_dir):
+    """Bloom-pre-filtered decontamination (curate.decontaminate_bloom):
+    fixed-size bitset broadcast + vectorized membership + exact verify
+    on the survivors — bit-identical to corpus_decontaminate (Bloom
+    filters have no false negatives; the exact join removes the false
+    positives), so the SAME oracle gates the whole pipeline including
+    the numpy bit-test stage."""
+    from pithos_spark.functions.curate import decontaminate_bloom
+
+    return decontaminate_bloom(T.load_tables(spark, sf_dir)["documents"])
+
+
+QUERIES["corpus_decontaminate_bloom"] = _decontam_bloom
+ORACLES["corpus_decontaminate_bloom"] = decontaminate_oracle()
+
+
 def _decontam_semantic(spark, sf_dir):
     from pithos_spark.functions.curate import decontaminate_semantic
 
@@ -2670,6 +2686,9 @@ ROUND_NEW: list[str] = [
     "multimodal_features",
     "events_hourly_gapfill",
     "corpus_bm25_topk",
+    # new in r9: Bloom-pre-filtered decontamination (fixed-size
+    # broadcast scale path; exact-verified, shares the exact oracle)
+    "corpus_decontaminate_bloom",
 ]
 
 DRIVER_PRIORITY: list[str] = [

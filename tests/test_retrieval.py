@@ -1,6 +1,7 @@
 """Semantic tests for lexical/hybrid retrieval and PII scrubbing
 (oracle parity is covered by test_correctness.py via the registry)."""
 
+import pandas as pd
 import pyspark.sql.functions as F
 
 
@@ -314,3 +315,95 @@ def test_hourly_anomalies_flags_planted_burst(spark):
     got = hourly_anomalies(ev).collect()
     assert len(got) == 1
     assert got[0]["event_count"] == 50
+
+
+def test_decontaminate_bloom_matches_exact(spark):
+    """The Bloom-pre-filtered path must be bit-identical to the exact
+    operator (no false negatives; exact verify kills false positives) —
+    on the real corpus AND on a planted leak, including a deliberately
+    tiny/over-saturated filter where false positives are guaranteed."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions.curate import decontaminate, decontaminate_bloom
+    from tests.conftest import SF_SMOKE
+
+    docs = T.load_tables(spark, SF_SMOKE)["documents"]
+    want = sorted(map(tuple, decontaminate(docs).collect()))
+    got = sorted(map(tuple, decontaminate_bloom(docs).collect()))
+    assert got == want and len(want) > 0
+
+    # saturate: 2^10 bits for thousands of grams -> fpp near 1, the
+    # pre-filter passes almost everything — output must STILL be exact
+    got_sat = sorted(
+        map(tuple, decontaminate_bloom(docs, m_bits=1 << 10).collect())
+    )
+    assert got_sat == want
+
+    # planted leak: a train doc carrying a verbatim eval sentence
+    leak = " ".join(f"w{i}" for i in range(12))
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 10, F.lit(leak))
+        .when(F.col("doc_id") == 400, F.concat(F.lit("prefix "), F.lit(leak)))
+        .otherwise(F.col("text")),
+    )
+    rows = decontaminate_bloom(planted).collect()
+    assert any(
+        r["doc_id"] == 400 and r["eval_doc_id"] == 10 for r in rows
+    )
+
+
+def test_eval_gram_bloom_prefilter_selectivity(spark):
+    """The bitset really filters: with a well-sized filter and an eval
+    set sharing no grams with the corpus tail, the survivor count is a
+    tiny fraction of the train grams (fpp-bounded), while every true
+    eval gram tests positive (no false negatives by construction)."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions.curate import eval_gram_bloom
+    from pithos_spark.functions.dedup import portable_hash60, shingles
+    from tests.conftest import SF_SMOKE
+
+    docs = T.load_tables(spark, SF_SMOKE)["documents"]
+    sh = shingles(docs, 8)
+    ev = sh.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    m_bits, k = 1 << 20, 5
+    bloom = eval_gram_bloom(ev, m_bits, k)
+    assert len(bloom) == m_bits // 8
+
+    def positions(col):
+        return [
+            (portable_hash60(F.concat(F.lit(f"bloom:{i}:"), col)) % m_bits)
+            for i in range(k)
+        ]
+
+    def tested(df):
+        from pyspark.sql.functions import pandas_udf
+
+        bts = bloom
+
+        @pandas_udf("boolean")
+        def mc(pos: pd.Series) -> pd.Series:
+            import numpy as np
+
+            bits = np.frombuffer(bts, dtype=np.uint8)
+            p = np.array(pos.to_list(), dtype=np.int64)
+            hit = (bits[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+            return pd.Series(hit.all(axis=1))
+
+        return df.filter(mc(F.array(*positions(F.col("shingle")))))
+
+    # no false negatives: every eval gram passes its own filter
+    n_ev = ev.count()
+    assert tested(ev).count() == n_ev
+    # fpp-bounded on grams that are NOT in the eval set
+    train_only = sh.filter(F.col("doc_id") >= 50).join(
+        ev.select("shingle"), "shingle", "left_anti"
+    )
+    n_train_only = train_only.count()
+    n_fp = tested(train_only).count()
+    assert n_fp <= max(50, n_train_only // 50), (n_fp, n_train_only)
