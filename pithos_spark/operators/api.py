@@ -873,7 +873,9 @@ def serve(
     overrides the v2 signed resource path when it differs from
     ``uri``, e.g. vhost-style requests).
     Returns (status, payload) where payload is XML, a header dict
-    (HEAD), or a DataFrame (bulk delete)."""
+    (HEAD), a DataFrame (a single surviving-state mutation plan), or a
+    dict of named mutation plans (put-object's chunks+grants,
+    delete-object's objects+grants when the model carries grants)."""
     from pithos_spark.operators.dispatch import OPMAP, resolve_operation
 
     if keystore is not None:

@@ -18,12 +18,19 @@ SF_LARGE = "/root/testdata/sf0.1"
 SCALE_SENSITIVE = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
+    # dedup_embedding_lsh doubles as the auto_planes gate: at sf0.1 the
+    # plane count is still the 8 floor, but the derived-count SQL path
+    # runs on both sides, so a formula drift would surface here
     "dedup_embedding_lsh",
     "dedup_semantic",
     "ann_lsh_topk",
     "corpus_profile",
     "events_value_percentiles",
     "corpus_chunk_windows",
+    # bloom pre-filter: fpp is volume-dependent (more grams, more false
+    # positives surviving to the exact verify) — sf0.1 exercises the
+    # verify join under real false-positive pressure
+    "corpus_decontaminate_bloom",
 ]
 
 
