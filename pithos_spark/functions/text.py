@@ -435,3 +435,230 @@ SELECT doc_id, total_ngrams, distinct_ngrams,
        (1000 * (total_ngrams - distinct_ngrams)) // total_ngrams AS rep_permille
 FROM per_doc
 ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Real BPE training (Sennrich et al., "Neural Machine Translation of Rare
+# Words with Subword Units"): learn merge rules from the corpus.
+# ---------------------------------------------------------------------------
+
+_BPE_EOW = "</w>"
+
+
+def _bpe_word_symbols(documents: DataFrame, max_word_chars: int) -> DataFrame:
+    """(word, freq, s): the distinct-word frequency table with each word
+    split into single-character symbols + the end-of-word marker.  BPE
+    trains over word TYPES weighted by frequency — the corpus explode
+    collapses to vocabulary size immediately, which is what makes the
+    iterative rounds cheap at any corpus scale."""
+    return (
+        documents.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .withColumn("word", F.substring("word", 1, max_word_chars))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.concat(
+                # split keeps a trailing "" (limit=-1 semantics): drop
+                # empties so symbols are exactly the word's characters
+                F.filter(
+                    F.split(F.col("word"), "(?!^)"), lambda x: x != ""
+                ),
+                F.array(F.lit(_BPE_EOW)),
+            ).alias("s"),
+        )
+    )
+
+
+def _bpe_merge_round(syms: DataFrame):
+    """One BPE round over (word, freq, s): count adjacent symbol pairs
+    weighted by word frequency, pick the argmax (count desc, then
+    lexicographic — deterministic), and rewrite every word's symbol
+    array with the pair's GREEDY left-to-right merge.
+
+    The greedy merge is pure window arithmetic, no sequential fold:
+    within a run of CONSECUTIVE match positions, greedy takes the 1st,
+    3rd, 5th... (a match consumed by its left neighbor is skipped), so
+    ``taken = odd rank within run`` where ``run_id = p - row_number``.
+    Both engines express this identically — the reason the oracle can
+    mirror the whole trainer.
+
+    Returns (merged_syms, top_row) — top_row is None when no pair
+    exists (training exhausted)."""
+    from pyspark.sql import Window
+
+    pos = syms.select(
+        "word", "freq", F.posexplode("s").alias("p", "sym")
+    )
+    wn = Window.partitionBy("word").orderBy("p")
+    nxt = pos.withColumn("sym2", F.lead("sym").over(wn))
+    top = (
+        nxt.filter(F.col("sym2").isNotNull())
+        .groupBy("sym", "sym2")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), "sym", "sym2")
+        .limit(1)
+        .collect()
+    )
+    if not top:
+        return None, None
+    lhs, rhs, n = top[0]["sym"], top[0]["sym2"], int(top[0]["n"])
+
+    matches = nxt.filter(
+        (F.col("sym") == lhs) & (F.col("sym2") == rhs)
+    ).select(
+        "word",
+        "p",
+        (F.col("p") - F.row_number().over(wn)).alias("run_id"),
+    )
+    wr = Window.partitionBy("word", "run_id").orderBy("p")
+    taken = (
+        matches.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") % 2 == 1)
+        .select("word", "p")
+    )
+    t1 = taken.select(
+        F.col("word").alias("t_word"), F.col("p").alias("tp")
+    )
+    merged = (
+        nxt.join(
+            t1,
+            (nxt.word == t1.t_word) & (nxt.p == t1.tp),
+            "left",
+        )
+        .drop("t_word")
+        .withColumn(
+            "new_sym",
+            F.when(F.col("tp").isNotNull(), F.lit(lhs + rhs)).otherwise(
+                F.col("sym")
+            ),
+        )
+        # a position is consumed when p-1 was taken: lag() over the
+        # ascending position order looks at the previous row's tp
+        .withColumn("consumed", F.lag("tp").over(wn))
+    )
+    out = (
+        merged.filter(F.col("consumed").isNull())
+        .groupBy("word")
+        .agg(
+            F.min("freq").alias("freq"),
+            F.array_sort(
+                F.collect_list(F.struct("p", "new_sym"))
+            ).alias("_ps"),
+        )
+        .select(
+            "word",
+            "freq",
+            F.transform("_ps", lambda x: x["new_sym"]).alias("s"),
+        )
+    )
+    return out, (lhs, rhs, n)
+
+
+def bpe_train(
+    documents: DataFrame, num_merges: int = 6, max_word_chars: int = 20
+) -> DataFrame:
+    """Learn a BPE merge table from the corpus: ``num_merges`` rounds of
+    (count adjacent symbol pairs over the word-frequency table) ->
+    (merge the most frequent pair everywhere), exactly the Sennrich
+    recipe.  Output: one row per learned rule,
+    (merge_rank, lhs, rhs, pair_count), rank-ordered.
+
+    Scale: the corpus collapses to its VOCABULARY in the first
+    aggregation (word types x freq; the only corpus-sized scan), and
+    every round after that is one vocab-sized pair count with map-side
+    partial sums + one vocab-keyed window rewrite.  The argmax is a
+    1-row driver action per round — the same bounded-driver pattern as
+    the Lloyd centroids.  Words cap at ``max_word_chars`` chars
+    (pathological tokens would otherwise dominate the position axis).
+
+    Each round's symbol table is persisted and the previous round's
+    unpersisted (lineage depth O(1) per round, as dup_clusters does);
+    training stops early when no adjacent pair remains.
+    """
+    syms = _bpe_word_symbols(documents, max_word_chars).persist()
+    rules = []
+    spark = documents.sparkSession
+    try:
+        for rank in range(1, num_merges + 1):
+            nxt_syms, rule = _bpe_merge_round(syms)
+            if rule is None:
+                break
+            rules.append((rank, rule[0], rule[1], rule[2]))
+            nxt_syms = nxt_syms.persist()
+            syms.unpersist()
+            syms = nxt_syms
+    finally:
+        syms.unpersist()
+    return spark.createDataFrame(
+        rules, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def bpe_train_oracle(num_merges: int = 6, max_word_chars: int = 20) -> str:
+    """Unrolled SQL twin of :func:`bpe_train` — one CTE block per merge
+    round (the Lloyd-unroll pattern), ending in the rank-ordered UNION
+    of each round's argmax row.  Every multiply-referenced CTE is
+    MATERIALIZED: DuckDB inlines plain CTEs at each reference, and with
+    nxt_r referenced three times per round the inlined plan re-evaluates
+    the whole prefix 3^rounds times — materialization makes the oracle
+    linear in rounds, exactly like the Spark side's per-round persist."""
+    max_pos = max_word_chars + 2
+    blocks = [
+        f"""\
+WITH words AS (
+    SELECT substr(w, 1, {max_word_chars}) AS word, count(*) AS freq
+    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM documents)
+    WHERE w <> ''
+    GROUP BY 1
+), syms_0 AS (
+    SELECT word, freq,
+           regexp_split_to_array(word, '') || ['{_BPE_EOW}'] AS s
+    FROM words
+)"""
+    ]
+    for r in range(1, num_merges + 1):
+        prev = f"syms_{r - 1}"
+        blocks.append(
+            f""", nxt_{r} AS MATERIALIZED (
+    SELECT word, freq, p, s[p] AS sym,
+           lead(s[p]) OVER (PARTITION BY word ORDER BY p) AS sym2
+    FROM {prev}, (SELECT unnest(range(1, {max_pos} + 1)) AS p) ps_{r}
+    WHERE p <= len(s)
+), top_{r} AS MATERIALIZED (
+    SELECT sym AS l, sym2 AS r, CAST(sum(freq) AS BIGINT) AS n
+    FROM nxt_{r} WHERE sym2 IS NOT NULL
+    GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1
+), taken_{r} AS MATERIALIZED (
+    SELECT word, p FROM (
+        SELECT word, p,
+               row_number() OVER (PARTITION BY word, run_id ORDER BY p) AS rk
+        FROM (
+            SELECT n.word, n.p,
+                   n.p - row_number() OVER (PARTITION BY n.word ORDER BY n.p)
+                       AS run_id
+            FROM nxt_{r} n, top_{r} t
+            WHERE n.sym = t.l AND n.sym2 = t.r
+        )
+    ) WHERE rk % 2 = 1
+), syms_{r} AS MATERIALIZED (
+    SELECT n.word, any_value(n.freq) AS freq,
+           list(CASE WHEN t.p IS NOT NULL THEN tr.l || tr.r ELSE n.sym END
+                ORDER BY n.p) AS s
+    FROM nxt_{r} n
+    CROSS JOIN top_{r} tr
+    LEFT JOIN taken_{r} t ON t.word = n.word AND t.p = n.p
+    LEFT JOIN taken_{r} tc ON tc.word = n.word AND tc.p = n.p - 1
+    WHERE tc.p IS NULL
+    GROUP BY n.word
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_rank, l AS lhs, r AS rhs, n AS pair_count"
+        f" FROM top_{r}"
+        for r in range(1, num_merges + 1)
+    )
+    return "".join(blocks) + f"\n{union}\nORDER BY merge_rank"

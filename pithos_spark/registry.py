@@ -2194,6 +2194,23 @@ QUERIES["corpus_decontaminate_bloom"] = _decontam_bloom
 ORACLES["corpus_decontaminate_bloom"] = decontaminate_oracle()
 
 
+def _bpe_train(spark, sf_dir):
+    """Real BPE training (Sennrich merges) over the documents corpus:
+    the corpus collapses to its word-frequency vocabulary in one scan,
+    then each round is a vocab-sized pair count + greedy merge rewrite
+    expressed as pure window arithmetic — fully mirrored by the
+    unrolled SQL oracle (functions/text.bpe_train)."""
+    from pithos_spark.functions.text import bpe_train
+
+    return bpe_train(T.load_tables(spark, sf_dir)["documents"])
+
+
+QUERIES["corpus_bpe_train"] = _bpe_train
+from pithos_spark.functions.text import bpe_train_oracle  # noqa: E402
+
+ORACLES["corpus_bpe_train"] = bpe_train_oracle()
+
+
 def _decontam_semantic(spark, sf_dir):
     from pithos_spark.functions.curate import decontaminate_semantic
 
@@ -2689,6 +2706,9 @@ ROUND_NEW: list[str] = [
     # new in r9: Bloom-pre-filtered decontamination (fixed-size
     # broadcast scale path; exact-verified, shares the exact oracle)
     "corpus_decontaminate_bloom",
+    # new in r9: real Sennrich BPE training (iterative merge rounds,
+    # Lloyd-style unrolled SQL oracle)
+    "corpus_bpe_train",
 ]
 
 DRIVER_PRIORITY: list[str] = [
@@ -2750,7 +2770,9 @@ GREEN_CORE: list[str] = [
     "post_policy_validate",
     "acl_edn_grants",
     "cors_preflight",
-    "s3_resolve_operations",
+    # s3_resolve_operations (r7 green) yielded its canary slot to the
+    # round's 9th ROUND_NEW entry (corpus_bpe_train); it rotates back
+    # with the r7 cohort in r10
 ]
 
 

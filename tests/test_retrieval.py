@@ -407,3 +407,52 @@ def test_eval_gram_bloom_prefilter_selectivity(spark):
     n_train_only = train_only.count()
     n_fp = tested(train_only).count()
     assert n_fp <= max(50, n_train_only // 50), (n_fp, n_train_only)
+
+
+def test_bpe_train_learns_classic_merges(spark):
+    """The Sennrich walkthrough corpus: BPE must learn l+o, lo+w,
+    low+</w> in rank order (pair counts weighted by word frequency,
+    deterministic lexicographic tie-breaks), and retraining yields the
+    identical table."""
+    from pithos_spark.functions.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in bpe_train(docs, num_merges=4).collect()]
+    assert got == [
+        (1, "l", "o", 6),
+        (2, "lo", "w", 6),
+        (3, "low", "</w>", 4),
+        (4, "e", "w", 3),
+    ]
+    assert got == [tuple(r) for r in bpe_train(docs, num_merges=4).collect()]
+
+
+def test_bpe_train_greedy_overlap_and_exhaustion(spark):
+    """Overlapping matches merge greedily left-to-right (aaaa ->
+    [aa][aa], never a dangling middle), and training stops early once
+    no adjacent pair remains instead of emitting degenerate rules."""
+    from pithos_spark.functions.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aab")], "doc_id long, text string"
+    )
+    rules = [tuple(r) for r in bpe_train(docs, num_merges=3).collect()]
+    # aaaa: pairs (a,a)x3 per word x2 words + aab (a,a) -> count 7
+    assert rules[0] == (1, "a", "a", 7)
+    # the greedy rewrite paired aaaa as [aa][aa] (positions 1-2, 3-4):
+    # round 2 counts (aa,aa)=2 and (aa,</w>)=2 — the lexicographic
+    # tie-break picks (aa,</w>) ('<' sorts before 'a'), and round 3
+    # then sees aaaa as [aa, aa</w>].  A wrong greedy pairing (e.g.
+    # [a][aa][a]) could not produce these counts.
+    assert rules[1] == (2, "aa", "</w>", 2)
+    assert rules[2] == (3, "aa", "aa</w>", 2)
+
+    # single-char vocab exhausts: one symbol + </w> still yields the
+    # (x, </w>) rule, then nothing — no infinite or degenerate rules
+    tiny = spark.createDataFrame([(1, "x x")], "doc_id long, text string")
+    t_rules = bpe_train(tiny, num_merges=5).collect()
+    assert len(t_rules) == 1
+    assert (t_rules[0]["lhs"], t_rules[0]["rhs"]) == ("x", "</w>")
