@@ -578,33 +578,102 @@ def bpe_train(
     unpersisted (lineage depth O(1) per round, as dup_clusters does);
     training stops early when no adjacent pair remains.
     """
-    syms = _bpe_word_symbols(documents, max_word_chars).persist()
-    rules = []
-    spark = documents.sparkSession
-    try:
-        for rank in range(1, num_merges + 1):
-            nxt_syms, rule = _bpe_merge_round(syms)
-            if rule is None:
-                break
-            rules.append((rank, rule[0], rule[1], rule[2]))
-            nxt_syms = nxt_syms.persist()
-            syms.unpersist()
-            syms = nxt_syms
-    finally:
-        syms.unpersist()
-    return spark.createDataFrame(
+    rules, syms = _bpe_run(documents, num_merges, max_word_chars)
+    syms.unpersist()
+    return documents.sparkSession.createDataFrame(
         rules, "merge_rank int, lhs string, rhs string, pair_count bigint"
     )
 
 
-def bpe_train_oracle(num_merges: int = 6, max_word_chars: int = 20) -> str:
-    """Unrolled SQL twin of :func:`bpe_train` — one CTE block per merge
-    round (the Lloyd-unroll pattern), ending in the rank-ordered UNION
-    of each round's argmax row.  Every multiply-referenced CTE is
-    MATERIALIZED: DuckDB inlines plain CTEs at each reference, and with
-    nxt_r referenced three times per round the inlined plan re-evaluates
-    the whole prefix 3^rounds times — materialization makes the oracle
-    linear in rounds, exactly like the Spark side's per-round persist."""
+def _bpe_run(documents: DataFrame, num_merges: int, max_word_chars: int):
+    """The training loop: returns (rules, final_syms) with final_syms
+    still persisted — the caller owns its unpersist.  final_syms is the
+    trained segmentation of every corpus word (BPE trains on the same
+    vocabulary it segments), which is what :func:`bpe_segment_stats`
+    applies back to the corpus."""
+    syms = _bpe_word_symbols(documents, max_word_chars).persist()
+    rules = []
+    for rank in range(1, num_merges + 1):
+        nxt_syms, rule = _bpe_merge_round(syms)
+        if rule is None:
+            break
+        rules.append((rank, rule[0], rule[1], rule[2]))
+        nxt_syms = nxt_syms.persist()
+        syms.unpersist()
+        syms = nxt_syms
+    return rules, syms
+
+
+def bpe_segment_stats(
+    documents: DataFrame, num_merges: int = 6, max_word_chars: int = 20
+) -> DataFrame:
+    """APPLY the trained tokenizer: per source, whitespace-word counts
+    vs subword-token counts under the learned merges, with the
+    integer-permille fertility — :func:`tokenizer_fertility` upgraded
+    from the regex proxy to the REAL trained segmentation.
+
+    The final training round's symbol table already segments every
+    vocabulary word, so application is one (source, word)-count
+    aggregation joined to the vocab-sized segmentation — no per-token
+    merge replay over the corpus.  A standalone trailing ``</w>``
+    marker is not a real token; a marker fused into the last subword
+    (e.g. ``low</w>``) is that token.
+    """
+    from pithos_spark.plans.helpers import bounded_persist
+
+    rules, syms = _bpe_run(documents, num_merges, max_word_chars)
+    # hand the persisted handle to the bounded slot: the caller's action
+    # uses the cache, the NEXT bpe_segment_stats call frees it (the
+    # lazy-caller lifecycle a try/finally-unpersist here would break)
+    syms.unpersist()
+    syms = bounded_persist(syms, "bpe_segment_stats.syms")
+    words = (
+        documents.select(
+            "source", F.explode(_tokens(F.col("text"))).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .withColumn("word", F.substring("word", 1, max_word_chars))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n_words"))
+    )
+    per_word = syms.select(
+        "word",
+        (
+            F.size("s")
+            - F.when(
+                F.element_at("s", -1) == _BPE_EOW, F.lit(1)
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("n_sub"),
+    )
+    return (
+        words.join(per_word, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").alias("word_tokens"),
+            F.sum(F.col("n_words") * F.col("n_sub")).alias("bpe_tokens"),
+        )
+        .select(
+            "source",
+            "word_tokens",
+            "bpe_tokens",
+            F.expr("(1000 * bpe_tokens) div word_tokens").alias(
+                "fertility_permille"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_cte_prefix(num_merges: int, max_word_chars: int) -> str:
+    """Shared unrolled CTE prefix: one block per merge round (the
+    Lloyd-unroll pattern), ending at syms_{num_merges}.  Every
+    multiply-referenced CTE is MATERIALIZED: DuckDB inlines plain CTEs
+    at each reference, and with nxt_r referenced three times per round
+    the inlined plan re-evaluates the whole prefix 3^rounds times —
+    materialization makes the oracle linear in rounds, exactly like the
+    Spark side's per-round persist.  top_r attaches via LEFT JOIN ON
+    TRUE so an exhausted round (no pairs left) passes symbols through
+    unchanged instead of emptying the table."""
     max_pos = max_word_chars + 2
     blocks = [
         f"""\
@@ -649,16 +718,59 @@ WITH words AS (
            list(CASE WHEN t.p IS NOT NULL THEN tr.l || tr.r ELSE n.sym END
                 ORDER BY n.p) AS s
     FROM nxt_{r} n
-    CROSS JOIN top_{r} tr
+    LEFT JOIN top_{r} tr ON TRUE
     LEFT JOIN taken_{r} t ON t.word = n.word AND t.p = n.p
     LEFT JOIN taken_{r} tc ON tc.word = n.word AND tc.p = n.p - 1
     WHERE tc.p IS NULL
     GROUP BY n.word
 )"""
         )
+    return "".join(blocks)
+
+
+def bpe_train_oracle(num_merges: int = 6, max_word_chars: int = 20) -> str:
+    """SQL twin of :func:`bpe_train`: the shared round prefix plus the
+    rank-ordered UNION of each round's argmax row (an exhausted round's
+    empty top contributes nothing — matching the Spark early break)."""
     union = "\nUNION ALL\n".join(
         f"SELECT {r} AS merge_rank, l AS lhs, r AS rhs, n AS pair_count"
         f" FROM top_{r}"
         for r in range(1, num_merges + 1)
     )
-    return "".join(blocks) + f"\n{union}\nORDER BY merge_rank"
+    return (
+        _bpe_cte_prefix(num_merges, max_word_chars)
+        + f"\n{union}\nORDER BY merge_rank"
+    )
+
+
+def bpe_segment_stats_oracle(
+    num_merges: int = 6, max_word_chars: int = 20
+) -> str:
+    """SQL twin of :func:`bpe_segment_stats`: the trained segmentation
+    (syms_N) applied back to per-source word counts."""
+    return (
+        _bpe_cte_prefix(num_merges, max_word_chars)
+        + f""", corpus_words AS (
+    SELECT source, substr(w, 1, {max_word_chars}) AS word,
+           count(*) AS n_words
+    FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM documents)
+    WHERE w <> ''
+    GROUP BY 1, 2
+), per_word AS (
+    SELECT word,
+           CAST(len(s) - CASE WHEN s[len(s)] = '{_BPE_EOW}' THEN 1 ELSE 0 END
+                AS BIGINT) AS n_sub
+    FROM syms_{num_merges}
+), agg AS (
+    SELECT source,
+           CAST(sum(n_words) AS BIGINT) AS word_tokens,
+           CAST(sum(n_words * n_sub) AS BIGINT) AS bpe_tokens
+    FROM corpus_words JOIN per_word USING (word)
+    GROUP BY 1
+)
+SELECT source, word_tokens, bpe_tokens,
+       (1000 * bpe_tokens) // word_tokens AS fertility_permille
+FROM agg
+ORDER BY source"""
+    )

@@ -2211,6 +2211,22 @@ from pithos_spark.functions.text import bpe_train_oracle  # noqa: E402
 ORACLES["corpus_bpe_train"] = bpe_train_oracle()
 
 
+def _bpe_segment(spark, sf_dir):
+    """Trained-tokenizer fertility: the learned merge table applied
+    back to the corpus (the final round's symbol table IS the
+    segmentation of every vocabulary word), rolled up per source —
+    tokenizer_fertility upgraded from the regex proxy to real BPE."""
+    from pithos_spark.functions.text import bpe_segment_stats
+
+    return bpe_segment_stats(T.load_tables(spark, sf_dir)["documents"])
+
+
+QUERIES["corpus_bpe_segment_stats"] = _bpe_segment
+from pithos_spark.functions.text import bpe_segment_stats_oracle  # noqa: E402
+
+ORACLES["corpus_bpe_segment_stats"] = bpe_segment_stats_oracle()
+
+
 def _decontam_semantic(spark, sf_dir):
     from pithos_spark.functions.curate import decontaminate_semantic
 
@@ -2707,8 +2723,10 @@ ROUND_NEW: list[str] = [
     # broadcast scale path; exact-verified, shares the exact oracle)
     "corpus_decontaminate_bloom",
     # new in r9: real Sennrich BPE training (iterative merge rounds,
-    # Lloyd-style unrolled SQL oracle)
+    # Lloyd-style unrolled SQL oracle) + the trained segmentation
+    # applied back to the corpus
     "corpus_bpe_train",
+    "corpus_bpe_segment_stats",
 ]
 
 DRIVER_PRIORITY: list[str] = [
@@ -2769,10 +2787,10 @@ GREEN_CORE: list[str] = [
     "events_heavy_hitters",
     "post_policy_validate",
     "acl_edn_grants",
-    "cors_preflight",
-    # s3_resolve_operations (r7 green) yielded its canary slot to the
-    # round's 9th ROUND_NEW entry (corpus_bpe_train); it rotates back
-    # with the r7 cohort in r10
+    # cors_preflight and s3_resolve_operations (both r7/r8 green)
+    # yielded their canary slots to the round's last two ROUND_NEW
+    # entries (corpus_bpe_train, corpus_bpe_segment_stats); they rotate
+    # back with the r7 cohort in r10
 ]
 
 
