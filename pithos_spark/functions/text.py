@@ -445,6 +445,14 @@ ORDER BY doc_id"""
 _BPE_EOW = "</w>"
 
 
+def _cp_truncate(col: F.Column, n: int) -> F.Column:
+    """First ``n`` CODE POINTS of a string (engine-portable, unlike
+    substring's UTF-16-unit count)."""
+    return F.array_join(
+        F.slice(F.regexp_extract_all(col, F.lit("."), 0), 1, n), ""
+    )
+
+
 def _bpe_word_symbols(documents: DataFrame, max_word_chars: int) -> DataFrame:
     """(word, freq, s): the distinct-word frequency table with each word
     split into single-character symbols + the end-of-word marker.  BPE
@@ -454,18 +462,19 @@ def _bpe_word_symbols(documents: DataFrame, max_word_chars: int) -> DataFrame:
     return (
         documents.select(F.explode(_tokens(F.col("text"))).alias("word"))
         .filter(F.col("word") != "")
-        .withColumn("word", F.substring("word", 1, max_word_chars))
+        # CODE-POINT truncation and symbol split: regexp '.' iterates
+        # code points in BOTH engines (Java regex is surrogate-aware,
+        # RE2 is UTF-8-aware), where substring/split count UTF-16 units
+        # in Spark and chars in DuckDB — an emoji word diverged under
+        # the unit-based form (measured r9)
+        .withColumn("word", _cp_truncate(F.col("word"), max_word_chars))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
             "word",
             "freq",
             F.concat(
-                # split keeps a trailing "" (limit=-1 semantics): drop
-                # empties so symbols are exactly the word's characters
-                F.filter(
-                    F.split(F.col("word"), "(?!^)"), lambda x: x != ""
-                ),
+                F.regexp_extract_all("word", F.lit("."), 0),
                 F.array(F.lit(_BPE_EOW)),
             ).alias("s"),
         )
@@ -632,7 +641,7 @@ def bpe_segment_stats(
             "source", F.explode(_tokens(F.col("text"))).alias("word")
         )
         .filter(F.col("word") != "")
-        .withColumn("word", F.substring("word", 1, max_word_chars))
+        .withColumn("word", _cp_truncate(F.col("word"), max_word_chars))
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("n_words"))
     )
@@ -678,14 +687,16 @@ def _bpe_cte_prefix(num_merges: int, max_word_chars: int) -> str:
     blocks = [
         f"""\
 WITH words AS (
-    SELECT substr(w, 1, {max_word_chars}) AS word, count(*) AS freq
+    SELECT array_to_string(regexp_extract_all(w, '.')[1:{max_word_chars}],
+                           '') AS word,
+           count(*) AS freq
     FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
           FROM documents)
     WHERE w <> ''
     GROUP BY 1
 ), syms_0 AS (
     SELECT word, freq,
-           regexp_split_to_array(word, '') || ['{_BPE_EOW}'] AS s
+           regexp_extract_all(word, '.') || ['{_BPE_EOW}'] AS s
     FROM words
 )"""
     ]
@@ -751,7 +762,9 @@ def bpe_segment_stats_oracle(
     return (
         _bpe_cte_prefix(num_merges, max_word_chars)
         + f""", corpus_words AS (
-    SELECT source, substr(w, 1, {max_word_chars}) AS word,
+    SELECT source,
+           array_to_string(regexp_extract_all(w, '.')[1:{max_word_chars}],
+                           '') AS word,
            count(*) AS n_words
     FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
           FROM documents)

@@ -456,3 +456,36 @@ def test_bpe_train_greedy_overlap_and_exhaustion(spark):
     t_rules = bpe_train(tiny, num_merges=5).collect()
     assert len(t_rules) == 1
     assert (t_rules[0]["lhs"], t_rules[0]["rhs"]) == ("x", "</w>")
+
+
+def test_bpe_train_unicode_codepoint_parity(spark):
+    """Non-ASCII corpora must segment identically in both engines:
+    symbols and the max_word_chars truncation are CODE POINTS (regexp
+    '.' — surrogate-aware in Java, UTF-8-aware in RE2), not UTF-16
+    units.  An emoji word diverged under the unit-based form (each
+    surrogate half became a '?' symbol)."""
+    import duckdb
+
+    from pithos_spark.functions.text import (
+        bpe_segment_stats,
+        bpe_segment_stats_oracle,
+        bpe_train,
+        bpe_train_oracle,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "héllo héllo über über über straße", "en", "srcA", 1),
+            (2, "naïve café héllo 😀😀 😀x " + "wörd😀" * 8, "en", "srcB", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    con = duckdb.connect()
+    con.register("documents_v", docs.toPandas())
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_v")
+    got = [tuple(r) for r in bpe_train(docs, num_merges=3).collect()]
+    want = [tuple(r) for r in con.execute(bpe_train_oracle(3)).fetchall()]
+    assert got == want and len(got) == 3
+    g2 = [tuple(r) for r in bpe_segment_stats(docs, 3).collect()]
+    w2 = [tuple(r) for r in con.execute(bpe_segment_stats_oracle(3)).fetchall()]
+    assert g2 == w2 and len(g2) == 2
