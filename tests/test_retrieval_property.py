@@ -140,3 +140,40 @@ def test_gate_report_matches_oracle_on_random_corpora(spark, texts):
         quality_gate_report_oracle(),
         "gate-fuzz",
     )
+
+
+bpe_doc_strategy = st.lists(
+    st.one_of(
+        st.just(""),
+        st.lists(
+            st.sampled_from(
+                WORDS + ["lo", "low", "lowest", "ab", "aaa", "x.y", "héllo"]
+            ),
+            min_size=1,
+            max_size=10,
+        ).map(" ".join),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=3,  # each example pays 3 iterative rounds (~35 s)
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=bpe_doc_strategy)
+def test_bpe_train_matches_oracle_on_random_corpora(spark, texts):
+    """The iterative trainer and its unrolled-CTE oracle must agree on
+    arbitrary word soups — including empty docs, repeated single-char
+    words (overlap-greedy paths), punctuation, and accents.  The merge
+    table is order-sensitive state threaded through every round, so one
+    divergent round poisons all later ranks: a 3-round fuzz is a strong
+    whole-pipeline check."""
+    from pithos_spark.functions.text import bpe_train, bpe_train_oracle
+
+    sdf, con = _frames(spark, texts)
+    got = [tuple(r) for r in bpe_train(sdf, num_merges=3).collect()]
+    want = [tuple(r) for r in con.execute(bpe_train_oracle(3)).fetchall()]
+    assert got == want
