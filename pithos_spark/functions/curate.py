@@ -1388,3 +1388,109 @@ SELECT doc_id, n_grams, n_novel,
        (1000 * n_novel) // n_grams AS novelty_permille
 FROM per_doc
 ORDER BY doc_id"""
+
+
+def temperature_mix_weights(
+    documents: DataFrame, scale_permille: int = 1000
+) -> DataFrame:
+    """Temperature-balanced mixing weights at T=2: per-source sampling
+    weight proportional to sqrt(source token share) — the standard
+    smoothing that up-weights small sources against head-heavy corpora
+    (multilingual alpha-sampling with alpha = 1/2).  T=2 specifically
+    because sqrt of an integer is ENGINE-EXACT: IEEE correctly-rounded
+    sqrt + floor never misrounds below 2^52, so the whole weight table
+    is oracle-checkable where a general pow(x, 1/T) would be one libm
+    ulp away from flipping a permille.
+
+    Output: (source, token_count, weight_permille) — feed the permille
+    column to :func:`sample_mix` (see temperature_sample_mix) to apply
+    it.  Integer div floors, so weights sum to <= scale_permille;
+    callers wanting an exact total renormalize the largest source.
+
+    Scale: one corpus scan to token counts, one |sources|-row
+    aggregation — the weight table is dimension-sized at any corpus
+    size."""
+    from pithos_spark.functions.text import _tokens
+
+    counts = (
+        documents.select(
+            "source", F.size(_tokens(F.col("text"))).cast("long").alias("n")
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("token_count"))
+        .withColumn(
+            "w", F.floor(F.sqrt(F.col("token_count").cast("double"))).cast("long")
+        )
+    )
+    total = counts.agg(F.sum("w").alias("w_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "source",
+            "token_count",
+            F.expr(f"({scale_permille} * w) div w_total").alias(
+                "weight_permille"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+TEMPERATURE_MIX_WEIGHTS_SQL = """\
+WITH counts AS (
+    SELECT source,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+               AS token_count
+    FROM documents GROUP BY source
+), w AS (
+    SELECT source, token_count,
+           CAST(floor(sqrt(CAST(token_count AS DOUBLE))) AS BIGINT) AS w
+    FROM counts
+), tot AS (
+    SELECT CAST(sum(w) AS BIGINT) AS w_total FROM w
+)
+SELECT source, token_count,
+       (1000 * w) // w_total AS weight_permille
+FROM w, tot
+ORDER BY source"""
+
+
+def temperature_sample_mix(documents: DataFrame) -> DataFrame:
+    """END-TO-END temperature mixing: derive the T=2 weight table from
+    the corpus (one bounded driver collect — |sources| rows, the
+    centroid pattern), then apply it through :func:`sample_mix`'s
+    hash-selector keep/drop.  The oracle mirrors both stages in SQL, so
+    the derived weights AND the per-document sampling decision are
+    hash-gated together."""
+    weights = {
+        r["source"]: int(r["weight_permille"])
+        for r in temperature_mix_weights(documents).collect()
+    }
+    return sample_mix(documents, weights)
+
+
+TEMPERATURE_SAMPLE_MIX_SQL = """\
+WITH counts AS (
+    SELECT source,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+               AS token_count
+    FROM documents GROUP BY source
+), w AS (
+    SELECT source,
+           CAST(floor(sqrt(CAST(token_count AS DOUBLE))) AS BIGINT) AS w
+    FROM counts
+), tot AS (
+    SELECT CAST(sum(w) AS BIGINT) AS w_total FROM w
+), wt AS (
+    SELECT source, (1000 * w) // w_total AS weight_permille FROM w, tot
+), sel AS (
+    SELECT d.doc_id, d.source,
+           CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000 AS selector,
+           wt.weight_permille AS rate_permille
+    FROM documents d JOIN wt USING (source)
+)
+SELECT doc_id, source, selector, rate_permille
+FROM sel
+WHERE selector < rate_permille
+ORDER BY doc_id"""

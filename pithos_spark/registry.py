@@ -2227,6 +2227,34 @@ from pithos_spark.functions.text import bpe_segment_stats_oracle  # noqa: E402
 ORACLES["corpus_bpe_segment_stats"] = bpe_segment_stats_oracle()
 
 
+def _temp_weights(spark, sf_dir):
+    """T=2 temperature mixing weights per source (sqrt token-share
+    smoothing, integer-exact via correctly-rounded sqrt+floor) —
+    curate.temperature_mix_weights."""
+    from pithos_spark.functions.curate import temperature_mix_weights
+
+    return temperature_mix_weights(T.load_tables(spark, sf_dir)["documents"])
+
+
+def _temp_mix(spark, sf_dir):
+    """End-to-end temperature mixing: derived T=2 weights applied
+    through sample_mix's hash selector — curate.temperature_sample_mix."""
+    from pithos_spark.functions.curate import temperature_sample_mix
+
+    return temperature_sample_mix(T.load_tables(spark, sf_dir)["documents"])
+
+
+from pithos_spark.functions.curate import (  # noqa: E402
+    TEMPERATURE_MIX_WEIGHTS_SQL,
+    TEMPERATURE_SAMPLE_MIX_SQL,
+)
+
+QUERIES["corpus_temperature_mix_weights"] = _temp_weights
+ORACLES["corpus_temperature_mix_weights"] = TEMPERATURE_MIX_WEIGHTS_SQL
+QUERIES["corpus_temperature_sample_mix"] = _temp_mix
+ORACLES["corpus_temperature_sample_mix"] = TEMPERATURE_SAMPLE_MIX_SQL
+
+
 def _decontam_semantic(spark, sf_dir):
     from pithos_spark.functions.curate import decontaminate_semantic
 
@@ -2727,6 +2755,9 @@ ROUND_NEW: list[str] = [
     # applied back to the corpus
     "corpus_bpe_train",
     "corpus_bpe_segment_stats",
+    # new in r9: T=2 temperature mixing (derived weights + applied mix)
+    "corpus_temperature_mix_weights",
+    "corpus_temperature_sample_mix",
 ]
 
 DRIVER_PRIORITY: list[str] = [
@@ -2785,12 +2816,11 @@ GREEN_CORE: list[str] = [
     "list_objects_no_delim",
     "events_funnel",
     "events_heavy_hitters",
-    "post_policy_validate",
-    "acl_edn_grants",
-    # cors_preflight and s3_resolve_operations (both r7/r8 green)
-    # yielded their canary slots to the round's last two ROUND_NEW
-    # entries (corpus_bpe_train, corpus_bpe_segment_stats); they rotate
-    # back with the r7 cohort in r10
+    # post_policy_validate, acl_edn_grants, cors_preflight and
+    # s3_resolve_operations (all r7/r8 green) yielded their canary
+    # slots to the round's last four ROUND_NEW entries (BPE
+    # train/apply, temperature mixing); they rotate back with the r7
+    # cohort in r10
 ]
 
 

