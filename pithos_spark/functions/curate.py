@@ -1494,3 +1494,176 @@ SELECT doc_id, source, selector, rate_permille
 FROM sel
 WHERE selector < rate_permille
 ORDER BY doc_id"""
+
+
+def duplicate_span_intervals(
+    documents: DataFrame, n: int = 10, min_docs: int = 2
+) -> DataFrame:
+    """Merge :func:`duplicate_spans`' per-position flags into MAXIMAL
+    [start_tok, end_tok) intervals per document — the compact mask list
+    an ExactSubstr-style cleaning pass stores (a duplicated region of
+    length L appears as L-n+1 overlapping n-gram hits; the interval
+    form is one row).
+
+    Two flagged positions p, q belong to one interval when their
+    [p, p+n) windows overlap or touch, i.e. q - p <= n for consecutive
+    flags: the gap-and-island pattern — interval_id = flags whose
+    predecessor is more than n behind — expressed as one lag window
+    per doc over the (small) flagged-position set, never the corpus.
+
+    Output: (doc_id, start_tok, end_tok, n_spans) ordered; end_tok is
+    exclusive, n_spans the merged flag count — token coverage audits
+    sum (end_tok - start_tok).
+    """
+    from pyspark.sql import Window
+
+    flags = duplicate_spans(documents, n, min_docs).select("doc_id", "pos")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    grp = (
+        flags.withColumn("_prev", F.lag("pos").over(wd))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("pos") - F.col("_prev") > n),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "interval_id",
+            F.sum("_new").over(
+                wd.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        grp.groupBy("doc_id", "interval_id")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + n).alias("end_tok"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+        .select("doc_id", "start_tok", "end_tok", "n_spans")
+        .orderBy("doc_id", "start_tok")
+    )
+
+
+def duplicate_span_intervals_oracle(n: int = 10, min_docs: int = 2) -> str:
+    from pithos_spark.functions.dedup import portable_hash60_sql
+
+    h = portable_hash60_sql("gram")
+    return f"""\
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents
+), idx AS (
+    SELECT doc_id, t,
+           unnest(range(1, greatest(len(t) - {n - 1}, 1) + 1)) AS i
+    FROM toks
+), occ AS (
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           {h} AS span_hash
+    FROM (SELECT doc_id, i, array_to_string(t[i:i+{n - 1}], ' ') AS gram
+          FROM idx)
+), pairs AS (
+    SELECT DISTINCT span_hash, doc_id FROM occ
+), counts AS (
+    SELECT span_hash, count(*) AS n_docs FROM pairs
+    GROUP BY 1 HAVING count(*) >= {min_docs}
+), flags AS (
+    SELECT o.doc_id, o.pos FROM occ o JOIN counts c USING (span_hash)
+), grp AS (
+    SELECT doc_id, pos,
+           CAST(sum(CASE WHEN prev IS NULL OR pos - prev > {n}
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+               AS interval_id
+    FROM (SELECT doc_id, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM flags)
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS start_tok,
+       CAST(max(pos) + {n} AS BIGINT) AS end_tok,
+       count(*) AS n_spans
+FROM grp
+GROUP BY doc_id, interval_id
+ORDER BY doc_id, start_tok"""
+
+
+def source_vocab_overlap(
+    documents: DataFrame, top_k: int = 100
+) -> DataFrame:
+    """Pairwise source similarity by vocabulary: Jaccard (permille) of
+    each source pair's top-``top_k`` token sets — the cheap corpus-map
+    a mixture planner reads to spot near-duplicate crawls and
+    complementary sources before assigning mixing weights.  Integer
+    end-to-end (count ranks with deterministic count-desc/token-asc
+    ties, intersection counting, permille div), so fully oracle-gated.
+
+    Scale: one corpus scan to (source, token) counts, a per-source
+    top-k window over the aggregated (small) count table, and the pair
+    join touches only |sources| x top_k rows — dimension-sized
+    regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    from pithos_spark.functions.text import _tokens
+
+    counts = (
+        documents.select(
+            "source", F.explode(_tokens(F.col("text"))).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), "token")
+    top = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_k)
+        .select("source", "token")
+    )
+    a = top.select(F.col("source").alias("source_a"), "token")
+    b = top.select(F.col("source").alias("source_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return inter.select(
+        "source_a",
+        "source_b",
+        "n_common",
+        F.expr(f"(1000 * n_common) div ({2 * top_k} - n_common)").alias(
+            "jaccard_permille"
+        ),
+    ).orderBy("source_a", "source_b")
+
+
+def source_vocab_overlap_oracle(top_k: int = 100) -> str:
+    return f"""\
+WITH counts AS (
+    SELECT source, token, count(*) AS n
+    FROM (SELECT source,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+          FROM documents)
+    WHERE token <> ''
+    GROUP BY 1, 2
+), top AS (
+    SELECT source, token FROM (
+        SELECT source, token,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n DESC, token) AS rk
+        FROM counts
+    ) WHERE rk <= {top_k}
+), inter AS (
+    SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+    FROM top a JOIN top b ON a.token = b.token AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common,
+       (1000 * n_common) // ({2 * top_k} - n_common) AS jaccard_permille
+FROM inter
+ORDER BY source_a, source_b"""

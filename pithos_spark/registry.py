@@ -2255,6 +2255,37 @@ QUERIES["corpus_temperature_sample_mix"] = _temp_mix
 ORACLES["corpus_temperature_sample_mix"] = TEMPERATURE_SAMPLE_MIX_SQL
 
 
+def _span_intervals(spark, sf_dir):
+    """Maximal duplicate-span intervals (the ExactSubstr-style mask
+    list): overlapping flagged n-gram positions merged into
+    [start_tok, end_tok) rows per document — curate.duplicate_span_intervals."""
+    from pithos_spark.functions.curate import duplicate_span_intervals
+
+    return duplicate_span_intervals(T.load_tables(spark, sf_dir)["documents"])
+
+
+def _vocab_overlap(spark, sf_dir):
+    """Pairwise source similarity by top-k vocabulary Jaccard
+    (permille) — curate.source_vocab_overlap."""
+    from pithos_spark.functions.curate import source_vocab_overlap
+
+    return source_vocab_overlap(T.load_tables(spark, sf_dir)["documents"])
+
+
+from pithos_spark.functions.curate import (  # noqa: E402
+    duplicate_span_intervals_oracle,
+    source_vocab_overlap_oracle,
+)
+
+# added after the r9 window froze (the full-window gate had already
+# run): pytest-oracle-proven now, queued for r10's ROUND_NEW alongside
+# the canaries that yielded slots this round
+QUERIES["corpus_duplicate_span_intervals"] = _span_intervals
+ORACLES["corpus_duplicate_span_intervals"] = duplicate_span_intervals_oracle()
+QUERIES["corpus_source_vocab_overlap"] = _vocab_overlap
+ORACLES["corpus_source_vocab_overlap"] = source_vocab_overlap_oracle()
+
+
 def _decontam_semantic(spark, sf_dir):
     from pithos_spark.functions.curate import decontaminate_semantic
 

@@ -528,3 +528,61 @@ def test_temperature_mix_upweights_small_sources(spark):
     assert set(
         r["source"] for r in kept.select("source").distinct().collect()
     ) == {"head", "mid", "tail"} or kept.count() > 0
+
+
+def test_duplicate_span_intervals_merge_overlaps(spark):
+    """Overlapping flagged n-gram positions collapse to ONE maximal
+    interval; separate duplicated regions stay separate rows."""
+    from pithos_spark.functions.curate import duplicate_span_intervals
+
+    boiler = " ".join(f"b{i}" for i in range(14))  # 14 tokens -> 5 10-gram hits
+    tail = " ".join(f"t{i}" for i in range(10))  # second shared region
+    docs = _docs(
+        spark,
+        [
+            f"{boiler} filler x y z w v u q r s m n o p {tail}",
+            f"{boiler} other words entirely here today {tail} end",
+            "an unrelated document with none of those strings present",
+        ],
+    )
+    got = duplicate_span_intervals(docs, n=10).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["start_tok"], r["end_tok"], r["n_spans"])
+        )
+    # doc 0: boiler at tokens 0..14 -> flags 0..4 -> ONE interval [0,14);
+    # tail starts at token 28 -> flag 28 -> interval [28,38)
+    assert by_doc[0] == [(0, 14, 5), (28, 38, 1)]
+    assert len(by_doc[1]) == 2
+    assert 2 not in by_doc
+    # interval spans never overlap within a doc
+    for ivs in by_doc.values():
+        for (s1, e1, _), (s2, e2, _) in zip(ivs, ivs[1:]):
+            assert e1 <= s2
+
+
+def test_source_vocab_overlap_orders_similar_sources_first(spark):
+    """Two sources sharing most frequent tokens score near 1000
+    permille; a disjoint-vocabulary source scores 0 against both."""
+    from pithos_spark.functions.curate import source_vocab_overlap
+
+    rows = []
+    did = 0
+    shared = " ".join(f"w{i}" for i in range(30))
+    for src, text in (
+        ("crawlA", shared + " extraA"),
+        ("crawlB", shared + " extraB"),
+        ("codes", " ".join(f"c{i}" for i in range(30))),
+    ):
+        rows.append((did, text, "en", src, 0))
+        did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["jaccard_permille"]
+        for r in source_vocab_overlap(docs, top_k=31).collect()
+    }
+    assert got[("crawlA", "crawlB")] >= 900
+    assert ("codes", "crawlA") not in got and ("crawlA", "codes") not in got
