@@ -642,7 +642,7 @@ def eval_gram_bloom(
         .distinct()
         .collect()
     )
-    bits = bytearray(m_bits // 8)
+    bits = bytearray((m_bits + 7) // 8)
     for r in positions:
         p = r["p"]
         bits[p >> 3] |= 1 << (p & 7)
@@ -1624,6 +1624,10 @@ def source_vocab_overlap(
         .filter(F.col("_rk") <= top_k)
         .select("source", "token")
     )
+    # |A| and |B| are each source's ACTUAL top-set size: a source with
+    # fewer than top_k distinct tokens must not be read as near-disjoint
+    # from its own twin (denominator 2*top_k would deflate the Jaccard).
+    sizes = top.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
     a = top.select(F.col("source").alias("source_a"), "token")
     b = top.select(F.col("source").alias("source_b"), "token")
     inter = (
@@ -1632,14 +1636,27 @@ def source_vocab_overlap(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return inter.select(
-        "source_a",
-        "source_b",
-        "n_common",
-        F.expr(f"(1000 * n_common) div ({2 * top_k} - n_common)").alias(
-            "jaccard_permille"
-        ),
-    ).orderBy("source_a", "source_b")
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("n_vocab", "n_a")),
+            F.col("source_a") == F.col("source"),
+        )
+        .drop("source")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("n_vocab", "n_b")),
+            F.col("source_b") == F.col("source"),
+        )
+        .drop("source")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.expr("(1000 * n_common) div (n_a + n_b - n_common)").alias(
+                "jaccard_permille"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
 
 
 def source_vocab_overlap_oracle(top_k: int = 100) -> str:
@@ -1658,12 +1675,17 @@ WITH counts AS (
                                   ORDER BY n DESC, token) AS rk
         FROM counts
     ) WHERE rk <= {top_k}
+), sizes AS (
+    SELECT source, count(*) AS n_vocab FROM top GROUP BY 1
 ), inter AS (
     SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
     FROM top a JOIN top b ON a.token = b.token AND a.source < b.source
     GROUP BY 1, 2
 )
 SELECT source_a, source_b, n_common,
-       (1000 * n_common) // ({2 * top_k} - n_common) AS jaccard_permille
+       (1000 * n_common) // (sa.n_vocab + sb.n_vocab - n_common)
+           AS jaccard_permille
 FROM inter
+JOIN sizes sa ON sa.source = inter.source_a
+JOIN sizes sb ON sb.source = inter.source_b
 ORDER BY source_a, source_b"""

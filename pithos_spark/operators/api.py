@@ -741,7 +741,10 @@ def authenticate_v2(
     )
     import hmac as _hmac
 
-    if not _hmac.compare_digest(sig.v2_sign(entry["secret"], sts), given):
+    want = sig.v2_sign(entry["secret"], sts)
+    # compare utf-8 bytes: compare_digest raises TypeError on non-ASCII
+    # str input, and `given` is attacker-controlled header text.
+    if not _hmac.compare_digest(want.encode("utf-8"), given.encode("utf-8")):
         return (None, ()), bad
     return (entry.get("tenant"), tuple(entry.get("memberof", ()))), None
 
@@ -806,7 +809,9 @@ def authenticate_v4(
     key = sig.v4_signing_key(entry["secret"], date, region, service)
     import hmac as _hmac
 
-    if not _hmac.compare_digest(sig.v4_signature(key, sts), given):
+    want = sig.v4_signature(key, sts)
+    # utf-8 bytes for the same non-ASCII TypeError reason as the v2 path
+    if not _hmac.compare_digest(want.encode("utf-8"), given.encode("utf-8")):
         return (None, ()), bad
     return (entry.get("tenant"), tuple(entry.get("memberof", ()))), None
 

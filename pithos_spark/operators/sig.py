@@ -193,7 +193,11 @@ def validate_presigned(
         method, content_md5, content_type, expires, amz_headers or {}, resource
     )
     want = v2_sign(secret, sts)
-    if not given or not hmac.compare_digest(want, given):
+    # utf-8 bytes: compare_digest raises TypeError on non-ASCII str and
+    # `given` arrives from attacker-controlled query params
+    if not given or not hmac.compare_digest(
+        want.encode("utf-8"), given.encode("utf-8")
+    ):
         return False, "SignatureDoesNotMatch"
     try:
         exp = int(expires)

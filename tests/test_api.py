@@ -1312,6 +1312,15 @@ def test_serve_v2_signed_request_end_to_end(spark):
         keystore=keystore,
     )
     assert status == 403 and "SignatureDoesNotMatch" in err
+    # non-ASCII attacker-supplied signature: clean 403, not a
+    # hmac.compare_digest TypeError escaping serve()
+    bad = signed_headers("PUT", "/batman/foo.txt")
+    bad["authorization"] = bad["authorization"][:-4] + "sigé"
+    status, err = serve(
+        model, "PUT", "/batman/foo.txt", body="foobar", headers=bad,
+        keystore=keystore,
+    )
+    assert status == 403 and "SignatureDoesNotMatch" in err
     # unknown access key: same refusal
     status, err = serve(
         model, "PUT", "/batman/foo.txt",
@@ -1382,14 +1391,16 @@ def test_serve_v4_signed_request_end_to_end(spark):
         model, "PUT", "/new-bucket", headers=h, keystore=keystore
     )[0] == 200
 
-    # tampered signature
-    h = signed_headers("PUT", "/batman/foo.txt", {}, "foobar")
-    h["authorization"] = h["authorization"][:-4] + "beef"
-    status, err = serve(
-        model, "PUT", "/batman/foo.txt", body="foobar", headers=h,
-        keystore=keystore,
-    )
-    assert status == 403 and "SignatureDoesNotMatch" in err
+    # tampered signature — including non-ASCII word chars, which
+    # _V4_AUTH_RE's \w accepts and must still 403, not TypeError
+    for tail in ("beef", "véé1"):
+        h = signed_headers("PUT", "/batman/foo.txt", {}, "foobar")
+        h["authorization"] = h["authorization"][:-4] + tail
+        status, err = serve(
+            model, "PUT", "/batman/foo.txt", body="foobar", headers=h,
+            keystore=keystore,
+        )
+        assert status == 403 and "SignatureDoesNotMatch" in err
 
     # body swapped after signing: digest check refuses (sig4.clj's
     # sha256-input-stream semantics)

@@ -353,6 +353,13 @@ def test_decontaminate_bloom_matches_exact(spark):
         r["doc_id"] == 400 and r["eval_doc_id"] == 10 for r in rows
     )
 
+    # m_bits not a multiple of 8 (the docstring's 1.44*k*n sizing rule
+    # almost never is): bitset must round UP, not truncate and IndexError
+    got_odd = sorted(
+        map(tuple, decontaminate_bloom(docs, m_bits=(1 << 16) + 3).collect())
+    )
+    assert got_odd == want
+
 
 def test_eval_gram_bloom_prefilter_selectivity(spark):
     """The bitset really filters: with a well-sized filter and an eval
@@ -586,3 +593,21 @@ def test_source_vocab_overlap_orders_similar_sources_first(spark):
     }
     assert got[("crawlA", "crawlB")] >= 900
     assert ("codes", "crawlA") not in got and ("crawlA", "codes") not in got
+
+
+def test_source_vocab_overlap_small_vocab_denominator(spark):
+    """A source with FEWER distinct tokens than top_k must use its
+    actual top-set size in the Jaccard denominator: two identical
+    5-token sources are 1000 permille, not deflated by 2*top_k."""
+    from pithos_spark.functions.curate import source_vocab_overlap
+
+    tiny = " ".join(f"t{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [(0, tiny, "en", "miniA", 0), (1, tiny, "en", "miniB", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = source_vocab_overlap(docs, top_k=100).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["source_a"], r["source_b"]) == ("miniA", "miniB")
+    assert r["n_common"] == 5 and r["jaccard_permille"] == 1000
