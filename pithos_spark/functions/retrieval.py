@@ -479,3 +479,144 @@ FROM lex l JOIN documents d USING (doc_id)
 ORDER BY ce_score_q DESC, doc_id
 LIMIT {k}"""
     )
+
+
+def mmr_rerank(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    terms: tuple[str, ...] = DEFAULT_TERMS,
+    k: int = 10,
+    depth: int = 50,
+    lambda_permille: int = 700,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversity rerank (Carbonell &
+    Goldstein 1998) over the BM25 candidate list: greedily pick the
+    document maximizing ``lambda * relevance - (1 - lambda) *
+    max-similarity-to-already-picked`` — the second-stage that trades
+    redundancy for coverage, complementing rerank_crossencoder_stub's
+    pointwise scoring.
+
+    Integer-exact end-to-end so the greedy carries a bit-identical
+    DuckDB twin (mmr_rerank_oracle, one unrolled CTE block per pick):
+    relevance is BM25 ``score_q`` rescaled to the dot-product range via
+    ``(1_000_000 * score_q) div max_score_q`` (all non-negative, so
+    Spark ``div`` and DuckDB ``//`` agree), similarity is the exact
+    quantized embedding dot (vec_id == doc_id in the testdata model),
+    and ties break to the smaller doc_id.  The first pick has no
+    selected set, so its penalty term is 0 (pure relevance).
+
+    Scale shape: candidate generation is the DISTRIBUTED part — the
+    full-corpus BM25 scan and top-``depth`` cut (or the postings-layout
+    serving path upstream); the greedy itself is inherently sequential,
+    so it runs driver-side over the <= depth bounded survivors — the
+    same bounded-collect pattern as the Lloyd centroid loop, sized by a
+    serving parameter, never by the corpus.
+    """
+    from pithos_spark.functions.similarity import _quantized
+
+    lex = (
+        bm25_scores(documents, terms)
+        .orderBy(F.col("score_q").desc(), "doc_id")
+        .limit(depth)
+    )
+    cand = (
+        lex.join(
+            embeddings.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        )
+        .select(
+            "doc_id", "score_q", _quantized(F.col("embedding")).alias("q")
+        )
+        .collect()
+    )
+    spark = documents.sparkSession
+    schema = "rk int, doc_id long, score_q long, mmr_q long"
+    if not cand:
+        return spark.createDataFrame([], schema)
+    score = {int(r["doc_id"]): int(r["score_q"]) for r in cand}
+    vec = {int(r["doc_id"]): [int(v) for v in r["q"]] for r in cand}
+    m = max(score.values())
+    rel = {d: (1_000_000 * s) // m for d, s in score.items()}
+    pen = 1000 - lambda_permille
+    selected: list[int] = []
+    remaining = set(score)
+    out = []
+    while len(out) < k and remaining:
+        best = None
+        for d in sorted(remaining):
+            if selected:
+                mx = max(
+                    sum(x * y for x, y in zip(vec[d], vec[s]))
+                    for s in selected
+                )
+            else:
+                mx = 0
+            mmr = lambda_permille * rel[d] - pen * mx
+            if best is None or mmr > best[0]:
+                best = (mmr, d)
+        out.append((len(out) + 1, best[1], score[best[1]], best[0]))
+        selected.append(best[1])
+        remaining.discard(best[1])
+    return spark.createDataFrame(out, schema)
+
+
+def mmr_rerank_oracle(
+    terms: tuple[str, ...] = DEFAULT_TERMS,
+    k: int = 10,
+    depth: int = 50,
+    lambda_permille: int = 700,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of mmr_rerank: BM25 scored prefix, the top-depth
+    cut joined to quantized embeddings, the all-pairs dot table, then
+    ONE materialized CTE block per greedy pick (the running selection
+    is referenced twice per round — NOT IN plus the max-sim join — so
+    plain CTEs would re-evaluate the prefix exponentially; see the BPE
+    oracle for the same unroll discipline)."""
+    lam, pen = lambda_permille, 1000 - lambda_permille
+    parts = [_bm25_scored_sql(terms)]
+    parts.append(
+        f""", cut AS MATERIALIZED (
+    SELECT doc_id, score_q FROM bm25
+    ORDER BY score_q DESC, doc_id LIMIT {depth}
+), cand AS MATERIALIZED (
+    SELECT c.doc_id, c.score_q,
+           list_transform(e.embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+    FROM cut c JOIN embeddings e ON e.vec_id = c.doc_id
+), rel AS MATERIALIZED (
+    SELECT doc_id, score_q, q,
+           (1000000 * score_q) // (SELECT max(score_q) FROM cand)
+               AS rel_scaled
+    FROM cand
+), dots AS MATERIALIZED (
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST((SELECT sum(a.q[i] * b.q[i])
+                 FROM generate_series(1, {dim}) g(i)) AS BIGINT) AS dot
+    FROM rel a JOIN rel b ON a.doc_id <> b.doc_id
+), sel1 AS MATERIALIZED (
+    SELECT 1 AS rk, doc_id, score_q,
+           CAST({lam} * rel_scaled AS BIGINT) AS mmr_q
+    FROM rel ORDER BY mmr_q DESC, doc_id LIMIT 1
+), selu1 AS MATERIALIZED (SELECT rk, doc_id, score_q, mmr_q FROM sel1)"""
+    )
+    for i in range(2, k + 1):
+        parts.append(
+            f""", sel{i} AS MATERIALIZED (
+    SELECT {i} AS rk, r.doc_id, r.score_q,
+           CAST({lam} * r.rel_scaled - {pen} *
+               (SELECT max(d.dot) FROM dots d
+                JOIN selu{i - 1} s ON d.db = s.doc_id
+                WHERE d.da = r.doc_id) AS BIGINT) AS mmr_q
+    FROM rel r
+    WHERE r.doc_id NOT IN (SELECT doc_id FROM selu{i - 1})
+    ORDER BY mmr_q DESC, r.doc_id LIMIT 1
+), selu{i} AS MATERIALIZED (
+    SELECT * FROM selu{i - 1} UNION ALL SELECT * FROM sel{i}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT rk, doc_id, score_q, mmr_q FROM selu{k} ORDER BY rk"""
+    )
+    return "".join(parts)

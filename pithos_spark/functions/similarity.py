@@ -1538,3 +1538,89 @@ WITH planes AS (
 SELECT query_id, vec_id, label, dot_q FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) <= {k}
 ORDER BY query_id, dot_q DESC, vec_id"""
+
+
+def cluster_prototypes(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    n_iter: int = 3,
+    per_cluster: int = 5,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Per-semantic-cluster prototype selection: the ``per_cluster``
+    vectors CLOSEST to their trained Lloyd centroid (exact quantized-l2
+    rank).  This is the prototypicality readout data-pruning recipes
+    rank by (keep-hard / drop-easy selects AGAINST closeness to the
+    prototype; cluster-balanced sampling keeps the closest) — the
+    missing third consumer of the engine-exact k-means alongside
+    ivf_lloyd_topk (probe) and semantic_dedup_pairs (dedup blocking).
+
+    Scale shape: the Lloyd build scans the corpus n_iter times moving
+    only k x dim integer centroids through the driver; ranking is ONE
+    broadcast join of the k-row centroid table plus a per-cluster
+    window — no candidate pairs at all, so unlike the dedup consumers
+    there is nothing to cap.  ``per_cluster`` bounds the output to
+    k x per_cluster rows regardless of corpus size.
+
+    Output: (cluster, rk, vec_id, label, d) ordered by (cluster, rk) —
+    bit-identical to cluster_prototypes_oracle (Lloyd rounds unrolled
+    as CTEs, floor-div centroids, ties to the smaller vec_id).
+    """
+    from pyspark.sql import Window
+
+    assigned, centers = index or build_ivf_lloyd_index(
+        embeddings, n_clusters, n_iter
+    )
+    scored = assigned.join(F.broadcast(centers), "cluster").select(
+        "cluster",
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.zip_with(
+                _quantized(F.col("embedding")),
+                F.col("centroid_q"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    w = Window.partitionBy("cluster").orderBy("d", "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= per_cluster)
+        .select("cluster", "rk", "vec_id", "label", "d")
+        .orderBy("cluster", "rk")
+    )
+
+
+def cluster_prototypes_oracle(
+    n_clusters: int = 16,
+    n_iter: int = 3,
+    per_cluster: int = 5,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of cluster_prototypes: the shared Lloyd CTE prefix,
+    then quantized-l2 distance of every vector to its OWN final
+    centroid and a per-cluster closest-first window."""
+    parts = [_lloyd_cte_sql(n_clusters, n_iter, dim)]
+    parts.append(
+        f""", dists AS (
+    SELECT fa.vec_id, fa.cluster, q.label,
+           CAST(sum((q.q[c.pos + 1] - c.c) * (q.q[c.pos + 1] - c.c))
+                AS BIGINT) AS d
+    FROM final_assign fa
+    JOIN qv q USING (vec_id)
+    JOIN cent{n_iter} c ON c.cluster = fa.cluster
+    GROUP BY 1, 2, 3
+)
+SELECT cluster,
+       CAST(row_number() OVER (PARTITION BY cluster ORDER BY d, vec_id)
+            AS INT) AS rk,
+       vec_id, label, d
+FROM dists
+QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY d, vec_id)
+        <= {per_cluster}
+ORDER BY cluster, rk"""
+    )
+    return "".join(parts)

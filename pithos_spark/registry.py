@@ -2286,6 +2286,43 @@ QUERIES["corpus_source_vocab_overlap"] = _vocab_overlap
 ORACLES["corpus_source_vocab_overlap"] = source_vocab_overlap_oracle()
 
 
+def _cluster_prototypes(spark, sf_dir):
+    """Per-semantic-cluster prototype pick
+    (similarity.cluster_prototypes): the per_cluster vectors closest to
+    their trained Lloyd centroid — the prototypicality readout
+    data-pruning recipes rank by (Sorscher et al., "Beyond neural
+    scaling laws").  Reuses the cached engine-exact Lloyd index
+    (build once, rank many); also queued for r10's ROUND_NEW."""
+    idx = _ivf_index(
+        "ivf_lloyd", similarity.build_ivf_lloyd_index, spark, sf_dir
+    )
+    return similarity.cluster_prototypes(
+        T.load_tables(spark, sf_dir)["embeddings"], index=idx
+    )
+
+
+QUERIES["corpus_cluster_prototypes"] = _cluster_prototypes
+ORACLES["corpus_cluster_prototypes"] = similarity.cluster_prototypes_oracle()
+
+
+def _mmr_rerank(spark, sf_dir):
+    """MMR diversity rerank (retrieval.mmr_rerank): distributed BM25
+    top-depth cut, then the Carbonell-Goldstein greedy over the
+    bounded candidate set — relevance traded against max quantized-dot
+    similarity to the already-picked list.  Queued for r10's
+    ROUND_NEW."""
+    from pithos_spark.functions.retrieval import mmr_rerank
+
+    t = T.load_tables(spark, sf_dir)
+    return mmr_rerank(t["documents"], t["embeddings"])
+
+
+from pithos_spark.functions.retrieval import mmr_rerank_oracle  # noqa: E402
+
+QUERIES["corpus_mmr_rerank"] = _mmr_rerank
+ORACLES["corpus_mmr_rerank"] = mmr_rerank_oracle()
+
+
 def _decontam_semantic(spark, sf_dir):
     from pithos_spark.functions.curate import decontaminate_semantic
 

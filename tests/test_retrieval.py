@@ -611,3 +611,40 @@ def test_source_vocab_overlap_small_vocab_denominator(spark):
     r = rows[0]
     assert (r["source_a"], r["source_b"]) == ("miniA", "miniB")
     assert r["n_common"] == 5 and r["jaccard_permille"] == 1000
+
+
+def test_mmr_rerank_prefers_diverse_over_redundant(spark):
+    """A verbatim duplicate of the top hit must NOT take the second
+    slot: MMR's similarity penalty pushes the (slightly less relevant)
+    different-topic doc ahead of the redundant twin, and the twin
+    still lands third."""
+    from pithos_spark.functions.retrieval import mmr_rerank
+
+    hot = "spark window hash " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, hot.strip(), "en", "a", 0),
+            (2, hot.strip(), "en", "a", 0),
+            (3, ("spark window hash " * 4 + "tea ceremony").strip(), "en", "b", 0),
+            (4, "nothing relevant here", "en", "c", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 0.0, 0.0, 0.0]),
+            (2, "a", [1.0, 0.0, 0.0, 0.0]),
+            (3, "b", [0.0, 1.0, 0.0, 0.0]),
+            (4, "c", [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, label string, embedding array<float>",
+    )
+    got = mmr_rerank(docs, emb, k=3).collect()
+    assert [r["rk"] for r in got] == [1, 2, 3]
+    assert [r["doc_id"] for r in got] == [1, 3, 2]
+    # doc 4 never scored (no query term), so it cannot appear
+    assert all(r["doc_id"] != 4 for r in got)
+    # pure-relevance order would have been 1, 2, 3 — assert the twin
+    # really outscores doc 3 lexically so the test proves the penalty
+    by_doc = {r["doc_id"]: r["score_q"] for r in got}
+    assert by_doc[2] > by_doc[3]

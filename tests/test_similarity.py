@@ -285,3 +285,41 @@ def test_auto_planes_formula_and_sql_parity():
                 FROM (SELECT CAST(ceil({n} / 16.0) AS BIGINT) AS k)"""
         ).fetchone()[0]
         assert got == auto_planes(n), n
+
+
+def test_cluster_prototypes_rank_closest_and_bound_output(spark, embeddings):
+    """Prototype selection over a planted geometry: within one tight
+    cluster the vector nearest the mean ranks 1, output is bounded at
+    per_cluster rows per cluster, and d is non-decreasing within a
+    cluster.  Also runs on the real corpus to pin the k x per_cluster
+    output bound."""
+    from pithos_spark.functions.similarity import cluster_prototypes
+
+    # two well-separated blobs; within each, vec 0/10 sits AT the
+    # center and the rest step away in one coordinate
+    dim = 8
+    rows = []
+    for base, center in ((0, 1.0), (10, -1.0)):
+        for i in range(6):
+            v = [center] * dim
+            v[0] = center + i * 0.01
+            rows.append((base + i, f"b{base}", v))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    got = cluster_prototypes(emb, n_clusters=2, n_iter=2, per_cluster=3)
+    rws = got.collect()
+    by_cluster: dict[int, list] = {}
+    for r in rws:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert len(by_cluster) == 2
+    for ivs in by_cluster.values():
+        assert len(ivs) == 3
+        assert [r["rk"] for r in ivs] == [1, 2, 3]
+        assert all(a["d"] <= b["d"] for a, b in zip(ivs, ivs[1:]))
+    # each blob's rank-1 prototype comes from that blob
+    winners = {min(v, key=lambda r: r["rk"])["vec_id"] for v in by_cluster.values()}
+    assert len({w // 10 for w in winners}) == 2
+
+    real = cluster_prototypes(embeddings, per_cluster=2).collect()
+    assert len(real) <= 16 * 2 and len(real) > 0
