@@ -390,3 +390,21 @@ def test_postings_read_pushes_term_filter(spark, tables, tmp_path):
     # layout's own (postings + 1-row stats), not documents
     assert "documents" not in plan
     assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_cluster_prototypes_broadcasts_centroids_no_pairs(tables):
+    """Prototype ranking is ONE broadcast join of the k-row centroid
+    table plus a per-cluster window — no self-join, no candidate-pair
+    generation (unlike the dedup consumers of the same Lloyd index),
+    so there is nothing for a degenerate cluster to explode."""
+    from pithos_spark.functions.similarity import (
+        build_ivf_lloyd_index,
+        cluster_prototypes,
+    )
+
+    idx = build_ivf_lloyd_index(tables["embeddings"], 4, 1)
+    plan = _plan(cluster_prototypes(tables["embeddings"], index=idx))
+    assert "BroadcastExchange" in plan, plan
+    # exactly one embeddings scan feeds the ranking (the index build is
+    # a separate, cached step) and no join multiplies corpus rows
+    assert plan.count("SortMergeJoin") == 0, plan
