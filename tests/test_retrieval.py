@@ -648,3 +648,87 @@ def test_mmr_rerank_prefers_diverse_over_redundant(spark):
     # really outscores doc 3 lexically so the test proves the penalty
     by_doc = {r["doc_id"]: r["score_q"] for r in got}
     assert by_doc[2] > by_doc[3]
+
+
+def test_mmr_rerank_greedy_optimality_on_random_corpora(spark):
+    """Independent re-check of the greedy invariant on seeded random
+    inputs: each pick's recorded mmr_q must be >= the MMR score of
+    every candidate still unpicked at that step, recomputed here from
+    the raw inputs (quantized dots, rescaled relevance) without reusing
+    the operator's own loop."""
+    import random
+
+    from pithos_spark.functions.retrieval import bm25_scores, mmr_rerank
+
+    rng = random.Random(42)
+    vocab = ["spark", "window", "hash", "tea", "fox", "drum", "ivy", "oak"]
+    for trial in range(3):
+        n = rng.randint(6, 12)
+        rows = [
+            (
+                i,
+                " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 20))),
+                "en",
+                "s",
+                0,
+            )
+            for i in range(n)
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        emb = spark.createDataFrame(
+            [
+                (i, "x", [rng.uniform(-1, 1) for _ in range(4)])
+                for i in range(n)
+            ],
+            "vec_id long, label string, embedding array<float>",
+        )
+        lam, pen, k = 700, 300, 4
+        got = mmr_rerank(docs, emb, k=k, depth=8, lambda_permille=lam)
+        out = got.collect()
+        # rebuild the candidate set the operator saw
+        cand = {
+            int(r["doc_id"]): int(r["score_q"])
+            for r in bm25_scores(docs)
+            .orderBy(F.col("score_q").desc(), "doc_id")
+            .limit(8)
+            .collect()
+        }
+        import math
+
+        vecs = {
+            int(r["vec_id"]): [
+                math.floor(float(v) * 1000) for v in r["embedding"]
+            ]
+            for r in emb.collect()
+            if int(r["vec_id"]) in cand
+        }
+        if not cand:
+            assert not out
+            continue
+        m = max(cand.values())
+        rel = {d: (1_000_000 * s) // m for d, s in cand.items()}
+        assert [r["rk"] for r in out] == list(range(1, len(out) + 1))
+        assert len(out) == min(k, len(cand))
+        assert len({r["doc_id"] for r in out}) == len(out)
+        picked: list[int] = []
+        for r in out:
+            d_star, mmr_star = int(r["doc_id"]), int(r["mmr_q"])
+            for d in cand:
+                if d in picked or d == d_star:
+                    continue
+                mx = (
+                    max(
+                        sum(x * y for x, y in zip(vecs[d], vecs[s]))
+                        for s in picked
+                    )
+                    if picked
+                    else 0
+                )
+                other = lam * rel[d] - pen * mx
+                assert other <= mmr_star or (
+                    other == mmr_star and d > d_star
+                ), (trial, r["rk"], d, other, mmr_star)
+            picked.append(d_star)
