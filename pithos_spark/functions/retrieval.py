@@ -514,11 +514,10 @@ def mmr_rerank(
     """
     from pithos_spark.functions.similarity import _quantized
 
-    lex = (
-        bm25_scores(documents, terms)
-        .orderBy(F.col("score_q").desc(), "doc_id")
-        .limit(depth)
-    )
+    # zero-score survivors of the cut (tf > 0 but the idf/length math
+    # floors to 0) carry no relevance signal to rescale — drop them, so
+    # the max-score divisor is always positive when candidates exist
+    lex = bm25_topk(documents, terms, k=depth).filter(F.col("score_q") > 0)
     cand = (
         lex.join(
             embeddings.select(F.col("vec_id").alias("doc_id"), "embedding"),
@@ -538,25 +537,24 @@ def mmr_rerank(
     m = max(score.values())
     rel = {d: (1_000_000 * s) // m for d, s in score.items()}
     pen = 1000 - lambda_permille
-    selected: list[int] = []
     remaining = set(score)
+    # running max-similarity to the selected set, updated with only the
+    # newly picked doc each round: O(k * depth * dim), not O(k^2 * ...)
+    max_sim: dict[int, int] = {}
     out = []
     while len(out) < k and remaining:
         best = None
         for d in sorted(remaining):
-            if selected:
-                mx = max(
-                    sum(x * y for x, y in zip(vec[d], vec[s]))
-                    for s in selected
-                )
-            else:
-                mx = 0
-            mmr = lambda_permille * rel[d] - pen * mx
+            mmr = lambda_permille * rel[d] - pen * max_sim.get(d, 0)
             if best is None or mmr > best[0]:
                 best = (mmr, d)
-        out.append((len(out) + 1, best[1], score[best[1]], best[0]))
-        selected.append(best[1])
-        remaining.discard(best[1])
+        picked = best[1]
+        out.append((len(out) + 1, picked, score[picked], best[0]))
+        remaining.discard(picked)
+        for d in remaining:
+            dot = sum(x * y for x, y in zip(vec[d], vec[picked]))
+            if d not in max_sim or dot > max_sim[d]:
+                max_sim[d] = dot
     return spark.createDataFrame(out, schema)
 
 
@@ -577,7 +575,7 @@ def mmr_rerank_oracle(
     parts = [_bm25_scored_sql(terms)]
     parts.append(
         f""", cut AS MATERIALIZED (
-    SELECT doc_id, score_q FROM bm25
+    SELECT doc_id, score_q FROM bm25 WHERE score_q > 0
     ORDER BY score_q DESC, doc_id LIMIT {depth}
 ), cand AS MATERIALIZED (
     SELECT c.doc_id, c.score_q,

@@ -744,7 +744,11 @@ def authenticate_v2(
     want = sig.v2_sign(entry["secret"], sts)
     # compare utf-8 bytes: compare_digest raises TypeError on non-ASCII
     # str input, and `given` is attacker-controlled header text.
-    if not _hmac.compare_digest(want.encode("utf-8"), given.encode("utf-8")):
+    # surrogatepass keeps surrogate-escaped request bytes encodable too
+    # (want is pure ASCII, so no stray byte sequence can collide).
+    if not _hmac.compare_digest(
+        want.encode("utf-8"), given.encode("utf-8", "surrogatepass")
+    ):
         return (None, ()), bad
     return (entry.get("tenant"), tuple(entry.get("memberof", ()))), None
 
@@ -811,7 +815,9 @@ def authenticate_v4(
 
     want = sig.v4_signature(key, sts)
     # utf-8 bytes for the same non-ASCII TypeError reason as the v2 path
-    if not _hmac.compare_digest(want.encode("utf-8"), given.encode("utf-8")):
+    if not _hmac.compare_digest(
+        want.encode("utf-8"), given.encode("utf-8", "surrogatepass")
+    ):
         return (None, ()), bad
     return (entry.get("tenant"), tuple(entry.get("memberof", ()))), None
 

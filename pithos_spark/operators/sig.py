@@ -194,9 +194,11 @@ def validate_presigned(
     )
     want = v2_sign(secret, sts)
     # utf-8 bytes: compare_digest raises TypeError on non-ASCII str and
-    # `given` arrives from attacker-controlled query params
+    # `given` arrives from attacker-controlled query params;
+    # surrogatepass keeps surrogate-escaped bytes encodable (want is
+    # pure ASCII, so no stray byte sequence can collide)
     if not given or not hmac.compare_digest(
-        want.encode("utf-8"), given.encode("utf-8")
+        want.encode("utf-8"), given.encode("utf-8", "surrogatepass")
     ):
         return False, "SignatureDoesNotMatch"
     try:

@@ -1312,15 +1312,18 @@ def test_serve_v2_signed_request_end_to_end(spark):
         keystore=keystore,
     )
     assert status == 403 and "SignatureDoesNotMatch" in err
-    # non-ASCII attacker-supplied signature: clean 403, not a
-    # hmac.compare_digest TypeError escaping serve()
-    bad = signed_headers("PUT", "/batman/foo.txt")
-    bad["authorization"] = bad["authorization"][:-4] + "sigé"
-    status, err = serve(
-        model, "PUT", "/batman/foo.txt", body="foobar", headers=bad,
-        keystore=keystore,
-    )
-    assert status == 403 and "SignatureDoesNotMatch" in err
+    # non-ASCII / surrogate-escaped attacker-supplied signature: clean
+    # 403, not a compare_digest TypeError or UnicodeEncodeError
+    # escaping serve() ("\udce9" is what errors='surrogateescape'
+    # yields for a raw 0xe9 header byte)
+    for tail in ("sigé", "m\udce9n"):
+        bad = signed_headers("PUT", "/batman/foo.txt")
+        bad["authorization"] = bad["authorization"][:-4] + tail
+        status, err = serve(
+            model, "PUT", "/batman/foo.txt", body="foobar", headers=bad,
+            keystore=keystore,
+        )
+        assert status == 403 and "SignatureDoesNotMatch" in err
     # unknown access key: same refusal
     status, err = serve(
         model, "PUT", "/batman/foo.txt",
@@ -1391,9 +1394,10 @@ def test_serve_v4_signed_request_end_to_end(spark):
         model, "PUT", "/new-bucket", headers=h, keystore=keystore
     )[0] == 200
 
-    # tampered signature — including non-ASCII word chars, which
-    # _V4_AUTH_RE's \w accepts and must still 403, not TypeError
-    for tail in ("beef", "véé1"):
+    # tampered signature — including non-ASCII word chars (which
+    # _V4_AUTH_RE's \w accepts) and surrogate-escaped bytes; all must
+    # 403, never TypeError/UnicodeEncodeError
+    for tail in ("beef", "véé1", "be\udce9f"):
         h = signed_headers("PUT", "/batman/foo.txt", {}, "foobar")
         h["authorization"] = h["authorization"][:-4] + tail
         status, err = serve(

@@ -695,6 +695,7 @@ def test_mmr_rerank_greedy_optimality_on_random_corpora(spark):
             .orderBy(F.col("score_q").desc(), "doc_id")
             .limit(8)
             .collect()
+            if int(r["score_q"]) > 0  # mirrors the operator's cut
         }
         import math
 
@@ -728,7 +729,7 @@ def test_mmr_rerank_greedy_optimality_on_random_corpora(spark):
                     else 0
                 )
                 other = lam * rel[d] - pen * mx
-                assert other <= mmr_star or (
+                assert other < mmr_star or (
                     other == mmr_star and d > d_star
                 ), (trial, r["rk"], d, other, mmr_star)
             picked.append(d_star)
