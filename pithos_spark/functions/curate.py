@@ -699,9 +699,15 @@ def decontaminate_bloom(
         import numpy as np
 
         bits = np.frombuffer(bloom.value, dtype=np.uint8)
+        if len(positions) == 0:
+            # an empty arrow batch yields a 1-D np.array, and
+            # hit.all(axis=1) would raise AxisError (ADVICE r9)
+            return pd.Series([], dtype=bool)
         # (rows, k) int64 matrix from the arrow list column, then pure
         # vectorized gathers — no per-row Python in the hot loop
-        p = np.array(positions.to_list(), dtype=np.int64)
+        p = np.array(positions.to_list(), dtype=np.int64).reshape(
+            len(positions), -1
+        )
         hit = (bits[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
         return pd.Series(hit.all(axis=1))
 

@@ -694,7 +694,18 @@ def authenticate_v2(
     entry = keystore.get(access_key)
     if entry is None:
         return (None, ()), bad
-    if presigned and now_epoch is not None:
+    if (presigned or params.get("expires")) and now_epoch is None:
+        # sig.clj (validate) ALWAYS bounds a presigned URL's lifetime by
+        # its Expires param — and checks an expires param even when the
+        # credentials arrived in the Authorization header.  Skipping the
+        # check when the caller forgot the clock would silently accept
+        # expired URLs, so refuse loudly instead (ADVICE r9).
+        raise ValueError(
+            "authenticate_v2: request carries an Expires bound but no "
+            "now_epoch was provided; pass now_epoch to enforce presigned "
+            "expiry (reference sig.clj always enforces it)"
+        )
+    if presigned:
         # presigned query-param form (sig.clj:87-120): Expires sits in
         # the date slot AND bounds the URL's lifetime — signature first,
         # THEN the expiry check (an expired URL with a bad signature
@@ -750,6 +761,24 @@ def authenticate_v2(
         want.encode("utf-8"), given.encode("utf-8", "surrogatepass")
     ):
         return (None, ()), bad
+    if params.get("expires"):
+        # reference parity (sig.clj validate): the expires param bounds
+        # the request even when credentials came via the Authorization
+        # header — signature first, THEN expiry, same taxonomy as the
+        # presigned branch (ADVICE r9).  now_epoch is guaranteed non-None
+        # here by the guard above.
+        try:
+            exp = int(params["expires"])
+        except ValueError:
+            return (None, ()), (
+                500,
+                xmlio.error_response("InternalError", "Invalid Expires"),
+            )
+        if now_epoch > exp:
+            return (None, ()), (
+                403,
+                xmlio.error_response("AccessDenied", "Request has expired"),
+            )
     return (entry.get("tenant"), tuple(entry.get("memberof", ()))), None
 
 
@@ -1137,8 +1166,11 @@ def serve(
             # deletion removes it implicitly; ADVICE r8 high)
             return 204, {
                 "objects": surviving,
+                # eqNullSafe: a plain != is null-unsafe and would
+                # silently DROP any grant row whose bucket column is
+                # NULL (ADVICE r9)
                 "grants": model["grants"].filter(
-                    F.col("bucket") != f"{b}/{k}"
+                    ~F.col("bucket").eqNullSafe(f"{b}/{k}")
                 ),
             }
         return 204, surviving
@@ -1175,8 +1207,9 @@ def serve(
             # previous incarnation of this key left behind, or the prior
             # uploader keeps FULL_CONTROL over the new tenant's object
             # (ADVICE r8 high)
+            # (eqNullSafe: keep NULL-keyed grant rows — ADVICE r9)
             resp["grants"] = model["grants"].filter(
-                F.col("bucket") != f"{b}/{k}"
+                ~F.col("bucket").eqNullSafe(f"{b}/{k}")
             ).unionByName(creator)
         return 200, resp
     if op == "post-bucket" and "chunks" in model:

@@ -72,7 +72,10 @@ def prefix_pattern(prefix: str, delimiter: str) -> str:
 # Cache lifecycle: bounded persist (ADVICE r8)
 # ---------------------------------------------------------------------------
 
+import threading as _threading
+
 _PERSIST_SLOTS: dict = {}
+_PERSIST_LOCK = _threading.Lock()
 
 
 def bounded_persist(df, slot: str):
@@ -93,13 +96,22 @@ def bounded_persist(df, slot: str):
     caller's action populates and uses it; only the NEXT call through
     the same slot releases it.
     """
-    key = (df.sparkSession.sparkContext.applicationId, slot)
-    prev = _PERSIST_SLOTS.get(key)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # session gone / already unpersisted: nothing to free
-    handle = df.persist()
-    _PERSIST_SLOTS[key] = handle
+    app_id = df.sparkSession.sparkContext.applicationId
+    key = (app_id, slot)
+    with _PERSIST_LOCK:
+        # evict slots whose owning Spark application is gone — a
+        # long-lived process cycling sessions would otherwise accumulate
+        # one dead handle per (old app, slot) forever (ADVICE r9); the
+        # handles themselves died with their JVM context, so dropping
+        # the dict entry is the whole cleanup.
+        for stale in [k for k in _PERSIST_SLOTS if k[0] != app_id]:
+            del _PERSIST_SLOTS[stale]
+        prev = _PERSIST_SLOTS.get(key)
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass  # session gone / already unpersisted: nothing to free
+        handle = df.persist()
+        _PERSIST_SLOTS[key] = handle
     return handle

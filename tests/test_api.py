@@ -1607,3 +1607,138 @@ def test_serve_malformed_v4_header_is_refused(spark):
         keystore=keystore,
     )
     assert status == 403 and "SignatureDoesNotMatch" in err
+
+
+def test_presigned_requires_now_epoch(spark):
+    """ADVICE r9: the reference (sig.clj validate) ALWAYS bounds a
+    presigned URL by its Expires param.  A presigned request reaching
+    authenticate_v2 without a now_epoch clock therefore refuses loudly
+    (ValueError) instead of silently validating the signature and
+    accepting an expired URL."""
+    import pytest
+
+    from pithos_spark.operators import sig
+    from pithos_spark.operators.api import authenticate_v2
+
+    keystore = {"AKID": {"secret": "sek", "tenant": "ASIA"}}
+    uri = "/NATION_2/some.bin"
+    sts = sig.v2_presigned_string_to_sign("GET", "", "", "100", {}, uri)
+    params = {
+        "awsaccesskeyid": "AKID",
+        "signature": sig.v2_sign("sek", sts),
+        "expires": "100",
+    }
+    with pytest.raises(ValueError, match="now_epoch"):
+        authenticate_v2("GET", uri, params, {}, keystore)
+    # with the clock, the same request enforces expiry (now > 100)
+    (_, _), refusal = authenticate_v2(
+        "GET", uri, params, {}, keystore, now_epoch=101
+    )
+    assert refusal is not None and refusal[0] == 403
+    assert "expired" in refusal[1]
+
+
+def test_header_auth_expires_param_enforced(spark):
+    """ADVICE r9: the reference checks the expires param even when the
+    credentials arrive via the Authorization header (not the presigned
+    query form).  Expires sits in the string-to-sign's date slot;
+    after the signature verifies, the expiry bound applies — expired
+    -> 403 AccessDenied, unparseable -> 500 InternalError, and a
+    missing clock refuses with ValueError."""
+    import pytest
+
+    from pithos_spark.operators import sig
+    from pithos_spark.operators.api import authenticate_v2
+
+    keystore = {"AKID": {"secret": "sek", "tenant": "ASIA"}}
+    uri = "/NATION_2/some.bin"
+
+    def hdr(expires: str):
+        sts = sig.v2_string_to_sign("GET", "", "", expires, {}, uri)
+        return {"authorization": f"AWS {'AKID'}:{sig.v2_sign('sek', sts)}"}
+
+    # valid: expires in the future -> authenticated as ASIA
+    (tenant, _), refusal = authenticate_v2(
+        "GET", uri, {"expires": "200"}, hdr("200"), keystore, now_epoch=100
+    )
+    assert refusal is None and tenant == "ASIA"
+    # expired -> AccessDenied (signature was valid)
+    (_, _), refusal = authenticate_v2(
+        "GET", uri, {"expires": "99"}, hdr("99"), keystore, now_epoch=100
+    )
+    assert refusal is not None and refusal[0] == 403
+    assert "expired" in refusal[1]
+    # unparseable -> InternalError (Integer/parseInt taxonomy)
+    (_, _), refusal = authenticate_v2(
+        "GET", uri, {"expires": "soon"}, hdr("soon"), keystore, now_epoch=100
+    )
+    assert refusal is not None and refusal[0] == 500
+    # no clock but an expires bound present: loud refusal
+    with pytest.raises(ValueError, match="now_epoch"):
+        authenticate_v2(
+            "GET", uri, {"expires": "200"}, hdr("200"), keystore
+        )
+
+
+def test_grant_rewrite_null_safe(spark):
+    """ADVICE r9: the PUT/DELETE grant-rewrite filters drop the
+    rewritten path's rows with eqNullSafe — a grant row whose bucket
+    column is NULL must SURVIVE both rewrites (a plain != would
+    silently discard it)."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.operators.api import serve
+    from tests.conftest import SF_SMOKE
+
+    t = T.load_tables(spark, SF_SMOKE)
+    grants = spark.createDataFrame(
+        [
+            ("NATION_2", "WRITE", "uploader", "canonical"),
+            (None, "READ", "orphan", "canonical"),
+        ],
+        "bucket string, perm string, grantee_id string, "
+        "grantee_type string",
+    )
+    model = {
+        "buckets": T.buckets_df(t),
+        "objects": T.objects_df(t),
+        "chunks": T.chunks_df(t),
+        "grants": grants,
+    }
+    # PUT rebuilds the header-acl: the NULL-keyed row survives
+    status, resp = serve(
+        model, "PUT", "/NATION_2/mine.bin", body="x", tenant="uploader"
+    )
+    assert status == 200
+    assert resp["grants"].filter(F.col("bucket").isNull()).count() == 1
+
+    # DELETE drops the path-keyed rows: the NULL-keyed row survives
+    import pyspark.sql.functions as F2
+
+    key = (
+        model["objects"]
+        .filter(F2.col("bucket") == "NATION_2")
+        .orderBy("object")
+        .limit(1)
+        .collect()[0]["object"]
+    )
+    status, resp = serve(model, "DELETE", f"/NATION_2/{key}", tenant="ASIA")
+    assert status == 204
+    assert resp["grants"].filter(F2.col("bucket").isNull()).count() == 1
+
+
+def test_bounded_persist_evicts_dead_sessions(spark):
+    """ADVICE r9: bounded_persist prunes slot entries owned by Spark
+    applications that are no longer the live one, so a process cycling
+    sessions cannot accumulate dead handles."""
+    from pithos_spark.plans import helpers as H
+
+    df = spark.range(3)
+    H._PERSIST_SLOTS[("dead-app-123", "slot-x")] = df
+    out = H.bounded_persist(spark.range(5), "slot-y")
+    assert out.count() == 5
+    assert ("dead-app-123", "slot-x") not in H._PERSIST_SLOTS
+    app = spark.sparkContext.applicationId
+    assert (app, "slot-y") in H._PERSIST_SLOTS
+    H.bounded_persist(spark.range(2), "slot-y").unpersist()

@@ -733,3 +733,45 @@ def test_mmr_rerank_greedy_optimality_on_random_corpora(spark):
                     other == mmr_star and d > d_star
                 ), (trial, r["rk"], d, other, mmr_star)
             picked.append(d_star)
+
+
+def test_decontaminate_bloom_empty_partitions(spark):
+    """ADVICE r9: a zero-row arrow batch reaching the might_contain
+    pandas UDF made np.array() build a 1-D array and hit.all(axis=1)
+    raise AxisError.  Force empty batches by spreading 2 surviving
+    train docs over many partitions; also run the fully-empty corpus."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions.curate import decontaminate_bloom
+    from tests.conftest import SF_SMOKE
+
+    docs = T.load_tables(spark, SF_SMOKE)["documents"]
+    # only two train-side docs, exploded shingles spread over 64 slots:
+    # most arrow batches on the filter stage are empty
+    tiny = docs.filter(
+        (F.col("doc_id") <= 50) | F.col("doc_id").isin(100, 101)
+    ).repartition(64)
+    out = decontaminate_bloom(tiny)
+    assert out.count() >= 0  # must not raise
+
+    # degenerate: zero train docs (train side is doc_id >= 50; the eval
+    # set stays so the bloom is non-empty) -> empty result, no AxisError
+    none = docs.filter(F.col("doc_id") < 50).repartition(16)
+    assert decontaminate_bloom(none).count() == 0
+
+
+def test_mmr_depth_cap(spark):
+    """VERDICT r9 #3: the driver-side MMR greedy is bounded by `depth`;
+    the cap makes a corpus-sized candidate collect impossible."""
+    import pytest
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions.retrieval import MMR_MAX_DEPTH, mmr_rerank
+    from tests.conftest import SF_SMOKE
+
+    t = T.load_tables(spark, SF_SMOKE)
+    with pytest.raises(ValueError, match="MMR_MAX_DEPTH"):
+        mmr_rerank(
+            t["documents"], t["embeddings"], depth=MMR_MAX_DEPTH + 1
+        )
