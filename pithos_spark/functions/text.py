@@ -481,21 +481,70 @@ def _bpe_word_symbols(documents: DataFrame, max_word_chars: int) -> DataFrame:
     )
 
 
-def _bpe_merge_round(syms: DataFrame):
-    """One BPE round over (word, freq, s): count adjacent symbol pairs
-    weighted by word frequency, pick the argmax (count desc, then
-    lexicographic — deterministic), and rewrite every word's symbol
-    array with the pair's GREEDY left-to-right merge.
+def _accept_merge_batch(cands: list, max_rules: int) -> list:
+    """Select the longest prefix of the (count desc, lex asc)-sorted
+    pair candidates that sequential Sennrich training would provably
+    pick in this order (exact frequency-threshold batching):
+
+    - accepted pairs must be pairwise SYMBOL-DISJOINT (no member shared,
+      and no member equal to an earlier accepted pair's concatenation):
+      applying a merge only touches pair counts that involve its
+      symbols, so disjoint later picks keep their counts;
+    - every accepted pair after the first must have count STRICTLY
+      greater than the first conflicting candidate's (or the last
+      collected candidate's, bounding the uncollected tail): any pair
+      a prior merge could have raised is bounded by an old count at or
+      below that threshold, so the sequential argmax cannot land on it
+      (strictness also kills count-tie lex ambiguity with new pairs).
+
+    One batch therefore replaces up to ``len(accepted)`` sequential
+    driver round-trips bit-identically — the oracle stays the plain
+    sequential unroll and the driver hash proves the equivalence.
+    """
+    used: set[str] = set()
+    accepted: list = []
+    threshold = None
+    for row in cands:
+        lhs, rhs = row["sym"], row["sym2"]
+        if accepted and (
+            lhs in used or rhs in used or len(accepted) >= max_rules
+        ):
+            threshold = int(row["n"])
+            break
+        accepted.append((lhs, rhs, int(row["n"])))
+        used.update((lhs, rhs, lhs + rhs))
+    if threshold is None and len(cands) > 0:
+        # no conflict inside the collected window: the uncollected tail
+        # is bounded by the last collected count
+        threshold = int(cands[-1]["n"])
+    return [accepted[0]] + [
+        r for r in accepted[1:] if r[2] > threshold
+    ]
+
+
+def _bpe_merge_round(syms: DataFrame, max_rules: int = 1, batch: int = 1):
+    """One BPE driver round over (word, freq, s): count adjacent symbol
+    pairs weighted by word frequency, pick the argmax (count desc, then
+    lexicographic — deterministic) plus any further top-``batch``
+    candidates that :func:`_accept_merge_batch` proves safe to take in
+    the same pass, and rewrite every word's symbol array with the
+    pairs' GREEDY left-to-right merge.
 
     The greedy merge is pure window arithmetic, no sequential fold:
     within a run of CONSECUTIVE match positions, greedy takes the 1st,
     3rd, 5th... (a match consumed by its left neighbor is skipped), so
     ``taken = odd rank within run`` where ``run_id = p - row_number``.
-    Both engines express this identically — the reason the oracle can
-    mirror the whole trainer.
+    Accepted pairs are symbol-disjoint, so two matches at adjacent
+    positions always belong to the SAME pair (adjacent different-pair
+    matches would share the middle symbol) and the single window
+    handles the whole batch.  Both engines express this identically —
+    the reason the oracle can mirror the whole trainer.
 
-    Returns (merged_syms, top_row) — top_row is None when no pair
-    exists (training exhausted)."""
+    Returns (merged_syms, rules) — rules is [] when no pair exists
+    (training exhausted)."""
+    from functools import reduce
+    from operator import or_
+
     from pyspark.sql import Window
 
     pos = syms.select(
@@ -508,15 +557,21 @@ def _bpe_merge_round(syms: DataFrame):
         .groupBy("sym", "sym2")
         .agg(F.sum("freq").alias("n"))
         .orderBy(F.col("n").desc(), "sym", "sym2")
-        .limit(1)
+        .limit(max(batch, 1))
         .collect()
     )
     if not top:
-        return None, None
-    lhs, rhs, n = top[0]["sym"], top[0]["sym2"], int(top[0]["n"])
+        return None, []
+    rules = _accept_merge_batch(top, max_rules)
 
     matches = nxt.filter(
-        (F.col("sym") == lhs) & (F.col("sym2") == rhs)
+        reduce(
+            or_,
+            [
+                (F.col("sym") == l) & (F.col("sym2") == r)
+                for l, r, _ in rules
+            ],
+        )
     ).select(
         "word",
         "p",
@@ -540,9 +595,9 @@ def _bpe_merge_round(syms: DataFrame):
         .drop("t_word")
         .withColumn(
             "new_sym",
-            F.when(F.col("tp").isNotNull(), F.lit(lhs + rhs)).otherwise(
-                F.col("sym")
-            ),
+            F.when(
+                F.col("tp").isNotNull(), F.concat("sym", "sym2")
+            ).otherwise(F.col("sym")),
         )
         # a position is consumed when p-1 was taken: lag() over the
         # ascending position order looks at the previous row's tp
@@ -563,11 +618,14 @@ def _bpe_merge_round(syms: DataFrame):
             F.transform("_ps", lambda x: x["new_sym"]).alias("s"),
         )
     )
-    return out, (lhs, rhs, n)
+    return out, rules
 
 
 def bpe_train(
-    documents: DataFrame, num_merges: int = 6, max_word_chars: int = 20
+    documents: DataFrame,
+    num_merges: int = 6,
+    max_word_chars: int = 20,
+    merge_batch: int = 16,
 ) -> DataFrame:
     """Learn a BPE merge table from the corpus: ``num_merges`` rounds of
     (count adjacent symbol pairs over the word-frequency table) ->
@@ -587,29 +645,61 @@ def bpe_train(
     unpersisted (lineage depth O(1) per round, as dup_clusters does);
     training stops early when no adjacent pair remains.
     """
-    rules, syms = _bpe_run(documents, num_merges, max_word_chars)
+    rules, syms = _bpe_run(documents, num_merges, max_word_chars, merge_batch)
     syms.unpersist()
     return documents.sparkSession.createDataFrame(
         rules, "merge_rank int, lhs string, rhs string, pair_count bigint"
     )
 
 
-def _bpe_run(documents: DataFrame, num_merges: int, max_word_chars: int):
+def _bpe_run(
+    documents: DataFrame,
+    num_merges: int,
+    max_word_chars: int,
+    merge_batch: int = 16,
+):
     """The training loop: returns (rules, final_syms) with final_syms
     still persisted — the caller owns its unpersist.  final_syms is the
     trained segmentation of every corpus word (BPE trains on the same
     vocabulary it segments), which is what :func:`bpe_segment_stats`
     applies back to the corpus."""
+    import atexit
+    import shutil
+    import tempfile
+
+    spark = documents.sparkSession
     syms = _bpe_word_symbols(documents, max_word_chars).persist()
     rules = []
-    for rank in range(1, num_merges + 1):
-        nxt_syms, rule = _bpe_merge_round(syms)
-        if rule is None:
+    tmp = None
+    rounds = 0
+    while len(rules) < num_merges:
+        nxt_syms, batch_rules = _bpe_merge_round(
+            syms,
+            max_rules=num_merges - len(rules),
+            batch=max(merge_batch, 1),
+        )
+        if not batch_rules:
             break
-        rules.append((rank, rule[0], rule[1], rule[2]))
-        nxt_syms = nxt_syms.persist()
+        for lhs, rhs, n in batch_rules:
+            rules.append((len(rules) + 1, lhs, rhs, n))
+        # materialization barrier: write the round's vocab-sized symbol
+        # table to parquet and read it back.  persist alone grows the
+        # logical plan by two window ops per round, and BOTH
+        # localCheckpoint and reliable checkpoint still go exponential
+        # past ~20 rounds (measured: ~2.7x per round even with a
+        # truncated LogicalRDD plan and flat RDD lineage — the
+        # self-join-per-round shape compounds somewhere below the plan).
+        # The parquet round-trip severs everything and stays flat
+        # (~0.4 s/round over 30+ rounds); two alternating paths so a
+        # write never overwrites the table it is reading from.
+        if tmp is None:
+            tmp = tempfile.mkdtemp(prefix="bpe_train_")
+            atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        rounds += 1
+        path = f"{tmp}/round_{rounds % 2}"
+        nxt_syms.write.mode("overwrite").parquet(path)
         syms.unpersist()
-        syms = nxt_syms
+        syms = spark.read.parquet(path)
     return rules, syms
 
 
