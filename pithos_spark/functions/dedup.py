@@ -1120,3 +1120,175 @@ SELECT a.source AS source_a, b.source AS source_b,
            // {num_hashes} AS est_jaccard_pct
 FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# Tier 5: perceptual image near-dup (dHash) over the multimodal column.
+# The standard image-dedup pass a multimodal training pipeline runs after
+# exact byte dedup: decode -> grayscale downsample -> 8x9 difference hash
+# -> banded LSH -> Hamming verify (VERDICT r9 next-round #4).
+# ---------------------------------------------------------------------------
+
+_DHASH_ROWS = 8  # 8 rows x 8 difference bits = 64-bit dHash
+_DHASH_COLS = 9  # 9 sampled columns -> 8 horizontal gradients per row
+
+
+def image_dhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """Per image asset, the classic dHash: nearest-neighbor downsample
+    to an 8x9 grayscale grid, one bit per horizontal gradient
+    (pixel < right neighbor), emitted as 8 band values of 8 bits each
+    (banding IS the fingerprint layout — 8-bit bands keep every value
+    in [0,255], so neither engine's 64-bit shift edge cases can fire,
+    the same reason simhash stays at 60 bits).
+
+    The DECODE is the stubbed stand-in the multimodal pipeline uses
+    (sources/multimodal.py): image assets are the ``doc_id % 3 == 0``
+    slice of ``assets_from_documents``, their payload bytes are the
+    utf-8 text, and "grayscale pixel" is the ASCII code of the sampled
+    character — deterministic, engine-portable (ascii()/ord() agree on
+    single-byte chars), and exactly where a PIL-backed real decode
+    would slot in.  Everything AFTER the pixel source — the
+    nearest-neighbor sampling arithmetic, gradient bits, band packing,
+    LSH, Hamming verify — is the real algorithm, unchanged.
+
+    Scale shape: one projection + a constant 72-row explode per image
+    (corpus-linear, no shuffle until the 8-band groupBy, which is
+    map-side combinable on doc_id), mirroring reference operator
+    structure at blob granularity (blob.clj chunks a payload the same
+    explode-then-regroup way)."""
+    from pyspark.sql import Window
+
+    grid = _DHASH_ROWS * _DHASH_COLS
+    imgs = documents.filter(
+        (F.col("doc_id") % 3 == 0) & (F.length("text") > 0)
+    ).select("doc_id", "text", F.length("text").alias("n_px"))
+    pix = imgs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(grid - 1))).alias("g"),
+        "text",
+        "n_px",
+    ).select(
+        "doc_id",
+        (F.col("g") / _DHASH_COLS).cast("int").alias("r"),
+        (F.col("g") % _DHASH_COLS).alias("c"),
+        F.expr(
+            f"ascii(substr(text, CAST((g * n_px) DIV {grid} + 1 AS INT), 1))"
+        ).alias("px"),
+    )
+    wn = Window.partitionBy("doc_id", "r").orderBy("c")
+    bits = pix.withColumn("nx", F.lead("px").over(wn)).filter(
+        F.col("c") < _DHASH_COLS - 1
+    )
+    return (
+        bits.groupBy("doc_id", "r")
+        .agg(
+            F.sum(
+                # SQL-form shiftleft: the DataFrame helper requires a
+                # literal shift amount, the SQL function takes a column
+                F.when(
+                    F.col("px") < F.col("nx"),
+                    F.expr("shiftleft(1, CAST(c AS INT))"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("band_val")
+        )
+        .select("doc_id", F.col("r").alias("band"), "band_val")
+    )
+
+
+def image_dhash_near_pairs(
+    documents: DataFrame, max_hamming: int = 10, max_bucket: int = 1000
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: band-bucket LSH over the
+    8x8-bit dHash (pigeonhole: hamming <= 7 guarantees a shared band;
+    wider distances collide probabilistically), bucket cap against
+    degenerate buckets (same guard as minhash/simhash), exact Hamming
+    verify over the full 64 bits.  Output (doc_a, doc_b, hamming)."""
+    fps = image_dhash_fingerprints(documents)
+    wide = (
+        fps.groupBy("doc_id")
+        .pivot("band", list(range(_DHASH_ROWS)))
+        .agg(F.first("band_val"))
+        .select(
+            "doc_id",
+            *[F.col(str(i)).alias(f"b{i}") for i in range(_DHASH_ROWS)],
+        )
+    )
+    banded = _cap_buckets(
+        fps.join(wide, "doc_id"), ["band", "band_val"], max_bucket
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    dist = sum(
+        F.bit_count(
+            F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}"))
+        ).cast("long")
+        for i in range(_DHASH_ROWS)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def image_dhash_near_pairs_oracle(
+    max_hamming: int = 10, max_bucket: int = 1000
+) -> str:
+    """DuckDB twin of :func:`image_dhash_near_pairs` — same sampled
+    pixel source (ord == ascii on single-byte chars), gradient bits,
+    8x8-bit band packing, bucket cap, and Hamming verify."""
+    grid = _DHASH_ROWS * _DHASH_COLS
+    xor_terms = " + ".join(
+        f"bit_count(xor(a.b{i}, b.b{i}))" for i in range(_DHASH_ROWS)
+    )
+    band_cols = ", ".join(
+        f"max(CASE WHEN band = {i} THEN band_val END) AS b{i}"
+        for i in range(_DHASH_ROWS)
+    )
+    return f"""
+WITH imgs AS (
+    SELECT doc_id, text, length(text) AS n_px FROM documents
+    WHERE doc_id % 3 = 0 AND length(text) > 0
+), pix AS (
+    SELECT doc_id,
+           g // {_DHASH_COLS} AS r,
+           g % {_DHASH_COLS} AS c,
+           ord(substr(text, CAST((g * n_px) // {grid} + 1 AS INT), 1)) AS px
+    FROM imgs CROSS JOIN (SELECT unnest(range(0, {grid})) AS g)
+), bits AS (
+    SELECT doc_id, r, c, px,
+           lead(px) OVER (PARTITION BY doc_id, r ORDER BY c) AS nx
+    FROM pix
+), fps AS (
+    SELECT doc_id, r AS band,
+           CAST(sum(CASE WHEN px < nx THEN (1 << c) ELSE 0 END) AS BIGINT)
+               AS band_val
+    FROM bits WHERE c < {_DHASH_COLS - 1} GROUP BY doc_id, r
+), wide AS (
+    SELECT doc_id, {band_cols} FROM fps GROUP BY doc_id
+), banded AS (
+    SELECT * FROM (
+        SELECT f.doc_id, f.band, f.band_val,
+               w.b0, w.b1, w.b2, w.b3, w.b4, w.b5, w.b6, w.b7,
+               count(*) OVER (PARTITION BY f.band, f.band_val) AS _bn
+        FROM fps f JOIN wide w USING (doc_id)
+    ) WHERE _bn <= {max_bucket}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({xor_terms} AS BIGINT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE {xor_terms} <= {max_hamming}
+ORDER BY doc_a, doc_b"""

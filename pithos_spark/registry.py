@@ -488,6 +488,20 @@ ORACLES["dedup_minhash_lsh"] = dedup.minhash_lsh_pairs_oracle()
 QUERIES["dedup_simhash_pairs"] = _doc_query(dedup.simhash_near_pairs)
 ORACLES["dedup_simhash_pairs"] = dedup.simhash_near_pairs_oracle()
 
+# perceptual image near-dup over the multimodal column (dHash, banded
+# like simhash).  max_hamming=20 here, not the function's strict 10:
+# the synthetic image payloads are word soup, so the corpus's nearest
+# perceptual neighbors sit at hamming 14-20 — 20 keeps the driver
+# check non-vacuous (2 dozen selective pairs at sf0.01) while the
+# planted-near-dup recall test in tests/test_dedup.py exercises the
+# tight default on genuinely perturbed payloads.
+QUERIES["dedup_image_dhash"] = _doc_query(
+    dedup.image_dhash_near_pairs, max_hamming=20
+)
+ORACLES["dedup_image_dhash"] = dedup.image_dhash_near_pairs_oracle(
+    max_hamming=20
+)
+
 # LSH operational telemetry: per-band bucket occupancy + what the
 # max_bucket cap would drop — the sizing report for a 100 TB dedup pass.
 # sf0.01 buckets are all tiny, so max_bucket=2 makes the cap columns

@@ -257,3 +257,78 @@ def test_decontaminate_semantic_flags_planted_paraphrase(spark):
     # the only hashpartitioning-free requirement: no shuffle below the
     # final orderBy's range exchange
     assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_image_dhash_planted_near_dups(spark):
+    """Tier 5 (VERDICT r9 #4): perceptual dHash must find a perturbed
+    near-copy of an image payload at the strict default threshold —
+    small payload edits flip few sampled gradients — while unrelated
+    payloads stay far apart; exact copies hash at hamming 0."""
+    from pithos_spark.functions.dedup import image_dhash_near_pairs
+
+    base = " ".join(f"w{i % 13} tok{i % 29}" for i in range(60))
+    near = base[:-9] + "x" + base[-8:]  # one char swapped near the end
+    far = " ".join(chr(97 + (i * 7) % 26) * 3 for i in range(60))
+    # doc_id % 3 == 0 is the image modality slice
+    docs = spark.createDataFrame(
+        [(0, base), (3, near), (6, base), (9, far)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in image_dhash_near_pairs(docs).collect()
+    }
+    assert got.get((0, 6)) == 0  # exact copy
+    assert (0, 3) in got and got[(0, 3)] <= 10  # perturbed near-dup
+    assert (3, 6) in got
+    assert not any(9 in p for p in got)  # unrelated image never pairs
+    # non-image modalities are out of scope for the image pass
+    audio = spark.createDataFrame(
+        [(1, base), (4, base)], "doc_id long, text string"
+    )
+    assert image_dhash_near_pairs(audio).count() == 0
+
+
+def test_image_dhash_oracle_parity_and_nonvacuous(documents, spark):
+    """The registry threshold (20) must select REAL rows at the oracle
+    scale — a 0=0 driver match would be vacuous — and Spark/DuckDB must
+    agree tuple-for-tuple."""
+    import duckdb
+
+    from pithos_spark.functions.dedup import (
+        image_dhash_near_pairs,
+        image_dhash_near_pairs_oracle,
+    )
+    from tests.conftest import SF_ORACLE
+
+    got = image_dhash_near_pairs(documents, max_hamming=20).toPandas()
+    assert len(got) > 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    want = con.execute(image_dhash_near_pairs_oracle(max_hamming=20)).df()
+    g = got.sort_values(list(got.columns)).reset_index(drop=True).astype(str)
+    w = want.sort_values(list(want.columns)).reset_index(drop=True).astype(str)
+    assert g.equals(w)
+
+
+def test_image_dhash_hot_bucket_capped(spark):
+    """Hundreds of identical image payloads collide in every band; the
+    bucket cap must drop them (no quadratic blowup) while a planted
+    near-dup pair in its own small bucket is still found."""
+    from pithos_spark.functions.dedup import image_dhash_near_pairs
+
+    boiler = " ".join(f"b{i % 5}" for i in range(50))
+    pair_a = " ".join(f"tok{i} w{i % 11}" for i in range(40))
+    pair_b = pair_a[:-7] + "q" + pair_a[-6:]
+    rows = [(3 * i, boiler) for i in range(300)]
+    rows += [(30_000, pair_a), (30_003, pair_b)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in image_dhash_near_pairs(docs, max_bucket=100).collect()
+    }
+    assert (30_000, 30_003) in got
+    assert all(a >= 30_000 for a, _ in got), "boiler buckets not capped"
