@@ -910,6 +910,7 @@ def duplicate_spans(
     n: int = 10,
     min_docs: int = 2,
     broadcast_counts: bool | None = None,
+    sort: bool = True,
 ) -> DataFrame:
     """Span-level exact-duplicate extraction — the mask list a
     substring-dedup pass consumes (dedup at the span, not the document:
@@ -960,6 +961,10 @@ def duplicate_spans(
     This is the k-gram approximation of suffix-array substring dedup:
     spans shorter than ``n`` tokens are not flagged, longer duplicates
     appear as runs of consecutive flagged positions.
+
+    ``sort=False`` skips the presentation orderBy for composing
+    consumers (the interval merge re-partitions by doc_id anyway; a
+    range exchange below it is pure waste).
     """
     from pyspark.sql import Window
 
@@ -979,11 +984,12 @@ def duplicate_spans(
         # forbid the runtime broadcast too: merge-join the shuffle,
         # leaving a hot span_hash to AQE's skew-join split
         counts = counts.hint("merge")
-    return (
-        spans.join(counts, "span_hash")
-        .select("doc_id", "pos", "span_hash", "n_docs")
-        .orderBy("doc_id", "pos", "span_hash")
+    flags = spans.join(counts, "span_hash").select(
+        "doc_id", "pos", "span_hash", "n_docs"
     )
+    if not sort:
+        return flags
+    return flags.orderBy("doc_id", "pos", "span_hash")
 
 
 def mask_duplicate_spans(
@@ -998,41 +1004,35 @@ def mask_duplicate_spans(
     Output: (doc_id, masked_text, n_masked_tokens) for EVERY input
     document — clean docs pass through verbatim with 0 masked.
 
-    Scale: the flagged occurrences aggregate to one array of masked
-    indices per affected doc (tiny relative to the corpus: only docs
-    containing duplicated spans appear), left-join back onto the
-    tokenized corpus, and the rebuild is pure array arithmetic
-    (transform/filter/concat_ws) inside codegen — one pass over the
-    corpus beyond the span detection itself, no extra wide shuffle on
-    the doc axis.
+    Scale: masking consumes the COMPACT interval list
+    (:func:`duplicate_span_intervals` — the form an ExactSubstr
+    cleaning pass stores anyway, VERDICT r9 #5): flagged positions
+    merge to maximal [start, end) intervals per doc BEFORE the join
+    back onto the corpus, so the join side carries one row per merged
+    region instead of n rows per flagged occurrence (the old
+    per-position explode was an n-fold row amplification plus a
+    collect_set over it).  The rebuild is pure array arithmetic
+    (transform/filter/exists/concat_ws) inside codegen — one pass over
+    the corpus beyond the span detection itself, no extra wide shuffle
+    on the doc axis.  A token is masked iff it falls inside an
+    interval, and the interval union equals the union of the flagged
+    [pos, pos+n) windows by construction, so the masked text is
+    byte-identical to the per-position form (the unchanged oracle
+    hash-proves it).
     """
-    spans = _span_occurrences(documents, n)
-    from pyspark.sql import Window
-
-    rn = F.row_number().over(
-        Window.partitionBy("span_hash", "doc_id").orderBy("pos")
-    )
-    pairs = spans.withColumn("_rn", rn).filter(F.col("_rn") == 1)
-    dup = (
-        pairs.groupBy("span_hash")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-    )
-    masked_idx = (
-        spans.join(dup.select("span_hash"), "span_hash")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
-            ).alias("tidx"),
-        )
+    ivals = (
+        _span_intervals(documents, n, min_docs)
         .groupBy("doc_id")
-        .agg(F.collect_set("tidx").alias("_mask"))
+        .agg(
+            F.collect_list(
+                F.struct("start_tok", "end_tok")
+            ).alias("_iv")
+        )
     )
     toks = documents.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_t")
     )
-    joined = toks.join(masked_idx, "doc_id", "left")
+    joined = toks.join(ivals, "doc_id", "left")
     indexed = F.transform(
         F.col("_t"),
         lambda x, i: F.struct(i.cast("long").alias("i"), x.alias("tok")),
@@ -1040,7 +1040,12 @@ def mask_duplicate_spans(
     kept = F.filter(
         indexed,
         lambda s: ~F.coalesce(
-            F.array_contains(F.col("_mask"), s["i"]), F.lit(False)
+            F.exists(
+                F.col("_iv"),
+                lambda iv: (s["i"] >= iv["start_tok"])
+                & (s["i"] < iv["end_tok"]),
+            ),
+            F.lit(False),
         ),
     )
     return joined.select(
@@ -1521,9 +1526,23 @@ def duplicate_span_intervals(
     exclusive, n_spans the merged flag count — token coverage audits
     sum (end_tok - start_tok).
     """
+    return _span_intervals(documents, n, min_docs).orderBy(
+        "doc_id", "start_tok"
+    )
+
+
+def _span_intervals(
+    documents: DataFrame, n: int, min_docs: int
+) -> DataFrame:
+    """Unsorted interval merge shared by :func:`duplicate_span_intervals`
+    (which adds the presentation sort) and :func:`mask_duplicate_spans`
+    (which joins the intervals straight back onto the corpus — a sort
+    below that join would be a wasted range exchange)."""
     from pyspark.sql import Window
 
-    flags = duplicate_spans(documents, n, min_docs).select("doc_id", "pos")
+    flags = duplicate_spans(documents, n, min_docs, sort=False).select(
+        "doc_id", "pos"
+    )
     wd = Window.partitionBy("doc_id").orderBy("pos")
     grp = (
         flags.withColumn("_prev", F.lag("pos").over(wd))
@@ -1550,7 +1569,6 @@ def duplicate_span_intervals(
             F.count(F.lit(1)).alias("n_spans"),
         )
         .select("doc_id", "start_tok", "end_tok", "n_spans")
-        .orderBy("doc_id", "start_tok")
     )
 
 

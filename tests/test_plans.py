@@ -408,3 +408,19 @@ def test_cluster_prototypes_broadcasts_centroids_no_pairs(tables):
     # exactly one embeddings scan feeds the ranking (the index build is
     # a separate, cached step) and no join multiplies corpus rows
     assert plan.count("SortMergeJoin") == 0, plan
+
+
+def test_mask_consumes_interval_list(spark, tables):
+    """VERDICT r9 #5: mask_duplicate_spans joins the COMPACT merged
+    interval list back onto the corpus — not the n-fold per-position
+    explode + collect_set the old form shipped.  The plan must carry
+    the interval aggregation (collect_list of [start, end) structs),
+    no position-set aggregation, and exactly one range exchange (the
+    final presentation sort; the interval build must not inherit
+    duplicate_spans' own orderBy)."""
+    from pithos_spark.functions.curate import mask_duplicate_spans
+
+    plan = _plan(mask_duplicate_spans(tables["documents"]))
+    assert "collect_set" not in plan, plan
+    assert "collect_list" in plan, plan
+    assert plan.count("rangepartitioning") == 1, plan
