@@ -58,7 +58,11 @@ HEADLINERS = [
     "corpus_bm25_postings_topk",
 ]
 
-REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+# 5 repeats (r10, was 3): with the untimed warmup lap all samples are
+# warm, and the r9 round-over-round drift showed median-of-3 still
+# moves ±20% on sub-second queries on a shared box — median-of-5 warm
+# samples is the cheapest stable estimator
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
 
 
 def build_session(cpus: str):
@@ -113,29 +117,24 @@ def main() -> None:
     medians: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
 
-    # the postings layout build, benched as its own line (mirrors the
-    # materialize_objects_layout / list_objects_materialized split):
-    # timing it here ALSO warms the registry's per-session postings
-    # cache, so the corpus_bm25_postings_topk headliner below times
-    # only the serving read — build once, query forever
     import shutil
     import tempfile
 
     from pithos_spark.functions.retrieval import write_postings_layout
     from pithos_spark.registry import _postings_path
 
-    pbuild = tempfile.mkdtemp(prefix="bench_postings_")
-    pbuild_samples: list[float] = []
-    for i in range(REPEATS):
-        t0 = time.perf_counter()
-        write_postings_layout(warm["documents"], f"{pbuild}/layout_{i}")
-        pbuild_samples.append(round(time.perf_counter() - t0, 3))
-    runs["build_postings_layout"] = pbuild_samples
-    medians["build_postings_layout"] = round(
-        statistics.median(pbuild_samples), 3
-    )
-    shutil.rmtree(pbuild, ignore_errors=True)
     _postings_path(spark, sf_dir)  # warm the serving cache untimed
+
+    # FULL untimed warmup lap (VERDICT r9 task 2): r9 showed six
+    # sub-1.5 s headliners drifting up to 1.66x round-over-round with
+    # no code change, plausibly because inserting a heavy new first
+    # entry shifted which query paid JIT/codegen warmup.  Running every
+    # headliner once untimed makes all REPEATS samples warm, so the
+    # medians no longer depend on bench insertion order at all.
+    for name in HEADLINERS:
+        if name in QUERIES:
+            _run_noop(QUERIES[name](spark, sf_dir))
+
     for name in HEADLINERS:
         if name not in QUERIES:
             continue
@@ -147,6 +146,24 @@ def main() -> None:
             samples.append(round(time.perf_counter() - t0, 3))
         runs[name] = samples
         medians[name] = round(statistics.median(samples), 3)
+
+    # the postings layout build, benched as its own line (mirrors the
+    # materialize_objects_layout / list_objects_materialized split) —
+    # pinned AFTER the headliners so its heavy one-time codegen can
+    # never skew the sub-second serving queries' warmup (VERDICT r9
+    # task 2); the serving cache was warmed untimed up top, so the
+    # corpus_bm25_postings_topk headliner timed only the serving read
+    pbuild = tempfile.mkdtemp(prefix="bench_postings_")
+    pbuild_samples: list[float] = []
+    for i in range(REPEATS):
+        t0 = time.perf_counter()
+        write_postings_layout(warm["documents"], f"{pbuild}/layout_{i}")
+        pbuild_samples.append(round(time.perf_counter() - t0, 3))
+    runs["build_postings_layout"] = pbuild_samples
+    medians["build_postings_layout"] = round(
+        statistics.median(pbuild_samples), 3
+    )
+    shutil.rmtree(pbuild, ignore_errors=True)
 
     # the production path: listing against the partitioned+sorted objects
     # layout (what a deployed store would serve reads from) — shows the
@@ -182,9 +199,9 @@ def main() -> None:
                 "value": round(sum(medians.values()), 3),
                 "unit": "sec",
                 "queries": medians,
-                # per-run samples: first entry is the coldest run (plan
-                # compile + codegen for that query); median of the list is
-                # the canonical number above
+                # per-run samples: since the untimed warmup lap, every
+                # sample is warm — "cold" kept for schema compatibility
+                # but is now just the first timed (post-warmup) sample
                 "runs": runs,
                 "cold": {n: s[0] for n, s in runs.items()},
                 "repeats": REPEATS,

@@ -99,6 +99,27 @@ def bounded_persist(df, slot: str):
     app_id = df.sparkSession.sparkContext.applicationId
     key = (app_id, slot)
     with _PERSIST_LOCK:
+        # same-plan reuse (r10): a repeated call through the same slot
+        # usually rebuilds the IDENTICAL plan (same source, same
+        # params).  Unpersisting and re-persisting then throws away a
+        # warm cache only to repopulate it — measured as the real part
+        # of the r9 corpus_bm25_topk "regression" (pre-r9 the leaked
+        # handles were silently re-hit by CacheManager's plan-equality
+        # lookup; the leak fix also dropped that reuse).  Keeping the
+        # live handle when the analyzed plans are equivalent restores
+        # build-once/serve-many without unbounding the lifecycle:
+        # still at most ONE cached plan per slot.
+        prev = _PERSIST_SLOTS.get(key)
+        if prev is not None:
+            try:
+                if (
+                    prev._jdf.queryExecution()
+                    .analyzed()
+                    .sameResult(df._jdf.queryExecution().analyzed())
+                ):
+                    return prev
+            except Exception:
+                pass  # unanalyzable/dead handle: fall through to replace
         # evict slots whose owning Spark application is gone — a
         # long-lived process cycling sessions would otherwise accumulate
         # one dead handle per (old app, slot) forever (ADVICE r9); the

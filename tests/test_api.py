@@ -1741,4 +1741,12 @@ def test_bounded_persist_evicts_dead_sessions(spark):
     assert ("dead-app-123", "slot-x") not in H._PERSIST_SLOTS
     app = spark.sparkContext.applicationId
     assert (app, "slot-y") in H._PERSIST_SLOTS
-    H.bounded_persist(spark.range(2), "slot-y").unpersist()
+    # same-plan re-invocation reuses the live cached handle (r10:
+    # build-once/serve-many without unbounding the slot)
+    again = H.bounded_persist(spark.range(5), "slot-y")
+    assert again is out
+    # a DIFFERENT plan through the slot still evicts and replaces
+    other = H.bounded_persist(spark.range(2), "slot-y")
+    assert other is not out and not out.storageLevel.useMemory
+    other.unpersist()
+    del H._PERSIST_SLOTS[(app, "slot-y")]
