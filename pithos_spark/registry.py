@@ -2809,101 +2809,97 @@ def events_api_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order (still runnable, just outside the 50-entry hard gate this round).
 # ---------------------------------------------------------------------------
 
-# Queries changed or added in the CURRENT round (9) — spliced at the
-# very front of the window so they get a fresh verdict: the four
-# late-r8 operators that were pytest-proven but never driver-checked
-# (the r8 queue, honored verbatim — VERDICT r8 task 1), plus the
-# queries r9 touched: multimodal_features' output schema gained
-# duration_ms/sample_rate (real WAV/MP4 header decode),
-# events_hourly_gapfill and corpus_bm25_topk switched to the bounded
-# persist lifecycle, and corpus_bm25_postings_topk's layout cache was
-# re-keyed (it is also one of the late-r8 four).
-# r10 rotation queue: after this window no query's last driver verdict
-# is older than r7; the ~49 r7 greens age out next and should fill
-# r10's DRIVER_PRIORITY.
+# Queries changed or added in the CURRENT round (10) — spliced at the
+# very front of the window so they get a fresh verdict:
+#  - the four post-freeze r9 operators, never driver-checked (the r9
+#    queue, honored verbatim — VERDICT r9 task 1; note the
+#    vocab-overlap denominator was changed post-freeze to
+#    |A|+|B|-common, so its oracle has never seen a driver run);
+#  - dedup_image_dhash, new in r10 (perceptual image near-dup over the
+#    multimodal column — VERDICT r9 task 4);
+#  - the queries whose implementation r10 rewrote: the BPE trainer
+#    switched to batched frequency-threshold merge selection
+#    (text.py, hash-proven unchanged at num_merges=6 locally),
+#    mask_duplicate_spans now consumes the merged interval list and
+#    duplicate_spans had its presentation sort factored (curate.py,
+#    byte-identical locally — but changed code re-earns its verdict);
+#  - the three canaries that yielded their slots late in r9
+#    (post_policy_validate, acl_edn_grants, cors_preflight; the other
+#    two yielders — s3_resolve_operations, list_objects_root — are
+#    r7-stale and lead DRIVER_PRIORITY below).
 ROUND_NEW: list[str] = [
-    "corpus_decontaminate_semantic",
-    "corpus_mask_duplicate_spans",
-    "corpus_leakage_safe_split",
-    "corpus_bm25_postings_topk",
-    "multimodal_features",
-    "events_hourly_gapfill",
-    "corpus_bm25_topk",
-    # new in r9: Bloom-pre-filtered decontamination (fixed-size
-    # broadcast scale path; exact-verified, shares the exact oracle)
-    "corpus_decontaminate_bloom",
-    # new in r9: real Sennrich BPE training (iterative merge rounds,
-    # Lloyd-style unrolled SQL oracle) + the trained segmentation
-    # applied back to the corpus
+    "corpus_duplicate_span_intervals",
+    "corpus_source_vocab_overlap",
+    "corpus_cluster_prototypes",
+    "corpus_mmr_rerank",
+    "dedup_image_dhash",
     "corpus_bpe_train",
     "corpus_bpe_segment_stats",
-    # new in r9: T=2 temperature mixing (derived weights + applied mix)
-    "corpus_temperature_mix_weights",
-    "corpus_temperature_sample_mix",
+    "corpus_mask_duplicate_spans",
+    "corpus_duplicate_spans",
+    "corpus_decontaminate_bloom",
+    "post_policy_validate",
+    "acl_edn_grants",
+    "cors_preflight",
 ]
 
+# The r7-stale cohort (last driver verdict r7, computed from
+# CORRECTNESS_r01..r09).  49 queries are r7-stale and 5 have no verdict
+# at all, so the 50-slot window cannot clear the whole backlog this
+# round (49 + 5 + changed-code re-verdicts > 50); the 37 below fill
+# every remaining slot, chosen to keep the analytics / dedup / text /
+# events / listing families in-window.  The 12 that slip are the
+# simplest storage/ACL point-lookups, queued first for r11:
+#   bucket_by_tenant, fetch_bucket, upload_details,
+#   list_uploads_prefix, bucket_name_validation, aborted_upload_gc,
+#   acl_read_grants, acl_merged_grants, acl_authorized_buckets,
+#   buckets_object_presence, copy_range_rebase, events_json_extract.
 DRIVER_PRIORITY: list[str] = [
-    # the full r5-stale backlog (VERDICT r8 task 1): every query whose
-    # last driver verdict is r5 (computed from CORRECTNESS_r01..r08;
-    # events_hourly_gapfill and corpus_bm25_topk are r5-stale too but
-    # already sit in ROUND_NEW above).  After this window no query's
-    # last driver verdict is older than r7.
-    "ann_batch_topk",
-    # (ann_ivf_kmeans_topk's r5 verdict belongs to the query renamed to
-    # ann_ivf_topk, re-verified r8 — nothing stale to rotate)
-    "ann_ivf_lloyd_topk",
-    "ann_lsh_batch_topk",
-    "ann_lsh_topk",
-    "corpus_bigram_lm",
-    "corpus_decontaminate",
-    "corpus_gate_report",
-    "corpus_hybrid_search_rrf",
-    "corpus_mix_plan",
-    "corpus_pii_redact",
-    "corpus_repetition_stats",
-    "corpus_rerank_stub",
-    "corpus_shard_assign",
-    "corpus_term_doc_freq",
-    "dedup_embedding_cosine",
-    "events_asof_last_click",
-    "events_hourly_anomalies",
-    "events_top_users_per_type",
-    "events_trailing_hour_count",
-    "list_objects_flagship",
-    "multipart_etag",
-    "object_checksums",
-    "objects_latest_version",
-    "part_base_offsets",
-    "payload_digest_verify",
-    "q10_returned_items",
-    "q1_pricing_summary",
-    "q7_nation_pair_volume",
-    "text_token_stats",
-    "usage_grouping_sets",
+    "s3_resolve_operations",
+    "list_objects_root",
+    "ann_brute_force_topk",
+    "ann_label_centroids",
+    "ann_projected_topk",
+    "bucket_usage",
+    "chunk_ingest_explode",
+    "complete_upload_validate",
+    "corpus_chunk_windows",
+    "corpus_perplexity_filter",
+    "corpus_profile",
+    "corpus_semantic_topics",
+    "corpus_source_overlap",
+    "corpus_tokenizer_fertility",
+    "dedup_embedding_lsh",
+    "dedup_jaccard_pairs",
+    "dedup_lsh_bucket_stats",
+    "dedup_semantic",
+    "dedup_semantic_clusters",
+    "events_api_traffic",
+    "events_dedup_first",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "events_sliding_activity",
+    "events_value_percentiles",
+    "list_objects_paged",
+    "objects_bulk_delete",
+    "objects_delete_where",
+    "objects_upsert_merge",
+    "q14_promo_revenue",
+    "q3_top_unshipped",
+    "q5_region_revenue",
+    "tenant_usage_rollup",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_count_bpe",
 ]
 
-# Representative already-green core (r7/r8 greens) — regression
-# canaries AFTER anything needing a fresh verdict (ADVICE r2: no magic
-# slice; three explicit lists).  Picked for subsystem spread: dedup
-# (minhash doubles as the perf-drift re-measure, exact as the cheap
-# baseline), storage reads (point lookup, reassembly, GC), listing,
-# events (funnel + the new heavy-hitters gate), policy/ACL/CORS, and
-# the dispatch layer.  The ~49 r7 greens rotate in next round.
-GREEN_CORE: list[str] = [
-    "dedup_minhash_lsh",
-    "dedup_exact",
-    "get_object_point",
-    "orphan_chunk_gc",
-    "object_reassembly_verify",
-    "list_objects_no_delim",
-    "events_funnel",
-    "events_heavy_hitters",
-    # post_policy_validate, acl_edn_grants, cors_preflight and
-    # s3_resolve_operations (all r7/r8 green) yielded their canary
-    # slots to the round's last four ROUND_NEW entries (BPE
-    # train/apply, temperature mixing); they rotate back with the r7
-    # cohort in r10
-]
+# No canary slots this round: every one of the 37 DRIVER_PRIORITY
+# entries doubles as a regression canary (all were green in r7), and
+# the r7 backlog is too large to spend slots on r8/r9 greens.  The r11
+# queue is therefore: the 12 slipped r7s above, then the oldest r8
+# greens (compute last-verdict per query from CORRECTNESS_r0*.json).
+GREEN_CORE: list[str] = []
 
 
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

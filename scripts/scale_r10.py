@@ -1,0 +1,80 @@
+"""SCALE_r10 measurement: time the r10-new/changed operators at sf0.1
+vs the replicated sf1 (scripts/gen_scale.py), warm medians of 3 — the
+r9 protocol (VERDICT r9 task 8).  Also runs the BPE merge-count sweep
+(num_merges 6 vs 64) at sf0.1 to show wall-clock grows sub-linearly in
+merges now that merge selection is batched (VERDICT r9 task 3).
+
+Usage: python scripts/scale_r10.py [sf01_dir] [sf1_dir]
+Prints one JSON line per measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import SparkSession
+
+
+def timed(fn, repeats=3):
+    fn()  # warmup
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(round(time.perf_counter() - t0, 3))
+    return round(statistics.median(samples), 3), samples
+
+
+def main():
+    sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf1 = sys.argv[2] if len(sys.argv) > 2 else ".scale/sf1"
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "32g")
+        .getOrCreate()
+    )
+    from pithos_spark.registry import QUERIES
+
+    names = [
+        "dedup_image_dhash",
+        "corpus_duplicate_span_intervals",
+        "corpus_mask_duplicate_spans",
+        "corpus_source_vocab_overlap",
+        "corpus_bpe_train",
+    ]
+    out = {}
+    for name in names:
+        m01, s01 = timed(lambda: QUERIES[name](spark, sf01).count())
+        m1, s1 = timed(lambda: QUERIES[name](spark, sf1).count())
+        growth = round(m1 / m01, 1) if m01 else None
+        out[name] = {"sf0.1": m01, "sf1": m1, "growth": growth,
+                     "runs0.1": s01, "runs1": s1}
+        print(json.dumps({name: out[name]}), flush=True)
+
+    # BPE merge-count sweep at sf0.1: batched selection should make
+    # wall-clock grow sub-linearly in num_merges (driver round-trips
+    # are O(num_merges / batch)).
+    from pithos_spark import tables as T
+    from pithos_spark.functions.text import bpe_train
+
+    docs = T.load_tables(spark, sf01)["documents"]
+    sweep = {}
+    for nm in (6, 16, 64):
+        med, samples = timed(lambda: bpe_train(docs, num_merges=nm).count())
+        sweep[nm] = {"sec": med, "runs": samples}
+        print(json.dumps({"bpe_num_merges": nm, **sweep[nm]}), flush=True)
+    print(json.dumps({"bpe_sweep": sweep}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,3 +44,12 @@ def duck(request):
         )
     yield con
     con.close()
+
+
+def pytest_collection_modifyitems(config, items):
+    """Every test not explicitly marked slow is quick, so `pytest -m
+    quick` is the fast local-iteration path (VERDICT r9 task 7) while
+    the default invocation still runs the full suite."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)

@@ -4,6 +4,8 @@ CORRECTNESS_r{N}.json."""
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full-gate: excluded from `pytest -m quick`
+
 from tests.conftest import SF_ORACLE
 from tests.harness import compare
 

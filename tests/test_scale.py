@@ -3,6 +3,8 @@ bucketed co-located joins (shuffle-free on the pre-bucketed key)."""
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full-gate: excluded from `pytest -m quick`
+
 from tests.conftest import SF_ORACLE
 
 

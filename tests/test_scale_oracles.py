@@ -8,6 +8,8 @@ scale-dependent divergence can't hide behind a green sf0.01 row."""
 import duckdb
 import pytest
 
+pytestmark = pytest.mark.slow  # full-gate: excluded from `pytest -m quick`
+
 from tests.conftest import SF_ORACLE
 from tests.harness import _driver_canon
 
