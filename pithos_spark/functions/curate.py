@@ -1713,3 +1713,80 @@ FROM inter
 JOIN sizes sa ON sa.source = inter.source_a
 JOIN sizes sb ON sb.source = inter.source_b
 ORDER BY source_a, source_b"""
+
+
+def epoch_shuffle(
+    documents: DataFrame, epochs: int = 2, n_shards: int = 8
+) -> DataFrame:
+    """Deterministic multi-epoch training order: for each epoch, every
+    document gets a reshuffled (shard, position) so consecutive epochs
+    present the corpus in independent orders WITHOUT any RNG state —
+    the property a resumable 100 TB training job needs (any worker can
+    recompute its shard's order from (epoch, doc_id) alone; compare
+    shard_assign, which is the epoch-independent STORAGE layout).
+
+    Order key is md5(epoch || ':' || doc_id) — content-independent
+    (a text edit doesn't reorder the corpus) and engine-portable, the
+    same selector family as temperature_sample_mix.  Shard is the key's
+    low bits, position is the rank within (epoch, shard) by the key
+    itself.
+
+    Scale: the epoch grid is a broadcast 1-row-per-epoch cross (the
+    same constant-side crossJoin shape as the gapfill hour grid), and
+    ranking partitions by (epoch, shard) — 100 TB orders as
+    epochs * n_shards independent sorts of corpus/n_shards rows each,
+    never a global sort.
+
+    Output: (epoch, doc_id, shard, position), position 1-based within
+    (epoch, shard).
+    """
+    from pyspark.sql import Window
+
+    spark = documents.sparkSession
+    grid = spark.range(epochs).select(F.col("id").cast("int").alias("epoch"))
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("epoch").cast("string"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = (
+        documents.select("doc_id")
+        .crossJoin(F.broadcast(grid))
+        .withColumn("_k", key)
+        .withColumn("shard", (F.col("_k") % n_shards).cast("int"))
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("_k", "doc_id")
+    return (
+        keyed.withColumn("position", F.row_number().over(w).cast("long"))
+        .select("epoch", "doc_id", "shard", "position")
+        .orderBy("epoch", "shard", "position")
+    )
+
+
+def epoch_shuffle_oracle(epochs: int = 2, n_shards: int = 8) -> str:
+    """DuckDB twin of :func:`epoch_shuffle` — same md5 order key, shard
+    low bits, and per-(epoch, shard) rank."""
+    return f"""\
+WITH grid AS (
+    SELECT CAST(unnest(range(0, {epochs})) AS INT) AS epoch
+), keyed AS (
+    SELECT g.epoch, d.doc_id,
+           ('0x' || substr(md5(g.epoch::VARCHAR || ':' || d.doc_id::VARCHAR),
+                           1, 15))::BIGINT AS _k
+    FROM documents d CROSS JOIN grid g
+)
+SELECT epoch, doc_id, CAST(_k % {n_shards} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY epoch, _k % {n_shards}
+                               ORDER BY _k, doc_id) AS BIGINT) AS position
+FROM keyed
+ORDER BY epoch, shard, position"""

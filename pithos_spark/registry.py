@@ -2797,6 +2797,43 @@ def events_api_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dispatch.api_traffic_hourly(t["events"], _dispatch.opmap_df(spark))
 
 
+# added mid-r10 AFTER this round's window froze (the full-window
+# driver_sim had already run): pytest-oracle-proven, queued for r11's
+# ROUND_NEW behind the 12 slipped r7s documented at DRIVER_PRIORITY.
+
+
+def _containment(spark, sf_dir):
+    """Asymmetric containment near-dup (dedup.containment_pairs): the
+    sub-document duplication pass (|A intersect B| / |A|) that
+    resemblance Jaccard misses; prefix-filtered candidates, exact
+    verify.  threshold 50 at sf0.01 keeps the check non-vacuous (the
+    synthetic corpus has few >=80% containments)."""
+    return dedup.containment_pairs(
+        T.load_tables(spark, sf_dir)["documents"], threshold_pct=50
+    )
+
+
+QUERIES["dedup_containment"] = _containment
+ORACLES["dedup_containment"] = dedup.containment_pairs_oracle(
+    threshold_pct=50
+)
+
+
+def _epoch_shuffle(spark, sf_dir):
+    """Deterministic multi-epoch training order
+    (curate.epoch_shuffle): RNG-free reshuffled (shard, position) per
+    epoch — resumable data order for a 100 TB training job."""
+    from pithos_spark.functions.curate import epoch_shuffle
+
+    return epoch_shuffle(T.load_tables(spark, sf_dir)["documents"])
+
+
+from pithos_spark.functions.curate import epoch_shuffle_oracle  # noqa: E402
+
+QUERIES["corpus_epoch_shuffle"] = _epoch_shuffle
+ORACLES["corpus_epoch_shuffle"] = epoch_shuffle_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window ordering.
 #

@@ -332,3 +332,102 @@ def test_image_dhash_hot_bucket_capped(spark):
     }
     assert (30_000, 30_003) in got
     assert all(a >= 30_000 for a, _ in got), "boiler buckets not capped"
+
+
+def test_containment_planted_subdocument(spark):
+    """A paragraph quoted verbatim inside a much larger page has high
+    containment but low Jaccard — containment_pairs must flag the
+    directed (contained -> container) pair at the default threshold,
+    and must NOT flag unrelated docs."""
+    from pithos_spark.functions.dedup import containment_pairs
+
+    para = " ".join(f"alpha{i} beta{i % 7} gamma{i % 5}" for i in range(12))
+    page = (
+        " ".join(f"intro{i} filler{i % 11}" for i in range(40))
+        + " " + para + " "
+        + " ".join(f"outro{i} tail{i % 13}" for i in range(40))
+    )
+    other = " ".join(f"zeta{i} omega{i % 9}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, para), (2, page), (3, other)], "doc_id long, text string"
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["containment_pct"]
+        for r in containment_pairs(docs).collect()
+    }
+    assert (1, 2) in rows and rows[(1, 2)] >= 90  # para inside page
+    assert (2, 1) not in rows  # asymmetric: page is NOT inside para
+    assert not any(3 in p for p in rows)
+
+
+def test_containment_hot_shingle_cap_drops_boilerplate_postings(spark):
+    """A shingle present in every doc must be excluded from the posting
+    side at the df cap, so the candidate join cannot fan out on
+    boilerplate; pairs that ALSO share rare content still surface."""
+    from pyspark.sql import functions as F
+
+    from pithos_spark.functions.dedup import containment_pairs
+
+    boiler = "click here to subscribe now today"
+    docs = spark.createDataFrame(
+        [(i, boiler + f" unique{i} row{i} text{i}") for i in range(12)]
+        + [(100, boiler + " unique3 row3 text3")],  # real dup of doc 3
+        "doc_id long, text string",
+    )
+    got = containment_pairs(docs, threshold_pct=80, max_shingle_df=5)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got.collect()}
+    # the only >=80% containments are 3<->100 (identical payloads);
+    # boilerplate-only overlap never reaches threshold anyway, but the
+    # cap is what kept the candidate join from fanning out 13x13
+    assert (3, 100) in pairs and (100, 3) in pairs
+    assert all({a, b} == {3, 100} for a, b in pairs)
+
+
+def test_containment_and_epoch_shuffle_oracle_parity(documents, spark):
+    """Registry-parameter oracle parity + non-vacuity for the two
+    r11-queued additions (same check the driver will run)."""
+    import duckdb
+
+    from pithos_spark.registry import ORACLES, QUERIES
+    from tests.conftest import SF_ORACLE
+    from tests.harness import compare
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    for name in ("dedup_containment", "corpus_epoch_shuffle"):
+        compare(QUERIES[name](spark, SF_ORACLE), con, ORACLES[name], name)
+
+
+def test_epoch_shuffle_is_deterministic_permutation(spark):
+    """Every epoch must be a permutation of the corpus (each doc exactly
+    once), positions must be dense 1..n per (epoch, shard), and two
+    epochs must order docs differently (the whole point)."""
+    from pithos_spark.functions.curate import epoch_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(50)], "doc_id long, text string"
+    )
+    out = epoch_shuffle(docs, epochs=2, n_shards=4).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == {0, 1}
+    orders = {}
+    for ep, rows in by_epoch.items():
+        assert sorted(r["doc_id"] for r in rows) == list(range(50))
+        for shard in {r["shard"] for r in rows}:
+            pos = sorted(r["position"] for r in rows if r["shard"] == shard)
+            assert pos == list(range(1, len(pos) + 1))
+        orders[ep] = [
+            r["doc_id"]
+            for r in sorted(rows, key=lambda r: (r["shard"], r["position"]))
+        ]
+    assert orders[0] != orders[1]  # epochs reshuffle
+    # determinism: a re-run reproduces epoch 0 exactly
+    again = epoch_shuffle(docs, epochs=1, n_shards=4).collect()
+    assert [
+        r["doc_id"] for r in sorted(again, key=lambda r: (r["shard"], r["position"]))
+    ] == orders[0]
