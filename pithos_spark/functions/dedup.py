@@ -1298,7 +1298,6 @@ def containment_pairs(
     documents: DataFrame,
     n: int = 3,
     threshold_pct: int = 80,
-    rarest: int = 8,
     max_shingle_df: int = 200,
 ) -> DataFrame:
     """Asymmetric near-duplicate detection: directed pairs where doc_a's
@@ -1308,68 +1307,52 @@ def containment_pairs(
     high containment but near-zero Jaccard; RefinedWeb/Dolma-style
     pipelines run this pass alongside MinHash).
 
-    Candidates come from prefix filtering (the PPJoin family): each
-    doc's ``rarest`` globally-least-frequent shingles (ties broken by
-    shingle text — fully deterministic) are joined against the full
-    posting lists of those shingles, with hot shingles dropped from the
-    posting side at ``max_shingle_df`` (the same degenerate-bucket
-    guard as minhash/simhash banding; the rarest-first prefix makes hot
-    shingles the LAST thing a prefix would pick, so the cap costs
-    recall only for docs made entirely of boilerplate).  Exact-recall
-    note: a containment >= t pair is guaranteed a candidate when
-    ``rarest`` >= (1-t)*|A|+1; for smaller prefixes this is the
-    standard recall/cost dial, mirrored exactly by the oracle.
+    Containment is computed over the BOILERPLATE-INSENSITIVE shingle
+    universe: shingles appearing in more than ``max_shingle_df`` docs
+    are excluded from candidate generation, from ``n_common``, AND from
+    ``size_a`` — a nav-bar shared by a million pages must neither pair
+    those pages nor dilute a real quote's score.  Within that universe
+    the measure is exact.
 
     Scale shape: shingle explode (corpus-linear) -> doc-frequency agg
-    (map-side combinable) -> prefix window (doc-keyed) -> posting join
-    keyed on the shingle string with a hard df cap, so the join fan-out
-    is bounded by rarest * max_shingle_df per doc regardless of corpus
-    size -> exact verify restricted to the candidate set via a
-    (doc, shingle)-keyed join.  No all-pairs stage anywhere.
+    (map-side combinable) -> posting-list self-join keyed on the
+    shingle string.  Because every surviving posting list has length
+    <= ``max_shingle_df``, total pair-generation work is bounded by
+    ``max_shingle_df * |postings|`` — LINEAR in corpus size for a
+    fixed cap, with no separate verify pass (the self-join IS the
+    exact intersection count).  The cap is the work/recall dial, the
+    same contract as ``_cap_buckets`` in the minhash/simhash tiers;
+    size it from the ``lsh_bucket_stats``-style df telemetry before a
+    100 TB pass (a flat, non-zipfian df distribution — every shingle
+    near the cap — degenerates to cap*n work; SCALE_r10.md measures
+    exactly that worst case on the replicated synthetic corpus).
 
     Output: (doc_a, doc_b, n_common, size_a, containment_pct) with
-    containment_pct = floor(100 * n_common / size_a), doc_a != doc_b.
+    containment_pct = floor(100 * n_common / size_a), doc_a != doc_b,
+    both directions present when both pass their own thresholds.
     """
-    from pyspark.sql import Window
-
     from pithos_spark.plans.helpers import bounded_persist
 
-    # six downstream consumers (sizes, df, prefix, postings, both verify
-    # sides) would each re-run the explode; one slot-bounded cache
     sh = bounded_persist(shingles(documents, n), "containment_pairs.sh")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("size_a"))
     sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(sdf, "shingle").withColumn(
-        "_rk",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "shingle")
-        ),
+    uni = (
+        sh.join(F.broadcast(sdf.filter(F.col("df") > max_shingle_df)),
+                "shingle", "left_anti")
+        .select("doc_id", "shingle")
     )
-    prefix = ranked.filter(F.col("_rk") <= rarest).select("doc_id", "shingle")
-    postings = sh.join(
-        sdf.filter(F.col("df") <= max_shingle_df), "shingle"
-    ).select("doc_id", "shingle")
-    cand = (
-        prefix.alias("a")
-        .join(postings.alias("b"), "shingle")
+    uni = bounded_persist(uni, "containment_pairs.uni")
+    sizes = uni.groupBy("doc_id").agg(F.count(F.lit(1)).alias("size_a"))
+    inter = (
+        uni.alias("a")
+        .join(uni.alias("b"), "shingle")
         .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .distinct()
-    )
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"),
-                            "shingle"), "doc_a")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    out = (
+    return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumn(
             "containment_pct",
@@ -1379,44 +1362,30 @@ def containment_pairs(
         .select("doc_a", "doc_b", "n_common", "size_a", "containment_pct")
         .orderBy("doc_a", "doc_b")
     )
-    return out
 
 
 def containment_pairs_oracle(
     n: int = 3,
     threshold_pct: int = 80,
-    rarest: int = 8,
     max_shingle_df: int = 200,
 ) -> str:
-    """DuckDB twin of :func:`containment_pairs` — same shingling,
-    rarest-``rarest`` prefix (df then shingle text order), posting df
-    cap, exact containment verify and integer floor quantization."""
+    """DuckDB twin of :func:`containment_pairs` — same shingling, df-cap
+    universe on both counting and size, exact intersection count via
+    the posting self-join, integer floor quantization."""
     return f"""\
 {_shingle_sql(n)}
-, sizes AS (
-    SELECT doc_id, count(*) AS size_a FROM sh GROUP BY doc_id
-), sdf AS (
+, sdf AS (
     SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
-), prefix AS (
-    SELECT doc_id, shingle FROM (
-        SELECT s.doc_id, s.shingle,
-               row_number() OVER (PARTITION BY s.doc_id
-                                  ORDER BY d.df, s.shingle) AS _rk
-        FROM sh s JOIN sdf d USING (shingle)
-    ) WHERE _rk <= {rarest}
-), postings AS (
+), uni AS (
     SELECT s.doc_id, s.shingle
     FROM sh s JOIN sdf d USING (shingle) WHERE d.df <= {max_shingle_df}
-), cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM prefix a JOIN postings b USING (shingle)
-    WHERE a.doc_id <> b.doc_id
+), sizes AS (
+    SELECT doc_id, count(*) AS size_a FROM uni GROUP BY doc_id
 ), inter AS (
-    SELECT c.doc_a, c.doc_b, count(*) AS n_common
-    FROM cand c
-    JOIN sh sa ON sa.doc_id = c.doc_a
-    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-    GROUP BY c.doc_a, c.doc_b
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM uni a JOIN uni b USING (shingle)
+    WHERE a.doc_id <> b.doc_id
+    GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b, i.n_common, z.size_a,
        CAST(i.n_common * 100 // z.size_a AS BIGINT) AS containment_pct
