@@ -424,3 +424,50 @@ def test_mask_consumes_interval_list(spark, tables):
     assert "collect_set" not in plan, plan
     assert "collect_list" in plan, plan
     assert plan.count("rangepartitioning") == 1, plan
+
+
+def test_containment_caches_universe_once_and_broadcasts_hot_set(
+    spark, tables
+):
+    """containment_pairs must (a) cache the shingle explode and the
+    capped universe — every consumer (df agg, hot-set anti-join, sizes
+    agg, both self-join sides) reads an InMemoryTableScan rather than
+    re-running the corpus explode (the parquet scan only appears
+    inside the cached relations' reprinted definitions) — and (b) ship
+    the (tiny) hot-shingle exclusion set as a broadcast anti-join,
+    never a shuffled one."""
+    from pithos_spark.functions.dedup import containment_pairs
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(containment_pairs(tables["documents"]))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # the self-join sides + sizes agg read the cached universe, the df
+    # agg and hot set read the cached shingles: >=4 cache reads, and no
+    # parquet scan OUTSIDE a cached relation's definition (every "Scan
+    # parquet" line in the formatted tree sits under an InMemoryRelation
+    # reprint, i.e. the corpus is exploded exactly once at populate time)
+    import re
+
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+
+
+def test_epoch_shuffle_broadcasts_epoch_grid_no_global_sort(
+    spark, tables
+):
+    """epoch_shuffle's epoch grid must attach as a broadcast nested
+    loop over a 1-row-per-epoch side (the gapfill hour-grid shape),
+    and the ranking must partition by (epoch, shard) — no global sort
+    before the final presentation ordering (one Sort for the window,
+    one TakeOrdered/Sort for presentation, nothing else)."""
+    from pithos_spark.functions.curate import epoch_shuffle
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(epoch_shuffle(tables["documents"]))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "hashpartitioning(epoch" in plan, plan
