@@ -980,3 +980,111 @@ SELECT source, word_tokens, bpe_tokens,
 FROM agg
 ORDER BY source"""
     )
+
+
+def classifier_weights(
+    spark, n_features: int = 4096, seed_mult: int = 2654435761
+) -> DataFrame:
+    """Deterministic stand-in for an EXPORTED linear quality
+    classifier's weight vector: (feature_id, weight_milli) with
+    weight_milli in [-1000, 1000], derived by Knuth multiplicative
+    hashing from the feature id — the same portable-fake pattern as
+    the cross-encoder rerank stub (a real fastText/logistic export
+    would replace this one table and nothing else).  n_features rows,
+    always broadcastable."""
+    return spark.range(n_features).select(
+        F.col("id").alias("feature_id"),
+        ((F.col("id") * seed_mult) % 2001 - 1000).alias("weight_milli"),
+    )
+
+
+def quality_classifier_score(
+    documents: DataFrame,
+    weights: DataFrame | None = None,
+    n_features: int = 4096,
+    threshold_milli: int = 0,
+) -> DataFrame:
+    """Linear quality-classifier scoring, the fastText-style trained
+    filter every production curation stack runs after the heuristic
+    gates (GPT-3/LLaMA-style "looks like reference text" filters):
+    hashed bag-of-tokens features, a broadcast weight-table join, and
+    an integer token-averaged logit.
+
+    logit_milli = floor(sum(count(tok) * w[h(tok)]) / n_tokens) where
+    h is the portable md5-prefix hash mod ``n_features`` — all-integer,
+    so both engines hash-match exactly (no sigmoid: monotone in it, a
+    threshold on the logit IS the classifier decision).
+
+    Scale shape: token explode (corpus-linear) -> per-(doc, feature)
+    count (map-side combinable) -> broadcast join against the
+    n_features-row weight table (a few MB for any real linear model —
+    never a shuffle) -> doc-keyed agg.  Output: (doc_id, n_tokens,
+    logit_milli, keep).
+    """
+    spark = documents.sparkSession
+    if weights is None:
+        weights = classifier_weights(spark, n_features)
+    feat = F.conv(
+        F.substring(F.md5(F.col("token")), 1, 8), 16, 10
+    ).cast("long") % n_features
+    per_feat = (
+        documents.select(
+            "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", feat.alias("feature_id"))
+        .groupBy("doc_id", "feature_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_feat.join(F.broadcast(weights), "feature_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("weight_milli")).alias("_wsum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("_wsum") / F.col("n_tokens"))
+            .cast("long")
+            .alias("logit_milli"),
+        )
+        .withColumn("keep", F.col("logit_milli") >= threshold_milli)
+        .orderBy("doc_id")
+    )
+
+
+def quality_classifier_score_oracle(
+    n_features: int = 4096,
+    threshold_milli: int = 0,
+    seed_mult: int = 2654435761,
+) -> str:
+    """DuckDB twin of :func:`quality_classifier_score` with the
+    deterministic stand-in weights — same md5-prefix feature hash,
+    Knuth-multiplicative weight table, integer floor logit."""
+    return f"""\
+WITH weights AS (
+    SELECT f AS feature_id, (f * {seed_mult}) % 2001 - 1000 AS weight_milli
+    FROM (SELECT unnest(range(0, {n_features})) AS f)
+), toks AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(tok), 1, 8))::BIGINT % {n_features}
+               AS feature_id
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents)
+    WHERE tok <> ''
+), per_feat AS (
+    SELECT doc_id, feature_id, count(*) AS cnt
+    FROM toks GROUP BY 1, 2
+)
+SELECT p.doc_id,
+       CAST(sum(p.cnt) AS BIGINT) AS n_tokens,
+       CAST(floor(sum(p.cnt * w.weight_milli) / sum(p.cnt)) AS BIGINT)
+           AS logit_milli,
+       floor(sum(p.cnt * w.weight_milli) / sum(p.cnt))
+           >= {threshold_milli} AS keep
+FROM per_feat p JOIN weights w USING (feature_id)
+GROUP BY p.doc_id
+ORDER BY p.doc_id"""

@@ -2834,6 +2834,25 @@ QUERIES["corpus_epoch_shuffle"] = _epoch_shuffle
 ORACLES["corpus_epoch_shuffle"] = epoch_shuffle_oracle()
 
 
+def _quality_classifier(spark, sf_dir):
+    """Linear quality-classifier scoring (text.quality_classifier_score):
+    hashed bag-of-tokens features, broadcast weight-table join, integer
+    token-averaged logit — the trained-filter stage after the heuristic
+    gates.  Deterministic stand-in weights (the rerank-stub pattern); a
+    real fastText/logistic export replaces one table."""
+    from pithos_spark.functions.text import quality_classifier_score
+
+    return quality_classifier_score(T.load_tables(spark, sf_dir)["documents"])
+
+
+from pithos_spark.functions.text import (  # noqa: E402
+    quality_classifier_score_oracle,
+)
+
+QUERIES["corpus_quality_classifier"] = _quality_classifier
+ORACLES["corpus_quality_classifier"] = quality_classifier_score_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window ordering.
 #

@@ -24,6 +24,7 @@ def model(spark):
     }
 
 
+@pytest.mark.slow
 def test_get_bucket_lifecycle(model):
     xml = api.get_bucket(
         model["objects"],
@@ -39,6 +40,7 @@ def test_get_bucket_lifecycle(model):
     assert root.findtext("s3:NextMarker", namespaces=NS) is not None
 
 
+@pytest.mark.slow
 def test_get_service(model):
     xml = api.get_service(model["buckets"], "ASIA")
     root = ET.fromstring(xml)
@@ -68,6 +70,7 @@ def test_put_bucket_preconditions(model, name, status):
         )
 
 
+@pytest.mark.slow
 def test_post_bucket_delete_roundtrip(model, spark):
     import pyspark.sql.functions as F
 
@@ -94,6 +97,7 @@ def _manifest_xml(rows):
     ) + "</CompleteMultipartUpload>"
 
 
+@pytest.mark.slow
 def test_complete_upload_validates_manifest(model, spark):
     import pyspark.sql.functions as F
 
@@ -120,6 +124,7 @@ def test_complete_upload_validates_manifest(model, spark):
     assert ET.fromstring(body).findtext("Code") == "InvalidPart"
 
 
+@pytest.mark.slow
 def test_complete_upload_subset_and_order(model, spark):
     """A manifest listing a SUBSET of stored parts completes with only
     those parts in the summary (reference assembles exactly the listed
@@ -179,6 +184,7 @@ def test_s3_etag_binary_vector(spark):
     assert ET.fromstring(body).findtext(f"{ns}ETag") == f'"{expected}"'
 
 
+@pytest.mark.slow
 def test_complete_upload_etag_deterministic(model):
     """Completing the same upload twice under local[32] yields the
     identical ETag (regression: unordered collect_list over etags)."""
@@ -234,6 +240,7 @@ def _chunk_fixture(spark, n=40, size=100):
     ).repartition(16)
 
 
+@pytest.mark.slow
 def test_stream_object_range_matches_collect_path(spark):
     """T1: the toLocalIterator stream yields the same bytes as the
     bounded-collect path, in order, across partition boundaries."""
@@ -259,6 +266,7 @@ def _v2_entries(xml):
     return root, names
 
 
+@pytest.mark.slow
 def test_get_bucket_v2_pagination_walk(model):
     """ListObjectsV2: walking NextContinuationToken to exhaustion yields
     exactly the V1 full listing, in order, with correct KeyCount per
@@ -492,6 +500,7 @@ def test_get_bucket_v2_bad_token(spark):
     assert ET.fromstring(xml).findtext("Code") == "InvalidArgument"
 
 
+@pytest.mark.slow
 def test_serve_routes_end_to_end(spark):
     """serve(): the full resolution->handler path for a representative
     operation set — listing XML, HEAD metadata, PUT preconditions,
@@ -572,6 +581,7 @@ def test_serve_routes_end_to_end(spark):
     ).findtext("s3:Code", namespaces=ns) == "get-service-uploads"
 
 
+@pytest.mark.slow
 def test_serve_acl_and_cors_subresources(spark):
     """serve() renders GET ?acl from the typed grants table and GET
     ?cors from the rule table (404 NoSuchCORSConfiguration when the
@@ -617,6 +627,7 @@ def test_serve_acl_and_cors_subresources(spark):
     assert status == 404 and "NoSuchBucket" in xml
 
 
+@pytest.mark.slow
 def test_serve_object_read_and_multipart_lifecycle(spark):
     """serve(): ranged object GET through the chunk store (F14 range
     parsing + T1 read path) and the multipart trio — initiate, list
@@ -709,6 +720,7 @@ def test_serve_object_read_and_multipart_lifecycle(spark):
     assert surviving.filter(F.col("upload") == real_up).count() == 0
 
 
+@pytest.mark.slow
 def test_serve_mutations_and_preflight(spark):
     """serve(): delete-object/delete-bucket mutation plans with the
     BucketNotEmpty precondition, PUT-object ingest into chunk rows with
@@ -774,6 +786,7 @@ def test_serve_mutations_and_preflight(spark):
     assert status == 501 and "NotImplemented" in err
 
 
+@pytest.mark.slow
 def test_serve_acl_cors_writes_and_uploads_listing(spark):
     """serve(): CORS replace/delete plans, ACL write plans (bucket and
     object keyed), canned-ACL expansion for GET object ?acl, and the
@@ -862,6 +875,7 @@ def test_serve_acl_cors_writes_and_uploads_listing(spark):
     assert keys and all(kk.startswith("mp/1") for kk in keys)
 
 
+@pytest.mark.slow
 def test_serve_upload_part_merges(spark):
     """serve(): PUT ?uploadId=...&partNumber=N upserts the part row
     (re-PUT of the same part number replaces it, M6 semantics) and
@@ -954,6 +968,7 @@ def test_serve_browser_form_upload(spark):
     assert status == 403 and "AccessDenied" in err
 
 
+@pytest.mark.slow
 def test_serve_covers_every_opmap_operation(spark):
     """Completeness: with a full table model, every one of the 37 opmap
     operations executes through serve() — no NotImplemented 501 and no
@@ -1014,6 +1029,7 @@ def test_serve_covers_every_opmap_operation(spark):
             assert "UnknownAction" not in str(payload), operation
 
 
+@pytest.mark.slow
 def test_serve_authorization_scenarios(spark):
     """Ported 403/404 authorization scenarios from the reference
     integration suite (test/io/pithos/operations_test.clj:191-250):
@@ -1163,6 +1179,7 @@ def test_head_refusal_payload_is_header_dict(spark):
     assert status == 403 and payload == {}
 
 
+@pytest.mark.slow
 def test_object_creator_keeps_full_control(spark):
     """perms.clj:109-131: the creating tenant is always a FULL_CONTROL
     grantee of their object.  A non-owner uploader admitted via a bucket
@@ -1466,6 +1483,7 @@ def test_get_object_acl_renders_stored_policy(spark):
     assert "FULL_CONTROL" not in rendered
 
 
+@pytest.mark.slow
 def test_serve_enforces_perms_for_every_opmap_operation(spark):
     """Completeness, authorization axis: every opmap operation with a
     non-empty perms spec refuses an anonymous caller on a foreign

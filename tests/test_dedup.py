@@ -15,6 +15,7 @@ def _pairs(df):
     return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
 
 
+@pytest.mark.slow
 def test_minhash_lsh_recall_on_planted_dups(documents):
     from pithos_spark.functions.dedup import jaccard_pairs, minhash_lsh_pairs
 
@@ -28,6 +29,7 @@ def test_minhash_lsh_recall_on_planted_dups(documents):
     assert recall >= 0.9, f"LSH recall {recall} over {len(exact)} planted pairs"
 
 
+@pytest.mark.slow
 def test_simhash_finds_planted_dups(documents):
     from pithos_spark.functions.dedup import jaccard_pairs, simhash_near_pairs
 
@@ -37,6 +39,7 @@ def test_simhash_finds_planted_dups(documents):
     assert recall >= 0.8, f"simhash recall {recall} on jaccard>=0.9 pairs"
 
 
+@pytest.mark.slow
 def test_lsh_hot_bucket_capped(documents, spark):
     """A degenerate corpus — hundreds of byte-identical boilerplate docs
     whose every band collides — must not go quadratic: with the bucket
@@ -62,6 +65,7 @@ def test_lsh_hot_bucket_capped(documents, spark):
     assert all(a >= 10_000 for a, _ in got), sorted(got)[:5]
 
 
+@pytest.mark.slow
 def test_simhash_hot_bucket_capped(spark):
     import pyspark.sql.functions as F  # noqa: F401
 
@@ -80,6 +84,7 @@ def test_simhash_hot_bucket_capped(spark):
     assert all(a >= 9_000 for a, _ in got)
 
 
+@pytest.mark.slow
 def test_lsh_topk_hot_bucket_sampled(spark):
     """ANN inside a degenerate bucket still answers (sampled, not
     dropped): 500 identical vectors + the query must yield k results
@@ -111,6 +116,7 @@ def test_exact_dedup_collapses_doubled_corpus(documents, spark):
     assert out.filter(F.col("canonical_doc_id") >= 10**6).count() == 0
 
 
+@pytest.mark.slow
 def test_dup_clusters_chain_and_island(spark):
     """Label propagation resolves a 4-node chain (diameter 3 — needs
     multiple rounds) and an isolated pair into min-id components."""
@@ -123,6 +129,7 @@ def test_dup_clusters_chain_and_island(spark):
     assert got == {(2, 2), (7, 2), (4, 2), (9, 2), (20, 20), (30, 20)}
 
 
+@pytest.mark.slow
 def test_keep_best_picks_longest_doc(spark):
     """keep-best marks exactly one keeper per cluster: most tokens, ties
     to the smallest doc_id."""
@@ -146,6 +153,7 @@ def test_keep_best_picks_longest_doc(spark):
     assert 4 not in out
 
 
+@pytest.mark.slow
 def test_incremental_dedup_finds_delta_dups_only(spark):
     """A new doc duplicating an existing one is flagged; dup pairs
     entirely INSIDE the existing corpus are not re-reported (the
@@ -173,6 +181,7 @@ def test_incremental_dedup_finds_delta_dups_only(spark):
     assert all(n == 100 for n, _ in pairs)  # 101 clean; (0,1) not re-reported
 
 
+@pytest.mark.slow
 def test_lsh_bucket_stats_accounts_every_doc(documents, spark):
     """Per-band doc counts must equal the corpus size (every doc lands
     in exactly one bucket per band), and a corpus with planted exact
@@ -199,6 +208,7 @@ def test_lsh_bucket_stats_accounts_every_doc(documents, spark):
         assert r["n_docs_dropped"] >= 2
 
 
+@pytest.mark.slow
 def test_source_overlap_extremes(documents, spark):
     """A source unioned with a relabeled copy of itself estimates
     jaccard 100; two single-doc sources with disjoint vocabulary

@@ -14,6 +14,8 @@ semantics (cors.clj:96-112) on randomized patterns and headers.
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # full-gate: excluded from `pytest -m quick`
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -12,6 +12,7 @@ def layout_dir(tmp_path_factory):
     return str(tmp_path_factory.mktemp("layout"))
 
 
+@pytest.mark.slow
 def test_objects_layout_prunes_partitions(spark, layout_dir):
     import pyspark.sql.functions as F
 
@@ -56,6 +57,7 @@ def test_chunks_layout_roundtrip(spark, layout_dir):
     assert a == b  # layout change cannot change results
 
 
+@pytest.mark.slow
 def test_compaction_reduces_file_count(spark, layout_dir):
     import pyspark.sql.functions as F
 

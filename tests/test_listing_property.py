@@ -16,6 +16,8 @@ from __future__ import annotations
 import re
 
 import pytest
+
+pytestmark = pytest.mark.slow  # full-gate: excluded from `pytest -m quick`
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -7,6 +7,8 @@ import re
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full-gate: excluded from `pytest -m quick`
+
 from tests.conftest import SF_ORACLE
 
 

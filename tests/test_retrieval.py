@@ -3,6 +3,7 @@
 
 import pandas as pd
 import pyspark.sql.functions as F
+import pytest
 
 
 def _docs(spark, rows):
@@ -250,6 +251,7 @@ def test_mask_duplicate_spans_removes_boilerplate_keeps_unique(spark):
     assert got[2]["n_masked_tokens"] == 0
 
 
+@pytest.mark.slow
 def test_leakage_safe_split_keeps_near_dups_together(spark):
     """The leakage guard: two near-duplicate documents must land in the
     SAME split whatever their own ids hash to, because the split keys
@@ -317,6 +319,7 @@ def test_hourly_anomalies_flags_planted_burst(spark):
     assert got[0]["event_count"] == 50
 
 
+@pytest.mark.slow
 def test_decontaminate_bloom_matches_exact(spark):
     """The Bloom-pre-filtered path must be bit-identical to the exact
     operator (no false negatives; exact verify kills false positives) —
@@ -465,6 +468,7 @@ def test_bpe_train_greedy_overlap_and_exhaustion(spark):
     assert (t_rules[0]["lhs"], t_rules[0]["rhs"]) == ("x", "</w>")
 
 
+@pytest.mark.slow
 def test_bpe_train_unicode_codepoint_parity(spark):
     """Non-ASCII corpora must segment identically in both engines:
     symbols and the max_word_chars truncation are CODE POINTS (regexp
@@ -650,6 +654,7 @@ def test_mmr_rerank_prefers_diverse_over_redundant(spark):
     assert by_doc[2] > by_doc[3]
 
 
+@pytest.mark.slow
 def test_mmr_rerank_greedy_optimality_on_random_corpora(spark):
     """Independent re-check of the greedy invariant on seeded random
     inputs: each pick's recorded mmr_q must be >= the MMR score of
@@ -735,6 +740,7 @@ def test_mmr_rerank_greedy_optimality_on_random_corpora(spark):
             picked.append(d_star)
 
 
+@pytest.mark.slow
 def test_decontaminate_bloom_empty_partitions(spark):
     """ADVICE r9: a zero-row arrow batch reaching the might_contain
     pandas UDF made np.array() build a 1-D array and hit.all(axis=1)
@@ -777,6 +783,7 @@ def test_mmr_depth_cap(spark):
         )
 
 
+@pytest.mark.slow
 def test_bpe_batched_merges_match_sequential(spark):
     """VERDICT r9 #3: exact frequency-threshold batching.  On a corpus
     with a rich vocabulary the batched trainer must (a) produce the
@@ -844,3 +851,76 @@ def test_bpe_batched_merges_match_sequential(spark):
     sl.unpersist()
     sd.unpersist()
     assert fl == fd
+
+
+def test_quality_classifier_weighted_logit_and_broadcast(spark):
+    """The classifier logit must be the exact token-count-weighted
+    average of the hashed features' weights: a doc made of one token
+    repeated scores exactly that token's weight; mixed docs score the
+    floor-averaged mix; and a user-supplied weight table (the real
+    trained-model path) overrides the stand-in."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions.text import (
+        classifier_weights,
+        quality_classifier_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha alpha"), (2, "alpha beta"), (3, "beta")],
+        "doc_id long, text string",
+    )
+    w = classifier_weights(spark).collect()
+    by_id = {r["feature_id"]: r["weight_milli"] for r in w}
+
+    def h(tok):
+        import hashlib
+
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 4096
+
+    wa, wb = by_id[h("alpha")], by_id[h("beta")]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logit_milli"], r["keep"])
+        for r in quality_classifier_score(docs).collect()
+    }
+    import math
+
+    assert got[1] == (3, wa, wa >= 0)
+    assert got[2] == (2, math.floor((wa + wb) / 2), math.floor((wa + wb) / 2) >= 0)
+    assert got[3] == (1, wb, wb >= 0)
+
+    # a trained export replaces the stand-in table and nothing else
+    my_w = spark.createDataFrame(
+        [(h("alpha"), 500), (h("beta"), -900)],
+        "feature_id long, weight_milli long",
+    )
+    got2 = {
+        r["doc_id"]: r["logit_milli"]
+        for r in quality_classifier_score(docs, weights=my_w).collect()
+    }
+    assert got2 == {1: 500, 2: -200, 3: -900}
+
+    # plan shape: the weight table attaches as a broadcast join
+    plan = quality_classifier_score(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_quality_classifier_oracle_parity(spark):
+    import duckdb
+
+    from pithos_spark.registry import ORACLES, QUERIES
+    from tests.conftest import SF_ORACLE
+    from tests.harness import compare
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    compare(
+        QUERIES["corpus_quality_classifier"](spark, SF_ORACLE),
+        con,
+        ORACLES["corpus_quality_classifier"],
+        "corpus_quality_classifier",
+    )

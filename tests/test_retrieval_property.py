@@ -6,6 +6,8 @@ but over generated inputs instead of the fixture."""
 import duckdb
 import pandas as pd
 import pytest
+
+pytestmark = pytest.mark.slow  # full-gate: excluded from `pytest -m quick`
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -11,6 +11,7 @@ def embeddings(spark):
     return spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
 
 
+@pytest.mark.slow
 def test_lsh_results_subset_of_bucket_with_exact_scores(embeddings):
     from pithos_spark.functions.similarity import brute_force_topk, lsh_topk
 
@@ -23,6 +24,7 @@ def test_lsh_results_subset_of_bucket_with_exact_scores(embeddings):
             assert exact[r["vec_id"]] == r["dot_q"]
 
 
+@pytest.mark.slow
 def test_lsh_recall_at_10(embeddings):
     from pithos_spark.functions.similarity import brute_force_topk, lsh_topk
 
@@ -41,6 +43,7 @@ def test_brute_force_is_deterministic(embeddings):
     assert a == b
 
 
+@pytest.mark.slow
 def test_ivf_topk_recall_curve(embeddings):
     """More probes -> more of the corpus scanned -> higher recall; the
     classic IVF tradeoff, fully deterministic here (measured
@@ -63,6 +66,7 @@ def test_ivf_topk_recall_curve(embeddings):
     assert r4 >= r2, "recall must not degrade with more probes"
 
 
+@pytest.mark.slow
 def test_ivf_kmeans_recall(embeddings):
     from pithos_spark.functions.similarity import brute_force_topk, ivf_kmeans_topk
 
@@ -75,6 +79,7 @@ def test_ivf_kmeans_recall(embeddings):
     assert recall >= 0.5, f"KMeans-IVF recall@10 with 4/16 probes = {recall}"
 
 
+@pytest.mark.slow
 def test_ivf_index_persistence_roundtrip(spark, tmp_path):
     """A persisted KMeans-IVF index probes identically to the freshly
     built one, and the probe filter prunes the cluster partitions of
@@ -107,6 +112,7 @@ def test_ivf_index_persistence_roundtrip(spark, tmp_path):
     assert glob.glob(f"{path}/assigned/cluster=*"), "not partitioned by cluster"
 
 
+@pytest.mark.slow
 def test_ivf_lloyd_recall_vs_brute_force(embeddings):
     """Deterministic Lloyd IVF (4 probes of 16 trained clusters) must
     recover most of the true top-10 and assign every vector."""
@@ -129,6 +135,7 @@ def test_ivf_lloyd_recall_vs_brute_force(embeddings):
     assert len(got & true10) >= 5, f"lloyd-IVF recall {len(got & true10)}/10"
 
 
+@pytest.mark.slow
 def test_ivf_lloyd_build_is_deterministic(embeddings):
     from pithos_spark.functions.similarity import build_ivf_lloyd_index
 
@@ -156,6 +163,7 @@ def test_embedding_lsh_dedup_finds_near_identical_vectors(spark):
     assert all(2 not in p for p in got)  # the inverted vector never pairs
 
 
+@pytest.mark.slow
 def test_ivf_lloyd_handles_corpus_smaller_than_k(spark):
     """Fewer vectors than requested clusters: seeds = all vectors,
     empty clusters never materialize, every vector stays assigned."""
@@ -170,6 +178,7 @@ def test_ivf_lloyd_handles_corpus_smaller_than_k(spark):
     assert centers.count() == 5
 
 
+@pytest.mark.slow
 def test_semantic_dedup_finds_near_identical_vectors(spark):
     """Near-identical vectors land in the same Lloyd cluster (their l2
     to every centroid is near-equal, so the argmin agrees), and the
@@ -192,6 +201,7 @@ def test_semantic_dedup_finds_near_identical_vectors(spark):
     assert all(2 not in p for p in got)
 
 
+@pytest.mark.slow
 def test_semantic_dedup_cluster_blocking_vs_lsh(embeddings):
     """The semantic (trained-cluster) and LSH (random-hyperplane)
     blockings verify pairs with the SAME exact quantized dot: any pair
@@ -287,6 +297,7 @@ def test_auto_planes_formula_and_sql_parity():
         assert got == auto_planes(n), n
 
 
+@pytest.mark.slow
 def test_cluster_prototypes_rank_closest_and_bound_output(spark, embeddings):
     """Prototype selection over a planted geometry: within one tight
     cluster the vector nearest the mean ranks 1, output is bounded at

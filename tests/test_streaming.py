@@ -4,6 +4,8 @@ memory sink)."""
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full-gate: excluded from `pytest -m quick`
+
 from tests.conftest import SF_SMOKE
 
 
