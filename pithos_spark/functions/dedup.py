@@ -1392,3 +1392,168 @@ SELECT i.doc_a, i.doc_b, i.n_common, z.size_a,
 FROM inter i JOIN sizes z ON z.doc_id = i.doc_a
 WHERE i.n_common * 100 >= z.size_a * {threshold_pct}
 ORDER BY doc_a, doc_b"""
+
+
+_AFP_FRAMES = 33  # 33 frame energies -> 32 temporal-difference bits
+_AFP_SAMPLES = 4  # sample points averaged per frame
+_AFP_BANDS = 4  # 4 bands x 8 bits
+
+
+def audio_fingerprints(documents: DataFrame) -> DataFrame:
+    """Per audio asset, a Haitsma-Kalker-shaped fingerprint: the clip
+    is split into ``_AFP_FRAMES`` fixed frames, each frame's "energy"
+    is the sum of ``_AFP_SAMPLES`` evenly-sampled amplitude values, and
+    one bit per adjacent-frame energy DIFFERENCE (E[f] < E[f+1]) —
+    the temporal-difference family every audio-dedup fingerprint uses,
+    packed as 4 bands of 8 bits (the banding IS the LSH layout, the
+    same contract as the image dHash and SimHash tiers).
+
+    The DECODE is the stubbed stand-in the multimodal pipeline uses
+    (sources/multimodal.py): audio assets are the ``doc_id % 3 == 1``
+    slice of ``assets_from_documents``, payload bytes are the utf-8
+    text, and "amplitude" is the ASCII code of the sampled character —
+    deterministic and engine-portable; a real PCM decode slots in at
+    exactly that expression.  Everything AFTER the sample source —
+    framing, energy sums, difference bits, band packing, LSH, Hamming
+    verify — is the real algorithm.
+
+    Scale shape: one projection + a constant 132-row explode per clip
+    (corpus-linear), frame energies via a map-side-combinable
+    (doc, frame) agg, difference bits via a doc-keyed window — no
+    corpus-wide shuffle until the banded candidate join."""
+    from pyspark.sql import Window
+
+    grid = _AFP_FRAMES * _AFP_SAMPLES
+    clips = documents.filter(
+        (F.col("doc_id") % 3 == 1) & (F.length("text") > 0)
+    ).select("doc_id", "text", F.length("text").alias("n_px"))
+    samples = clips.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(grid - 1))).alias("g"),
+        "text",
+        "n_px",
+    ).select(
+        "doc_id",
+        (F.col("g") / _AFP_SAMPLES).cast("int").alias("f"),
+        F.expr(
+            f"ascii(substr(text, CAST((g * n_px) DIV {grid} + 1 AS INT), 1))"
+        ).alias("amp"),
+    )
+    energy = samples.groupBy("doc_id", "f").agg(
+        F.sum("amp").alias("e")
+    )
+    wn = Window.partitionBy("doc_id").orderBy("f")
+    bits = energy.withColumn("nx", F.lead("e").over(wn)).filter(
+        F.col("f") < _AFP_FRAMES - 1
+    )
+    return (
+        bits.groupBy("doc_id", (F.col("f") / 8).cast("int").alias("band"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("e") < F.col("nx"),
+                    F.expr("shiftleft(1, CAST(f % 8 AS INT))"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("band_val")
+        )
+        .select("doc_id", "band", "band_val")
+    )
+
+
+def audio_near_pairs(
+    documents: DataFrame, max_hamming: int = 6, max_bucket: int = 1000
+) -> DataFrame:
+    """Near-duplicate audio pairs: band-bucket LSH over the 4x8-bit
+    fingerprint (pigeonhole: hamming <= 3 guarantees a shared band),
+    bucket cap against degenerate buckets, exact Hamming verify over
+    the full 32 bits.  Output (doc_a, doc_b, hamming)."""
+    fps = audio_fingerprints(documents)
+    wide = (
+        fps.groupBy("doc_id")
+        .pivot("band", list(range(_AFP_BANDS)))
+        .agg(F.first("band_val"))
+        .select(
+            "doc_id",
+            *[F.col(str(i)).alias(f"b{i}") for i in range(_AFP_BANDS)],
+        )
+    )
+    banded = _cap_buckets(
+        fps.join(wide, "doc_id"), ["band", "band_val"], max_bucket
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    dist = sum(
+        F.bit_count(
+            F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}"))
+        ).cast("long")
+        for i in range(_AFP_BANDS)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def audio_near_pairs_oracle(
+    max_hamming: int = 6, max_bucket: int = 1000
+) -> str:
+    """DuckDB twin of :func:`audio_near_pairs` — same sampled amplitude
+    source, frame energies, difference bits, 4x8-bit band packing,
+    bucket cap, and Hamming verify."""
+    grid = _AFP_FRAMES * _AFP_SAMPLES
+    xor_terms = " + ".join(
+        f"bit_count(xor(a.b{i}, b.b{i}))" for i in range(_AFP_BANDS)
+    )
+    band_cols = ", ".join(
+        f"max(CASE WHEN band = {i} THEN band_val END) AS b{i}"
+        for i in range(_AFP_BANDS)
+    )
+    wide_cols = ", ".join(f"w.b{i}" for i in range(_AFP_BANDS))
+    return f"""
+WITH clips AS (
+    SELECT doc_id, text, length(text) AS n_px FROM documents
+    WHERE doc_id % 3 = 1 AND length(text) > 0
+), samples AS (
+    SELECT doc_id,
+           g // {_AFP_SAMPLES} AS f,
+           ord(substr(text, CAST((g * n_px) // {grid} + 1 AS INT), 1)) AS amp
+    FROM clips CROSS JOIN (SELECT unnest(range(0, {grid})) AS g)
+), energy AS (
+    SELECT doc_id, f, sum(amp) AS e FROM samples GROUP BY doc_id, f
+), bits AS (
+    SELECT doc_id, f, e,
+           lead(e) OVER (PARTITION BY doc_id ORDER BY f) AS nx
+    FROM energy
+), fps AS (
+    SELECT doc_id, f // 8 AS band,
+           CAST(sum(CASE WHEN e < nx THEN (1 << (f % 8)) ELSE 0 END)
+                AS BIGINT) AS band_val
+    FROM bits WHERE f < {_AFP_FRAMES - 1} GROUP BY doc_id, f // 8
+), wide AS (
+    SELECT doc_id, {band_cols} FROM fps GROUP BY doc_id
+), banded AS (
+    SELECT * FROM (
+        SELECT f.doc_id, f.band, f.band_val, {wide_cols},
+               count(*) OVER (PARTITION BY f.band, f.band_val) AS _bn
+        FROM fps f JOIN wide w USING (doc_id)
+    ) WHERE _bn <= {max_bucket}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({xor_terms} AS BIGINT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE {xor_terms} <= {max_hamming}
+ORDER BY doc_a, doc_b"""

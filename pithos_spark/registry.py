@@ -2852,6 +2852,19 @@ from pithos_spark.functions.text import (  # noqa: E402
 QUERIES["corpus_quality_classifier"] = _quality_classifier
 ORACLES["corpus_quality_classifier"] = quality_classifier_score_oracle()
 
+# audio near-dup over the multimodal column (Haitsma-Kalker-shaped
+# temporal-difference fingerprint, banded like the image dHash).
+# max_hamming=8, not the function's strict 6: the synthetic clip
+# payloads are word soup, so near neighbors sit at hamming 5-8 — 8
+# keeps the driver check non-vacuous (47 selective pairs at sf0.01)
+# while the planted-near-dup test exercises the tight default.
+QUERIES["dedup_audio_fingerprint"] = _doc_query(
+    dedup.audio_near_pairs, max_hamming=8
+)
+ORACLES["dedup_audio_fingerprint"] = dedup.audio_near_pairs_oracle(
+    max_hamming=8
+)
+
 
 # ---------------------------------------------------------------------------
 # Driver verification window ordering.

@@ -441,3 +441,58 @@ def test_epoch_shuffle_is_deterministic_permutation(spark):
     assert [
         r["doc_id"] for r in sorted(again, key=lambda r: (r["shard"], r["position"]))
     ] == orders[0]
+
+
+def test_audio_fingerprint_planted_near_dups(spark):
+    """The audio tier must pair a slightly-perturbed copy of a clip
+    payload at the strict default threshold (small amplitude edits flip
+    few temporal-difference bits), keep exact copies at hamming 0, and
+    never pair unrelated clips or non-audio modalities."""
+    from pithos_spark.functions.dedup import audio_near_pairs
+
+    base = " ".join(f"w{i % 13} tok{i % 29}" for i in range(60))
+    near = base[:-9] + "x" + base[-8:]
+    far = " ".join(chr(97 + (i * 7) % 26) * 3 for i in range(60))
+    # doc_id % 3 == 1 is the audio modality slice
+    docs = spark.createDataFrame(
+        [(1, base), (4, near), (7, base), (10, far)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in audio_near_pairs(docs).collect()
+    }
+    assert got.get((1, 7)) == 0  # exact copy
+    assert (1, 4) in got and got[(1, 4)] <= 6  # perturbed near-dup
+    assert (4, 7) in got
+    assert not any(10 in p for p in got)  # unrelated clip never pairs
+    # non-audio modalities are out of scope for the audio pass
+    imgs = spark.createDataFrame(
+        [(0, base), (3, base)], "doc_id long, text string"
+    )
+    assert audio_near_pairs(imgs).count() == 0
+
+
+@pytest.mark.slow
+def test_audio_fingerprint_oracle_parity_and_nonvacuous(documents, spark):
+    """The registry threshold (8) must select REAL rows at the oracle
+    scale and Spark/DuckDB must agree tuple-for-tuple."""
+    import duckdb
+
+    from pithos_spark.functions.dedup import (
+        audio_near_pairs,
+        audio_near_pairs_oracle,
+    )
+    from tests.conftest import SF_ORACLE
+
+    got = audio_near_pairs(documents, max_hamming=8).toPandas()
+    assert len(got) > 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    want = con.execute(audio_near_pairs_oracle(max_hamming=8)).df()
+    g = got.sort_values(list(got.columns)).reset_index(drop=True).astype(str)
+    w = want.sort_values(list(want.columns)).reset_index(drop=True).astype(str)
+    assert g.equals(w)
