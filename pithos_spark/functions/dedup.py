@@ -1557,3 +1557,155 @@ FROM banded a JOIN banded b
   ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 WHERE {xor_terms} <= {max_hamming}
 ORDER BY doc_a, doc_b"""
+
+
+_VFP_FRAMES = 8  # sampled frames; each frame is an 8-bit band
+_VFP_COLS = 9  # 9 pixels per frame -> 8 spatial gradient bits
+
+
+def video_fingerprints(documents: DataFrame) -> DataFrame:
+    """Per video asset, a frame-sampled spatial fingerprint: 8 frames
+    evenly sampled along the clip, 9 "pixels" per frame, one bit per
+    within-frame horizontal gradient (the per-frame dHash row), packed
+    as one 8-bit band per frame — near-dup video detection by frame
+    signature, robust to trims that preserve most frames (a shared
+    frame band collides in LSH even when other frames differ).
+
+    The DECODE is the stubbed stand-in (sources/multimodal.py): video
+    assets are the ``doc_id % 3 == 2`` slice, payload bytes are the
+    utf-8 text, frame f's pixel p samples position
+    ((f*9 + p) * len) / 72 — a real frame-extract + grayscale resize
+    slots in at that one expression.  Framing, gradient bits, band
+    packing, LSH and Hamming verify are the real algorithm, identical
+    in contract to the image/audio tiers."""
+    from pyspark.sql import Window
+
+    grid = _VFP_FRAMES * _VFP_COLS
+    clips = documents.filter(
+        (F.col("doc_id") % 3 == 2) & (F.length("text") > 0)
+    ).select("doc_id", "text", F.length("text").alias("n_px"))
+    pix = clips.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(grid - 1))).alias("g"),
+        "text",
+        "n_px",
+    ).select(
+        "doc_id",
+        (F.col("g") / _VFP_COLS).cast("int").alias("f"),
+        (F.col("g") % _VFP_COLS).alias("c"),
+        F.expr(
+            f"ascii(substr(text, CAST((g * n_px) DIV {grid} + 1 AS INT), 1))"
+        ).alias("px"),
+    )
+    wn = Window.partitionBy("doc_id", "f").orderBy("c")
+    bits = pix.withColumn("nx", F.lead("px").over(wn)).filter(
+        F.col("c") < _VFP_COLS - 1
+    )
+    return (
+        bits.groupBy("doc_id", F.col("f").alias("band"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("px") < F.col("nx"),
+                    F.expr("shiftleft(1, CAST(c AS INT))"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("band_val")
+        )
+        .select("doc_id", "band", "band_val")
+    )
+
+
+def video_near_pairs(
+    documents: DataFrame, max_hamming: int = 10, max_bucket: int = 1000
+) -> DataFrame:
+    """Near-duplicate video pairs: band-bucket LSH over the 8-frame
+    signature (a shared frame is a shared band — pigeonhole hamming
+    <= 7), bucket cap, exact 64-bit Hamming verify.
+    Output (doc_a, doc_b, hamming)."""
+    fps = video_fingerprints(documents)
+    wide = (
+        fps.groupBy("doc_id")
+        .pivot("band", list(range(_VFP_FRAMES)))
+        .agg(F.first("band_val"))
+        .select(
+            "doc_id",
+            *[F.col(str(i)).alias(f"b{i}") for i in range(_VFP_FRAMES)],
+        )
+    )
+    banded = _cap_buckets(
+        fps.join(wide, "doc_id"), ["band", "band_val"], max_bucket
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    dist = sum(
+        F.bit_count(
+            F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}"))
+        ).cast("long")
+        for i in range(_VFP_FRAMES)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def video_near_pairs_oracle(
+    max_hamming: int = 10, max_bucket: int = 1000
+) -> str:
+    """DuckDB twin of :func:`video_near_pairs`."""
+    grid = _VFP_FRAMES * _VFP_COLS
+    xor_terms = " + ".join(
+        f"bit_count(xor(a.b{i}, b.b{i}))" for i in range(_VFP_FRAMES)
+    )
+    band_cols = ", ".join(
+        f"max(CASE WHEN band = {i} THEN band_val END) AS b{i}"
+        for i in range(_VFP_FRAMES)
+    )
+    wide_cols = ", ".join(f"w.b{i}" for i in range(_VFP_FRAMES))
+    return f"""
+WITH clips AS (
+    SELECT doc_id, text, length(text) AS n_px FROM documents
+    WHERE doc_id % 3 = 2 AND length(text) > 0
+), pix AS (
+    SELECT doc_id,
+           g // {_VFP_COLS} AS f,
+           g % {_VFP_COLS} AS c,
+           ord(substr(text, CAST((g * n_px) // {grid} + 1 AS INT), 1)) AS px
+    FROM clips CROSS JOIN (SELECT unnest(range(0, {grid})) AS g)
+), bits AS (
+    SELECT doc_id, f, c, px,
+           lead(px) OVER (PARTITION BY doc_id, f ORDER BY c) AS nx
+    FROM pix
+), fps AS (
+    SELECT doc_id, f AS band,
+           CAST(sum(CASE WHEN px < nx THEN (1 << c) ELSE 0 END) AS BIGINT)
+               AS band_val
+    FROM bits WHERE c < {_VFP_COLS - 1} GROUP BY doc_id, f
+), wide AS (
+    SELECT doc_id, {band_cols} FROM fps GROUP BY doc_id
+), banded AS (
+    SELECT * FROM (
+        SELECT f.doc_id, f.band, f.band_val, {wide_cols},
+               count(*) OVER (PARTITION BY f.band, f.band_val) AS _bn
+        FROM fps f JOIN wide w USING (doc_id)
+    ) WHERE _bn <= {max_bucket}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({xor_terms} AS BIGINT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE {xor_terms} <= {max_hamming}
+ORDER BY doc_a, doc_b"""

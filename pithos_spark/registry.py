@@ -2865,6 +2865,17 @@ ORACLES["dedup_audio_fingerprint"] = dedup.audio_near_pairs_oracle(
     max_hamming=8
 )
 
+# video near-dup (8-frame spatial signature, one band per frame) —
+# max_hamming=20 for the same non-vacuity reason as the image/audio
+# tiers (word-soup payloads; nearest perceptual neighbors sit higher
+# than real re-encodes would).
+QUERIES["dedup_video_frames"] = _doc_query(
+    dedup.video_near_pairs, max_hamming=20
+)
+ORACLES["dedup_video_frames"] = dedup.video_near_pairs_oracle(
+    max_hamming=20
+)
+
 
 # ---------------------------------------------------------------------------
 # Driver verification window ordering.

@@ -496,3 +496,55 @@ def test_audio_fingerprint_oracle_parity_and_nonvacuous(documents, spark):
     g = got.sort_values(list(got.columns)).reset_index(drop=True).astype(str)
     w = want.sort_values(list(want.columns)).reset_index(drop=True).astype(str)
     assert g.equals(w)
+
+
+def test_video_frames_planted_near_dups(spark):
+    """The video tier must pair a slightly-perturbed copy of a clip
+    payload at the strict default threshold (an edit near the end
+    disturbs only the frames sampling that region), keep exact copies
+    at hamming 0, and never pair unrelated clips or other modalities."""
+    from pithos_spark.functions.dedup import video_near_pairs
+
+    base = " ".join(f"w{i % 13} tok{i % 29}" for i in range(60))
+    near = base[:-9] + "x" + base[-8:]
+    far = " ".join(chr(97 + (i * 7) % 26) * 3 for i in range(60))
+    # doc_id % 3 == 2 is the video modality slice
+    docs = spark.createDataFrame(
+        [(2, base), (5, near), (8, base), (11, far)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in video_near_pairs(docs).collect()
+    }
+    assert got.get((2, 8)) == 0  # exact copy
+    assert (2, 5) in got and got[(2, 5)] <= 10  # perturbed near-dup
+    assert (5, 8) in got
+    assert not any(11 in p for p in got)
+    audio = spark.createDataFrame(
+        [(1, base), (4, base)], "doc_id long, text string"
+    )
+    assert video_near_pairs(audio).count() == 0
+
+
+@pytest.mark.slow
+def test_video_frames_oracle_parity_and_nonvacuous(documents, spark):
+    import duckdb
+
+    from pithos_spark.functions.dedup import (
+        video_near_pairs,
+        video_near_pairs_oracle,
+    )
+    from tests.conftest import SF_ORACLE
+
+    got = video_near_pairs(documents, max_hamming=20).toPandas()
+    assert len(got) > 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    want = con.execute(video_near_pairs_oracle(max_hamming=20)).df()
+    g = got.sort_values(list(got.columns)).reset_index(drop=True).astype(str)
+    w = want.sort_values(list(want.columns)).reset_index(drop=True).astype(str)
+    assert g.equals(w)
