@@ -128,10 +128,20 @@ def _parse_value(s: str, i: int) -> tuple[object, int]:
         items, i = _parse_seq(s, i + 1, "}")
         if len(items) % 2:
             raise EdnParseError("map literal with odd number of forms")
-        return dict(zip(items[0::2], items[1::2])), i
+        try:
+            return dict(zip(items[0::2], items[1::2])), i
+        except TypeError:
+            # EDN proper allows collection keys; the pithos subset never
+            # produces them (ACL/CORS maps key on keywords/strings), so
+            # reject them as a parse error instead of crashing (a
+            # hypothesis-found input: '{[]1}')
+            raise EdnParseError("unsupported collection key in map literal")
     if c == "#" and i + 1 < len(s) and s[i + 1] == "{":
         items, i = _parse_seq(s, i + 2, "}")
-        return set(items), i
+        try:
+            return set(items), i
+        except TypeError:
+            raise EdnParseError("unsupported collection member in set literal")
     return _parse_token(s, i)
 
 
