@@ -1709,3 +1709,111 @@ FROM banded a JOIN banded b
   ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 WHERE {xor_terms} <= {max_hamming}
 ORDER BY doc_a, doc_b"""
+
+
+def incremental_containment_pairs(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    n: int = 3,
+    threshold_pct: int = 80,
+    max_shingle_df: int = 200,
+) -> DataFrame:
+    """Incremental containment: which NEW documents are >= threshold_pct
+    contained in an EXISTING-corpus document — the crawl-delta form of
+    :func:`containment_pairs` (a re-crawled page that grew a banner, a
+    syndicated article inside a new aggregator page).  Only the delta
+    pays shingle cost beyond the corpus-side posting index a deployment
+    materializes once at ingest.
+
+    The boilerplate universe is defined by the CORPUS: shingles whose
+    existing-side doc-frequency exceeds ``max_shingle_df`` are excluded
+    from both sides' counting (the index side already knows what is
+    ubiquitous; a brand-new shingle trivially has df 0 and stays).
+    Work is bounded by ``max_shingle_df * |delta postings|`` — linear
+    in the DELTA, never the corpus.
+
+    Output: (new_doc_id, existing_doc_id, n_common, size_a,
+    containment_pct), size_a = the new doc's in-universe shingle count.
+    """
+    from pithos_spark.plans.helpers import bounded_persist
+
+    sh_old = bounded_persist(
+        shingles(existing_docs, n), "incr_containment.sh_old"
+    )
+    hot = (
+        sh_old.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_shingle_df)
+        .select("shingle")
+    )
+    uni_new = bounded_persist(
+        shingles(new_docs, n).join(F.broadcast(hot), "shingle", "left_anti"),
+        "incr_containment.uni_new",
+    )
+    uni_old = sh_old.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes_new = uni_new.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("size_a")
+    )
+    inter = (
+        uni_new.alias("a")
+        .join(uni_old.alias("b"), "shingle")
+        .groupBy(
+            F.col("a.doc_id").alias("new_doc_id"),
+            F.col("b.doc_id").alias("existing_doc_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes_new.withColumnRenamed("doc_id", "new_doc_id"), "new_doc_id"
+        )
+        .withColumn(
+            "containment_pct",
+            (F.col("n_common") * 100 / F.col("size_a")).cast("long"),
+        )
+        .filter(F.col("n_common") * 100 >= F.col("size_a") * threshold_pct)
+        .select(
+            "new_doc_id", "existing_doc_id", "n_common", "size_a",
+            "containment_pct",
+        )
+        .orderBy("new_doc_id", "existing_doc_id")
+    )
+
+
+def incremental_containment_pairs_oracle(
+    split_doc_id: int,
+    n: int = 3,
+    threshold_pct: int = 80,
+    max_shingle_df: int = 200,
+) -> str:
+    """DuckDB twin for the registry fixture protocol: documents with
+    doc_id >= ``split_doc_id`` act as the new crawl, the rest as the
+    existing corpus."""
+    return f"""\
+{_shingle_sql(n)}
+, sh_old AS (
+    SELECT doc_id, shingle FROM sh WHERE doc_id < {split_doc_id}
+), sh_new AS (
+    SELECT doc_id, shingle FROM sh WHERE doc_id >= {split_doc_id}
+), hot AS (
+    SELECT shingle FROM sh_old GROUP BY shingle
+    HAVING count(*) > {max_shingle_df}
+), uni_old AS (
+    SELECT o.doc_id, o.shingle FROM sh_old o
+    ANTI JOIN hot h ON o.shingle = h.shingle
+), uni_new AS (
+    SELECT nn.doc_id, nn.shingle FROM sh_new nn
+    ANTI JOIN hot h ON nn.shingle = h.shingle
+), sizes AS (
+    SELECT doc_id, count(*) AS size_a FROM uni_new GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS new_doc_id, b.doc_id AS existing_doc_id,
+           count(*) AS n_common
+    FROM uni_new a JOIN uni_old b USING (shingle)
+    GROUP BY 1, 2
+)
+SELECT i.new_doc_id, i.existing_doc_id, i.n_common, z.size_a,
+       CAST(i.n_common * 100 // z.size_a AS BIGINT) AS containment_pct
+FROM inter i JOIN sizes z ON z.doc_id = i.new_doc_id
+WHERE i.n_common * 100 >= z.size_a * {threshold_pct}
+ORDER BY new_doc_id, existing_doc_id"""

@@ -483,6 +483,26 @@ def _incremental_dedup(spark, sf_dir):
 QUERIES["dedup_incremental"] = _incremental_dedup
 ORACLES["dedup_incremental"] = dedup.incremental_dedup_pairs_oracle(400)
 
+
+def _incremental_containment(spark, sf_dir):
+    """Crawl-delta containment (same fixture split as dedup_incremental):
+    which new-crawl docs are contained in the existing corpus.
+    threshold 50 keeps the sf0.01 check non-vacuous."""
+    import pyspark.sql.functions as F
+
+    d = T.load_tables(spark, sf_dir)["documents"]
+    return dedup.incremental_containment_pairs(
+        d.filter(F.col("doc_id") >= 400),
+        d.filter(F.col("doc_id") < 400),
+        threshold_pct=50,
+    )
+
+
+QUERIES["dedup_incremental_containment"] = _incremental_containment
+ORACLES["dedup_incremental_containment"] = (
+    dedup.incremental_containment_pairs_oracle(400, threshold_pct=50)
+)
+
 QUERIES["dedup_minhash_lsh"] = _doc_query(dedup.minhash_lsh_pairs)
 ORACLES["dedup_minhash_lsh"] = dedup.minhash_lsh_pairs_oracle()
 QUERIES["dedup_simhash_pairs"] = _doc_query(dedup.simhash_near_pairs)

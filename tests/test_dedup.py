@@ -548,3 +548,55 @@ def test_video_frames_oracle_parity_and_nonvacuous(documents, spark):
     g = got.sort_values(list(got.columns)).reset_index(drop=True).astype(str)
     w = want.sort_values(list(want.columns)).reset_index(drop=True).astype(str)
     assert g.equals(w)
+
+
+def test_incremental_containment_delta_only_and_corpus_boilerplate(spark):
+    """The crawl-delta form must flag a new doc contained in the
+    existing corpus, must NOT emit existing x existing or new x new
+    pairs, and must exclude corpus-defined boilerplate from both sides'
+    counting (a ubiquitous corpus shingle cannot carry containment)."""
+    from pithos_spark.functions.dedup import incremental_containment_pairs
+
+    para = " ".join(f"alpha{i} beta{i % 7} gamma{i % 5}" for i in range(12))
+    boiler = "click here to subscribe now today"
+    existing = spark.createDataFrame(
+        [(i, boiler + f" corpus{i} filler{i} text{i}") for i in range(10)]
+        + [(50, "host page intro " + para + " host page outro")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, para),                 # contained in existing doc 50
+         (101, boiler),              # boilerplate-only: must NOT pair
+         (102, "totally fresh words never seen before at all")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_doc_id"], r["existing_doc_id"]): r["containment_pct"]
+        for r in incremental_containment_pairs(
+            new, existing, max_shingle_df=5
+        ).collect()
+    }
+    assert (100, 50) in got and got[(100, 50)] >= 90
+    assert not any(a == 101 for a, _ in got)  # boilerplate excluded
+    assert not any(a == 102 for a, _ in got)
+
+
+@pytest.mark.slow
+def test_incremental_containment_oracle_parity(spark):
+    import duckdb
+
+    from pithos_spark.registry import ORACLES, QUERIES
+    from tests.conftest import SF_ORACLE
+    from tests.harness import compare
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    compare(
+        QUERIES["dedup_incremental_containment"](spark, SF_ORACLE),
+        con,
+        ORACLES["dedup_incremental_containment"],
+        "dedup_incremental_containment",
+    )
