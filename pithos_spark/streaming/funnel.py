@@ -133,3 +133,35 @@ def streaming_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_incremental_containment(
+    new_docs_stream,
+    existing_docs,
+    sink_path: str,
+    checkpoint: str,
+    **containment_kwargs,
+):
+    """Streaming twin of functions/dedup.incremental_containment_pairs:
+    each micro-batch of newly-crawled documents is probed against the
+    STATIC corpus posting index for sub-document containment, flagged
+    pairs appended as parquet under ``sink_path`` — the same
+    foreachBatch contract as streaming_incremental_dedup (one code
+    path with the batch operator, checkpointed offsets, restart-safe).
+    """
+    from pithos_spark.functions.dedup import incremental_containment_pairs
+
+    def _probe(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        pairs = incremental_containment_pairs(
+            batch_df, existing_docs, **containment_kwargs
+        )
+        pairs.write.mode("append").parquet(sink_path)
+
+    return (
+        new_docs_stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

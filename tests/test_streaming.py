@@ -1059,3 +1059,45 @@ def test_streaming_heavy_hitters_replay_deterministic(spark, tmp_path):
         return final
 
     assert run("hh_replay_a") == run("hh_replay_b")
+
+
+def test_streaming_incremental_containment_matches_batch(spark, tmp_path):
+    """Micro-batched crawl delta probed against the static corpus
+    posting index must flag exactly the containment pairs the batch
+    operator flags, regardless of trigger splits."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions.dedup import incremental_containment_pairs
+    from pithos_spark.streaming.funnel import (
+        streaming_incremental_containment,
+    )
+
+    docs = T.load_tables(spark, SF_SMOKE)["documents"]
+    existing = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    src = str(tmp_path / "crawl_delta_c")
+    new.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = str(tmp_path / "inc_containment_sink")
+    q = streaming_incremental_containment(
+        stream, existing, sink, str(tmp_path / "ckpt_c"), threshold_pct=50
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["new_doc_id"], r["existing_doc_id"], r["containment_pct"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["new_doc_id"], r["existing_doc_id"], r["containment_pct"])
+        for r in incremental_containment_pairs(
+            new, existing, threshold_pct=50
+        ).collect()
+    }
+    assert got == want and len(want) > 0
