@@ -1817,3 +1817,64 @@ SELECT i.new_doc_id, i.existing_doc_id, i.n_common, z.size_a,
 FROM inter i JOIN sizes z ON z.doc_id = i.new_doc_id
 WHERE i.n_common * 100 >= z.size_a * {threshold_pct}
 ORDER BY new_doc_id, existing_doc_id"""
+
+
+def shingle_df_stats(
+    documents: DataFrame, n: int = 3, max_shingle_df: int = 200
+) -> DataFrame:
+    """Operational telemetry for the containment cap: the shingle
+    doc-frequency histogram in log2 buckets, plus what the
+    ``max_shingle_df`` universe cut would exclude — the report you run
+    BEFORE a 100 TB containment pass to size the cap (the
+    lsh_bucket_stats contract for the posting-join family).  Per
+    bucket: how many distinct shingles, how many posting rows (the
+    join's input volume), the pair-generation work they induce
+    (sum df^2 — the posting self-join's actual row count), and whether
+    the bucket falls outside the capped universe.
+
+    A zipfian corpus concentrates shingles in the df=1 bucket with work
+    ~= postings; a flat distribution (every shingle near the cap)
+    pushes work toward cap * postings — the two regimes SCALE_r10.md
+    measures.  Scale: one explode + two map-side-combinable aggs;
+    output is ~32 rows regardless of corpus size.
+    """
+    sdf = (
+        shingles(documents, n)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    bucket = F.floor(F.log2("df")).cast("long")
+    return (
+        sdf.groupBy(bucket.alias("df_log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("df").alias("n_postings"),
+            F.sum(F.col("df") * F.col("df")).alias("pair_work"),
+            F.max("df").alias("max_df"),
+        )
+        .withColumn(
+            "outside_universe",
+            F.expr(f"power(2, df_log2_bucket) > {max_shingle_df}")
+            .cast("boolean"),
+        )
+        .orderBy("df_log2_bucket")
+    )
+
+
+def shingle_df_stats_oracle(n: int = 3, max_shingle_df: int = 200) -> str:
+    """DuckDB twin of :func:`shingle_df_stats`."""
+    return f"""\
+{_shingle_sql(n)}
+, sdf AS (
+    SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+)
+SELECT CAST(floor(log2(df)) AS BIGINT) AS df_log2_bucket,
+       count(*) AS n_shingles,
+       CAST(sum(df) AS BIGINT) AS n_postings,
+       CAST(sum(df * df) AS BIGINT) AS pair_work,
+       CAST(max(df) AS BIGINT) AS max_df,
+       CAST(power(2, CAST(floor(log2(df)) AS BIGINT)) > {max_shingle_df}
+            AS BOOLEAN) AS outside_universe
+FROM sdf
+GROUP BY 1
+ORDER BY 1"""

@@ -503,6 +503,17 @@ ORACLES["dedup_incremental_containment"] = (
     dedup.incremental_containment_pairs_oracle(400, threshold_pct=50)
 )
 
+# cap-sizing telemetry for the containment/posting-join family: the
+# shingle df histogram + induced pair work (the lsh_bucket_stats
+# contract).  max_shingle_df=8 so the outside_universe column is
+# exercised non-vacuously at sf0.01 (max df there is ~20).
+QUERIES["dedup_shingle_df_stats"] = _doc_query(
+    dedup.shingle_df_stats, max_shingle_df=8
+)
+ORACLES["dedup_shingle_df_stats"] = dedup.shingle_df_stats_oracle(
+    max_shingle_df=8
+)
+
 QUERIES["dedup_minhash_lsh"] = _doc_query(dedup.minhash_lsh_pairs)
 ORACLES["dedup_minhash_lsh"] = dedup.minhash_lsh_pairs_oracle()
 QUERIES["dedup_simhash_pairs"] = _doc_query(dedup.simhash_near_pairs)

@@ -600,3 +600,47 @@ def test_incremental_containment_oracle_parity(spark):
         ORACLES["dedup_incremental_containment"],
         "dedup_incremental_containment",
     )
+
+
+def test_shingle_df_stats_accounts_every_posting(spark):
+    """The telemetry must partition the posting volume exactly: bucket
+    n_postings sums to the total shingle rows, pair_work to sum(df^2),
+    and the universe flag marks exactly the buckets above the cap."""
+    from pithos_spark.functions.dedup import shingle_df_stats, shingles
+
+    docs = spark.createDataFrame(
+        [(i, "common words here " + f"unique{i} tail{i}") for i in range(9)],
+        "doc_id long, text string",
+    )
+    rows = shingle_df_stats(docs, max_shingle_df=4).collect()
+    total_postings = shingles(docs, 3).count()
+    assert sum(r["n_postings"] for r in rows) == total_postings
+    for r in rows:
+        assert r["pair_work"] >= r["n_postings"]  # df^2 >= df
+        assert r["outside_universe"] == (2 ** r["df_log2_bucket"] > 4)
+    # 'common words here' appears in all 9 docs -> a df=9 bucket
+    # (log2 bucket 3) must exist and sit outside the cap-4 universe
+    assert any(
+        r["df_log2_bucket"] == 3 and r["outside_universe"] for r in rows
+    )
+
+
+@pytest.mark.slow
+def test_shingle_df_stats_oracle_parity(spark):
+    import duckdb
+
+    from pithos_spark.registry import ORACLES, QUERIES
+    from tests.conftest import SF_ORACLE
+    from tests.harness import compare
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    compare(
+        QUERIES["dedup_shingle_df_stats"](spark, SF_ORACLE),
+        con,
+        ORACLES["dedup_shingle_df_stats"],
+        "dedup_shingle_df_stats",
+    )
