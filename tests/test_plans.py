@@ -473,3 +473,48 @@ def test_epoch_shuffle_broadcasts_epoch_grid_no_global_sort(
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "hashpartitioning(epoch" in plan, plan
+
+
+def test_fingerprint_tiers_share_one_scan_and_band_join(spark, tables):
+    """Each perceptual tier (audio, video) must compute its fingerprints
+    from ONE corpus scan (the pivot side reuses the fingerprint
+    exchange) and generate candidates through the banded equi-join —
+    never a cartesian or corpus-wide sort-merge of payloads."""
+    from pithos_spark.functions.dedup import audio_near_pairs, video_near_pairs
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for fn in (audio_near_pairs, video_near_pairs):
+            plan = _plan(fn(tables["documents"]))
+            assert plan.count("Scan parquet") <= 2, (fn.__name__, plan)
+            assert "CartesianProduct" not in plan, fn.__name__
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+                "BroadcastHashJoin" in plan, fn.__name__
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_incremental_containment_caches_index_and_broadcasts_hot(
+    spark, tables
+):
+    """The crawl-delta containment must cache the corpus shingle index
+    (both its consumers — the hot-set agg and the posting side — read
+    InMemoryTableScan) and ship the hot-shingle set as broadcast
+    anti-joins on BOTH sides."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions.dedup import incremental_containment_pairs
+
+    d = tables["documents"]
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(
+            incremental_containment_pairs(
+                d.filter(F.col("doc_id") >= 400),
+                d.filter(F.col("doc_id") < 400),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert len(re.findall(r"BroadcastHashJoin .*LeftAnti", plan)) >= 2, plan
