@@ -1088,3 +1088,156 @@ SELECT p.doc_id,
 FROM per_feat p JOIN weights w USING (feature_id)
 GROUP BY p.doc_id
 ORDER BY p.doc_id"""
+
+
+def trigram_interp_score(
+    documents: DataFrame,
+    l3: int = 500,
+    l2: int = 300,
+    l1: int = 200,
+    low: int = 60,
+    high: int = 400,
+) -> DataFrame:
+    """Jelinek-Mercer interpolated trigram scoring — the standard
+    backoff LM family behind CCNet-style perplexity gates, upgraded
+    from the bigram proxy: each document's trigrams are scored
+    lambda3*P(w3|w1w2) + lambda2*P(w3|w2) + lambda1*P(w3), with all
+    three conditionals as integer permille and integer lambdas
+    (l3+l2+l1 = 1000), so the whole gate is engine-exact.
+
+    Self-scored here (the LM is the corpus's own counts, so the
+    trigram term always has c >= 1); a production pipeline scores a
+    held-out reference LM through the SAME plan — the left joins +
+    zero-coalesces below are exactly the unseen-gram path that needs.
+
+    Scale: one trigram explode (corpus-linear); the three LM joins are
+    keyed by the gram strings (vocabulary-bounded — at 100 TB
+    pre-build the LM once and bucket both sides by gram, the
+    perplexity_filter note); one doc-keyed final agg.  Docs with fewer
+    than 3 tokens have no trigram and are excluded (they are the
+    length gate's job, not the LM's).
+
+    Output: (doc_id, n_trigrams, mean_interp_permille, verdict) with
+    verdict 'high_ppl' below ``low``, 'low_ppl' above ``high``, else
+    'ok'.
+    """
+    assert l3 + l2 + l1 == 1000, "interpolation weights must sum to 1000"
+    toks = documents.select(
+        "doc_id", _tokens(F.col("text")).alias("_toks")
+    ).filter(F.size("_toks") >= 3)
+    t = F.col("_toks")
+    idx = F.sequence(F.lit(1), F.size(t) - 2)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, 3)))
+    tri_doc = (
+        toks.select("doc_id", F.explode(grams).alias("tri"))
+        .withColumn("_w", F.split(F.col("tri"), " "))
+        .select(
+            "doc_id",
+            "tri",
+            F.concat_ws(" ", F.col("_w")[0], F.col("_w")[1]).alias("ctx2"),
+            F.concat_ws(" ", F.col("_w")[1], F.col("_w")[2]).alias("bi"),
+            F.col("_w")[1].alias("ctx1"),
+            F.col("_w")[2].alias("w3"),
+        )
+    )
+    from pithos_spark.plans.helpers import bounded_persist
+
+    tri_doc = bounded_persist(tri_doc, "trigram_interp.tri_doc")
+    c3 = tri_doc.groupBy("tri").agg(F.count(F.lit(1)).alias("c3"))
+    cctx2 = tri_doc.groupBy("ctx2").agg(F.count(F.lit(1)).alias("cctx2"))
+    # bigram/unigram counts over the SAME trigram windows (w2, w3 of
+    # each window) keep every denominator consistent with its numerator
+    cbi = tri_doc.groupBy("bi").agg(F.count(F.lit(1)).alias("cbi"))
+    cctx1 = tri_doc.groupBy("ctx1").agg(F.count(F.lit(1)).alias("cctx1"))
+    cw3 = tri_doc.groupBy("w3").agg(F.count(F.lit(1)).alias("cw3"))
+    n_total = tri_doc.count()
+    scored = (
+        tri_doc.join(c3, "tri", "left")
+        .join(cctx2, "ctx2", "left")
+        .join(cbi, "bi", "left")
+        .join(cctx1, "ctx1", "left")
+        .join(cw3, "w3", "left")
+        .select(
+            "doc_id",
+            (
+                F.lit(l3)
+                * F.expr("(1000 * coalesce(c3, 0)) div greatest(coalesce(cctx2, 0), 1)")
+                + F.lit(l2)
+                * F.expr("(1000 * coalesce(cbi, 0)) div greatest(coalesce(cctx1, 0), 1)")
+                + F.lit(l1)
+                * F.expr(f"(1000 * coalesce(cw3, 0)) div {n_total}")
+            ).alias("_interp_x1000"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.expr("sum(_interp_x1000 div 1000) div count(1)").alias(
+                "mean_interp_permille"
+            ),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("mean_interp_permille") < low, F.lit("high_ppl"))
+            .when(F.col("mean_interp_permille") > high, F.lit("low_ppl"))
+            .otherwise(F.lit("ok")),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def trigram_interp_score_oracle(
+    l3: int = 500,
+    l2: int = 300,
+    l1: int = 200,
+    low: int = 60,
+    high: int = 400,
+) -> str:
+    """DuckDB twin of :func:`trigram_interp_score`."""
+    return f"""\
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents
+), toks3 AS (
+    SELECT doc_id, t FROM toks WHERE len(t) >= 3
+), tri_doc AS (
+    SELECT doc_id,
+           array_to_string(t[i:i+2], ' ') AS tri,
+           array_to_string(t[i:i+1], ' ') AS ctx2,
+           array_to_string(t[i+1:i+2], ' ') AS bi,
+           t[i+1] AS ctx1,
+           t[i+2] AS w3
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks3)
+), c3 AS (SELECT tri, count(*) AS c3 FROM tri_doc GROUP BY tri),
+cctx2 AS (SELECT ctx2, count(*) AS cctx2 FROM tri_doc GROUP BY ctx2),
+cbi AS (SELECT bi, count(*) AS cbi FROM tri_doc GROUP BY bi),
+cctx1 AS (SELECT ctx1, count(*) AS cctx1 FROM tri_doc GROUP BY ctx1),
+cw3 AS (SELECT w3, count(*) AS cw3 FROM tri_doc GROUP BY w3),
+n AS (SELECT count(*) AS n_total FROM tri_doc),
+scored AS (
+    SELECT d.doc_id,
+           ({l3} * ((1000 * coalesce(c3.c3, 0)) // greatest(coalesce(cctx2.cctx2, 0), 1))
+            + {l2} * ((1000 * coalesce(cbi.cbi, 0)) // greatest(coalesce(cctx1.cctx1, 0), 1))
+            + {l1} * ((1000 * coalesce(cw3.cw3, 0)) // n.n_total)
+           ) AS interp_x1000
+    FROM tri_doc d
+    LEFT JOIN c3 USING (tri)
+    LEFT JOIN cctx2 USING (ctx2)
+    LEFT JOIN cbi USING (bi)
+    LEFT JOIN cctx1 USING (ctx1)
+    LEFT JOIN cw3 USING (w3)
+    CROSS JOIN n
+)
+SELECT doc_id,
+       count(*) AS n_trigrams,
+       CAST(sum(interp_x1000 // 1000) // count(*) AS BIGINT)
+           AS mean_interp_permille,
+       CASE WHEN sum(interp_x1000 // 1000) // count(*) < {low}
+                THEN 'high_ppl'
+            WHEN sum(interp_x1000 // 1000) // count(*) > {high}
+                THEN 'low_ppl'
+            ELSE 'ok' END AS verdict
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id"""

@@ -2883,6 +2883,18 @@ from pithos_spark.functions.text import (  # noqa: E402
 QUERIES["corpus_quality_classifier"] = _quality_classifier
 ORACLES["corpus_quality_classifier"] = quality_classifier_score_oracle()
 
+# Jelinek-Mercer interpolated trigram gate (the bigram perplexity
+# proxy upgraded to the standard backoff family).  Bands 45/60 instead
+# of the defaults: the synthetic corpus's interpolated scores sit in
+# [41, 89] permille at sf0.01, so these produce all three verdicts
+# non-vacuously.
+QUERIES["corpus_trigram_interp"] = _doc_query(
+    text.trigram_interp_score, low=45, high=60
+)
+ORACLES["corpus_trigram_interp"] = text.trigram_interp_score_oracle(
+    low=45, high=60
+)
+
 # audio near-dup over the multimodal column (Haitsma-Kalker-shaped
 # temporal-difference fingerprint, banded like the image dHash).
 # max_hamming=8, not the function's strict 6: the synthetic clip

@@ -924,3 +924,50 @@ def test_quality_classifier_oracle_parity(spark):
         ORACLES["corpus_quality_classifier"],
         "corpus_quality_classifier",
     )
+
+
+def test_trigram_interp_backoff_ranks_repetition_and_excludes_short(spark):
+    """A document whose trigrams repeat verbatim must score strictly
+    higher than one made of one-off transitions (the interpolated
+    conditionals reward seen context); docs under 3 tokens are the
+    length gate's job and must be absent; weights must sum to 1000."""
+    from pithos_spark.functions.text import trigram_interp_score
+
+    docs = _docs(
+        spark,
+        [
+            "a b c a b c a b c a b c",   # doc 0: repeated trigrams
+            "p q r s t u v w x y z aa",  # doc 1: every transition unique
+            "too short",                 # doc 2: no trigram
+        ],
+    )
+    got = {r["doc_id"]: r for r in trigram_interp_score(docs).collect()}
+    assert set(got) == {0, 1}
+    assert (
+        got[0]["mean_interp_permille"] > got[1]["mean_interp_permille"]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        trigram_interp_score(docs, l3=600, l2=300, l1=200)
+
+
+@pytest.mark.slow
+def test_trigram_interp_oracle_parity(spark):
+    import duckdb
+
+    from pithos_spark.registry import ORACLES, QUERIES
+    from tests.conftest import SF_ORACLE
+    from tests.harness import compare
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    compare(
+        QUERIES["corpus_trigram_interp"](spark, SF_ORACLE),
+        con,
+        ORACLES["corpus_trigram_interp"],
+        "corpus_trigram_interp",
+    )
