@@ -1878,3 +1878,98 @@ SELECT CAST(floor(log2(df)) AS BIGINT) AS df_log2_bucket,
 FROM sdf
 GROUP BY 1
 ORDER BY 1"""
+
+
+def dedup_ladder_report(
+    documents: DataFrame,
+    image_hamming: int = 20,
+    audio_hamming: int = 8,
+    video_hamming: int = 20,
+    containment_threshold: int = 50,
+) -> DataFrame:
+    """One operational readout across the WHOLE dedup ladder: per tier,
+    how many duplicate pairs (or removable exact copies) this corpus
+    carries — the summary a curation run records per snapshot to track
+    duplication drift over crawls, and the single query that exercises
+    every tier's plan end-to-end.
+
+    Tiers: exact (removable copies = sum(copies-1)), MinHash-LSH,
+    SimHash, perceptual image/audio/video, and capped-universe
+    containment — each with the same parameters the registry gates
+    individually.
+
+    Scale: a union of seven independent aggregations; each tier keeps
+    its own bucketed/banded candidate bounds, and the report is 7 rows
+    regardless of corpus size.  Run it per crawl snapshot, not per
+    query.
+    """
+    def _count(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("tier"), F.col("n").cast("long").alias("n_pairs")
+        )
+
+    exact = exact_dedup(documents).agg(
+        F.coalesce(F.sum(F.col("copies") - 1), F.lit(0))
+        .cast("long")
+        .alias("n")
+    ).select(
+        F.lit("exact_removable").alias("tier"), F.col("n").alias("n_pairs")
+    )
+    tiers = [
+        exact,
+        _count("minhash_lsh", minhash_lsh_pairs(documents)),
+        _count("simhash", simhash_near_pairs(documents)),
+        _count(
+            "image_dhash",
+            image_dhash_near_pairs(documents, max_hamming=image_hamming),
+        ),
+        _count(
+            "audio_fingerprint",
+            audio_near_pairs(documents, max_hamming=audio_hamming),
+        ),
+        _count(
+            "video_frames",
+            video_near_pairs(documents, max_hamming=video_hamming),
+        ),
+        _count(
+            "containment",
+            containment_pairs(
+                documents, threshold_pct=containment_threshold
+            ),
+        ),
+    ]
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("tier")
+
+
+def dedup_ladder_report_oracle(
+    image_hamming: int = 20,
+    audio_hamming: int = 8,
+    video_hamming: int = 20,
+    containment_threshold: int = 50,
+) -> str:
+    """DuckDB twin of :func:`dedup_ladder_report` — each tier's own
+    oracle wrapped as a counted subquery, unioned."""
+    parts = [
+        """SELECT 'exact_removable' AS tier,
+       CAST(coalesce(sum(copies - 1), 0) AS BIGINT) AS n_pairs
+FROM (SELECT count(*) AS copies FROM documents GROUP BY md5(text))""",
+    ]
+    for name, sql in [
+        ("minhash_lsh", minhash_lsh_pairs_oracle()),
+        ("simhash", simhash_near_pairs_oracle()),
+        ("image_dhash", image_dhash_near_pairs_oracle(max_hamming=image_hamming)),
+        ("audio_fingerprint", audio_near_pairs_oracle(max_hamming=audio_hamming)),
+        ("video_frames", video_near_pairs_oracle(max_hamming=video_hamming)),
+        (
+            "containment",
+            containment_pairs_oracle(threshold_pct=containment_threshold),
+        ),
+    ]:
+        parts.append(
+            f"SELECT '{name}' AS tier, CAST(count(*) AS BIGINT) AS n_pairs "
+            f"FROM (\n{sql}\n)"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY tier"

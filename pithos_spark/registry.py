@@ -503,6 +503,12 @@ ORACLES["dedup_incremental_containment"] = (
     dedup.incremental_containment_pairs_oracle(400, threshold_pct=50)
 )
 
+# the whole-ladder readout: per-tier duplicate-pair counts with the
+# same parameters each tier's own gate uses — the per-snapshot summary
+# a curation run records, and one query exercising every tier's plan.
+QUERIES["dedup_ladder_report"] = _doc_query(dedup.dedup_ladder_report)
+ORACLES["dedup_ladder_report"] = dedup.dedup_ladder_report_oracle()
+
 # cap-sizing telemetry for the containment/posting-join family: the
 # shingle df histogram + induced pair work (the lsh_bucket_stats
 # contract).  max_shingle_df=8 so the outside_universe column is

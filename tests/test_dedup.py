@@ -644,3 +644,41 @@ def test_shingle_df_stats_oracle_parity(spark):
         ORACLES["dedup_shingle_df_stats"],
         "dedup_shingle_df_stats",
     )
+
+
+@pytest.mark.slow
+def test_dedup_ladder_report_matches_tiers_and_oracle(documents, spark):
+    """The ladder report's per-tier counts must equal each tier query's
+    own row count (no drift between the summary and the gates), and
+    hash-match the union oracle."""
+    import duckdb
+
+    from pithos_spark.functions.dedup import dedup_ladder_report
+    from pithos_spark.registry import ORACLES, QUERIES
+    from tests.conftest import SF_ORACLE
+    from tests.harness import compare
+
+    got = {
+        r["tier"]: r["n_pairs"]
+        for r in dedup_ladder_report(documents).collect()
+    }
+    assert got["minhash_lsh"] == QUERIES["dedup_minhash_lsh"](
+        spark, SF_ORACLE
+    ).count()
+    assert got["containment"] == QUERIES["dedup_containment"](
+        spark, SF_ORACLE
+    ).count()
+    assert got["exact_removable"] == 0  # raw corpus has no exact dups
+    assert all(got[t] > 0 for t in got if t != "exact_removable")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    compare(
+        QUERIES["dedup_ladder_report"](spark, SF_ORACLE),
+        con,
+        ORACLES["dedup_ladder_report"],
+        "dedup_ladder_report",
+    )
