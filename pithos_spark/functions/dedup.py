@@ -1197,22 +1197,33 @@ def image_dhash_fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
-def image_dhash_near_pairs(
-    documents: DataFrame, max_hamming: int = 10, max_bucket: int = 1000
+def _banded_hamming_pairs(
+    fps: DataFrame,
+    n_bands: int,
+    max_hamming: int,
+    max_bucket: int,
+    slot: str,
 ) -> DataFrame:
-    """Perceptual near-duplicate image pairs: band-bucket LSH over the
-    8x8-bit dHash (pigeonhole: hamming <= 7 guarantees a shared band;
-    wider distances collide probabilistically), bucket cap against
-    degenerate buckets (same guard as minhash/simhash), exact Hamming
-    verify over the full 64 bits.  Output (doc_a, doc_b, hamming)."""
-    fps = image_dhash_fingerprints(documents)
+    """The shared LSH skeleton of every perceptual tier: pivot the
+    (doc_id, band, band_val) fingerprint long-form wide, band-bucket
+    join, bucket cap, exact Hamming verify over all ``n_bands`` x 8-bit
+    bands.  Output (doc_a, doc_b, hamming), doc_a < doc_b, distinct.
+
+    The fingerprint DataFrame feeds BOTH the pivot and the banded probe
+    side, so it is wrapped in :func:`bounded_persist` (slot-keyed, at
+    most one live cached plan per call site) — without it the
+    decode + constant-explode + window pipeline ran twice per corpus
+    pass (ADVICE r10)."""
+    from pithos_spark.plans.helpers import bounded_persist
+
+    fps = bounded_persist(fps, slot)
     wide = (
         fps.groupBy("doc_id")
-        .pivot("band", list(range(_DHASH_ROWS)))
+        .pivot("band", list(range(n_bands)))
         .agg(F.first("band_val"))
         .select(
             "doc_id",
-            *[F.col(str(i)).alias(f"b{i}") for i in range(_DHASH_ROWS)],
+            *[F.col(str(i)).alias(f"b{i}") for i in range(n_bands)],
         )
     )
     banded = _cap_buckets(
@@ -1223,7 +1234,7 @@ def image_dhash_near_pairs(
         F.bit_count(
             F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}"))
         ).cast("long")
-        for i in range(_DHASH_ROWS)
+        for i in range(n_bands)
     )
     return (
         a.join(
@@ -1240,6 +1251,23 @@ def image_dhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def image_dhash_near_pairs(
+    documents: DataFrame, max_hamming: int = 10, max_bucket: int = 1000
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: band-bucket LSH over the
+    8x8-bit dHash (pigeonhole: hamming <= 7 guarantees a shared band;
+    wider distances collide probabilistically), bucket cap against
+    degenerate buckets (same guard as minhash/simhash), exact Hamming
+    verify over the full 64 bits.  Output (doc_a, doc_b, hamming)."""
+    return _banded_hamming_pairs(
+        image_dhash_fingerprints(documents),
+        _DHASH_ROWS,
+        max_hamming,
+        max_bucket,
+        "image_dhash_near_pairs.fps",
     )
 
 
@@ -1469,41 +1497,12 @@ def audio_near_pairs(
     fingerprint (pigeonhole: hamming <= 3 guarantees a shared band),
     bucket cap against degenerate buckets, exact Hamming verify over
     the full 32 bits.  Output (doc_a, doc_b, hamming)."""
-    fps = audio_fingerprints(documents)
-    wide = (
-        fps.groupBy("doc_id")
-        .pivot("band", list(range(_AFP_BANDS)))
-        .agg(F.first("band_val"))
-        .select(
-            "doc_id",
-            *[F.col(str(i)).alias(f"b{i}") for i in range(_AFP_BANDS)],
-        )
-    )
-    banded = _cap_buckets(
-        fps.join(wide, "doc_id"), ["band", "band_val"], max_bucket
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    dist = sum(
-        F.bit_count(
-            F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}"))
-        ).cast("long")
-        for i in range(_AFP_BANDS)
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            dist.alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-        .orderBy("doc_a", "doc_b")
+    return _banded_hamming_pairs(
+        audio_fingerprints(documents),
+        _AFP_BANDS,
+        max_hamming,
+        max_bucket,
+        "audio_near_pairs.fps",
     )
 
 
@@ -1624,41 +1623,12 @@ def video_near_pairs(
     signature (a shared frame is a shared band — pigeonhole hamming
     <= 7), bucket cap, exact 64-bit Hamming verify.
     Output (doc_a, doc_b, hamming)."""
-    fps = video_fingerprints(documents)
-    wide = (
-        fps.groupBy("doc_id")
-        .pivot("band", list(range(_VFP_FRAMES)))
-        .agg(F.first("band_val"))
-        .select(
-            "doc_id",
-            *[F.col(str(i)).alias(f"b{i}") for i in range(_VFP_FRAMES)],
-        )
-    )
-    banded = _cap_buckets(
-        fps.join(wide, "doc_id"), ["band", "band_val"], max_bucket
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    dist = sum(
-        F.bit_count(
-            F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}"))
-        ).cast("long")
-        for i in range(_VFP_FRAMES)
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            dist.alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-        .orderBy("doc_a", "doc_b")
+    return _banded_hamming_pairs(
+        video_fingerprints(documents),
+        _VFP_FRAMES,
+        max_hamming,
+        max_bucket,
+        "video_near_pairs.fps",
     )
 
 
@@ -1844,6 +1814,13 @@ def shingle_df_stats(
         .agg(F.count(F.lit(1)).alias("df"))
     )
     bucket = F.floor(F.log2("df")).cast("long")
+    # the universe cut applies per SHINGLE (df > cap), not per bucket:
+    # the log2 bucket straddling the cap (e.g. cap=200, bucket
+    # [128,255]) holds both included and excluded shingles, so each
+    # bucket reports exact in/out posting+work splits — a whole-bucket
+    # boolean under-reported the exclusions exactly where the cap bites
+    # (ADVICE r10)
+    out = F.col("df") > max_shingle_df
     return (
         sdf.groupBy(bucket.alias("df_log2_bucket"))
         .agg(
@@ -1851,11 +1828,13 @@ def shingle_df_stats(
             F.sum("df").alias("n_postings"),
             F.sum(F.col("df") * F.col("df")).alias("pair_work"),
             F.max("df").alias("max_df"),
-        )
-        .withColumn(
-            "outside_universe",
-            F.expr(f"power(2, df_log2_bucket) > {max_shingle_df}")
-            .cast("boolean"),
+            F.sum(F.when(out, 1).otherwise(0)).alias("shingles_outside"),
+            F.sum(F.when(out, F.col("df")).otherwise(0)).alias(
+                "postings_outside"
+            ),
+            F.sum(
+                F.when(out, F.col("df") * F.col("df")).otherwise(0)
+            ).alias("pair_work_outside"),
         )
         .orderBy("df_log2_bucket")
     )
@@ -1873,8 +1852,12 @@ SELECT CAST(floor(log2(df)) AS BIGINT) AS df_log2_bucket,
        CAST(sum(df) AS BIGINT) AS n_postings,
        CAST(sum(df * df) AS BIGINT) AS pair_work,
        CAST(max(df) AS BIGINT) AS max_df,
-       CAST(power(2, CAST(floor(log2(df)) AS BIGINT)) > {max_shingle_df}
-            AS BOOLEAN) AS outside_universe
+       CAST(sum(CASE WHEN df > {max_shingle_df} THEN 1 ELSE 0 END)
+            AS BIGINT) AS shingles_outside,
+       CAST(sum(CASE WHEN df > {max_shingle_df} THEN df ELSE 0 END)
+            AS BIGINT) AS postings_outside,
+       CAST(sum(CASE WHEN df > {max_shingle_df} THEN df * df ELSE 0 END)
+            AS BIGINT) AS pair_work_outside
 FROM sdf
 GROUP BY 1
 ORDER BY 1"""

@@ -627,6 +627,7 @@ def bpe_train(
     max_word_chars: int = 20,
     merge_batch: int = 16,
     max_vocab_collect: int | None = None,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Learn a BPE merge table from the corpus: ``num_merges`` rounds of
     (count adjacent symbol pairs over the word-frequency table) ->
@@ -652,7 +653,7 @@ def bpe_train(
         max_vocab_collect = _BPE_MAX_VOCAB_COLLECT
     rules, syms = _bpe_run(
         documents, num_merges, max_word_chars, merge_batch,
-        max_vocab_collect=max_vocab_collect,
+        max_vocab_collect=max_vocab_collect, scratch_dir=scratch_dir,
     )
     syms.unpersist()
     return documents.sparkSession.createDataFrame(
@@ -732,12 +733,47 @@ def _bpe_train_local(vocab: list, num_merges: int):
 _BPE_MAX_VOCAB_COLLECT = 2_000_000
 
 
+def _bpe_scratch_dir(spark, scratch_dir: str | None) -> str:
+    """Resolve the scratch location for the distributed BPE loop's
+    per-round materialization barrier.  Resolution order: an explicit
+    ``scratch_dir`` argument, then the session's checkpoint dir
+    (``spark.sparkContext.setCheckpointDir`` — by convention a
+    cluster-visible path), then — ONLY under a local master — a
+    driver-local tempdir.  On a multi-node master with neither
+    configured we fail fast: a driver-local /tmp path would have each
+    executor write its shards to its own disk and the driver-side
+    ``read.parquet`` silently consume an incomplete symbol table,
+    corrupting training (the failure mode is silent, so refusing is the
+    only safe default)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if scratch_dir:
+        return scratch_dir.rstrip("/")
+    sc = spark.sparkContext
+    ckpt = sc.getCheckpointDir()
+    if ckpt:
+        return ckpt.rstrip("/") + "/bpe_train"
+    if sc.master.startswith("local"):
+        tmp = tempfile.mkdtemp(prefix="bpe_train_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        return tmp
+    raise ValueError(
+        "distributed BPE training needs a cluster-visible scratch dir: "
+        "pass scratch_dir=, or call spark.sparkContext.setCheckpointDir "
+        "with a shared filesystem path (a driver-local tempdir would "
+        f"silently lose executor shards under master={sc.master!r})"
+    )
+
+
 def _bpe_run(
     documents: DataFrame,
     num_merges: int,
     max_word_chars: int,
     merge_batch: int = 16,
     max_vocab_collect: int = _BPE_MAX_VOCAB_COLLECT,
+    scratch_dir: str | None = None,
 ):
     """The training loop: returns (rules, final_syms) with final_syms
     still persisted — the caller owns its unpersist.  final_syms is the
@@ -754,24 +790,25 @@ def _bpe_run(
     as a vocab-sized DataFrame.  Oversized vocabularies use the
     distributed batched round loop below, bit-identical by the
     _accept_merge_batch equivalence argument."""
-    import atexit
-    import shutil
-    import tempfile
-
     spark = documents.sparkSession
-    base = _bpe_word_symbols(documents, max_word_chars)
+    # Persist the vocabulary before probing its size: the corpus-sized
+    # aggregation runs ONCE, and both the local-path collect and the
+    # distributed fallback reuse the cached vocab (the docstring's
+    # "one corpus-sized scan" claim, previously off by one).
+    base = _bpe_word_symbols(documents, max_word_chars).persist()
     if max_vocab_collect and base.count() <= max_vocab_collect:
         vocab = [
             (r["word"], r["freq"])
             for r in base.select("word", "freq").collect()
         ]
+        base.unpersist()
         vocab.sort()  # deterministic iteration order for final_syms
         rules, final = _bpe_train_local(vocab, num_merges)
         syms = spark.createDataFrame(
             final, "word string, freq bigint, s array<string>"
         ).persist()
         return rules, syms
-    syms = base.persist()
+    syms = base
     rules = []
     tmp = None
     rounds = 0
@@ -796,8 +833,7 @@ def _bpe_run(
         # (~0.4 s/round over 30+ rounds); two alternating paths so a
         # write never overwrites the table it is reading from.
         if tmp is None:
-            tmp = tempfile.mkdtemp(prefix="bpe_train_")
-            atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+            tmp = _bpe_scratch_dir(spark, scratch_dir)
         rounds += 1
         path = f"{tmp}/round_{rounds % 2}"
         nxt_syms.write.mode("overwrite").parquet(path)

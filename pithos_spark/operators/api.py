@@ -699,11 +699,18 @@ def authenticate_v2(
         # its Expires param — and checks an expires param even when the
         # credentials arrived in the Authorization header.  Skipping the
         # check when the caller forgot the clock would silently accept
-        # expired URLs, so refuse loudly instead (ADVICE r9).
-        raise ValueError(
-            "authenticate_v2: request carries an Expires bound but no "
-            "now_epoch was provided; pass now_epoch to enforce presigned "
-            "expiry (reference sig.clj always enforces it)"
+        # expired URLs; raising would turn any ?expires=... request into
+        # an attacker-triggerable per-request crash (ADVICE r10).  The
+        # reference throws a typed ex-info that its HTTP layer converts
+        # to a response — our analog is failing CLOSED with a 500
+        # refusal tuple the serve() boundary already knows how to emit.
+        return (None, ()), (
+            500,
+            xmlio.error_response(
+                "InternalError",
+                "expiry bound present but server clock not configured; "
+                "refusing to validate Expires without now_epoch",
+            ),
         )
     if presigned:
         # presigned query-param form (sig.clj:87-120): Expires sits in

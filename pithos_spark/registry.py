@@ -511,8 +511,10 @@ ORACLES["dedup_ladder_report"] = dedup.dedup_ladder_report_oracle()
 
 # cap-sizing telemetry for the containment/posting-join family: the
 # shingle df histogram + induced pair work (the lsh_bucket_stats
-# contract).  max_shingle_df=8 so the outside_universe column is
-# exercised non-vacuously at sf0.01 (max df there is ~20).
+# contract).  max_shingle_df=8 so the per-shingle outside splits
+# (shingles/postings/pair_work_outside, exact even in the log2 bucket
+# straddling the cap — ADVICE r10) are exercised non-vacuously at
+# sf0.01 (max df there is ~20).
 QUERIES["dedup_shingle_df_stats"] = _doc_query(
     dedup.shingle_df_stats, max_shingle_df=8
 )

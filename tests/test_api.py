@@ -1628,13 +1628,13 @@ def test_serve_malformed_v4_header_is_refused(spark):
 
 
 def test_presigned_requires_now_epoch(spark):
-    """ADVICE r9: the reference (sig.clj validate) ALWAYS bounds a
+    """ADVICE r9/r10: the reference (sig.clj validate) ALWAYS bounds a
     presigned URL by its Expires param.  A presigned request reaching
-    authenticate_v2 without a now_epoch clock therefore refuses loudly
-    (ValueError) instead of silently validating the signature and
-    accepting an expired URL."""
-    import pytest
-
+    authenticate_v2 without a now_epoch clock refuses CLOSED with a 500
+    InternalError tuple — neither silently accepting an expired URL
+    (r9) nor raising an attacker-triggerable per-request exception
+    (r10; the reference's ex-info becomes an HTTP response, ours is the
+    refusal tuple serve() already emits)."""
     from pithos_spark.operators import sig
     from pithos_spark.operators.api import authenticate_v2
 
@@ -1646,8 +1646,10 @@ def test_presigned_requires_now_epoch(spark):
         "signature": sig.v2_sign("sek", sts),
         "expires": "100",
     }
-    with pytest.raises(ValueError, match="now_epoch"):
-        authenticate_v2("GET", uri, params, {}, keystore)
+    (tenant, _), refusal = authenticate_v2("GET", uri, params, {}, keystore)
+    assert tenant is None
+    assert refusal is not None and refusal[0] == 500
+    assert "InternalError" in refusal[1] and "now_epoch" in refusal[1]
     # with the clock, the same request enforces expiry (now > 100)
     (_, _), refusal = authenticate_v2(
         "GET", uri, params, {}, keystore, now_epoch=101
@@ -1662,9 +1664,7 @@ def test_header_auth_expires_param_enforced(spark):
     query form).  Expires sits in the string-to-sign's date slot;
     after the signature verifies, the expiry bound applies — expired
     -> 403 AccessDenied, unparseable -> 500 InternalError, and a
-    missing clock refuses with ValueError."""
-    import pytest
-
+    missing clock fails closed with a 500 refusal tuple."""
     from pithos_spark.operators import sig
     from pithos_spark.operators.api import authenticate_v2
 
@@ -1691,11 +1691,12 @@ def test_header_auth_expires_param_enforced(spark):
         "GET", uri, {"expires": "soon"}, hdr("soon"), keystore, now_epoch=100
     )
     assert refusal is not None and refusal[0] == 500
-    # no clock but an expires bound present: loud refusal
-    with pytest.raises(ValueError, match="now_epoch"):
-        authenticate_v2(
-            "GET", uri, {"expires": "200"}, hdr("200"), keystore
-        )
+    # no clock but an expires bound present: closed 500 refusal
+    (_, _), refusal = authenticate_v2(
+        "GET", uri, {"expires": "200"}, hdr("200"), keystore
+    )
+    assert refusal is not None and refusal[0] == 500
+    assert "now_epoch" in refusal[1]
 
 
 def test_grant_rewrite_null_safe(spark):

@@ -605,24 +605,39 @@ def test_incremental_containment_oracle_parity(spark):
 def test_shingle_df_stats_accounts_every_posting(spark):
     """The telemetry must partition the posting volume exactly: bucket
     n_postings sums to the total shingle rows, pair_work to sum(df^2),
-    and the universe flag marks exactly the buckets above the cap."""
+    and the outside split counts shingles with df > cap directly —
+    including in the log2 bucket that STRADDLES the cap, where a
+    whole-bucket boolean under-reported exclusions (ADVICE r10)."""
     from pithos_spark.functions.dedup import shingle_df_stats, shingles
 
     docs = spark.createDataFrame(
         [(i, "common words here " + f"unique{i} tail{i}") for i in range(9)],
         "doc_id long, text string",
     )
-    rows = shingle_df_stats(docs, max_shingle_df=4).collect()
+    # df values here are 1 and 9.  cap=8 makes bucket 3 ([8,15]) the
+    # straddle case: its floor satisfies 2^3 > 8 = false (the old
+    # whole-bucket formula called it in-universe) while its df=9
+    # shingle is in fact excluded by the per-shingle cut.
+    rows = shingle_df_stats(docs, max_shingle_df=8).collect()
     total_postings = shingles(docs, 3).count()
     assert sum(r["n_postings"] for r in rows) == total_postings
     for r in rows:
         assert r["pair_work"] >= r["n_postings"]  # df^2 >= df
-        assert r["outside_universe"] == (2 ** r["df_log2_bucket"] > 4)
-    # 'common words here' appears in all 9 docs -> a df=9 bucket
-    # (log2 bucket 3) must exist and sit outside the cap-4 universe
-    assert any(
-        r["df_log2_bucket"] == 3 and r["outside_universe"] for r in rows
-    )
+        assert 0 <= r["shingles_outside"] <= r["n_shingles"]
+        assert 0 <= r["postings_outside"] <= r["n_postings"]
+        assert 0 <= r["pair_work_outside"] <= r["pair_work"]
+    by_bucket = {r["df_log2_bucket"]: r for r in rows}
+    # 'common words here' appears in all 9 docs -> df=9, log2 bucket 3
+    # ([8,15]).  With cap=8 the OLD whole-bucket test (2^3 > 8 = false)
+    # reported this bucket in-universe; the exact split counts its df=9
+    # shingle as excluded.
+    b3 = by_bucket[3]
+    assert b3["shingles_outside"] == 1
+    assert b3["postings_outside"] == 9
+    assert b3["pair_work_outside"] == 81
+    # the df=1 bucket is fully inside
+    assert by_bucket[0]["shingles_outside"] == 0
+    assert by_bucket[0]["postings_outside"] == 0
 
 
 @pytest.mark.slow

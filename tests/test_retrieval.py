@@ -469,6 +469,42 @@ def test_bpe_train_greedy_overlap_and_exhaustion(spark):
 
 
 @pytest.mark.slow
+def test_bpe_scratch_dir_resolution(spark, tmp_path):
+    """ADVICE r10: the distributed loop's materialization barrier must
+    never silently land on a driver-local /tmp under a cluster master —
+    executors would write shards to their own disks and the driver-side
+    read would consume an incomplete symbol table.  Resolution order:
+    explicit arg, session checkpoint dir, local-master tempdir; a
+    non-local master with neither configured fails fast."""
+    import pytest
+
+    from pithos_spark.functions.text import _bpe_scratch_dir
+
+    # explicit argument wins regardless of master
+    assert _bpe_scratch_dir(spark, str(tmp_path) + "/") == str(tmp_path)
+
+    class _SC:
+        def __init__(self, master, ckpt=None):
+            self.master = master
+            self._ckpt = ckpt
+
+        def getCheckpointDir(self):
+            return self._ckpt
+
+    class _Spark:
+        def __init__(self, master, ckpt=None):
+            self.sparkContext = _SC(master, ckpt)
+
+    # checkpoint dir (cluster-visible by convention) is used when set
+    got = _bpe_scratch_dir(_Spark("spark://m:7077", "hdfs:///ckpt/"), None)
+    assert got == "hdfs:///ckpt/bpe_train"
+    # local master without either falls back to a tempdir
+    assert _bpe_scratch_dir(_Spark("local[4]"), None)
+    # non-local master without either: fail fast, not silent corruption
+    with pytest.raises(ValueError, match="cluster-visible scratch"):
+        _bpe_scratch_dir(_Spark("spark://m:7077"), None)
+
+
 def test_bpe_train_unicode_codepoint_parity(spark):
     """Non-ASCII corpora must segment identically in both engines:
     symbols and the max_word_chars truncation are CODE POINTS (regexp
