@@ -1156,8 +1156,6 @@ def image_dhash_fingerprints(documents: DataFrame) -> DataFrame:
     map-side combinable on doc_id), mirroring reference operator
     structure at blob granularity (blob.clj chunks a payload the same
     explode-then-regroup way)."""
-    from pyspark.sql import Window
-
     grid = _DHASH_ROWS * _DHASH_COLS
     imgs = documents.filter(
         (F.col("doc_id") % 3 == 0) & (F.length("text") > 0)
@@ -1169,11 +1167,27 @@ def image_dhash_fingerprints(documents: DataFrame) -> DataFrame:
         "n_px",
     ).select(
         "doc_id",
-        (F.col("g") / _DHASH_COLS).cast("int").alias("r"),
-        (F.col("g") % _DHASH_COLS).alias("c"),
+        "g",
         F.expr(
             f"ascii(substr(text, CAST((g * n_px) DIV {grid} + 1 AS INT), 1))"
         ).alias("px"),
+    )
+    return _dhash_bands(pix)
+
+
+def _dhash_bands(pix: DataFrame) -> DataFrame:
+    """The dHash band computation over a sampled (doc_id, g, px) grid —
+    shared by the column-expression stand-in above and the
+    real-decoded-pixel path below, so the two differ ONLY in where the
+    pixels came from: g decomposes into (row, col), one bit per
+    horizontal gradient, packed as 8-bit band values per row."""
+    from pyspark.sql import Window
+
+    pix = pix.select(
+        "doc_id",
+        (F.col("g") / _DHASH_COLS).cast("int").alias("r"),
+        (F.col("g") % _DHASH_COLS).alias("c"),
+        "px",
     )
     wn = Window.partitionBy("doc_id", "r").orderBy("c")
     bits = pix.withColumn("nx", F.lead("px").over(wn)).filter(
@@ -1194,6 +1208,30 @@ def image_dhash_fingerprints(documents: DataFrame) -> DataFrame:
             .alias("band_val")
         )
         .select("doc_id", F.col("r").alias("band"), "band_val")
+    )
+
+
+def image_dhash_fingerprints_assets(assets: DataFrame) -> DataFrame:
+    """dHash bands over the multimodal asset table with a REAL pixel
+    source: image assets flow through
+    :func:`~pithos_spark.sources.multimodal.sampled_pixel_grid` — PIL
+    (or the stdlib PNG pixel decoder) nearest-neighbor-downsamples
+    decodable payloads to the 8x9 grayscale grid (``decoded=true``),
+    undecodable payloads take the deterministic ASCII stand-in,
+    value-identical to :func:`image_dhash_fingerprints` (which stays
+    the oracle-checkable twin: on a corpus with no decodable media the
+    two produce THE SAME fingerprints, tested).  Everything downstream
+    of the pixel source is the shared :func:`_dhash_bands` /
+    :func:`_banded_hamming_pairs` machinery — VERDICT r10 task 2."""
+    from pithos_spark.sources.multimodal import sampled_pixel_grid
+
+    pix = sampled_pixel_grid(
+        assets.filter(F.col("media_type") == "image"),
+        _DHASH_ROWS,
+        _DHASH_COLS,
+    )
+    return _dhash_bands(
+        pix.select(F.col("asset_id").alias("doc_id"), "g", "px")
     )
 
 
@@ -1268,6 +1306,23 @@ def image_dhash_near_pairs(
         max_hamming,
         max_bucket,
         "image_dhash_near_pairs.fps",
+    )
+
+
+def image_dhash_near_pairs_assets(
+    assets: DataFrame, max_hamming: int = 10, max_bucket: int = 1000
+) -> DataFrame:
+    """:func:`image_dhash_near_pairs` fed from the REAL decode path:
+    genuinely-resized copies of a decodable image land in the same
+    near-dup pair (their nearest-neighbor-sampled grids agree), while
+    undecodable payloads take the stand-in and reproduce the stub
+    tier's pairs exactly.  Output (doc_a, doc_b, hamming)."""
+    return _banded_hamming_pairs(
+        image_dhash_fingerprints_assets(assets),
+        _DHASH_ROWS,
+        max_hamming,
+        max_bucket,
+        "image_dhash_near_pairs_assets.fps",
     )
 
 
@@ -1449,8 +1504,6 @@ def audio_fingerprints(documents: DataFrame) -> DataFrame:
     (corpus-linear), frame energies via a map-side-combinable
     (doc, frame) agg, difference bits via a doc-keyed window — no
     corpus-wide shuffle until the banded candidate join."""
-    from pyspark.sql import Window
-
     grid = _AFP_FRAMES * _AFP_SAMPLES
     clips = documents.filter(
         (F.col("doc_id") % 3 == 1) & (F.length("text") > 0)
@@ -1462,13 +1515,30 @@ def audio_fingerprints(documents: DataFrame) -> DataFrame:
         "n_px",
     ).select(
         "doc_id",
-        (F.col("g") / _AFP_SAMPLES).cast("int").alias("f"),
+        "g",
         F.expr(
             f"ascii(substr(text, CAST((g * n_px) DIV {grid} + 1 AS INT), 1))"
-        ).alias("amp"),
+        ).alias("px"),
     )
-    energy = samples.groupBy("doc_id", "f").agg(
-        F.sum("amp").alias("e")
+    return _afp_bands(samples)
+
+
+def _afp_bands(samples: DataFrame) -> DataFrame:
+    """The Haitsma-Kalker band computation over sampled
+    (doc_id, g, px) amplitudes — shared by the column-expression
+    stand-in and the real PCM path: g decomposes into frames, frame
+    energies sum map-side-combinably, one bit per adjacent-frame
+    energy difference, packed 8 bits per band."""
+    from pyspark.sql import Window
+
+    energy = (
+        samples.select(
+            "doc_id",
+            (F.col("g") / _AFP_SAMPLES).cast("int").alias("f"),
+            F.col("px").alias("amp"),
+        )
+        .groupBy("doc_id", "f")
+        .agg(F.sum("amp").alias("e"))
     )
     wn = Window.partitionBy("doc_id").orderBy("f")
     bits = energy.withColumn("nx", F.lead("e").over(wn)).filter(
@@ -1490,6 +1560,25 @@ def audio_fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
+def audio_fingerprints_assets(assets: DataFrame) -> DataFrame:
+    """Haitsma-Kalker bands over the multimodal asset table with a REAL
+    sample source: audio assets flow through ``sampled_pixel_grid`` —
+    decodable 16-bit PCM WAV payloads yield |amplitude| samples
+    (``decoded=true``), everything else the ASCII stand-in identical to
+    :func:`audio_fingerprints` (the oracle twin).  Downstream framing /
+    energy / difference bits are the shared :func:`_afp_bands`."""
+    from pithos_spark.sources.multimodal import sampled_pixel_grid
+
+    samples = sampled_pixel_grid(
+        assets.filter(F.col("media_type") == "audio"),
+        _AFP_FRAMES,
+        _AFP_SAMPLES,
+    )
+    return _afp_bands(
+        samples.select(F.col("asset_id").alias("doc_id"), "g", "px")
+    )
+
+
 def audio_near_pairs(
     documents: DataFrame, max_hamming: int = 6, max_bucket: int = 1000
 ) -> DataFrame:
@@ -1503,6 +1592,22 @@ def audio_near_pairs(
         max_hamming,
         max_bucket,
         "audio_near_pairs.fps",
+    )
+
+
+def audio_near_pairs_assets(
+    assets: DataFrame, max_hamming: int = 6, max_bucket: int = 1000
+) -> DataFrame:
+    """:func:`audio_near_pairs` fed from the REAL decode path: trimmed/
+    re-sampled copies of a decodable WAV land in the same near-dup pair
+    (their frame-energy profiles agree), undecodable payloads reproduce
+    the stub tier's pairs exactly.  Output (doc_a, doc_b, hamming)."""
+    return _banded_hamming_pairs(
+        audio_fingerprints_assets(assets),
+        _AFP_BANDS,
+        max_hamming,
+        max_bucket,
+        "audio_near_pairs_assets.fps",
     )
 
 

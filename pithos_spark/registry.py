@@ -541,6 +541,44 @@ ORACLES["dedup_image_dhash"] = dedup.image_dhash_near_pairs_oracle(
     max_hamming=20
 )
 
+
+def _asset_query(fn, *args, **kwargs):
+    """Gate form for the real-decode perceptual tiers: derive the asset
+    table from documents, then run the asset-fed operator."""
+
+    def q(spark, sf_dir):
+        from pithos_spark.sources.multimodal import assets_from_documents
+
+        assets = assets_from_documents(T.load_tables(spark, sf_dir)["documents"])
+        return fn(assets, *args, **kwargs)
+
+    return q
+
+
+# the REAL-decode image tier (VERDICT r10 task 2): pixels come from the
+# mapInPandas sampled_pixel_grid stage — PIL / stdlib-PNG decode where
+# the payload allows, the ASCII stand-in otherwise.  The synthetic
+# corpus carries no decodable media, so every row provably takes the
+# stand-in and the STUB tier's oracle covers the real pipeline
+# verbatim (the real-pixel branch is fixture-tested in
+# tests/test_dedup.py with genuinely-resized PNG/WAV payloads).
+QUERIES["dedup_image_dhash_assets"] = _asset_query(
+    dedup.image_dhash_near_pairs_assets, max_hamming=20
+)
+ORACLES["dedup_image_dhash_assets"] = dedup.image_dhash_near_pairs_oracle(
+    max_hamming=20
+)
+
+# the REAL-decode audio tier: same contract — 16-bit PCM WAV payloads
+# yield |amplitude| samples, the corpus's text payloads take the
+# stand-in, so the stub oracle is exact here too.
+QUERIES["dedup_audio_fingerprint_assets"] = _asset_query(
+    dedup.audio_near_pairs_assets, max_hamming=8
+)
+ORACLES["dedup_audio_fingerprint_assets"] = dedup.audio_near_pairs_oracle(
+    max_hamming=8
+)
+
 # LSH operational telemetry: per-band bucket occupancy + what the
 # max_bucket cap would drop — the sizing report for a 100 TB dedup pass.
 # sf0.01 buckets are all tiny, so max_bucket=2 makes the cap columns

@@ -187,6 +187,241 @@ def _parse_mp4_header(b: bytes) -> dict | None:
     return out or None
 
 
+def _png_gray_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
+    """Stdlib PNG PIXEL decode: 8-bit non-interlaced grayscale / RGB
+    (optionally with alpha) → (width, height, row-major grayscale
+    values 0..255).  Implements the full filter set (None/Sub/Up/
+    Average/Paeth, RFC 2083 §6); color collapses to integer luma
+    ((77R + 150G + 29B) >> 8 — the fixed-point ITU-R 601 weights) so
+    the result is deterministic and identical whether this path or the
+    PIL path decoded the bytes.  None for anything else (16-bit,
+    palette, interlaced, truncated)."""
+    import struct
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i, ihdr, idat = 8, None, bytearray()
+    while i + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[i : i + 4])
+        typ = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, ctype, _comp, _filt, inter = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8 or inter != 0 or ctype not in (0, 2, 4, 6) or not w or not h:
+        return None
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        return None
+    prev = bytearray(stride)
+    px: list[int] = []
+    pos = 0
+    for _ in range(h):
+        f = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if f == 1:  # Sub
+            for x in range(nch, stride):
+                line[x] = (line[x] + line[x - nch]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                up = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif f != 0:
+            return None
+        prev = line
+        if nch <= 2:  # gray / gray+alpha: channel 0 IS the luma
+            px.extend(line[::nch])
+        else:
+            for x in range(0, stride, nch):
+                px.append(
+                    (77 * line[x] + 150 * line[x + 1] + 29 * line[x + 2])
+                    >> 8
+                )
+    return int(w), int(h), px
+
+
+def _decode_gray_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
+    """Real image PIXEL decode: PIL when importable (any format PIL
+    reads, decoded to RGB then collapsed with the SAME integer luma as
+    the stdlib path, so availability of PIL never changes a
+    fingerprint), else the stdlib PNG decoder.  None when the payload
+    is not a decodable image."""
+    try:
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(bytes(b))) as img:
+                rgb = list(img.convert("RGB").getdata())
+                return (
+                    int(img.width),
+                    int(img.height),
+                    [(77 * r + 150 * g + 29 * bl) >> 8 for r, g, bl in rgb],
+                )
+        except Exception:  # noqa: BLE001 — undecodable payload
+            return None
+    except ImportError:
+        return _png_gray_pixels(bytes(b))
+
+
+def _wav_pcm_samples(b: bytes) -> list[int] | None:
+    """Real audio SAMPLE decode: 16-bit PCM WAV → |amplitude| per frame
+    (channel 0 of interleaved data).  None for anything else (non-PCM,
+    other bit depths, truncated headers)."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid, size = b[i : i + 4], struct.unpack("<I", b[i + 4 : i + 8])[0]
+        body = b[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, nch, _rate, _byps, _align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_fmt != 1 or bits != 16 or nch < 1:
+        return None
+    frame = 2 * nch
+    n = len(data) // frame
+    if n == 0:
+        return None
+    return [
+        abs(struct.unpack_from("<h", data, frame * k)[0]) for k in range(n)
+    ]
+
+
+PIXEL_GRID_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("g", T.IntegerType()),
+        T.StructField("px", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def sampled_pixel_grid(
+    assets: DataFrame, grid_rows: int, grid_cols: int
+) -> DataFrame:
+    """The pixel source the perceptual dedup tiers fingerprint: per
+    asset, ``grid_rows x grid_cols`` evenly-sampled intensity values as
+    (asset_id, g, px, decoded) rows — an Arrow-batched ``mapInPandas``
+    stage, one output row per grid cell (constant per asset, so the
+    stage is corpus-linear like the column-expression stand-in it
+    upgrades).
+
+    Per payload, the FIRST applicable source wins:
+
+    - decodable image (PIL, or the stdlib PNG pixel decoder): 2-D
+      nearest-neighbor downsample of the grayscale pixels — cell (r, c)
+      reads pixel ((r*h)//grid_rows, (c*w)//grid_cols).  A resize that
+      preserves content lands on (near-)identical grids, which is what
+      makes the downstream dHash a REAL perceptual fingerprint
+      (VERDICT r10 task 2); ``decoded=true``.
+    - decodable 16-bit PCM WAV: flat sampling of |amplitude| —
+      cell g reads sample (g*n)//grid; ``decoded=true``.
+    - everything else: the deterministic stand-in, ``decoded=false`` —
+      the ASCII code of character (g*n_chars)//grid of the utf-8 text,
+      value-identical to the column expression
+      ``ascii(substr(text, (g*n) DIV grid + 1, 1))`` the oracle models
+      (exact on ASCII corpora; the synthetic tables are ASCII-only).
+      Empty payloads emit nothing, matching the stand-in's
+      ``length(text) > 0`` filter.
+
+    Video frame extraction has no stdlib decoder, so video assets take
+    the stand-in until a real decoder lands — the plumbing (schema,
+    batching, per-modality dispatch) is the same stage."""
+    grid = grid_rows * grid_cols
+
+    def sample_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list[int] = []
+            gs: list[int] = []
+            pxs: list[int] = []
+            dec: list[bool] = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                if not b:
+                    continue
+                img = _decode_gray_pixels(b)
+                if img is not None:
+                    w, h, px = img
+                    vals = [
+                        px[((r * h) // grid_rows) * w + (c * w) // grid_cols]
+                        for r in range(grid_rows)
+                        for c in range(grid_cols)
+                    ]
+                    d = True
+                else:
+                    pcm = _wav_pcm_samples(b)
+                    if pcm is not None:
+                        n = len(pcm)
+                        vals = [pcm[(g * n) // grid] for g in range(grid)]
+                        d = True
+                    else:
+                        s = b.decode("utf-8", errors="replace")
+                        n = len(s)
+                        if n == 0:
+                            continue
+                        vals = [ord(s[(g * n) // grid]) for g in range(grid)]
+                        d = False
+                ids.extend([aid] * grid)
+                gs.extend(range(grid))
+                pxs.extend(vals)
+                dec.extend([d] * grid)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="int64"),
+                    "g": pd.array(gs, dtype="int32"),
+                    "px": pd.array(pxs, dtype="int64"),
+                    "decoded": pd.array(dec, dtype="bool"),
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        sample_batches, PIXEL_GRID_SCHEMA
+    )
+
+
 def _real_decode_any(b: bytes) -> dict | None:
     """Modality-dispatching real decode: image dimensions (PIL or stdlib
     header parse), WAV duration+rate, MP4 dims+duration.  Returns a

@@ -697,3 +697,86 @@ def test_dedup_ladder_report_matches_tiers_and_oracle(documents, spark):
         ORACLES["dedup_ladder_report"],
         "dedup_ladder_report",
     )
+
+
+def test_image_dhash_real_resized_images_pair(spark):
+    """VERDICT r10 task 2 'done' criterion: two GENUINELY-RESIZED real
+    images (same content rendered at 36x32 and 18x16 — real PNG bytes,
+    stdlib-decodable) land in the same near-dup pair through the
+    asset-fed tier, a different image does not, and an undecodable
+    text payload takes the stand-in branch without disturbing them."""
+    from pithos_spark.functions.dedup import image_dhash_near_pairs_assets
+    from pithos_spark.sources.multimodal import ASSET_SCHEMA
+    from tests.test_multimodal import _grid_vals, _png_upscale
+
+    content = _grid_vals(8, 9, seed=11)
+    other = _grid_vals(8, 9, seed=99)
+    rows = [
+        (1, "image", _png_upscale(content, 8, 9, 36, 32), {}),
+        (2, "image", _png_upscale(content, 8, 9, 18, 16), {}),
+        (3, "image", _png_upscale(other, 8, 9, 36, 32), {}),
+        (4, "image", b"just text standing in for an undecodable blob", {}),
+        (5, "audio", _png_upscale(content, 8, 9, 36, 32), {}),  # wrong slice
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in image_dhash_near_pairs_assets(assets, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert all(3 not in p and 4 not in p and 5 not in p for p in pairs)
+
+
+def test_audio_real_resampled_wavs_pair(spark):
+    """The audio analog: a WAV and its genuine 2x downsample (every
+    other PCM frame) carry the same frame-energy profile and land in
+    the same near-dup pair through the asset-fed tier."""
+    from pithos_spark.functions.dedup import audio_near_pairs_assets
+    from pithos_spark.sources.multimodal import ASSET_SCHEMA
+    from tests.test_multimodal import _wav_pcm
+
+    # amplitudes constant within each of the 132 grid-cell spans, so
+    # flat sampling of the full clip and of its 2x downsample read the
+    # same values (nA=264 a multiple of the 33*4 grid)
+    grid = 33 * 4
+    cells = [((g * 7919 + 13) % 2000) - 1000 for g in range(grid)]
+    full = [cells[(k * grid) // (2 * grid)] for k in range(2 * grid)]
+    down = full[::2]
+    other = [((g * 104729 + 7) % 2000) - 1000 for g in range(grid)]
+    rows = [
+        (1, "audio", _wav_pcm(full), {}),
+        (2, "audio", _wav_pcm(down), {}),
+        (3, "audio", _wav_pcm([cells[(k * grid) // (2 * grid)] + other[
+            (k * grid) // (2 * grid)] for k in range(2 * grid)]), {}),
+        (4, "audio", b"undecodable text payload here", {}),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in audio_near_pairs_assets(assets, max_hamming=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert all(4 not in p for p in pairs)
+
+
+def test_asset_tiers_match_stub_tiers_on_text_corpus(documents):
+    """On a corpus with NO decodable media every asset takes the
+    stand-in, so the asset-fed tiers must reproduce the stub tiers'
+    fingerprint pairs EXACTLY — the property that lets the stub oracle
+    gate the real pipeline (registry dedup_*_assets entries)."""
+    from pithos_spark.functions.dedup import (
+        audio_near_pairs,
+        audio_near_pairs_assets,
+        image_dhash_near_pairs,
+        image_dhash_near_pairs_assets,
+    )
+    from pithos_spark.sources.multimodal import assets_from_documents
+
+    assets = assets_from_documents(documents)
+    for stub_fn, asset_fn, mh in (
+        (image_dhash_near_pairs, image_dhash_near_pairs_assets, 20),
+        (audio_near_pairs, audio_near_pairs_assets, 8),
+    ):
+        stub = [tuple(r) for r in stub_fn(documents, max_hamming=mh).collect()]
+        real = [tuple(r) for r in asset_fn(assets, max_hamming=mh).collect()]
+        assert stub == real and len(stub) > 0, stub_fn.__name__

@@ -235,3 +235,146 @@ def test_decode_features_audio_video_headers(spark):
     n = len(blob)
     assert (b["decoded"], b["width"], b["height"]) == (False, n % 640 + 1, n % 480 + 1)
     assert b["duration_ms"] is None and b["sample_rate"] is None
+
+
+# ---------------------------------------------------------------------------
+# Real PIXEL/SAMPLE decode for the perceptual dedup tiers (VERDICT r10
+# task 2): the stdlib PNG pixel decoder, the WAV PCM sample reader, and
+# the sampled_pixel_grid mapInPandas stage that feeds the dHash /
+# Haitsma-Kalker fingerprints real intensities where the payload allows.
+# ---------------------------------------------------------------------------
+
+
+def _grid_vals(rows: int, cols: int, seed: int) -> list[int]:
+    """Deterministic pseudo-random byte grid (no RNG: LCG arithmetic)."""
+    return [((r * cols + c + seed) * 7919 + seed * 104729) % 256
+            for r in range(rows) for c in range(cols)]
+
+
+def _png_upscale(vals: list[int], rows: int, cols: int,
+                 w: int, h: int, filt: int = 0) -> bytes:
+    """A REAL grayscale PNG that is the (w x h) blocky upscale of an
+    (rows x cols) source grid — two different (w, h) from the same grid
+    are genuine resizes of each other.  ``filt`` picks the per-line PNG
+    filter (0=None, 1=Sub, 2=Up) so the unfilter paths get exercised on
+    content-identical images."""
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    lines = []
+    for y in range(h):
+        src_r = (y * rows) // h
+        lines.append(bytes(vals[src_r * cols + (x * cols) // w]
+                           for x in range(w)))
+    raw = bytearray()
+    prev = bytes(w)
+    for line in lines:
+        if filt == 1:  # Sub-filter the line
+            enc = bytes([line[0]] + [(line[x] - line[x - 1]) & 0xFF
+                                     for x in range(1, w)])
+        elif filt == 2:  # Up-filter against the previous line
+            enc = bytes((line[x] - prev[x]) & 0xFF for x in range(w))
+        else:
+            enc = line
+        raw += b"\x00" if filt == 0 else bytes([filt])
+        raw += enc
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def _wav_pcm(samples: list[int]) -> bytes:
+    """A REAL 16-bit PCM mono WAV carrying the given amplitudes."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_png_pixel_decode_all_filters():
+    """The stdlib PNG pixel decoder recovers the exact grayscale values
+    under None, Sub, and Up filtering, and collapses RGB to the fixed
+    integer luma."""
+    from pithos_spark.sources.multimodal import _png_gray_pixels
+
+    vals = _grid_vals(8, 9, seed=1)
+    for filt in (0, 1, 2):
+        got = _png_gray_pixels(_png_upscale(vals, 8, 9, 9, 8, filt=filt))
+        assert got is not None
+        w, h, px = got
+        assert (w, h) == (9, 8) and px == vals, f"filter {filt}"
+    # non-PNG and palette/16-bit payloads refuse cleanly
+    assert _png_gray_pixels(b"not a png") is None
+
+
+def test_wav_pcm_sample_decode():
+    from pithos_spark.sources.multimodal import _wav_pcm_samples
+
+    amps = [0, 100, -100, 32000, -32000, 7, -7]
+    got = _wav_pcm_samples(_wav_pcm(amps))
+    assert got == [abs(a) for a in amps]
+    assert _wav_pcm_samples(b"RIFFxxxxWAVEjunk") is None
+    assert _wav_pcm_samples(b"plain text") is None
+
+
+def test_sampled_pixel_grid_real_and_standin(spark):
+    """The grid stage samples REAL pixels from decodable payloads
+    (decoded=true) and falls back to the ASCII stand-in — which must be
+    value-identical to the column expression the oracle models."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.sources.multimodal import (
+        ASSET_SCHEMA,
+        sampled_pixel_grid,
+    )
+
+    vals = _grid_vals(8, 9, seed=3)
+    txt = b"deterministic stand-in payload text"
+    rows = [
+        (1, "image", _png_upscale(vals, 8, 9, 36, 32), {}),
+        (2, "image", txt, {}),
+        (3, "image", b"", {}),  # empty: emits nothing
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = sampled_pixel_grid(assets, 8, 9).collect()
+    by_id: dict = {}
+    for r in got:
+        by_id.setdefault(r["asset_id"], {})[r["g"]] = (r["px"], r["decoded"])
+    # real path: the 36x32 blocky upscale samples back to its source grid
+    assert len(by_id[1]) == 72
+    assert [by_id[1][g][0] for g in range(72)] == vals
+    assert all(d for _, d in by_id[1].values())
+    # stand-in path: matches ascii(substr(text, (g*n) DIV 72 + 1, 1))
+    n = len(txt)
+    want = [txt.decode()[(g * n) // 72] for g in range(72)]
+    assert [chr(by_id[2][g][0]) for g in range(72)] == want
+    assert not any(d for _, d in by_id[2].values())
+    # the oracle-modeled column expression agrees exactly
+    expr_rows = (
+        spark.createDataFrame([(2, txt.decode())], "doc_id long, text string")
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(71))).alias("g"),
+            "text",
+            F.length("text").alias("n_px"),
+        )
+        .select(
+            "g",
+            F.expr(
+                "ascii(substr(text, CAST((g * n_px) DIV 72 + 1 AS INT), 1))"
+            ).alias("px"),
+        )
+        .collect()
+    )
+    assert {r["g"]: r["px"] for r in expr_rows} == {
+        g: by_id[2][g][0] for g in range(72)
+    }
+    assert 3 not in by_id
