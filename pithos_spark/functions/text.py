@@ -1034,6 +1034,62 @@ def classifier_weights(
     )
 
 
+def _feature_hash(col, n_features: int):
+    """The portable hashed-feature id both the trainer and the scorer
+    use: md5-prefix of the token, mod ``n_features`` — integer-exact in
+    both engines."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast(
+        "long"
+    ) % n_features
+
+
+def train_classifier_weights(
+    labeled_documents: DataFrame,
+    n_features: int = 4096,
+    smoothing: int = 1,
+) -> DataFrame:
+    """TRAIN the linear quality gate's weight export from labeled text
+    (VERDICT r10 task 6): per hashed token feature, an integer contrast
+    weight
+
+        weight_milli = (1000*(g+s)) div (b+s) - (1000*(b+s)) div (g+s)
+
+    where g/b are the feature's token occurrences in label=1 / label=0
+    documents and ``s`` the add-one smoothing — the Naive-Bayes-style
+    log-odds surrogate kept in integer permille so training is
+    engine-exact end to end (no float log; the contrast is monotone in
+    the odds ratio and symmetric around 0).  A feature never seen in
+    training has no row — scoring's inner weight join drops it, the
+    standard hashed-vocabulary contract.
+
+    Input: (doc_id, text, label) with label in {0, 1} (weak labels —
+    a heuristic, a reference-corpus membership bit, or human marks).
+    Scale: one corpus-linear token explode + one feature-keyed
+    map-side-combinable agg; output <= ``n_features`` rows, always
+    broadcastable — training a 100 TB corpus's gate is ONE pass."""
+    toks = labeled_documents.select(
+        "label", F.explode(_tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    per = (
+        toks.select(
+            "label", _feature_hash(F.col("token"), n_features).alias("feature_id")
+        )
+        .groupBy("feature_id")
+        .agg(
+            F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("g"),
+            F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("b"),
+        )
+    )
+    s = int(smoothing)
+    return per.select(
+        "feature_id",
+        (
+            F.expr(f"(1000 * (g + {s})) div (b + {s})")
+            - F.expr(f"(1000 * (b + {s})) div (g + {s})")
+        ).alias("weight_milli"),
+    )
+
+
 def quality_classifier_score(
     documents: DataFrame,
     weights: DataFrame | None = None,
@@ -1060,9 +1116,7 @@ def quality_classifier_score(
     spark = documents.sparkSession
     if weights is None:
         weights = classifier_weights(spark, n_features)
-    feat = F.conv(
-        F.substring(F.md5(F.col("token")), 1, 8), 16, 10
-    ).cast("long") % n_features
+    feat = _feature_hash(F.col("token"), n_features)
     per_feat = (
         documents.select(
             "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
@@ -1126,6 +1180,59 @@ GROUP BY p.doc_id
 ORDER BY p.doc_id"""
 
 
+def quality_classifier_trained_oracle(
+    score_pred: str,
+    train_pred: str,
+    label_expr: str,
+    n_features: int = 4096,
+    threshold_milli: int = 0,
+    smoothing: int = 1,
+) -> str:
+    """DuckDB twin of train-then-score: weights from
+    :func:`train_classifier_weights` over the ``train_pred`` slice
+    (labels from ``label_expr``), scoring over the ``score_pred``
+    slice — the whole weak-supervision pipeline in one query."""
+    s = int(smoothing)
+    return f"""\
+WITH train_toks AS (
+    SELECT CAST({label_expr} AS INT) AS label,
+           ('0x' || substr(md5(tok), 1, 8))::BIGINT % {n_features}
+               AS feature_id
+    FROM (SELECT n_chars, doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents WHERE {train_pred})
+    WHERE tok <> ''
+), weights AS MATERIALIZED (
+    SELECT feature_id,
+           (1000 * (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + {s}))
+               // (sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) + {s})
+           - (1000 * (sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) + {s}))
+               // (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + {s})
+               AS weight_milli
+    FROM train_toks GROUP BY feature_id
+), toks AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(tok), 1, 8))::BIGINT % {n_features}
+               AS feature_id
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents WHERE {score_pred})
+    WHERE tok <> ''
+), per_feat AS (
+    SELECT doc_id, feature_id, count(*) AS cnt
+    FROM toks GROUP BY 1, 2
+)
+SELECT p.doc_id,
+       CAST(sum(p.cnt) AS BIGINT) AS n_tokens,
+       CAST(floor(sum(p.cnt * w.weight_milli) / sum(p.cnt)) AS BIGINT)
+           AS logit_milli,
+       floor(sum(p.cnt * w.weight_milli) / sum(p.cnt))
+           >= {threshold_milli} AS keep
+FROM per_feat p JOIN weights w USING (feature_id)
+GROUP BY p.doc_id
+ORDER BY p.doc_id"""
+
+
 def trigram_interp_score(
     documents: DataFrame,
     l3: int = 500,
@@ -1157,14 +1264,26 @@ def trigram_interp_score(
     verdict 'high_ppl' below ``low``, 'low_ppl' above ``high``, else
     'ok'.
     """
-    assert l3 + l2 + l1 == 1000, "interpolation weights must sum to 1000"
+    from pithos_spark.plans.helpers import bounded_persist
+
+    tri_doc = bounded_persist(
+        _trigram_windows(documents), "trigram_interp.tri_doc"
+    )
+    return _trigram_interp(
+        tri_doc, tri_doc, tri_doc.count(), l3, l2, l1, low, high
+    )
+
+
+def _trigram_windows(documents: DataFrame) -> DataFrame:
+    """Per-document trigram windows with every backoff key the
+    Jelinek-Mercer score needs: (doc_id, tri, ctx2, bi, ctx1, w3)."""
     toks = documents.select(
         "doc_id", _tokens(F.col("text")).alias("_toks")
     ).filter(F.size("_toks") >= 3)
     t = F.col("_toks")
     idx = F.sequence(F.lit(1), F.size(t) - 2)
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, 3)))
-    tri_doc = (
+    return (
         toks.select("doc_id", F.explode(grams).alias("tri"))
         .withColumn("_w", F.split(F.col("tri"), " "))
         .select(
@@ -1176,19 +1295,32 @@ def trigram_interp_score(
             F.col("_w")[2].alias("w3"),
         )
     )
-    from pithos_spark.plans.helpers import bounded_persist
 
-    tri_doc = bounded_persist(tri_doc, "trigram_interp.tri_doc")
-    c3 = tri_doc.groupBy("tri").agg(F.count(F.lit(1)).alias("c3"))
-    cctx2 = tri_doc.groupBy("ctx2").agg(F.count(F.lit(1)).alias("cctx2"))
+
+def _trigram_interp(
+    tri_score: DataFrame,
+    tri_lm: DataFrame,
+    n_total: int,
+    l3: int,
+    l2: int,
+    l1: int,
+    low: int,
+    high: int,
+) -> DataFrame:
+    """Score ``tri_score``'s trigram windows under LM counts estimated
+    from ``tri_lm``'s — the two coincide for the self-scored gate and
+    differ for the held-out gate, where grams absent from the LM take
+    the left-join/zero-coalesce backoff path."""
+    assert l3 + l2 + l1 == 1000, "interpolation weights must sum to 1000"
+    c3 = tri_lm.groupBy("tri").agg(F.count(F.lit(1)).alias("c3"))
+    cctx2 = tri_lm.groupBy("ctx2").agg(F.count(F.lit(1)).alias("cctx2"))
     # bigram/unigram counts over the SAME trigram windows (w2, w3 of
     # each window) keep every denominator consistent with its numerator
-    cbi = tri_doc.groupBy("bi").agg(F.count(F.lit(1)).alias("cbi"))
-    cctx1 = tri_doc.groupBy("ctx1").agg(F.count(F.lit(1)).alias("cctx1"))
-    cw3 = tri_doc.groupBy("w3").agg(F.count(F.lit(1)).alias("cw3"))
-    n_total = tri_doc.count()
+    cbi = tri_lm.groupBy("bi").agg(F.count(F.lit(1)).alias("cbi"))
+    cctx1 = tri_lm.groupBy("ctx1").agg(F.count(F.lit(1)).alias("cctx1"))
+    cw3 = tri_lm.groupBy("w3").agg(F.count(F.lit(1)).alias("cw3"))
     scored = (
-        tri_doc.join(c3, "tri", "left")
+        tri_score.join(c3, "tri", "left")
         .join(cctx2, "ctx2", "left")
         .join(cbi, "bi", "left")
         .join(cctx1, "ctx1", "left")
@@ -1251,6 +1383,116 @@ cbi AS (SELECT bi, count(*) AS cbi FROM tri_doc GROUP BY bi),
 cctx1 AS (SELECT ctx1, count(*) AS cctx1 FROM tri_doc GROUP BY ctx1),
 cw3 AS (SELECT w3, count(*) AS cw3 FROM tri_doc GROUP BY w3),
 n AS (SELECT count(*) AS n_total FROM tri_doc),
+scored AS (
+    SELECT d.doc_id,
+           ({l3} * ((1000 * coalesce(c3.c3, 0)) // greatest(coalesce(cctx2.cctx2, 0), 1))
+            + {l2} * ((1000 * coalesce(cbi.cbi, 0)) // greatest(coalesce(cctx1.cctx1, 0), 1))
+            + {l1} * ((1000 * coalesce(cw3.cw3, 0)) // n.n_total)
+           ) AS interp_x1000
+    FROM tri_doc d
+    LEFT JOIN c3 USING (tri)
+    LEFT JOIN cctx2 USING (ctx2)
+    LEFT JOIN cbi USING (bi)
+    LEFT JOIN cctx1 USING (ctx1)
+    LEFT JOIN cw3 USING (w3)
+    CROSS JOIN n
+)
+SELECT doc_id,
+       count(*) AS n_trigrams,
+       CAST(sum(interp_x1000 // 1000) // count(*) AS BIGINT)
+           AS mean_interp_permille,
+       CASE WHEN sum(interp_x1000 // 1000) // count(*) < {low}
+                THEN 'high_ppl'
+            WHEN sum(interp_x1000 // 1000) // count(*) > {high}
+                THEN 'low_ppl'
+            ELSE 'ok' END AS verdict
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id"""
+
+
+def trigram_heldout_score(
+    documents: DataFrame,
+    lm_documents: DataFrame,
+    l3: int = 500,
+    l2: int = 300,
+    l1: int = 200,
+    low: int = 60,
+    high: int = 400,
+) -> DataFrame:
+    """The held-out form of :func:`trigram_interp_score` (VERDICT r10
+    task 5): score ``documents`` under a Jelinek-Mercer trigram LM
+    estimated from a DISJOINT ``lm_documents`` slice — the CCNet-style
+    production shape, where the reference LM is trained on held-out
+    text and the corpus being curated never contributes to its own
+    counts.  Trigrams/bigrams/unigrams absent from the LM take the
+    left-join/zero-coalesce backoff path with REAL zeros (a document
+    sharing no vocabulary with the LM scores 0 exactly).
+
+    Scale: identical to the self-scored plan — the LM collapses to
+    vocabulary-bounded count tables; at 100 TB build them once, bucket
+    both sides by gram, and every scoring pass is a bucketed join.
+    Output schema matches :func:`trigram_interp_score`."""
+    from pithos_spark.plans.helpers import bounded_persist
+
+    tri_score = bounded_persist(
+        _trigram_windows(documents), "trigram_heldout.tri_score"
+    )
+    tri_lm = bounded_persist(
+        _trigram_windows(lm_documents), "trigram_heldout.tri_lm"
+    )
+    # an empty LM slice scores everything 0 rather than dividing by it
+    n_total = max(tri_lm.count(), 1)
+    return _trigram_interp(tri_score, tri_lm, n_total, l3, l2, l1, low, high)
+
+
+def trigram_heldout_score_oracle(
+    score_pred: str,
+    lm_pred: str,
+    l3: int = 500,
+    l2: int = 300,
+    l1: int = 200,
+    low: int = 60,
+    high: int = 400,
+) -> str:
+    """DuckDB twin of :func:`trigram_heldout_score` with the score/LM
+    corpus split expressed as SQL predicates over ``documents``.
+    The multiply-referenced LM CTE is AS MATERIALIZED (DuckDB inlines
+    plain CTEs at every reference)."""
+    return f"""\
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents WHERE {score_pred}
+), toks3 AS (
+    SELECT doc_id, t FROM toks WHERE len(t) >= 3
+), tri_doc AS MATERIALIZED (
+    SELECT doc_id,
+           array_to_string(t[i:i+2], ' ') AS tri,
+           array_to_string(t[i:i+1], ' ') AS ctx2,
+           array_to_string(t[i+1:i+2], ' ') AS bi,
+           t[i+1] AS ctx1,
+           t[i+2] AS w3
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks3)
+), lm_toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents WHERE {lm_pred}
+), lm_toks3 AS (
+    SELECT doc_id, t FROM lm_toks WHERE len(t) >= 3
+), tri_lm AS MATERIALIZED (
+    SELECT doc_id,
+           array_to_string(t[i:i+2], ' ') AS tri,
+           array_to_string(t[i:i+1], ' ') AS ctx2,
+           array_to_string(t[i+1:i+2], ' ') AS bi,
+           t[i+1] AS ctx1,
+           t[i+2] AS w3
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+          FROM lm_toks3)
+), c3 AS (SELECT tri, count(*) AS c3 FROM tri_lm GROUP BY tri),
+cctx2 AS (SELECT ctx2, count(*) AS cctx2 FROM tri_lm GROUP BY ctx2),
+cbi AS (SELECT bi, count(*) AS cbi FROM tri_lm GROUP BY bi),
+cctx1 AS (SELECT ctx1, count(*) AS cctx1 FROM tri_lm GROUP BY ctx1),
+cw3 AS (SELECT w3, count(*) AS cw3 FROM tri_lm GROUP BY w3),
+n AS (SELECT greatest(count(*), 1) AS n_total FROM tri_lm),
 scored AS (
     SELECT d.doc_id,
            ({l3} * ((1000 * coalesce(c3.c3, 0)) // greatest(coalesce(cctx2.cctx2, 0), 1))

@@ -2929,6 +2929,53 @@ from pithos_spark.functions.text import (  # noqa: E402
 QUERIES["corpus_quality_classifier"] = _quality_classifier
 ORACLES["corpus_quality_classifier"] = quality_classifier_score_oracle()
 
+
+# the TRAINED-weights form (VERDICT r10 task 6): weights come from
+# train_classifier_weights over a disjoint weak-labeled slice
+# (doc_id % 4 == 0, label = n_chars >= 300 — the corpus median is
+# ~306, so both classes are populated), scoring over the rest.  The
+# whole train-then-score pipeline is oracle-gated; the broadcast-join
+# scoring plan is unchanged from the stand-in gate.
+_QC_TRAIN_PRED = "doc_id % 4 = 0"
+_QC_SCORE_PRED = "doc_id % 4 <> 0"
+_QC_LABEL = "n_chars >= 300"
+
+
+def _quality_classifier_trained(spark, sf_dir):
+    """Train the linear gate's weight export on the weak-labeled 1/4
+    slice, score the 3/4 slice (text.train_classifier_weights +
+    quality_classifier_score)."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions.text import (
+        quality_classifier_score,
+        train_classifier_weights,
+    )
+
+    docs = T.load_tables(spark, sf_dir)["documents"]
+    weights = train_classifier_weights(
+        docs.filter(_QC_TRAIN_PRED).withColumn(
+            "label", F.expr(_QC_LABEL).cast("int")
+        )
+    )
+    return quality_classifier_score(
+        docs.filter(_QC_SCORE_PRED), weights=weights
+    )
+
+
+from pithos_spark.functions.text import (  # noqa: E402
+    quality_classifier_trained_oracle,
+)
+
+QUERIES["corpus_quality_classifier_trained"] = _quality_classifier_trained
+ORACLES["corpus_quality_classifier_trained"] = (
+    quality_classifier_trained_oracle(
+        score_pred=_QC_SCORE_PRED,
+        train_pred=_QC_TRAIN_PRED,
+        label_expr=_QC_LABEL,
+    )
+)
+
 # Jelinek-Mercer interpolated trigram gate (the bigram perplexity
 # proxy upgraded to the standard backoff family).  Bands 45/60 instead
 # of the defaults: the synthetic corpus's interpolated scores sit in
@@ -2963,6 +3010,29 @@ QUERIES["dedup_video_frames"] = _doc_query(
 )
 ORACLES["dedup_video_frames"] = dedup.video_near_pairs_oracle(
     max_hamming=20
+)
+
+
+# held-out trigram LM gate (VERDICT r10 task 5): the corpus slice
+# doc_id % 4 != 0 is scored under an LM estimated ONLY from the
+# disjoint doc_id % 4 == 0 slice — the left-join unseen-gram backoff
+# path runs with real zeros (scored docs whose grams the LM never saw).
+_TRI_SCORE_PRED = "doc_id % 4 <> 0"
+_TRI_LM_PRED = "doc_id % 4 = 0"
+
+
+def _trigram_heldout(spark, sf_dir):
+    """Score the 3/4 corpus slice under the held-out 1/4-slice trigram
+    LM (functions/text.trigram_heldout_score)."""
+    docs = T.load_tables(spark, sf_dir)["documents"]
+    return text.trigram_heldout_score(
+        docs.filter(_TRI_SCORE_PRED), docs.filter(_TRI_LM_PRED)
+    )
+
+
+QUERIES["corpus_trigram_heldout"] = _trigram_heldout
+ORACLES["corpus_trigram_heldout"] = text.trigram_heldout_score_oracle(
+    score_pred=_TRI_SCORE_PRED, lm_pred=_TRI_LM_PRED
 )
 
 

@@ -1007,3 +1007,123 @@ def test_trigram_interp_oracle_parity(spark):
         ORACLES["corpus_trigram_interp"],
         "corpus_trigram_interp",
     )
+
+
+def test_trigram_heldout_unseen_grams_hit_backoff(spark):
+    """VERDICT r10 task 5: the held-out LM gate's left-join unseen-gram
+    path exercised with REAL zeros — a scored doc sharing no vocabulary
+    with the LM scores exactly 0 permille; a doc copied verbatim from
+    LM text scores the full self-probability; a doc sharing only
+    unigrams scores strictly between."""
+    from pithos_spark.functions.text import trigram_heldout_score
+
+    lm = _docs(spark, ["a b c a b c a b c a b c"])
+    score = spark.createDataFrame(
+        [
+            (10, "a b c a b c a b c a b c"),  # verbatim LM text
+            (11, "x y z x y z x y z"),        # fully unseen vocabulary
+            (12, "c b a c b a c b a"),        # unigrams seen, grams not
+            (13, "no"),                       # <3 tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in trigram_heldout_score(score, lm).collect()}
+    assert set(got) == {10, 11, 12}
+    # unseen vocabulary: every coalesce lands on 0 -> exact zero
+    assert got[11]["mean_interp_permille"] == 0
+    assert got[11]["verdict"] == "high_ppl"
+    # verbatim copy scores the LM's own (high) self-probability
+    assert got[10]["mean_interp_permille"] > got[12]["mean_interp_permille"]
+    # shared unigrams only: the unigram backoff term alone -> nonzero
+    assert 0 < got[12]["mean_interp_permille"] < got[10]["mean_interp_permille"]
+
+
+@pytest.mark.slow
+def test_trigram_heldout_oracle_parity(spark):
+    import duckdb
+
+    from pithos_spark.registry import ORACLES, QUERIES
+    from tests.conftest import SF_ORACLE
+    from tests.harness import compare
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    compare(
+        QUERIES["corpus_trigram_heldout"](spark, SF_ORACLE),
+        con,
+        ORACLES["corpus_trigram_heldout"],
+        "corpus_trigram_heldout",
+    )
+
+
+def test_trained_classifier_weights_separate_planted_docs(spark):
+    """VERDICT r10 task 6 'done' criterion: weights TRAINED from a
+    weak-labeled fixture separate planted good/bad documents — good-word
+    docs score positive logits, bad-word docs negative — and the
+    scoring plan still broadcasts the (now trained) weight table."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions.text import (
+        quality_classifier_score,
+        train_classifier_weights,
+    )
+
+    good = "insightful rigorous analysis with thorough careful reasoning"
+    bad = "spam spam click here buy now free prize winner spam"
+    train = spark.createDataFrame(
+        [(i, good + f" filler{i % 3}", 1) for i in range(8)]
+        + [(100 + i, bad + f" junk{i % 3}", 0) for i in range(8)],
+        "doc_id long, text string, label int",
+    )
+    weights = train_classifier_weights(train)
+    # the trained export is a real table: bounded by the hashed space,
+    # broadcastable, with both signs represented
+    w = {r["feature_id"]: r["weight_milli"] for r in weights.collect()}
+    assert len(w) <= 4096
+    assert any(v > 0 for v in w.values()) and any(v < 0 for v in w.values())
+
+    score = spark.createDataFrame(
+        [
+            (1, "rigorous careful analysis of thorough reasoning"),
+            (2, "free prize click now buy spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in quality_classifier_score(score, weights=weights).collect()
+    }
+    assert got[1]["logit_milli"] > 0 and got[1]["keep"]
+    assert got[2]["logit_milli"] < 0 and not got[2]["keep"]
+    # the weight join stays a broadcast even with trained weights
+    plan = (
+        quality_classifier_score(score, weights=weights)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.slow
+def test_quality_classifier_trained_oracle_parity(spark):
+    import duckdb
+
+    from pithos_spark.registry import ORACLES, QUERIES
+    from tests.conftest import SF_ORACLE
+    from tests.harness import compare
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    compare(
+        QUERIES["corpus_quality_classifier_trained"](spark, SF_ORACLE),
+        con,
+        ORACLES["corpus_quality_classifier_trained"],
+        "corpus_quality_classifier_trained",
+    )
