@@ -56,6 +56,14 @@ HEADLINERS = [
     # one — times only the serving read
     "corpus_bm25_topk",
     "corpus_bm25_postings_topk",
+    # round-11 heavy dedup tiers (VERDICT r10 task 4): the containment
+    # posting-join at a cap that keeps sf0.1 in bench range (the gate's
+    # default cap 200 never binds on this corpus; 20 both binds and
+    # bounds the join — the 100 TB operating point), the perceptual
+    # image tier, and the whole-ladder report
+    "dedup_containment_cap20",
+    "dedup_image_dhash",
+    "dedup_ladder_report",
 ]
 
 # 5 repeats (r10, was 3): with the untimed warmup lap all samples are
@@ -94,6 +102,20 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from pithos_spark.registry import QUERIES
+
+    QUERIES = dict(QUERIES)
+
+    def _containment_cap20(spark, sf_dir):
+        from pithos_spark.functions.dedup import containment_pairs
+        from pithos_spark.tables import load_tables
+
+        return containment_pairs(
+            load_tables(spark, sf_dir)["documents"],
+            threshold_pct=50,
+            max_shingle_df=20,
+        )
+
+    QUERIES["dedup_containment_cap20"] = _containment_cap20
 
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -204,6 +226,15 @@ def main() -> None:
                 # but is now just the first timed (post-warmup) sample
                 "runs": runs,
                 "cold": {n: s[0] for n, s in runs.items()},
+                # per-query dispersion (VERDICT r10 task 7): the warm
+                # samples' (max-min)/median as a percentage — a
+                # round-over-round median move INSIDE a query's own
+                # spread band is noise, not a regression
+                "spread_pct": {
+                    n: round(100 * (max(s) - min(s)) / max(m, 1e-9), 1)
+                    for n, s in runs.items()
+                    for m in [statistics.median(s)]
+                },
                 "repeats": REPEATS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -3048,96 +3048,96 @@ ORACLES["corpus_trigram_heldout"] = text.trigram_heldout_score_oracle(
 # order (still runnable, just outside the 50-entry hard gate this round).
 # ---------------------------------------------------------------------------
 
-# Queries changed or added in the CURRENT round (10) — spliced at the
+# Queries changed or added in the CURRENT round (11) — spliced at the
 # very front of the window so they get a fresh verdict:
-#  - the four post-freeze r9 operators, never driver-checked (the r9
-#    queue, honored verbatim — VERDICT r9 task 1; note the
-#    vocab-overlap denominator was changed post-freeze to
-#    |A|+|B|-common, so its oracle has never seen a driver run);
-#  - dedup_image_dhash, new in r10 (perceptual image near-dup over the
-#    multimodal column — VERDICT r9 task 4);
-#  - the queries whose implementation r10 rewrote: the BPE trainer
-#    switched to batched frequency-threshold merge selection
-#    (text.py, hash-proven unchanged at num_merges=6 locally),
-#    mask_duplicate_spans now consumes the merged interval list and
-#    duplicate_spans had its presentation sort factored (curate.py,
-#    byte-identical locally — but changed code re-earns its verdict);
-#  - the three canaries that yielded their slots late in r9
-#    (post_policy_validate, acl_edn_grants, cors_preflight; the other
-#    two yielders — s3_resolve_operations, list_objects_root — are
-#    r7-stale and lead DRIVER_PRIORITY below).
+#  - the NINE post-freeze r10 operators, never driver-checked (the r10
+#    queue, honored verbatim — VERDICT r10 task 1).  Note
+#    dedup_shingle_df_stats' schema changed this round (exact
+#    per-bucket outside splits, ADVICE r10) and corpus_trigram_interp /
+#    corpus_quality_classifier were refactored (shared windows/feature
+#    hash) — first verdicts land on the new code;
+#  - the four r11 additions: the real-decode perceptual gates
+#    (dedup_image_dhash_assets, dedup_audio_fingerprint_assets —
+#    VERDICT r10 task 2), the held-out trigram LM
+#    (corpus_trigram_heldout — task 5) and the trained classifier
+#    (corpus_quality_classifier_trained — task 6);
+#  - three r10-green queries whose code changed in r11 and re-earn
+#    their verdicts: dedup_image_dhash (shared banded skeleton +
+#    fingerprint persist), corpus_bpe_train / corpus_bpe_segment_stats
+#    (_bpe_run persist + scratch-dir resolution).
 ROUND_NEW: list[str] = [
-    "corpus_duplicate_span_intervals",
-    "corpus_source_vocab_overlap",
-    "corpus_cluster_prototypes",
-    "corpus_mmr_rerank",
+    "dedup_containment",
+    "dedup_incremental_containment",
+    "dedup_shingle_df_stats",
+    "dedup_audio_fingerprint",
+    "dedup_video_frames",
+    "dedup_ladder_report",
+    "corpus_trigram_interp",
+    "corpus_quality_classifier",
+    "corpus_epoch_shuffle",
+    "dedup_image_dhash_assets",
+    "dedup_audio_fingerprint_assets",
+    "corpus_trigram_heldout",
+    "corpus_quality_classifier_trained",
     "dedup_image_dhash",
     "corpus_bpe_train",
     "corpus_bpe_segment_stats",
-    "corpus_mask_duplicate_spans",
-    "corpus_duplicate_spans",
-    "corpus_decontaminate_bloom",
-    "post_policy_validate",
-    "acl_edn_grants",
-    "cors_preflight",
 ]
 
-# The r7-stale cohort (last driver verdict r7, computed from
-# CORRECTNESS_r01..r09).  49 queries are r7-stale and 5 have no verdict
-# at all, so the 50-slot window cannot clear the whole backlog this
-# round (49 + 5 + changed-code re-verdicts > 50); the 37 below fill
-# every remaining slot, chosen to keep the analytics / dedup / text /
-# events / listing families in-window.  The 12 that slip are the
-# simplest storage/ACL point-lookups, queued first for r11:
-#   bucket_by_tenant, fetch_bucket, upload_details,
-#   list_uploads_prefix, bucket_name_validation, aborted_upload_gc,
-#   acl_read_grants, acl_merged_grants, acl_authorized_buckets,
-#   buckets_object_presence, copy_range_rebase, events_json_extract.
+# The stale backlog: first the 12 r7-stale that slipped the r10 window
+# (VERDICT r10 task 1 names them verbatim), then 22 of the 37 r8-stale
+# — every non-TPC-H r8 query (each is a unique code path) plus one
+# TPC-H representative (q18).  The 15 that slip are all TPC-H q*
+# analytics (one family, shared plan shapes, all r8-green), queued
+# first for r12: q2_cheapest_supplier, q4_priority_order_check,
+# q6_forecast_revenue, q8_market_share, q9_product_profit,
+# q11_important_brands, q12_priority_shipping,
+# q13_customer_distribution, q15_top_supplier, q16_supplier_diversity,
+# q17_small_qty_revenue, q19_special_revenue, q20_excess_shippers,
+# q21_waiting_suppliers, q22_idle_rich_customers.
 DRIVER_PRIORITY: list[str] = [
-    "s3_resolve_operations",
-    "list_objects_root",
-    "ann_brute_force_topk",
-    "ann_label_centroids",
-    "ann_projected_topk",
-    "bucket_usage",
-    "chunk_ingest_explode",
-    "complete_upload_validate",
-    "corpus_chunk_windows",
-    "corpus_perplexity_filter",
-    "corpus_profile",
-    "corpus_semantic_topics",
-    "corpus_source_overlap",
-    "corpus_tokenizer_fertility",
-    "dedup_embedding_lsh",
-    "dedup_jaccard_pairs",
-    "dedup_lsh_bucket_stats",
-    "dedup_semantic",
-    "dedup_semantic_clusters",
-    "events_api_traffic",
-    "events_dedup_first",
-    "events_hourly_rollup",
-    "events_sessionize",
-    "events_sliding_activity",
-    "events_value_percentiles",
-    "list_objects_paged",
-    "objects_bulk_delete",
-    "objects_delete_where",
-    "objects_upsert_merge",
-    "q14_promo_revenue",
-    "q3_top_unshipped",
-    "q5_region_revenue",
-    "tenant_usage_rollup",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_count_bpe",
+    # --- r7-stale (12) ---
+    "bucket_by_tenant",
+    "fetch_bucket",
+    "upload_details",
+    "list_uploads_prefix",
+    "bucket_name_validation",
+    "aborted_upload_gc",
+    "acl_read_grants",
+    "acl_merged_grants",
+    "acl_authorized_buckets",
+    "buckets_object_presence",
+    "copy_range_rebase",
+    "events_json_extract",
+    # --- r8-stale (22) ---
+    "objects_page",
+    "object_descriptor",
+    "range_read_chunks",
+    "dedup_duplicate_clusters",
+    "dedup_keep_best",
+    "dedup_incremental",
+    "dedup_simhash_pairs",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "ann_ivf_topk",
+    "events_heavy_hitters_merged",
+    "events_watermark_lateness",
+    "events_retention",
+    "events_type_pivot",
+    "list_object_uploads",
+    "corpus_curation_pipeline",
+    "corpus_novelty_scores",
+    "corpus_pack_sequences",
+    "corpus_sample_mix",
+    "metadata_header_filter",
+    "scalar_conversions",
+    "q18_large_orders",
 ]
 
-# No canary slots this round: every one of the 37 DRIVER_PRIORITY
-# entries doubles as a regression canary (all were green in r7), and
-# the r7 backlog is too large to spend slots on r8/r9 greens.  The r11
-# queue is therefore: the 12 slipped r7s above, then the oldest r8
-# greens (compute last-verdict per query from CORRECTNESS_r0*.json).
+# No canary slots again: 16 + 34 fills the window exactly, and every
+# DRIVER_PRIORITY entry doubles as a canary (all were green in r7/r8).
+# The r12 queue: the 15 slipped TPC-H q* above, then the oldest r9
+# greens (compute last-verdict per query from CORRECTNESS_r*.json).
 GREEN_CORE: list[str] = []
 
 

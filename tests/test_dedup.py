@@ -780,3 +780,57 @@ def test_asset_tiers_match_stub_tiers_on_text_corpus(documents):
         stub = [tuple(r) for r in stub_fn(documents, max_hamming=mh).collect()]
         real = [tuple(r) for r in asset_fn(assets, max_hamming=mh).collect()]
         assert stub == real and len(stub) > 0, stub_fn.__name__
+
+
+def test_containment_cap_accounting_matches_telemetry(spark):
+    """VERDICT r10 task 3: when the universe cap BITES, the telemetry's
+    induced-pair accounting must equal the observed candidate-join
+    size exactly: candidate rows = sum over IN-universe shingles of
+    (df^2 - df), i.e. (pair_work - pair_work_outside) -
+    (n_postings - postings_outside) summed over the df histogram."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions.dedup import (
+        containment_pairs,
+        shingle_df_stats,
+        shingles,
+    )
+
+    # boilerplate shingles in 12 docs (df=12 > cap=5: excluded), a
+    # quoted paragraph in 4 (df=4: in-universe), unique tails (df=1)
+    boiler = "shared navigation bar text here"
+    quote = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (i, f"{boiler} {quote} unique{i} tail{i} end{i}") for i in range(4)
+    ] + [(10 + i, f"{boiler} other{i} words{i} here{i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 5
+
+    stats = shingle_df_stats(docs, max_shingle_df=cap).collect()
+    pred = sum(
+        (r["pair_work"] - r["pair_work_outside"])
+        - (r["n_postings"] - r["postings_outside"])
+        for r in stats
+    )
+    # the observed candidate-join size under the same universe cut
+    sh = shingles(docs, 3)
+    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    uni = sh.join(
+        F.broadcast(sdf.filter(F.col("df") > cap)), "shingle", "left_anti"
+    ).select("doc_id", "shingle")
+    observed = (
+        uni.alias("a")
+        .join(uni.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .count()
+    )
+    assert observed == pred and pred > 0
+    # and the capped containment keeps the quote cluster while the
+    # boilerplate-only docs pair with nothing
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in containment_pairs(
+            docs, threshold_pct=30, max_shingle_df=cap
+        ).collect()
+    }
+    assert got and all(a < 10 and b < 10 for a, b in got)
