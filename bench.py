@@ -117,6 +117,22 @@ def main() -> None:
 
     QUERIES["dedup_containment_cap20"] = _containment_cap20
 
+    def _ladder_cap20(spark, sf_dir):
+        # the ladder at the SAME cap-20 operating point as the
+        # containment headliner: the two then build identical
+        # containment plans, so the slot-keyed persist is reused
+        # instead of thrashing between cap-20 and cap-200 variants
+        # (measured: the mixed-cap form ran 18 s median / 145% spread,
+        # all of it slot-rebuild churn)
+        from pithos_spark.functions.dedup import dedup_ladder_report
+        from pithos_spark.tables import load_tables
+
+        return dedup_ladder_report(
+            load_tables(spark, sf_dir)["documents"], max_shingle_df=20
+        )
+
+    QUERIES["dedup_ladder_report"] = _ladder_cap20
+
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -1974,6 +1974,7 @@ def dedup_ladder_report(
     audio_hamming: int = 8,
     video_hamming: int = 20,
     containment_threshold: int = 50,
+    max_shingle_df: int = 200,
 ) -> DataFrame:
     """One operational readout across the WHOLE dedup ladder: per tier,
     how many duplicate pairs (or removable exact copies) this corpus
@@ -2022,7 +2023,9 @@ def dedup_ladder_report(
         _count(
             "containment",
             containment_pairs(
-                documents, threshold_pct=containment_threshold
+                documents,
+                threshold_pct=containment_threshold,
+                max_shingle_df=max_shingle_df,
             ),
         ),
     ]

@@ -1,0 +1,160 @@
+"""SCALE_r11 measurement (VERDICT r10 tasks 3, 4, 8).
+
+1. The containment CAP SOAK: sf1 with max_shingle_df=20 — the cap must
+   bite (sf1 median shingle df is ~95) and wall-clock must collapse
+   from the r10 cap-200 number (306.8 s) toward the cap-bounded
+   estimate; the telemetry's induced-pair accounting is checked
+   against the observed candidate-join size exactly.
+2. 10x growth lines (sf0.1 -> replicated sf1) for every operator NEW
+   or REWRITTEN in r11, warm medians of 3 (the r9/r10 protocol).
+3. The dedup_minhash_lsh same-session dispersion study: 15 consecutive
+   warm runs at sf0.1 — if the r9->r10 cross-round drift (2.66->3.45 s,
+   1.30x) sits inside one session's own spread, it is noise.
+
+Usage: python scripts/scale_r11.py [sf01_dir] [sf1_dir]
+Prints one JSON line per measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import SparkSession
+
+
+def timed(fn, repeats=3):
+    fn()  # warmup
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(round(time.perf_counter() - t0, 3))
+    return round(statistics.median(samples), 3), samples
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf1 = sys.argv[2] if len(sys.argv) > 2 else ".scale/sf1"
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "32g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions.dedup import (
+        containment_pairs,
+        shingle_df_stats,
+        shingles,
+    )
+    from pithos_spark.registry import QUERIES
+    from pithos_spark.tables import load_tables
+
+    docs1 = load_tables(spark, sf1)["documents"]
+
+    # --- 1. cap soak at sf1 -------------------------------------------------
+    cap = 20
+    stats = shingle_df_stats(docs1, max_shingle_df=cap).collect()
+    pred_pairs = sum(
+        (r["pair_work"] - r["pair_work_outside"])
+        - (r["n_postings"] - r["postings_outside"])
+        for r in stats
+    )
+    postings_out = sum(r["postings_outside"] for r in stats)
+    postings_all = sum(r["n_postings"] for r in stats)
+    sh = shingles(docs1, 3)
+    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    uni = sh.join(
+        F.broadcast(sdf.filter(F.col("df") > cap)), "shingle", "left_anti"
+    ).select("doc_id", "shingle")
+    observed = (
+        uni.alias("a")
+        .join(uni.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .count()
+    )
+    med, samples = timed(
+        lambda: noop(containment_pairs(docs1, threshold_pct=50, max_shingle_df=cap))
+    )
+    print(json.dumps({
+        "measure": "containment_cap_soak_sf1",
+        "cap": cap,
+        "wall_median_s": med,
+        "samples": samples,
+        "r10_cap200_cold_s": 306.8,
+        "telemetry_pred_candidate_rows": pred_pairs,
+        "observed_candidate_rows": observed,
+        "accounting_exact": observed == pred_pairs,
+        "postings_excluded": postings_out,
+        "postings_total": postings_all,
+    }))
+
+    # --- 2. 10x growth lines for r11-new/changed operators ------------------
+    names = [
+        # refactored (shared band skeleton + fingerprint persist)
+        "dedup_image_dhash",
+        "dedup_audio_fingerprint",
+        "dedup_video_frames",
+        # new r11 gates
+        "dedup_image_dhash_assets",
+        "dedup_audio_fingerprint_assets",
+        "corpus_trigram_heldout",
+        "corpus_quality_classifier_trained",
+        # schema/refactor re-measures
+        "dedup_shingle_df_stats",
+        "corpus_trigram_interp",
+        "corpus_quality_classifier",
+        "corpus_bpe_train",
+    ]
+    for name in names:
+        fn = QUERIES[name]
+        m01, _ = timed(lambda: noop(fn(spark, sf01)))
+        m1, _ = timed(lambda: noop(fn(spark, sf1)))
+        print(json.dumps({
+            "measure": "scale_growth",
+            "query": name,
+            "sf0.1_s": m01,
+            "sf1_s": m1,
+            "growth_10x": round(m1 / max(m01, 1e-9), 2),
+        }))
+
+    # --- 3. minhash same-session dispersion ---------------------------------
+    fn = QUERIES["dedup_minhash_lsh"]
+    noop(fn(spark, sf01))  # warm
+    runs = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        noop(fn(spark, sf01))
+        runs.append(round(time.perf_counter() - t0, 3))
+    med = statistics.median(runs)
+    print(json.dumps({
+        "measure": "minhash_dispersion",
+        "runs": runs,
+        "median_s": round(med, 3),
+        "min_s": min(runs),
+        "max_s": max(runs),
+        "spread_pct": round(100 * (max(runs) - min(runs)) / med, 1),
+        "r9_median_s": 2.66,
+        "r10_median_s": 3.45,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
