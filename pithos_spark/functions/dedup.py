@@ -1682,8 +1682,6 @@ def video_fingerprints(documents: DataFrame) -> DataFrame:
     slots in at that one expression.  Framing, gradient bits, band
     packing, LSH and Hamming verify are the real algorithm, identical
     in contract to the image/audio tiers."""
-    from pyspark.sql import Window
-
     grid = _VFP_FRAMES * _VFP_COLS
     clips = documents.filter(
         (F.col("doc_id") % 3 == 2) & (F.length("text") > 0)
@@ -1695,11 +1693,27 @@ def video_fingerprints(documents: DataFrame) -> DataFrame:
         "n_px",
     ).select(
         "doc_id",
-        (F.col("g") / _VFP_COLS).cast("int").alias("f"),
-        (F.col("g") % _VFP_COLS).alias("c"),
+        "g",
         F.expr(
             f"ascii(substr(text, CAST((g * n_px) DIV {grid} + 1 AS INT), 1))"
         ).alias("px"),
+    )
+    return _vfp_bands(pix)
+
+
+def _vfp_bands(pix: DataFrame) -> DataFrame:
+    """The frame-signature band computation over a sampled
+    (doc_id, g, px) grid — shared by the column-expression stand-in and
+    the real frame-decode path: g decomposes into (frame, pixel), one
+    bit per within-frame horizontal gradient, one 8-bit band per
+    frame."""
+    from pyspark.sql import Window
+
+    pix = pix.select(
+        "doc_id",
+        (F.col("g") / _VFP_COLS).cast("int").alias("f"),
+        (F.col("g") % _VFP_COLS).alias("c"),
+        "px",
     )
     wn = Window.partitionBy("doc_id", "f").orderBy("c")
     bits = pix.withColumn("nx", F.lead("px").over(wn)).filter(
@@ -1721,6 +1735,29 @@ def video_fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
+def video_fingerprints_assets(assets: DataFrame) -> DataFrame:
+    """Frame-signature bands over the multimodal asset table with a
+    REAL frame source: video assets flow through
+    ``sampled_frame_grid`` — PIL's multi-frame reader or the stdlib
+    animated-GIF decoder temporally samples 8 frames and spatially
+    samples 9 grayscale values per frame (``decoded=true``); a
+    decodable still image counts as a 1-frame clip; undecodable
+    payloads (including real MP4s — no stdlib frame decoder exists)
+    take the ASCII stand-in identical to :func:`video_fingerprints`,
+    the oracle twin.  Downstream banding is the shared
+    :func:`_vfp_bands`."""
+    from pithos_spark.sources.multimodal import sampled_frame_grid
+
+    pix = sampled_frame_grid(
+        assets.filter(F.col("media_type") == "video"),
+        _VFP_FRAMES,
+        _VFP_COLS,
+    )
+    return _vfp_bands(
+        pix.select(F.col("asset_id").alias("doc_id"), "g", "px")
+    )
+
+
 def video_near_pairs(
     documents: DataFrame, max_hamming: int = 10, max_bucket: int = 1000
 ) -> DataFrame:
@@ -1734,6 +1771,23 @@ def video_near_pairs(
         max_hamming,
         max_bucket,
         "video_near_pairs.fps",
+    )
+
+
+def video_near_pairs_assets(
+    assets: DataFrame, max_hamming: int = 10, max_bucket: int = 1000
+) -> DataFrame:
+    """:func:`video_near_pairs` fed from the REAL decode path: a
+    temporally-trimmed and/or spatially-resized copy of a decodable
+    animation lands in the same near-dup pair (its sampled frame grid
+    agrees), undecodable payloads reproduce the stub tier's pairs
+    exactly.  Output (doc_a, doc_b, hamming)."""
+    return _banded_hamming_pairs(
+        video_fingerprints_assets(assets),
+        _VFP_FRAMES,
+        max_hamming,
+        max_bucket,
+        "video_near_pairs_assets.fps",
     )
 
 

@@ -78,6 +78,21 @@ _PERSIST_SLOTS: dict = {}
 _PERSIST_LOCK = _threading.Lock()
 
 
+def reset_persist_slots() -> None:
+    """Unpersist and forget every live slot.  For plan tests and
+    session teardown: a slot populated by an earlier caller makes the
+    next build of the same operator print cache nodes (or keep raw
+    scans beside a non-substitutable cache), so plan-shape assertions
+    must measure from a clean slate."""
+    with _PERSIST_LOCK:
+        for handle in _PERSIST_SLOTS.values():
+            try:
+                handle.unpersist()
+            except Exception:
+                pass  # session gone / already unpersisted
+        _PERSIST_SLOTS.clear()
+
+
 def bounded_persist(df, slot: str):
     """``df.persist()`` with a one-slot-per-call-site lifecycle.
 

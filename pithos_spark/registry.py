@@ -579,6 +579,18 @@ ORACLES["dedup_audio_fingerprint_assets"] = dedup.audio_near_pairs_oracle(
     max_hamming=8
 )
 
+# the REAL-decode video tier: animated-GIF (stdlib LZW) / PIL
+# multi-frame payloads yield temporally+spatially sampled frames; the
+# corpus's text payloads take the stand-in, so the stub oracle is
+# exact here as well.  Completes the modality triple (VERDICT r10
+# task 2 named image; audio/video are the analogs).
+QUERIES["dedup_video_frames_assets"] = _asset_query(
+    dedup.video_near_pairs_assets, max_hamming=20
+)
+ORACLES["dedup_video_frames_assets"] = dedup.video_near_pairs_oracle(
+    max_hamming=20
+)
+
 # LSH operational telemetry: per-band bucket occupancy + what the
 # max_bucket cap would drop — the sizing report for a 100 TB dedup pass.
 # sf0.01 buckets are all tiny, so max_bucket=2 makes the cap columns
@@ -3056,11 +3068,11 @@ ORACLES["corpus_trigram_heldout"] = text.trigram_heldout_score_oracle(
 #    per-bucket outside splits, ADVICE r10) and corpus_trigram_interp /
 #    corpus_quality_classifier were refactored (shared windows/feature
 #    hash) — first verdicts land on the new code;
-#  - the four r11 additions: the real-decode perceptual gates
-#    (dedup_image_dhash_assets, dedup_audio_fingerprint_assets —
-#    VERDICT r10 task 2), the held-out trigram LM
-#    (corpus_trigram_heldout — task 5) and the trained classifier
-#    (corpus_quality_classifier_trained — task 6);
+#  - the five r11 additions: the real-decode perceptual gates
+#    (dedup_image_dhash_assets, dedup_audio_fingerprint_assets,
+#    dedup_video_frames_assets — VERDICT r10 task 2), the held-out
+#    trigram LM (corpus_trigram_heldout — task 5) and the trained
+#    classifier (corpus_quality_classifier_trained — task 6);
 #  - three r10-green queries whose code changed in r11 and re-earn
 #    their verdicts: dedup_image_dhash (shared banded skeleton +
 #    fingerprint persist), corpus_bpe_train / corpus_bpe_segment_stats
@@ -3077,6 +3089,7 @@ ROUND_NEW: list[str] = [
     "corpus_epoch_shuffle",
     "dedup_image_dhash_assets",
     "dedup_audio_fingerprint_assets",
+    "dedup_video_frames_assets",
     "corpus_trigram_heldout",
     "corpus_quality_classifier_trained",
     "dedup_image_dhash",
@@ -3131,13 +3144,15 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_sample_mix",
     "metadata_header_filter",
     "scalar_conversions",
-    "q18_large_orders",
 ]
 
-# No canary slots again: 16 + 34 fills the window exactly, and every
+# No canary slots again: 17 + 33 fills the window exactly, and every
 # DRIVER_PRIORITY entry doubles as a canary (all were green in r7/r8).
-# The r12 queue: the 15 slipped TPC-H q* above, then the oldest r9
-# greens (compute last-verdict per query from CORRECTNESS_r*.json).
+# q18_large_orders yielded its slot to dedup_video_frames_assets and
+# joins the slipped TPC-H cohort.  The r12 queue: the 16 slipped
+# TPC-H q* (q2, q4, q6, q8, q9, q11, q12, q13, q15, q16, q17, q18,
+# q19, q20, q21, q22), then the oldest r9 greens (compute last-verdict
+# per query from CORRECTNESS_r*.json).
 GREEN_CORE: list[str] = []
 
 

@@ -294,6 +294,227 @@ def _decode_gray_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
         return _png_gray_pixels(bytes(b))
 
 
+def _gif_gray_frames(b: bytes) -> tuple[int, int, list[list[int]]] | None:
+    """Stdlib animated-GIF FRAME decode: full LZW decompression of
+    every full-frame image block → (width, height, [per-frame row-major
+    grayscale values 0..255]).  Palette colors collapse to the same
+    fixed integer luma as the PNG path.  Supported subset (analogous to
+    the PNG decoder's): global color table, non-interlaced full-frame
+    images; frames with local palettes use them; partial-frame or
+    interlaced GIFs return None (→ the stand-in), as does anything
+    truncated."""
+    import struct
+
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = b[pos : pos + 3 * n]
+        pos += 3 * n
+    if not w or not h:
+        return None
+
+    def lzw_decode(min_code: int, data: bytes, n_px: int) -> list[int] | None:
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        out: list[int] = []
+        table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code + 1
+        acc = nbits = 0
+        prev: bytes | None = None
+        for byte in data:
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= width:
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
+                if code == clear:
+                    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                    width = min_code + 1
+                    prev = None
+                    continue
+                if code == end:
+                    return out if len(out) >= n_px else None
+                if prev is None:
+                    if code >= len(table):
+                        return None
+                    entry = table[code]
+                else:
+                    if code < len(table):
+                        entry = table[code]
+                        table.append(prev + entry[:1])
+                    elif code == len(table):
+                        entry = prev + prev[:1]
+                        table.append(entry)
+                    else:
+                        return None
+                    if len(table) == (1 << width) and width < 12:
+                        width += 1
+                out.extend(entry)
+                prev = entry
+                if len(out) >= n_px:
+                    return out[:n_px]
+        return out[:n_px] if len(out) >= n_px else None
+
+    frames: list[list[int]] = []
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: skip label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            return None
+        if pos + 10 > len(b):
+            return None
+        left, top, fw, fh = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+        fpacked = b[pos + 9]
+        pos += 10
+        if (left, top, fw, fh) != (0, 0, w, h) or fpacked & 0x40:
+            return None  # partial-frame or interlaced: out of subset
+        pal = gct
+        if fpacked & 0x80:
+            n = 2 ** ((fpacked & 0x07) + 1)
+            pal = b[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None or pos >= len(b):
+            return None
+        min_code = b[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            return None
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            data += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = lzw_decode(min_code, bytes(data), w * h)
+        if idx is None:
+            return None
+        lut = [
+            (77 * pal[3 * i] + 150 * pal[3 * i + 1] + 29 * pal[3 * i + 2])
+            >> 8
+            if 3 * i + 2 < len(pal)
+            else 0
+            for i in range(max(idx) + 1)
+        ]
+        frames.append([lut[i] for i in idx])
+    return (int(w), int(h), frames) if frames else None
+
+
+def _decode_gray_frames(b: bytes) -> tuple[int, int, list[list[int]]] | None:
+    """Real VIDEO frame decode: PIL's multi-frame reader when
+    importable (any animated format PIL seeks, same integer luma), else
+    the stdlib GIF decoder.  A decodable STILL image counts as a
+    1-frame clip (temporal sampling then repeats it).  None otherwise
+    — real MP4 frame extraction has no stdlib decoder and stays out of
+    scope (the payload takes the stand-in)."""
+    try:
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(bytes(b))) as img:
+                frames = []
+                for i in range(getattr(img, "n_frames", 1)):
+                    img.seek(i)
+                    rgb = list(img.convert("RGB").getdata())
+                    frames.append(
+                        [(77 * r + 150 * g + 29 * bl) >> 8 for r, g, bl in rgb]
+                    )
+                return int(img.width), int(img.height), frames
+        except Exception:  # noqa: BLE001 — undecodable payload
+            return None
+    except ImportError:
+        gif = _gif_gray_frames(bytes(b))
+        if gif is not None:
+            return gif
+        img = _png_gray_pixels(bytes(b))
+        if img is not None:
+            w, h, px = img
+            return w, h, [px]
+        return None
+
+
+def sampled_frame_grid(
+    assets: DataFrame, n_frames: int, pixels_per_frame: int
+) -> DataFrame:
+    """The VIDEO counterpart of :func:`sampled_pixel_grid`: per asset,
+    ``n_frames`` temporally-sampled frames x ``pixels_per_frame``
+    spatially-sampled grayscale values, as (asset_id, g, px, decoded)
+    rows with g = frame*pixels_per_frame + pixel.
+
+    - decodable animation (PIL, or the stdlib GIF frame decoder):
+      grid cell (f, c) reads frame (f*F)//n_frames at flat pixel
+      (c*w*h)//pixels_per_frame — a temporal trim/resample that keeps
+      most frames lands on (near-)identical grids, same for a spatial
+      resize, which is what makes the frame-signature fingerprint a
+      real perceptual tier; ``decoded=true``.  A decodable still image
+      is a 1-frame clip (every sampled frame reads it).
+    - everything else: the flat ASCII stand-in identical to the
+      column-expression stub (``decoded=false``); empty payloads emit
+      nothing."""
+    grid = n_frames * pixels_per_frame
+
+    def sample_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list[int] = []
+            gs: list[int] = []
+            pxs: list[int] = []
+            dec: list[bool] = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                if not b:
+                    continue
+                clip = _decode_gray_frames(b)
+                if clip is not None:
+                    w, h, frames = clip
+                    nf, npx = len(frames), w * h
+                    vals = [
+                        frames[(f * nf) // n_frames][
+                            (c * npx) // pixels_per_frame
+                        ]
+                        for f in range(n_frames)
+                        for c in range(pixels_per_frame)
+                    ]
+                    d = True
+                else:
+                    s = b.decode("utf-8", errors="replace")
+                    n = len(s)
+                    if n == 0:
+                        continue
+                    vals = [ord(s[(g * n) // grid]) for g in range(grid)]
+                    d = False
+                ids.extend([aid] * grid)
+                gs.extend(range(grid))
+                pxs.extend(vals)
+                dec.extend([d] * grid)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="int64"),
+                    "g": pd.array(gs, dtype="int32"),
+                    "px": pd.array(pxs, dtype="int64"),
+                    "decoded": pd.array(dec, dtype="bool"),
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        sample_batches, PIXEL_GRID_SCHEMA
+    )
+
+
 def _wav_pcm_samples(b: bytes) -> list[int] | None:
     """Real audio SAMPLE decode: 16-bit PCM WAV → |amplitude| per frame
     (channel 0 of interleaved data).  None for anything else (non-PCM,

@@ -769,6 +769,8 @@ def test_asset_tiers_match_stub_tiers_on_text_corpus(documents):
         audio_near_pairs_assets,
         image_dhash_near_pairs,
         image_dhash_near_pairs_assets,
+        video_near_pairs,
+        video_near_pairs_assets,
     )
     from pithos_spark.sources.multimodal import assets_from_documents
 
@@ -776,6 +778,7 @@ def test_asset_tiers_match_stub_tiers_on_text_corpus(documents):
     for stub_fn, asset_fn, mh in (
         (image_dhash_near_pairs, image_dhash_near_pairs_assets, 20),
         (audio_near_pairs, audio_near_pairs_assets, 8),
+        (video_near_pairs, video_near_pairs_assets, 20),
     ):
         stub = [tuple(r) for r in stub_fn(documents, max_hamming=mh).collect()]
         real = [tuple(r) for r in asset_fn(assets, max_hamming=mh).collect()]
@@ -834,3 +837,45 @@ def test_containment_cap_accounting_matches_telemetry(spark):
         ).collect()
     }
     assert got and all(a < 10 and b < 10 for a, b in got)
+
+
+def test_video_real_trimmed_resized_clips_pair(spark):
+    """The video tier's real-decode criterion: a 16-frame animation and
+    its genuine 2x temporal downsample rendered at HALF the spatial
+    resolution (real GIF bytes, stdlib-decodable) land in the same
+    near-dup pair; a different animation and an undecodable payload do
+    not disturb them."""
+    from pithos_spark.functions.dedup import video_near_pairs_assets
+    from pithos_spark.sources.multimodal import ASSET_SCHEMA
+    from tests.test_multimodal import _gif_anim
+
+    def clip(w, h, n_frames, frame_step, seed):
+        # frame f's flat pixel k carries cell(f*frame_step, (k*9)//(w*h))
+        def cell(f, c):
+            return ((f * 9 + c) * 37 + seed) % 256
+
+        return _gif_anim(
+            [
+                [
+                    cell(f * frame_step, (k * 9) // (w * h))
+                    for k in range(w * h)
+                ]
+                for f in range(n_frames)
+            ],
+            w,
+            h,
+        )
+
+    rows = [
+        (1, "video", clip(18, 12, 16, 1, seed=3), {}),   # full clip
+        (2, "video", clip(9, 6, 8, 2, seed=3), {}),      # trim + resize
+        (3, "video", clip(18, 12, 16, 1, seed=77), {}),  # different clip
+        (4, "video", b"undecodable text payload standing in", {}),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in video_near_pairs_assets(assets, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert all(3 not in p and 4 not in p for p in pairs)

@@ -378,3 +378,103 @@ def test_sampled_pixel_grid_real_and_standin(spark):
         g: by_id[2][g][0] for g in range(72)
     }
     assert 3 not in by_id
+
+
+def _gif_anim(frames: list, w: int, h: int) -> bytes:
+    """A REAL animated GIF authored with stdlib-only LZW coding
+    (clear-before-every-literal, 9-bit codes — valid, just verbose):
+    256-entry grayscale global palette so palette index == gray
+    value.  ``frames`` are row-major gray lists of length w*h."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x07, 0, 0])  # 256-entry GCT follows
+    for i in range(256):
+        out += bytes([i, i, i])
+    for fr in frames:
+        assert len(fr) == w * h
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([8])  # LZW min code size
+        codes: list[int] = []
+        for px in fr:
+            codes += [256, px]  # CLEAR, literal
+        codes.append(257)  # END
+        acc = nb = 0
+        data = bytearray()
+        for c in codes:
+            acc |= c << nb
+            nb += 9
+            while nb >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+        if nb:
+            data.append(acc & 0xFF)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_frame_decode_roundtrip():
+    """The stdlib GIF decoder recovers every frame's exact grayscale
+    values from a real LZW-coded animation; non-GIF payloads refuse;
+    a still PNG counts as a 1-frame clip via _decode_gray_frames."""
+    from pithos_spark.sources.multimodal import (
+        _decode_gray_frames,
+        _gif_gray_frames,
+    )
+
+    f0 = [(i * 7) % 256 for i in range(12 * 5)]
+    f1 = [(i * 13 + 40) % 256 for i in range(12 * 5)]
+    got = _gif_gray_frames(_gif_anim([f0, f1], 12, 5))
+    assert got is not None
+    w, h, frames = got
+    assert (w, h) == (12, 5) and frames == [f0, f1]
+    assert _gif_gray_frames(b"not a gif") is None
+    # a still image is a 1-frame clip
+    vals = _grid_vals(8, 9, seed=5)
+    clip = _decode_gray_frames(_png_upscale(vals, 8, 9, 9, 8))
+    assert clip is not None and len(clip[2]) == 1 and clip[2][0] == vals
+
+
+def test_sampled_frame_grid_real_and_standin(spark):
+    """The frame grid stage temporally+spatially samples decodable
+    animations (decoded=true) and matches the ASCII stand-in column
+    expression otherwise."""
+    from pithos_spark.sources.multimodal import (
+        ASSET_SCHEMA,
+        sampled_frame_grid,
+    )
+
+    # 16-frame clip at 12x6 whose cell structure survives the sampling:
+    # frame f's flat pixel k carries cell(f, (k*9)//72)
+    def cell(f, c):
+        return ((f * 9 + c) * 31 + 5) % 256
+
+    frames = [
+        [cell(f, (k * 9) // 72) for k in range(72)] for f in range(16)
+    ]
+    txt = b"plain text payload standing in for an mp4"
+    assets = spark.createDataFrame(
+        [
+            (1, "video", _gif_anim(frames, 12, 6), {}),
+            (2, "video", txt, {}),
+        ],
+        ASSET_SCHEMA,
+    )
+    got = sampled_frame_grid(assets, 8, 9).collect()
+    by_id: dict = {}
+    for r in got:
+        by_id.setdefault(r["asset_id"], {})[r["g"]] = (r["px"], r["decoded"])
+    # real path: grid (f, c) samples frame 2f, recovering cell(2f, c)
+    assert len(by_id[1]) == 72
+    for f in range(8):
+        for c in range(9):
+            assert by_id[1][f * 9 + c] == (cell(2 * f, c), True)
+    # stand-in path: the column-expression formula
+    n = len(txt)
+    want = [ord(txt.decode()[(g * n) // 72]) for g in range(72)]
+    assert [by_id[2][g][0] for g in range(72)] == want
+    assert not any(d for _, d in by_id[2].values())

@@ -481,7 +481,12 @@ def test_fingerprint_tiers_share_one_scan_and_band_join(spark, tables):
     exchange) and generate candidates through the banded equi-join —
     never a cartesian or corpus-wide sort-merge of payloads."""
     from pithos_spark.functions.dedup import audio_near_pairs, video_near_pairs
+    from pithos_spark.plans.helpers import reset_persist_slots
 
+    # measure the fresh-session plan shape: a fingerprint slot left
+    # populated by an earlier test would print cache nodes (or keep raw
+    # scans beside a non-substitutable cache) and double the scan count
+    reset_persist_slots()
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for fn in (audio_near_pairs, video_near_pairs):
