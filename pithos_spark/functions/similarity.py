@@ -890,6 +890,343 @@ LIMIT {k}"""
     return "".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-bounded serving shape.
+#
+# At 100 TB of embeddings the full float vectors cannot live in serving
+# RAM; PQ stores each vector as M one-byte codes (64-dim -> 8 bytes
+# here, a 32x cut) and answers queries through an M x K lookup table
+# (asymmetric distance computation, Jegou et al. 2011).  Everything is
+# integer (quantized subvectors, Lloyd codebooks via the exact
+# floor-div identity, integer partial dots), so train + encode + serve
+# has a bit-identical DuckDB twin — the same engine-exactness contract
+# as the IVF(Lloyd) index above.
+# ---------------------------------------------------------------------------
+
+
+def _pq_assign(centers: dict, m_sub: int, k_codes: int):
+    """Nearest-code id per (subspace, subvector) row, Arrow-vectorized:
+    one numpy integer matmul per subspace per batch (the `-2 Q C^T +
+    |C|^2` argmin identity, ties to the smallest code — same ORDER BY
+    d, code as the SQL twin).  ``centers`` maps (m, code) -> int list."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = {
+        m: np.array(
+            [centers[(m, c)] for c in range(k_codes) if (m, c) in centers],
+            dtype=np.int64,
+        )
+        for m in range(m_sub)
+    }
+    norms = {m: (C[m] * C[m]).sum(axis=1) for m in range(m_sub)}
+
+    @pandas_udf("int")
+    def assign(ms: pd.Series, qs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        marr = ms.to_numpy()
+        Q = np.stack(qs.to_numpy()).astype(np.int64)
+        out = np.empty(len(marr), dtype=np.int32)
+        for m in np.unique(marr):
+            mask = marr == m
+            scores = -2 * (Q[mask] @ C[int(m)].T) + norms[int(m)]
+            out[mask] = np.argmin(scores, axis=1)
+        return pd.Series(out)
+
+    return assign(F.col("m"), F.col("subq"))
+
+
+def _pq_subvectors(embeddings: DataFrame, m_sub: int, dim: int, scale: int):
+    """Long-form (vec_id, m, subq): each quantized vector split into
+    ``m_sub`` contiguous subvectors — JVM-side slice + posexplode, the
+    corpus-linear layout every PQ stage shares."""
+    d = dim // m_sub
+    qv = embeddings.select(
+        "vec_id", _quantized(F.col("embedding"), scale).alias("q")
+    )
+    return qv.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("q", m * d + 1, d) for m in range(m_sub)])
+        ).alias("m", "subq"),
+    )
+
+
+def build_pq_codebooks(
+    embeddings: DataFrame,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    n_iter: int = 2,
+    scale: int = 1000,
+    dim: int = 64,
+) -> dict:
+    """Train the per-subspace PQ codebooks: Lloyd's k-means run JOINTLY
+    over all ``m_sub`` subspaces (one corpus pass per round assigns
+    every (vector, subspace) subvector; centroid updates are keyed
+    (m, code)).  Seeds are the ``k_codes`` vectors with the smallest
+    portable hash of vec_id — the SAME seed vectors for every subspace
+    (each contributes its m-th slice), which keeps the SQL twin's seed
+    CTE shared.  Deterministic, all-integer (exact floor-div centroid
+    updates, empty-code carry-over as in build_ivf_lloyd_index).
+
+    Only the m_sub x k_codes x (dim/m_sub) integer codebook crosses the
+    driver per round — constant-size control flow; the corpus is
+    scanned once per round.  Returns {(m, code): centroid int list}.
+    """
+    from pithos_spark.functions.dedup import portable_hash60
+
+    d = dim // m_sub
+    sub = _pq_subvectors(embeddings, m_sub, dim, scale)
+    seed_rows = (
+        embeddings.select(
+            "vec_id",
+            _quantized(F.col("embedding"), scale).alias("q"),
+            portable_hash60(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(k_codes)
+        .collect()
+    )
+    centers: dict = {}
+    for code, r in enumerate(seed_rows):
+        q = [int(v) for v in r["q"]]
+        for m in range(m_sub):
+            centers[(m, code)] = q[m * d : (m + 1) * d]
+    k_eff = len(seed_rows)
+
+    def _grouped_sums(pdf):
+        import numpy as np
+
+        Q = np.stack(pdf["subq"].to_numpy()).astype("int64")
+        return pd.DataFrame(
+            {
+                "m": [int(pdf["m"].iloc[0])],
+                "code": [int(pdf["code"].iloc[0])],
+                "s": [Q.sum(axis=0).tolist()],
+                "n": [int(Q.shape[0])],
+            }
+        )
+
+    for _ in range(n_iter):
+        assigned = sub.select(
+            "m", "subq", _pq_assign(centers, m_sub, k_eff).alias("code")
+        )
+        rows = (
+            assigned.groupBy("m", "code")
+            .applyInPandas(
+                _grouped_sums, "m int, code int, s array<long>, n long"
+            )
+            .collect()
+        )
+        updated = {
+            (int(r["m"]), int(r["code"])): [
+                int(s) // int(r["n"]) for s in r["s"]
+            ]
+            for r in rows
+        }
+        centers = {mc: updated.get(mc, v) for mc, v in centers.items()}
+    return centers
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: dict,
+    m_sub: int = 8,
+    scale: int = 1000,
+    dim: int = 64,
+) -> DataFrame:
+    """Encode the corpus: (vec_id, m, code) — each vector reduced to
+    ``m_sub`` small code ids (the 32x-compressed representation a
+    100 TB deployment persists and serves from).  Long form rather
+    than an array column so the serving join stays a plain broadcast
+    equi-join on (m, code)."""
+    k_eff = len({c for _, c in codebooks}) or 1
+    sub = _pq_subvectors(embeddings, m_sub, dim, scale)
+    return sub.select(
+        "vec_id", "m", _pq_assign(codebooks, m_sub, k_eff).alias("code")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    n_iter: int = 2,
+    rerank: int = 4,
+    scale: int = 1000,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ ANN end to end: train codebooks, encode the corpus, serve the
+    query by ADC — the M x K lookup table (partial dot of each codebook
+    centroid with the query's matching subvector) is built once,
+    broadcast, and every encoded vector's estimated dot is the sum of
+    its M table hits; the top ``rerank * k`` by estimate are re-scored
+    with the EXACT quantized dot and the best ``k`` returned.
+
+    Scale: the serving pass touches only the code table (M rows per
+    vector, bytes not floats) and a broadcast LUT — no full-vector
+    reads until the tiny rerank set; at 100 TB you persist the code
+    table once (build/serve split, as the IVF and postings layouts) and
+    this query shape reads ~1/32nd of the raw embedding bytes.  Output
+    (vec_id, label, est_dot, dot_q) — estimate and exact, both integer.
+    """
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    codebooks = build_pq_codebooks(
+        embeddings, m_sub, k_codes, n_iter, scale, dim
+    )
+    codes = pq_encode(embeddings, codebooks, m_sub, scale, dim)
+    cb_df = spark.createDataFrame(
+        [(m, c, v) for (m, c), v in sorted(codebooks.items())],
+        "m int, code int, centroid_q array<bigint>",
+    )
+    qsub = _pq_subvectors(
+        embeddings.filter(F.col("vec_id") == query_vec_id), m_sub, dim, scale
+    ).select("m", F.col("subq").alias("qsub"))
+    lut = cb_df.join(F.broadcast(qsub), "m").select(
+        "m", "code", _bigint_dot(F.col("centroid_q"), F.col("qsub")).alias("pdot")
+    )
+    est = (
+        codes.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("pdot").alias("est_dot"))
+    )
+    cand = est.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(F.col("est_dot").desc(), F.col("vec_id"))
+        ),
+    ).filter(F.col("_rk") <= rerank * k)
+    qv = embeddings.select(
+        "vec_id", "label", _quantized(F.col("embedding"), scale).alias("q")
+    )
+    qrow = qv.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("q").alias("qq")
+    )
+    return (
+        cand.join(qv, "vec_id")
+        .join(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            "label",
+            "est_dot",
+            _bigint_dot(F.col("q"), F.col("qq")).alias("dot_q"),
+        )
+        .orderBy(F.col("dot_q").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def _pq_cte_sql(
+    m_sub: int, k_codes: int, n_iter: int, dim: int
+) -> str:
+    """DuckDB CTE prefix unrolling the joint per-subspace Lloyd PQ
+    build (build_pq_codebooks) through ``codes`` (vec_id, m, code) —
+    shared seeds, integer subspace distances, floor-div centroid
+    updates keyed (m, code), empty-code carry-over."""
+    h = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT"
+    d = dim // m_sub
+    parts = [
+        f"""\
+WITH qv AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+    FROM embeddings
+), seeds AS (
+    SELECT vec_id, row_number() OVER (ORDER BY {h}, vec_id) - 1 AS code
+    FROM embeddings
+    QUALIFY row_number() OVER (ORDER BY {h}, vec_id) <= {k_codes}
+), cent0 AS (
+    SELECT s.code, (g.i - 1) // {d} AS m, (g.i - 1) % {d} AS pos,
+           q.q[g.i] AS c
+    FROM seeds s JOIN qv q USING (vec_id), generate_series(1, {dim}) g(i)
+)"""
+    ]
+    for j in range(n_iter):
+        parts.append(
+            f""", dist{j} AS (
+    SELECT q.vec_id, c.m, c.code,
+           sum((q.q[c.m * {d} + c.pos + 1] - c.c)
+               * (q.q[c.m * {d} + c.pos + 1] - c.c)) AS dd
+    FROM qv q, cent{j} c GROUP BY 1, 2, 3
+), assign{j} AS (
+    SELECT vec_id, m, code FROM dist{j}
+    QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                               ORDER BY dd, code) = 1
+), sums{j} AS (
+    SELECT a.m, a.code, g.i - 1 AS pos,
+           CAST(sum(q.q[a.m * {d} + g.i]) AS BIGINT) AS s, count(*) AS n
+    FROM assign{j} a JOIN qv q USING (vec_id), generate_series(1, {d}) g(i)
+    GROUP BY 1, 2, 3
+), cent{j + 1} AS (
+    SELECT m, code, pos, (s - ((s % n + n) % n)) // n AS c FROM sums{j}
+    UNION ALL
+    SELECT p.m, p.code, p.pos, p.c FROM cent{j} p
+    WHERE NOT EXISTS (SELECT 1 FROM sums{j} s
+                      WHERE s.m = p.m AND s.code = p.code)
+)"""
+        )
+    parts.append(
+        f""", codes AS (
+    SELECT vec_id, m, code FROM (
+        SELECT q.vec_id, c.m, c.code,
+               sum((q.q[c.m * {d} + c.pos + 1] - c.c)
+                   * (q.q[c.m * {d} + c.pos + 1] - c.c)) AS dd
+        FROM qv q, cent{n_iter} c GROUP BY 1, 2, 3
+    ) t
+    QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                               ORDER BY dd, code) = 1
+)"""
+    )
+    return "".join(parts)
+
+
+def pq_topk_oracle(
+    query_vec_id: int,
+    k: int = 10,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    n_iter: int = 2,
+    rerank: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`pq_topk`: the joint Lloyd build unrolled
+    (_pq_cte_sql), the ADC lookup table, estimate sums, the rerank cut
+    and the exact-dot rerank — bit-identical to the Spark plan."""
+    d = dim // m_sub
+    return _pq_cte_sql(m_sub, k_codes, n_iter, dim) + f""", lut AS (
+    SELECT c.m, c.code,
+           CAST(sum(c.c * q.q[c.m * {d} + c.pos + 1]) AS BIGINT) AS pdot
+    FROM cent{n_iter} c,
+         (SELECT q FROM qv WHERE vec_id = {query_vec_id}) q(q)
+    GROUP BY 1, 2
+), est AS (
+    SELECT cd.vec_id, CAST(sum(l.pdot) AS BIGINT) AS est_dot
+    FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.code
+    WHERE cd.vec_id <> {query_vec_id}
+    GROUP BY 1
+), cand AS (
+    SELECT vec_id, est_dot FROM est
+    QUALIFY row_number() OVER (ORDER BY est_dot DESC, vec_id)
+        <= {rerank * k}
+)
+SELECT c.vec_id, e.label, c.est_dot,
+       (SELECT CAST(sum(e2.q[i] * q.q[i]) AS BIGINT)
+        FROM generate_series(1, {dim}) g(i)) AS dot_q
+FROM cand c
+JOIN embeddings e ON e.vec_id = c.vec_id
+JOIN qv e2 ON e2.vec_id = c.vec_id,
+     (SELECT q FROM qv WHERE vec_id = {query_vec_id}) q(q)
+ORDER BY dot_q DESC, c.vec_id
+LIMIT {k}"""
+
+
 def auto_planes(n: int, target_bucket: int = 16) -> int:
     """Plane count that keeps EXPECTED bucket occupancy ~target as the
     corpus grows: ceil(log2(ceil(n / target))), floored at 8 and capped

@@ -625,6 +625,14 @@ ORACLES["ann_label_centroids"] = similarity.LABEL_CENTROID_NORMS_SQL
 QUERIES["ann_lsh_topk"] = _emb_query(similarity.lsh_topk, 0, 10)
 ORACLES["ann_lsh_topk"] = similarity.lsh_topk_oracle(0, 10)
 
+# PQ ANN (r11): train-encode-serve product quantization — per-subspace
+# Lloyd codebooks (joint rounds, shared seeds), byte codes, broadcast
+# ADC lookup table, exact-dot rerank of the top rerank*k estimates.
+# The memory-bounded 100 TB serving shape (codes are ~1/32 of the raw
+# embedding bytes); whole pipeline integer-exact -> full oracle.
+QUERIES["ann_pq_topk"] = _emb_query(similarity.pq_topk, 0, 10)
+ORACLES["ann_pq_topk"] = similarity.pq_topk_oracle(0, 10)
+
 QUERIES["multimodal_features"] = _doc_query(multimodal.media_features)
 ORACLES["multimodal_features"] = multimodal.MEDIA_FEATURES_SQL
 
@@ -3092,6 +3100,7 @@ ROUND_NEW: list[str] = [
     "dedup_video_frames_assets",
     "corpus_trigram_heldout",
     "corpus_quality_classifier_trained",
+    "ann_pq_topk",
     "dedup_image_dhash",
     "corpus_bpe_train",
     "corpus_bpe_segment_stats",
@@ -3142,17 +3151,17 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_novelty_scores",
     "corpus_pack_sequences",
     "corpus_sample_mix",
-    "metadata_header_filter",
     "scalar_conversions",
 ]
 
-# No canary slots again: 17 + 33 fills the window exactly, and every
+# No canary slots again: 18 + 32 fills the window exactly, and every
 # DRIVER_PRIORITY entry doubles as a canary (all were green in r7/r8).
 # q18_large_orders yielded its slot to dedup_video_frames_assets and
-# joins the slipped TPC-H cohort.  The r12 queue: the 16 slipped
-# TPC-H q* (q2, q4, q6, q8, q9, q11, q12, q13, q15, q16, q17, q18,
-# q19, q20, q21, q22), then the oldest r9 greens (compute last-verdict
-# per query from CORRECTNESS_r*.json).
+# metadata_header_filter to ann_pq_topk.  The r12 queue:
+# metadata_header_filter, then the 16 slipped TPC-H q* (q2, q4, q6,
+# q8, q9, q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22),
+# then the oldest r9 greens (compute last-verdict per query from
+# CORRECTNESS_r*.json).
 GREEN_CORE: list[str] = []
 
 

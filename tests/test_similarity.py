@@ -334,3 +334,87 @@ def test_cluster_prototypes_rank_closest_and_bound_output(spark, embeddings):
 
     real = cluster_prototypes(embeddings, per_cluster=2).collect()
     assert len(real) <= 16 * 2 and len(real) > 0
+
+
+@pytest.mark.slow
+def test_pq_topk_recall_and_exact_rerank(embeddings):
+    """PQ ANN (r11): the ADC estimate must surface most of the true
+    top-k (recall@10 against brute force), every returned dot_q is the
+    exact quantized dot, and est_dot is a genuine estimate (correlates:
+    the true nearest neighbor survives the rerank cut)."""
+    from pithos_spark.functions.similarity import brute_force_topk, pq_topk
+
+    exact = {
+        r["vec_id"]: r["dot_q"]
+        for r in brute_force_topk(embeddings, 0, 10).collect()
+    }
+    got = pq_topk(embeddings, 0, k=10).collect()
+    assert len(got) == 10
+    for r in got:
+        if r["vec_id"] in exact:
+            assert exact[r["vec_id"]] == r["dot_q"]
+    recall = len(set(exact) & {r["vec_id"] for r in got}) / len(exact)
+    assert recall >= 0.5, f"PQ recall@10 {recall}"
+    # output ordered by exact dot desc
+    dots = [r["dot_q"] for r in got]
+    assert dots == sorted(dots, reverse=True)
+
+
+def test_pq_compression_and_planted_structure(spark):
+    """The code table is m_sub rows per vector with small code ids (the
+    32x-compressed layout), and on a corpus of two well-separated blobs
+    the codes separate the blobs in every subspace after training."""
+    from pithos_spark.functions.similarity import (
+        build_pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    rows = []
+    for blob, base_val in ((0, 0.9), (1, -0.9)):
+        for i in range(12):
+            v = [base_val + (0.001 * ((i + j) % 3)) for j in range(64)]
+            rows.append((blob * 100 + i, f"b{blob}", v))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    cb = build_pq_codebooks(emb, m_sub=8, k_codes=4, n_iter=2)
+    codes = pq_encode(emb, cb, m_sub=8).collect()
+    by_vec: dict = {}
+    for r in codes:
+        by_vec.setdefault(r["vec_id"], {})[r["m"]] = r["code"]
+    assert all(len(v) == 8 for v in by_vec.values())  # m_sub codes each
+    assert all(0 <= c < 4 for v in by_vec.values() for c in v.values())
+    # in every subspace, the two blobs never share a code (they are
+    # 1.8 apart while intra-blob spread is 0.002)
+    for m in range(8):
+        a = {by_vec[i][m] for i in range(0, 12)}
+        b = {by_vec[100 + i][m] for i in range(0, 12)}
+        assert not (a & b), f"subspace {m} mixed blobs"
+    # a query from blob 0 retrieves only blob-0 vectors
+    got = pq_topk(emb, 0, k=5, m_sub=8, k_codes=4)
+    assert all(r["label"] == "b0" for r in got.collect())
+    # the serving join broadcasts the LUT (never shuffles the codes on it)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.slow
+def test_pq_topk_oracle_parity(spark):
+    import duckdb
+
+    from pithos_spark.registry import ORACLES, QUERIES
+    from tests.conftest import SF_ORACLE
+    from tests.harness import compare
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/embeddings.parquet')"
+    )
+    compare(
+        QUERIES["ann_pq_topk"](spark, SF_ORACLE),
+        con,
+        ORACLES["ann_pq_topk"],
+        "ann_pq_topk",
+    )
