@@ -902,7 +902,117 @@ def bpe_segment_stats(
     )
 
 
-def _bpe_cte_prefix(num_merges: int, max_word_chars: int) -> str:
+def _bpe_apply_local(words: list, rules: list) -> dict:
+    """Apply a TRAINED merge-rule sequence to arbitrary words (the
+    frozen-tokenizer serve path): per word, chars + end-of-word marker,
+    then each rule in rank order merges its pair greedily left-to-right
+    — exactly the segmentation sequential training would produce, so
+    for any word in the training vocabulary this equals the trained
+    symbol table (tested).  Unseen words degrade gracefully: pairs the
+    LM never learned simply never merge."""
+    out: dict = {}
+    for w in words:
+        s = list(w) + [_BPE_EOW]
+        for _, lhs, rhs, _ in rules:
+            res: list = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    res.append(lhs + rhs)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            s = res
+        out[w] = s
+    return out
+
+
+def bpe_heldout_fertility(
+    documents: DataFrame,
+    lm_documents: DataFrame,
+    num_merges: int = 6,
+    max_word_chars: int = 20,
+    max_vocab_collect: int | None = None,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Tokenize ``documents`` with a BPE tokenizer TRAINED on a
+    DISJOINT ``lm_documents`` slice — the frozen-tokenizer production
+    shape (train once on a held-out sample, tokenize the 100 TB corpus
+    with the fixed merge table; ``bpe_segment_stats`` is the
+    self-applied twin).  Unseen words segment by replaying the trained
+    rules over their characters; words sharing no learned pair stay
+    character-split.
+
+    Scale: training collapses the LM slice to its vocabulary
+    (:func:`_bpe_run`'s contract, including the driver cap and the
+    distributed fallback's scratch-dir resolution); application
+    collapses the APPLY corpus to ITS vocabulary (word types x rule
+    replay — vocab x num_merges dict work, zero per-token corpus
+    passes) under the same ``max_vocab_collect`` driver-cap contract.
+    Output: per-source (word_tokens, bpe_tokens, fertility_permille),
+    the :func:`bpe_segment_stats` schema.
+    """
+    if max_vocab_collect is None:
+        max_vocab_collect = _BPE_MAX_VOCAB_COLLECT
+    spark = documents.sparkSession
+    rules, syms = _bpe_run(
+        lm_documents, num_merges, max_word_chars,
+        max_vocab_collect=max_vocab_collect, scratch_dir=scratch_dir,
+    )
+    syms.unpersist()
+    words = (
+        documents.select(
+            "source", F.explode(_tokens(F.col("text"))).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .withColumn("word", _cp_truncate(F.col("word"), max_word_chars))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n_words"))
+    )
+    from pithos_spark.plans.helpers import bounded_persist
+
+    words = bounded_persist(words, "bpe_heldout_fertility.words")
+    vocab = [
+        r["word"] for r in words.select("word").distinct().collect()
+    ]
+    if len(vocab) > max_vocab_collect:
+        raise ValueError(
+            f"apply-corpus vocabulary ({len(vocab)} types) exceeds "
+            f"max_vocab_collect={max_vocab_collect}; raise the cap (the "
+            "rule table is tiny — driver memory holds the vocab, the "
+            "same bounded-driver contract as training)"
+        )
+    seg = _bpe_apply_local(vocab, rules)
+    per_word = spark.createDataFrame(
+        [
+            (w, len(s) - (1 if s and s[-1] == _BPE_EOW else 0))
+            for w, s in seg.items()
+        ],
+        "word string, n_sub long",
+    )
+    return (
+        words.join(per_word, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").alias("word_tokens"),
+            F.sum(F.col("n_words") * F.col("n_sub")).alias("bpe_tokens"),
+        )
+        .select(
+            "source",
+            "word_tokens",
+            "bpe_tokens",
+            F.expr("(1000 * bpe_tokens) div word_tokens").alias(
+                "fertility_permille"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_cte_prefix(
+    num_merges: int, max_word_chars: int, pred: str = "TRUE"
+) -> str:
     """Shared unrolled CTE prefix: one block per merge round (the
     Lloyd-unroll pattern), ending at syms_{num_merges}.  Every
     multiply-referenced CTE is MATERIALIZED: DuckDB inlines plain CTEs
@@ -911,7 +1021,8 @@ def _bpe_cte_prefix(num_merges: int, max_word_chars: int) -> str:
     materialization makes the oracle linear in rounds, exactly like the
     Spark side's per-round persist.  top_r attaches via LEFT JOIN ON
     TRUE so an exhausted round (no pairs left) passes symbols through
-    unchanged instead of emptying the table."""
+    unchanged instead of emptying the table.  ``pred`` restricts the
+    TRAINING corpus (the held-out gate trains on a slice)."""
     max_pos = max_word_chars + 2
     blocks = [
         f"""\
@@ -920,7 +1031,7 @@ WITH words AS (
                            '') AS word,
            count(*) AS freq
     FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-          FROM documents)
+          FROM documents WHERE ({pred}))
     WHERE w <> ''
     GROUP BY 1
 ), syms_0 AS (
@@ -1016,6 +1127,89 @@ SELECT source, word_tokens, bpe_tokens,
 FROM agg
 ORDER BY source"""
     )
+
+
+def bpe_heldout_fertility_oracle(
+    score_pred: str,
+    lm_pred: str,
+    num_merges: int = 6,
+    max_word_chars: int = 20,
+) -> str:
+    """SQL twin of :func:`bpe_heldout_fertility`: the training unroll
+    over the ``lm_pred`` slice (shared :func:`_bpe_cte_prefix`, whose
+    per-round top_r IS the trained rule table), then one APPLY block
+    per round replaying top_r over the ``score_pred`` corpus's own
+    vocabulary — the same run-id/odd-rank greedy-merge arithmetic the
+    trainer uses, with the pair GIVEN instead of selected."""
+    max_pos = max_word_chars + 2
+    blocks = [
+        _bpe_cte_prefix(num_merges, max_word_chars, pred=lm_pred),
+        f""", apply_words AS (
+    SELECT source,
+           array_to_string(regexp_extract_all(w, '.')[1:{max_word_chars}],
+                           '') AS word,
+           count(*) AS n_words
+    FROM (SELECT source,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM documents WHERE ({score_pred}))
+    WHERE w <> ''
+    GROUP BY 1, 2
+), asyms_0 AS (
+    SELECT word, regexp_extract_all(word, '.') || ['{_BPE_EOW}'] AS s
+    FROM (SELECT DISTINCT word FROM apply_words)
+)""",
+    ]
+    for r in range(1, num_merges + 1):
+        blocks.append(
+            f""", anxt_{r} AS MATERIALIZED (
+    SELECT word, p, s[p] AS sym,
+           lead(s[p]) OVER (PARTITION BY word ORDER BY p) AS sym2
+    FROM asyms_{r - 1}, (SELECT unnest(range(1, {max_pos} + 1)) AS p)
+         aps_{r}
+    WHERE p <= len(s)
+), ataken_{r} AS MATERIALIZED (
+    SELECT word, p FROM (
+        SELECT word, p,
+               row_number() OVER (PARTITION BY word, run_id ORDER BY p) AS rk
+        FROM (
+            SELECT n.word, n.p,
+                   n.p - row_number() OVER (PARTITION BY n.word ORDER BY n.p)
+                       AS run_id
+            FROM anxt_{r} n, top_{r} t
+            WHERE n.sym = t.l AND n.sym2 = t.r
+        )
+    ) WHERE rk % 2 = 1
+), asyms_{r} AS MATERIALIZED (
+    SELECT n.word,
+           list(CASE WHEN t.p IS NOT NULL THEN tr.l || tr.r ELSE n.sym END
+                ORDER BY n.p) AS s
+    FROM anxt_{r} n
+    LEFT JOIN top_{r} tr ON TRUE
+    LEFT JOIN ataken_{r} t ON t.word = n.word AND t.p = n.p
+    LEFT JOIN ataken_{r} tc ON tc.word = n.word AND tc.p = n.p - 1
+    WHERE tc.p IS NULL
+    GROUP BY n.word
+)"""
+        )
+    blocks.append(
+        f""", aper_word AS (
+    SELECT word,
+           CAST(len(s) - CASE WHEN s[len(s)] = '{_BPE_EOW}' THEN 1 ELSE 0 END
+                AS BIGINT) AS n_sub
+    FROM asyms_{num_merges}
+), aagg AS (
+    SELECT source,
+           CAST(sum(n_words) AS BIGINT) AS word_tokens,
+           CAST(sum(n_words * n_sub) AS BIGINT) AS bpe_tokens
+    FROM apply_words JOIN aper_word USING (word)
+    GROUP BY 1
+)
+SELECT source, word_tokens, bpe_tokens,
+       (1000 * bpe_tokens) // word_tokens AS fertility_permille
+FROM aagg
+ORDER BY source"""
+    )
+    return "".join(blocks)
 
 
 def classifier_weights(

@@ -3056,6 +3056,25 @@ ORACLES["corpus_trigram_heldout"] = text.trigram_heldout_score_oracle(
 )
 
 
+# frozen-tokenizer gate (r11): BPE trained on the held-out 1/4 slice,
+# applied to the 3/4 corpus — per-source fertility under a tokenizer
+# the scored text never trained (bpe_segment_stats is the self-applied
+# twin).  Unseen-word segmentation replays the trained rules.
+def _bpe_heldout(spark, sf_dir):
+    """Train BPE on the held-out slice, tokenize the rest
+    (functions/text.bpe_heldout_fertility)."""
+    docs = T.load_tables(spark, sf_dir)["documents"]
+    return text.bpe_heldout_fertility(
+        docs.filter(_TRI_SCORE_PRED), docs.filter(_TRI_LM_PRED)
+    )
+
+
+QUERIES["corpus_bpe_heldout_fertility"] = _bpe_heldout
+ORACLES["corpus_bpe_heldout_fertility"] = text.bpe_heldout_fertility_oracle(
+    score_pred=_TRI_SCORE_PRED, lm_pred=_TRI_LM_PRED
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window ordering.
 #
@@ -3101,6 +3120,7 @@ ROUND_NEW: list[str] = [
     "corpus_trigram_heldout",
     "corpus_quality_classifier_trained",
     "ann_pq_topk",
+    "corpus_bpe_heldout_fertility",
     "dedup_image_dhash",
     "corpus_bpe_train",
     "corpus_bpe_segment_stats",
@@ -3151,14 +3171,14 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_novelty_scores",
     "corpus_pack_sequences",
     "corpus_sample_mix",
-    "scalar_conversions",
 ]
 
-# No canary slots again: 18 + 32 fills the window exactly, and every
+# No canary slots again: 19 + 31 fills the window exactly, and every
 # DRIVER_PRIORITY entry doubles as a canary (all were green in r7/r8).
-# q18_large_orders yielded its slot to dedup_video_frames_assets and
-# metadata_header_filter to ann_pq_topk.  The r12 queue:
-# metadata_header_filter, then the 16 slipped TPC-H q* (q2, q4, q6,
+# q18_large_orders yielded its slot to dedup_video_frames_assets,
+# metadata_header_filter to ann_pq_topk, and scalar_conversions to
+# corpus_bpe_heldout_fertility.  The r12 queue: metadata_header_filter
+# and scalar_conversions, then the 16 slipped TPC-H q* (q2, q4, q6,
 # q8, q9, q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22),
 # then the oldest r9 greens (compute last-verdict per query from
 # CORRECTNESS_r*.json).

@@ -1127,3 +1127,55 @@ def test_quality_classifier_trained_oracle_parity(spark):
         ORACLES["corpus_quality_classifier_trained"],
         "corpus_quality_classifier_trained",
     )
+
+
+def test_bpe_apply_matches_trained_segmentation_and_degrades(spark):
+    """The frozen-tokenizer apply path: for every word in the TRAINING
+    vocabulary, replaying the trained rules reproduces the trained
+    symbol table exactly; words sharing no learned pair stay
+    character-split; the held-out fertility gate therefore interpolates
+    between the two."""
+    from pithos_spark.functions.text import (
+        _BPE_EOW,
+        _bpe_apply_local,
+        _bpe_run,
+        bpe_heldout_fertility,
+    )
+
+    lm = _docs(spark, ["low lower lowest low low newer newest new"] * 2)
+    rules, syms = _bpe_run(lm, num_merges=6, max_word_chars=20)
+    trained = {r["word"]: list(r["s"]) for r in syms.collect()}
+    syms.unpersist()
+    applied = _bpe_apply_local(sorted(trained), rules)
+    assert applied == trained  # apply == train on the training vocab
+    # a word with no trained pair stays chars + EOW
+    out = _bpe_apply_local(["xyzq"], rules)
+    assert out["xyzq"] == ["x", "y", "z", "q", _BPE_EOW]
+    # end-to-end: scoring corpus mixes seen and unseen vocabulary
+    score = _docs(spark, ["low lower xyzq", "newest zzz"])
+    got = {r["source"]: r for r in bpe_heldout_fertility(score, lm).collect()}
+    assert set(got) == {"src0", "src1"}
+    for r in got.values():
+        assert r["bpe_tokens"] >= r["word_tokens"]
+        assert r["fertility_permille"] >= 1000
+
+
+@pytest.mark.slow
+def test_bpe_heldout_fertility_oracle_parity(spark):
+    import duckdb
+
+    from pithos_spark.registry import ORACLES, QUERIES
+    from tests.conftest import SF_ORACLE
+    from tests.harness import compare
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    compare(
+        QUERIES["corpus_bpe_heldout_fertility"](spark, SF_ORACLE),
+        con,
+        ORACLES["corpus_bpe_heldout_fertility"],
+        "corpus_bpe_heldout_fertility",
+    )
