@@ -165,3 +165,43 @@ def streaming_incremental_containment(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_quality_gate(
+    new_docs_stream,
+    weights,
+    sink_path: str,
+    checkpoint: str,
+    **classifier_kwargs,
+):
+    """Streaming twin of functions/text.quality_classifier_score with a
+    FROZEN trained weight table: each micro-batch of newly-crawled
+    documents is scored through the broadcast weight join (weights are
+    static — trained once on the held-out slice, e.g. by
+    train_classifier_weights — so every batch reuses the same tiny
+    broadcast), and the per-doc keep/drop verdicts append as parquet
+    under ``sink_path``.
+
+    The crawl-ingest quality gate shape at 100 TB/day: classification
+    is batch-local (no cross-batch state beyond checkpointed offsets),
+    so restarts re-score nothing already committed and the stream's
+    union over time equals the batch operator over the union of
+    batches (tested).  ``foreachBatch`` for the same reason as the
+    incremental-dedup twins: one code path with the batch operator.
+    """
+    from pithos_spark.functions.text import quality_classifier_score
+
+    def _score(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        scored = quality_classifier_score(
+            batch_df, weights=weights, **classifier_kwargs
+        )
+        scored.write.mode("append").parquet(sink_path)
+
+    return (
+        new_docs_stream.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

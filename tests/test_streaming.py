@@ -1101,3 +1101,54 @@ def test_streaming_incremental_containment_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_quality_gate_matches_batch(spark, tmp_path):
+    """Micro-batched crawl delta scored through the FROZEN trained
+    weight table must produce exactly the batch operator's verdicts
+    over the union of batches, regardless of trigger splits — the
+    crawl-ingest quality gate (r11)."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions.text import (
+        quality_classifier_score,
+        train_classifier_weights,
+    )
+    from pithos_spark.streaming.funnel import streaming_quality_gate
+
+    docs = T.load_tables(spark, SF_SMOKE)["documents"]
+    weights = train_classifier_weights(
+        docs.filter(F.col("doc_id") % 4 == 0).withColumn(
+            "label", (F.col("n_chars") >= 300).cast("int")
+        )
+    ).persist()
+    weights.count()  # freeze the trained table before streaming starts
+    new = docs.filter(F.col("doc_id") % 4 != 0)
+    src = str(tmp_path / "crawl_delta_q")
+    new.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = str(tmp_path / "quality_gate_sink")
+    q = streaming_quality_gate(
+        stream, weights, sink, str(tmp_path / "ckpt_q")
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["doc_id"], r["n_tokens"], r["logit_milli"], r["keep"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_tokens"], r["logit_milli"], r["keep"])
+        for r in quality_classifier_score(new, weights=weights).collect()
+    }
+    weights.unpersist()
+    assert got == want and len(want) > 0
+    # the gate is non-vacuous: trained logits vary across docs (at this
+    # smoke SF all may clear threshold 0, so assert on logits, not keep)
+    assert len({logit for _, _, logit, _ in want}) > 1
