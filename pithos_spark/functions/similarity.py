@@ -1123,53 +1123,65 @@ def pq_topk(
 
 
 def _pq_cte_sql(
-    m_sub: int, k_codes: int, n_iter: int, dim: int
+    m_sub: int, k_codes: int, n_iter: int, dim: int, standalone: bool = True
 ) -> str:
     """DuckDB CTE prefix unrolling the joint per-subspace Lloyd PQ
     build (build_pq_codebooks) through ``codes`` (vec_id, m, code) —
     shared seeds, integer subspace distances, floor-div centroid
-    updates keyed (m, code), empty-code carry-over."""
+    updates keyed (m, code), empty-code carry-over.
+
+    ``standalone=False`` renames every intermediate CTE with a ``p``
+    prefix and reuses an existing ``qv`` instead of opening its own
+    WITH — so the block composes after :func:`_lloyd_cte_sql` (whose
+    CTEs use the same family names) for the IVF-PQ oracle."""
     h = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT"
     d = dim // m_sub
-    parts = [
-        f"""\
+    p = "" if standalone else "p"
+    head = (
+        """\
 WITH qv AS (
     SELECT vec_id, label,
            list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
     FROM embeddings
-), seeds AS (
+), """
+        if standalone
+        else ", "
+    )
+    parts = [
+        f"""\
+{head}{p}seeds AS (
     SELECT vec_id, row_number() OVER (ORDER BY {h}, vec_id) - 1 AS code
     FROM embeddings
     QUALIFY row_number() OVER (ORDER BY {h}, vec_id) <= {k_codes}
-), cent0 AS (
+), {p}cent0 AS (
     SELECT s.code, (g.i - 1) // {d} AS m, (g.i - 1) % {d} AS pos,
            q.q[g.i] AS c
-    FROM seeds s JOIN qv q USING (vec_id), generate_series(1, {dim}) g(i)
+    FROM {p}seeds s JOIN qv q USING (vec_id), generate_series(1, {dim}) g(i)
 )"""
     ]
     for j in range(n_iter):
         parts.append(
-            f""", dist{j} AS (
+            f""", {p}dist{j} AS (
     SELECT q.vec_id, c.m, c.code,
            sum((q.q[c.m * {d} + c.pos + 1] - c.c)
                * (q.q[c.m * {d} + c.pos + 1] - c.c)) AS dd
-    FROM qv q, cent{j} c GROUP BY 1, 2, 3
-), assign{j} AS (
-    SELECT vec_id, m, code FROM dist{j}
+    FROM qv q, {p}cent{j} c GROUP BY 1, 2, 3
+), {p}assign{j} AS (
+    SELECT vec_id, m, code FROM {p}dist{j}
     QUALIFY row_number() OVER (PARTITION BY vec_id, m
                                ORDER BY dd, code) = 1
-), sums{j} AS (
+), {p}sums{j} AS (
     SELECT a.m, a.code, g.i - 1 AS pos,
            CAST(sum(q.q[a.m * {d} + g.i]) AS BIGINT) AS s, count(*) AS n
-    FROM assign{j} a JOIN qv q USING (vec_id), generate_series(1, {d}) g(i)
+    FROM {p}assign{j} a JOIN qv q USING (vec_id), generate_series(1, {d}) g(i)
     GROUP BY 1, 2, 3
-), cent{j + 1} AS (
-    SELECT m, code, pos, (s - ((s % n + n) % n)) // n AS c FROM sums{j}
+), {p}cent{j + 1} AS (
+    SELECT m, code, pos, (s - ((s % n + n) % n)) // n AS c FROM {p}sums{j}
     UNION ALL
-    SELECT p.m, p.code, p.pos, p.c FROM cent{j} p
-    WHERE NOT EXISTS (SELECT 1 FROM sums{j} s
-                      WHERE s.m = p.m AND s.code = p.code)
+    SELECT pr.m, pr.code, pr.pos, pr.c FROM {p}cent{j} pr
+    WHERE NOT EXISTS (SELECT 1 FROM {p}sums{j} s
+                      WHERE s.m = pr.m AND s.code = pr.code)
 )"""
         )
     parts.append(
@@ -1178,7 +1190,7 @@ WITH qv AS (
         SELECT q.vec_id, c.m, c.code,
                sum((q.q[c.m * {d} + c.pos + 1] - c.c)
                    * (q.q[c.m * {d} + c.pos + 1] - c.c)) AS dd
-        FROM qv q, cent{n_iter} c GROUP BY 1, 2, 3
+        FROM qv q, {p}cent{n_iter} c GROUP BY 1, 2, 3
     ) t
     QUALIFY row_number() OVER (PARTITION BY vec_id, m
                                ORDER BY dd, code) = 1
@@ -1225,6 +1237,170 @@ JOIN qv e2 ON e2.vec_id = c.vec_id,
      (SELECT q FROM qv WHERE vec_id = {query_vec_id}) q(q)
 ORDER BY dot_q DESC, c.vec_id
 LIMIT {k}"""
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    pq_iter: int = 2,
+    rerank: int = 4,
+    scale: int = 1000,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ — the composed FAISS-style IVFADC layout (non-residual
+    variant): the Lloyd coarse quantizer prunes the corpus to
+    ``n_probe`` inverted lists, the PQ code table + broadcast ADC
+    lookup scores only those lists' members, and the top ``rerank*k``
+    estimates are re-scored with the exact quantized dot.
+
+    This is THE 100 TB ANN architecture: the coarse index turns the
+    scan into partition pruning (persist the code table
+    cluster-partitioned, as ``save_ivf_index`` does for vectors) and
+    PQ turns the per-row cost into M byte-code lookups — the serving
+    pass reads ~1/32nd of the raw bytes of ~n_probe/n_clusters of the
+    corpus.  Both trainers are the existing engine-exact Lloyd forms,
+    so the full build+probe pipeline keeps a bit-identical DuckDB
+    twin.  Output (vec_id, label, est_dot, dot_q)."""
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    assigned, centers = build_ivf_lloyd_index(
+        embeddings, n_clusters, n_iter, scale
+    )
+    codebooks = build_pq_codebooks(
+        embeddings, m_sub, k_codes, pq_iter, scale, dim
+    )
+    codes = pq_encode(embeddings, codebooks, m_sub, scale, dim)
+    qv = embeddings.select(
+        "vec_id", "label", _quantized(F.col("embedding"), scale).alias("q")
+    )
+    qrow = qv.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("q").alias("qq")
+    )
+    cd = F.aggregate(
+        F.zip_with(
+            F.col("centroid_q"), F.col("qq"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    probes = (
+        centers.join(F.broadcast(qrow))
+        .select("cluster", cd.alias("cd"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.orderBy(F.col("cd"), F.col("cluster"))),
+        )
+        .filter(F.col("_rn") <= n_probe)
+        .select("cluster")
+    )
+    cand_ids = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id")
+    )
+    cb_df = spark.createDataFrame(
+        [(m, c, v) for (m, c), v in sorted(codebooks.items())],
+        "m int, code int, centroid_q array<bigint>",
+    )
+    qsub = _pq_subvectors(
+        embeddings.filter(F.col("vec_id") == query_vec_id), m_sub, dim, scale
+    ).select("m", F.col("subq").alias("qsub"))
+    lut = cb_df.join(F.broadcast(qsub), "m").select(
+        "m",
+        "code",
+        _bigint_dot(F.col("centroid_q"), F.col("qsub")).alias("pdot"),
+    )
+    est = (
+        codes.join(cand_ids, "vec_id", "left_semi")
+        .join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("pdot").alias("est_dot"))
+    )
+    cand = est.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(F.col("est_dot").desc(), F.col("vec_id"))
+        ),
+    ).filter(F.col("_rk") <= rerank * k)
+    return (
+        cand.join(qv, "vec_id")
+        .join(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            "label",
+            "est_dot",
+            _bigint_dot(F.col("q"), F.col("qq")).alias("dot_q"),
+        )
+        .orderBy(F.col("dot_q").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def ivfpq_topk_oracle(
+    query_vec_id: int,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    pq_iter: int = 2,
+    rerank: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_topk`: the Lloyd coarse unroll
+    (_lloyd_cte_sql), the prefixed PQ unroll (_pq_cte_sql composed,
+    sharing qv), the probe ranking, the in-list ADC estimate, the
+    rerank cut and the exact-dot tail — bit-identical."""
+    d = dim // m_sub
+    return (
+        _lloyd_cte_sql(n_clusters, n_iter, dim)
+        + _pq_cte_sql(m_sub, k_codes, pq_iter, dim, standalone=False)
+        + f""", cdist AS (
+    SELECT c.cluster,
+           sum((c.c - q.q[c.pos + 1]) * (c.c - q.q[c.pos + 1])) AS cd
+    FROM cent{n_iter} c,
+         (SELECT q FROM qv WHERE vec_id = {query_vec_id}) q(q)
+    GROUP BY 1
+), probes AS (
+    SELECT cluster FROM cdist
+    QUALIFY row_number() OVER (ORDER BY cd, cluster) <= {n_probe}
+), lut AS (
+    SELECT c.m, c.code,
+           CAST(sum(c.c * q.q[c.m * {d} + c.pos + 1]) AS BIGINT) AS pdot
+    FROM pcent{pq_iter} c,
+         (SELECT q FROM qv WHERE vec_id = {query_vec_id}) q(q)
+    GROUP BY 1, 2
+), est AS (
+    SELECT cd2.vec_id, CAST(sum(l.pdot) AS BIGINT) AS est_dot
+    FROM codes cd2
+    JOIN lut l ON cd2.m = l.m AND cd2.code = l.code
+    JOIN final_assign fa ON fa.vec_id = cd2.vec_id
+    JOIN probes p ON fa.cluster = p.cluster
+    WHERE cd2.vec_id <> {query_vec_id}
+    GROUP BY 1
+), cand AS (
+    SELECT vec_id, est_dot FROM est
+    QUALIFY row_number() OVER (ORDER BY est_dot DESC, vec_id)
+        <= {rerank * k}
+)
+SELECT c.vec_id, e.label, c.est_dot,
+       (SELECT CAST(sum(e2.q[i] * q.q[i]) AS BIGINT)
+        FROM generate_series(1, {dim}) g(i)) AS dot_q
+FROM cand c
+JOIN embeddings e ON e.vec_id = c.vec_id
+JOIN qv e2 ON e2.vec_id = c.vec_id,
+     (SELECT q FROM qv WHERE vec_id = {query_vec_id}) q(q)
+ORDER BY dot_q DESC, c.vec_id
+LIMIT {k}"""
+    )
 
 
 def auto_planes(n: int, target_bucket: int = 16) -> int:

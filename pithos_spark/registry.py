@@ -633,6 +633,13 @@ ORACLES["ann_lsh_topk"] = similarity.lsh_topk_oracle(0, 10)
 QUERIES["ann_pq_topk"] = _emb_query(similarity.pq_topk, 0, 10)
 ORACLES["ann_pq_topk"] = similarity.pq_topk_oracle(0, 10)
 
+# IVF-PQ (r11): the composed FAISS-style IVFADC serving layout —
+# Lloyd coarse pruning to n_probe inverted lists, ADC over the code
+# table within them, exact rerank.  Both trainers are the existing
+# engine-exact Lloyd forms, so the composition keeps a full oracle.
+QUERIES["ann_ivfpq_topk"] = _emb_query(similarity.ivfpq_topk, 0, 10)
+ORACLES["ann_ivfpq_topk"] = similarity.ivfpq_topk_oracle(0, 10)
+
 QUERIES["multimodal_features"] = _doc_query(multimodal.media_features)
 ORACLES["multimodal_features"] = multimodal.MEDIA_FEATURES_SQL
 
@@ -3120,6 +3127,7 @@ ROUND_NEW: list[str] = [
     "corpus_trigram_heldout",
     "corpus_quality_classifier_trained",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "corpus_bpe_heldout_fertility",
     "dedup_image_dhash",
     "corpus_bpe_train",
@@ -3170,17 +3178,17 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_curation_pipeline",
     "corpus_novelty_scores",
     "corpus_pack_sequences",
-    "corpus_sample_mix",
 ]
 
-# No canary slots again: 19 + 31 fills the window exactly, and every
+# No canary slots again: 20 + 30 fills the window exactly, and every
 # DRIVER_PRIORITY entry doubles as a canary (all were green in r7/r8).
-# q18_large_orders yielded its slot to dedup_video_frames_assets,
-# metadata_header_filter to ann_pq_topk, and scalar_conversions to
-# corpus_bpe_heldout_fertility.  The r12 queue: metadata_header_filter
-# and scalar_conversions, then the 16 slipped TPC-H q* (q2, q4, q6,
-# q8, q9, q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22),
-# then the oldest r9 greens (compute last-verdict per query from
+# Slot yields this round: q18_large_orders -> dedup_video_frames_assets,
+# metadata_header_filter -> ann_pq_topk, scalar_conversions ->
+# corpus_bpe_heldout_fertility, corpus_sample_mix -> ann_ivfpq_topk.
+# The r12 queue: metadata_header_filter, scalar_conversions,
+# corpus_sample_mix, then the 16 slipped TPC-H q* (q2, q4, q6, q8,
+# q9, q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22), then
+# the oldest r9 greens (compute last-verdict per query from
 # CORRECTNESS_r*.json).
 GREEN_CORE: list[str] = []
 

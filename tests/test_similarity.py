@@ -418,3 +418,48 @@ def test_pq_topk_oracle_parity(spark):
         ORACLES["ann_pq_topk"],
         "ann_pq_topk",
     )
+
+
+@pytest.mark.slow
+def test_ivfpq_topk_recall_and_exact_rerank(embeddings):
+    """IVF-PQ (r11): coarse pruning + ADC must still surface a useful
+    share of the true top-k, returned dot_q values are the exact
+    quantized dots, and the output is exact-dot ordered."""
+    from pithos_spark.functions.similarity import brute_force_topk, ivfpq_topk
+
+    exact = {
+        r["vec_id"]: r["dot_q"]
+        for r in brute_force_topk(embeddings, 0, 10).collect()
+    }
+    got = ivfpq_topk(embeddings, 0, k=10, n_probe=4).collect()
+    assert len(got) == 10
+    for r in got:
+        if r["vec_id"] in exact:
+            assert exact[r["vec_id"]] == r["dot_q"]
+    recall = len(set(exact) & {r["vec_id"] for r in got}) / len(exact)
+    # two approximations stack (coarse pruning + ADC), so the floor is
+    # looser than PQ-alone; the oracle hash is the exactness gate
+    assert recall >= 0.3, f"IVF-PQ recall@10 {recall}"
+    dots = [r["dot_q"] for r in got]
+    assert dots == sorted(dots, reverse=True)
+
+
+@pytest.mark.slow
+def test_ivfpq_topk_oracle_parity(spark):
+    import duckdb
+
+    from pithos_spark.registry import ORACLES, QUERIES
+    from tests.conftest import SF_ORACLE
+    from tests.harness import compare
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/embeddings.parquet')"
+    )
+    compare(
+        QUERIES["ann_ivfpq_topk"](spark, SF_ORACLE),
+        con,
+        ORACLES["ann_ivfpq_topk"],
+        "ann_ivfpq_topk",
+    )
