@@ -937,19 +937,28 @@ def _pq_assign(centers: dict, m_sub: int, k_codes: int):
     return assign(F.col("m"), F.col("subq"))
 
 
-def _pq_subvectors(embeddings: DataFrame, m_sub: int, dim: int, scale: int):
-    """Long-form (vec_id, m, subq): each quantized vector split into
-    ``m_sub`` contiguous subvectors — JVM-side slice + posexplode, the
-    corpus-linear layout every PQ stage shares."""
+def _pq_subvectors_from_q(qdf: DataFrame, m_sub: int, dim: int):
+    """Long-form (vec_id, m, subq) from a prebuilt (vec_id, q) integer
+    vector table — JVM-side slice + posexplode, the corpus-linear
+    layout every PQ stage shares.  The residual IVFADC form feeds
+    (vec - assigned centroid) vectors through the same split."""
     d = dim // m_sub
-    qv = embeddings.select(
-        "vec_id", _quantized(F.col("embedding"), scale).alias("q")
-    )
-    return qv.select(
+    return qdf.select(
         "vec_id",
         F.posexplode(
             F.array(*[F.slice("q", m * d + 1, d) for m in range(m_sub)])
         ).alias("m", "subq"),
+    )
+
+
+def _pq_subvectors(embeddings: DataFrame, m_sub: int, dim: int, scale: int):
+    """(vec_id, m, subq) straight from the float embedding column."""
+    return _pq_subvectors_from_q(
+        embeddings.select(
+            "vec_id", _quantized(F.col("embedding"), scale).alias("q")
+        ),
+        m_sub,
+        dim,
     )
 
 
@@ -974,14 +983,31 @@ def build_pq_codebooks(
     driver per round — constant-size control flow; the corpus is
     scanned once per round.  Returns {(m, code): centroid int list}.
     """
+    return _build_pq_codebooks_q(
+        embeddings.select(
+            "vec_id", _quantized(F.col("embedding"), scale).alias("q")
+        ),
+        m_sub,
+        k_codes,
+        n_iter,
+        dim,
+    )
+
+
+def _build_pq_codebooks_q(
+    qdf: DataFrame, m_sub: int, k_codes: int, n_iter: int, dim: int
+) -> dict:
+    """The trainer core over a prebuilt (vec_id, q) integer table —
+    shared by the plain form (quantized embeddings) and the residual
+    IVFADC form (vec - assigned centroid)."""
     from pithos_spark.functions.dedup import portable_hash60
 
     d = dim // m_sub
-    sub = _pq_subvectors(embeddings, m_sub, dim, scale)
+    sub = _pq_subvectors_from_q(qdf, m_sub, dim)
     seed_rows = (
-        embeddings.select(
+        qdf.select(
             "vec_id",
-            _quantized(F.col("embedding"), scale).alias("q"),
+            "q",
             portable_hash60(F.col("vec_id").cast("string")).alias("_h"),
         )
         .orderBy("_h", "vec_id")
@@ -1123,7 +1149,12 @@ def pq_topk(
 
 
 def _pq_cte_sql(
-    m_sub: int, k_codes: int, n_iter: int, dim: int, standalone: bool = True
+    m_sub: int,
+    k_codes: int,
+    n_iter: int,
+    dim: int,
+    standalone: bool = True,
+    qv_name: str = "qv",
 ) -> str:
     """DuckDB CTE prefix unrolling the joint per-subspace Lloyd PQ
     build (build_pq_codebooks) through ``codes`` (vec_id, m, code) —
@@ -1131,12 +1162,15 @@ def _pq_cte_sql(
     updates keyed (m, code), empty-code carry-over.
 
     ``standalone=False`` renames every intermediate CTE with a ``p``
-    prefix and reuses an existing ``qv`` instead of opening its own
-    WITH — so the block composes after :func:`_lloyd_cte_sql` (whose
-    CTEs use the same family names) for the IVF-PQ oracle."""
+    prefix and reuses an existing quantized-vector CTE instead of
+    opening its own WITH — so the block composes after
+    :func:`_lloyd_cte_sql` (whose CTEs use the same family names) for
+    the IVF-PQ oracles.  ``qv_name`` picks that source CTE — the
+    residual form trains over ``rqv`` (vec - assigned centroid)."""
     h = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT"
     d = dim // m_sub
     p = "" if standalone else "p"
+    qv = qv_name
     head = (
         """\
 WITH qv AS (
@@ -1157,7 +1191,7 @@ WITH qv AS (
 ), {p}cent0 AS (
     SELECT s.code, (g.i - 1) // {d} AS m, (g.i - 1) % {d} AS pos,
            q.q[g.i] AS c
-    FROM {p}seeds s JOIN qv q USING (vec_id), generate_series(1, {dim}) g(i)
+    FROM {p}seeds s JOIN {qv} q USING (vec_id), generate_series(1, {dim}) g(i)
 )"""
     ]
     for j in range(n_iter):
@@ -1166,7 +1200,7 @@ WITH qv AS (
     SELECT q.vec_id, c.m, c.code,
            sum((q.q[c.m * {d} + c.pos + 1] - c.c)
                * (q.q[c.m * {d} + c.pos + 1] - c.c)) AS dd
-    FROM qv q, {p}cent{j} c GROUP BY 1, 2, 3
+    FROM {qv} q, {p}cent{j} c GROUP BY 1, 2, 3
 ), {p}assign{j} AS (
     SELECT vec_id, m, code FROM {p}dist{j}
     QUALIFY row_number() OVER (PARTITION BY vec_id, m
@@ -1174,7 +1208,7 @@ WITH qv AS (
 ), {p}sums{j} AS (
     SELECT a.m, a.code, g.i - 1 AS pos,
            CAST(sum(q.q[a.m * {d} + g.i]) AS BIGINT) AS s, count(*) AS n
-    FROM {p}assign{j} a JOIN qv q USING (vec_id), generate_series(1, {d}) g(i)
+    FROM {p}assign{j} a JOIN {qv} q USING (vec_id), generate_series(1, {d}) g(i)
     GROUP BY 1, 2, 3
 ), {p}cent{j + 1} AS (
     SELECT m, code, pos, (s - ((s % n + n) % n)) // n AS c FROM {p}sums{j}
@@ -1190,7 +1224,7 @@ WITH qv AS (
         SELECT q.vec_id, c.m, c.code,
                sum((q.q[c.m * {d} + c.pos + 1] - c.c)
                    * (q.q[c.m * {d} + c.pos + 1] - c.c)) AS dd
-        FROM qv q, {p}cent{n_iter} c GROUP BY 1, 2, 3
+        FROM {qv} q, {p}cent{n_iter} c GROUP BY 1, 2, 3
     ) t
     QUALIFY row_number() OVER (PARTITION BY vec_id, m
                                ORDER BY dd, code) = 1
@@ -1340,6 +1374,198 @@ def ivfpq_topk(
         )
         .orderBy(F.col("dot_q").desc(), "vec_id")
         .limit(k)
+    )
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    pq_iter: int = 2,
+    rerank: int = 4,
+    scale: int = 1000,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the true FAISS IVFADC: PQ
+    codebooks are trained on (vector - assigned coarse centroid), which
+    concentrates the quantizer's budget on the within-cell spread
+    instead of re-describing cell positions (the classic recall win
+    over plain-vector PQ).  Residuals are integer differences of
+    already-quantized vectors, so the whole pipeline stays
+    engine-exact.
+
+    Inner-product ADC decomposes per probed cell c:
+    dot(q, x) = dot(q, cent_c) + dot(q, res_x)
+    — the first term is a per-cluster constant (n_probe rows), the
+    second the usual M-lookup sum against the residual codebooks'
+    query-subvector LUT.  Serving cost is identical to plain IVF-PQ;
+    only training adds the one centroid-subtraction pass.
+    Output (vec_id, label, est_dot, dot_q)."""
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    assigned, centers = build_ivf_lloyd_index(
+        embeddings, n_clusters, n_iter, scale
+    )
+    qv = embeddings.select(
+        "vec_id", "label", _quantized(F.col("embedding"), scale).alias("q")
+    )
+    rqv = (
+        qv.join(assigned.select("vec_id", "cluster"), "vec_id")
+        .join(F.broadcast(centers), "cluster")
+        .select(
+            "vec_id",
+            F.zip_with(
+                "q", "centroid_q", lambda a, b: a - b
+            ).alias("q"),
+        )
+    )
+    codebooks = _build_pq_codebooks_q(rqv, m_sub, k_codes, pq_iter, dim)
+    k_eff = len({c for _, c in codebooks}) or 1
+    codes = _pq_subvectors_from_q(rqv, m_sub, dim).select(
+        "vec_id", "m", _pq_assign(codebooks, m_sub, k_eff).alias("code")
+    )
+    qrow = qv.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("q").alias("qq")
+    )
+    cd = F.aggregate(
+        F.zip_with(
+            F.col("centroid_q"), F.col("qq"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    probes = (
+        centers.join(F.broadcast(qrow))
+        .select(
+            "cluster",
+            cd.alias("cd"),
+            _bigint_dot(F.col("centroid_q"), F.col("qq")).alias("cterm"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.orderBy(F.col("cd"), F.col("cluster"))),
+        )
+        .filter(F.col("_rn") <= n_probe)
+        .select("cluster", "cterm")
+    )
+    cb_df = spark.createDataFrame(
+        [(m, c, v) for (m, c), v in sorted(codebooks.items())],
+        "m int, code int, centroid_q array<bigint>",
+    )
+    d = dim // m_sub
+    qsub = qrow.select(
+        F.posexplode(
+            F.array(*[F.slice("qq", m * d + 1, d) for m in range(m_sub)])
+        ).alias("m", "qsub")
+    )
+    lut = cb_df.join(F.broadcast(qsub), "m").select(
+        "m",
+        "code",
+        _bigint_dot(F.col("centroid_q"), F.col("qsub")).alias("pdot"),
+    )
+    est = (
+        codes.join(assigned.select("vec_id", "cluster"), "vec_id")
+        .filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(probes), "cluster")
+        .join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg((F.sum("pdot") + F.min("cterm")).alias("est_dot"))
+    )
+    cand = est.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(F.col("est_dot").desc(), F.col("vec_id"))
+        ),
+    ).filter(F.col("_rk") <= rerank * k)
+    return (
+        cand.join(qv, "vec_id")
+        .join(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            "label",
+            "est_dot",
+            _bigint_dot(F.col("q"), F.col("qq")).alias("dot_q"),
+        )
+        .orderBy(F.col("dot_q").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def ivfpq_residual_topk_oracle(
+    query_vec_id: int,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    pq_iter: int = 2,
+    rerank: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_residual_topk`: the Lloyd unroll,
+    the residual-vector CTE (vec - assigned centroid), the prefixed PQ
+    unroll trained OVER rqv, the probe ranking with per-cluster
+    centroid dot terms, the in-list ADC estimate (+ centroid term) and
+    the exact-dot tail."""
+    d = dim // m_sub
+    return (
+        _lloyd_cte_sql(n_clusters, n_iter, dim)
+        + f""", rqv AS MATERIALIZED (
+    SELECT q.vec_id, list(q.q[c.pos + 1] - c.c ORDER BY c.pos) AS q
+    FROM qv q
+    JOIN final_assign fa USING (vec_id)
+    JOIN cent{n_iter} c ON c.cluster = fa.cluster
+    GROUP BY q.vec_id
+)"""
+        + _pq_cte_sql(
+            m_sub, k_codes, pq_iter, dim, standalone=False, qv_name="rqv"
+        )
+        + f""", cdist AS (
+    SELECT c.cluster,
+           sum((c.c - q.q[c.pos + 1]) * (c.c - q.q[c.pos + 1])) AS cd,
+           CAST(sum(c.c * q.q[c.pos + 1]) AS BIGINT) AS cterm
+    FROM cent{n_iter} c,
+         (SELECT q FROM qv WHERE vec_id = {query_vec_id}) q(q)
+    GROUP BY 1
+), probes AS (
+    SELECT cluster, cterm FROM cdist
+    QUALIFY row_number() OVER (ORDER BY cd, cluster) <= {n_probe}
+), lut AS (
+    SELECT c.m, c.code,
+           CAST(sum(c.c * q.q[c.m * {d} + c.pos + 1]) AS BIGINT) AS pdot
+    FROM pcent{pq_iter} c,
+         (SELECT q FROM qv WHERE vec_id = {query_vec_id}) q(q)
+    GROUP BY 1, 2
+), est AS (
+    SELECT cd2.vec_id,
+           CAST(sum(l.pdot) + min(p.cterm) AS BIGINT) AS est_dot
+    FROM codes cd2
+    JOIN final_assign fa ON fa.vec_id = cd2.vec_id
+    JOIN probes p ON fa.cluster = p.cluster
+    JOIN lut l ON cd2.m = l.m AND cd2.code = l.code
+    WHERE cd2.vec_id <> {query_vec_id}
+    GROUP BY 1
+), cand AS (
+    SELECT vec_id, est_dot FROM est
+    QUALIFY row_number() OVER (ORDER BY est_dot DESC, vec_id)
+        <= {rerank * k}
+)
+SELECT c.vec_id, e.label, c.est_dot,
+       (SELECT CAST(sum(e2.q[i] * q.q[i]) AS BIGINT)
+        FROM generate_series(1, {dim}) g(i)) AS dot_q
+FROM cand c
+JOIN embeddings e ON e.vec_id = c.vec_id
+JOIN qv e2 ON e2.vec_id = c.vec_id,
+     (SELECT q FROM qv WHERE vec_id = {query_vec_id}) q(q)
+ORDER BY dot_q DESC, c.vec_id
+LIMIT {k}"""
     )
 
 

@@ -640,6 +640,16 @@ ORACLES["ann_pq_topk"] = similarity.pq_topk_oracle(0, 10)
 QUERIES["ann_ivfpq_topk"] = _emb_query(similarity.ivfpq_topk, 0, 10)
 ORACLES["ann_ivfpq_topk"] = similarity.ivfpq_topk_oracle(0, 10)
 
+# residual IVFADC (r11): PQ codebooks trained on (vector - assigned
+# coarse centroid) — integer differences, so still engine-exact; the
+# inner-product ADC adds the per-cluster centroid dot term.
+QUERIES["ann_ivfpq_residual_topk"] = _emb_query(
+    similarity.ivfpq_residual_topk, 0, 10
+)
+ORACLES["ann_ivfpq_residual_topk"] = similarity.ivfpq_residual_topk_oracle(
+    0, 10
+)
+
 QUERIES["multimodal_features"] = _doc_query(multimodal.media_features)
 ORACLES["multimodal_features"] = multimodal.MEDIA_FEATURES_SQL
 
@@ -3128,6 +3138,7 @@ ROUND_NEW: list[str] = [
     "corpus_quality_classifier_trained",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
     "corpus_bpe_heldout_fertility",
     "dedup_image_dhash",
     "corpus_bpe_train",
@@ -3168,7 +3179,6 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_incremental",
     "dedup_simhash_pairs",
     "multimodal_resize",
-    "multimodal_frame_sample",
     "ann_ivf_topk",
     "events_heavy_hitters_merged",
     "events_watermark_lateness",
@@ -3180,15 +3190,16 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_pack_sequences",
 ]
 
-# No canary slots again: 20 + 30 fills the window exactly, and every
+# No canary slots again: 21 + 29 fills the window exactly, and every
 # DRIVER_PRIORITY entry doubles as a canary (all were green in r7/r8).
 # Slot yields this round: q18_large_orders -> dedup_video_frames_assets,
 # metadata_header_filter -> ann_pq_topk, scalar_conversions ->
-# corpus_bpe_heldout_fertility, corpus_sample_mix -> ann_ivfpq_topk.
-# The r12 queue: metadata_header_filter, scalar_conversions,
-# corpus_sample_mix, then the 16 slipped TPC-H q* (q2, q4, q6, q8,
-# q9, q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22), then
-# the oldest r9 greens (compute last-verdict per query from
+# corpus_bpe_heldout_fertility, corpus_sample_mix -> ann_ivfpq_topk,
+# multimodal_frame_sample -> ann_ivfpq_residual_topk.  The r12 queue:
+# metadata_header_filter, scalar_conversions, corpus_sample_mix,
+# multimodal_frame_sample, then the 16 slipped TPC-H q* (q2, q4, q6,
+# q8, q9, q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22),
+# then the oldest r9 greens (compute last-verdict per query from
 # CORRECTNESS_r*.json).
 GREEN_CORE: list[str] = []
 

@@ -463,3 +463,43 @@ def test_ivfpq_topk_oracle_parity(spark):
         ORACLES["ann_ivfpq_topk"],
         "ann_ivfpq_topk",
     )
+
+
+@pytest.mark.slow
+def test_ivfpq_residual_recall_and_parity(embeddings, spark):
+    """Residual IVFADC (r11): PQ over (vec - assigned centroid) with
+    the per-cluster centroid dot term — exact dot_q on everything
+    returned, a sane recall floor, and the full train+serve oracle."""
+    import duckdb
+
+    from pithos_spark.functions.similarity import (
+        brute_force_topk,
+        ivfpq_residual_topk,
+    )
+    from pithos_spark.registry import ORACLES, QUERIES
+    from tests.conftest import SF_ORACLE
+    from tests.harness import compare
+
+    exact = {
+        r["vec_id"]: r["dot_q"]
+        for r in brute_force_topk(embeddings, 0, 10).collect()
+    }
+    got = ivfpq_residual_topk(embeddings, 0, k=10, n_probe=4).collect()
+    assert len(got) == 10
+    for r in got:
+        if r["vec_id"] in exact:
+            assert exact[r["vec_id"]] == r["dot_q"]
+    recall = len(set(exact) & {r["vec_id"] for r in got}) / len(exact)
+    assert recall >= 0.3, f"residual IVFADC recall@10 {recall}"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/embeddings.parquet')"
+    )
+    compare(
+        QUERIES["ann_ivfpq_residual_topk"](spark, SF_ORACLE),
+        con,
+        ORACLES["ann_ivfpq_residual_topk"],
+        "ann_ivfpq_residual_topk",
+    )
