@@ -1179,3 +1179,35 @@ def test_bpe_heldout_fertility_oracle_parity(spark):
         ORACLES["corpus_bpe_heldout_fertility"],
         "corpus_bpe_heldout_fertility",
     )
+
+
+def test_bpe_apply_equals_training_segmentation_property():
+    """Property (hypothesis): for ANY vocabulary, replaying the trained
+    rule sequence over a training-vocab word reproduces exactly the
+    segmentation training left for it — the invariant that makes the
+    frozen-tokenizer serve path correct."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pithos_spark.functions.text import (
+        _bpe_apply_local,
+        _bpe_train_local,
+    )
+
+    words = st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=8),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(words, st.integers(min_value=1, max_value=10))
+    def check(ws, n_merges):
+        vocab = sorted((w, (i % 3) + 1) for i, w in enumerate(ws))
+        rules, final = _bpe_train_local(vocab, n_merges)
+        trained = {w: s for w, _, s in final}
+        applied = _bpe_apply_local([w for w, _ in vocab], rules)
+        assert applied == trained
+
+    check()

@@ -503,3 +503,30 @@ def test_ivfpq_residual_recall_and_parity(embeddings, spark):
         ORACLES["ann_ivfpq_residual_topk"],
         "ann_ivfpq_residual_topk",
     )
+
+
+def test_pq_corpus_smaller_than_k_codes(spark):
+    """A corpus with fewer vectors than k_codes must still train,
+    encode, and serve (seeds bound by the corpus; codes stay contiguous
+    so the Arrow argmin's positional ids remain valid)."""
+    from pithos_spark.functions.similarity import (
+        build_pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    rows = [
+        (i, f"l{i}", [float(i) * 0.1 + 0.01 * j for j in range(64)])
+        for i in range(5)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    cb = build_pq_codebooks(emb, m_sub=8, k_codes=16, n_iter=2)
+    n_codes = len({c for _, c in cb})
+    assert n_codes == 5  # seeds bounded by the corpus
+    assert sorted({c for _, c in cb}) == list(range(5))  # contiguous
+    codes = pq_encode(emb, cb, m_sub=8).collect()
+    assert all(0 <= r["code"] < 5 for r in codes)
+    got = pq_topk(emb, 0, k=3)
+    assert got.count() == 3
