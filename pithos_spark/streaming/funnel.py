@@ -205,3 +205,40 @@ def streaming_quality_gate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_pq_encode(
+    new_embeddings_stream,
+    codebooks: dict,
+    sink_path: str,
+    checkpoint: str,
+    **encode_kwargs,
+):
+    """Streaming twin of functions/similarity.pq_encode with FROZEN
+    codebooks: each micro-batch of newly-ingested vectors is reduced to
+    its PQ codes (trained once — e.g. by build_pq_codebooks on the
+    initial corpus — and closed over, so every batch reuses the same
+    tiny codebook arrays in the Arrow argmin) and the (vec_id, m, code)
+    rows append under ``sink_path``.
+
+    The vector-ingest shape at scale: the 32x-compressed code table
+    grows incrementally as embeddings arrive, and the ADC serving
+    queries read only it.  Encoding is batch-local, so the stream's
+    union over time equals the batch encoder over the union of batches
+    (tested); codebook DRIFT is the operator's documented limitation —
+    re-train periodically and re-encode, exactly like any frozen
+    quantizer in production."""
+    from pithos_spark.functions.similarity import pq_encode
+
+    def _encode(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        codes = pq_encode(batch_df, codebooks, **encode_kwargs)
+        codes.write.mode("append").parquet(sink_path)
+
+    return (
+        new_embeddings_stream.writeStream.foreachBatch(_encode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1152,3 +1152,52 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path):
     # the gate is non-vacuous: trained logits vary across docs (at this
     # smoke SF all may clear threshold 0, so assert on logits, not keep)
     assert len({logit for _, _, logit, _ in want}) > 1
+
+
+def test_streaming_pq_encode_matches_batch(spark, tmp_path):
+    """Micro-batched vector ingest encoded with FROZEN PQ codebooks
+    must produce exactly the batch encoder's code rows over the union
+    of batches, regardless of trigger splits — the incremental
+    code-table growth shape (r11)."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions.similarity import (
+        build_pq_codebooks,
+        pq_encode,
+    )
+    from pithos_spark.streaming.funnel import streaming_pq_encode
+
+    emb = T.load_tables(spark, SF_SMOKE)["embeddings"]
+    # codebooks trained on the initial half, frozen
+    initial = emb.filter(F.col("vec_id") % 2 == 0)
+    codebooks = build_pq_codebooks(initial, m_sub=8, k_codes=8, n_iter=2)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    src = str(tmp_path / "vec_ingest")
+    new.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = str(tmp_path / "pq_codes_sink")
+    q = streaming_pq_encode(
+        stream, codebooks, sink, str(tmp_path / "ckpt_pq"), m_sub=8
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["vec_id"], r["m"], r["code"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["vec_id"], r["m"], r["code"])
+        for r in pq_encode(new, codebooks, m_sub=8).collect()
+    }
+    assert got == want and len(want) > 0
+    # every new vector carries exactly m_sub code rows
+    from collections import Counter
+
+    per_vec = Counter(v for v, _, _ in got)
+    assert all(n == 8 for n in per_vec.values())
