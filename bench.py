@@ -64,6 +64,11 @@ HEADLINERS = [
     "dedup_containment_cap20",
     "dedup_image_dhash",
     "dedup_ladder_report",
+    # round-11 additions: the PQ ANN serving pipeline, the held-out
+    # trigram LM gate and the trained classifier — tracked from r11 on
+    "ann_pq_topk",
+    "corpus_trigram_heldout",
+    "corpus_quality_classifier_trained",
 ]
 
 # 5 repeats (r10, was 3): with the untimed warmup lap all samples are
