@@ -478,3 +478,90 @@ def test_sampled_frame_grid_real_and_standin(spark):
     want = [ord(txt.decode()[(g * n) // 72]) for g in range(72)]
     assert [by_id[2][g][0] for g in range(72)] == want
     assert not any(d for _, d in by_id[2].values())
+
+
+def test_png_pixel_decode_average_paeth_and_rgb_luma():
+    """The remaining unfilter paths (Average, Paeth) and the RGB-to-luma
+    collapse: encode known pixels under each filter and as RGB triples,
+    decode, and compare against independently-computed expectations."""
+    from pithos_spark.sources.multimodal import _png_gray_pixels
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    def png_from_filtered(w, h, nch, ctype, raw_lines):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        raw = b"".join(raw_lines)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    # grayscale 4x3, Average filter (3): enc = orig - (left + up)//2
+    w, h = 4, 3
+    vals = [[(x * 37 + y * 91 + 13) % 256 for x in range(w)] for y in range(h)]
+    lines = []
+    prev = [0] * w
+    for y in range(h):
+        enc = bytearray([3])
+        for x in range(w):
+            left = vals[y][x - 1] if x else 0
+            enc.append((vals[y][x] - ((left + prev[x]) >> 1)) & 0xFF)
+        lines.append(bytes(enc))
+        prev = vals[y]
+    got = _png_gray_pixels(png_from_filtered(w, h, 1, 0, lines))
+    assert got == (w, h, [v for row in vals for v in row])
+
+    # grayscale 4x3, Paeth filter (4)
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    lines = []
+    prev = [0] * w
+    for y in range(h):
+        enc = bytearray([4])
+        for x in range(w):
+            a = vals[y][x - 1] if x else 0
+            c = prev[x - 1] if x else 0
+            enc.append((vals[y][x] - paeth(a, prev[x], c)) & 0xFF)
+        lines.append(bytes(enc))
+        prev = vals[y]
+    got = _png_gray_pixels(png_from_filtered(w, h, 1, 0, lines))
+    assert got == (w, h, [v for row in vals for v in row])
+
+    # RGB 3x2, filter 0: luma = (77R + 150G + 29B) >> 8
+    w, h = 3, 2
+    rgb = [[(x * 80 % 256, y * 100 % 256, (x + y) * 60 % 256)
+            for x in range(w)] for y in range(h)]
+    lines = [
+        b"\x00" + bytes(v for px in row for v in px) for row in rgb
+    ]
+    got = _png_gray_pixels(png_from_filtered(w, h, 3, 2, lines))
+    want = [(77 * r + 150 * g + 29 * b) >> 8 for row in rgb for r, g, b in row]
+    assert got == (w, h, want)
+
+
+def test_gif_local_palette_frames():
+    """A frame carrying its own LOCAL color table must decode through
+    that palette (not the global one)."""
+    from pithos_spark.sources.multimodal import _gif_gray_frames
+
+    w, h = 4, 2
+    f0 = [(i * 9) % 256 for i in range(w * h)]
+    base = _gif_anim([f0], w, h)
+    # splice a local color table into the image descriptor: set the
+    # local-table flag and insert an INVERTED 256-entry grayscale
+    # palette right after the descriptor, so index i decodes to 255-i
+    idx = 6 + 7 + 3 * 256  # header + LSD + global table -> descriptor
+    assert base[idx] == 0x2C
+    desc = bytearray(base[idx : idx + 10])
+    assert desc[9] == 0
+    desc[9] = 0x80 | 0x07  # local table, 256 entries
+    local = b"".join(bytes([255 - i] * 3) for i in range(256))
+    patched = base[:idx] + bytes(desc) + local + base[idx + 10 :]
+    got = _gif_gray_frames(patched)
+    assert got is not None
+    gw, gh, frames = got
+    assert (gw, gh) == (w, h)
+    assert frames == [[255 - v for v in f0]]
