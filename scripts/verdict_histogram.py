@@ -1,0 +1,57 @@
+"""Last-driver-verdict bookkeeping for the window rotation.
+
+Scans CORRECTNESS_r*.json, maps renamed queries, and prints per-round
+staleness cohorts plus the never-verified list — the inputs the next
+round's ROUND_NEW / DRIVER_PRIORITY ordering needs (see the window
+comment block in pithos_spark/registry.py).
+
+Usage: python scripts/verdict_histogram.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+import sys
+from collections import Counter
+
+sys.path.insert(0, ".")
+
+# old name -> current registry name
+RENAMES = {"ann_ivf_kmeans_topk": "ann_ivf_topk"}
+
+
+def main() -> None:
+    last: dict[str, int] = {}
+    ok: dict[str, bool] = {}
+    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+        r = int(re.search(r"r(\d+)", f).group(1))
+        for q, res in json.load(open(f)).items():
+            name = RENAMES.get(q, q)
+            if r >= last.get(name, 0):
+                last[name] = r
+                ok[name] = bool(
+                    isinstance(res, dict)
+                    and res.get("rows_match")
+                    and res.get("schema_match")
+                    and res.get("hash_match") is not False
+                )
+    from pithos_spark import registry
+
+    allq = list(registry.QUERIES)
+    never = [q for q in allq if q not in last]
+    hist = Counter(last[q] for q in allq if q in last)
+    print(f"registry: {len(allq)} queries")
+    print("last-verdict histogram:", dict(sorted(hist.items())))
+    print(f"never verified ({len(never)}):", never)
+    bad = [q for q in allq if q in ok and not ok[q]]
+    if bad:
+        print(f"LAST VERDICT NOT GREEN ({len(bad)}):", bad)
+    for r in sorted(hist):
+        qs = [q for q in allq if last.get(q) == r]
+        print(f"r{r}-stale ({len(qs)}):", qs)
+
+
+if __name__ == "__main__":
+    main()
