@@ -11,11 +11,17 @@ execution.
 
 Variance control (VERDICT r6 task 2 / r7 task 2): single cold runs moved
 ±24% on untouched code between rounds, so every headliner now runs
-REPEATS (default 3) times and the canonical per-query number in
-``queries`` is the MEDIAN.  The raw per-run samples land in ``runs`` and
-the first (coldest) sample in ``cold`` so a regression on the artifact is
-classifiable as noise vs real: a real change moves the median, a noisy
-one only widens the spread.
+REPEATS (default 5; high-spread entries more, see EXTRA_REPEATS) times
+and the canonical per-query number in ``queries`` is the MEDIAN.  The
+raw per-run samples land in ``runs`` on a separate diagnostics line, and
+the first post-warmup sample in ``first_warm`` (formerly misnamed
+``cold`` — since the untimed warmup lap ALL samples are warm), so a
+regression on the artifact is classifiable as noise vs real: a real
+change moves the median, a noisy one only widens the spread.
+
+Output is TWO JSON lines (VERDICT r11 task 1): the diagnostics blob
+first, then the compact canonical {metric, value, queries, spread_pct}
+line LAST so the driver's tail capture always retains it intact.
 """
 
 from __future__ import annotations
@@ -69,7 +75,26 @@ HEADLINERS = [
     "ann_pq_topk",
     "corpus_trigram_heldout",
     "corpus_quality_classifier_trained",
+    # round-12 layout twins (VERDICT r11 tasks 3-4): the SERVING-ONLY
+    # reads against the persisted PQ index and trigram gram layout.
+    # The registry callables build each layout once per session, and
+    # the untimed warmup lap triggers that build, so every timed
+    # sample here measures only the serving read — the split that
+    # explains ann_pq_topk's 82.6% r11 spread (two in-query Lloyd
+    # passes per sample).  The one-time builds are benched separately
+    # below as build_pq_index / build_trigram_lm_layout.
+    "ann_pq_topk_from_layout",
+    "corpus_trigram_heldout_from_layout",
 ]
+
+# entries whose r11 spread exceeded ~50% run extra repeats (VERDICT r11
+# task 6): more warm samples tighten the median on these sub-6 s
+# queries at trivial cost
+EXTRA_REPEATS = {
+    "ann_pq_topk": 9,
+    "corpus_trigram_heldout": 9,
+    "list_objects_materialized": 9,
+}
 
 # 5 repeats (r10, was 3): with the untimed warmup lap all samples are
 # warm, and the r9 round-over-round drift showed median-of-3 still
@@ -183,7 +208,7 @@ def main() -> None:
             continue
         fn = QUERIES[name]
         samples: list[float] = []
-        for _ in range(REPEATS):
+        for _ in range(max(REPEATS, EXTRA_REPEATS.get(name, 0))):
             t0 = time.perf_counter()
             _run_noop(fn(spark, sf_dir))
             samples.append(round(time.perf_counter() - t0, 3))
@@ -208,6 +233,35 @@ def main() -> None:
     )
     shutil.rmtree(pbuild, ignore_errors=True)
 
+    # the r12 one-time layout builds, benched like build_postings_layout:
+    # what a deployment pays once per corpus/LM version so the serving
+    # headliners above read frozen tables
+    from pithos_spark.functions.similarity import save_pq_index
+    from pithos_spark.functions.text import write_trigram_lm_layout
+    from pithos_spark.registry import _TRI_LM_PRED
+
+    for bname, builder in [
+        (
+            "build_pq_index",
+            lambda dest: save_pq_index(warm["embeddings"], dest),
+        ),
+        (
+            "build_trigram_lm_layout",
+            lambda dest: write_trigram_lm_layout(
+                warm["documents"].filter(_TRI_LM_PRED), dest
+            ),
+        ),
+    ]:
+        bdir = tempfile.mkdtemp(prefix=f"bench_{bname}_")
+        bsamples: list[float] = []
+        for i in range(REPEATS):
+            t0 = time.perf_counter()
+            builder(f"{bdir}/layout_{i}")
+            bsamples.append(round(time.perf_counter() - t0, 3))
+        runs[bname] = bsamples
+        medians[bname] = round(statistics.median(bsamples), 3)
+        shutil.rmtree(bdir, ignore_errors=True)
+
     # the production path: listing against the partitioned+sorted objects
     # layout (what a deployed store would serve reads from) — shows the
     # layout payoff next to the derive-on-the-fly number above
@@ -226,7 +280,7 @@ def main() -> None:
     medians["materialize_objects_layout"] = round(statistics.median(mat_samples), 3)
     stored = spark.read.parquet(f"{layout}/objects_0")
     list_samples: list[float] = []
-    for _ in range(REPEATS):
+    for _ in range(max(REPEATS, EXTRA_REPEATS.get("list_objects_materialized", 0))):
         t0 = time.perf_counter()
         _run_noop(list_objects(stored, "NATION_2", "1-URGENT/", "/", None, 100))
         list_samples.append(round(time.perf_counter() - t0, 3))
@@ -235,6 +289,23 @@ def main() -> None:
     spark.stop()
     shutil.rmtree(layout, ignore_errors=True)
 
+    # TWO lines (VERDICT r11 task 1): the per-run diagnostics blob
+    # first, then the compact canonical line LAST.  The driver captures
+    # the TAIL of stdout, and r11's single huge line lost its head —
+    # including the medians — to that capture; the canonical line at
+    # the very end survives any tail truncation, and a last-line JSON
+    # parse always lands on it.  "first_warm" is the r9+ name for what
+    # earlier rounds called "cold": since the untimed warmup lap, every
+    # sample is warm and this is merely the first timed one.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_runs",
+                "runs": runs,
+                "first_warm": {n: s[0] for n, s in runs.items()},
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -242,11 +313,6 @@ def main() -> None:
                 "value": round(sum(medians.values()), 3),
                 "unit": "sec",
                 "queries": medians,
-                # per-run samples: since the untimed warmup lap, every
-                # sample is warm — "cold" kept for schema compatibility
-                # but is now just the first timed (post-warmup) sample
-                "runs": runs,
-                "cold": {n: s[0] for n, s in runs.items()},
                 # per-query dispersion (VERDICT r10 task 7): the warm
                 # samples' (max-min)/median as a percentage — a
                 # round-over-round median move INSIDE a query's own

@@ -744,7 +744,9 @@ def _bpe_scratch_dir(spark, scratch_dir: str | None) -> str:
     executor write its shards to its own disk and the driver-side
     ``read.parquet`` silently consume an incomplete symbol table,
     corrupting training (the failure mode is silent, so refusing is the
-    only safe default)."""
+    only safe default).  Cleanup: local round tables are best-effort
+    deleted by _bpe_run (stale one immediately, live one at exit);
+    URI-schemed scratch locations are the caller's to clean."""
     import atexit
     import shutil
     import tempfile
@@ -839,6 +841,24 @@ def _bpe_run(
         nxt_syms.write.mode("overwrite").parquet(path)
         syms.unpersist()
         syms = spark.read.parquet(path)
+    if tmp is not None and rounds:
+        # scratch hygiene (ADVICE r11): the returned syms still reads
+        # round_{rounds%2}, but the OTHER alternating table is dead —
+        # reclaim it now, and best-effort-delete the live one at
+        # process exit (by then nothing reads it).  Only local paths:
+        # a URI-schemed scratch (hdfs://, s3a://) can't be rmtree'd
+        # from here, so callers own cleanup of non-local locations.
+        import atexit
+        import shutil
+
+        if "://" not in tmp:
+            shutil.rmtree(
+                f"{tmp}/round_{(rounds + 1) % 2}", ignore_errors=True
+            )
+            atexit.register(
+                shutil.rmtree, f"{tmp}/round_{rounds % 2}",
+                ignore_errors=True,
+            )
     return rules, syms
 
 
@@ -973,16 +993,21 @@ def bpe_heldout_fertility(
     from pithos_spark.plans.helpers import bounded_persist
 
     words = bounded_persist(words, "bpe_heldout_fertility.words")
-    vocab = [
-        r["word"] for r in words.select("word").distinct().collect()
-    ]
-    if len(vocab) > max_vocab_collect:
+    # probe the vocabulary size BEFORE collecting (ADVICE r11): the cap
+    # exists to protect driver memory, so the count() must run first —
+    # raising after an oversized collect would be too late.  Mirrors
+    # the trainer's base.count() probe in _bpe_run.
+    n_vocab = words.select("word").distinct().count()
+    if n_vocab > max_vocab_collect:
         raise ValueError(
-            f"apply-corpus vocabulary ({len(vocab)} types) exceeds "
+            f"apply-corpus vocabulary ({n_vocab} types) exceeds "
             f"max_vocab_collect={max_vocab_collect}; raise the cap (the "
             "rule table is tiny — driver memory holds the vocab, the "
             "same bounded-driver contract as training)"
         )
+    vocab = [
+        r["word"] for r in words.select("word").distinct().collect()
+    ]
     seg = _bpe_apply_local(vocab, rules)
     per_word = spark.createDataFrame(
         [
@@ -1505,20 +1530,53 @@ def _trigram_interp(
     from ``tri_lm``'s — the two coincide for the self-scored gate and
     differ for the held-out gate, where grams absent from the LM take
     the left-join/zero-coalesce backoff path."""
+    return _trigram_score(
+        tri_score, _trigram_counts(tri_lm), n_total, l3, l2, l1, low, high
+    )
+
+
+# the five gram-keyed LM count tables: (key column, count column)
+_TRIGRAM_COUNT_TABLES = [
+    ("tri", "c3"),
+    ("ctx2", "cctx2"),
+    ("bi", "cbi"),
+    ("ctx1", "cctx1"),
+    ("w3", "cw3"),
+]
+
+
+def _trigram_counts(tri_lm: DataFrame) -> dict[str, DataFrame]:
+    """Collapse LM trigram windows to the five gram-keyed count tables.
+    Bigram/unigram counts come from the SAME trigram windows (w2, w3 of
+    each window), keeping every denominator consistent with its
+    numerator."""
+    return {
+        cnt: tri_lm.groupBy(key).agg(F.count(F.lit(1)).alias(cnt))
+        for key, cnt in _TRIGRAM_COUNT_TABLES
+    }
+
+
+def _trigram_score(
+    tri_score: DataFrame,
+    counts: dict[str, DataFrame],
+    n_total: int,
+    l3: int,
+    l2: int,
+    l1: int,
+    low: int,
+    high: int,
+) -> DataFrame:
+    """The scoring join shape over PREBUILT count tables — shared by
+    the derive-on-read forms and :func:`trigram_heldout_from_layout`
+    (which reads the counts from the materialized gram layout), so the
+    two are bit-identical by construction."""
     assert l3 + l2 + l1 == 1000, "interpolation weights must sum to 1000"
-    c3 = tri_lm.groupBy("tri").agg(F.count(F.lit(1)).alias("c3"))
-    cctx2 = tri_lm.groupBy("ctx2").agg(F.count(F.lit(1)).alias("cctx2"))
-    # bigram/unigram counts over the SAME trigram windows (w2, w3 of
-    # each window) keep every denominator consistent with its numerator
-    cbi = tri_lm.groupBy("bi").agg(F.count(F.lit(1)).alias("cbi"))
-    cctx1 = tri_lm.groupBy("ctx1").agg(F.count(F.lit(1)).alias("cctx1"))
-    cw3 = tri_lm.groupBy("w3").agg(F.count(F.lit(1)).alias("cw3"))
     scored = (
-        tri_score.join(c3, "tri", "left")
-        .join(cctx2, "ctx2", "left")
-        .join(cbi, "bi", "left")
-        .join(cctx1, "ctx1", "left")
-        .join(cw3, "w3", "left")
+        tri_score.join(counts["c3"], "tri", "left")
+        .join(counts["cctx2"], "ctx2", "left")
+        .join(counts["cbi"], "bi", "left")
+        .join(counts["cctx1"], "ctx1", "left")
+        .join(counts["cw3"], "w3", "left")
         .select(
             "doc_id",
             (
@@ -1713,3 +1771,120 @@ SELECT doc_id,
 FROM scored
 GROUP BY doc_id
 ORDER BY doc_id"""
+
+
+def write_trigram_lm_layout(
+    lm_documents: DataFrame, path: str, n_buckets: int = 32
+) -> None:
+    """Materialize the trigram-LM gram layout (VERDICT r11 task 4 /
+    SCALE_r11 prescription): the five gram-keyed count tables collapsed
+    from the LM slice, each written PARTITIONED BY a murmur3 gram
+    bucket (``pmod(hash(key), n_buckets)``) and sorted by key within
+    files, plus a 1-row totals table (n_total, n_buckets).
+
+    At 100 TB the LM count tables are vocabulary-sized — too big to
+    broadcast, and deriving them on every scoring run shuffles the full
+    LM corpus per query (the r11 shape).  This layout is the bm25
+    postings contract applied to grams: build once at LM-training time;
+    a scoring run joins against the stored tables (no LM-side shuffle),
+    and a small PROBE (score a handful of documents) prunes to just the
+    partitions its grams hash into — see
+    :func:`trigram_probe_from_layout`'s partition-filter plan.
+    """
+    tri_lm = _trigram_windows(lm_documents).persist()
+    try:
+        n_total = max(tri_lm.count(), 1)
+        for key, cnt in _TRIGRAM_COUNT_TABLES:
+            (
+                _trigram_counts(tri_lm)[cnt]
+                .withColumn("b", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
+                .repartition("b")
+                .sortWithinPartitions(key)
+                .write.mode("overwrite")
+                .partitionBy("b")
+                .parquet(f"{path}/{cnt}")
+            )
+        lm_documents.sparkSession.createDataFrame(
+            [(n_total, n_buckets)], "n_total long, n_buckets int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    finally:
+        tri_lm.unpersist()
+
+
+def _load_trigram_layout(spark, path: str):
+    counts = {
+        cnt: spark.read.parquet(f"{path}/{cnt}")
+        for _, cnt in _TRIGRAM_COUNT_TABLES
+    }
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    return counts, int(stats["n_total"]), int(stats["n_buckets"])
+
+
+def trigram_heldout_from_layout(
+    documents: DataFrame,
+    path: str,
+    l3: int = 500,
+    l2: int = 300,
+    l1: int = 200,
+    low: int = 60,
+    high: int = 400,
+) -> DataFrame:
+    """Held-out Jelinek-Mercer scoring against the MATERIALIZED gram
+    layout — bit-identical to :func:`trigram_heldout_score` over the
+    same LM slice (both run :func:`_trigram_score`; the stored counts
+    are value-identical to the derived ones), but the LM side is a
+    parquet read instead of a per-run corpus shuffle."""
+    from pithos_spark.plans.helpers import bounded_persist
+
+    spark = documents.sparkSession
+    counts, n_total, _ = _load_trigram_layout(spark, path)
+    counts = {cnt: df.drop("b") for cnt, df in counts.items()}
+    tri_score = bounded_persist(
+        _trigram_windows(documents), "trigram_layout.tri_score"
+    )
+    return _trigram_score(tri_score, counts, n_total, l3, l2, l1, low, high)
+
+
+def trigram_probe_from_layout(
+    probe_documents: DataFrame,
+    path: str,
+    l3: int = 500,
+    l2: int = 300,
+    l1: int = 200,
+    low: int = 60,
+    high: int = 400,
+) -> DataFrame:
+    """Score a SMALL probe set against the layout, reading only the
+    gram-bucket partitions the probe's own grams hash into: each count
+    table gets a static ``b IN (...)`` filter (at most n_buckets
+    values, collected driver-side from the probe — bounded by
+    construction), which Spark turns into partition pruning
+    (PartitionFilters on the scan, asserted in tests/test_plans.py).
+    Same scores as :func:`trigram_heldout_from_layout` on the same
+    probe: a pruned-away partition can only hold grams the probe never
+    joins, and missing grams coalesce to the same zeros either way.
+
+    The 100 TB serving shape for "is this new crawl shard in-domain?":
+    the layout holds billions of gram rows, a probe of a few thousand
+    documents touches a handful of buckets."""
+    from pithos_spark.plans.helpers import bounded_persist
+
+    spark = probe_documents.sparkSession
+    counts, n_total, n_buckets = _load_trigram_layout(spark, path)
+    tri_probe = bounded_persist(
+        _trigram_windows(probe_documents), "trigram_layout.tri_probe"
+    )
+    pruned = {}
+    for key, cnt in _TRIGRAM_COUNT_TABLES:
+        buckets = [
+            r["b"]
+            for r in tri_probe.select(
+                F.pmod(F.hash(F.col(key)), F.lit(n_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        pruned[cnt] = (
+            counts[cnt].filter(F.col("b").isin(buckets)).drop("b")
+        )
+    return _trigram_score(tri_probe, pruned, n_total, l3, l2, l1, low, high)

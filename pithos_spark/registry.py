@@ -633,6 +633,43 @@ ORACLES["ann_lsh_topk"] = similarity.lsh_topk_oracle(0, 10)
 QUERIES["ann_pq_topk"] = _emb_query(similarity.pq_topk, 0, 10)
 ORACLES["ann_pq_topk"] = similarity.pq_topk_oracle(0, 10)
 
+# PQ from the PERSISTED layout (r12, VERDICT r11 task 3): codebooks +
+# code table built once per (session, sf_dir) via save_pq_index and
+# served with pq_topk_from_layout — bit-identical to ann_pq_topk (same
+# pq_serve_topk tail over value-identical tables), so the same oracle.
+# This is the gate for the "persist the code table once, serve from
+# ~1/32 the bytes" claim; bench times the serving read separately.
+_PQ_INDEX_CACHE: dict = {}
+
+
+def _pq_index_path(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_INDEX_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="pq_index_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        similarity.save_pq_index(
+            T.load_tables(spark, sf_dir)["embeddings"], path
+        )
+        _PQ_INDEX_CACHE[key] = path
+    return _PQ_INDEX_CACHE[key]
+
+
+def _pq_from_layout(spark, sf_dir):
+    return similarity.pq_topk_from_layout(
+        T.load_tables(spark, sf_dir)["embeddings"],
+        _pq_index_path(spark, sf_dir),
+        0,
+        10,
+    )
+
+
+QUERIES["ann_pq_topk_from_layout"] = _pq_from_layout
+ORACLES["ann_pq_topk_from_layout"] = similarity.pq_topk_oracle(0, 10)
+
 # IVF-PQ (r11): the composed FAISS-style IVFADC serving layout —
 # Lloyd coarse pruning to n_probe inverted lists, ADC over the code
 # table within them, exact rerank.  Both trainers are the existing
@@ -3072,6 +3109,43 @@ ORACLES["corpus_trigram_heldout"] = text.trigram_heldout_score_oracle(
     score_pred=_TRI_SCORE_PRED, lm_pred=_TRI_LM_PRED
 )
 
+# held-out scoring from the MATERIALIZED gram layout (r12, VERDICT r11
+# task 4): the five LM count tables built once per (session, sf_dir)
+# via write_trigram_lm_layout, bucket-partitioned by gram hash; scoring
+# joins the stored counts — bit-identical to corpus_trigram_heldout
+# (same _trigram_score tail, value-identical counts), so same oracle.
+_TRIGRAM_LAYOUT_CACHE: dict = {}
+
+
+def _trigram_layout_path(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TRIGRAM_LAYOUT_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="trigram_lm_layout_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        text.write_trigram_lm_layout(
+            T.load_tables(spark, sf_dir)["documents"].filter(_TRI_LM_PRED),
+            path,
+        )
+        _TRIGRAM_LAYOUT_CACHE[key] = path
+    return _TRIGRAM_LAYOUT_CACHE[key]
+
+
+def _trigram_heldout_from_layout(spark, sf_dir):
+    docs = T.load_tables(spark, sf_dir)["documents"]
+    return text.trigram_heldout_from_layout(
+        docs.filter(_TRI_SCORE_PRED), _trigram_layout_path(spark, sf_dir)
+    )
+
+
+QUERIES["corpus_trigram_heldout_from_layout"] = _trigram_heldout_from_layout
+ORACLES["corpus_trigram_heldout_from_layout"] = text.trigram_heldout_score_oracle(
+    score_pred=_TRI_SCORE_PRED, lm_pred=_TRI_LM_PRED
+)
+
 
 # frozen-tokenizer gate (r11): BPE trained on the held-out 1/4 slice,
 # applied to the 3/4 corpus — per-source fertility under a tokenizer
@@ -3104,103 +3178,90 @@ ORACLES["corpus_bpe_heldout_fertility"] = text.bpe_heldout_fertility_oracle(
 # order (still runnable, just outside the 50-entry hard gate this round).
 # ---------------------------------------------------------------------------
 
-# Queries changed or added in the CURRENT round (11) — spliced at the
+# Queries changed or added in the CURRENT round (12) — spliced at the
 # very front of the window so they get a fresh verdict:
-#  - the NINE post-freeze r10 operators, never driver-checked (the r10
-#    queue, honored verbatim — VERDICT r10 task 1).  Note
-#    dedup_shingle_df_stats' schema changed this round (exact
-#    per-bucket outside splits, ADVICE r10) and corpus_trigram_interp /
-#    corpus_quality_classifier were refactored (shared windows/feature
-#    hash) — first verdicts land on the new code;
-#  - the five r11 additions: the real-decode perceptual gates
-#    (dedup_image_dhash_assets, dedup_audio_fingerprint_assets,
-#    dedup_video_frames_assets — VERDICT r10 task 2), the held-out
-#    trigram LM (corpus_trigram_heldout — task 5) and the trained
-#    classifier (corpus_quality_classifier_trained — task 6);
-#  - three r10-green queries whose code changed in r11 and re-earn
-#    their verdicts: dedup_image_dhash (shared banded skeleton +
-#    fingerprint persist), corpus_bpe_train / corpus_bpe_segment_stats
-#    (_bpe_run persist + scratch-dir resolution).
+#  - the two r12 layout twins (VERDICT r11 tasks 3 and 4):
+#    ann_pq_topk_from_layout (save_pq_index / pq_topk_from_layout —
+#    codebooks + code table persisted once, served from ~1/32 the
+#    bytes) and corpus_trigram_heldout_from_layout
+#    (write_trigram_lm_layout — the five gram-keyed LM count tables
+#    bucket-partitioned by gram hash, probe side partition-prunes);
+#  - re-gates for queries whose code changed in r12: ann_pq_topk
+#    (serving tail extracted into pq_serve_topk + the _pq_assign
+#    codebook-contiguity guard, ADVICE r11), corpus_trigram_heldout /
+#    corpus_trigram_interp (_trigram_interp split into _trigram_counts
+#    + _trigram_score, shared with the layout twin),
+#    corpus_bpe_heldout_fertility (vocab size now probed BEFORE the
+#    collect so the driver cap actually protects, ADVICE r11), and
+#    dedup_image_dhash_assets (stdlib baseline-JPEG pixel decode joins
+#    PNG/GIF/WAV on the real-decode path, VERDICT r11 task 5).
 ROUND_NEW: list[str] = [
-    "dedup_containment",
-    "dedup_incremental_containment",
-    "dedup_shingle_df_stats",
-    "dedup_audio_fingerprint",
-    "dedup_video_frames",
-    "dedup_ladder_report",
-    "corpus_trigram_interp",
-    "corpus_quality_classifier",
-    "corpus_epoch_shuffle",
-    "dedup_image_dhash_assets",
-    "dedup_audio_fingerprint_assets",
-    "dedup_video_frames_assets",
-    "corpus_trigram_heldout",
-    "corpus_quality_classifier_trained",
+    "ann_pq_topk_from_layout",
+    "corpus_trigram_heldout_from_layout",
     "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_residual_topk",
+    "corpus_trigram_heldout",
+    "corpus_trigram_interp",
     "corpus_bpe_heldout_fertility",
-    "dedup_image_dhash",
-    "corpus_bpe_train",
-    "corpus_bpe_segment_stats",
+    "dedup_image_dhash_assets",
 ]
 
-# The stale backlog: first the 12 r7-stale that slipped the r10 window
-# (VERDICT r10 task 1 names them verbatim), then 22 of the 37 r8-stale
-# — every non-TPC-H r8 query (each is a unique code path) plus one
-# TPC-H representative (q18).  The 15 that slip are all TPC-H q*
-# analytics (one family, shared plan shapes, all r8-green), queued
-# first for r12: q2_cheapest_supplier, q4_priority_order_check,
-# q6_forecast_revenue, q8_market_share, q9_product_profit,
-# q11_important_brands, q12_priority_shipping,
-# q13_customer_distribution, q15_top_supplier, q16_supplier_diversity,
-# q17_small_qty_revenue, q19_special_revenue, q20_excess_shippers,
-# q21_waiting_suppliers, q22_idle_rich_customers.
+# The stale backlog, honoring VERDICT r11 task 2 / the r11 queue: the
+# 20 r8-stale (the 5 that yielded slots to r11 gates + the 15 slipped
+# TPC-H q*), then the oldest r9 greens in registry insertion order.
+# 7 ROUND_NEW + 43 backlog fills the 50-slot window exactly; the two
+# r9 queries that slip (corpus_hybrid_search_rrf, corpus_rerank_stub —
+# last in r9 insertion order) head the r13 queue, followed by the r10
+# greens oldest-first (compute via scripts/verdict_histogram.py).
 DRIVER_PRIORITY: list[str] = [
-    # --- r7-stale (12) ---
-    "bucket_by_tenant",
-    "fetch_bucket",
-    "upload_details",
-    "list_uploads_prefix",
-    "bucket_name_validation",
-    "aborted_upload_gc",
-    "acl_read_grants",
-    "acl_merged_grants",
-    "acl_authorized_buckets",
-    "buckets_object_presence",
-    "copy_range_rebase",
-    "events_json_extract",
-    # --- r8-stale (22) ---
-    "objects_page",
-    "object_descriptor",
-    "range_read_chunks",
-    "dedup_duplicate_clusters",
-    "dedup_keep_best",
-    "dedup_incremental",
-    "dedup_simhash_pairs",
-    "multimodal_resize",
-    "ann_ivf_topk",
-    "events_heavy_hitters_merged",
-    "events_watermark_lateness",
-    "events_retention",
-    "events_type_pivot",
-    "list_object_uploads",
-    "corpus_curation_pipeline",
-    "corpus_novelty_scores",
-    "corpus_pack_sequences",
+    # --- r8-stale (20): the 5 yielded + 15 slipped TPC-H ---
+    "metadata_header_filter",
+    "scalar_conversions",
+    "corpus_sample_mix",
+    "multimodal_frame_sample",
+    "q18_large_orders",
+    "q2_cheapest_supplier",
+    "q4_priority_order_check",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_brands",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_qty_revenue",
+    "q19_special_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    # --- r9-stale (23 of 25, registry insertion order) ---
+    "q1_pricing_summary",
+    "text_token_stats",
+    "dedup_minhash_lsh",
+    "ann_lsh_topk",
+    "multimodal_features",
+    "q7_nation_pair_volume",
+    "q10_returned_items",
+    "ann_batch_topk",
+    "ann_ivf_lloyd_topk",
+    "ann_lsh_batch_topk",
+    "corpus_pii_redact",
+    "corpus_shard_assign",
+    "corpus_decontaminate",
+    "corpus_temperature_mix_weights",
+    "corpus_temperature_sample_mix",
+    "corpus_decontaminate_semantic",
+    "corpus_leakage_safe_split",
+    "corpus_bigram_lm",
+    "corpus_gate_report",
+    "corpus_mix_plan",
+    "corpus_repetition_stats",
+    "corpus_bm25_topk",
+    "corpus_bm25_postings_topk",
 ]
 
-# No canary slots again: 21 + 29 fills the window exactly, and every
-# DRIVER_PRIORITY entry doubles as a canary (all were green in r7/r8).
-# Slot yields this round: q18_large_orders -> dedup_video_frames_assets,
-# metadata_header_filter -> ann_pq_topk, scalar_conversions ->
-# corpus_bpe_heldout_fertility, corpus_sample_mix -> ann_ivfpq_topk,
-# multimodal_frame_sample -> ann_ivfpq_residual_topk.  The r12 queue:
-# metadata_header_filter, scalar_conversions, corpus_sample_mix,
-# multimodal_frame_sample, then the 16 slipped TPC-H q* (q2, q4, q6,
-# q8, q9, q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22),
-# then the oldest r9 greens (compute last-verdict per query from
-# CORRECTNESS_r*.json).
+# No canary slots again: every DRIVER_PRIORITY entry doubles as a
+# canary (all were green in r8/r9), and 7 + 43 fills the window.
 GREEN_CORE: list[str] = []
 
 

@@ -269,12 +269,289 @@ def _png_gray_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
     return int(w), int(h), px
 
 
+# JPEG natural-order index for each zigzag position (ITU T.81 fig. 5)
+_JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_gray_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
+    """Stdlib baseline-JPEG PIXEL decode (VERDICT r11 task 5): SOF0/SOF1
+    sequential Huffman, 8-bit precision, any sampling factors / restart
+    intervals -> (width, height, row-major LUMA values 0..255).
+
+    Bounded scope, mirroring the PNG decoder's subset contract:
+    progressive (SOF2), arithmetic, lossless and 12-bit frames return
+    None (-> the deterministic stand-in).  Only the first scan
+    component (Y by convention) is dequantized + IDCT'd — chroma blocks
+    are entropy-decoded to keep the bitstream in sync and discarded,
+    since every consumer of this path (sampled_pixel_grid -> dHash)
+    wants grayscale.  The luma JPEG carries is BT.601, the same family
+    as the (77R+150G+29B)>>8 weights the PNG/PIL paths use, but IDCT
+    rounding means a PIL round-trip is NOT guaranteed bit-identical on
+    JPEG payloads (it is on PNG); when PIL is importable it takes
+    precedence in _decode_gray_pixels, and in PIL-less sandboxes this
+    path is the real-pixel coverage.  Reference decode semantics:
+    ITU T.81 (public spec); no third-party code.
+    """
+    import math
+
+    n = len(b)
+    if n < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    ri = 0
+    scan_comps = None
+    scan_start = None
+    pos = 2
+    while pos + 2 <= n:
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 2 > n:
+            return None
+        seg_len = int.from_bytes(b[pos : pos + 2], "big")
+        seg = b[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT: one or more tables
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    qt[tq] = list(seg[i : i + 64])
+                    i += 64
+                else:
+                    qt[tq] = [
+                        int.from_bytes(seg[i + 2 * k : i + 2 * k + 2], "big")
+                        for k in range(64)
+                    ]
+                    i += 128
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/ext. sequential
+            if seg[0] != 8:
+                return None
+            fh = int.from_bytes(seg[1:3], "big")
+            fw = int.from_bytes(seg[3:5], "big")
+            comps = []
+            for c in range(seg[5]):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
+            frame = (fw, fh, comps)
+        elif marker in (
+            0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+        ):
+            return None  # progressive / arithmetic / lossless
+        elif marker == 0xC4:  # DHT: one or more canonical tables
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                counts = list(seg[i + 1 : i + 17])
+                i += 17
+                symbols = seg[i : i + sum(counts)]
+                i += sum(counts)
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = symbols[k]
+                        k += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xDD:  # DRI
+            ri = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS: header, then entropy data
+            ns = seg[0]
+            scan_comps = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F)
+                for c in range(ns)
+            ]
+            scan_start = pos + seg_len
+            break
+        pos += seg_len
+    if frame is None or scan_comps is None or scan_start is None:
+        return None
+    w, h, comps = frame
+    if not w or not h or len(scan_comps) != len(comps):
+        return None
+    tables = {cs: (td, ta) for cs, td, ta in scan_comps}
+    if any(cid not in tables or tq not in qt for cid, _, _, tq in comps):
+        return None
+
+    bpos = scan_start
+    bit = 0
+
+    def read_bit() -> int | None:
+        nonlocal bpos, bit
+        if bpos >= n:
+            return None
+        byte = b[bpos]
+        if byte == 0xFF and (bpos + 1 >= n or b[bpos + 1] != 0x00):
+            return None  # marker reached mid-entropy: corrupt
+        v = (byte >> (7 - bit)) & 1
+        bit += 1
+        if bit == 8:
+            bit = 0
+            bpos += 2 if byte == 0xFF else 1  # skip the stuffed 0x00
+        return v
+
+    def read_code(table) -> int | None:
+        code = 0
+        for length in range(1, 17):
+            v = read_bit()
+            if v is None:
+                return None
+            code = (code << 1) | v
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        return None
+
+    def receive_extend(t: int) -> int | None:
+        if t == 0:
+            return 0
+        v = 0
+        for _ in range(t):
+            bit_ = read_bit()
+            if bit_ is None:
+                return None
+            v = (v << 1) | bit_
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    cos_k = [
+        [
+            (0.3535533905932738 if u == 0 else 0.5)
+            * math.cos((2 * x + 1) * u * math.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+
+    h_max = max(c[1] for c in comps)
+    v_max = max(c[2] for c in comps)
+    mcw = -(-w // (8 * h_max))
+    mch = -(-h // (8 * v_max))
+    cid0, h0, v0, tq0 = comps[0]
+    pw, ph = mcw * 8 * h0, mch * 8 * v0
+    plane = [0] * (pw * ph)
+    preds = {cid: 0 for cid, _, _, _ in comps}
+    mcu_i = 0
+    for my in range(mch):
+        for mx in range(mcw):
+            if ri and mcu_i and mcu_i % ri == 0:
+                if bit:
+                    bit = 0
+                    bpos += 1
+                if (
+                    bpos + 1 >= n
+                    or b[bpos] != 0xFF
+                    or not 0xD0 <= b[bpos + 1] <= 0xD7
+                ):
+                    return None
+                bpos += 2
+                preds = {cid: 0 for cid in preds}
+            for ci, (cid, hc, vc, tq_) in enumerate(comps):
+                td, ta = tables[cid]
+                dc_tab = huff.get((0, td))
+                ac_tab = huff.get((1, ta))
+                if dc_tab is None or ac_tab is None:
+                    return None
+                q = qt[tq_]
+                for by in range(vc):
+                    for bx in range(hc):
+                        t = read_code(dc_tab)
+                        if t is None:
+                            return None
+                        diff = receive_extend(t)
+                        if diff is None:
+                            return None
+                        preds[cid] += diff
+                        coef = [0] * 64
+                        coef[0] = preds[cid] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = read_code(ac_tab)
+                            if rs is None:
+                                return None
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r != 15:
+                                    break  # EOB
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                return None
+                            av = receive_extend(s)
+                            if av is None:
+                                return None
+                            coef[_JPEG_ZZ[k]] = av * q[k]
+                            k += 1
+                        if ci != 0:
+                            continue  # chroma: synced past, not rendered
+                        tmp = [
+                            [
+                                sum(
+                                    cos_k[u][x] * coef[v * 8 + u]
+                                    for u in range(8)
+                                )
+                                for x in range(8)
+                            ]
+                            for v in range(8)
+                        ]
+                        y0 = (my * vc + by) * 8
+                        x0 = (mx * hc + bx) * 8
+                        for y in range(8):
+                            row = (y0 + y) * pw + x0
+                            for x in range(8):
+                                val = int(
+                                    round(
+                                        sum(
+                                            cos_k[v][y] * tmp[v][x]
+                                            for v in range(8)
+                                        )
+                                    )
+                                ) + 128
+                                plane[row + x] = (
+                                    0 if val < 0 else 255 if val > 255 else val
+                                )
+            mcu_i += 1
+    # nearest-neighbor up to full resolution (identity when Y is
+    # max-sampled, which is every real encoder's layout)
+    if h0 == h_max and v0 == v_max:
+        px = [plane[y * pw + x] for y in range(h) for x in range(w)]
+    else:
+        px = [
+            plane[
+                min((y * v0) // v_max, ph - 1) * pw
+                + min((x * h0) // h_max, pw - 1)
+            ]
+            for y in range(h)
+            for x in range(w)
+        ]
+    return int(w), int(h), px
+
+
 def _decode_gray_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
     """Real image PIXEL decode: PIL when importable (any format PIL
     reads, decoded to RGB then collapsed with the SAME integer luma as
-    the stdlib path, so availability of PIL never changes a
-    fingerprint), else the stdlib PNG decoder.  None when the payload
-    is not a decodable image."""
+    the stdlib path, so availability of PIL never changes a PNG
+    fingerprint), else the stdlib PNG then baseline-JPEG decoders (the
+    latter's IDCT rounding may differ from PIL's by ±1-2 luma — see
+    :func:`_jpeg_gray_pixels`).  None when the payload is not a
+    decodable image."""
     try:
         import io
 
@@ -291,7 +568,9 @@ def _decode_gray_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
         except Exception:  # noqa: BLE001 — undecodable payload
             return None
     except ImportError:
-        return _png_gray_pixels(bytes(b))
+        raw = bytes(b)
+        img = _png_gray_pixels(raw)
+        return img if img is not None else _jpeg_gray_pixels(raw)
 
 
 def _gif_gray_frames(b: bytes) -> tuple[int, int, list[list[int]]] | None:
@@ -586,9 +865,10 @@ def sampled_pixel_grid(
       Empty payloads emit nothing, matching the stand-in's
       ``length(text) > 0`` filter.
 
-    Video frame extraction has no stdlib decoder, so video assets take
-    the stand-in until a real decoder lands — the plumbing (schema,
-    batching, per-modality dispatch) is the same stage."""
+    Video frame extraction lives in :func:`sampled_frame_grid`, which
+    decodes animated-GIF frames with the stdlib LZW decoder (r11) and
+    is what video_fingerprints_assets routes through; only MP4 stays on
+    the stand-in there.  This function is the still-image/audio stage."""
     grid = grid_rows * grid_cols
 
     def sample_batches(batches: Iterator) -> Iterator:

@@ -565,3 +565,284 @@ def test_gif_local_palette_frames():
     gw, gh, frames = got
     assert (gw, gh) == (w, h)
     assert frames == [[255 - v for v in f0]]
+
+
+# ---------------------------------------------------------------------------
+# Real baseline-JPEG pixel decode (VERDICT r11 task 5): an independent
+# minimal ENCODER lives here (SOF0, custom canonical Huffman tables
+# declared in DHT, all-ones quant tables so decode is near-lossless up
+# to DCT rounding) so the product decoder is exercised on bytes it did
+# not produce.  Covers grayscale, 3-component 4:4:4, 4:2:0 subsampled
+# Y, and restart intervals.
+# ---------------------------------------------------------------------------
+
+import math
+
+
+def _jpeg_tables():
+    """Canonical Huffman tables: DC categories 0..11 all at length 4,
+    AC symbols (EOB, ZRL, every (run, size) with size 1..11) all at
+    length 8 — valid canonical codes (the all-ones code stays unused)."""
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 12)
+    ]
+    ac_syms = sorted(set(ac_syms))
+
+    def canonical(counts_len, syms):
+        codes = {}
+        code = 0
+        for length in range(1, 17):
+            for s in [sym for ln, sym in zip(counts_len, syms) if ln == length]:
+                codes[s] = (length, code)
+                code += 1
+            code <<= 1
+        return codes
+
+    dc_codes = canonical([4] * len(dc_syms), dc_syms)
+    ac_codes = canonical([8] * len(ac_syms), ac_syms)
+    return dc_syms, dc_codes, ac_syms, ac_codes
+
+
+_JPEG_ZZ_T = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_COS_K = [
+    [
+        (0.3535533905932738 if u == 0 else 0.5)
+        * math.cos((2 * x + 1) * u * math.pi / 16)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+def _fdct(block):
+    """Forward 8x8 DCT of level-shifted samples (inverse of the
+    decoder's IDCT: the kernel is orthonormal, so forward = transpose)."""
+    tmp = [
+        [sum(_COS_K[v][y] * block[y][x] for y in range(8)) for x in range(8)]
+        for v in range(8)
+    ]
+    return [
+        [
+            int(round(sum(_COS_K[u][x] * tmp[v][x] for x in range(8))))
+            for u in range(8)
+        ]
+        for v in range(8)
+    ]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, length, value):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def align(self):
+        if self.n:
+            self.put(8 - self.n, (1 << (8 - self.n)) - 1)
+
+
+def _jpeg_bytes(vals, rows, cols, w, h, mode="gray", restart=0):
+    """A REAL baseline JPEG that is the (w x h) blocky upscale of the
+    (rows x cols) grid — the JPEG sibling of :func:`_png_upscale`.
+    ``mode``: "gray" (1 component), "444" (YCbCr, no subsampling) or
+    "420" (Y at 2x2, chroma 1x1); chroma is constant 128, so luma decode
+    is mode-invariant.  ``restart`` > 0 emits DRI + RSTn markers."""
+    dc_syms, dc_codes, ac_syms, ac_codes = _jpeg_tables()
+    if mode == "gray":
+        comps = [(1, 1, 1)]
+    elif mode == "444":
+        comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
+    else:  # 420
+        comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+    h_max = max(c[1] for c in comps)
+    v_max = max(c[2] for c in comps)
+    mcw, mch = -(-w // (8 * h_max)), -(-h // (8 * v_max))
+
+    def luma(x, y):
+        x, y = min(x, w - 1), min(y, h - 1)
+        return vals[((y * rows) // h) * cols + (x * cols) // w]
+
+    def category(v):
+        return v.bit_length() if v else 0
+
+    bw = _BitWriter()
+    preds = {cid: 0 for cid, _, _ in comps}
+
+    def encode_block(samples):
+        nonlocal preds
+        coef2d = _fdct(samples)
+        zz = [coef2d[_JPEG_ZZ_T[k] // 8][_JPEG_ZZ_T[k] % 8] for k in range(64)]
+        return zz
+
+    def emit_block(zz, cid):
+        diff = zz[0] - preds[cid]
+        preds[cid] = zz[0]
+        t = category(abs(diff))
+        ln, code = dc_codes[t]
+        bw.put(ln, code)
+        if t:
+            bw.put(t, diff if diff >= 0 else diff + (1 << t) - 1)
+        k = 1
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        while k <= last_nz:
+            if zz[k] == 0:
+                run += 1
+                k += 1
+                continue
+            while run >= 16:
+                ln, code = ac_codes[0xF0]
+                bw.put(ln, code)
+                run -= 16
+            s = category(abs(zz[k]))
+            ln, code = ac_codes[(run << 4) | s]
+            bw.put(ln, code)
+            v = zz[k]
+            bw.put(s, v if v >= 0 else v + (1 << s) - 1)
+            run = 0
+            k += 1
+        if last_nz < 63:
+            ln, code = ac_codes[0x00]
+            bw.put(ln, code)
+
+    mcu_i = 0
+    rst = 0
+    for my in range(mch):
+        for mx in range(mcw):
+            if restart and mcu_i and mcu_i % restart == 0:
+                bw.align()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = {cid: 0 for cid in preds}
+            for cid, hc, vc in comps:
+                for by in range(vc):
+                    for bx in range(hc):
+                        if cid == 1:
+                            x0 = (mx * hc + bx) * 8
+                            y0 = (my * vc + by) * 8
+                            samples = [
+                                [luma(x0 + x, y0 + y) - 128 for x in range(8)]
+                                for y in range(8)
+                            ]
+                        else:
+                            samples = [[0] * 8 for _ in range(8)]
+                        emit_block(encode_block(samples), cid)
+            mcu_i += 1
+    bw.align()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof_comps = b"".join(
+        bytes([cid, (hc << 4) | vc, 0]) for cid, hc, vc in comps
+    )
+    sof = seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)]) + sof_comps,
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00])
+        + bytes(12 if i == 3 else 0 for i in range(16))
+        + bytes(dc_syms)
+        + bytes([0x10])
+        + bytes(len(ac_syms) if i == 7 else 0 for i in range(16))
+        + bytes(ac_syms),
+    )
+    dri = seg(0xDD, struct.pack(">H", restart)) if restart else b""
+    sos = seg(
+        0xDA,
+        bytes([len(comps)])
+        + b"".join(bytes([cid, 0x00]) for cid, _, _ in comps)
+        + bytes([0, 63, 0]),
+    )
+    return (
+        b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(bw.out) + b"\xff\xd9"
+    )
+
+
+def test_jpeg_gray_roundtrip():
+    """Encode (independent encoder above) -> product decode: dimensions
+    exact, every luma value within DCT-rounding tolerance of the
+    source upscale."""
+    from pithos_spark.sources.multimodal import _jpeg_gray_pixels
+
+    vals = _grid_vals(6, 5, seed=3)
+    w, h = 21, 13  # non-multiples of 8: exercises edge MCU cropping
+    out = _jpeg_gray_pixels(_jpeg_bytes(vals, 6, 5, w, h))
+    assert out is not None
+    dw, dh, px = out
+    assert (dw, dh) == (w, h) and len(px) == w * h
+    for y in range(h):
+        for x in range(w):
+            src = vals[((y * 6) // h) * 5 + (x * 5) // w]
+            assert abs(px[y * w + x] - src) <= 3, (x, y, px[y * w + x], src)
+
+
+def test_jpeg_color_subsampled_and_restart_decode_same_luma():
+    """4:4:4 and 4:2:0 color variants (constant chroma) and a
+    restart-interval stream all decode to the same luma as the
+    grayscale encoding; a progressive (SOF2) stream returns None."""
+    from pithos_spark.sources.multimodal import _jpeg_gray_pixels
+
+    vals = _grid_vals(4, 4, seed=8)
+    w, h = 16, 16
+    base = _jpeg_gray_pixels(_jpeg_bytes(vals, 4, 4, w, h))[2]
+    for mode, restart in [("444", 0), ("420", 0), ("gray", 2), ("444", 1)]:
+        got = _jpeg_gray_pixels(_jpeg_bytes(vals, 4, 4, w, h, mode, restart))
+        assert got is not None, (mode, restart)
+        assert got[0] == w and got[1] == h
+        assert max(
+            abs(a - b) for a, b in zip(got[2], base)
+        ) <= 2, (mode, restart)
+    prog = bytearray(_jpeg_bytes(vals, 4, 4, w, h))
+    sof_at = bytes(prog).find(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2  # masquerade as progressive
+    assert _jpeg_gray_pixels(bytes(prog)) is None
+
+
+def test_jpeg_feeds_sampled_pixel_grid(spark):
+    """A JPEG payload takes the REAL-decode branch of
+    sampled_pixel_grid (decoded=true, pixel values from the bitstream),
+    while a text payload in the same batch takes the stand-in."""
+    from pithos_spark.sources.multimodal import (
+        ASSET_SCHEMA,
+        sampled_pixel_grid,
+    )
+
+    vals = _grid_vals(8, 9, seed=5)
+    rows = [
+        (1, "image", _jpeg_bytes(vals, 8, 9, 36, 32), {}),
+        (2, "image", b"plain text payload", {}),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = sampled_pixel_grid(assets, 8, 9).collect()
+    by_asset = {}
+    for r in got:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert all(r["decoded"] for r in by_asset[1])
+    assert not any(r["decoded"] for r in by_asset[2])
+    # the sampled grid of the blocky upscale is the source grid itself,
+    # up to DCT rounding
+    cells = sorted(by_asset[1], key=lambda r: r["g"])
+    assert len(cells) == 72
+    assert max(abs(c["px"] - v) for c, v in zip(cells, vals)) <= 3
