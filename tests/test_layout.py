@@ -104,3 +104,55 @@ def test_events_ts_normalized_and_matches_oracle(spark):
         "'/root/testdata/sf0.001/events.parquet'"
     ).fetchone()
     assert (got["n"], got["s"]) == want
+
+
+@pytest.mark.slow
+def test_pq_index_roundtrip_bit_identical(spark, layout_dir):
+    """save_pq_index -> pq_topk_from_layout returns row-for-row exactly
+    what the in-query train+serve form returns (same pq_serve_topk tail
+    over value-identical tables), and load_pq_index recovers the meta
+    the layout was built with."""
+    from pithos_spark import tables as T
+    from pithos_spark.functions import similarity
+
+    emb = T.load_tables(spark, SF_ORACLE)["embeddings"]
+    path = f"{layout_dir}/pq_index"
+    similarity.save_pq_index(emb, path)
+    codes, cb_df, meta = similarity.load_pq_index(spark, path)
+    assert (meta["m_sub"], meta["k_codes"], meta["scale"], meta["dim"]) == (
+        8, 16, 1000, 64,
+    )
+    assert cb_df.count() == 8 * 16
+    got = [
+        tuple(r) for r in similarity.pq_topk_from_layout(emb, path, 0, 10).collect()
+    ]
+    want = [tuple(r) for r in similarity.pq_topk(emb, 0, 10).collect()]
+    assert got == want and len(got) == 10
+
+
+@pytest.mark.slow
+def test_trigram_layout_roundtrip_and_probe_subset(spark, layout_dir):
+    """trigram_heldout_from_layout == trigram_heldout_score on the same
+    LM slice, row for row; and the bucket-pruned probe path returns the
+    same rows as the unpruned layout read restricted to the probe."""
+    from pithos_spark import tables as T
+    from pithos_spark.functions import text
+
+    docs = T.load_tables(spark, SF_ORACLE)["documents"]
+    lm = docs.filter("doc_id % 4 = 0")
+    score = docs.filter("doc_id % 4 <> 0")
+    path = f"{layout_dir}/trigram_lm"
+    text.write_trigram_lm_layout(lm, path)
+    got = [
+        tuple(r) for r in text.trigram_heldout_from_layout(score, path).collect()
+    ]
+    want = [tuple(r) for r in text.trigram_heldout_score(score, lm).collect()]
+    assert got == want and len(got) > 0
+    probe = docs.filter("doc_id in (1, 2, 3)")
+    pruned = [
+        tuple(r) for r in text.trigram_probe_from_layout(probe, path).collect()
+    ]
+    full = [
+        tuple(r) for r in text.trigram_heldout_from_layout(probe, path).collect()
+    ]
+    assert pruned == full and len(pruned) == 3

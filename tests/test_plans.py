@@ -523,3 +523,54 @@ def test_incremental_containment_caches_index_and_broadcasts_hot(
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert len(re.findall(r"BroadcastHashJoin .*LeftAnti", plan)) >= 2, plan
+
+
+def test_trigram_probe_prunes_gram_buckets(spark, tables, tmp_path):
+    """The materialized trigram-LM layout's PROBE path (r12, VERDICT
+    r11 task 4) must read only the gram-bucket partitions the probe's
+    own grams hash into: every one of the five count-table scans gets a
+    static `b IN (...)` PartitionFilter with FEWER than all n_buckets
+    values for a small probe — partition pruning, not row filtering."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions import text
+
+    path = str(tmp_path / "trigram_lm_layout")
+    docs = tables["documents"]
+    text.write_trigram_lm_layout(docs.filter("doc_id % 4 = 0"), path)
+    probe = docs.filter("doc_id = 1")
+    plan = _plan(text.trigram_probe_from_layout(probe, path))
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    in_filters = [p for p in pf if "b#" in p and ("IN" in p or "INSET" in p)]
+    assert len(in_filters) == 5, plan
+    # one document's grams cannot span all 32 buckets — at least one
+    # scan must actually prune (the INSET lists fewer than 32 values)
+    assert any(len(p.split(",")) < 32 for p in in_filters), in_filters
+    # exactly one documents scan — the PROBE's own, pushed to doc_id=1;
+    # the LM corpus never rescans at serve time
+    assert plan.count("documents.parquet") == 1, plan
+    assert "EqualTo(doc_id,1)" in plan
+
+
+def test_pq_layout_serving_reads_codes_not_lloyd(spark, tables, tmp_path):
+    """The persisted-PQ serving path (r12, VERDICT r11 task 3) must be
+    a pure read: the anti-query vec_id filter pushes into the code
+    table scan, the M x K ADC LUT joins broadcast, the rank cut
+    compiles to a LIMITed TakeOrderedAndProject (distributed top-k,
+    no single-partition global sort), and — the point of the layout —
+    NO ArrowEvalPython (Lloyd assignment) appears anywhere in the
+    serving plan."""
+    from pithos_spark.functions import similarity
+
+    emb = tables["embeddings"]
+    path = str(tmp_path / "pq_index")
+    similarity.save_pq_index(emb, path)
+    plan = _plan(similarity.pq_topk_from_layout(emb, path, 0, 10))
+    assert "ArrowEvalPython" not in plan, plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("Not(EqualTo(vec_id,0))" in p for p in pushed), plan
+    assert "BroadcastHashJoin" in plan
+    # rerank*k = 40 candidate cut and the final top-10, both as
+    # distributed top-k operators
+    assert "TakeOrderedAndProject(limit=40" in plan, plan
+    assert "TakeOrderedAndProject(limit=10" in plan, plan
