@@ -85,6 +85,7 @@ HEADLINERS = [
     # below as build_pq_index / build_trigram_lm_layout.
     "ann_pq_topk_from_layout",
     "corpus_trigram_heldout_from_layout",
+    "ann_ivfpq_residual_from_layout",
 ]
 
 # entries whose r11 spread exceeded ~50% run extra repeats (VERDICT r11
@@ -236,7 +237,10 @@ def main() -> None:
     # the r12 one-time layout builds, benched like build_postings_layout:
     # what a deployment pays once per corpus/LM version so the serving
     # headliners above read frozen tables
-    from pithos_spark.functions.similarity import save_pq_index
+    from pithos_spark.functions.similarity import (
+        save_ivfpq_residual_index,
+        save_pq_index,
+    )
     from pithos_spark.functions.text import write_trigram_lm_layout
     from pithos_spark.registry import _TRI_LM_PRED
 
@@ -244,6 +248,10 @@ def main() -> None:
         (
             "build_pq_index",
             lambda dest: save_pq_index(warm["embeddings"], dest),
+        ),
+        (
+            "build_ivfpq_residual_index",
+            lambda dest: save_ivfpq_residual_index(warm["embeddings"], dest),
         ),
         (
             "build_trigram_lm_layout",

@@ -1555,6 +1555,38 @@ def ivfpq_residual_topk(
     codes = _pq_subvectors_from_q(rqv, m_sub, dim).select(
         "vec_id", "m", _pq_assign(codebooks, m_sub, k_eff).alias("code")
     )
+    cb_df = spark.createDataFrame(
+        [(m, c, v) for (m, c), v in sorted(codebooks.items())],
+        "m int, code int, centroid_q array<bigint>",
+    )
+    codes_assigned = codes.join(assigned.select("vec_id", "cluster"), "vec_id")
+    return _ivfpq_residual_serve(
+        qv, codes_assigned, centers, cb_df, query_vec_id,
+        k, n_probe, rerank, dim, m_sub,
+    )
+
+
+def _ivfpq_residual_serve(
+    qv: DataFrame,
+    codes_assigned: DataFrame,
+    centers: DataFrame,
+    cb_df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 4,
+    dim: int = 64,
+    m_sub: int = 8,
+) -> DataFrame:
+    """The residual-IVFADC serving tail over an ALREADY-BUILT index —
+    shared by the train-in-query gate (:func:`ivfpq_residual_topk`) and
+    the persisted layout (:func:`ivfpq_residual_topk_from_layout`):
+    rank coarse centroids for the query, keep ``n_probe`` lists, sum
+    the broadcast residual-LUT hits plus the per-cluster centroid dot
+    term, exact-rerank the top ``rerank * k``.  ``codes_assigned`` is
+    (vec_id, cluster, m, code); ``qv`` is (vec_id, label, q)."""
+    from pyspark.sql import Window
+
     qrow = qv.filter(F.col("vec_id") == query_vec_id).select(
         F.col("q").alias("qq")
     )
@@ -1579,10 +1611,6 @@ def ivfpq_residual_topk(
         .filter(F.col("_rn") <= n_probe)
         .select("cluster", "cterm")
     )
-    cb_df = spark.createDataFrame(
-        [(m, c, v) for (m, c), v in sorted(codebooks.items())],
-        "m int, code int, centroid_q array<bigint>",
-    )
     d = dim // m_sub
     qsub = qrow.select(
         F.posexplode(
@@ -1595,8 +1623,7 @@ def ivfpq_residual_topk(
         _bigint_dot(F.col("centroid_q"), F.col("qsub")).alias("pdot"),
     )
     est = (
-        codes.join(assigned.select("vec_id", "cluster"), "vec_id")
-        .filter(F.col("vec_id") != query_vec_id)
+        codes_assigned.filter(F.col("vec_id") != query_vec_id)
         .join(F.broadcast(probes), "cluster")
         .join(F.broadcast(lut), ["m", "code"])
         .groupBy("vec_id")
@@ -1619,6 +1646,102 @@ def ivfpq_residual_topk(
         )
         .orderBy(F.col("dot_q").desc(), "vec_id")
         .limit(k)
+    )
+
+
+def save_ivfpq_residual_index(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    pq_iter: int = 2,
+    scale: int = 1000,
+    dim: int = 64,
+) -> None:
+    """Materialize the residual-IVFADC index: coarse Lloyd centroids,
+    residual PQ codebooks, and the encoded corpus written PARTITIONED
+    BY the coarse cluster — probing n_probe lists at serve time is a
+    directory-pruned read of those partitions (the save_ivf_index
+    contract) over code rows (~1/32 the raw embedding bytes, the
+    save_pq_index contract).  The FAISS-style build/serve split made
+    durable: Lloyd passes are paid once per corpus version.
+
+    Tables: ``{path}/codes`` (vec_id, cluster, m, code) partitioned by
+    cluster + sorted by vec_id; ``{path}/centers`` (cluster,
+    centroid_q); ``{path}/codebooks`` (m, code, centroid_q);
+    ``{path}/meta`` (1 row of build parameters)."""
+    spark = embeddings.sparkSession
+    assigned, centers = build_ivf_lloyd_index(
+        embeddings, n_clusters, n_iter, scale
+    )
+    qv = embeddings.select(
+        "vec_id", _quantized(F.col("embedding"), scale).alias("q")
+    )
+    rqv = (
+        qv.join(assigned.select("vec_id", "cluster"), "vec_id")
+        .join(F.broadcast(centers), "cluster")
+        .select(
+            "vec_id",
+            F.zip_with("q", "centroid_q", lambda a, b: a - b).alias("q"),
+        )
+    )
+    codebooks = _build_pq_codebooks_q(rqv, m_sub, k_codes, pq_iter, dim)
+    k_eff = len({c for _, c in codebooks}) or 1
+    codes = _pq_subvectors_from_q(rqv, m_sub, dim).select(
+        "vec_id", "m", _pq_assign(codebooks, m_sub, k_eff).alias("code")
+    )
+    (
+        codes.join(assigned.select("vec_id", "cluster"), "vec_id")
+        .repartition("cluster")
+        .sortWithinPartitions("vec_id", "m")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/codes")
+    )
+    centers.write.mode("overwrite").parquet(f"{path}/centers")
+    spark.createDataFrame(
+        [(m, c, v) for (m, c), v in sorted(codebooks.items())],
+        "m int, code int, centroid_q array<bigint>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(n_clusters, m_sub, k_codes, scale, dim)],
+        "n_clusters int, m_sub int, k_codes int, scale int, dim int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def ivfpq_residual_topk_from_layout(
+    embeddings: DataFrame,
+    path: str,
+    query_vec_id: int,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 4,
+) -> DataFrame:
+    """Residual IVFADC served from the persisted layout — bit-identical
+    to :func:`ivfpq_residual_topk` with the same build parameters (both
+    run :func:`_ivfpq_residual_serve` over value-identical tables); the
+    query pays only the probe-pruned code read plus the tiny exact
+    rerank."""
+    spark = embeddings.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    qv = embeddings.select(
+        "vec_id",
+        "label",
+        _quantized(F.col("embedding"), int(meta["scale"])).alias("q"),
+    )
+    return _ivfpq_residual_serve(
+        qv,
+        spark.read.parquet(f"{path}/codes"),
+        spark.read.parquet(f"{path}/centers"),
+        spark.read.parquet(f"{path}/codebooks"),
+        query_vec_id,
+        k,
+        n_probe,
+        rerank,
+        int(meta["dim"]),
+        int(meta["m_sub"]),
     )
 
 

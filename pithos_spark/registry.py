@@ -683,6 +683,43 @@ ORACLES["ann_ivfpq_topk"] = similarity.ivfpq_topk_oracle(0, 10)
 QUERIES["ann_ivfpq_residual_topk"] = _emb_query(
     similarity.ivfpq_residual_topk, 0, 10
 )
+
+# residual IVFADC from the PERSISTED layout (r12): coarse centroids +
+# residual codebooks + cluster-partitioned code table built once per
+# (session, sf_dir); serving is the probe-pruned read through the same
+# _ivfpq_residual_serve tail, so bit-identical — same oracle.
+_IVFPQ_INDEX_CACHE: dict = {}
+
+
+def _ivfpq_index_path(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVFPQ_INDEX_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ivfpq_index_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        similarity.save_ivfpq_residual_index(
+            T.load_tables(spark, sf_dir)["embeddings"], path
+        )
+        _IVFPQ_INDEX_CACHE[key] = path
+    return _IVFPQ_INDEX_CACHE[key]
+
+
+def _ivfpq_residual_from_layout(spark, sf_dir):
+    return similarity.ivfpq_residual_topk_from_layout(
+        T.load_tables(spark, sf_dir)["embeddings"],
+        _ivfpq_index_path(spark, sf_dir),
+        0,
+        10,
+    )
+
+
+QUERIES["ann_ivfpq_residual_from_layout"] = _ivfpq_residual_from_layout
+ORACLES["ann_ivfpq_residual_from_layout"] = (
+    similarity.ivfpq_residual_topk_oracle(0, 10)
+)
 ORACLES["ann_ivfpq_residual_topk"] = similarity.ivfpq_residual_topk_oracle(
     0, 10
 )
@@ -3192,13 +3229,18 @@ ORACLES["corpus_bpe_heldout_fertility"] = text.bpe_heldout_fertility_oracle(
 #    corpus_trigram_interp (_trigram_interp split into _trigram_counts
 #    + _trigram_score, shared with the layout twin),
 #    corpus_bpe_heldout_fertility (vocab size now probed BEFORE the
-#    collect so the driver cap actually protects, ADVICE r11), and
+#    collect so the driver cap actually protects, ADVICE r11),
+#    ann_ivfpq_residual_topk (+ its layout twin
+#    ann_ivfpq_residual_from_layout: serving tail extracted into
+#    _ivfpq_residual_serve, cluster-partitioned persisted codes), and
 #    dedup_image_dhash_assets (stdlib baseline-JPEG pixel decode joins
 #    PNG/GIF/WAV on the real-decode path, VERDICT r11 task 5).
 ROUND_NEW: list[str] = [
     "ann_pq_topk_from_layout",
     "corpus_trigram_heldout_from_layout",
+    "ann_ivfpq_residual_from_layout",
     "ann_pq_topk",
+    "ann_ivfpq_residual_topk",
     "corpus_trigram_heldout",
     "corpus_trigram_interp",
     "corpus_bpe_heldout_fertility",
@@ -3208,10 +3250,11 @@ ROUND_NEW: list[str] = [
 # The stale backlog, honoring VERDICT r11 task 2 / the r11 queue: the
 # 20 r8-stale (the 5 that yielded slots to r11 gates + the 15 slipped
 # TPC-H q*), then the oldest r9 greens in registry insertion order.
-# 7 ROUND_NEW + 43 backlog fills the 50-slot window exactly; the two
-# r9 queries that slip (corpus_hybrid_search_rrf, corpus_rerank_stub —
-# last in r9 insertion order) head the r13 queue, followed by the r10
-# greens oldest-first (compute via scripts/verdict_histogram.py).
+# 9 ROUND_NEW + 41 backlog fills the 50-slot window exactly; the four
+# r9 queries that slip (corpus_bm25_topk, corpus_bm25_postings_topk,
+# corpus_hybrid_search_rrf, corpus_rerank_stub — last in r9 insertion
+# order) head the r13 queue, followed by the r10 greens oldest-first
+# (compute via scripts/verdict_histogram.py).
 DRIVER_PRIORITY: list[str] = [
     # --- r8-stale (20): the 5 yielded + 15 slipped TPC-H ---
     "metadata_header_filter",
@@ -3234,7 +3277,7 @@ DRIVER_PRIORITY: list[str] = [
     "q20_excess_shippers",
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
-    # --- r9-stale (23 of 25, registry insertion order) ---
+    # --- r9-stale (21 of 25, registry insertion order) ---
     "q1_pricing_summary",
     "text_token_stats",
     "dedup_minhash_lsh",
@@ -3256,12 +3299,10 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_gate_report",
     "corpus_mix_plan",
     "corpus_repetition_stats",
-    "corpus_bm25_topk",
-    "corpus_bm25_postings_topk",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (all were green in r8/r9), and 7 + 43 fills the window.
+# canary (all were green in r8/r9), and 9 + 41 fills the window.
 GREEN_CORE: list[str] = []
 
 

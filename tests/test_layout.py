@@ -156,3 +156,29 @@ def test_trigram_layout_roundtrip_and_probe_subset(spark, layout_dir):
         tuple(r) for r in text.trigram_heldout_from_layout(probe, path).collect()
     ]
     assert pruned == full and len(pruned) == 3
+
+
+@pytest.mark.slow
+def test_ivfpq_residual_index_roundtrip_and_pruning(spark, layout_dir):
+    """save_ivfpq_residual_index -> ivfpq_residual_topk_from_layout is
+    row-for-row identical to the in-query form, and the layout's code
+    table is physically partitioned by coarse cluster (one directory
+    per inverted list — the probe read prunes at the filesystem)."""
+    import os
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions import similarity
+
+    emb = T.load_tables(spark, SF_ORACLE)["embeddings"]
+    path = f"{layout_dir}/ivfpq_index"
+    similarity.save_ivfpq_residual_index(emb, path)
+    dirs = [d for d in os.listdir(f"{path}/codes") if d.startswith("cluster=")]
+    assert len(dirs) == 8
+    got = [
+        tuple(r)
+        for r in similarity.ivfpq_residual_topk_from_layout(
+            emb, path, 0, 10
+        ).collect()
+    ]
+    want = [tuple(r) for r in similarity.ivfpq_residual_topk(emb, 0, 10).collect()]
+    assert got == want and len(got) == 10
