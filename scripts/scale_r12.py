@@ -1,0 +1,170 @@
+"""SCALE_r12 measurement (VERDICT r11 tasks 3, 4, 7).
+
+1. 10x growth lines (sf0.1 -> replicated sf1, warm medians of 3 — the
+   r9+ protocol) for every operator NEW or REWRITTEN in r12: the three
+   persisted-layout serving gates (the registry builds each layout once
+   per (session, sf) so the timed samples are serving-only), their
+   re-gated in-query twins, and the decode/probe-fix re-gates.
+2. The BUILD/SERVE split the layouts exist for: one-time layout build
+   cost vs the per-query serving read, at both scales — the number that
+   explains (and retires) ann_pq_topk's 82.6% r11 bench spread.
+3. Trigram PROBE pruning soak at sf1: a 10-document probe against the
+   materialized gram layout, bucket-pruned vs unpruned wall-clock, plus
+   how many of the 32 bucket-partitions each count table actually read.
+
+Usage: python scripts/scale_r12.py [sf01_dir] [sf1_dir]
+Prints one JSON line per measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import SparkSession
+
+
+def timed(fn, repeats=3):
+    fn()  # warmup
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(round(time.perf_counter() - t0, 3))
+    return round(statistics.median(samples), 3), samples
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf1 = sys.argv[2] if len(sys.argv) > 2 else ".scale/sf1"
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "32g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions import similarity, text
+    from pithos_spark.registry import _TRI_LM_PRED, QUERIES
+    from pithos_spark.tables import load_tables
+
+    # --- 1. 10x growth lines ------------------------------------------------
+    names = [
+        # new r12 serving gates (layout built once per sf by the
+        # registry cache; timed samples are pure serving reads)
+        "ann_pq_topk_from_layout",
+        "ann_ivfpq_residual_from_layout",
+        "corpus_trigram_heldout_from_layout",
+        # re-gated in-query twins (serving tail extracted / refactored)
+        "ann_pq_topk",
+        "ann_ivfpq_residual_topk",
+        "corpus_trigram_heldout",
+        "corpus_trigram_interp",
+        # probe-first collect fix / JPEG-capable decode path
+        "corpus_bpe_heldout_fertility",
+        "dedup_image_dhash_assets",
+    ]
+    for name in names:
+        fn = QUERIES[name]
+        m01, _ = timed(lambda: noop(fn(spark, sf01)))
+        m1, _ = timed(lambda: noop(fn(spark, sf1)))
+        print(json.dumps({
+            "measure": "scale_growth",
+            "query": name,
+            "sf0.1_s": m01,
+            "sf1_s": m1,
+            "growth_10x": round(m1 / max(m01, 1e-9), 2),
+        }), flush=True)
+
+    # --- 2. build/serve split -----------------------------------------------
+    for sf_name, sf_dir in [("sf0.1", sf01), ("sf1", sf1)]:
+        t = load_tables(spark, sf_dir)
+        builds = [
+            (
+                "build_pq_index",
+                lambda dest: similarity.save_pq_index(t["embeddings"], dest),
+            ),
+            (
+                "build_ivfpq_residual_index",
+                lambda dest: similarity.save_ivfpq_residual_index(
+                    t["embeddings"], dest
+                ),
+            ),
+            (
+                "build_trigram_lm_layout",
+                lambda dest: text.write_trigram_lm_layout(
+                    t["documents"].filter(_TRI_LM_PRED), dest
+                ),
+            ),
+        ]
+        for bname, builder in builds:
+            base = tempfile.mkdtemp(prefix=f"scale_{bname}_")
+            i = [0]
+
+            def build_once():
+                builder(f"{base}/layout_{i[0]}")
+                i[0] += 1
+
+            med, samples = timed(build_once)
+            print(json.dumps({
+                "measure": "layout_build",
+                "build": bname,
+                "sf": sf_name,
+                "wall_median_s": med,
+                "samples": samples,
+            }), flush=True)
+
+    # --- 3. trigram probe pruning soak at sf1 --------------------------------
+    docs1 = load_tables(spark, sf1)["documents"]
+    lay = tempfile.mkdtemp(prefix="scale_trigram_probe_")
+    text.write_trigram_lm_layout(docs1.filter(_TRI_LM_PRED), lay)
+    probe = docs1.filter("doc_id % 4 <> 0 AND doc_id < 40")
+    m_pruned, s_pruned = timed(
+        lambda: noop(text.trigram_probe_from_layout(probe, lay))
+    )
+    m_full, s_full = timed(
+        lambda: noop(text.trigram_heldout_from_layout(probe, lay))
+    )
+    # buckets actually read per count table (static partition filters)
+    counts, _, n_buckets = text._load_trigram_layout(spark, lay)
+    tri_probe = text._trigram_windows(probe)
+    read = {}
+    for key, cnt in text._TRIGRAM_COUNT_TABLES:
+        read[cnt] = (
+            tri_probe.select(
+                F.pmod(F.hash(F.col(key)), F.lit(n_buckets)).alias("b")
+            )
+            .distinct()
+            .count()
+        )
+    print(json.dumps({
+        "measure": "trigram_probe_pruning_sf1",
+        "probe_docs": probe.count(),
+        "n_buckets": n_buckets,
+        "buckets_read": read,
+        "pruned_wall_median_s": m_pruned,
+        "unpruned_wall_median_s": m_full,
+        "samples_pruned": s_pruned,
+        "samples_unpruned": s_full,
+    }), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
