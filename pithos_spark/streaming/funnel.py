@@ -207,6 +207,44 @@ def streaming_quality_gate(
     )
 
 
+def streaming_trigram_gate(
+    new_docs_stream,
+    layout_path: str,
+    sink_path: str,
+    checkpoint: str,
+    **score_kwargs,
+):
+    """Streaming twin of functions/text.trigram_heldout_from_layout
+    over the FROZEN materialized gram layout (r12): each micro-batch of
+    newly-crawled documents is scored as a PROBE —
+    trigram_probe_from_layout reads only the gram-bucket partitions the
+    batch's own grams hash into (static partition pruning per batch) —
+    and the per-doc perplexity verdicts append under ``sink_path``.
+
+    The in-domain crawl filter at 100 TB/day: the LM count tables are
+    built once (write_trigram_lm_layout at LM-training time) and never
+    rescanned; scoring is batch-local (each document's windows score
+    independently against the fixed counts), so the stream's union over
+    time equals the batch layout read over the union of batches, and a
+    restart re-scores nothing already committed.  ``foreachBatch`` for
+    the same one-code-path reason as the quality gate above."""
+    from pithos_spark.functions.text import trigram_probe_from_layout
+
+    def _score(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        trigram_probe_from_layout(
+            batch_df, layout_path, **score_kwargs
+        ).write.mode("append").parquet(sink_path)
+
+    return (
+        new_docs_stream.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_pq_encode(
     new_embeddings_stream,
     codebooks: dict,
