@@ -1273,6 +1273,82 @@ def pq_topk_from_layout(
     )
 
 
+def pq_batch_topk_from_layout(
+    embeddings: DataFrame,
+    path: str,
+    query_ids: list[int],
+    k: int = 10,
+    rerank: int = 4,
+) -> DataFrame:
+    """Batched PQ ANN over the persisted layout: MANY queries answered
+    in ONE pass over the code table — the production serving shape
+    (per-query loops re-scan the codes |Q| times; here the broadcast
+    LUT simply grows to |Q| x M x K rows, still tiny, and the estimate
+    aggregation keys by (query_id, vec_id) so queries parallelize
+    across the cluster exactly like :func:`batch_topk`).  Per query:
+    ADC estimates, a rerank*k candidate cut, exact quantized-dot rerank
+    — each query's rows bit-identical to :func:`pq_topk_from_layout`.
+
+    Output (query_id, vec_id, label, est_dot, dot_q), top-k per query,
+    ordered by (query_id, dot_q desc, vec_id)."""
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    codes, cb_df, meta = load_pq_index(spark, path)
+    m_sub, scale, dim = (
+        int(meta["m_sub"]), int(meta["scale"]), int(meta["dim"])
+    )
+    qsub = _pq_subvectors(
+        embeddings.filter(F.col("vec_id").isin(query_ids)), m_sub, dim, scale
+    ).select(F.col("vec_id").alias("query_id"), "m", F.col("subq").alias("qsub"))
+    lut = cb_df.join(F.broadcast(qsub), "m").select(
+        "query_id",
+        "m",
+        "code",
+        _bigint_dot(F.col("centroid_q"), F.col("qsub")).alias("pdot"),
+    )
+    est = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdot").alias("est_dot"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("est_dot").desc(), F.col("vec_id")
+    )
+    cand = (
+        est.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= rerank * k)
+        .drop("_rk")
+    )
+    qv = embeddings.select(
+        "vec_id", "label", _quantized(F.col("embedding"), scale).alias("q")
+    )
+    qrows = qv.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    ranked = (
+        cand.join(qv, "vec_id")
+        .join(F.broadcast(qrows), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            "est_dot",
+            _bigint_dot(F.col("q"), F.col("qq")).alias("dot_q"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("vec_id")
+    )
+    return (
+        ranked.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.col("dot_q").desc(), "vec_id")
+    )
+
+
 def _pq_cte_sql(
     m_sub: int,
     k_codes: int,
@@ -1396,6 +1472,55 @@ JOIN qv e2 ON e2.vec_id = c.vec_id,
      (SELECT q FROM qv WHERE vec_id = {query_vec_id}) q(q)
 ORDER BY dot_q DESC, c.vec_id
 LIMIT {k}"""
+
+
+def pq_batch_topk_oracle(
+    query_ids: list[int],
+    k: int = 10,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    n_iter: int = 2,
+    rerank: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`pq_batch_topk_from_layout`: the same
+    unrolled Lloyd build (stored codes are value-identical to the
+    freshly-trained ones for the same parameters), a (query_id, m,
+    code)-keyed lookup table, per-query estimate sums, per-query rerank
+    cuts and per-query exact-dot top-k."""
+    d = dim // m_sub
+    ids = ", ".join(str(i) for i in query_ids)
+    return _pq_cte_sql(m_sub, k_codes, n_iter, dim) + f""", qset AS (
+    SELECT vec_id AS query_id, q FROM qv WHERE vec_id IN ({ids})
+), lut AS (
+    SELECT qs.query_id, c.m, c.code,
+           CAST(sum(c.c * qs.q[c.m * {d} + c.pos + 1]) AS BIGINT) AS pdot
+    FROM cent{n_iter} c, qset qs
+    GROUP BY 1, 2, 3
+), est AS (
+    SELECT l.query_id, cd.vec_id, CAST(sum(l.pdot) AS BIGINT) AS est_dot
+    FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.code
+    WHERE cd.vec_id <> l.query_id
+    GROUP BY 1, 2
+), cand AS (
+    SELECT query_id, vec_id, est_dot FROM est
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY est_dot DESC, vec_id)
+        <= {rerank * k}
+), ranked AS (
+    SELECT c.query_id, c.vec_id, e.label, c.est_dot,
+           (SELECT CAST(sum(e2.q[i] * qs.q[i]) AS BIGINT)
+            FROM generate_series(1, {dim}) g(i)) AS dot_q
+    FROM cand c
+    JOIN embeddings e ON e.vec_id = c.vec_id
+    JOIN qv e2 ON e2.vec_id = c.vec_id
+    JOIN qset qs ON qs.query_id = c.query_id
+)
+SELECT query_id, vec_id, label, est_dot, dot_q
+FROM ranked
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY dot_q DESC, vec_id) <= {k}
+ORDER BY query_id, dot_q DESC, vec_id"""
 
 
 def ivfpq_topk(

@@ -670,6 +670,26 @@ def _pq_from_layout(spark, sf_dir):
 QUERIES["ann_pq_topk_from_layout"] = _pq_from_layout
 ORACLES["ann_pq_topk_from_layout"] = similarity.pq_topk_oracle(0, 10)
 
+# batched PQ serving over the same layout (r12): many queries, ONE
+# pass over the code table — the broadcast LUT grows to |Q| x M x K
+# rows, per-query results bit-identical to the single-query form.
+_PQ_BATCH_IDS = [0, 7, 42, 99, 123]
+
+
+def _pq_batch_from_layout(spark, sf_dir):
+    return similarity.pq_batch_topk_from_layout(
+        T.load_tables(spark, sf_dir)["embeddings"],
+        _pq_index_path(spark, sf_dir),
+        _PQ_BATCH_IDS,
+        10,
+    )
+
+
+QUERIES["ann_pq_batch_from_layout"] = _pq_batch_from_layout
+ORACLES["ann_pq_batch_from_layout"] = similarity.pq_batch_topk_oracle(
+    _PQ_BATCH_IDS, 10
+)
+
 # IVF-PQ (r11): the composed FAISS-style IVFADC serving layout —
 # Lloyd coarse pruning to n_probe inverted lists, ADC over the code
 # table within them, exact rerank.  Both trainers are the existing
@@ -3237,6 +3257,7 @@ ORACLES["corpus_bpe_heldout_fertility"] = text.bpe_heldout_fertility_oracle(
 #    PNG/GIF/WAV on the real-decode path, VERDICT r11 task 5).
 ROUND_NEW: list[str] = [
     "ann_pq_topk_from_layout",
+    "ann_pq_batch_from_layout",
     "corpus_trigram_heldout_from_layout",
     "ann_ivfpq_residual_from_layout",
     "ann_pq_topk",
@@ -3250,11 +3271,12 @@ ROUND_NEW: list[str] = [
 # The stale backlog, honoring VERDICT r11 task 2 / the r11 queue: the
 # 20 r8-stale (the 5 that yielded slots to r11 gates + the 15 slipped
 # TPC-H q*), then the oldest r9 greens in registry insertion order.
-# 9 ROUND_NEW + 41 backlog fills the 50-slot window exactly; the four
-# r9 queries that slip (corpus_bm25_topk, corpus_bm25_postings_topk,
-# corpus_hybrid_search_rrf, corpus_rerank_stub — last in r9 insertion
-# order) head the r13 queue, followed by the r10 greens oldest-first
-# (compute via scripts/verdict_histogram.py).
+# 10 ROUND_NEW + 40 backlog fills the 50-slot window exactly; the five
+# r9 queries that slip (corpus_repetition_stats, corpus_bm25_topk,
+# corpus_bm25_postings_topk, corpus_hybrid_search_rrf,
+# corpus_rerank_stub — last in r9 insertion order) head the r13 queue,
+# followed by the r10 greens oldest-first (compute via
+# scripts/verdict_histogram.py).
 DRIVER_PRIORITY: list[str] = [
     # --- r8-stale (20): the 5 yielded + 15 slipped TPC-H ---
     "metadata_header_filter",
@@ -3277,7 +3299,7 @@ DRIVER_PRIORITY: list[str] = [
     "q20_excess_shippers",
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
-    # --- r9-stale (21 of 25, registry insertion order) ---
+    # --- r9-stale (20 of 25, registry insertion order) ---
     "q1_pricing_summary",
     "text_token_stats",
     "dedup_minhash_lsh",
@@ -3298,11 +3320,10 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_bigram_lm",
     "corpus_gate_report",
     "corpus_mix_plan",
-    "corpus_repetition_stats",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (all were green in r8/r9), and 9 + 41 fills the window.
+# canary (all were green in r8/r9), and 10 + 40 fills the window.
 GREEN_CORE: list[str] = []
 
 

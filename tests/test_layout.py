@@ -182,3 +182,29 @@ def test_ivfpq_residual_index_roundtrip_and_pruning(spark, layout_dir):
     ]
     want = [tuple(r) for r in similarity.ivfpq_residual_topk(emb, 0, 10).collect()]
     assert got == want and len(got) == 10
+
+
+@pytest.mark.slow
+def test_pq_batch_from_layout_matches_single_query(spark, layout_dir):
+    """Each query's rows in the one-pass batched PQ serve equal the
+    single-query layout serve's rows exactly (same estimates, same
+    rerank winners, same order)."""
+    from pithos_spark import tables as T
+    from pithos_spark.functions import similarity
+
+    emb = T.load_tables(spark, SF_ORACLE)["embeddings"]
+    path = f"{layout_dir}/pq_index_batch"
+    similarity.save_pq_index(emb, path)
+    ids = [0, 7, 42]
+    batch = similarity.pq_batch_topk_from_layout(emb, path, ids, 10).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["label"], r["est_dot"], r["dot_q"])
+        )
+    for qid in ids:
+        single = [
+            tuple(r)
+            for r in similarity.pq_topk_from_layout(emb, path, qid, 10).collect()
+        ]
+        assert by_q[qid] == single and len(single) == 10
