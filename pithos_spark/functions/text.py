@@ -1309,6 +1309,31 @@ def train_classifier_weights(
     )
 
 
+def write_classifier_weights_layout(
+    labeled_documents: DataFrame, path: str, n_features: int = 4096,
+    smoothing: int = 1,
+) -> None:
+    """Materialize the trained quality gate's weight export (r12): the
+    <= n_features (feature_id, weight_milli) rows written once at
+    training time — the weights analog of write_trigram_lm_layout.
+    Training scans the labeled corpus ONCE; every scoring run
+    thereafter reads the tiny stored table and broadcasts it, instead
+    of re-running the corpus-sized training explode in-query."""
+    train_classifier_weights(
+        labeled_documents, n_features, smoothing
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/weights")
+
+
+def quality_classifier_from_layout(
+    documents: DataFrame, path: str, **score_kwargs
+) -> DataFrame:
+    """Score against the persisted weight export — bit-identical to
+    scoring with freshly-trained weights on the same labeled slice
+    (the stored table IS train_classifier_weights' output)."""
+    weights = documents.sparkSession.read.parquet(f"{path}/weights")
+    return quality_classifier_score(documents, weights=weights, **score_kwargs)
+
+
 def quality_classifier_score(
     documents: DataFrame,
     weights: DataFrame | None = None,

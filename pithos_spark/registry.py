@@ -3094,12 +3094,59 @@ def _quality_classifier_trained(spark, sf_dir):
     )
 
 
+def _quality_classifier_from_layout(spark, sf_dir):
+    """The weights-layout twin (r12): train_classifier_weights' output
+    persisted once per (session, sf_dir), scoring reads + broadcasts
+    the stored table — bit-identical to the train-in-query gate, so
+    the same oracle."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions.text import (
+        quality_classifier_from_layout,
+        write_classifier_weights_layout,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _QC_WEIGHTS_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="classifier_weights_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        docs = T.load_tables(spark, sf_dir)["documents"]
+        write_classifier_weights_layout(
+            docs.filter(_QC_TRAIN_PRED).withColumn(
+                "label", F.expr(_QC_LABEL).cast("int")
+            ),
+            path,
+        )
+        _QC_WEIGHTS_CACHE[key] = path
+    docs = T.load_tables(spark, sf_dir)["documents"]
+    return quality_classifier_from_layout(
+        docs.filter(_QC_SCORE_PRED), _QC_WEIGHTS_CACHE[key]
+    )
+
+
+_QC_WEIGHTS_CACHE: dict = {}
+
+
 from pithos_spark.functions.text import (  # noqa: E402
     quality_classifier_trained_oracle,
 )
 
 QUERIES["corpus_quality_classifier_trained"] = _quality_classifier_trained
 ORACLES["corpus_quality_classifier_trained"] = (
+    quality_classifier_trained_oracle(
+        score_pred=_QC_SCORE_PRED,
+        train_pred=_QC_TRAIN_PRED,
+        label_expr=_QC_LABEL,
+    )
+)
+QUERIES["corpus_quality_classifier_from_layout"] = (
+    _quality_classifier_from_layout
+)
+ORACLES["corpus_quality_classifier_from_layout"] = (
     quality_classifier_trained_oracle(
         score_pred=_QC_SCORE_PRED,
         train_pred=_QC_TRAIN_PRED,
@@ -3259,6 +3306,7 @@ ROUND_NEW: list[str] = [
     "ann_pq_topk_from_layout",
     "ann_pq_batch_from_layout",
     "corpus_trigram_heldout_from_layout",
+    "corpus_quality_classifier_from_layout",
     "ann_ivfpq_residual_from_layout",
     "ann_pq_topk",
     "ann_ivfpq_residual_topk",
@@ -3271,9 +3319,9 @@ ROUND_NEW: list[str] = [
 # The stale backlog, honoring VERDICT r11 task 2 / the r11 queue: the
 # 20 r8-stale (the 5 that yielded slots to r11 gates + the 15 slipped
 # TPC-H q*), then the oldest r9 greens in registry insertion order.
-# 10 ROUND_NEW + 40 backlog fills the 50-slot window exactly; the five
-# r9 queries that slip (corpus_repetition_stats, corpus_bm25_topk,
-# corpus_bm25_postings_topk, corpus_hybrid_search_rrf,
+# 11 ROUND_NEW + 39 backlog fills the 50-slot window exactly; the six
+# r9 queries that slip (corpus_mix_plan, corpus_repetition_stats,
+# corpus_bm25_topk, corpus_bm25_postings_topk, corpus_hybrid_search_rrf,
 # corpus_rerank_stub — last in r9 insertion order) head the r13 queue,
 # followed by the r10 greens oldest-first (compute via
 # scripts/verdict_histogram.py).
@@ -3299,7 +3347,7 @@ DRIVER_PRIORITY: list[str] = [
     "q20_excess_shippers",
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
-    # --- r9-stale (20 of 25, registry insertion order) ---
+    # --- r9-stale (19 of 25, registry insertion order) ---
     "q1_pricing_summary",
     "text_token_stats",
     "dedup_minhash_lsh",
@@ -3319,11 +3367,10 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_leakage_safe_split",
     "corpus_bigram_lm",
     "corpus_gate_report",
-    "corpus_mix_plan",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (all were green in r8/r9), and 10 + 40 fills the window.
+# canary (all were green in r8/r9), and 11 + 39 fills the window.
 GREEN_CORE: list[str] = []
 
 
