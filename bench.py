@@ -90,7 +90,12 @@ HEADLINERS = [
 
 # entries whose r11 spread exceeded ~50% run extra repeats (VERDICT r11
 # task 6): more warm samples tighten the median on these sub-6 s
-# queries at trivial cost
+# queries at trivial cost.  Dispersion note (task 6's fallback): on
+# queries under ~0.5 s median the spread_pct denominator is small
+# enough that ±0.1 s of scheduler jitter reads as 50-100% — judge
+# sub-second entries by absolute sample range in `runs`, not by
+# spread_pct (e.g. list_objects_materialized: 0.116 s median, ~0.1 s
+# absolute range, 96% "spread").
 EXTRA_REPEATS = {
     "ann_pq_topk": 9,
     "corpus_trigram_heldout": 9,
