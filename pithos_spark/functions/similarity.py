@@ -1246,6 +1246,37 @@ def load_pq_index(spark, path: str):
     )
 
 
+def append_to_pq_index(new_embeddings: DataFrame, path: str) -> None:
+    """Incremental index maintenance — the batch twin of
+    streaming_pq_encode: encode newly-ingested vectors with the
+    index's FROZEN codebooks (an M x K collect, constant-size) and
+    append their code rows to ``{path}/codes``.  Serving over the grown
+    index is identical to an index whose codes were all encoded in one
+    pass with the same codebooks (tested), because encoding is
+    row-local given frozen codebooks.  Codebook DRIFT is the documented
+    limitation, as for any frozen production quantizer: when the
+    vector distribution moves, retrain via save_pq_index and re-encode."""
+    spark = new_embeddings.sparkSession
+    _, cb_df, meta = load_pq_index(spark, path)
+    codebooks = {
+        (int(r["m"]), int(r["code"])): [int(v) for v in r["centroid_q"]]
+        for r in cb_df.collect()
+    }
+    codes = pq_encode(
+        new_embeddings,
+        codebooks,
+        int(meta["m_sub"]),
+        int(meta["scale"]),
+        int(meta["dim"]),
+    )
+    (
+        codes.repartitionByRange("vec_id", "m")
+        .sortWithinPartitions("vec_id", "m")
+        .write.mode("append")
+        .parquet(f"{path}/codes")
+    )
+
+
 def pq_topk_from_layout(
     embeddings: DataFrame,
     path: str,

@@ -1799,13 +1799,17 @@ ORDER BY doc_id"""
 
 
 def write_trigram_lm_layout(
-    lm_documents: DataFrame, path: str, n_buckets: int = 32
+    lm_documents: DataFrame, path: str, n_buckets: int | None = None
 ) -> None:
     """Materialize the trigram-LM gram layout (VERDICT r11 task 4 /
     SCALE_r11 prescription): the five gram-keyed count tables collapsed
     from the LM slice, each written PARTITIONED BY a murmur3 gram
     bucket (``pmod(hash(key), n_buckets)``) and sorted by key within
     files, plus a 1-row totals table (n_total, n_buckets).
+    ``n_buckets=None`` (default) self-sizes with the LM — ~1M gram rows
+    per bucket, floor 32, cap 4096 — so probe pruning stays worth its
+    bucket-set collects as the LM grows (SCALE_r12 §3); readers take
+    the actual value from the stats table, never from a default.
 
     At 100 TB the LM count tables are vocabulary-sized — too big to
     broadcast, and deriving them on every scoring run shuffles the full
@@ -1819,6 +1823,15 @@ def write_trigram_lm_layout(
     tri_lm = _trigram_windows(lm_documents).persist()
     try:
         n_total = max(tri_lm.count(), 1)
+        if n_buckets is None:
+            # auto-size with the LM (SCALE_r12 §3): target ~1M gram
+            # rows per bucket so a skipped bucket is worth skipping,
+            # floor 32 (test scale), cap 4096 (directory-count sanity).
+            # Power of two only for predictability; pruning works for
+            # any value since probe and writer share the expression.
+            n_buckets = 32
+            while n_buckets < 4096 and n_total // n_buckets > 1_000_000:
+                n_buckets *= 2
         for key, cnt in _TRIGRAM_COUNT_TABLES:
             (
                 _trigram_counts(tri_lm)[cnt]

@@ -208,3 +208,45 @@ def test_pq_batch_from_layout_matches_single_query(spark, layout_dir):
             for r in similarity.pq_topk_from_layout(emb, path, qid, 10).collect()
         ]
         assert by_q[qid] == single and len(single) == 10
+
+
+@pytest.mark.slow
+def test_pq_index_incremental_append_equals_one_pass(spark, layout_dir):
+    """append_to_pq_index with frozen codebooks: build the index on 3/4
+    of the vectors, append the remaining 1/4, and the serving read must
+    equal one-pass encoding of the FULL corpus under the same codebooks
+    (encoding is row-local given frozen codebooks, so ingest order
+    cannot matter)."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions import similarity
+
+    emb = T.load_tables(spark, SF_ORACLE)["embeddings"]
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    delta = emb.filter(F.col("vec_id") % 4 == 3)
+    path = f"{layout_dir}/pq_index_incr"
+    similarity.save_pq_index(base, path)
+    similarity.append_to_pq_index(delta, path)
+    got = [
+        tuple(r)
+        for r in similarity.pq_topk_from_layout(emb, path, 0, 10).collect()
+    ]
+    # one-pass reference: same codebooks (trained on base), full corpus
+    _, cb_df, meta = similarity.load_pq_index(spark, path)
+    codebooks = {
+        (int(r["m"]), int(r["code"])): [int(v) for v in r["centroid_q"]]
+        for r in cb_df.collect()
+    }
+    codes_full = similarity.pq_encode(
+        emb, codebooks, int(meta["m_sub"]), int(meta["scale"]),
+        int(meta["dim"]),
+    )
+    want = [
+        tuple(r)
+        for r in similarity.pq_serve_topk(
+            emb, codes_full, cb_df, 0, 10, int(meta["m_sub"]),
+            4, int(meta["scale"]), int(meta["dim"]),
+        ).collect()
+    ]
+    assert got == want and len(got) == 10
