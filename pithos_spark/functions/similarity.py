@@ -500,6 +500,127 @@ def ivf_topk(
     )
 
 
+def brute_force_filtered_topk(
+    embeddings: DataFrame, query_vec_id: int, label: int, k: int = 10
+) -> DataFrame:
+    """FILTERED exact vector search (r12): top-k by quantized dot among
+    vectors carrying the given metadata label — the vector-database
+    operation every retrieval stack needs ("nearest docs IN this
+    collection/language/license").  The label equality pushes into the
+    parquet scan, so the scored set is pruned before any arithmetic."""
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    return (
+        embeddings.filter(F.col("label") == label)
+        .join(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            quantized_dot(F.col("embedding"), F.col("query_embedding")).alias(
+                "dot_q"
+            ),
+        )
+        .orderBy(F.col("dot_q").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def brute_force_filtered_topk_oracle(
+    query_vec_id: int, label: int, k: int = 10, dim: int = 64
+) -> str:
+    return f"""\
+WITH q AS (
+    SELECT embedding AS query_embedding FROM embeddings WHERE vec_id = {query_vec_id}
+), scored AS (
+    SELECT e.vec_id, e.label,
+           (SELECT CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                            CAST(floor(CAST(q.query_embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+            FROM generate_series(1, {dim}) g(i)) AS dot_q
+    FROM embeddings e, q
+    WHERE e.vec_id <> {query_vec_id} AND e.label = {label}
+)
+SELECT vec_id, label, dot_q FROM scored
+ORDER BY dot_q DESC, vec_id
+LIMIT {k}"""
+
+
+def pq_filtered_topk_from_layout(
+    embeddings: DataFrame,
+    path: str,
+    query_vec_id: int,
+    label: int,
+    k: int = 10,
+    rerank: int = 4,
+) -> DataFrame:
+    """Filtered ANN over the persisted PQ index: the code table is
+    LEFT-SEMI-joined to the label slice's vec_ids BEFORE the ADC
+    estimate, so estimates, the rerank cut, and the exact rerank all
+    run within the filter — no post-filtering recall collapse (the
+    classic failure of filter-after-search at selective filters).
+    Join strategy is left to AQE: a selective label slice broadcasts,
+    a broad one shuffles — both correct.  Everything else is the
+    shared :func:`pq_serve_topk` tail, so the result is engine-exact
+    against the composed SQL twin."""
+    spark = embeddings.sparkSession
+    codes, cb_df, meta = load_pq_index(spark, path)
+    keep = embeddings.filter(F.col("label") == label).select("vec_id")
+    return pq_serve_topk(
+        embeddings,
+        codes.join(keep, "vec_id", "left_semi"),
+        cb_df,
+        query_vec_id,
+        k,
+        int(meta["m_sub"]),
+        rerank,
+        int(meta["scale"]),
+        int(meta["dim"]),
+    )
+
+
+def pq_filtered_topk_oracle(
+    query_vec_id: int,
+    label: int,
+    k: int = 10,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    n_iter: int = 2,
+    rerank: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`pq_filtered_topk_from_layout`: the PQ
+    build unrolled, the estimate restricted to the label slice, then
+    the same rerank cut and exact-dot rerank."""
+    d = dim // m_sub
+    return _pq_cte_sql(m_sub, k_codes, n_iter, dim) + f""", lut AS (
+    SELECT c.m, c.code,
+           CAST(sum(c.c * q.q[c.m * {d} + c.pos + 1]) AS BIGINT) AS pdot
+    FROM cent{n_iter} c,
+         (SELECT q FROM qv WHERE vec_id = {query_vec_id}) q(q)
+    GROUP BY 1, 2
+), est AS (
+    SELECT cd.vec_id, CAST(sum(l.pdot) AS BIGINT) AS est_dot
+    FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.code
+    WHERE cd.vec_id <> {query_vec_id}
+      AND cd.vec_id IN (SELECT vec_id FROM embeddings WHERE label = {label})
+    GROUP BY 1
+), cand AS (
+    SELECT vec_id, est_dot FROM est
+    QUALIFY row_number() OVER (ORDER BY est_dot DESC, vec_id)
+        <= {rerank * k}
+)
+SELECT c.vec_id, e.label, c.est_dot,
+       (SELECT CAST(sum(e2.q[i] * q.q[i]) AS BIGINT)
+        FROM generate_series(1, {dim}) g(i)) AS dot_q
+FROM cand c
+JOIN embeddings e ON e.vec_id = c.vec_id
+JOIN qv e2 ON e2.vec_id = c.vec_id,
+     (SELECT q FROM qv WHERE vec_id = {query_vec_id}) q(q)
+ORDER BY dot_q DESC, c.vec_id
+LIMIT {k}"""
+
+
 def batch_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -690,6 +690,33 @@ ORACLES["ann_pq_batch_from_layout"] = similarity.pq_batch_topk_oracle(
     _PQ_BATCH_IDS, 10
 )
 
+# FILTERED vector search (r12): top-k within a metadata label slice —
+# exact form (label pushed to the scan) and PQ form over the persisted
+# layout (codes semi-joined to the slice BEFORE the ADC estimate, so
+# there is no post-filter recall collapse).  Both fully oracle-gated.
+QUERIES["ann_filtered_topk"] = _emb_query(
+    similarity.brute_force_filtered_topk, 0, 3, 10
+)
+ORACLES["ann_filtered_topk"] = similarity.brute_force_filtered_topk_oracle(
+    0, 3, 10
+)
+
+
+def _pq_filtered_from_layout(spark, sf_dir):
+    return similarity.pq_filtered_topk_from_layout(
+        T.load_tables(spark, sf_dir)["embeddings"],
+        _pq_index_path(spark, sf_dir),
+        0,
+        3,
+        10,
+    )
+
+
+QUERIES["ann_pq_filtered_from_layout"] = _pq_filtered_from_layout
+ORACLES["ann_pq_filtered_from_layout"] = similarity.pq_filtered_topk_oracle(
+    0, 3, 10
+)
+
 # IVF-PQ (r11): the composed FAISS-style IVFADC serving layout —
 # Lloyd coarse pruning to n_probe inverted lists, ADC over the code
 # table within them, exact rerank.  Both trainers are the existing
@@ -3308,6 +3335,8 @@ ROUND_NEW: list[str] = [
     "corpus_trigram_heldout_from_layout",
     "corpus_quality_classifier_from_layout",
     "ann_ivfpq_residual_from_layout",
+    "ann_filtered_topk",
+    "ann_pq_filtered_from_layout",
     "ann_pq_topk",
     "ann_ivfpq_residual_topk",
     "corpus_trigram_heldout",
@@ -3319,9 +3348,10 @@ ROUND_NEW: list[str] = [
 # The stale backlog, honoring VERDICT r11 task 2 / the r11 queue: the
 # 20 r8-stale (the 5 that yielded slots to r11 gates + the 15 slipped
 # TPC-H q*), then the oldest r9 greens in registry insertion order.
-# 11 ROUND_NEW + 39 backlog fills the 50-slot window exactly; the six
-# r9 queries that slip (corpus_mix_plan, corpus_repetition_stats,
-# corpus_bm25_topk, corpus_bm25_postings_topk, corpus_hybrid_search_rrf,
+# 13 ROUND_NEW + 37 backlog fills the 50-slot window exactly; the
+# eight r9 queries that slip (corpus_bigram_lm, corpus_gate_report,
+# corpus_mix_plan, corpus_repetition_stats, corpus_bm25_topk,
+# corpus_bm25_postings_topk, corpus_hybrid_search_rrf,
 # corpus_rerank_stub — last in r9 insertion order) head the r13 queue,
 # followed by the r10 greens oldest-first (compute via
 # scripts/verdict_histogram.py).
@@ -3347,7 +3377,7 @@ DRIVER_PRIORITY: list[str] = [
     "q20_excess_shippers",
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
-    # --- r9-stale (19 of 25, registry insertion order) ---
+    # --- r9-stale (17 of 25, registry insertion order) ---
     "q1_pricing_summary",
     "text_token_stats",
     "dedup_minhash_lsh",
@@ -3365,12 +3395,10 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_temperature_sample_mix",
     "corpus_decontaminate_semantic",
     "corpus_leakage_safe_split",
-    "corpus_bigram_lm",
-    "corpus_gate_report",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (all were green in r8/r9), and 11 + 39 fills the window.
+# canary (all were green in r8/r9), and 13 + 37 fills the window.
 GREEN_CORE: list[str] = []
 
 
