@@ -530,3 +530,34 @@ def test_pq_corpus_smaller_than_k_codes(spark):
     assert all(0 <= r["code"] < 5 for r in codes)
     got = pq_topk(emb, 0, k=3)
     assert got.count() == 3
+
+
+@pytest.mark.slow
+def test_pq_filtered_recall_and_label_purity(spark, embeddings, tmp_path):
+    """Filtered PQ over the layout: every result carries the filter
+    label (filter-then-search), exact rerank scores agree with the
+    filtered brute-force scores for shared ids, and recall@10 within
+    the slice stays useful."""
+    from pithos_spark.functions.similarity import (
+        brute_force_filtered_topk,
+        pq_filtered_topk_from_layout,
+        save_pq_index,
+    )
+
+    path = str(tmp_path / "pq_index_filtered")
+    save_pq_index(embeddings, path)
+    got = pq_filtered_topk_from_layout(embeddings, path, 0, 3, 10).collect()
+    assert got and all(r["label"] == 3 for r in got)
+    exact = {
+        r["vec_id"]: r["dot_q"]
+        for r in brute_force_filtered_topk(embeddings, 0, 3, 50).collect()
+    }
+    for r in got:
+        if r["vec_id"] in exact:
+            assert exact[r["vec_id"]] == r["dot_q"]
+    true10 = set(
+        r["vec_id"]
+        for r in brute_force_filtered_topk(embeddings, 0, 3, 10).collect()
+    )
+    recall = len(true10 & {r["vec_id"] for r in got}) / 10
+    assert recall >= 0.5, f"filtered PQ recall@10 = {recall}"
