@@ -555,20 +555,22 @@ def pq_filtered_topk_from_layout(
     rerank: int = 4,
 ) -> DataFrame:
     """Filtered ANN over the persisted PQ index: the code table is
-    LEFT-SEMI-joined to the label slice's vec_ids BEFORE the ADC
-    estimate, so estimates, the rerank cut, and the exact rerank all
-    run within the filter — no post-filtering recall collapse (the
-    classic failure of filter-after-search at selective filters).
-    Join strategy is left to AQE: a selective label slice broadcasts,
-    a broad one shuffles — both correct.  Everything else is the
-    shared :func:`pq_serve_topk` tail, so the result is engine-exact
-    against the composed SQL twin."""
+    filtered to the label slice BEFORE the ADC estimate — the label
+    rides in the code table (save_pq_index), so the filter is a PUSHED
+    predicate on the code scan (asserted in tests/test_plans.py) and
+    the full embeddings table is never read except for the 1-row query
+    and the tiny rerank set.  Estimates, the rerank cut, and the exact
+    rerank all run within the filter — no post-filtering recall
+    collapse (the classic failure of filter-after-search at selective
+    filters).  Everything else is the shared :func:`pq_serve_topk`
+    tail, so the result is engine-exact against the composed SQL twin
+    (filtering code rows by their stored label selects exactly the
+    slice's vec_ids, which is what the oracle's IN-subquery does)."""
     spark = embeddings.sparkSession
     codes, cb_df, meta = load_pq_index(spark, path)
-    keep = embeddings.filter(F.col("label") == label).select("vec_id")
     return pq_serve_topk(
         embeddings,
-        codes.join(keep, "vec_id", "left_semi"),
+        codes.filter(F.col("label") == label).drop("label"),
         cb_df,
         query_vec_id,
         k,
@@ -1339,7 +1341,13 @@ def save_pq_index(
     codebooks = build_pq_codebooks(
         embeddings, m_sub, k_codes, n_iter, scale, dim
     )
-    codes = pq_encode(embeddings, codebooks, m_sub, scale, dim)
+    # codes carry the vector's metadata label: one small column per
+    # code row buys filtered serving a PUSHED predicate on the code
+    # scan itself (pq_filtered_topk_from_layout), instead of scanning
+    # the full embeddings table just to build the id slice
+    codes = pq_encode(embeddings, codebooks, m_sub, scale, dim).join(
+        embeddings.select("vec_id", "label"), "vec_id"
+    )
     (
         codes.repartitionByRange("vec_id", "m")
         .sortWithinPartitions("vec_id", "m")
@@ -1389,7 +1397,7 @@ def append_to_pq_index(new_embeddings: DataFrame, path: str) -> None:
         int(meta["m_sub"]),
         int(meta["scale"]),
         int(meta["dim"]),
-    )
+    ).join(new_embeddings.select("vec_id", "label"), "vec_id")
     (
         codes.repartitionByRange("vec_id", "m")
         .sortWithinPartitions("vec_id", "m")

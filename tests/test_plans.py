@@ -574,3 +574,33 @@ def test_pq_layout_serving_reads_codes_not_lloyd(spark, tables, tmp_path):
     # distributed top-k operators
     assert "TakeOrderedAndProject(limit=40" in plan, plan
     assert "TakeOrderedAndProject(limit=10" in plan, plan
+
+
+def test_pq_filtered_pushes_label_into_code_scan(spark, tables, tmp_path):
+    """Filtered PQ serving must read the label predicate off the CODE
+    table (the label rides in the layout), not scan the embeddings
+    table to build an id slice: the codes scan carries the pushed
+    EqualTo(label,3), and the only embeddings scans are the 1-row query
+    lookups / rerank side."""
+    from pithos_spark.functions import similarity
+
+    emb = tables["embeddings"]
+    path = str(tmp_path / "pq_index_f")
+    similarity.save_pq_index(emb, path)
+    plan = _plan(
+        similarity.pq_filtered_topk_from_layout(emb, path, 0, 3, 10)
+    )
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(
+        "EqualTo(label,3)" in p and "Not(EqualTo(vec_id,0))" in p
+        for p in pushed
+    ), plan
+    assert "ArrowEvalPython" not in plan
+    # every embeddings scan is either the pushed 1-row query lookup or
+    # the rerank join side — no full-table label sweep
+    emb_scans = [
+        p for p in pushed if "EqualTo(vec_id,0)" in p or "label" not in p
+    ]
+    assert not any(
+        "EqualTo(label,3)" in p and "vec_id" not in p for p in pushed
+    ), plan
