@@ -86,6 +86,9 @@ HEADLINERS = [
     "ann_pq_topk_from_layout",
     "corpus_trigram_heldout_from_layout",
     "ann_ivfpq_residual_from_layout",
+    # filtered vector search over the layout (label predicate pushed
+    # into the code-table scan — the filter-then-search serving shape)
+    "ann_pq_filtered_from_layout",
 ]
 
 # entries whose r11 spread exceeded ~50% run extra repeats (VERDICT r11
