@@ -1979,6 +1979,9 @@ def save_ivfpq_residual_index(
     )
     (
         codes.join(assigned.select("vec_id", "cluster"), "vec_id")
+        # label rides in the code table for pushed filtered serving,
+        # as in save_pq_index
+        .join(embeddings.select("vec_id", "label"), "vec_id")
         .repartition("cluster")
         .sortWithinPartitions("vec_id", "m")
         .write.mode("overwrite")
@@ -2030,6 +2033,48 @@ def ivfpq_residual_topk_from_layout(
     )
 
 
+def ivfpq_residual_filtered_topk_from_layout(
+    embeddings: DataFrame,
+    path: str,
+    query_vec_id: int,
+    label: int,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 4,
+) -> DataFrame:
+    """Filtered residual-IVFADC over the persisted layout: the label
+    predicate is PUSHED into the cluster-partitioned code scan (the
+    label rides in the table, as for PQ), composing both prunings —
+    coarse probe selection prunes partitions, the label filter prunes
+    row groups within them — before any estimate arithmetic.  Same
+    :func:`_ivfpq_residual_serve` tail, so engine-exact against the
+    label-extended oracle."""
+    spark = embeddings.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    qv = embeddings.select(
+        "vec_id",
+        "label",
+        _quantized(F.col("embedding"), int(meta["scale"])).alias("q"),
+    )
+    codes = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("label") == label)
+        .drop("label")
+    )
+    return _ivfpq_residual_serve(
+        qv,
+        codes,
+        spark.read.parquet(f"{path}/centers"),
+        spark.read.parquet(f"{path}/codebooks"),
+        query_vec_id,
+        k,
+        n_probe,
+        rerank,
+        int(meta["dim"]),
+        int(meta["m_sub"]),
+    )
+
+
 def ivfpq_residual_topk_oracle(
     query_vec_id: int,
     k: int = 10,
@@ -2041,13 +2086,21 @@ def ivfpq_residual_topk_oracle(
     pq_iter: int = 2,
     rerank: int = 4,
     dim: int = 64,
+    label: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`ivfpq_residual_topk`: the Lloyd unroll,
     the residual-vector CTE (vec - assigned centroid), the prefixed PQ
     unroll trained OVER rqv, the probe ranking with per-cluster
     centroid dot terms, the in-list ADC estimate (+ centroid term) and
-    the exact-dot tail."""
+    the exact-dot tail.  ``label`` restricts the estimate to the
+    metadata slice (the filtered layout gate)."""
     d = dim // m_sub
+    label_clause = (
+        ""
+        if label is None
+        else f" AND cd2.vec_id IN (SELECT vec_id FROM embeddings"
+             f" WHERE label = {label})"
+    )
     return (
         _lloyd_cte_sql(n_clusters, n_iter, dim)
         + f""", rqv AS MATERIALIZED (
@@ -2083,7 +2136,7 @@ def ivfpq_residual_topk_oracle(
     JOIN final_assign fa ON fa.vec_id = cd2.vec_id
     JOIN probes p ON fa.cluster = p.cluster
     JOIN lut l ON cd2.m = l.m AND cd2.code = l.code
-    WHERE cd2.vec_id <> {query_vec_id}
+    WHERE cd2.vec_id <> {query_vec_id}{label_clause}
     GROUP BY 1
 ), cand AS (
     SELECT vec_id, est_dot FROM est

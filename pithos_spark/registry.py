@@ -717,6 +717,22 @@ ORACLES["ann_pq_filtered_from_layout"] = similarity.pq_filtered_topk_oracle(
     0, 3, 10
 )
 
+
+def _ivfpq_filtered_from_layout(spark, sf_dir):
+    return similarity.ivfpq_residual_filtered_topk_from_layout(
+        T.load_tables(spark, sf_dir)["embeddings"],
+        _ivfpq_index_path(spark, sf_dir),
+        0,
+        3,
+        10,
+    )
+
+
+QUERIES["ann_ivfpq_filtered_from_layout"] = _ivfpq_filtered_from_layout
+ORACLES["ann_ivfpq_filtered_from_layout"] = (
+    similarity.ivfpq_residual_topk_oracle(0, 10, label=3)
+)
+
 # IVF-PQ (r11): the composed FAISS-style IVFADC serving layout —
 # Lloyd coarse pruning to n_probe inverted lists, ADC over the code
 # table within them, exact rerank.  Both trainers are the existing
@@ -3337,6 +3353,7 @@ ROUND_NEW: list[str] = [
     "ann_ivfpq_residual_from_layout",
     "ann_filtered_topk",
     "ann_pq_filtered_from_layout",
+    "ann_ivfpq_filtered_from_layout",
     "ann_pq_topk",
     "ann_ivfpq_residual_topk",
     "corpus_trigram_heldout",
@@ -3348,13 +3365,13 @@ ROUND_NEW: list[str] = [
 # The stale backlog, honoring VERDICT r11 task 2 / the r11 queue: the
 # 20 r8-stale (the 5 that yielded slots to r11 gates + the 15 slipped
 # TPC-H q*), then the oldest r9 greens in registry insertion order.
-# 13 ROUND_NEW + 37 backlog fills the 50-slot window exactly; the
-# eight r9 queries that slip (corpus_bigram_lm, corpus_gate_report,
-# corpus_mix_plan, corpus_repetition_stats, corpus_bm25_topk,
-# corpus_bm25_postings_topk, corpus_hybrid_search_rrf,
-# corpus_rerank_stub — last in r9 insertion order) head the r13 queue,
-# followed by the r10 greens oldest-first (compute via
-# scripts/verdict_histogram.py).
+# 14 ROUND_NEW + 36 backlog fills the 50-slot window exactly; the
+# nine r9 queries that slip (corpus_leakage_safe_split,
+# corpus_bigram_lm, corpus_gate_report, corpus_mix_plan,
+# corpus_repetition_stats, corpus_bm25_topk, corpus_bm25_postings_topk,
+# corpus_hybrid_search_rrf, corpus_rerank_stub — last in r9 insertion
+# order) head the r13 queue, followed by the r10 greens oldest-first
+# (compute via scripts/verdict_histogram.py).
 DRIVER_PRIORITY: list[str] = [
     # --- r8-stale (20): the 5 yielded + 15 slipped TPC-H ---
     "metadata_header_filter",
@@ -3377,7 +3394,7 @@ DRIVER_PRIORITY: list[str] = [
     "q20_excess_shippers",
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
-    # --- r9-stale (17 of 25, registry insertion order) ---
+    # --- r9-stale (16 of 25, registry insertion order) ---
     "q1_pricing_summary",
     "text_token_stats",
     "dedup_minhash_lsh",
@@ -3394,11 +3411,10 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_temperature_mix_weights",
     "corpus_temperature_sample_mix",
     "corpus_decontaminate_semantic",
-    "corpus_leakage_safe_split",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (all were green in r8/r9), and 13 + 37 fills the window.
+# canary (all were green in r8/r9), and 14 + 36 fills the window.
 GREEN_CORE: list[str] = []
 
 
