@@ -1617,6 +1617,68 @@ def corpus_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_top_terms_tfidf",
+    """\
+WITH toks AS (
+    SELECT source, doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents
+), tf AS (
+    SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+    SELECT term, count(*) AS df
+    FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT source, term, tf, df,
+       tf * ((1000 * n.n_docs) // df) AS tfidf_q
+FROM tf JOIN df USING (term) CROSS JOIN n
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY tfidf_q DESC, term) <= 5
+ORDER BY source, tfidf_q DESC, term""",
+)
+def corpus_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TF-IDF top terms (r12): the domain-fingerprinting
+    readout every mixing/curation decision leans on ("what is this
+    source about, in five words").  Integer idf (permille of n_docs
+    over df) keeps it engine-exact.
+
+    Scale: one corpus-linear token explode feeding two map-side
+    combinable aggs; n_docs is a broadcast 1-row agg, the df side is
+    vocabulary-sized and joins on term; the per-source cut is a window
+    over source partitions — no global sort, no driver collect."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    d = T.load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        toks.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("tfidf_q").desc(), F.col("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .join(F.broadcast(n))
+        .withColumn("tfidf_q", F.expr("tf * ((1000 * n_docs) div df)"))
+        .select("source", "term", "tf", "df", "tfidf_q")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .drop("_rn")
+        .orderBy("source", F.col("tfidf_q").desc(), "term")
+    )
+
+
+@register(
     "post_policy_validate",
     """\
 SELECT doc_id,
@@ -3354,6 +3416,7 @@ ROUND_NEW: list[str] = [
     "ann_filtered_topk",
     "ann_pq_filtered_from_layout",
     "ann_ivfpq_filtered_from_layout",
+    "corpus_top_terms_tfidf",
     "ann_pq_topk",
     "ann_ivfpq_residual_topk",
     "corpus_trigram_heldout",
@@ -3365,13 +3428,14 @@ ROUND_NEW: list[str] = [
 # The stale backlog, honoring VERDICT r11 task 2 / the r11 queue: the
 # 20 r8-stale (the 5 that yielded slots to r11 gates + the 15 slipped
 # TPC-H q*), then the oldest r9 greens in registry insertion order.
-# 14 ROUND_NEW + 36 backlog fills the 50-slot window exactly; the
-# nine r9 queries that slip (corpus_leakage_safe_split,
-# corpus_bigram_lm, corpus_gate_report, corpus_mix_plan,
-# corpus_repetition_stats, corpus_bm25_topk, corpus_bm25_postings_topk,
-# corpus_hybrid_search_rrf, corpus_rerank_stub — last in r9 insertion
-# order) head the r13 queue, followed by the r10 greens oldest-first
-# (compute via scripts/verdict_histogram.py).
+# 15 ROUND_NEW + 35 backlog fills the 50-slot window exactly; the
+# ten r9 queries that slip (corpus_decontaminate_semantic,
+# corpus_leakage_safe_split, corpus_bigram_lm, corpus_gate_report,
+# corpus_mix_plan, corpus_repetition_stats, corpus_bm25_topk,
+# corpus_bm25_postings_topk, corpus_hybrid_search_rrf,
+# corpus_rerank_stub — last in r9 insertion order) head the r13 queue,
+# followed by the r10 greens oldest-first (compute via
+# scripts/verdict_histogram.py).
 DRIVER_PRIORITY: list[str] = [
     # --- r8-stale (20): the 5 yielded + 15 slipped TPC-H ---
     "metadata_header_filter",
@@ -3394,7 +3458,7 @@ DRIVER_PRIORITY: list[str] = [
     "q20_excess_shippers",
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
-    # --- r9-stale (16 of 25, registry insertion order) ---
+    # --- r9-stale (15 of 25, registry insertion order) ---
     "q1_pricing_summary",
     "text_token_stats",
     "dedup_minhash_lsh",
@@ -3410,11 +3474,10 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_decontaminate",
     "corpus_temperature_mix_weights",
     "corpus_temperature_sample_mix",
-    "corpus_decontaminate_semantic",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (all were green in r8/r9), and 14 + 36 fills the window.
+# canary (all were green in r8/r9), and 15 + 35 fills the window.
 GREEN_CORE: list[str] = []
 
 
