@@ -2506,6 +2506,112 @@ ORDER BY dot_q DESC, vec_id
 LIMIT {k}"""
 
 
+def pq_code_near_pairs(
+    embeddings: DataFrame,
+    threshold_q: int = 300000,
+    min_match: int = 4,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    n_iter: int = 2,
+    scale: int = 1000,
+    dim: int = 64,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Embedding near-duplicate pairs with PQ codes as the candidate
+    generator (r12): vectors agreeing on >= ``min_match`` of their
+    ``m_sub`` subspace codes become candidates, and only candidates pay
+    the exact quantized-dot verify against ``threshold_q`` — the
+    all-pairs cosine sweep replaced by a self-join over the
+    32x-compressed code table.  The practical embedding-dedup shape at
+    100 TB: candidate volume falls geometrically with ``min_match``
+    (measured at sf0.01: >=1 code 40k pairs, >=4 codes 124, >=5 just
+    8), and each (m, code) bucket is capped like every other banded
+    tier (``max_bucket``; never binds at oracle SF, so the SQL twin
+    models the uncapped join).
+
+    Output (vec_a, vec_b, n_code_match, dot_q), dot_q >= threshold_q,
+    ordered by (vec_a, vec_b)."""
+    from pithos_spark.functions.dedup import _cap_buckets
+    from pithos_spark.plans.helpers import bounded_persist
+
+    codebooks = build_pq_codebooks(
+        embeddings, m_sub, k_codes, n_iter, scale, dim
+    )
+    codes = bounded_persist(
+        pq_encode(embeddings, codebooks, m_sub, scale, dim),
+        "pq_code_near_pairs.codes",
+    )
+    capped = _cap_buckets(codes, ["m", "code"], max_bucket)
+    cand = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.m") == F.col("b.m"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_code_match"))
+        .filter(F.col("n_code_match") >= min_match)
+    )
+    qv = embeddings.select(
+        "vec_id", _quantized(F.col("embedding"), scale).alias("q")
+    )
+    return (
+        cand.join(
+            qv.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa")),
+            "vec_a",
+        )
+        .join(
+            qv.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb")),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            "n_code_match",
+            _bigint_dot(F.col("qa"), F.col("qb")).alias("dot_q"),
+        )
+        .filter(F.col("dot_q") >= threshold_q)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def pq_code_near_pairs_oracle(
+    threshold_q: int = 300000,
+    min_match: int = 4,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    n_iter: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`pq_code_near_pairs`: PQ unroll, code-match
+    candidate self-join, exact-dot verify."""
+    return _pq_cte_sql(m_sub, k_codes, n_iter, dim) + f""", cand AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           count(*) AS n_code_match
+    FROM codes a
+    JOIN codes b ON a.m = b.m AND a.code = b.code
+                AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_match}
+), verified AS (
+    SELECT c.vec_a, c.vec_b, c.n_code_match,
+           (SELECT CAST(sum(qa.q[i] * qb.q[i]) AS BIGINT)
+            FROM generate_series(1, {dim}) g(i)) AS dot_q
+    FROM cand c
+    JOIN qv qa ON qa.vec_id = c.vec_a
+    JOIN qv qb ON qb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, n_code_match, dot_q
+FROM verified
+WHERE dot_q >= {threshold_q}
+ORDER BY vec_a, vec_b"""
+
+
 def semantic_dedup_pairs(
     embeddings: DataFrame,
     n_clusters: int = 64,

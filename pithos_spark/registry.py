@@ -733,6 +733,13 @@ ORACLES["ann_ivfpq_filtered_from_layout"] = (
     similarity.ivfpq_residual_topk_oracle(0, 10, label=3)
 )
 
+# PQ-code embedding dedup (r12): candidates from >= min_match shared
+# subspace codes over the 32x-compressed code table, exact quantized
+# dot only on candidates — the embedding-dedup shape that never runs
+# an all-pairs cosine sweep.  Fully oracle-gated.
+QUERIES["dedup_pq_code_pairs"] = _emb_query(similarity.pq_code_near_pairs)
+ORACLES["dedup_pq_code_pairs"] = similarity.pq_code_near_pairs_oracle()
+
 # IVF-PQ (r11): the composed FAISS-style IVFADC serving layout —
 # Lloyd coarse pruning to n_probe inverted lists, ADC over the code
 # table within them, exact rerank.  Both trainers are the existing
@@ -3417,6 +3424,7 @@ ROUND_NEW: list[str] = [
     "ann_pq_filtered_from_layout",
     "ann_ivfpq_filtered_from_layout",
     "corpus_top_terms_tfidf",
+    "dedup_pq_code_pairs",
     "ann_pq_topk",
     "ann_ivfpq_residual_topk",
     "corpus_trigram_heldout",
@@ -3428,14 +3436,14 @@ ROUND_NEW: list[str] = [
 # The stale backlog, honoring VERDICT r11 task 2 / the r11 queue: the
 # 20 r8-stale (the 5 that yielded slots to r11 gates + the 15 slipped
 # TPC-H q*), then the oldest r9 greens in registry insertion order.
-# 15 ROUND_NEW + 35 backlog fills the 50-slot window exactly; the
-# ten r9 queries that slip (corpus_decontaminate_semantic,
-# corpus_leakage_safe_split, corpus_bigram_lm, corpus_gate_report,
-# corpus_mix_plan, corpus_repetition_stats, corpus_bm25_topk,
-# corpus_bm25_postings_topk, corpus_hybrid_search_rrf,
-# corpus_rerank_stub — last in r9 insertion order) head the r13 queue,
-# followed by the r10 greens oldest-first (compute via
-# scripts/verdict_histogram.py).
+# 16 ROUND_NEW + 34 backlog fills the 50-slot window exactly; the
+# eleven r9 queries that slip (corpus_temperature_sample_mix,
+# corpus_decontaminate_semantic, corpus_leakage_safe_split,
+# corpus_bigram_lm, corpus_gate_report, corpus_mix_plan,
+# corpus_repetition_stats, corpus_bm25_topk, corpus_bm25_postings_topk,
+# corpus_hybrid_search_rrf, corpus_rerank_stub — last in r9 insertion
+# order) head the r13 queue, followed by the r10 greens oldest-first
+# (compute via scripts/verdict_histogram.py).
 DRIVER_PRIORITY: list[str] = [
     # --- r8-stale (20): the 5 yielded + 15 slipped TPC-H ---
     "metadata_header_filter",
@@ -3458,7 +3466,7 @@ DRIVER_PRIORITY: list[str] = [
     "q20_excess_shippers",
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
-    # --- r9-stale (15 of 25, registry insertion order) ---
+    # --- r9-stale (14 of 25, registry insertion order) ---
     "q1_pricing_summary",
     "text_token_stats",
     "dedup_minhash_lsh",
@@ -3473,11 +3481,10 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_shard_assign",
     "corpus_decontaminate",
     "corpus_temperature_mix_weights",
-    "corpus_temperature_sample_mix",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (all were green in r8/r9), and 15 + 35 fills the window.
+# canary (all were green in r8/r9), and 16 + 34 fills the window.
 GREEN_CORE: list[str] = []
 
 
