@@ -2580,6 +2580,62 @@ def pq_code_near_pairs(
     )
 
 
+def pq_code_near_pairs_from_layout(
+    embeddings: DataFrame,
+    path: str,
+    threshold_q: int = 300000,
+    min_match: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """PQ-code dedup over the PERSISTED index: the candidate self-join
+    runs on the stored code table (frozen codebooks — the index the
+    serving queries already read), so a dedup sweep of a freshly
+    appended corpus slice needs no retraining and no re-encode.
+    Bit-identical to :func:`pq_code_near_pairs` when the layout was
+    built with the same parameters on the same corpus (tested)."""
+    from pithos_spark.functions.dedup import _cap_buckets
+
+    spark = embeddings.sparkSession
+    codes, _, meta = load_pq_index(spark, path)
+    capped = _cap_buckets(codes.drop("label"), ["m", "code"], max_bucket)
+    cand = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.m") == F.col("b.m"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_code_match"))
+        .filter(F.col("n_code_match") >= min_match)
+    )
+    qv = embeddings.select(
+        "vec_id", _quantized(F.col("embedding"), int(meta["scale"])).alias("q")
+    )
+    return (
+        cand.join(
+            qv.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa")),
+            "vec_a",
+        )
+        .join(
+            qv.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb")),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            "n_code_match",
+            _bigint_dot(F.col("qa"), F.col("qb")).alias("dot_q"),
+        )
+        .filter(F.col("dot_q") >= threshold_q)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def pq_code_near_pairs_oracle(
     threshold_q: int = 300000,
     min_match: int = 4,

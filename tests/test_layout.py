@@ -250,3 +250,22 @@ def test_pq_index_incremental_append_equals_one_pass(spark, layout_dir):
         ).collect()
     ]
     assert got == want and len(got) == 10
+
+
+@pytest.mark.slow
+def test_pq_code_dedup_from_layout_matches_in_query(spark, layout_dir):
+    """The dedup sweep over the persisted code table returns exactly
+    the in-query form's pairs (same codebooks by shared seeding, stored
+    codes value-identical)."""
+    from pithos_spark import tables as T
+    from pithos_spark.functions import similarity
+
+    emb = T.load_tables(spark, SF_ORACLE)["embeddings"]
+    path = f"{layout_dir}/pq_index_dedup"
+    similarity.save_pq_index(emb, path)
+    got = [
+        tuple(r)
+        for r in similarity.pq_code_near_pairs_from_layout(emb, path).collect()
+    ]
+    want = [tuple(r) for r in similarity.pq_code_near_pairs(emb).collect()]
+    assert got == want and len(got) > 0
