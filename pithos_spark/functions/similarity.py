@@ -1237,8 +1237,6 @@ def pq_topk(
     this query shape reads ~1/32nd of the raw embedding bytes.  Output
     (vec_id, label, est_dot, dot_q) — estimate and exact, both integer.
     """
-    from pyspark.sql import Window
-
     spark = embeddings.sparkSession
     codebooks = build_pq_codebooks(
         embeddings, m_sub, k_codes, n_iter, scale, dim
@@ -1816,8 +1814,6 @@ def ivfpq_residual_topk(
     query-subvector LUT.  Serving cost is identical to plain IVF-PQ;
     only training adds the one centroid-subtraction pass.
     Output (vec_id, label, est_dot, dot_q)."""
-    from pyspark.sql import Window
-
     spark = embeddings.sparkSession
     assigned, centers = build_ivf_lloyd_index(
         embeddings, n_clusters, n_iter, scale
