@@ -207,6 +207,51 @@ def streaming_quality_gate(
     )
 
 
+def streaming_pq_serve(
+    query_id_stream,
+    embeddings,
+    layout_path: str,
+    sink_path: str,
+    checkpoint: str,
+    k: int = 10,
+    rerank: int = 4,
+):
+    """Online ANN serving twin (r12): micro-batches of incoming query
+    ids are answered against the FROZEN persisted PQ index — each batch
+    is one functions/similarity.pq_batch_topk_from_layout pass (one
+    code-table read for the whole batch, |batch| x M x K broadcast
+    LUT), and the per-query top-k rows append under ``sink_path``.
+
+    The query-serving shape at scale: the index is built once
+    (save_pq_index), queries arrive continuously, and throughput is
+    batches-per-trigger x one-pass batch cost instead of a corpus scan
+    per query.  Serving is batch-local (every query answered
+    independently against the same frozen tables), so the stream's
+    union over time equals the batch operator over the union of query
+    ids (tested across trigger splits).  The per-batch driver collect
+    gathers only the batch's distinct query ids — bounded by the
+    micro-batch size by construction."""
+    from pithos_spark.functions.similarity import pq_batch_topk_from_layout
+
+    def _serve(batch_df, batch_id):
+        ids = [
+            r["query_id"]
+            for r in batch_df.select("query_id").distinct().collect()
+        ]
+        if not ids:
+            return
+        pq_batch_topk_from_layout(
+            embeddings, layout_path, sorted(ids), k, rerank
+        ).write.mode("append").parquet(sink_path)
+
+    return (
+        query_id_stream.writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_trigram_gate(
     new_docs_stream,
     layout_path: str,

@@ -1240,3 +1240,43 @@ def test_streaming_trigram_gate_matches_batch(spark, tmp_path):
     assert got == want and len(want) > 0
     # non-vacuous: scores vary across documents
     assert len({r[2] for r in want}) > 1
+
+
+def test_streaming_pq_serve_matches_batch(spark, tmp_path):
+    """Micro-batched query ids answered against the frozen PQ index
+    must produce exactly the one-pass batch server's rows over the
+    union of batches, regardless of trigger splits — the online ANN
+    serving shape (r12)."""
+    from pithos_spark import tables as T
+    from pithos_spark.functions.similarity import (
+        pq_batch_topk_from_layout,
+        save_pq_index,
+    )
+    from pithos_spark.streaming.funnel import streaming_pq_serve
+
+    emb = T.load_tables(spark, SF_SMOKE)["embeddings"]
+    layout = str(tmp_path / "pq_serve_index")
+    save_pq_index(emb, layout)
+    ids = [0, 7, 21, 42, 63, 99]
+    src = str(tmp_path / "query_stream")
+    spark.createDataFrame(
+        [(i,) for i in ids], "query_id long"
+    ).repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("query_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = str(tmp_path / "pq_serve_sink")
+    q = streaming_pq_serve(
+        stream, emb, layout, sink, str(tmp_path / "ckpt_pq_serve")
+    )
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    want = {
+        tuple(r)
+        for r in pq_batch_topk_from_layout(emb, layout, ids, 10).collect()
+    }
+    assert got == want and len(want) == len(ids) * 10
