@@ -916,6 +916,69 @@ def build_ivf_lloyd_index(
     return final_assigned, centers_df
 
 
+def ivf_cluster_stats(
+    embeddings: DataFrame, n_clusters: int = 8, n_iter: int = 2
+) -> DataFrame:
+    """IVF inverted-list occupancy telemetry (r12) — the probe-sizing
+    report, playing the role lsh_bucket_stats / shingle_df_stats play
+    for the banded tiers: per trained cluster, its vector count, corpus
+    share (permille), its rank by size, and the cumulative share a
+    probe of that many largest lists covers.  Reading the cum column at
+    the operating n_probe answers "what fraction of the corpus can a
+    probe even see" BEFORE paying for recall experiments, and a skewed
+    report (one list holding half the corpus) says re-train with more
+    clusters — the same telemetry-before-tuning contract as the
+    containment cap.  Output ordered by probe_rank."""
+    from pyspark.sql import Window
+
+    assigned, _ = build_ivf_lloyd_index(embeddings, n_clusters, n_iter)
+    occ = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    total = occ.agg(F.sum("n_vectors").alias("total"))
+    w = Window.orderBy(F.col("n_vectors").desc(), F.col("cluster"))
+    return (
+        occ.join(F.broadcast(total))
+        .withColumn("share_permille", F.expr("(1000 * n_vectors) div total"))
+        .withColumn("probe_rank", F.row_number().over(w))
+        .withColumn(
+            "cum_share_permille",
+            F.expr(
+                "(1000 * sum(n_vectors) OVER (ORDER BY n_vectors DESC, "
+                "cluster ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+                " div total"
+            ),
+        )
+        .select(
+            "cluster",
+            "n_vectors",
+            "share_permille",
+            "probe_rank",
+            "cum_share_permille",
+        )
+        .orderBy("probe_rank")
+    )
+
+
+def ivf_cluster_stats_oracle(
+    n_clusters: int = 8, n_iter: int = 2, dim: int = 64
+) -> str:
+    """DuckDB twin of :func:`ivf_cluster_stats`."""
+    return _lloyd_cte_sql(n_clusters, n_iter, dim) + """, occ AS (
+    SELECT cluster, count(*) AS n_vectors FROM final_assign GROUP BY 1
+), n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM embeddings)
+SELECT cluster,
+       n_vectors,
+       (1000 * n_vectors) // total AS share_permille,
+       CAST(row_number() OVER (ORDER BY n_vectors DESC, cluster) AS INT)
+           AS probe_rank,
+       CAST((1000 * sum(n_vectors) OVER (ORDER BY n_vectors DESC, cluster
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // total
+           AS BIGINT) AS cum_share_permille
+FROM occ CROSS JOIN n
+ORDER BY probe_rank"""
+
+
 def _lloyd_cte_sql(n_clusters: int, n_iter: int, dim: int) -> str:
     """Shared DuckDB CTE prefix unrolling the Lloyd build
     (build_ivf_lloyd_index) through ``final_assign`` — deterministic

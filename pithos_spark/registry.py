@@ -740,6 +740,12 @@ ORACLES["ann_ivfpq_filtered_from_layout"] = (
 QUERIES["dedup_pq_code_pairs"] = _emb_query(similarity.pq_code_near_pairs)
 ORACLES["dedup_pq_code_pairs"] = similarity.pq_code_near_pairs_oracle()
 
+# IVF inverted-list occupancy telemetry (r12): the probe-sizing report
+# — per-cluster counts, corpus shares, and cumulative coverage by
+# probe rank, the lsh_bucket_stats analog for the ANN index family.
+QUERIES["ann_ivf_cluster_stats"] = _emb_query(similarity.ivf_cluster_stats)
+ORACLES["ann_ivf_cluster_stats"] = similarity.ivf_cluster_stats_oracle()
+
 # IVF-PQ (r11): the composed FAISS-style IVFADC serving layout —
 # Lloyd coarse pruning to n_probe inverted lists, ADC over the code
 # table within them, exact rerank.  Both trainers are the existing
@@ -3425,6 +3431,7 @@ ROUND_NEW: list[str] = [
     "ann_ivfpq_filtered_from_layout",
     "corpus_top_terms_tfidf",
     "dedup_pq_code_pairs",
+    "ann_ivf_cluster_stats",
     "ann_pq_topk",
     "ann_ivfpq_residual_topk",
     "corpus_trigram_heldout",
@@ -3436,8 +3443,9 @@ ROUND_NEW: list[str] = [
 # The stale backlog, honoring VERDICT r11 task 2 / the r11 queue: the
 # 20 r8-stale (the 5 that yielded slots to r11 gates + the 15 slipped
 # TPC-H q*), then the oldest r9 greens in registry insertion order.
-# 16 ROUND_NEW + 34 backlog fills the 50-slot window exactly; the
-# eleven r9 queries that slip (corpus_temperature_sample_mix,
+# 17 ROUND_NEW + 33 backlog fills the 50-slot window exactly; the
+# twelve r9 queries that slip (corpus_temperature_mix_weights,
+# corpus_temperature_sample_mix,
 # corpus_decontaminate_semantic, corpus_leakage_safe_split,
 # corpus_bigram_lm, corpus_gate_report, corpus_mix_plan,
 # corpus_repetition_stats, corpus_bm25_topk, corpus_bm25_postings_topk,
@@ -3466,7 +3474,7 @@ DRIVER_PRIORITY: list[str] = [
     "q20_excess_shippers",
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
-    # --- r9-stale (14 of 25, registry insertion order) ---
+    # --- r9-stale (13 of 25, registry insertion order) ---
     "q1_pricing_summary",
     "text_token_stats",
     "dedup_minhash_lsh",
@@ -3480,11 +3488,10 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_pii_redact",
     "corpus_shard_assign",
     "corpus_decontaminate",
-    "corpus_temperature_mix_weights",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (all were green in r8/r9), and 16 + 34 fills the window.
+# canary (all were green in r8/r9), and 17 + 33 fills the window.
 GREEN_CORE: list[str] = []
 
 
