@@ -932,6 +932,9 @@ def ivf_cluster_stats(
     from pyspark.sql import Window
 
     assigned, _ = build_ivf_lloyd_index(embeddings, n_clusters, n_iter)
+    # the unpartitioned rank/cumsum windows below run over the
+    # n_clusters-row occupancy table (k rows, not the corpus) — the
+    # single-partition WindowExec is by construction tiny
     occ = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
