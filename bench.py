@@ -19,9 +19,10 @@ the first post-warmup sample in ``first_warm`` (formerly misnamed
 regression on the artifact is classifiable as noise vs real: a real
 change moves the median, a noisy one only widens the spread.
 
-Output is TWO JSON lines (VERDICT r11 task 1): the diagnostics blob
-first, then the compact canonical {metric, value, queries, spread_pct}
-line LAST so the driver's tail capture always retains it intact.
+Output is TWO JSON lines (VERDICT r11 task 1 / r12 task 1): the
+diagnostics blob (runs, first_warm, spread_pct) first, then the compact
+canonical {metric, value, queries, repeats, sf} line LAST, sized to fit
+the driver's 2000-char tail capture (see bench_output_lines).
 """
 
 from __future__ import annotations
@@ -103,6 +104,10 @@ EXTRA_REPEATS = {
     "ann_pq_topk": 9,
     "corpus_trigram_heldout": 9,
     "list_objects_materialized": 9,
+    # r12 spread 98.1% on a 0.4 s median — jitter-dominated per the
+    # sub-0.5 s note above; extra warm samples tighten the median
+    # (VERDICT r12 task 7)
+    "events_hourly_rollup": 9,
 }
 
 # 5 repeats (r10, was 3): with the untimed warmup lap all samples are
@@ -305,44 +310,68 @@ def main() -> None:
     spark.stop()
     shutil.rmtree(layout, ignore_errors=True)
 
-    # TWO lines (VERDICT r11 task 1): the per-run diagnostics blob
-    # first, then the compact canonical line LAST.  The driver captures
-    # the TAIL of stdout, and r11's single huge line lost its head —
-    # including the medians — to that capture; the canonical line at
-    # the very end survives any tail truncation, and a last-line JSON
-    # parse always lands on it.  "first_warm" is the r9+ name for what
-    # earlier rounds called "cold": since the untimed warmup lap, every
-    # sample is warm and this is merely the first timed one.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_runs",
-                "runs": runs,
-                "first_warm": {n: s[0] for n, s in runs.items()},
-            }
-        )
+    for line in bench_output_lines(runs, medians, sf):
+        print(line)
+
+
+def bench_output_lines(
+    runs: dict[str, list[float]],
+    medians: dict[str, float],
+    sf: str,
+) -> list[str]:
+    """Render the two output lines; factored out so a unit test can
+    assert the canonical line stays inside the driver's tail capture.
+
+    TWO lines (VERDICT r11 task 1 / r12 task 1): the per-run
+    diagnostics blob first, then the compact canonical line LAST.  The
+    driver captures the last 2000 CHARACTERS of stdout (measured from
+    BENCH_r12.json: ``len(tail) == 2000``), so the canonical line must
+    fit inside that window WITH its newline or its head — the first
+    medians — is truncated away and ``parsed`` comes back null (the
+    r10-r12 failure mode).  Budget: ``spread_pct`` lives on the
+    diagnostics line (it's derivable from ``runs`` anyway), the
+    canonical line carries medians only, and compact separators shave
+    the rest.  35 queries ≈ 1150 chars; the guard below fails LOUDLY at
+    1900 so a future headliner list outgrowing the window breaks tests
+    instead of silently truncating the artifact again.
+
+    "first_warm" is the r9+ name for what earlier rounds called
+    "cold": since the untimed warmup lap, every sample is warm and
+    this is merely the first timed one.  spread_pct is the warm
+    samples' (max-min)/median as a percentage (VERDICT r10 task 7) — a
+    round-over-round median move INSIDE a query's own spread band is
+    noise, not a regression.
+    """
+    diag = json.dumps(
+        {
+            "metric": "headline_queries_runs",
+            "runs": runs,
+            "first_warm": {n: s[0] for n, s in runs.items()},
+            "spread_pct": {
+                n: round(100 * (max(s) - min(s)) / max(m, 1e-9), 1)
+                for n, s in runs.items()
+                for m in [statistics.median(s)]
+            },
+        }
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(medians.values()), 3),
-                "unit": "sec",
-                "queries": medians,
-                # per-query dispersion (VERDICT r10 task 7): the warm
-                # samples' (max-min)/median as a percentage — a
-                # round-over-round median move INSIDE a query's own
-                # spread band is noise, not a regression
-                "spread_pct": {
-                    n: round(100 * (max(s) - min(s)) / max(m, 1e-9), 1)
-                    for n, s in runs.items()
-                    for m in [statistics.median(s)]
-                },
-                "repeats": REPEATS,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    canonical = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(medians.values()), 3),
+            "unit": "sec",
+            "queries": medians,
+            "repeats": REPEATS,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
     )
+    if len(canonical) > 1900:
+        raise AssertionError(
+            f"canonical bench line is {len(canonical)} chars; the driver "
+            "tail capture is 2000 — trim the headliner list or shorten "
+            "names before this truncates the artifact again"
+        )
+    return [diag, canonical]
 
 
 if __name__ == "__main__":

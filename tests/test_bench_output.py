@@ -1,0 +1,86 @@
+"""The bench artifact's canonical line must survive the driver's tail
+capture.
+
+BENCH_r10-r12 all came back ``parsed: null`` because the last stdout
+line outgrew the driver's 2000-character tail window (measured:
+``len(BENCH_r12.json["tail"]) == 2000``), truncating the head of the
+JSON — including the flagship's median — so the line never parsed.
+These tests pin the fix (VERDICT r12 task 1): the canonical line
+carries medians only (spread_pct moved to the diagnostics line), uses
+compact separators, and ``bench_output_lines`` raises loudly at 1900
+chars so a growing headliner list breaks the suite instead of silently
+truncating the artifact for a fourth round.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+import bench
+
+
+def _fake_runs() -> tuple[dict[str, list[float]], dict[str, float]]:
+    # every name bench can emit: the headliner list plus the six
+    # layout-build / materialized-serving lines appended in main()
+    names = list(bench.HEADLINERS) + [
+        "build_postings_layout",
+        "build_pq_index",
+        "build_ivfpq_residual_index",
+        "build_trigram_lm_layout",
+        "materialize_objects_layout",
+        "list_objects_materialized",
+    ]
+    # worst-case digit widths: hundreds of seconds, 3 decimals
+    runs = {n: [123.456, 118.901, 131.007, 120.55, 119.0] for n in names}
+    medians = {n: 120.55 for n in names}
+    return runs, medians
+
+
+def test_canonical_line_fits_driver_tail_window():
+    runs, medians = _fake_runs()
+    diag, canonical = bench.bench_output_lines(runs, medians, "0.1")
+    # the driver keeps the last 2000 chars of stdout; the canonical
+    # line plus its trailing newline must fit entirely inside that
+    assert len(canonical) + 1 <= 2000, len(canonical)
+    parsed = json.loads(canonical)
+    assert parsed["metric"] == "headline_queries_total"
+    assert set(parsed["queries"]) == set(medians)
+    assert parsed["unit"] == "sec"
+    assert parsed["sf"] == 0.1
+    # spread_pct moved OFF the canonical line (it was ~half the length)
+    assert "spread_pct" not in parsed
+    assert "spread_pct" in json.loads(diag)
+
+
+def test_canonical_line_is_last_and_parseable_after_tail_cut():
+    """Simulate the driver: keep the final 2000 chars of the full
+    stdout, parse the last line."""
+    runs, medians = _fake_runs()
+    lines = bench.bench_output_lines(runs, medians, "0.1")
+    stdout = "\n".join(lines) + "\n"
+    tail = stdout[-2000:]
+    last = tail.rstrip("\n").rsplit("\n", 1)[-1]
+    parsed = json.loads(last)  # must not raise
+    assert len(parsed["queries"]) == len(medians)
+
+
+def test_overgrown_headliner_list_fails_loudly():
+    runs, medians = _fake_runs()
+    for i in range(60):
+        n = f"some_future_query_with_a_rather_long_name_{i:02d}"
+        runs[n] = [1.0]
+        medians[n] = 1.0
+    with pytest.raises(AssertionError, match="tail capture"):
+        bench.bench_output_lines(runs, medians, "0.1")
+
+
+def test_diagnostics_line_spread_pct_matches_runs():
+    runs, medians = _fake_runs()
+    diag = json.loads(bench.bench_output_lines(runs, medians, "0.1")[0])
+    name = next(iter(runs))
+    s = runs[name]
+    expect = round(100 * (max(s) - min(s)) / 120.55, 1)
+    assert diag["spread_pct"][name] == expect
+    assert diag["first_warm"][name] == s[0]
