@@ -2730,6 +2730,114 @@ WHERE dot_q >= {threshold_q}
 ORDER BY vec_a, vec_b"""
 
 
+def _code_bucket_stats(codes: DataFrame, max_bucket: int) -> DataFrame:
+    """Aggregate a (vec_id, m, code) table to per-subspace bucket
+    occupancy.  Shared by the train-in-query and from-layout stats."""
+    sizes = codes.groupBy("m", "code").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    over = F.col("bucket_size") > max_bucket
+    pairs = F.expr("bucket_size * (bucket_size - 1) div 2")
+    return (
+        sizes.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("bucket_size").alias("n_vecs"),
+            F.max("bucket_size").alias("max_bucket_size"),
+            F.sum(F.when(over, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_buckets_over_cap"),
+            F.sum(F.when(over, F.col("bucket_size")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_vecs_dropped"),
+            F.sum(F.when(~over, pairs).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("cand_pairs_kept"),
+            F.sum(F.when(over, pairs).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("cand_pairs_dropped"),
+        )
+        .orderBy("m")
+    )
+
+
+def pq_code_bucket_stats(
+    embeddings: DataFrame,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    n_iter: int = 2,
+    scale: int = 1000,
+    dim: int = 64,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Bucket-occupancy telemetry for the PQ-code dedup tier (r13) —
+    the cap-sizing report :func:`pq_code_near_pairs` was missing while
+    its siblings had one (lsh_bucket_stats for the banded tiers,
+    ivf_cluster_stats for the probe lists, shingle_df_stats for
+    containment).  Per subspace ``m``: how many (m, code) buckets the
+    encoder produced, the largest, how many buckets/vectors the
+    ``max_bucket`` guard drops, and the candidate-pair work each side
+    of the cap induces (sum over buckets of C(size, 2)) — the exact
+    self-join volume the dedup sweep will pay, and the recall cost of
+    the cap, BEFORE paying for the sweep.  At 100 TB with k_codes=16 a
+    subspace has at most 16 buckets over the whole corpus, so buckets
+    WILL saturate any fixed cap; this readout is what says whether to
+    raise min_match, grow k_codes, or accept the drop (VERDICT r12
+    task 4: without it the recall loss is silent).
+
+    Scale: one corpus-linear encode into the (m, code) agg — both
+    aggregations combine map-side and the output is exactly ``m_sub``
+    rows.  Output (m, n_buckets, n_vecs, max_bucket_size,
+    n_buckets_over_cap, n_vecs_dropped, cand_pairs_kept,
+    cand_pairs_dropped) ordered by m."""
+    codebooks = build_pq_codebooks(
+        embeddings, m_sub, k_codes, n_iter, scale, dim
+    )
+    codes = pq_encode(embeddings, codebooks, m_sub, scale, dim)
+    return _code_bucket_stats(codes, max_bucket)
+
+
+def pq_code_bucket_stats_from_layout(
+    spark, path: str, max_bucket: int = 1000
+) -> DataFrame:
+    """The same occupancy report over the PERSISTED PQ index — what a
+    deployment actually runs before a dedup sweep of the frozen code
+    table (no retrain, no re-encode; bit-identical to
+    :func:`pq_code_bucket_stats` when the layout was built with the
+    same parameters on the same corpus, tested)."""
+    codes, _, _ = load_pq_index(spark, path)
+    return _code_bucket_stats(codes.drop("label"), max_bucket)
+
+
+def pq_code_bucket_stats_oracle(
+    m_sub: int = 8,
+    k_codes: int = 16,
+    n_iter: int = 2,
+    dim: int = 64,
+    max_bucket: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`pq_code_bucket_stats` — same PQ unroll as
+    the pair sweep's oracle, aggregated to per-subspace occupancy."""
+    return _pq_cte_sql(m_sub, k_codes, n_iter, dim) + f""", sizes AS (
+    SELECT m, code, count(*) AS bucket_size FROM codes GROUP BY 1, 2
+)
+SELECT m,
+       count(*) AS n_buckets,
+       CAST(sum(bucket_size) AS BIGINT) AS n_vecs,
+       max(bucket_size) AS max_bucket_size,
+       CAST(sum(CASE WHEN bucket_size > {max_bucket} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_buckets_over_cap,
+       CAST(sum(CASE WHEN bucket_size > {max_bucket} THEN bucket_size
+                ELSE 0 END) AS BIGINT) AS n_vecs_dropped,
+       CAST(sum(CASE WHEN bucket_size <= {max_bucket}
+                THEN bucket_size * (bucket_size - 1) // 2
+                ELSE 0 END) AS BIGINT) AS cand_pairs_kept,
+       CAST(sum(CASE WHEN bucket_size > {max_bucket}
+                THEN bucket_size * (bucket_size - 1) // 2
+                ELSE 0 END) AS BIGINT) AS cand_pairs_dropped
+FROM sizes GROUP BY m ORDER BY m"""
+
+
 def semantic_dedup_pairs(
     embeddings: DataFrame,
     n_clusters: int = 64,

@@ -746,6 +746,16 @@ ORACLES["dedup_pq_code_pairs"] = similarity.pq_code_near_pairs_oracle()
 QUERIES["ann_ivf_cluster_stats"] = _emb_query(similarity.ivf_cluster_stats)
 ORACLES["ann_ivf_cluster_stats"] = similarity.ivf_cluster_stats_oracle()
 
+# PQ-code bucket-occupancy telemetry (r13, VERDICT r12 task 4): the
+# cap-sizing report for the dedup_pq_code_pairs tier — per-subspace
+# (m, code) bucket histogram, rows the max_bucket guard drops, and the
+# candidate-pair work each side of the cap induces.  With k_codes=16 a
+# subspace has at most 16 buckets corpus-wide, so at 100 TB every
+# bucket saturates any fixed cap; this readout quantifies the recall
+# loss that would otherwise be silent.
+QUERIES["dedup_pq_code_stats"] = _emb_query(similarity.pq_code_bucket_stats)
+ORACLES["dedup_pq_code_stats"] = similarity.pq_code_bucket_stats_oracle()
+
 # IVF-PQ (r11): the composed FAISS-style IVFADC serving layout —
 # Lloyd coarse pruning to n_probe inverted lists, ADC over the code
 # table within them, exact rerank.  Both trainers are the existing
@@ -805,6 +815,18 @@ ORACLES["multimodal_features"] = multimodal.MEDIA_FEATURES_SQL
 
 QUERIES["multimodal_resize"] = _doc_query(multimodal.media_resize)
 ORACLES["multimodal_resize"] = multimodal.MEDIA_RESIZE_SQL
+
+# per-modality real-decode-rate telemetry (r13, VERDICT r12 task 5):
+# share of assets the header / full-pixel decoders actually handle, by
+# media_type x sniffed format — the readout that turns "progressive
+# JPEG silently takes the stand-in" into a queryable number.  Text
+# payloads are never recognizable media, so the gate's corpus rows all
+# land in format 'other' with zero decodes (SQL-exact); the real-format
+# rates are fixture-tested in tests/test_multimodal.py.
+QUERIES["multimodal_decode_coverage"] = _doc_query(
+    multimodal.media_decode_coverage
+)
+ORACLES["multimodal_decode_coverage"] = multimodal.MEDIA_DECODE_COVERAGE_SQL
 
 
 # ---------------------------------------------------------------------------

@@ -7,13 +7,19 @@ src/io/pithos/blob.clj:79-93) lifted to whole assets.
 Header-level decode is REAL across all three modalities — image
 dimensions (PIL when importable, else stdlib PNG/JPEG/GIF header
 parses), WAV duration+sample rate (RIFF chunk walk), MP4
-dims+duration (ISO-BMFF box walk).  Payloads no decoder recognizes
-take ``decode_stub``'s deterministic fake, flagged per-row in the
-``decoded`` column.  Full-pixel/sample decode (the part that needs
-media libs the container lacks) stays out of scope; everything around
-it is real and tested: the asset schema, the Arrow-batched
-``mapInPandas`` pipeline shape, batch-size control, and the metadata
-pushdown.
+dims+duration (ISO-BMFF box walk).  Full-PIXEL/sample decode is ALSO
+real for the formats a stdlib decoder covers (r11/r12): PNG
+(zlib+filter reconstruction, _png_gray_pixels), baseline JPEG
+(Huffman+IDCT, any sampling, restart intervals — _jpeg_gray_pixels),
+GIF (LZW, multi-frame — _gif_gray_frames), and 16-bit PCM WAV
+(_wav_pcm_samples); PIL, when importable, widens that set.  What
+remains on the deterministic stand-in: progressive/arithmetic/
+lossless JPEG, non-PCM/other-bit-depth WAV, MP4 frame extraction, and
+any format neither path recognizes — each flagged per-row in the
+``decoded`` column and measured in aggregate by
+:func:`decode_coverage` (per media_type x sniffed format real-decode
+rates), so the stand-in share is a queryable number, not a silent
+assumption.
 
 Scale: mapInPandas processes Arrow record batches (not rows); payload
 columns stream executor-side without driver involvement.  Partitioning by
@@ -1053,6 +1059,152 @@ SELECT doc_id AS asset_id,
        substr(md5(text), 1, 8) AS checksum_head
 FROM documents
 ORDER BY asset_id"""
+
+
+def _sniff_format(b: bytes) -> str:
+    """Container sniff from magic bytes, splitting JPEG by frame type
+    (the decode-capability boundary: baseline/extended-sequential SOF0/1
+    have a stdlib pixel decoder, progressive SOF2 and the exotic frames
+    do not).  'other' for anything unrecognized — on the synthetic
+    corpus (utf-8 text payloads) that is every row, which is what keeps
+    the coverage gate's SQL twin exact."""
+    b = bytes(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return {
+                    0xC0: "jpeg-baseline",
+                    0xC1: "jpeg-baseline",
+                    0xC2: "jpeg-progressive",
+                }.get(marker, "jpeg-other")
+            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seglen < 2:
+                break
+            i += 2 + seglen
+        return "jpeg-other"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return "mp4"
+    return "other"
+
+
+COVERAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_assets", T.LongType()),
+        T.StructField("n_header_decoded", T.LongType()),
+        T.StructField("n_pixel_decoded", T.LongType()),
+    ]
+)
+
+
+def decode_coverage(assets: DataFrame) -> DataFrame:
+    """Per-modality real-decode-rate telemetry (r13, VERDICT r12
+    task 5): for each (media_type, sniffed format), how many assets the
+    HEADER decoders recognize and how many the full PIXEL/sample
+    decoders can actually decode — the measurable form of "progressive
+    JPEG silently takes the stand-in".  Run this over an ingest before
+    trusting the perceptual dedup tiers: a corpus that is 40%
+    jpeg-progressive gets 40% stand-in fingerprints, and this is the
+    readout that says so.
+
+    Pixel capability is judged by the SAME dispatchers the perceptual
+    tiers call (_decode_gray_pixels for image, _wav_pcm_samples for
+    audio, _decode_gray_frames for video), so the rates are exactly the
+    tiers' real-decode shares, PIL-presence included.
+
+    Scale: the counting happens INSIDE the Arrow batches — each batch
+    emits at most one partial-count row per (media_type, format) seen,
+    so the shuffle is O(batches x formats), never corpus rows; the
+    final agg merges partials map-side.  Output (media_type, format,
+    n_assets, n_header_decoded, n_pixel_decoded, header_rate_permille,
+    pixel_rate_permille) ordered by (media_type, format)."""
+
+    def cover_batches(batches: Iterator) -> Iterator:
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            n: Counter = Counter()
+            header: Counter = Counter()
+            pixel: Counter = Counter()
+            for mt, payload in zip(pdf["media_type"], pdf["payload"]):
+                raw = bytes(payload)
+                key = (mt, _sniff_format(raw))
+                n[key] += 1
+                if _real_decode_any(raw) is not None:
+                    header[key] += 1
+                if mt == "audio":
+                    ok = _wav_pcm_samples(raw) is not None
+                elif mt == "video":
+                    ok = _decode_gray_frames(raw) is not None
+                else:
+                    ok = _decode_gray_pixels(raw) is not None
+                if ok:
+                    pixel[key] += 1
+            keys = sorted(n)
+            yield pd.DataFrame(
+                {
+                    "media_type": [k[0] for k in keys],
+                    "format": [k[1] for k in keys],
+                    "n_assets": [n[k] for k in keys],
+                    "n_header_decoded": [header[k] for k in keys],
+                    "n_pixel_decoded": [pixel[k] for k in keys],
+                }
+            )
+
+    return (
+        assets.mapInPandas(cover_batches, COVERAGE_SCHEMA)
+        .groupBy("media_type", "format")
+        .agg(
+            F.sum("n_assets").alias("n_assets"),
+            F.sum("n_header_decoded").alias("n_header_decoded"),
+            F.sum("n_pixel_decoded").alias("n_pixel_decoded"),
+        )
+        .withColumn(
+            "header_rate_permille",
+            F.expr("(1000 * n_header_decoded) div n_assets"),
+        )
+        .withColumn(
+            "pixel_rate_permille",
+            F.expr("(1000 * n_pixel_decoded) div n_assets"),
+        )
+        .orderBy("media_type", "format")
+    )
+
+
+def media_decode_coverage(documents: DataFrame) -> DataFrame:
+    """Gate form: the coverage report over the document-derived asset
+    table.  Text payloads are never recognizable media, so every corpus
+    row provably lands in format 'other' with zero decodes — which
+    makes the SQL twin exact; the real-format rows (png 1000‰,
+    jpeg-progressive header-only, ...) are fixture-tested in
+    tests/test_multimodal.py."""
+    return decode_coverage(assets_from_documents(documents))
+
+
+MEDIA_DECODE_COVERAGE_SQL = """\
+SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       'other' AS format,
+       count(*) AS n_assets,
+       CAST(0 AS BIGINT) AS n_header_decoded,
+       CAST(0 AS BIGINT) AS n_pixel_decoded,
+       CAST(0 AS BIGINT) AS header_rate_permille,
+       CAST(0 AS BIGINT) AS pixel_rate_permille
+FROM documents GROUP BY 1 ORDER BY media_type, format"""
 
 
 FRAME_SCHEMA = T.StructType(

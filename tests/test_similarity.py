@@ -561,3 +561,86 @@ def test_pq_filtered_recall_and_label_purity(spark, embeddings, tmp_path):
     )
     recall = len(true10 & {r["vec_id"] for r in got}) / 10
     assert recall >= 0.5, f"filtered PQ recall@10 = {recall}"
+
+
+def test_pq_code_bucket_stats_accounting(embeddings):
+    """The occupancy report's per-subspace totals must reconcile: every
+    vector appears in exactly one bucket per subspace, buckets never
+    exceed k_codes, and with a non-binding cap nothing is dropped."""
+    from pithos_spark.functions.similarity import pq_code_bucket_stats
+
+    n = embeddings.count()
+    rows = pq_code_bucket_stats(embeddings, max_bucket=10**9).collect()
+    assert [r["m"] for r in rows] == list(range(8))
+    for r in rows:
+        assert r["n_vecs"] == n
+        assert r["n_buckets"] <= 16
+        assert r["n_buckets_over_cap"] == 0
+        assert r["n_vecs_dropped"] == 0
+        assert r["cand_pairs_dropped"] == 0
+        assert r["cand_pairs_kept"] > 0  # n >> k_codes: buckets share
+
+
+@pytest.mark.slow
+def test_pq_code_bucket_stats_doubled_corpus_cap(spark, embeddings):
+    """VERDICT r12 task 4's cap evidence: double the corpus, set the
+    cap just under the largest bucket, and the report must (a) conserve
+    pair work across the cap split and (b) predict exactly which work
+    the capped pair sweep skips — near-pairs under the binding cap must
+    be a subset of the uncapped sweep's."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions.similarity import (
+        pq_code_bucket_stats,
+        pq_code_near_pairs,
+    )
+
+    n = embeddings.count()
+    doubled = embeddings.unionByName(
+        embeddings.withColumn("vec_id", F.col("vec_id") + F.lit(100000))
+    )
+    free = {
+        r["m"]: r
+        for r in pq_code_bucket_stats(doubled, max_bucket=10**9).collect()
+    }
+    assert all(r["n_vecs"] == 2 * n for r in free.values())
+    cap = max(r["max_bucket_size"] for r in free.values()) - 1
+    capped = pq_code_bucket_stats(doubled, max_bucket=cap).collect()
+    assert any(r["n_vecs_dropped"] > 0 for r in capped)
+    for r in capped:
+        f = free[r["m"]]
+        # conservation: the cap splits the same pair work, never makes it
+        assert (
+            r["cand_pairs_kept"] + r["cand_pairs_dropped"]
+            == f["cand_pairs_kept"]
+        )
+        assert r["n_vecs_dropped"] + (r["n_vecs"] - r["n_vecs_dropped"]) == 2 * n
+    uncapped_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in pq_code_near_pairs(doubled, max_bucket=10**9).collect()
+    }
+    capped_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in pq_code_near_pairs(doubled, max_bucket=cap).collect()
+    }
+    assert capped_pairs <= uncapped_pairs
+    assert uncapped_pairs  # doubled corpus: every vec has an exact twin
+
+
+def test_pq_code_bucket_stats_from_layout_matches(spark, embeddings, tmp_path):
+    """The report over the persisted index equals the train-in-query
+    report when the layout was built with the same parameters."""
+    from pithos_spark.functions.similarity import (
+        pq_code_bucket_stats,
+        pq_code_bucket_stats_from_layout,
+        save_pq_index,
+    )
+
+    path = str(tmp_path / "pq_index_stats")
+    save_pq_index(embeddings, path)
+    live = [tuple(r) for r in pq_code_bucket_stats(embeddings).collect()]
+    stored = [
+        tuple(r)
+        for r in pq_code_bucket_stats_from_layout(spark, path).collect()
+    ]
+    assert live == stored
