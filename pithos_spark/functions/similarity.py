@@ -1774,7 +1774,20 @@ def ivfpq_topk(
     pass reads ~1/32nd of the raw bytes of ~n_probe/n_clusters of the
     corpus.  Both trainers are the existing engine-exact Lloyd forms,
     so the full build+probe pipeline keeps a bit-identical DuckDB
-    twin.  Output (vec_id, label, est_dot, dot_q)."""
+    twin.  Output (vec_id, label, est_dot, dot_q).
+
+    SERVING NOTE (r13, VERDICT r12 task 6): this non-residual variant
+    deliberately has NO persisted-layout twin and stays a
+    train-in-query reference form.  The canonical serving path is the
+    RESIDUAL family — :func:`save_ivfpq_residual_index` /
+    :func:`ivfpq_residual_topk_from_layout` — which persists the
+    cluster-partitioned code table this docstring describes AND trains
+    PQ on (vector − assigned centroid), strictly tightening the
+    quantization error for the same bytes (the standard IVFADC recipe).
+    A non-residual layout would duplicate that machinery to serve a
+    looser estimate, so deployments should build the residual index;
+    this form exists to gate the composition itself and to measure how
+    much the residual step buys."""
     from pyspark.sql import Window
 
     spark = embeddings.sparkSession
@@ -2059,6 +2072,63 @@ def save_ivfpq_residual_index(
         [(n_clusters, m_sub, k_codes, scale, dim)],
         "n_clusters int, m_sub int, k_codes int, scale int, dim int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_to_ivfpq_residual_index(
+    new_embeddings: DataFrame, path: str
+) -> None:
+    """Incremental maintenance for the residual-IVFADC layout (r13) —
+    the :func:`append_to_pq_index` twin the canonical serving index was
+    missing: assign newly-ingested vectors to their nearest FROZEN
+    coarse centroid, encode the residual against the FROZEN codebooks,
+    and append the code rows into the cluster-partitioned table (each
+    new row lands in its cluster's directory, so probe pruning keeps
+    working over the grown index).  Both steps are row-local given the
+    frozen artifacts, so serving over the appended index is identical
+    to one-pass encoding of the full corpus under the same artifacts
+    regardless of ingest order or batch boundaries (tested).  Codebook
+    and centroid DRIFT is the documented limitation, as for any frozen
+    production quantizer: when the distribution moves, retrain via
+    :func:`save_ivfpq_residual_index`."""
+    spark = new_embeddings.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    centers_df = spark.read.parquet(f"{path}/centers")
+    centers = {
+        int(r["cluster"]): [int(v) for v in r["centroid_q"]]
+        for r in centers_df.collect()
+    }
+    codebooks = {
+        (int(r["m"]), int(r["code"])): [int(v) for v in r["centroid_q"]]
+        for r in spark.read.parquet(f"{path}/codebooks").collect()
+    }
+    scale, dim, m_sub = int(meta["scale"]), int(meta["dim"]), int(meta["m_sub"])
+    qv = new_embeddings.select(
+        "vec_id", _quantized(F.col("embedding"), scale).alias("q")
+    )
+    assigned = qv.select(
+        "vec_id", "q", _lloyd_assign(qv, centers).alias("cluster")
+    )
+    rqv = (
+        assigned.join(F.broadcast(centers_df), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            F.zip_with("q", "centroid_q", lambda a, b: a - b).alias("q"),
+        )
+    )
+    k_eff = len({c for _, c in codebooks}) or 1
+    codes = _pq_subvectors_from_q(
+        rqv.select("vec_id", "q"), m_sub, dim
+    ).select("vec_id", "m", _pq_assign(codebooks, m_sub, k_eff).alias("code"))
+    (
+        codes.join(rqv.select("vec_id", "cluster"), "vec_id")
+        .join(new_embeddings.select("vec_id", "label"), "vec_id")
+        .repartition("cluster")
+        .sortWithinPartitions("vec_id", "m")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(f"{path}/codes")
+    )
 
 
 def ivfpq_residual_topk_from_layout(

@@ -3430,98 +3430,98 @@ ORACLES["corpus_bpe_heldout_fertility"] = text.bpe_heldout_fertility_oracle(
 # order (still runnable, just outside the 50-entry hard gate this round).
 # ---------------------------------------------------------------------------
 
-# Queries changed or added in the CURRENT round (12) — spliced at the
+# Queries changed or added in the CURRENT round (13) — spliced at the
 # very front of the window so they get a fresh verdict:
-#  - the two r12 layout twins (VERDICT r11 tasks 3 and 4):
-#    ann_pq_topk_from_layout (save_pq_index / pq_topk_from_layout —
-#    codebooks + code table persisted once, served from ~1/32 the
-#    bytes) and corpus_trigram_heldout_from_layout
-#    (write_trigram_lm_layout — the five gram-keyed LM count tables
-#    bucket-partitioned by gram hash, probe side partition-prunes);
-#  - re-gates for queries whose code changed in r12: ann_pq_topk
-#    (serving tail extracted into pq_serve_topk + the _pq_assign
-#    codebook-contiguity guard, ADVICE r11), corpus_trigram_heldout /
-#    corpus_trigram_interp (_trigram_interp split into _trigram_counts
-#    + _trigram_score, shared with the layout twin),
-#    corpus_bpe_heldout_fertility (vocab size now probed BEFORE the
-#    collect so the driver cap actually protects, ADVICE r11),
-#    ann_ivfpq_residual_topk (+ its layout twin
-#    ann_ivfpq_residual_from_layout: serving tail extracted into
-#    _ivfpq_residual_serve, cluster-partitioned persisted codes), and
-#    dedup_image_dhash_assets (stdlib baseline-JPEG pixel decode joins
-#    PNG/GIF/WAV on the real-decode path, VERDICT r11 task 5).
+#  - dedup_pq_code_stats (VERDICT r12 task 4): bucket-occupancy
+#    telemetry for the PQ-code dedup tier — per-subspace (m, code)
+#    histogram, cap drops, induced candidate-pair work;
+#  - multimodal_decode_coverage (VERDICT r12 task 5): per-modality x
+#    sniffed-format real-decode rates over the asset table;
+#  - corpus_top_terms_tfidf re-gate (VERDICT r12 task 3): the token
+#    explode is now bounded_persist'd so its two consumers share one
+#    corpus scan.
 ROUND_NEW: list[str] = [
-    "ann_pq_topk_from_layout",
-    "ann_pq_batch_from_layout",
-    "corpus_trigram_heldout_from_layout",
-    "corpus_quality_classifier_from_layout",
-    "ann_ivfpq_residual_from_layout",
-    "ann_filtered_topk",
-    "ann_pq_filtered_from_layout",
-    "ann_ivfpq_filtered_from_layout",
+    "dedup_pq_code_stats",
+    "multimodal_decode_coverage",
     "corpus_top_terms_tfidf",
-    "dedup_pq_code_pairs",
-    "ann_ivf_cluster_stats",
-    "ann_pq_topk",
-    "ann_ivfpq_residual_topk",
-    "corpus_trigram_heldout",
-    "corpus_trigram_interp",
-    "corpus_bpe_heldout_fertility",
-    "dedup_image_dhash_assets",
 ]
 
-# The stale backlog, honoring VERDICT r11 task 2 / the r11 queue: the
-# 20 r8-stale (the 5 that yielded slots to r11 gates + the 15 slipped
-# TPC-H q*), then the oldest r9 greens in registry insertion order.
-# 17 ROUND_NEW + 33 backlog fills the 50-slot window exactly; the
-# twelve r9 queries that slip (corpus_temperature_mix_weights,
-# corpus_temperature_sample_mix,
-# corpus_decontaminate_semantic, corpus_leakage_safe_split,
-# corpus_bigram_lm, corpus_gate_report, corpus_mix_plan,
-# corpus_repetition_stats, corpus_bm25_topk, corpus_bm25_postings_topk,
-# corpus_hybrid_search_rrf, corpus_rerank_stub — last in r9 insertion
-# order) head the r13 queue, followed by the r10 greens oldest-first
-# (compute via scripts/verdict_histogram.py).
+# The stale backlog, oldest verdict first.  THIS LIST IS GENERATED,
+# not hand-written (VERDICT r12 task 2 — hand counts in this block
+# were wrong two rounds running): run `python
+# scripts/verdict_histogram.py` and splice its r9-stale cohort (all
+# 33, registry insertion order) followed by the oldest r10 greens up
+# to the window.  3 ROUND_NEW + 33 r9-stale + 14 r10-stale fills the
+# 50-slot window exactly; after r13 no query's last verdict is older
+# than r10.  The r14 queue is the remaining 33 r10-stale (histogram
+# output order): text_fingerprint, dedup_jaccard_pairs,
+# dedup_lsh_bucket_stats, corpus_source_overlap, ann_brute_force_topk,
+# ann_label_centroids, cors_preflight, objects_upsert_merge,
+# objects_delete_where, objects_bulk_delete, chunk_ingest_explode,
+# tenant_usage_rollup, post_policy_validate, events_value_percentiles,
+# dedup_embedding_lsh, corpus_profile, corpus_decontaminate_bloom,
+# corpus_duplicate_span_intervals, corpus_source_vocab_overlap,
+# corpus_cluster_prototypes, corpus_mmr_rerank, corpus_duplicate_spans,
+# corpus_mask_duplicate_spans, acl_edn_grants, dedup_semantic,
+# ann_projected_topk, corpus_perplexity_filter,
+# corpus_tokenizer_fertility, corpus_semantic_topics,
+# dedup_semantic_clusters, corpus_chunk_windows, s3_resolve_operations,
+# events_api_traffic — but regenerate from the script before trusting
+# this paragraph.
 DRIVER_PRIORITY: list[str] = [
-    # --- r8-stale (20): the 5 yielded + 15 slipped TPC-H ---
-    "metadata_header_filter",
-    "scalar_conversions",
-    "corpus_sample_mix",
-    "multimodal_frame_sample",
-    "q18_large_orders",
-    "q2_cheapest_supplier",
-    "q4_priority_order_check",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_brands",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_qty_revenue",
-    "q19_special_revenue",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    # --- r9-stale (13 of 25, registry insertion order) ---
-    "q1_pricing_summary",
-    "text_token_stats",
-    "dedup_minhash_lsh",
-    "ann_lsh_topk",
-    "multimodal_features",
-    "q7_nation_pair_volume",
-    "q10_returned_items",
-    "ann_batch_topk",
-    "ann_ivf_lloyd_topk",
-    "ann_lsh_batch_topk",
-    "corpus_pii_redact",
-    "corpus_shard_assign",
-    "corpus_decontaminate",
+    # --- r9-stale (33, verdict_histogram.py output, insertion order) ---
+    "list_objects_flagship",
+    "list_objects_no_delim",
+    "part_base_offsets",
+    "object_checksums",
+    "dedup_exact",
+    "multipart_etag",
+    "objects_latest_version",
+    "orphan_chunk_gc",
+    "payload_digest_verify",
+    "get_object_point",
+    "object_reassembly_verify",
+    "dedup_embedding_cosine",
+    "corpus_term_doc_freq",
+    "events_top_users_per_type",
+    "events_heavy_hitters",
+    "events_hourly_anomalies",
+    "events_hourly_gapfill",
+    "events_funnel",
+    "events_asof_last_click",
+    "events_trailing_hour_count",
+    "usage_grouping_sets",
+    "corpus_temperature_mix_weights",
+    "corpus_temperature_sample_mix",
+    "corpus_decontaminate_semantic",
+    "corpus_leakage_safe_split",
+    "corpus_bigram_lm",
+    "corpus_gate_report",
+    "corpus_mix_plan",
+    "corpus_repetition_stats",
+    "corpus_bm25_topk",
+    "corpus_bm25_postings_topk",
+    "corpus_hybrid_search_rrf",
+    "corpus_rerank_stub",
+    # --- oldest r10-stale (14 of 47, same source) ---
+    "list_objects_root",
+    "list_objects_paged",
+    "bucket_usage",
+    "complete_upload_validate",
+    "events_hourly_rollup",
+    "events_sliding_activity",
+    "events_dedup_first",
+    "events_sessionize",
+    "q3_top_unshipped",
+    "q5_region_revenue",
+    "q14_promo_revenue",
+    "text_token_count_bpe",
+    "text_quality_score",
+    "text_language_id",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (all were green in r8/r9), and 17 + 33 fills the window.
+# canary (all were green in r9/r10), and 3 + 33 + 14 fills the window.
 GREEN_CORE: list[str] = []
 
 

@@ -269,3 +269,87 @@ def test_pq_code_dedup_from_layout_matches_in_query(spark, layout_dir):
     ]
     want = [tuple(r) for r in similarity.pq_code_near_pairs(emb).collect()]
     assert got == want and len(got) > 0
+
+
+@pytest.mark.slow
+def test_ivfpq_residual_incremental_append_equals_one_pass(spark, layout_dir):
+    """append_to_ivfpq_residual_index with frozen centroids+codebooks:
+    build the index on 3/4 of the vectors, append the remaining 1/4 in
+    two batches, and the serving read must equal one-pass encoding of
+    the FULL corpus under the same frozen artifacts (assignment and
+    residual encoding are row-local, so ingest order and batch
+    boundaries cannot matter)."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions import similarity
+    from pithos_spark.functions.similarity import (
+        _ivfpq_residual_serve,
+        _lloyd_assign,
+        _pq_assign,
+        _pq_subvectors_from_q,
+        _quantized,
+    )
+
+    emb = T.load_tables(spark, SF_ORACLE)["embeddings"]
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    path = f"{layout_dir}/ivfpq_residual_incr"
+    similarity.save_ivfpq_residual_index(base, path)
+    similarity.append_to_ivfpq_residual_index(
+        emb.filter((F.col("vec_id") % 4 == 3) & (F.col("vec_id") % 8 == 3)),
+        path,
+    )
+    similarity.append_to_ivfpq_residual_index(
+        emb.filter((F.col("vec_id") % 4 == 3) & (F.col("vec_id") % 8 == 7)),
+        path,
+    )
+    got = [
+        tuple(r)
+        for r in similarity.ivfpq_residual_topk_from_layout(
+            emb, path, 0, 10
+        ).collect()
+    ]
+    # appended rows land in the pre-existing cluster directories: the
+    # partition column's value set must not grow
+    stored = spark.read.parquet(f"{path}/codes")
+    centers_df = spark.read.parquet(f"{path}/centers")
+    assert stored.select("cluster").distinct().count() == centers_df.count()
+    assert stored.select("vec_id").distinct().count() == emb.count()
+    # one-pass reference: same frozen artifacts, full corpus
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    centers = {
+        int(r["cluster"]): [int(v) for v in r["centroid_q"]]
+        for r in centers_df.collect()
+    }
+    cb_df = spark.read.parquet(f"{path}/codebooks")
+    codebooks = {
+        (int(r["m"]), int(r["code"])): [int(v) for v in r["centroid_q"]]
+        for r in cb_df.collect()
+    }
+    scale, dim, m_sub = (
+        int(meta["scale"]), int(meta["dim"]), int(meta["m_sub"]),
+    )
+    qv = emb.select(
+        "vec_id", "label", _quantized(F.col("embedding"), scale).alias("q")
+    )
+    assigned = qv.select(
+        "vec_id", "q", _lloyd_assign(qv, centers).alias("cluster")
+    )
+    rqv = assigned.join(F.broadcast(centers_df), "cluster").select(
+        "vec_id",
+        "cluster",
+        F.zip_with("q", "centroid_q", lambda a, b: a - b).alias("q"),
+    )
+    k_eff = len({c for _, c in codebooks}) or 1
+    codes_full = _pq_subvectors_from_q(
+        rqv.select("vec_id", "q"), m_sub, dim
+    ).select(
+        "vec_id", "m", _pq_assign(codebooks, m_sub, k_eff).alias("code")
+    ).join(rqv.select("vec_id", "cluster"), "vec_id")
+    want = [
+        tuple(r)
+        for r in _ivfpq_residual_serve(
+            qv, codes_full, centers_df, cb_df, 0, 10, 2, 4, dim, m_sub
+        ).collect()
+    ]
+    assert got == want and len(got) == 10
