@@ -90,6 +90,12 @@ HEADLINERS = [
     # filtered vector search over the layout (label predicate pushed
     # into the code-table scan — the filter-then-search serving shape)
     "ann_pq_filtered_from_layout",
+    # round-13 telemetry gates (VERDICT r12 tasks 4-5): the PQ-code
+    # cap-sizing report and the per-modality real-decode-rate report —
+    # both are the pre-sweep readouts a 100 TB run consults, so their
+    # cost is tracked like any serving query
+    "dedup_pq_code_stats",
+    "multimodal_decode_coverage",
 ]
 
 # entries whose r11 spread exceeded ~50% run extra repeats (VERDICT r11

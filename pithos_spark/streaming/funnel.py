@@ -325,3 +325,66 @@ def streaming_pq_encode(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_decode_coverage(
+    new_assets_stream,
+    sink_path: str,
+    checkpoint: str,
+):
+    """Streaming twin of sources/multimodal.decode_coverage (r13): each
+    micro-batch of newly-ingested assets emits its PARTIAL per-(media_
+    type, format) decode counts — the same Arrow-batch counting stage
+    the batch report uses — appended under ``sink_path``; read the
+    running report back with :func:`decode_coverage_from_partials`.
+
+    The counts are ADDITIVE (the mergeable-summary contract heavy
+    hitters uses), so the merged partials over any trigger split equal
+    the batch report over the union of batches (tested) and a restart
+    re-counts nothing already committed.  At ingest scale this is the
+    live "what share of today's crawl can the perceptual tiers actually
+    decode" dashboard feed — rows written per batch are O(formats), not
+    O(assets)."""
+    from pithos_spark.sources.multimodal import COVERAGE_SCHEMA, decode_coverage
+
+    def _count(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        # reuse the batch operator, strip its derived rate columns:
+        # partials must stay additive
+        decode_coverage(batch_df).select(
+            [f.name for f in COVERAGE_SCHEMA.fields]
+        ).write.mode("append").parquet(sink_path)
+
+    return (
+        new_assets_stream.writeStream.foreachBatch(_count)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def decode_coverage_from_partials(spark, sink_path: str):
+    """Merge the partial counts streaming_decode_coverage appended into
+    the same report shape (and values) as the batch operator: sum the
+    additive columns, re-derive the permille rates."""
+    import pyspark.sql.functions as F
+
+    return (
+        spark.read.parquet(sink_path)
+        .groupBy("media_type", "format")
+        .agg(
+            F.sum("n_assets").alias("n_assets"),
+            F.sum("n_header_decoded").alias("n_header_decoded"),
+            F.sum("n_pixel_decoded").alias("n_pixel_decoded"),
+        )
+        .withColumn(
+            "header_rate_permille",
+            F.expr("(1000 * n_header_decoded) div n_assets"),
+        )
+        .withColumn(
+            "pixel_rate_permille",
+            F.expr("(1000 * n_pixel_decoded) div n_assets"),
+        )
+        .orderBy("media_type", "format")
+    )

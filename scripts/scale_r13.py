@@ -1,0 +1,134 @@
+"""SCALE_r13 measurement (VERDICT r12 tasks 3, 4, 5, 7).
+
+1. 10x growth lines (sf0.1 -> replicated sf1, warm medians of 3 — the
+   r9+ protocol) for every operator new or rewritten in r13: the
+   re-persisted corpus_top_terms_tfidf (the r12 double-explode fix —
+   was 3.44x, the worst r12 line), the two telemetry gates
+   (dedup_pq_code_stats, multimodal_decode_coverage), and the
+   unchanged dedup_pq_code_pairs for context (its stats twin prices
+   the same encode).
+2. Residual-IVFADC incremental maintenance economics: appending a 10%
+   corpus slice (append_to_ivfpq_residual_index, frozen artifacts) vs
+   retraining the full layout (save_ivfpq_residual_index), at both
+   scales — the number that justifies the append path's existence.
+
+Usage: python scripts/scale_r13.py [sf01_dir] [sf1_dir]
+Prints one JSON line per measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import SparkSession
+
+
+def timed(fn, repeats=3):
+    fn()  # warmup
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(round(time.perf_counter() - t0, 3))
+    return round(statistics.median(samples), 3), samples
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf1 = sys.argv[2] if len(sys.argv) > 2 else ".scale/sf1"
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "32g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions import similarity
+    from pithos_spark.registry import QUERIES
+    from pithos_spark.tables import load_tables
+
+    # --- 1. 10x growth lines ------------------------------------------------
+    names = [
+        "corpus_top_terms_tfidf",
+        "dedup_pq_code_stats",
+        "multimodal_decode_coverage",
+        "dedup_pq_code_pairs",
+    ]
+    for name in names:
+        fn = QUERIES[name]
+        m01, _ = timed(lambda: noop(fn(spark, sf01)))
+        m1, _ = timed(lambda: noop(fn(spark, sf1)))
+        print(json.dumps({
+            "measure": "scale_growth",
+            "query": name,
+            "sf0.1_s": m01,
+            "sf1_s": m1,
+            "growth_10x": round(m1 / max(m01, 1e-9), 2),
+        }), flush=True)
+
+    # --- 2. residual-IVFADC append vs rebuild --------------------------------
+    for sf_name, sf_dir in [("sf0.1", sf01), ("sf1", sf1)]:
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        base = emb.filter(F.col("vec_id") % 10 != 0)
+        delta = emb.filter(F.col("vec_id") % 10 == 0)  # the 10% slice
+        root = tempfile.mkdtemp(prefix=f"scale_r13_ivfpq_{sf_name}_")
+
+        i = [0]
+
+        def rebuild_full():
+            similarity.save_ivfpq_residual_index(emb, f"{root}/full_{i[0]}")
+            i[0] += 1
+
+        m_rebuild, s_rebuild = timed(rebuild_full)
+
+        # each timed sample appends the slice to a FRESH base layout
+        # (append mutates the target), so the base re-save happens
+        # untimed between samples and the timed region is append-only
+        j = [0]
+
+        def build_base():
+            similarity.save_ivfpq_residual_index(base, f"{root}/base_{j[0]}")
+
+        build_base()
+        samples = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            similarity.append_to_ivfpq_residual_index(
+                delta, f"{root}/base_{j[0]}"
+            )
+            samples.append(round(time.perf_counter() - t0, 3))
+            j[0] += 1
+            build_base()
+        m_append = round(statistics.median(samples[1:]), 3)  # drop warmup
+        print(json.dumps({
+            "measure": "ivfpq_append_vs_rebuild",
+            "sf": sf_name,
+            "append_10pct_median_s": m_append,
+            "append_samples": samples,
+            "rebuild_full_median_s": m_rebuild,
+            "rebuild_samples": s_rebuild,
+            "speedup": round(m_rebuild / max(m_append, 1e-9), 2),
+        }), flush=True)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

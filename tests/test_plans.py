@@ -604,3 +604,48 @@ def test_pq_filtered_pushes_label_into_code_scan(spark, tables, tmp_path):
     assert not any(
         "EqualTo(label,3)" in p and "vec_id" not in p for p in pushed
     ), plan
+
+
+def test_tfidf_explodes_corpus_once(spark, tables):
+    """corpus_top_terms_tfidf's token explode is multi-consumed (tf agg
+    + df distinct): both forks must read the persisted explode
+    (InMemoryTableScan), never re-scan and re-explode the corpus
+    (VERDICT r12 task 3).  The only remaining raw documents scans are
+    the cache's own build subtree and the 1-row n_docs count."""
+    from pithos_spark.plans.helpers import reset_persist_slots
+    from pithos_spark.registry import QUERIES
+
+    reset_persist_slots()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(QUERIES["corpus_top_terms_tfidf"](spark, SF_ORACLE))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    # every explode in the printout belongs to a cached subtree (the
+    # plan string reprints the InMemoryRelation's build plan under each
+    # scan); an explode OUTSIDE one would mean a fork re-derived it
+    assert plan.count("Generate explode") == plan.count(
+        "InMemoryRelation"
+    ), plan
+
+
+def test_decode_coverage_shuffles_partials_not_assets(spark, tables):
+    """decode_coverage counts inside the Arrow stage: the exchange
+    above the mapInPandas must carry the partial-count rows (the
+    5-column COVERAGE_SCHEMA), and the final agg must be a sum-merge
+    over them — no corpus-width shuffle, no per-asset rows past the
+    Python stage."""
+    from pithos_spark.sources.multimodal import media_decode_coverage
+
+    plan = _plan(media_decode_coverage(tables["documents"]))
+    assert "MapInPandas" in plan, plan
+    # partial_sum then final sum-merge above the Python stage
+    assert "partial_sum" in plan or "Partial" in plan, plan
+    # the payload/meta columns never cross an exchange: only the five
+    # partial-count columns (+ hash) appear in the shuffle output
+    import re as _re
+
+    ex = _re.search(r"Exchange hashpartitioning\(media_type[^\n]*", plan)
+    assert ex is not None, plan
+    assert "payload" not in ex.group(0), ex.group(0)

@@ -1280,3 +1280,43 @@ def test_streaming_pq_serve_matches_batch(spark, tmp_path):
         for r in pq_batch_topk_from_layout(emb, layout, ids, 10).collect()
     }
     assert got == want and len(want) == len(ids) * 10
+
+
+def test_streaming_decode_coverage_matches_batch(spark, tmp_path):
+    """Partial decode-coverage counts appended per micro-batch must
+    merge to exactly the batch report over the union of batches,
+    regardless of trigger splits — additive telemetry, the mergeable
+    contract (r13)."""
+    from pithos_spark import tables as T
+    from pithos_spark.sources.multimodal import (
+        assets_from_documents,
+        decode_coverage,
+    )
+    from pithos_spark.streaming.funnel import (
+        decode_coverage_from_partials,
+        streaming_decode_coverage,
+    )
+
+    docs = T.load_tables(spark, SF_SMOKE)["documents"]
+    assets = assets_from_documents(docs)
+    src = str(tmp_path / "asset_ingest")
+    assets.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(assets.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = str(tmp_path / "coverage_sink")
+    q = streaming_decode_coverage(stream, sink, str(tmp_path / "ckpt_cov"))
+    q.awaitTermination(180)
+
+    merged = [
+        tuple(r) for r in decode_coverage_from_partials(spark, sink).collect()
+    ]
+    batch = [tuple(r) for r in decode_coverage(assets).collect()]
+    assert merged == batch and len(batch) > 0
+    # at least one partial row per trigger: the sink grew per batch,
+    # but stayed O(formats) per batch, never O(assets)
+    partials = spark.read.parquet(sink)
+    assert partials.count() <= 4 * 3 * 6  # batches x modalities x formats
