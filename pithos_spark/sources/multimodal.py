@@ -89,22 +89,40 @@ def _parse_image_header(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+_PIL_IMAGE: object = False  # False = not probed yet; None = absent
+
+
+def _pil_image():
+    """PIL's Image module, probed ONCE per process.  A failed ``from
+    PIL import Image`` is NOT cached by Python — every retry re-walks
+    sys.path (~40 µs) — and the decode dispatchers run per asset, so
+    per-row import attempts were a real corpus-linear tax in the
+    PIL-absent container (measured while writing decode_coverage)."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE is False:
+        try:
+            from PIL import Image
+
+            _PIL_IMAGE = Image
+        except ImportError:
+            _PIL_IMAGE = None
+    return _PIL_IMAGE
+
+
 def _real_decode(b: bytes) -> tuple[int, int] | None:
     """Real decode: PIL when importable (full decoder), else the stdlib
     header parse above.  None when the payload is not a decodable
     image."""
-    try:
+    Image = _pil_image()
+    if Image is not None:
         import io
-
-        from PIL import Image
 
         try:
             with Image.open(io.BytesIO(b)) as img:
                 return int(img.width), int(img.height)
         except Exception:  # noqa: BLE001 — undecodable payload
             return None
-    except ImportError:
-        return _parse_image_header(bytes(b))
+    return _parse_image_header(bytes(b))
 
 
 def _parse_wav_header(b: bytes) -> dict | None:
@@ -558,10 +576,9 @@ def _decode_gray_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
     latter's IDCT rounding may differ from PIL's by ±1-2 luma — see
     :func:`_jpeg_gray_pixels`).  None when the payload is not a
     decodable image."""
-    try:
+    Image = _pil_image()
+    if Image is not None:
         import io
-
-        from PIL import Image
 
         try:
             with Image.open(io.BytesIO(bytes(b))) as img:
@@ -573,10 +590,9 @@ def _decode_gray_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
                 )
         except Exception:  # noqa: BLE001 — undecodable payload
             return None
-    except ImportError:
-        raw = bytes(b)
-        img = _png_gray_pixels(raw)
-        return img if img is not None else _jpeg_gray_pixels(raw)
+    raw = bytes(b)
+    img = _png_gray_pixels(raw)
+    return img if img is not None else _jpeg_gray_pixels(raw)
 
 
 def _gif_gray_frames(b: bytes) -> tuple[int, int, list[list[int]]] | None:
@@ -703,10 +719,9 @@ def _decode_gray_frames(b: bytes) -> tuple[int, int, list[list[int]]] | None:
     1-frame clip (temporal sampling then repeats it).  None otherwise
     — real MP4 frame extraction has no stdlib decoder and stays out of
     scope (the payload takes the stand-in)."""
-    try:
+    Image = _pil_image()
+    if Image is not None:
         import io
-
-        from PIL import Image
 
         try:
             with Image.open(io.BytesIO(bytes(b))) as img:
@@ -720,15 +735,14 @@ def _decode_gray_frames(b: bytes) -> tuple[int, int, list[list[int]]] | None:
                 return int(img.width), int(img.height), frames
         except Exception:  # noqa: BLE001 — undecodable payload
             return None
-    except ImportError:
-        gif = _gif_gray_frames(bytes(b))
-        if gif is not None:
-            return gif
-        img = _png_gray_pixels(bytes(b))
-        if img is not None:
-            w, h, px = img
-            return w, h, [px]
-        return None
+    gif = _gif_gray_frames(bytes(b))
+    if gif is not None:
+        return gif
+    img = _png_gray_pixels(bytes(b))
+    if img is not None:
+        w, h, px = img
+        return w, h, [px]
+    return None
 
 
 def sampled_frame_grid(
