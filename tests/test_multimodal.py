@@ -929,3 +929,27 @@ def test_decode_coverage_partial_counts_merge_across_batches(spark):
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
     assert base == small
     assert dict((r[0], r[2]) for r in base)["image"] == 20
+
+
+def test_sniff_format_total_on_arbitrary_bytes():
+    """_sniff_format runs on UNTRUSTED ingest bytes before any decoder:
+    it must be total (no exception, bounded marker walk) and closed
+    over the known format vocabulary for arbitrary input, including
+    adversarial JPEG marker soup."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pithos_spark.sources.multimodal import _sniff_format
+
+    vocab = {
+        "png", "jpeg-baseline", "jpeg-progressive", "jpeg-other",
+        "gif", "wav", "mp4", "other",
+    }
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=512))
+    def check(raw):
+        assert _sniff_format(raw) in vocab
+        assert _sniff_format(b"\xff\xd8" + raw) in vocab  # JPEG soup
+
+    check()
