@@ -1573,6 +1573,123 @@ def pq_batch_topk_from_layout(
     )
 
 
+def pq_recall_report(
+    embeddings: DataFrame,
+    path: str,
+    query_ids: list[int],
+    k: int = 10,
+    rerank: int = 4,
+) -> DataFrame:
+    """Measured recall@k of the PERSISTED PQ index against exact
+    brute-force top-k (r13): for each query id, how many of the true
+    top-k the served index returns — the quality readout a deployment
+    runs on a query sample BEFORE trusting an index version, completing
+    the round's telemetry family (occupancy says what a probe can see,
+    decode coverage says what the tiers can read, this says what the
+    index actually finds).  Both sides are deterministic integer
+    pipelines, so unlike float-ANN recall harnesses this one is
+    oracle-exact.
+
+    Scale: the exact side is ONE corpus scan for all |Q| queries
+    (:func:`batch_topk`); the served side is one code-table pass
+    (:func:`pq_batch_topk_from_layout`); the join/agg after both is
+    |Q| x k rows.  At 100 TB you sample query ids — the report's cost
+    is the one brute-force scan the recall measurement fundamentally
+    requires, paid once per index version, not per query.
+
+    Output (query_id, n_hits, recall_permille) ordered by query_id."""
+    approx = pq_batch_topk_from_layout(
+        embeddings, path, query_ids, k, rerank
+    ).select("query_id", "vec_id")
+    exact = batch_topk(embeddings, query_ids, k).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"))
+        .distinct()
+    )
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        )
+        .withColumn("recall_permille", F.expr(f"(1000 * n_hits) div {k}"))
+        .orderBy("query_id")
+    )
+
+
+def pq_recall_report_oracle(
+    query_ids: list[int],
+    k: int = 10,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    n_iter: int = 2,
+    rerank: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`pq_recall_report`: the stored codes are
+    value-identical to a fresh train at the same parameters, so the
+    approx side reuses the batch-serving CTE chain
+    (pq_batch_topk_oracle's tail) and the exact side is the brute-force
+    window over the shared quantized-vector CTE."""
+    d = dim // m_sub
+    ids = ", ".join(str(i) for i in query_ids)
+    return _pq_cte_sql(m_sub, k_codes, n_iter, dim) + f""", qset AS (
+    SELECT vec_id AS query_id, q FROM qv WHERE vec_id IN ({ids})
+), lut AS (
+    SELECT qs.query_id, c.m, c.code,
+           CAST(sum(c.c * qs.q[c.m * {d} + c.pos + 1]) AS BIGINT) AS pdot
+    FROM cent{n_iter} c, qset qs
+    GROUP BY 1, 2, 3
+), est AS (
+    SELECT l.query_id, cd.vec_id, CAST(sum(l.pdot) AS BIGINT) AS est_dot
+    FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.code
+    WHERE cd.vec_id <> l.query_id
+    GROUP BY 1, 2
+), cand AS (
+    SELECT query_id, vec_id, est_dot FROM est
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY est_dot DESC, vec_id)
+        <= {rerank * k}
+), ranked AS (
+    SELECT c.query_id, c.vec_id,
+           (SELECT CAST(sum(e2.q[i] * qs.q[i]) AS BIGINT)
+            FROM generate_series(1, {dim}) g(i)) AS dot_q
+    FROM cand c
+    JOIN qv e2 ON e2.vec_id = c.vec_id
+    JOIN qset qs ON qs.query_id = c.query_id
+), approx AS (
+    SELECT query_id, vec_id FROM ranked
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot_q DESC, vec_id) <= {k}
+), exact AS (
+    SELECT query_id, vec_id FROM (
+        SELECT qs.query_id, v.vec_id,
+               (SELECT CAST(sum(v.q[i] * qs.q[i]) AS BIGINT)
+                FROM generate_series(1, {dim}) g(i)) AS dot_q
+        FROM qv v, qset qs
+        WHERE v.vec_id <> qs.query_id
+    ) s
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot_q DESC, vec_id) <= {k}
+)
+SELECT q.query_id AS query_id,
+       CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+       (1000 * CAST(count(a.vec_id) AS BIGINT)) // {k} AS recall_permille
+FROM (SELECT DISTINCT query_id FROM qset) q
+LEFT JOIN exact e ON e.query_id = q.query_id
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY 1
+ORDER BY q.query_id"""
+
+
 def _pq_cte_sql(
     m_sub: int,
     k_codes: int,

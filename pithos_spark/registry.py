@@ -690,6 +690,25 @@ ORACLES["ann_pq_batch_from_layout"] = similarity.pq_batch_topk_oracle(
     _PQ_BATCH_IDS, 10
 )
 
+
+# measured recall@k of the persisted PQ index vs exact brute force
+# (r13): the index-quality readout a deployment runs on a query sample
+# before trusting an index version — deterministic on both sides, so
+# oracle-exact, unlike float-ANN recall harnesses.
+def _pq_recall_report(spark, sf_dir):
+    return similarity.pq_recall_report(
+        T.load_tables(spark, sf_dir)["embeddings"],
+        _pq_index_path(spark, sf_dir),
+        _PQ_BATCH_IDS,
+        10,
+    )
+
+
+QUERIES["ann_pq_recall_report"] = _pq_recall_report
+ORACLES["ann_pq_recall_report"] = similarity.pq_recall_report_oracle(
+    _PQ_BATCH_IDS, 10
+)
+
 # FILTERED vector search (r12): top-k within a metadata label slice —
 # exact form (label pushed to the scan) and PQ form over the persisted
 # layout (codes semi-joined to the slice BEFORE the ADC estimate, so
@@ -3437,12 +3456,15 @@ ORACLES["corpus_bpe_heldout_fertility"] = text.bpe_heldout_fertility_oracle(
 #    histogram, cap drops, induced candidate-pair work;
 #  - multimodal_decode_coverage (VERDICT r12 task 5): per-modality x
 #    sniffed-format real-decode rates over the asset table;
+#  - ann_pq_recall_report: measured recall@k of the persisted PQ index
+#    vs exact brute force (deterministic both sides, oracle-exact);
 #  - corpus_top_terms_tfidf re-gate (VERDICT r12 task 3): the token
 #    explode is now bounded_persist'd so its two consumers share one
 #    corpus scan.
 ROUND_NEW: list[str] = [
     "dedup_pq_code_stats",
     "multimodal_decode_coverage",
+    "ann_pq_recall_report",
     "corpus_top_terms_tfidf",
 ]
 
@@ -3451,9 +3473,10 @@ ROUND_NEW: list[str] = [
 # were wrong two rounds running): run `python
 # scripts/verdict_histogram.py` and splice its r9-stale cohort (all
 # 33, registry insertion order) followed by the oldest r10 greens up
-# to the window.  3 ROUND_NEW + 33 r9-stale + 14 r10-stale fills the
+# to the window.  4 ROUND_NEW + 33 r9-stale + 13 r10-stale fills the
 # 50-slot window exactly; after r13 no query's last verdict is older
-# than r10.  The r14 queue is the remaining 33 r10-stale (histogram
+# than r10.  The r14 queue is text_language_id (yielded its slot to
+# ann_pq_recall_report) + the remaining 33 r10-stale (histogram
 # output order): text_fingerprint, dedup_jaccard_pairs,
 # dedup_lsh_bucket_stats, corpus_source_overlap, ann_brute_force_topk,
 # ann_label_centroids, cors_preflight, objects_upsert_merge,
@@ -3503,7 +3526,7 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_bm25_postings_topk",
     "corpus_hybrid_search_rrf",
     "corpus_rerank_stub",
-    # --- oldest r10-stale (14 of 47, same source) ---
+    # --- oldest r10-stale (13 of 47, same source) ---
     "list_objects_root",
     "list_objects_paged",
     "bucket_usage",
@@ -3517,11 +3540,10 @@ DRIVER_PRIORITY: list[str] = [
     "q14_promo_revenue",
     "text_token_count_bpe",
     "text_quality_score",
-    "text_language_id",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (all were green in r9/r10), and 3 + 33 + 14 fills the window.
+# canary (all were green in r9/r10), and 4 + 33 + 13 fills the window.
 GREEN_CORE: list[str] = []
 
 

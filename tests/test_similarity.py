@@ -644,3 +644,31 @@ def test_pq_code_bucket_stats_from_layout_matches(spark, embeddings, tmp_path):
         for r in pq_code_bucket_stats_from_layout(spark, path).collect()
     ]
     assert live == stored
+
+
+@pytest.mark.slow
+def test_pq_recall_report_monotone_in_rerank(spark, embeddings, tmp_path):
+    """Recall@k against the persisted index: per-query hits are
+    bounded by k, and widening the rerank candidate cut can only help
+    (the exact-rerank stage picks from a superset)."""
+    from pithos_spark.functions.similarity import (
+        pq_recall_report,
+        save_pq_index,
+    )
+
+    path = str(tmp_path / "pq_index_recall")
+    save_pq_index(embeddings, path)
+    ids = [0, 7, 42, 99, 123]
+    narrow = {
+        r["query_id"]: r["n_hits"]
+        for r in pq_recall_report(embeddings, path, ids, 10, rerank=1).collect()
+    }
+    wide = {
+        r["query_id"]: r["n_hits"]
+        for r in pq_recall_report(embeddings, path, ids, 10, rerank=8).collect()
+    }
+    assert set(narrow) == set(wide) == set(ids)
+    for qid in ids:
+        assert 0 <= narrow[qid] <= 10 and 0 <= wide[qid] <= 10
+        assert wide[qid] >= narrow[qid], qid
+    assert sum(wide.values()) > 0  # the index finds SOMETHING
