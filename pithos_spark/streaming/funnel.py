@@ -340,21 +340,36 @@ def streaming_decode_coverage(
 
     The counts are ADDITIVE (the mergeable-summary contract heavy
     hitters uses), so the merged partials over any trigger split equal
-    the batch report over the union of batches (tested) and a restart
-    re-counts nothing already committed.  At ingest scale this is the
-    live "what share of today's crawl can the perceptual tiers actually
-    decode" dashboard feed — rows written per batch are O(formats), not
-    O(assets)."""
-    from pithos_spark.sources.multimodal import COVERAGE_SCHEMA, decode_coverage
+    the batch report over the union of batches (tested).  Replay
+    safety: foreachBatch is at-least-once — a crash between the parquet
+    append and the checkpoint commit re-runs the batch, and duplicated
+    COUNT rows would silently inflate the totals (worse than the
+    pair-emitting sinks, whose duplicates are at least visible).  Each
+    batch therefore writes exactly one row per (media_type, format)
+    tagged with its ``batch_id``; re-execution is deterministic, so the
+    reader drops replays with a (batch_id, media_type, format) dedup
+    (tested).  At ingest scale this is the live "what share of today's
+    crawl can the perceptual tiers actually decode" dashboard feed —
+    rows written per batch are O(formats), not O(assets)."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.sources.multimodal import coverage_partials
 
     def _count(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        # reuse the batch operator, strip its derived rate columns:
-        # partials must stay additive
-        decode_coverage(batch_df).select(
-            [f.name for f in COVERAGE_SCHEMA.fields]
-        ).write.mode("append").parquet(sink_path)
+        (
+            coverage_partials(batch_df)
+            .groupBy("media_type", "format")
+            .agg(
+                F.sum("n_assets").alias("n_assets"),
+                F.sum("n_header_decoded").alias("n_header_decoded"),
+                F.sum("n_pixel_decoded").alias("n_pixel_decoded"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink_path)
+        )
 
     return (
         new_assets_stream.writeStream.foreachBatch(_count)
@@ -365,26 +380,15 @@ def streaming_decode_coverage(
 
 
 def decode_coverage_from_partials(spark, sink_path: str):
-    """Merge the partial counts streaming_decode_coverage appended into
-    the same report shape (and values) as the batch operator: sum the
-    additive columns, re-derive the permille rates."""
-    import pyspark.sql.functions as F
+    """Merge the batch-tagged partial counts streaming_decode_coverage
+    appended into the same report shape (and values) as the batch
+    operator: drop replayed micro-batch rows (at-least-once append —
+    see streaming_decode_coverage), then reuse the batch operator's own
+    merge+rates tail so the two reports cannot drift."""
+    from pithos_spark.sources.multimodal import merge_coverage_partials
 
-    return (
+    return merge_coverage_partials(
         spark.read.parquet(sink_path)
-        .groupBy("media_type", "format")
-        .agg(
-            F.sum("n_assets").alias("n_assets"),
-            F.sum("n_header_decoded").alias("n_header_decoded"),
-            F.sum("n_pixel_decoded").alias("n_pixel_decoded"),
-        )
-        .withColumn(
-            "header_rate_permille",
-            F.expr("(1000 * n_header_decoded) div n_assets"),
-        )
-        .withColumn(
-            "pixel_rate_permille",
-            F.expr("(1000 * n_pixel_decoded) div n_assets"),
-        )
-        .orderBy("media_type", "format")
+        .dropDuplicates(["batch_id", "media_type", "format"])
+        .drop("batch_id")
     )

@@ -19,6 +19,7 @@ Prints one JSON line per measurement.
 from __future__ import annotations
 
 import json
+import shutil
 import statistics
 import sys
 import tempfile
@@ -108,14 +109,15 @@ def main():
 
         build_base()
         samples = []
-        for _ in range(4):
+        for s_i in range(4):
             t0 = time.perf_counter()
             similarity.append_to_ivfpq_residual_index(
                 delta, f"{root}/base_{j[0]}"
             )
             samples.append(round(time.perf_counter() - t0, 3))
-            j[0] += 1
-            build_base()
+            if s_i < 3:  # no base needed after the last sample
+                j[0] += 1
+                build_base()
         m_append = round(statistics.median(samples[1:]), 3)  # drop warmup
         print(json.dumps({
             "measure": "ivfpq_append_vs_rebuild",
@@ -126,6 +128,7 @@ def main():
             "rebuild_samples": s_rebuild,
             "speedup": round(m_rebuild / max(m_append, 1e-9), 2),
         }), flush=True)
+        shutil.rmtree(root, ignore_errors=True)
 
     spark.stop()
 

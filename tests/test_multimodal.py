@@ -953,3 +953,27 @@ def test_sniff_format_total_on_arbitrary_bytes():
         assert _sniff_format(b"\xff\xd8" + raw) in vocab  # JPEG soup
 
     check()
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """ITU T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker; the sniffer, the header parse, and the pixel decoder must
+    all skip them instead of misreading the next byte pair as a segment
+    length (code-review r13 finding)."""
+    from pithos_spark.sources.multimodal import (
+        _jpeg_gray_pixels,
+        _parse_image_header,
+        _sniff_format,
+    )
+
+    vals = _grid_vals(4, 4, seed=11)
+    raw = _jpeg_bytes(vals, 4, 4, 16, 16)
+    # inject fill bytes immediately before the SOF0 marker
+    sof_at = raw.find(b"\xff\xc0")
+    padded = raw[:sof_at] + b"\xff\xff\xff" + raw[sof_at:]
+    assert _sniff_format(padded) == "jpeg-baseline"
+    assert _parse_image_header(padded) == (16, 16)
+    base = _jpeg_gray_pixels(raw)
+    got = _jpeg_gray_pixels(padded)
+    assert got is not None and got[0] == 16 and got[1] == 16
+    assert got[2] == base[2]

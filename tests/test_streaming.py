@@ -1320,3 +1320,14 @@ def test_streaming_decode_coverage_matches_batch(spark, tmp_path):
     # but stayed O(formats) per batch, never O(assets)
     partials = spark.read.parquet(sink)
     assert partials.count() <= 4 * 3 * 6  # batches x modalities x formats
+    # replay safety: foreachBatch is at-least-once — re-appending an
+    # already-committed batch's rows (identical batch_id, deterministic
+    # counts) must not change the merged report
+    one_batch = partials.filter(
+        partials["batch_id"] == partials.agg({"batch_id": "min"}).collect()[0][0]
+    )
+    one_batch.write.mode("append").parquet(sink)
+    replayed = [
+        tuple(r) for r in decode_coverage_from_partials(spark, sink).collect()
+    ]
+    assert replayed == batch
