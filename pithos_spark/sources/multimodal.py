@@ -1032,7 +1032,12 @@ def _decode_pipeline(assets: DataFrame, try_real: bool) -> DataFrame:
                 }
             )
 
-    return assets.mapInPandas(decode_batches, FEATURE_SCHEMA)
+    # project to the columns the UDF reads — the meta map otherwise
+    # crosses the Arrow boundary corpus-wide (Spark cannot column-prune
+    # below MapInPandas)
+    return assets.select("asset_id", "media_type", "payload").mapInPandas(
+        decode_batches, FEATURE_SCHEMA
+    )
 
 
 def decode_features(assets: DataFrame) -> DataFrame:
@@ -1294,7 +1299,11 @@ def frame_sample(assets: DataFrame, frame_bytes: int = 256) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
-    return assets.mapInPandas(sample_batches, FRAME_SCHEMA)
+    # same pre-Python projection as decode_features: no meta map
+    # across the Arrow boundary
+    return assets.select("asset_id", "media_type", "payload").mapInPandas(
+        sample_batches, FRAME_SCHEMA
+    )
 
 
 # the fake frame decode is pure windowing arithmetic -> SQL oracle
@@ -1371,7 +1380,11 @@ def resize_stub(
                 }
             )
 
-    return assets.mapInPandas(resize_batches, RESIZE_SCHEMA)
+    # same pre-Python projection as decode_features: no meta map
+    # across the Arrow boundary
+    return assets.select("asset_id", "media_type", "payload").mapInPandas(
+        resize_batches, RESIZE_SCHEMA
+    )
 
 
 def media_resize(documents: DataFrame) -> DataFrame:
