@@ -96,6 +96,9 @@ HEADLINERS = [
     # cost is tracked like any serving query
     "dedup_pq_code_stats",
     "multimodal_decode_coverage",
+    # round-13: batched serving over the canonical residual index —
+    # |Q| queries, one pass over the probed cluster partitions
+    "ann_ivfpq_residual_batch_from_layout",
 ]
 
 # entries whose r11 spread exceeded ~50% run extra repeats (VERDICT r11

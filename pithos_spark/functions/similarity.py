@@ -2282,6 +2282,121 @@ def ivfpq_residual_topk_from_layout(
     )
 
 
+def ivfpq_residual_batch_topk_from_layout(
+    embeddings: DataFrame,
+    path: str,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 4,
+) -> DataFrame:
+    """Batched residual-IVFADC over the persisted layout (r13): MANY
+    queries answered in ONE pass over the cluster-partitioned code
+    table — the production query-stream shape for the CANONICAL serving
+    index (:func:`pq_batch_topk_from_layout` already gave the plain PQ
+    index its batch form; the residual index, which deployments should
+    actually serve per the ivfpq_topk serving note, was answering one
+    query per code read).  Per query: its OWN ``n_probe`` coarse lists,
+    a (query_id, m, code)-keyed broadcast residual LUT, the per-cluster
+    centroid dot term, a per-query rerank cut and exact-dot top-k —
+    each query's rows bit-identical to
+    :func:`ivfpq_residual_topk_from_layout` (tested).
+
+    Scale: the code scan reads only the UNION of all queries' probed
+    cluster partitions (the broadcast probe join drives dynamic
+    partition pruning); the LUT grows to |Q| x M x K rows — still
+    broadcast-tiny; estimates key by (query_id, vec_id) so queries
+    parallelize across the cluster.  Output (query_id, vec_id, label,
+    est_dot, dot_q), top-k per query, ordered by (query_id, dot_q desc,
+    vec_id)."""
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    m_sub, scale, dim = (
+        int(meta["m_sub"]), int(meta["scale"]), int(meta["dim"])
+    )
+    codes = spark.read.parquet(f"{path}/codes")
+    centers = spark.read.parquet(f"{path}/centers")
+    cb_df = spark.read.parquet(f"{path}/codebooks")
+    qv = embeddings.select(
+        "vec_id", "label", _quantized(F.col("embedding"), scale).alias("q")
+    )
+    qrows = qv.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    cd = F.aggregate(
+        F.zip_with(
+            F.col("centroid_q"), F.col("qq"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cd"), F.col("cluster")
+    )
+    probes = (
+        centers.join(F.broadcast(qrows))
+        .select(
+            "query_id",
+            "cluster",
+            cd.alias("cd"),
+            _bigint_dot(F.col("centroid_q"), F.col("qq")).alias("cterm"),
+        )
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "cluster", "cterm")
+    )
+    d = dim // m_sub
+    qsub = qrows.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[F.slice("qq", m * d + 1, d) for m in range(m_sub)])
+        ).alias("m", "qsub"),
+    )
+    lut = cb_df.join(F.broadcast(qsub), "m").select(
+        "query_id",
+        "m",
+        "code",
+        _bigint_dot(F.col("centroid_q"), F.col("qsub")).alias("pdot"),
+    )
+    est = (
+        codes.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg((F.sum("pdot") + F.min("cterm")).alias("est_dot"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("est_dot").desc(), F.col("vec_id")
+    )
+    cand = (
+        est.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= rerank * k)
+        .drop("_rk")
+    )
+    ranked = (
+        cand.join(qv, "vec_id")
+        .join(F.broadcast(qrows), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            "est_dot",
+            _bigint_dot(F.col("q"), F.col("qq")).alias("dot_q"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("vec_id")
+    )
+    return (
+        ranked.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.col("dot_q").desc(), "vec_id")
+    )
+
+
 def ivfpq_residual_filtered_topk_from_layout(
     embeddings: DataFrame,
     path: str,
@@ -2401,6 +2516,86 @@ JOIN qv e2 ON e2.vec_id = c.vec_id,
      (SELECT q FROM qv WHERE vec_id = {query_vec_id}) q(q)
 ORDER BY dot_q DESC, c.vec_id
 LIMIT {k}"""
+    )
+
+
+def ivfpq_residual_batch_topk_oracle(
+    query_ids: list[int],
+    k: int = 10,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    pq_iter: int = 2,
+    rerank: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_residual_batch_topk_from_layout`:
+    the single-query residual oracle's CTE chain with every stage keyed
+    by query_id from a qset CTE — per-query probes, per-query LUT,
+    per-query estimate/rerank windows.  The stored layout's tables are
+    value-identical to a fresh train at the same parameters, so the
+    batch serving read shares this twin."""
+    d = dim // m_sub
+    ids = ", ".join(str(i) for i in query_ids)
+    return (
+        _lloyd_cte_sql(n_clusters, n_iter, dim)
+        + f""", rqv AS MATERIALIZED (
+    SELECT q.vec_id, list(q.q[c.pos + 1] - c.c ORDER BY c.pos) AS q
+    FROM qv q
+    JOIN final_assign fa USING (vec_id)
+    JOIN cent{n_iter} c ON c.cluster = fa.cluster
+    GROUP BY q.vec_id
+)"""
+        + _pq_cte_sql(
+            m_sub, k_codes, pq_iter, dim, standalone=False, qv_name="rqv"
+        )
+        + f""", qset AS (
+    SELECT vec_id AS query_id, q FROM qv WHERE vec_id IN ({ids})
+), cdist AS (
+    SELECT qs.query_id, c.cluster,
+           sum((c.c - qs.q[c.pos + 1]) * (c.c - qs.q[c.pos + 1])) AS cd,
+           CAST(sum(c.c * qs.q[c.pos + 1]) AS BIGINT) AS cterm
+    FROM cent{n_iter} c, qset qs
+    GROUP BY 1, 2
+), probes AS (
+    SELECT query_id, cluster, cterm FROM cdist
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cd, cluster) <= {n_probe}
+), lut AS (
+    SELECT qs.query_id, c.m, c.code,
+           CAST(sum(c.c * qs.q[c.m * {d} + c.pos + 1]) AS BIGINT) AS pdot
+    FROM pcent{pq_iter} c, qset qs
+    GROUP BY 1, 2, 3
+), est AS (
+    SELECT p.query_id, cd2.vec_id,
+           CAST(sum(l.pdot) + min(p.cterm) AS BIGINT) AS est_dot
+    FROM codes cd2
+    JOIN final_assign fa ON fa.vec_id = cd2.vec_id
+    JOIN probes p ON fa.cluster = p.cluster
+    JOIN lut l ON l.query_id = p.query_id
+              AND cd2.m = l.m AND cd2.code = l.code
+    WHERE cd2.vec_id <> p.query_id
+    GROUP BY 1, 2
+), cand AS (
+    SELECT query_id, vec_id, est_dot FROM est
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY est_dot DESC, vec_id)
+        <= {rerank * k}
+), ranked AS (
+    SELECT c.query_id, c.vec_id, e.label, c.est_dot,
+           (SELECT CAST(sum(e2.q[i] * qs.q[i]) AS BIGINT)
+            FROM generate_series(1, {dim}) g(i)) AS dot_q
+    FROM cand c
+    JOIN embeddings e ON e.vec_id = c.vec_id
+    JOIN qv e2 ON e2.vec_id = c.vec_id
+    JOIN qset qs ON qs.query_id = c.query_id
+)
+SELECT query_id, vec_id, label, est_dot, dot_q FROM ranked
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY dot_q DESC, vec_id) <= {k}
+ORDER BY query_id, dot_q DESC, vec_id"""
     )
 
 

@@ -825,6 +825,27 @@ QUERIES["ann_ivfpq_residual_from_layout"] = _ivfpq_residual_from_layout
 ORACLES["ann_ivfpq_residual_from_layout"] = (
     similarity.ivfpq_residual_topk_oracle(0, 10)
 )
+
+
+# batched serving over the CANONICAL index (r13): |Q| queries in one
+# pass over the cluster-partitioned residual code table — per-query
+# probe lists, a |Q| x M x K broadcast residual LUT, per-query rerank;
+# completes the batch-serving symmetry the plain PQ index got in r12.
+def _ivfpq_residual_batch_from_layout(spark, sf_dir):
+    return similarity.ivfpq_residual_batch_topk_from_layout(
+        T.load_tables(spark, sf_dir)["embeddings"],
+        _ivfpq_index_path(spark, sf_dir),
+        _PQ_BATCH_IDS,
+        10,
+    )
+
+
+QUERIES["ann_ivfpq_residual_batch_from_layout"] = (
+    _ivfpq_residual_batch_from_layout
+)
+ORACLES["ann_ivfpq_residual_batch_from_layout"] = (
+    similarity.ivfpq_residual_batch_topk_oracle(_PQ_BATCH_IDS, 10)
+)
 ORACLES["ann_ivfpq_residual_topk"] = similarity.ivfpq_residual_topk_oracle(
     0, 10
 )
@@ -3458,6 +3479,8 @@ ORACLES["corpus_bpe_heldout_fertility"] = text.bpe_heldout_fertility_oracle(
 #    sniffed-format real-decode rates over the asset table;
 #  - ann_pq_recall_report: measured recall@k of the persisted PQ index
 #    vs exact brute force (deterministic both sides, oracle-exact);
+#  - ann_ivfpq_residual_batch_from_layout: batched serving over the
+#    canonical residual index (|Q| queries, one code-table pass);
 #  - corpus_top_terms_tfidf re-gate (VERDICT r12 task 3): the token
 #    explode is now bounded_persist'd so its two consumers share one
 #    corpus scan.
@@ -3465,6 +3488,7 @@ ROUND_NEW: list[str] = [
     "dedup_pq_code_stats",
     "multimodal_decode_coverage",
     "ann_pq_recall_report",
+    "ann_ivfpq_residual_batch_from_layout",
     "corpus_top_terms_tfidf",
 ]
 
@@ -3473,10 +3497,11 @@ ROUND_NEW: list[str] = [
 # were wrong two rounds running): run `python
 # scripts/verdict_histogram.py` and splice its r9-stale cohort (all
 # 33, registry insertion order) followed by the oldest r10 greens up
-# to the window.  4 ROUND_NEW + 33 r9-stale + 13 r10-stale fills the
+# to the window.  5 ROUND_NEW + 33 r9-stale + 12 r10-stale fills the
 # 50-slot window exactly; after r13 no query's last verdict is older
-# than r10.  The r14 queue is text_language_id (yielded its slot to
-# ann_pq_recall_report) + the remaining 33 r10-stale (histogram
+# than r10.  The r14 queue is text_quality_score + text_language_id
+# (yielded their slots to the two late-round ANN gates) + the
+# remaining 33 r10-stale (histogram
 # output order): text_fingerprint, dedup_jaccard_pairs,
 # dedup_lsh_bucket_stats, corpus_source_overlap, ann_brute_force_topk,
 # ann_label_centroids, cors_preflight, objects_upsert_merge,
@@ -3526,7 +3551,7 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_bm25_postings_topk",
     "corpus_hybrid_search_rrf",
     "corpus_rerank_stub",
-    # --- oldest r10-stale (13 of 47, same source) ---
+    # --- oldest r10-stale (12 of 47, same source) ---
     "list_objects_root",
     "list_objects_paged",
     "bucket_usage",
@@ -3539,11 +3564,10 @@ DRIVER_PRIORITY: list[str] = [
     "q5_region_revenue",
     "q14_promo_revenue",
     "text_token_count_bpe",
-    "text_quality_score",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (all were green in r9/r10), and 4 + 33 + 13 fills the window.
+# canary (all were green in r9/r10), and 5 + 33 + 12 fills the window.
 GREEN_CORE: list[str] = []
 
 

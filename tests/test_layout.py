@@ -353,3 +353,34 @@ def test_ivfpq_residual_incremental_append_equals_one_pass(spark, layout_dir):
         ).collect()
     ]
     assert got == want and len(got) == 10
+
+
+@pytest.mark.slow
+def test_ivfpq_residual_batch_matches_single_query(spark, layout_dir):
+    """Each query's rows in the batched residual serving read must be
+    bit-identical to its single-query serving read over the same
+    layout (the pq_batch consistency contract, now for the canonical
+    index)."""
+    from pithos_spark import tables as T
+    from pithos_spark.functions import similarity
+
+    emb = T.load_tables(spark, SF_ORACLE)["embeddings"]
+    path = f"{layout_dir}/ivfpq_residual_batch"
+    similarity.save_ivfpq_residual_index(emb, path)
+    ids = [0, 7, 42, 99, 123]
+    batch = similarity.ivfpq_residual_batch_topk_from_layout(
+        emb, path, ids, 10
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["label"], r["est_dot"], r["dot_q"])
+        )
+    for qid in ids:
+        single = [
+            tuple(r)
+            for r in similarity.ivfpq_residual_topk_from_layout(
+                emb, path, qid, 10
+            ).collect()
+        ]
+        assert by_q[qid] == single and len(single) == 10
