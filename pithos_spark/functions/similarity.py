@@ -1601,6 +1601,18 @@ def pq_recall_report(
     approx = pq_batch_topk_from_layout(
         embeddings, path, query_ids, k, rerank
     ).select("query_id", "vec_id")
+    return _recall_vs_exact(embeddings, query_ids, approx, k)
+
+
+def _recall_vs_exact(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    approx: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Shared recall tail: intersect a served (query_id, vec_id) top-k
+    with the exact brute-force top-k and report per-query hits —
+    one definition for every index family's recall gate."""
     exact = batch_topk(embeddings, query_ids, k).select(
         "query_id", "vec_id"
     )
@@ -1623,6 +1635,29 @@ def pq_recall_report(
         .withColumn("recall_permille", F.expr(f"(1000 * n_hits) div {k}"))
         .orderBy("query_id")
     )
+
+
+def ivfpq_residual_recall_report(
+    embeddings: DataFrame,
+    path: str,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 4,
+) -> DataFrame:
+    """Recall@k of the CANONICAL serving index (persisted residual
+    IVFADC) against exact brute force — the probe/recall tradeoff
+    readout for the index deployments actually serve: run it at the
+    operating ``n_probe`` (and again at n_probe+1) on a query sample
+    and the difference IS the recall a wider probe buys, measured, not
+    estimated.  Same contract as :func:`pq_recall_report`; the approx
+    side is the batched one-pass serving read, so the report costs one
+    probe-pruned code read plus the one brute-force scan recall
+    fundamentally needs."""
+    approx = ivfpq_residual_batch_topk_from_layout(
+        embeddings, path, query_ids, k, n_probe, rerank
+    ).select("query_id", "vec_id")
+    return _recall_vs_exact(embeddings, query_ids, approx, k)
 
 
 def pq_recall_report_oracle(
@@ -2537,6 +2572,31 @@ def ivfpq_residual_batch_topk_oracle(
     per-query estimate/rerank windows.  The stored layout's tables are
     value-identical to a fresh train at the same parameters, so the
     batch serving read shares this twin."""
+    return _ivfpq_residual_batch_cte(
+        query_ids, k, n_clusters, n_iter, n_probe, m_sub, k_codes,
+        pq_iter, rerank, dim,
+    ) + f"""
+SELECT query_id, vec_id, label, est_dot, dot_q FROM ranked
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY dot_q DESC, vec_id) <= {k}
+ORDER BY query_id, dot_q DESC, vec_id"""
+
+
+def _ivfpq_residual_batch_cte(
+    query_ids: list[int],
+    k: int = 10,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    pq_iter: int = 2,
+    rerank: int = 4,
+    dim: int = 64,
+) -> str:
+    """The batched residual serving chain through ``ranked`` (qset,
+    per-query probes/LUT/estimates, exact rerank scores) — shared by
+    the batch top-k oracle and the residual recall-report oracle."""
     d = dim // m_sub
     ids = ", ".join(str(i) for i in query_ids)
     return (
@@ -2591,12 +2651,51 @@ def ivfpq_residual_batch_topk_oracle(
     JOIN embeddings e ON e.vec_id = c.vec_id
     JOIN qv e2 ON e2.vec_id = c.vec_id
     JOIN qset qs ON qs.query_id = c.query_id
-)
-SELECT query_id, vec_id, label, est_dot, dot_q FROM ranked
-QUALIFY row_number() OVER (PARTITION BY query_id
-                           ORDER BY dot_q DESC, vec_id) <= {k}
-ORDER BY query_id, dot_q DESC, vec_id"""
+)"""
     )
+
+
+def ivfpq_residual_recall_oracle(
+    query_ids: list[int],
+    k: int = 10,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    pq_iter: int = 2,
+    rerank: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_residual_recall_report`: the batched
+    residual serving chain as the approx side, the brute-force window
+    over the shared quantized-vector CTE as the exact side."""
+    return _ivfpq_residual_batch_cte(
+        query_ids, k, n_clusters, n_iter, n_probe, m_sub, k_codes,
+        pq_iter, rerank, dim,
+    ) + f""", approx AS (
+    SELECT query_id, vec_id FROM ranked
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot_q DESC, vec_id) <= {k}
+), exact AS (
+    SELECT query_id, vec_id FROM (
+        SELECT qs.query_id, v.vec_id,
+               (SELECT CAST(sum(v.q[i] * qs.q[i]) AS BIGINT)
+                FROM generate_series(1, {dim}) g(i)) AS dot_q
+        FROM qv v, qset qs
+        WHERE v.vec_id <> qs.query_id
+    ) s
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot_q DESC, vec_id) <= {k}
+)
+SELECT q.query_id AS query_id,
+       CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+       (1000 * CAST(count(a.vec_id) AS BIGINT)) // {k} AS recall_permille
+FROM (SELECT DISTINCT query_id FROM qset) q
+LEFT JOIN exact e ON e.query_id = q.query_id
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY 1
+ORDER BY q.query_id"""
 
 
 def ivfpq_topk_oracle(

@@ -846,6 +846,24 @@ QUERIES["ann_ivfpq_residual_batch_from_layout"] = (
 ORACLES["ann_ivfpq_residual_batch_from_layout"] = (
     similarity.ivfpq_residual_batch_topk_oracle(_PQ_BATCH_IDS, 10)
 )
+
+
+# recall@k for the CANONICAL serving index (r13): the probe/recall
+# tradeoff, measured — run at the operating n_probe before trusting an
+# index version; the PQ report's twin for the residual layout.
+def _ivfpq_residual_recall(spark, sf_dir):
+    return similarity.ivfpq_residual_recall_report(
+        T.load_tables(spark, sf_dir)["embeddings"],
+        _ivfpq_index_path(spark, sf_dir),
+        _PQ_BATCH_IDS,
+        10,
+    )
+
+
+QUERIES["ann_ivfpq_residual_recall"] = _ivfpq_residual_recall
+ORACLES["ann_ivfpq_residual_recall"] = (
+    similarity.ivfpq_residual_recall_oracle(_PQ_BATCH_IDS, 10)
+)
 ORACLES["ann_ivfpq_residual_topk"] = similarity.ivfpq_residual_topk_oracle(
     0, 10
 )
@@ -3480,7 +3498,9 @@ ORACLES["corpus_bpe_heldout_fertility"] = text.bpe_heldout_fertility_oracle(
 #  - ann_pq_recall_report: measured recall@k of the persisted PQ index
 #    vs exact brute force (deterministic both sides, oracle-exact);
 #  - ann_ivfpq_residual_batch_from_layout: batched serving over the
-#    canonical residual index (|Q| queries, one code-table pass);
+#    canonical residual index (|Q| queries, one code-table pass), and
+#    ann_ivfpq_residual_recall: its measured recall@k vs brute force
+#    (the probe/recall tradeoff readout);
 #  - corpus_top_terms_tfidf re-gate (VERDICT r12 task 3): the token
 #    explode is now bounded_persist'd so its two consumers share one
 #    corpus scan.
@@ -3489,6 +3509,7 @@ ROUND_NEW: list[str] = [
     "multimodal_decode_coverage",
     "ann_pq_recall_report",
     "ann_ivfpq_residual_batch_from_layout",
+    "ann_ivfpq_residual_recall",
     "corpus_top_terms_tfidf",
 ]
 
@@ -3497,11 +3518,11 @@ ROUND_NEW: list[str] = [
 # were wrong two rounds running): run `python
 # scripts/verdict_histogram.py` and splice its r9-stale cohort (all
 # 33, registry insertion order) followed by the oldest r10 greens up
-# to the window.  5 ROUND_NEW + 33 r9-stale + 12 r10-stale fills the
+# to the window.  6 ROUND_NEW + 33 r9-stale + 11 r10-stale fills the
 # 50-slot window exactly; after r13 no query's last verdict is older
-# than r10.  The r14 queue is text_quality_score + text_language_id
-# (yielded their slots to the two late-round ANN gates) + the
-# remaining 33 r10-stale (histogram
+# than r10.  The r14 queue is text_token_count_bpe + text_quality_score
+# + text_language_id (yielded their slots to the three late-round ANN
+# gates) + the remaining 33 r10-stale (histogram
 # output order): text_fingerprint, dedup_jaccard_pairs,
 # dedup_lsh_bucket_stats, corpus_source_overlap, ann_brute_force_topk,
 # ann_label_centroids, cors_preflight, objects_upsert_merge,
@@ -3551,7 +3572,7 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_bm25_postings_topk",
     "corpus_hybrid_search_rrf",
     "corpus_rerank_stub",
-    # --- oldest r10-stale (12 of 47, same source) ---
+    # --- oldest r10-stale (11 of 47, same source) ---
     "list_objects_root",
     "list_objects_paged",
     "bucket_usage",
@@ -3563,11 +3584,10 @@ DRIVER_PRIORITY: list[str] = [
     "q3_top_unshipped",
     "q5_region_revenue",
     "q14_promo_revenue",
-    "text_token_count_bpe",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (all were green in r9/r10), and 5 + 33 + 12 fills the window.
+# canary (all were green in r9/r10), and 6 + 33 + 11 fills the window.
 GREEN_CORE: list[str] = []
 
 

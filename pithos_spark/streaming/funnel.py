@@ -392,3 +392,49 @@ def decode_coverage_from_partials(spark, sink_path: str):
         .dropDuplicates(["batch_id", "media_type", "format"])
         .drop("batch_id")
     )
+
+
+def streaming_ivfpq_residual_serve(
+    query_id_stream,
+    embeddings,
+    layout_path: str,
+    sink_path: str,
+    checkpoint: str,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 4,
+):
+    """Online ANN serving over the CANONICAL index (r13): micro-batches
+    of incoming query ids are answered against the frozen persisted
+    residual-IVFADC layout — each batch is one
+    functions/similarity.ivfpq_residual_batch_topk_from_layout pass
+    (per-query probe lists, dynamic-pruned read of the union of probed
+    cluster partitions, |batch| x M x K broadcast residual LUT) and the
+    per-query top-k rows append under ``sink_path``.
+
+    Same contract as streaming_pq_serve: serving is batch-local (every
+    query answered independently against the same frozen tables), so
+    the stream's union over time equals the batch operator over the
+    union of query ids (tested across trigger splits); the per-batch
+    driver collect gathers only the batch's distinct query ids."""
+    from pithos_spark.functions.similarity import (
+        ivfpq_residual_batch_topk_from_layout,
+    )
+
+    def _serve(batch_df, batch_id):
+        ids = [
+            r["query_id"]
+            for r in batch_df.select("query_id").distinct().collect()
+        ]
+        if not ids:
+            return
+        ivfpq_residual_batch_topk_from_layout(
+            embeddings, layout_path, sorted(ids), k, n_probe, rerank
+        ).write.mode("append").parquet(sink_path)
+
+    return (
+        query_id_stream.writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

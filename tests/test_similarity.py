@@ -672,3 +672,34 @@ def test_pq_recall_report_monotone_in_rerank(spark, embeddings, tmp_path):
         assert 0 <= narrow[qid] <= 10 and 0 <= wide[qid] <= 10
         assert wide[qid] >= narrow[qid], qid
     assert sum(wide.values()) > 0  # the index finds SOMETHING
+
+
+@pytest.mark.slow
+def test_ivfpq_residual_recall_monotone_in_probes(spark, embeddings, tmp_path):
+    """The probe/recall tradeoff, measured: widening n_probe to all
+    clusters can only raise per-query recall (the estimate then scores
+    every list; the rerank still picks from a superset)."""
+    from pithos_spark.functions.similarity import (
+        ivfpq_residual_recall_report,
+        save_ivfpq_residual_index,
+    )
+
+    path = str(tmp_path / "residual_recall_idx")
+    save_ivfpq_residual_index(embeddings, path)
+    ids = [0, 7, 42, 99, 123]
+    narrow = {
+        r["query_id"]: r["n_hits"]
+        for r in ivfpq_residual_recall_report(
+            embeddings, path, ids, 10, n_probe=1
+        ).collect()
+    }
+    wide = {
+        r["query_id"]: r["n_hits"]
+        for r in ivfpq_residual_recall_report(
+            embeddings, path, ids, 10, n_probe=8
+        ).collect()
+    }
+    assert set(narrow) == set(wide) == set(ids)
+    for qid in ids:
+        assert wide[qid] >= narrow[qid], qid
+    assert sum(wide.values()) > 0

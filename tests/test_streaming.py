@@ -1331,3 +1331,45 @@ def test_streaming_decode_coverage_matches_batch(spark, tmp_path):
         tuple(r) for r in decode_coverage_from_partials(spark, sink).collect()
     ]
     assert replayed == batch
+
+
+def test_streaming_ivfpq_residual_serve_matches_batch(spark, tmp_path):
+    """Micro-batched query ids answered against the frozen residual
+    IVFADC index must produce exactly the one-pass batch server's rows
+    over the union of batches, regardless of trigger splits — online
+    serving over the CANONICAL index (r13)."""
+    from pithos_spark import tables as T
+    from pithos_spark.functions.similarity import (
+        ivfpq_residual_batch_topk_from_layout,
+        save_ivfpq_residual_index,
+    )
+    from pithos_spark.streaming.funnel import streaming_ivfpq_residual_serve
+
+    emb = T.load_tables(spark, SF_SMOKE)["embeddings"]
+    layout = str(tmp_path / "residual_serve_index")
+    save_ivfpq_residual_index(emb, layout)
+    ids = [0, 7, 21, 42, 63, 99]
+    src = str(tmp_path / "residual_query_stream")
+    spark.createDataFrame(
+        [(i,) for i in ids], "query_id long"
+    ).repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("query_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = str(tmp_path / "residual_serve_sink")
+    q = streaming_ivfpq_residual_serve(
+        stream, emb, layout, sink, str(tmp_path / "ckpt_res_serve")
+    )
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    want = {
+        tuple(r)
+        for r in ivfpq_residual_batch_topk_from_layout(
+            emb, layout, ids, 10
+        ).collect()
+    }
+    assert got == want and len(want) == len(ids) * 10
