@@ -52,6 +52,24 @@ def main() -> None:
         qs = [q for q in allq if last.get(q) == r]
         print(f"r{r}-stale ({len(qs)}):", qs)
 
+    # the suggested next-window backlog, ready to splice after
+    # ROUND_NEW (VERDICT r12 task 2: GENERATE the block, never
+    # hand-count it).  Never-verified queries lead (they are this
+    # round's additions), then cohorts oldest-first in registry
+    # insertion order, cut at 50 minus a placeholder for ROUND_NEW.
+    reserve = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    backlog = never + [
+        q for r in sorted(hist) for q in allq if last.get(q) == r
+    ]
+    take = backlog[: max(0, 50 - reserve)]
+    print(
+        f"\nsuggested DRIVER_PRIORITY (50 - {reserve} ROUND_NEW slots"
+        f" = {len(take)}; oldest-first):"
+    )
+    for q in take:
+        print(f'    "{q}",')
+    print("next in queue:", backlog[len(take) : len(take) + 5], "...")
+
 
 if __name__ == "__main__":
     main()
