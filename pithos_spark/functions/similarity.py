@@ -3437,6 +3437,110 @@ ORDER BY vec_a, vec_b"""
     )
 
 
+def embedding_dedup_ladder(
+    embeddings: DataFrame,
+    threshold_q: int = 300_000,
+) -> DataFrame:
+    """One operational readout across the EMBEDDING dedup ladder (r13)
+    — the vector-side counterpart of functions/dedup.dedup_ladder_report:
+    per tier, how many near-duplicate pairs this corpus carries under
+    each blocking strategy, at the same parameters the registry gates
+    individually.  The per-snapshot drift report a curation run records
+    before choosing which tier to sweep with.
+
+    Tiers: label-blocked exact cosine, hyperplane LSH-bucket blocking
+    (the 100 TB default), trained-Lloyd semantic clusters (SemDeDup
+    blocking), and PQ shared-code candidates over the 32x-compressed
+    table.  Every tier scores candidates with the SAME exact quantized
+    dot against the SAME threshold — only the blocking key differs —
+    so the counts diverge exactly by blocking recall, and the
+    comparison cuts both ways: a cheaper tier undercounting the
+    label-blocked number is paying its cap/bucket recall cost, while a
+    tier OVERCOUNTING it has found cross-label near-dups that metadata
+    blocking structurally misses (measured at sf0.01:
+    semantic_cluster 236 vs cosine_label_block 113 — blocking on
+    metadata is not a recall ceiling, and this report is what shows
+    it).
+
+    Scale: a union of four independent bounded aggregations — each tier
+    keeps its own bucket/cluster/code caps, and the report is 4 rows
+    regardless of corpus size."""
+    def _count(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("tier"),
+            F.col("n").cast("long").alias("n_pairs"),
+        )
+
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.col("embedding").alias("emb_a"),
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cosine = (
+        a.join(b, (a.label == b.label_b) & (F.col("vec_a") < F.col("vec_b")))
+        .select(quantized_dot(F.col("emb_a"), F.col("emb_b")).alias("dot_q"))
+        .filter(F.col("dot_q") >= threshold_q)
+    )
+    tiers = [
+        _count("cosine_label_block", cosine),
+        _count(
+            "lsh_bucket",
+            embedding_lsh_dedup_pairs(embeddings, threshold_q=threshold_q),
+        ),
+        _count(
+            "pq_code",
+            pq_code_near_pairs(embeddings, threshold_q=threshold_q),
+        ),
+        _count(
+            "semantic_cluster",
+            semantic_dedup_pairs(embeddings, threshold_q=threshold_q),
+        ),
+    ]
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("tier")
+
+
+def embedding_dedup_ladder_oracle(threshold_q: int = 300_000) -> str:
+    """DuckDB twin of :func:`embedding_dedup_ladder` — each tier's own
+    gate oracle wrapped as a counted subquery, unioned (the
+    dedup_ladder_report_oracle pattern)."""
+    cosine = f"""\
+SELECT 'cosine_label_block' AS tier, CAST(count(*) AS BIGINT) AS n_pairs
+FROM (
+    SELECT (SELECT CAST(sum(CAST(floor(CAST(a.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                             CAST(floor(CAST(b.embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+            FROM generate_series(1, 64) g(i)) AS dot_q
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+) p WHERE dot_q >= {threshold_q}"""
+    parts = [cosine] + [
+        f"SELECT '{name}' AS tier, CAST(count(*) AS BIGINT) AS n_pairs"
+        f" FROM (\n{sql}\n) t"
+        for name, sql in [
+            (
+                "lsh_bucket",
+                embedding_lsh_dedup_pairs_oracle(threshold_q=threshold_q),
+            ),
+            (
+                "pq_code",
+                pq_code_near_pairs_oracle(threshold_q=threshold_q),
+            ),
+            (
+                "semantic_cluster",
+                semantic_dedup_pairs_oracle(threshold_q=threshold_q),
+            ),
+        ]
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY tier"
+
+
 def semantic_dedup_clusters(
     embeddings: DataFrame,
     n_clusters: int = 64,

@@ -3093,6 +3093,18 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dedup_semantic"] = _semantic_dedup
 ORACLES["dedup_semantic"] = similarity.semantic_dedup_pairs_oracle()
 
+# the embedding dedup LADDER (r13): per-tier near-dup pair counts —
+# cosine recall ceiling, LSH-bucket, PQ shared-code, semantic cluster —
+# the vector-side counterpart of dedup_ladder_report and the measured
+# blocking-strategy recall comparison a curation run records per
+# snapshot.
+QUERIES["dedup_embedding_ladder"] = _emb_query(
+    similarity.embedding_dedup_ladder
+)
+ORACLES["dedup_embedding_ladder"] = (
+    similarity.embedding_dedup_ladder_oracle()
+)
+
 
 def _projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection ANN (similarity.projected_topk): JL shortlist
@@ -3501,6 +3513,8 @@ ORACLES["corpus_bpe_heldout_fertility"] = text.bpe_heldout_fertility_oracle(
 #    canonical residual index (|Q| queries, one code-table pass), and
 #    ann_ivfpq_residual_recall: its measured recall@k vs brute force
 #    (the probe/recall tradeoff readout);
+#  - dedup_embedding_ladder: per-tier embedding near-dup counts (the
+#    blocking-strategy recall comparison, vector-side ladder);
 #  - corpus_top_terms_tfidf re-gate (VERDICT r12 task 3): the token
 #    explode is now bounded_persist'd so its two consumers share one
 #    corpus scan.
@@ -3510,6 +3524,7 @@ ROUND_NEW: list[str] = [
     "ann_pq_recall_report",
     "ann_ivfpq_residual_batch_from_layout",
     "ann_ivfpq_residual_recall",
+    "dedup_embedding_ladder",
     "corpus_top_terms_tfidf",
 ]
 
@@ -3518,11 +3533,11 @@ ROUND_NEW: list[str] = [
 # were wrong two rounds running): run `python
 # scripts/verdict_histogram.py` and splice its r9-stale cohort (all
 # 33, registry insertion order) followed by the oldest r10 greens up
-# to the window.  6 ROUND_NEW + 33 r9-stale + 11 r10-stale fills the
+# to the window.  7 ROUND_NEW + 33 r9-stale + 10 r10-stale fills the
 # 50-slot window exactly; after r13 no query's last verdict is older
-# than r10.  The r14 queue is text_token_count_bpe + text_quality_score
-# + text_language_id (yielded their slots to the three late-round ANN
-# gates) + the remaining 33 r10-stale (histogram
+# than r10.  The r14 queue is q14_promo_revenue + text_token_count_bpe
+# + text_quality_score + text_language_id (yielded their slots to the
+# late-round gates) + the remaining 33 r10-stale (histogram
 # output order): text_fingerprint, dedup_jaccard_pairs,
 # dedup_lsh_bucket_stats, corpus_source_overlap, ann_brute_force_topk,
 # ann_label_centroids, cors_preflight, objects_upsert_merge,
@@ -3572,7 +3587,7 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_bm25_postings_topk",
     "corpus_hybrid_search_rrf",
     "corpus_rerank_stub",
-    # --- oldest r10-stale (11 of 47, same source) ---
+    # --- oldest r10-stale (10 of 47, same source) ---
     "list_objects_root",
     "list_objects_paged",
     "bucket_usage",
@@ -3583,11 +3598,10 @@ DRIVER_PRIORITY: list[str] = [
     "events_sessionize",
     "q3_top_unshipped",
     "q5_region_revenue",
-    "q14_promo_revenue",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (all were green in r9/r10), and 6 + 33 + 11 fills the window.
+# canary (all were green in r9/r10), and 7 + 33 + 10 fills the window.
 GREEN_CORE: list[str] = []
 
 
