@@ -117,6 +117,9 @@ EXTRA_REPEATS = {
     # sub-0.5 s note above; extra warm samples tighten the median
     # (VERDICT r12 task 7)
     "events_hourly_rollup": 9,
+    # r13 rehearsal spread 113% on a ~4 s median (run on a loaded box;
+    # the historical band is 30-45%) — extra samples per the >50% rule
+    "dedup_minhash_lsh": 9,
 }
 
 # 5 repeats (r10, was 3): with the untimed warmup lap all samples are
