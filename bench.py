@@ -99,6 +99,9 @@ HEADLINERS = [
     # round-13: batched serving over the canonical residual index —
     # |Q| queries, one pass over the probed cluster partitions
     "ann_ivfpq_residual_batch_from_layout",
+    # round-13: the embedding dedup ladder — four blocking strategies,
+    # one per-snapshot readout (the vector-side dedup_ladder_report)
+    "dedup_embedding_ladder",
 ]
 
 # entries whose r11 spread exceeded ~50% run extra repeats (VERDICT r11
