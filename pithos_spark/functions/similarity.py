@@ -3354,18 +3354,28 @@ def semantic_dedup_pairs(
     Output: (vec_a, vec_b, cluster, dot_q), ordered — bit-identical to
     semantic_dedup_pairs_oracle (the Lloyd rounds unroll as CTEs).
     """
+    assigned, _ = build_ivf_lloyd_index(embeddings, n_clusters, n_iter)
+    return _semantic_pairs_from_assigned(assigned, threshold_q, max_cluster)
+
+
+def _semantic_pairs_from_assigned(
+    assigned: DataFrame, threshold_q: int, max_cluster: int
+) -> DataFrame:
+    """The SemDeDup pair tail over an ALREADY-ASSIGNED corpus
+    (vec_id, embedding, cluster): hash-deterministic per-cluster cap,
+    in-cluster self-join, exact quantized dot — shared by the
+    train-in-query gate and the persisted-index sweep."""
+    from pithos_spark.functions.dedup import portable_hash60
     from pyspark.sql import Window
 
-    from pithos_spark.functions.dedup import portable_hash60
-
-    assigned, _ = build_ivf_lloyd_index(embeddings, n_clusters, n_iter)
     wb = Window.partitionBy("cluster").orderBy(
         portable_hash60(F.col("vec_id").cast("string")), F.col("vec_id")
     )
     capped = (
-        assigned.withColumn("_bn", F.row_number().over(wb))
+        assigned.select("vec_id", "embedding", "cluster")
+        .withColumn("_bn", F.row_number().over(wb))
         .filter(F.col("_bn") <= max_cluster)
-        .drop("_bn", "label")
+        .drop("_bn")
     )
     a = capped.alias("a")
     b = capped.alias("b")
@@ -3386,6 +3396,26 @@ def semantic_dedup_pairs(
         .filter(F.col("dot_q") >= threshold_q)
         .orderBy("vec_a", "vec_b")
     )
+
+
+def semantic_dedup_pairs_from_layout(
+    spark,
+    path: str,
+    threshold_q: int = 300_000,
+    max_cluster: int = 500,
+) -> DataFrame:
+    """SemDeDup sweep over the PERSISTED IVF index (r13): the stored
+    ``assigned`` table already carries (vec_id, embedding, cluster) —
+    the layout :func:`save_ivf_index` wrote partitioned by cluster —
+    so a dedup sweep of a corpus snapshot pays NO Lloyd passes: it
+    reads the assignments and runs the capped in-cluster pair join.
+    Bit-identical to :func:`semantic_dedup_pairs` when the layout was
+    built by build_ivf_lloyd_index at the same parameters (tested; the
+    gate shares the train-in-query oracle for the same reason).  The
+    per-snapshot economics mirror the other serving layouts: train
+    once per corpus version, sweep from the frozen assignment."""
+    assigned, _ = load_ivf_index(spark, path)
+    return _semantic_pairs_from_assigned(assigned, threshold_q, max_cluster)
 
 
 def _semantic_pairs_cte_sql(

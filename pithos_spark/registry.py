@@ -3093,6 +3093,40 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dedup_semantic"] = _semantic_dedup
 ORACLES["dedup_semantic"] = similarity.semantic_dedup_pairs_oracle()
 
+# SemDeDup over the PERSISTED IVF index (r13): the sweep pays no Lloyd
+# passes — it reads the frozen cluster assignments (build_ivf_lloyd_index
+# saved by save_ivf_index, same params as dedup_semantic) and runs the
+# capped in-cluster pair join.  Stored assignments are value-identical
+# to a fresh train, so the gate shares the train-in-query oracle.
+_SEM_INDEX_CACHE: dict = {}
+
+
+def _semantic_index_path(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SEM_INDEX_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="sem_ivf_index_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        assigned, centers = similarity.build_ivf_lloyd_index(
+            T.load_tables(spark, sf_dir)["embeddings"], 64, 2
+        )
+        similarity.save_ivf_index(assigned, centers, path)
+        _SEM_INDEX_CACHE[key] = path
+    return _SEM_INDEX_CACHE[key]
+
+
+def _semantic_dedup_from_layout(spark, sf_dir):
+    return similarity.semantic_dedup_pairs_from_layout(
+        spark, _semantic_index_path(spark, sf_dir)
+    )
+
+
+QUERIES["dedup_semantic_from_layout"] = _semantic_dedup_from_layout
+ORACLES["dedup_semantic_from_layout"] = similarity.semantic_dedup_pairs_oracle()
+
 # the embedding dedup LADDER (r13): per-tier near-dup pair counts —
 # cosine recall ceiling, LSH-bucket, PQ shared-code, semantic cluster —
 # the vector-side counterpart of dedup_ladder_report and the measured
@@ -3514,7 +3548,9 @@ ORACLES["corpus_bpe_heldout_fertility"] = text.bpe_heldout_fertility_oracle(
 #    ann_ivfpq_residual_recall: its measured recall@k vs brute force
 #    (the probe/recall tradeoff readout);
 #  - dedup_embedding_ladder: per-tier embedding near-dup counts (the
-#    blocking-strategy recall comparison, vector-side ladder);
+#    blocking-strategy recall comparison, vector-side ladder), and
+#    dedup_semantic_from_layout: the SemDeDup sweep over the persisted
+#    IVF index (no Lloyd passes at sweep time);
 #  - corpus_top_terms_tfidf re-gate (VERDICT r12 task 3): the token
 #    explode is now bounded_persist'd so its two consumers share one
 #    corpus scan.
@@ -3525,6 +3561,7 @@ ROUND_NEW: list[str] = [
     "ann_ivfpq_residual_batch_from_layout",
     "ann_ivfpq_residual_recall",
     "dedup_embedding_ladder",
+    "dedup_semantic_from_layout",
     "corpus_top_terms_tfidf",
 ]
 
@@ -3533,11 +3570,12 @@ ROUND_NEW: list[str] = [
 # were wrong two rounds running): run `python
 # scripts/verdict_histogram.py` and splice its r9-stale cohort (all
 # 33, registry insertion order) followed by the oldest r10 greens up
-# to the window.  7 ROUND_NEW + 33 r9-stale + 10 r10-stale fills the
+# to the window.  8 ROUND_NEW + 33 r9-stale + 9 r10-stale fills the
 # 50-slot window exactly; after r13 no query's last verdict is older
-# than r10.  The r14 queue is q14_promo_revenue + text_token_count_bpe
-# + text_quality_score + text_language_id (yielded their slots to the
-# late-round gates) + the remaining 33 r10-stale (histogram
+# than r10.  The r14 queue is q5_region_revenue + q14_promo_revenue +
+# text_token_count_bpe + text_quality_score + text_language_id
+# (yielded their slots to the late-round gates) + the remaining 33
+# r10-stale (histogram
 # output order): text_fingerprint, dedup_jaccard_pairs,
 # dedup_lsh_bucket_stats, corpus_source_overlap, ann_brute_force_topk,
 # ann_label_centroids, cors_preflight, objects_upsert_merge,
@@ -3587,7 +3625,7 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_bm25_postings_topk",
     "corpus_hybrid_search_rrf",
     "corpus_rerank_stub",
-    # --- oldest r10-stale (10 of 47, same source) ---
+    # --- oldest r10-stale (9 of 47, same source) ---
     "list_objects_root",
     "list_objects_paged",
     "bucket_usage",
@@ -3597,11 +3635,10 @@ DRIVER_PRIORITY: list[str] = [
     "events_dedup_first",
     "events_sessionize",
     "q3_top_unshipped",
-    "q5_region_revenue",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (all were green in r9/r10), and 7 + 33 + 10 fills the window.
+# canary (all were green in r9/r10), and 8 + 33 + 9 fills the window.
 GREEN_CORE: list[str] = []
 
 

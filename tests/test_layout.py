@@ -384,3 +384,30 @@ def test_ivfpq_residual_batch_matches_single_query(spark, layout_dir):
             ).collect()
         ]
         assert by_q[qid] == single and len(single) == 10
+
+
+@pytest.mark.slow
+def test_semantic_dedup_from_layout_matches_in_query(spark, layout_dir):
+    """The SemDeDup sweep over the persisted IVF index (frozen
+    assignments, no Lloyd passes at sweep time) returns exactly the
+    train-in-query pairs when the layout was built at the same
+    parameters."""
+    from pithos_spark import tables as T
+    from pithos_spark.functions import similarity
+
+    emb = T.load_tables(spark, SF_ORACLE)["embeddings"]
+    assigned, centers = similarity.build_ivf_lloyd_index(emb, 64, 2)
+    path = f"{layout_dir}/sem_ivf_index"
+    similarity.save_ivf_index(assigned, centers, path)
+    stored = [
+        tuple(r)
+        for r in similarity.semantic_dedup_pairs_from_layout(
+            spark, path
+        ).collect()
+    ]
+    live = [tuple(r) for r in similarity.semantic_dedup_pairs(emb).collect()]
+    assert stored == live and len(live) > 0
+    # the sweep's input is the cluster-partitioned stored table
+    import glob
+
+    assert glob.glob(f"{path}/assigned/cluster=*")
