@@ -775,6 +775,22 @@ ORACLES["ann_ivf_cluster_stats"] = similarity.ivf_cluster_stats_oracle()
 QUERIES["dedup_pq_code_stats"] = _emb_query(similarity.pq_code_bucket_stats)
 ORACLES["dedup_pq_code_stats"] = similarity.pq_code_bucket_stats_oracle()
 
+
+# the same occupancy report over the PERSISTED index (r13): what a
+# deployment actually runs before sweeping the frozen code table — no
+# retrain, no re-encode; stored codes are value-identical to a fresh
+# train, so the gate shares the train-in-query oracle.
+def _pq_code_stats_from_layout(spark, sf_dir):
+    return similarity.pq_code_bucket_stats_from_layout(
+        spark, _pq_index_path(spark, sf_dir)
+    )
+
+
+QUERIES["dedup_pq_code_stats_from_layout"] = _pq_code_stats_from_layout
+ORACLES["dedup_pq_code_stats_from_layout"] = (
+    similarity.pq_code_bucket_stats_oracle()
+)
+
 # IVF-PQ (r11): the composed FAISS-style IVFADC serving layout —
 # Lloyd coarse pruning to n_probe inverted lists, ADC over the code
 # table within them, exact rerank.  Both trainers are the existing
@@ -3550,7 +3566,9 @@ ORACLES["corpus_bpe_heldout_fertility"] = text.bpe_heldout_fertility_oracle(
 #  - dedup_embedding_ladder: per-tier embedding near-dup counts (the
 #    blocking-strategy recall comparison, vector-side ladder), and
 #    dedup_semantic_from_layout: the SemDeDup sweep over the persisted
-#    IVF index (no Lloyd passes at sweep time);
+#    IVF index (no Lloyd passes at sweep time), and
+#    dedup_pq_code_stats_from_layout: the occupancy report over the
+#    frozen code table (the deployment form);
 #  - corpus_top_terms_tfidf re-gate (VERDICT r12 task 3): the token
 #    explode is now bounded_persist'd so its two consumers share one
 #    corpus scan.
@@ -3562,6 +3580,7 @@ ROUND_NEW: list[str] = [
     "ann_ivfpq_residual_recall",
     "dedup_embedding_ladder",
     "dedup_semantic_from_layout",
+    "dedup_pq_code_stats_from_layout",
     "corpus_top_terms_tfidf",
 ]
 
@@ -3570,12 +3589,12 @@ ROUND_NEW: list[str] = [
 # were wrong two rounds running): run `python
 # scripts/verdict_histogram.py` and splice its r9-stale cohort (all
 # 33, registry insertion order) followed by the oldest r10 greens up
-# to the window.  8 ROUND_NEW + 33 r9-stale + 9 r10-stale fills the
+# to the window.  9 ROUND_NEW + 33 r9-stale + 8 r10-stale fills the
 # 50-slot window exactly; after r13 no query's last verdict is older
-# than r10.  The r14 queue is q5_region_revenue + q14_promo_revenue +
-# text_token_count_bpe + text_quality_score + text_language_id
-# (yielded their slots to the late-round gates) + the remaining 33
-# r10-stale (histogram
+# than r10.  The r14 queue is q3_top_unshipped + q5_region_revenue +
+# q14_promo_revenue + text_token_count_bpe + text_quality_score +
+# text_language_id (yielded their slots to the late-round gates) + the
+# remaining 33 r10-stale (histogram
 # output order): text_fingerprint, dedup_jaccard_pairs,
 # dedup_lsh_bucket_stats, corpus_source_overlap, ann_brute_force_topk,
 # ann_label_centroids, cors_preflight, objects_upsert_merge,
@@ -3625,7 +3644,7 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_bm25_postings_topk",
     "corpus_hybrid_search_rrf",
     "corpus_rerank_stub",
-    # --- oldest r10-stale (9 of 47, same source) ---
+    # --- oldest r10-stale (8 of 47, same source) ---
     "list_objects_root",
     "list_objects_paged",
     "bucket_usage",
@@ -3634,11 +3653,10 @@ DRIVER_PRIORITY: list[str] = [
     "events_sliding_activity",
     "events_dedup_first",
     "events_sessionize",
-    "q3_top_unshipped",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (all were green in r9/r10), and 8 + 33 + 9 fills the window.
+# canary (all were green in r9/r10), and 9 + 33 + 8 fills the window.
 GREEN_CORE: list[str] = []
 
 
