@@ -123,6 +123,11 @@ EXTRA_REPEATS = {
     # r13 rehearsal spread 113% on a ~4 s median (run on a loaded box;
     # the historical band is 30-45%) — extra samples per the >50% rule
     "dedup_minhash_lsh": 9,
+    # r13 spreads 63.0% and 52.9% (VERDICT r13 task 3): both files were
+    # untouched that round, so the 2.37x/2.02x medians were spread
+    # artifacts — extra repeats per the bench's own >50% rule
+    "corpus_bm25_postings_topk": 9,
+    "dedup_containment_cap20": 9,
 }
 
 # 5 repeats (r10, was 3): with the untimed warmup lap all samples are

@@ -3470,13 +3470,15 @@ ORDER BY vec_a, vec_b"""
 def embedding_dedup_ladder(
     embeddings: DataFrame,
     threshold_q: int = 300_000,
+    max_label: int = 500,
 ) -> DataFrame:
-    """One operational readout across the EMBEDDING dedup ladder (r13)
-    — the vector-side counterpart of functions/dedup.dedup_ladder_report:
-    per tier, how many near-duplicate pairs this corpus carries under
-    each blocking strategy, at the same parameters the registry gates
-    individually.  The per-snapshot drift report a curation run records
-    before choosing which tier to sweep with.
+    """One operational readout across the EMBEDDING dedup ladder (r13;
+    exact tier bounded in r14) — the vector-side counterpart of
+    functions/dedup.dedup_ladder_report: per tier, how many
+    near-duplicate pairs this corpus carries under each blocking
+    strategy, at the same parameters the registry gates individually.
+    The per-snapshot drift report a curation run records before
+    choosing which tier to sweep with.
 
     Tiers: label-blocked exact cosine, hyperplane LSH-bucket blocking
     (the 100 TB default), trained-Lloyd semantic clusters (SemDeDup
@@ -3492,32 +3494,67 @@ def embedding_dedup_ladder(
     metadata is not a recall ceiling, and this report is what shows
     it).
 
-    Scale: a union of four independent bounded aggregations — each tier
-    keeps its own bucket/cluster/code caps, and the report is 4 rows
-    regardless of corpus size."""
+    Scale (VERDICT r13 task 1): the exact-cosine tier used to be an
+    UNCAPPED within-label all-pairs join — quadratic whenever one
+    label covers most of the corpus (at 100 TB "one language" is
+    exactly that).  It now applies the same hash-deterministic
+    ``max_label`` window cap the semantic tier applies per cluster
+    (row_number over portable_hash60(vec_id) per label, keep the first
+    ``max_label``), so its worst case is labels x max_label^2 pairs
+    regardless of skew, and the rows it excludes are reported in the
+    ``n_capped_ids`` telemetry column.  ``n_capped_ids`` counts ids
+    dropped by the LADDER-level cap only: the three delegated tiers
+    enforce their own caps internally (bucket caps, ``max_cluster``,
+    code-occupancy caps) and report their drop telemetry through their
+    dedicated occupancy gates (dedup_lsh_bucket_stats,
+    dedup_pq_code_stats, dedup_shingle_df_stats), so their ladder rows
+    carry an exact 0, not an unknown.  The report is 4 rows regardless
+    of corpus size, and every tier's work is now bounded."""
+    from pyspark.sql import Window
+
     def _count(name: str, df: DataFrame) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias("n")).select(
             F.lit(name).alias("tier"),
             F.col("n").cast("long").alias("n_pairs"),
+            F.lit(0).cast("long").alias("n_capped_ids"),
         )
 
-    a = embeddings.select(
+    wl = Window.partitionBy("label").orderBy(
+        portable_hash60(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    ranked = embeddings.select("vec_id", "label", "embedding").withColumn(
+        "_bn", F.row_number().over(wl)
+    )
+    kept = ranked.filter(F.col("_bn") <= max_label)
+    a = kept.select(
         F.col("vec_id").alias("vec_a"),
         "label",
         F.col("embedding").alias("emb_a"),
     )
-    b = embeddings.select(
+    b = kept.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("emb_b"),
     )
-    cosine = (
+    cosine_pairs = (
         a.join(b, (a.label == b.label_b) & (F.col("vec_a") < F.col("vec_b")))
         .select(quantized_dot(F.col("emb_a"), F.col("emb_b")).alias("dot_q"))
         .filter(F.col("dot_q") >= threshold_q)
     )
+    dropped = ranked.filter(F.col("_bn") > max_label).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    cosine = (
+        cosine_pairs.agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(dropped)  # 1x1: two single-row aggregates
+        .select(
+            F.lit("cosine_label_block").alias("tier"),
+            F.col("n").cast("long").alias("n_pairs"),
+            F.col("d").cast("long").alias("n_capped_ids"),
+        )
+    )
     tiers = [
-        _count("cosine_label_block", cosine),
+        cosine,
         _count(
             "lsh_bucket",
             embedding_lsh_dedup_pairs(embeddings, threshold_q=threshold_q),
@@ -3537,21 +3574,40 @@ def embedding_dedup_ladder(
     return out.orderBy("tier")
 
 
-def embedding_dedup_ladder_oracle(threshold_q: int = 300_000) -> str:
+def embedding_dedup_ladder_oracle(
+    threshold_q: int = 300_000, max_label: int = 500
+) -> str:
     """DuckDB twin of :func:`embedding_dedup_ladder` — each tier's own
     gate oracle wrapped as a counted subquery, unioned (the
-    dedup_ladder_report_oracle pattern)."""
+    dedup_ladder_report_oracle pattern).  The cosine tier mirrors the
+    ladder-level per-label cap (row_number over the portable 60-bit
+    md5 hash) and its dropped-id telemetry; delegated tiers carry the
+    exact 0 the Spark side emits."""
+    cap_hash = portable_hash60_sql("vec_id::VARCHAR")
     cosine = f"""\
-SELECT 'cosine_label_block' AS tier, CAST(count(*) AS BIGINT) AS n_pairs
+SELECT 'cosine_label_block' AS tier, n_pairs, n_capped_ids
 FROM (
-    SELECT (SELECT CAST(sum(CAST(floor(CAST(a.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
-                             CAST(floor(CAST(b.embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
-            FROM generate_series(1, 64) g(i)) AS dot_q
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-) p WHERE dot_q >= {threshold_q}"""
+    WITH ranked AS (
+        SELECT vec_id, label, embedding, row_number() OVER (
+            PARTITION BY label ORDER BY {cap_hash}, vec_id) AS _bn
+        FROM embeddings
+    ), capped AS (
+        SELECT vec_id, label, embedding FROM ranked WHERE _bn <= {max_label}
+    ), pairs AS (
+        SELECT (SELECT CAST(sum(CAST(floor(CAST(a.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                                 CAST(floor(CAST(b.embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+                FROM generate_series(1, 64) g(i)) AS dot_q
+        FROM capped a JOIN capped b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs
+            WHERE dot_q >= {threshold_q}) AS n_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM ranked
+            WHERE _bn > {max_label}) AS n_capped_ids
+) c"""
     parts = [cosine] + [
-        f"SELECT '{name}' AS tier, CAST(count(*) AS BIGINT) AS n_pairs"
+        f"SELECT '{name}' AS tier, CAST(count(*) AS BIGINT) AS n_pairs,"
+        f" CAST(0 AS BIGINT) AS n_capped_ids"
         f" FROM (\n{sql}\n) t"
         for name, sql in [
             (

@@ -3585,30 +3585,12 @@ ROUND_NEW: list[str] = [
 ]
 
 # The stale backlog, oldest verdict first.  THIS LIST IS GENERATED,
-# not hand-written (VERDICT r12 task 2 — hand counts in this block
-# were wrong two rounds running): run `python
-# scripts/verdict_histogram.py` and splice its r9-stale cohort (all
-# 33, registry insertion order) followed by the oldest r10 greens up
-# to the window.  9 ROUND_NEW + 33 r9-stale + 8 r10-stale fills the
-# 50-slot window exactly; after r13 no query's last verdict is older
-# than r10.  The r14 queue is q3_top_unshipped + q5_region_revenue +
-# q14_promo_revenue + text_token_count_bpe + text_quality_score +
-# text_language_id (yielded their slots to the late-round gates) + the
-# remaining 33 r10-stale (histogram
-# output order): text_fingerprint, dedup_jaccard_pairs,
-# dedup_lsh_bucket_stats, corpus_source_overlap, ann_brute_force_topk,
-# ann_label_centroids, cors_preflight, objects_upsert_merge,
-# objects_delete_where, objects_bulk_delete, chunk_ingest_explode,
-# tenant_usage_rollup, post_policy_validate, events_value_percentiles,
-# dedup_embedding_lsh, corpus_profile, corpus_decontaminate_bloom,
-# corpus_duplicate_span_intervals, corpus_source_vocab_overlap,
-# corpus_cluster_prototypes, corpus_mmr_rerank, corpus_duplicate_spans,
-# corpus_mask_duplicate_spans, acl_edn_grants, dedup_semantic,
-# ann_projected_topk, corpus_perplexity_filter,
-# corpus_tokenizer_fertility, corpus_semantic_topics,
-# dedup_semantic_clusters, corpus_chunk_windows, s3_resolve_operations,
-# events_api_traffic — but regenerate from the script before trusting
-# this paragraph.
+# not hand-written (VERDICT r12 task 2; r13 task 8 removed the
+# hand-written next-round name list that kept drifting): run `python
+# scripts/verdict_histogram.py` and splice its stale cohorts (oldest
+# verdict first, registry insertion order within a cohort) after
+# ROUND_NEW until the 50-slot window is full.  No query names belong
+# in this comment — the script is the only source of truth.
 DRIVER_PRIORITY: list[str] = [
     # --- r9-stale (33, verdict_histogram.py output, insertion order) ---
     "list_objects_flagship",

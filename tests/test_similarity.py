@@ -703,3 +703,47 @@ def test_ivfpq_residual_recall_monotone_in_probes(spark, embeddings, tmp_path):
     for qid in ids:
         assert wide[qid] >= narrow[qid], qid
     assert sum(wide.values()) > 0
+
+
+@pytest.mark.slow
+def test_embedding_ladder_label_cap_binds_and_counts_drops(embeddings):
+    """VERDICT r13 task 1: the ladder's exact-cosine tier must be
+    bounded.  With a binding max_label the tier joins only the kept
+    slice (pairs can only shrink vs the uncapped run) and n_capped_ids
+    reports EXACTLY the rows the cap excluded; delegated tiers carry
+    the exact 0 (their caps live in their own gates)."""
+    from pyspark.sql import functions as F
+
+    from pithos_spark.functions.similarity import embedding_dedup_ladder
+
+    uncapped = {
+        r["tier"]: r
+        for r in embedding_dedup_ladder(embeddings, max_label=10**9).collect()
+    }
+    capped = {
+        r["tier"]: r
+        for r in embedding_dedup_ladder(embeddings, max_label=10).collect()
+    }
+    assert set(capped) == {
+        "cosine_label_block",
+        "lsh_bucket",
+        "pq_code",
+        "semantic_cluster",
+    }
+    # exact drop accounting: total rows minus sum(min(label_count, cap))
+    counts = [
+        r["c"]
+        for r in embeddings.groupBy("label").agg(F.count("*").alias("c")).collect()
+    ]
+    expected_dropped = sum(max(0, c - 10) for c in counts)
+    assert capped["cosine_label_block"]["n_capped_ids"] == expected_dropped
+    assert expected_dropped > 0, "cap must bind on this fixture"
+    assert (
+        capped["cosine_label_block"]["n_pairs"]
+        <= uncapped["cosine_label_block"]["n_pairs"]
+    )
+    assert uncapped["cosine_label_block"]["n_capped_ids"] == 0
+    for tier in ("lsh_bucket", "pq_code", "semantic_cluster"):
+        assert capped[tier]["n_capped_ids"] == 0
+        # delegated tiers are independent of the ladder-level cap
+        assert capped[tier]["n_pairs"] == uncapped[tier]["n_pairs"]
