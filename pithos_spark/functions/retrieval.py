@@ -177,6 +177,58 @@ def write_postings_layout(documents: DataFrame, path: str) -> None:
     )
 
 
+def append_to_postings_layout(delta_documents: DataFrame, path: str) -> None:
+    """Crawl-delta maintenance for the postings layout (VERDICT r13
+    task 4 — the ``append_to_ivfpq_residual_index`` contract
+    transplanted to the lexical side): a daily ingest of NEW documents
+    appends its postings rows and refreshes the additive corpus stats;
+    work is delta-linear — no full-corpus re-tokenize, no vocabulary
+    rewrite.
+
+    Why pure row-append is exact here: the postings table keys on
+    (term, doc_id) and a crawl delta is new doc_ids, so delta rows are
+    disjoint from the base's; per-term df is derived from posting rows
+    AT QUERY TIME in :func:`bm25_topk_from_postings` (a count over the
+    query terms' pruned lists), so it refreshes for free; and the
+    1-row stats table (n_docs, total_len) is a pair of additive
+    counters.  ``write_postings_layout(base)`` + append(delta) serves
+    bit-identically to a one-pass build over base ∪ delta (contract
+    test in tests/test_layout.py).  Updates to EXISTING doc_ids are
+    out of scope — those go through a rebuild, same as the ANN layouts.
+
+    The delta's rows are range-partitioned and sorted by (term, doc_id)
+    within the appended files, so the pushed ``term IN (...)`` filter
+    keeps row-group skipping inside every segment."""
+    spark = delta_documents.sparkSession
+    old = spark.read.parquet(f"{path}/stats").collect()[0]
+    p = build_postings(delta_documents)
+    (
+        p.repartitionByRange("term", "doc_id")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("append")
+        .parquet(f"{path}/postings")
+    )
+    toks = delta_documents.select(F.size(_tokens(F.col("text"))).alias("_n"))
+    d = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("total_len"),
+    ).collect()[0]
+    (
+        spark.createDataFrame(
+            [
+                (
+                    int(old["n_docs"]) + int(d["n_docs"]),
+                    int(old["total_len"]) + int(d["total_len"]),
+                )
+            ],
+            "n_docs long, total_len long",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats")
+    )
+
+
 def bm25_topk_from_postings(
     spark,
     path: str,

@@ -1849,6 +1849,68 @@ def write_trigram_lm_layout(
         tri_lm.unpersist()
 
 
+def append_to_trigram_lm_layout(
+    delta_lm_documents: DataFrame, path: str
+) -> None:
+    """Crawl-delta maintenance for the gram layout (VERDICT r13 task 4
+    — the ``append_to_ivfpq_residual_index`` contract transplanted):
+    the bucket count is FROZEN at build time (read back from the stats
+    table, never recomputed), the delta's five count tables hash into
+    the SAME murmur3 buckets and append as new per-segment partial
+    rows, and n_total refreshes additively.  Work is delta-linear — no
+    full-vocabulary rewrite, no re-derivation of the base counts.
+
+    A gram present in both base and delta now has one partial count
+    row PER SEGMENT in its (frozen-hash, therefore same) bucket
+    partition; readers merge segments per gram with one
+    map-side-combinable sum (:func:`_merge_segment_counts` — the LSM
+    read-merge), so append==rebuild bit-exactly for every scoring path
+    (contract test in tests/test_layout.py).  Probe pruning survives
+    appends unchanged: frozen n_buckets means a gram's partition never
+    moves, and appended files land inside existing ``b=`` directories.
+    Assumes a non-empty base layout (the empty-LM n_total clamp is a
+    build-time concern)."""
+    spark = delta_lm_documents.sparkSession
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_buckets = int(stats["n_buckets"])
+    tri = _trigram_windows(delta_lm_documents).persist()
+    try:
+        d_total = tri.count()
+        for key, cnt in _TRIGRAM_COUNT_TABLES:
+            (
+                _trigram_counts(tri)[cnt]
+                .withColumn("b", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
+                .repartition("b")
+                .sortWithinPartitions(key)
+                .write.mode("append")
+                .partitionBy("b")
+                .parquet(f"{path}/{cnt}")
+            )
+        spark.createDataFrame(
+            [(int(stats["n_total"]) + d_total, n_buckets)],
+            "n_total long, n_buckets int",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    finally:
+        tri.unpersist()
+
+
+def _merge_segment_counts(
+    counts: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """LSM read-merge for (possibly appended) gram layouts: sum the
+    per-segment partial count rows per gram key.  On a one-pass layout
+    keys are already unique and this is a no-op aggregation; either
+    way it is one map-side-combinable shuffle per count table, keyed on
+    the same gram the scoring join shuffles on anyway."""
+    key_of = {cnt: key for key, cnt in _TRIGRAM_COUNT_TABLES}
+    return {
+        cnt: df.groupBy(key_of[cnt]).agg(
+            F.sum(cnt).cast("long").alias(cnt)
+        )
+        for cnt, df in counts.items()
+    }
+
+
 def _load_trigram_layout(spark, path: str):
     counts = {
         cnt: spark.read.parquet(f"{path}/{cnt}")
@@ -1876,7 +1938,9 @@ def trigram_heldout_from_layout(
 
     spark = documents.sparkSession
     counts, n_total, _ = _load_trigram_layout(spark, path)
-    counts = {cnt: df.drop("b") for cnt, df in counts.items()}
+    counts = _merge_segment_counts(
+        {cnt: df.drop("b") for cnt, df in counts.items()}
+    )
     tri_score = bounded_persist(
         _trigram_windows(documents), "trigram_layout.tri_score"
     )
@@ -1925,4 +1989,13 @@ def trigram_probe_from_layout(
         pruned[cnt] = (
             counts[cnt].filter(F.col("b").isin(buckets)).drop("b")
         )
-    return _trigram_score(tri_probe, pruned, n_total, l3, l2, l1, low, high)
+    return _trigram_score(
+        tri_probe,
+        _merge_segment_counts(pruned),
+        n_total,
+        l3,
+        l2,
+        l1,
+        low,
+        high,
+    )

@@ -2898,6 +2898,48 @@ def _bm25_postings(spark, sf_dir):
 QUERIES["corpus_bm25_postings_topk"] = _bm25_postings
 # identical results to the tokenize-on-read form, so the same oracle
 ORACLES["corpus_bm25_postings_topk"] = _retrieval_mod.bm25_topk_oracle()
+
+# crawl-delta postings maintenance (r14, VERDICT r13 task 4): the gate
+# builds the layout on 90% of the corpus, APPENDS the other 10% as a
+# crawl delta (append_to_postings_layout — delta-linear, frozen
+# layout contract), then serves top-k from the appended layout.  The
+# oracle is the FULL-corpus BM25 oracle, so the driver hash-checks the
+# append==rebuild equivalence itself, not just a rows count.
+_POSTINGS_APPEND_CACHE: dict = {}
+
+
+def _postings_append_path(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _POSTINGS_APPEND_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        import pyspark.sql.functions as F
+
+        path = tempfile.mkdtemp(prefix="postings_append_layout_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        docs = T.load_tables(spark, sf_dir)["documents"]
+        _retrieval_mod.write_postings_layout(
+            docs.filter(F.col("doc_id") % 10 != 0), path
+        )
+        _retrieval_mod.append_to_postings_layout(
+            docs.filter(F.col("doc_id") % 10 == 0), path
+        )
+        _POSTINGS_APPEND_CACHE[key] = path
+    return _POSTINGS_APPEND_CACHE[key]
+
+
+def _bm25_postings_appended(spark, sf_dir):
+    return _retrieval_mod.bm25_topk_from_postings(
+        spark, _postings_append_path(spark, sf_dir)
+    )
+
+
+QUERIES["corpus_bm25_postings_append_topk"] = _bm25_postings_appended
+ORACLES["corpus_bm25_postings_append_topk"] = (
+    _retrieval_mod.bm25_topk_oracle()
+)
 QUERIES["corpus_hybrid_search_rrf"] = _hybrid
 ORACLES["corpus_hybrid_search_rrf"] = _retrieval_mod.hybrid_rrf_topk_oracle()
 
@@ -3515,6 +3557,45 @@ def _trigram_heldout_from_layout(spark, sf_dir):
 
 QUERIES["corpus_trigram_heldout_from_layout"] = _trigram_heldout_from_layout
 ORACLES["corpus_trigram_heldout_from_layout"] = text.trigram_heldout_score_oracle(
+    score_pred=_TRI_SCORE_PRED, lm_pred=_TRI_LM_PRED
+)
+
+# crawl-delta gram-table maintenance (r14, VERDICT r13 task 4): build
+# the gram layout on the LM slice minus a 10% delta, APPEND the delta
+# (append_to_trigram_lm_layout — frozen bucket count, per-segment
+# partial rows, LSM read-merge), then score against the appended
+# layout.  Oracle = the one-pass full-LM heldout oracle, so the driver
+# hash-checks append==rebuild end to end.
+_TRIGRAM_APPEND_CACHE: dict = {}
+
+
+def _trigram_append_path(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TRIGRAM_APPEND_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="trigram_append_layout_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        lm = T.load_tables(spark, sf_dir)["documents"].filter(_TRI_LM_PRED)
+        text.write_trigram_lm_layout(lm.filter("doc_id % 40 <> 0"), path)
+        text.append_to_trigram_lm_layout(
+            lm.filter("doc_id % 40 = 0"), path
+        )
+        _TRIGRAM_APPEND_CACHE[key] = path
+    return _TRIGRAM_APPEND_CACHE[key]
+
+
+def _trigram_heldout_appended(spark, sf_dir):
+    docs = T.load_tables(spark, sf_dir)["documents"]
+    return text.trigram_heldout_from_layout(
+        docs.filter(_TRI_SCORE_PRED), _trigram_append_path(spark, sf_dir)
+    )
+
+
+QUERIES["corpus_trigram_heldout_appended"] = _trigram_heldout_appended
+ORACLES["corpus_trigram_heldout_appended"] = text.trigram_heldout_score_oracle(
     score_pred=_TRI_SCORE_PRED, lm_pred=_TRI_LM_PRED
 )
 

@@ -411,3 +411,108 @@ def test_semantic_dedup_from_layout_matches_in_query(spark, layout_dir):
     import glob
 
     assert glob.glob(f"{path}/assigned/cluster=*")
+
+
+@pytest.mark.slow
+def test_postings_incremental_append_equals_one_pass(spark, layout_dir):
+    """append_to_postings_layout (VERDICT r13 task 4): build the
+    postings layout on 90% of the corpus, append the remaining 10% in
+    two batches, and serving must equal a one-pass build over the full
+    corpus — postings rows, stats counters, and top-k all identical
+    (delta doc_ids are disjoint, df derives at query time, stats are
+    additive)."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions import retrieval
+
+    docs = T.load_tables(spark, SF_ORACLE)["documents"]
+    full_path = f"{layout_dir}/postings_full"
+    incr_path = f"{layout_dir}/postings_incr"
+    retrieval.write_postings_layout(docs, full_path)
+    retrieval.write_postings_layout(
+        docs.filter(F.col("doc_id") % 10 != 0), incr_path
+    )
+    # two delta batches: batch boundaries must not matter
+    retrieval.append_to_postings_layout(
+        docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 20 == 0)),
+        incr_path,
+    )
+    retrieval.append_to_postings_layout(
+        docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 20 != 0)),
+        incr_path,
+    )
+    got = [
+        tuple(r)
+        for r in retrieval.bm25_topk_from_postings(spark, incr_path).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in retrieval.bm25_topk_from_postings(spark, full_path).collect()
+    ]
+    assert got == want and len(got) == 20
+    gs = spark.read.parquet(f"{incr_path}/stats").collect()[0]
+    ws = spark.read.parquet(f"{full_path}/stats").collect()[0]
+    assert (gs["n_docs"], gs["total_len"]) == (ws["n_docs"], ws["total_len"])
+    a = {
+        tuple(r)
+        for r in spark.read.parquet(f"{incr_path}/postings").collect()
+    }
+    b = {
+        tuple(r)
+        for r in spark.read.parquet(f"{full_path}/postings").collect()
+    }
+    assert a == b
+
+
+@pytest.mark.slow
+def test_trigram_incremental_append_equals_one_pass(spark, layout_dir):
+    """append_to_trigram_lm_layout (VERDICT r13 task 4): frozen bucket
+    count, delta counts appended as per-segment partial rows into the
+    SAME murmur3 buckets, readers LSM-merge per gram — so both scoring
+    paths (full heldout read and the pruned probe) must equal a
+    one-pass layout built over the full LM slice."""
+    from pithos_spark import tables as T
+    from pithos_spark.functions import text
+
+    docs = T.load_tables(spark, SF_ORACLE)["documents"]
+    lm = docs.filter("doc_id % 4 = 0")
+    score = docs.filter("doc_id % 4 <> 0")
+    full_path = f"{layout_dir}/trigram_full"
+    incr_path = f"{layout_dir}/trigram_incr"
+    text.write_trigram_lm_layout(lm, full_path)
+    text.write_trigram_lm_layout(lm.filter("doc_id % 40 <> 0"), incr_path)
+    # two delta batches: a gram may now have up to three partial rows
+    text.append_to_trigram_lm_layout(
+        lm.filter("doc_id % 40 = 0 and doc_id % 80 = 0"), incr_path
+    )
+    text.append_to_trigram_lm_layout(
+        lm.filter("doc_id % 40 = 0 and doc_id % 80 <> 0"), incr_path
+    )
+    got = [
+        tuple(r)
+        for r in text.trigram_heldout_from_layout(score, incr_path).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in text.trigram_heldout_from_layout(score, full_path).collect()
+    ]
+    assert got == want and len(got) > 0
+    gs = spark.read.parquet(f"{incr_path}/stats").collect()[0]
+    ws = spark.read.parquet(f"{full_path}/stats").collect()[0]
+    assert (gs["n_total"], gs["n_buckets"]) == (ws["n_total"], ws["n_buckets"])
+    # appended files land inside the existing b= directories: the
+    # partition value set stays within the frozen bucket space
+    c3 = spark.read.parquet(f"{incr_path}/c3")
+    assert c3.select("b").distinct().count() <= int(ws["n_buckets"])
+    # the pruned probe path merges segments too
+    probe = score.filter("doc_id % 16 = 1")
+    gp = [
+        tuple(r)
+        for r in text.trigram_probe_from_layout(probe, incr_path).collect()
+    ]
+    wp = [
+        tuple(r)
+        for r in text.trigram_probe_from_layout(probe, full_path).collect()
+    ]
+    assert gp == wp and len(gp) > 0
