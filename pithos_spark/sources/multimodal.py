@@ -8,15 +8,18 @@ Header-level decode is REAL across all three modalities — image
 dimensions (PIL when importable, else stdlib PNG/JPEG/GIF header
 parses), WAV duration+sample rate (RIFF chunk walk), MP4
 dims+duration (ISO-BMFF box walk).  Full-PIXEL/sample decode is ALSO
-real for the formats a stdlib decoder covers (r11/r12): PNG
+real for the formats a stdlib decoder covers (r11/r12/r14): PNG
 (zlib+filter reconstruction, _png_gray_pixels), baseline JPEG
 (Huffman+IDCT, any sampling, restart intervals — _jpeg_gray_pixels),
-GIF (LZW, multi-frame — _gif_gray_frames), and 16-bit PCM WAV
+progressive JPEG (SOF2, spectral selection + successive
+approximation — _jpeg_progressive_gray_pixels, r14/VERDICT r13 task
+7: it was the coverage gate's largest flagged stand-in class), GIF
+(LZW, multi-frame — _gif_gray_frames), and 16-bit PCM WAV
 (_wav_pcm_samples); PIL, when importable, widens that set.  What
-remains on the deterministic stand-in: progressive/arithmetic/
-lossless JPEG, non-PCM/other-bit-depth WAV, MP4 frame extraction, and
-any format neither path recognizes — each flagged per-row in the
-``decoded`` column and measured in aggregate by
+remains on the deterministic stand-in: arithmetic/lossless/
+hierarchical/12-bit JPEG, non-PCM/other-bit-depth WAV, MP4 frame
+extraction, and any format neither path recognizes — each flagged
+per-row in the ``decoded`` column and measured in aggregate by
 :func:`decode_coverage` (per media_type x sniffed format real-decode
 rates), so the stand-in share is a queryable number, not a silent
 assumption.
@@ -305,6 +308,81 @@ _JPEG_ZZ = [
 ]
 
 
+def _jpeg_parse_dqt(seg: bytes, qt: dict[int, list[int]]) -> None:
+    """DQT segment: one or more 8- or 16-bit quant tables (T.81 B.2.4.1),
+    shared by the baseline and progressive decoders.  Total on
+    truncated segments: a short table is simply not installed."""
+    i = 0
+    while i < len(seg):
+        pq, tq = seg[i] >> 4, seg[i] & 0x0F
+        i += 1
+        need = 64 if pq == 0 else 128
+        if i + need > len(seg):
+            return  # truncated table
+        if pq == 0:
+            qt[tq] = list(seg[i : i + 64])
+        else:
+            qt[tq] = [
+                int.from_bytes(seg[i + 2 * k : i + 2 * k + 2], "big")
+                for k in range(64)
+            ]
+        i += need
+
+
+def _jpeg_parse_dht(
+    seg: bytes, huff: dict[tuple[int, int], dict[tuple[int, int], int]]
+) -> None:
+    """DHT segment: one or more canonical Huffman tables (T.81 B.2.4.2),
+    shared by the baseline and progressive decoders.  Total on
+    truncated segments: a short table is simply not installed."""
+    i = 0
+    while i + 17 <= len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 0x0F
+        counts = list(seg[i + 1 : i + 17])
+        i += 17
+        if i + sum(counts) > len(seg):
+            return  # truncated table
+        symbols = seg[i : i + sum(counts)]
+        i += sum(counts)
+        table: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                table[(length, code)] = symbols[k]
+                k += 1
+                code += 1
+            code <<= 1
+        huff[(tc, th)] = table
+
+
+def _jpeg_luma_pixels(
+    plane: list[int],
+    pw: int,
+    ph: int,
+    w: int,
+    h: int,
+    h0: int,
+    v0: int,
+    h_max: int,
+    v_max: int,
+) -> list[int]:
+    """Crop the MCU-padded luma plane to (w, h), nearest-neighbor
+    upsampled when Y is subsampled (identity when Y is max-sampled,
+    which is every real encoder's layout) — the shared render tail of
+    both JPEG decoders."""
+    if h0 == h_max and v0 == v_max:
+        return [plane[y * pw + x] for y in range(h) for x in range(w)]
+    return [
+        plane[
+            min((y * v0) // v_max, ph - 1) * pw
+            + min((x * h0) // h_max, pw - 1)
+        ]
+        for y in range(h)
+        for x in range(w)
+    ]
+
+
 def _jpeg_gray_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
     """Stdlib baseline-JPEG PIXEL decode (VERDICT r11 task 5): SOF0/SOF1
     sequential Huffman, 8-bit precision, any sampling factors / restart
@@ -351,22 +429,14 @@ def _jpeg_gray_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
         if pos + 2 > n:
             return None
         seg_len = int.from_bytes(b[pos : pos + 2], "big")
+        if seg_len < 2 or pos + seg_len > n:
+            return None
         seg = b[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT: one or more tables
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 0x0F
-                i += 1
-                if pq == 0:
-                    qt[tq] = list(seg[i : i + 64])
-                    i += 64
-                else:
-                    qt[tq] = [
-                        int.from_bytes(seg[i + 2 * k : i + 2 * k + 2], "big")
-                        for k in range(64)
-                    ]
-                    i += 128
+            _jpeg_parse_dqt(seg, qt)
         elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/ext. sequential
+            if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
+                return None
             if seg[0] != 8:
                 return None
             fh = int.from_bytes(seg[1:3], "big")
@@ -383,26 +453,14 @@ def _jpeg_gray_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
         ):
             return None  # progressive / arithmetic / lossless
         elif marker == 0xC4:  # DHT: one or more canonical tables
-            i = 0
-            while i + 17 <= len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 0x0F
-                counts = list(seg[i + 1 : i + 17])
-                i += 17
-                symbols = seg[i : i + sum(counts)]
-                i += sum(counts)
-                table: dict[tuple[int, int], int] = {}
-                code = 0
-                k = 0
-                for length in range(1, 17):
-                    for _ in range(counts[length - 1]):
-                        table[(length, code)] = symbols[k]
-                        k += 1
-                        code += 1
-                    code <<= 1
-                huff[(tc, th)] = table
+            _jpeg_parse_dht(seg, huff)
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                return None
             ri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS: header, then entropy data
+            if len(seg) < 1 or len(seg) < 4 + 2 * seg[0]:
+                return None
             ns = seg[0]
             scan_comps = [
                 (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F)
@@ -558,19 +616,455 @@ def _jpeg_gray_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
                                     0 if val < 0 else 255 if val > 255 else val
                                 )
             mcu_i += 1
-    # nearest-neighbor up to full resolution (identity when Y is
-    # max-sampled, which is every real encoder's layout)
-    if h0 == h_max and v0 == v_max:
-        px = [plane[y * pw + x] for y in range(h) for x in range(w)]
-    else:
-        px = [
-            plane[
-                min((y * v0) // v_max, ph - 1) * pw
-                + min((x * h0) // h_max, pw - 1)
+    px = _jpeg_luma_pixels(plane, pw, ph, w, h, h0, v0, h_max, v_max)
+    return int(w), int(h), px
+
+
+def _jpeg_progressive_gray_pixels(
+    b: bytes,
+) -> tuple[int, int, list[int]] | None:
+    """Stdlib PROGRESSIVE-JPEG (SOF2) luma decode (VERDICT r13 task 7):
+    Huffman progressive with BOTH progression dimensions — spectral
+    selection (band scans) and successive approximation (first +
+    refinement scans, DC and AC, T.81 §G.1.2) — 8-bit precision, any
+    sampling factors, restart intervals.  Coefficients accumulate
+    across scans in a per-block store for the FIRST frame component
+    only (luma, same grayscale contract as :func:`_jpeg_gray_pixels`):
+    interleaved DC scans entropy-decode the other components' DC to
+    stay in sync, while non-luma AC scans — single-component by T.81
+    §G.1.1 — are stepped over at the byte level without entropy
+    decoding at all.  After the last scan: dequantize + IDCT + the
+    shared crop/upsample tail.  Out of scope, mirroring the baseline
+    decoder's subset contract: arithmetic coding, lossless,
+    hierarchical, 12-bit (None -> the deterministic stand-in).
+    Reference decode semantics: ITU T.81 (public spec); no third-party
+    code."""
+    import math
+
+    n = len(b)
+    if n < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    ri = 0
+    coef: list[list[int]] = []  # luma blocks, natural-order coefficients
+    geom = None  # (w, h, comps, h_max, v_max, mcw, mch, nbx, nby)
+    n_scans = 0
+    dc_seen = False
+
+    def _skip_entropy(p: int) -> int:
+        """Advance past entropy-coded bytes to the next true marker
+        (stuffed 0xFF00 and RSTn are part of the entropy segment)."""
+        while p + 1 < n:
+            if b[p] == 0xFF and b[p + 1] != 0x00:
+                if 0xD0 <= b[p + 1] <= 0xD7:
+                    p += 2
+                    continue
+                return p
+            p += 1
+        return n
+
+    def _decode_scan(
+        scomps: list[tuple[int, int, int]],
+        ss: int,
+        se: int,
+        ah: int,
+        al: int,
+        start: int,
+    ) -> int | None:
+        """Decode one scan's entropy data (luma coefficients into
+        ``coef``), returning the byte position after it, or None on a
+        corrupt stream."""
+        nonlocal dc_seen
+        w, h, comps, h_max, v_max, mcw, mch, nbx, nby = geom
+        by_id = {cid: (hi, vi) for cid, hi, vi, _ in comps}
+        luma_id = comps[0][0]
+        is_dc = ss == 0
+        if is_dc:
+            if se != 0:
+                return None
+        else:
+            # progressive AC scans are single-component (T.81 G.1.1)
+            if len(scomps) != 1 or not (1 <= ss <= se <= 63):
+                return None
+        if ah != 0 and al != ah - 1:
+            return None
+        if any(cid not in by_id for cid, _, _ in scomps):
+            return None
+
+        bpos = start
+        bit = 0
+
+        def read_bit() -> int | None:
+            nonlocal bpos, bit
+            if bpos >= n:
+                return None
+            byte = b[bpos]
+            if byte == 0xFF and (bpos + 1 >= n or b[bpos + 1] != 0x00):
+                return None  # marker reached mid-entropy
+            v = (byte >> (7 - bit)) & 1
+            bit += 1
+            if bit == 8:
+                bit = 0
+                bpos += 2 if byte == 0xFF else 1
+            return v
+
+        def read_code(table) -> int | None:
+            code = 0
+            for length in range(1, 17):
+                v = read_bit()
+                if v is None:
+                    return None
+                code = (code << 1) | v
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            return None
+
+        def receive(t: int) -> int | None:
+            v = 0
+            for _ in range(t):
+                bit_ = read_bit()
+                if bit_ is None:
+                    return None
+                v = (v << 1) | bit_
+            return v
+
+        def receive_extend(t: int) -> int | None:
+            if t == 0:
+                return 0
+            v = receive(t)
+            if v is None:
+                return None
+            return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+        def expect_restart() -> bool:
+            nonlocal bpos, bit
+            if bit:
+                bit = 0
+                bpos += 1
+            if (
+                bpos + 1 >= n
+                or b[bpos] != 0xFF
+                or not 0xD0 <= b[bpos + 1] <= 0xD7
+            ):
+                return False
+            bpos += 2
+            return True
+
+        p1 = 1 << al
+
+        def correct(cf: list[int], zz: int) -> None:
+            # append the correction bit to a nonzero-history coefficient:
+            # magnitude gains 2^al, sign preserved (T.81 G.1.2.3)
+            v = cf[zz]
+            m = -v if v < 0 else v
+            if (m & p1) == 0:
+                m += p1
+            cf[zz] = -m if v < 0 else m
+
+        eobrun = 0
+
+        def decode_dc(cf, cid, td, preds) -> bool:
+            nonlocal dc_seen
+            if ah == 0:
+                tab = huff.get((0, td))
+                if tab is None:
+                    return False
+                t = read_code(tab)
+                if t is None:
+                    return False
+                diff = receive_extend(t)
+                if diff is None:
+                    return False
+                preds[cid] += diff
+                if cf is not None:
+                    cf[0] = preds[cid] << al
+                dc_seen = True
+            else:
+                bit_ = read_bit()
+                if bit_ is None:
+                    return False
+                if cf is not None and bit_:
+                    cf[0] |= p1
+            return True
+
+        def decode_ac_first(cf, ac_tab) -> bool:
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                return True
+            k = ss
+            while k <= se:
+                rs = read_code(ac_tab)
+                if rs is None:
+                    return False
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        extra = receive(r) if r else 0
+                        if extra is None:
+                            return False
+                        eobrun = (1 << r) - 1 + extra
+                        break
+                    k += 16
+                    continue
+                k += r
+                if k > se:
+                    return False
+                av = receive_extend(s)
+                if av is None:
+                    return False
+                cf[_JPEG_ZZ[k]] = av << al if av >= 0 else -((-av) << al)
+                k += 1
+            return True
+
+        def decode_ac_refine(cf, ac_tab) -> bool:
+            nonlocal eobrun
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = read_code(ac_tab)
+                    if rs is None:
+                        return False
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            extra = receive(r) if r else 0
+                            if extra is None:
+                                return False
+                            eobrun = (1 << r) + extra
+                            break
+                    else:
+                        if s != 1:
+                            return False  # refinement sends only ±1
+                        sign = read_bit()
+                        if sign is None:
+                            return False
+                        newval = p1 if sign else -p1
+                    # pass r zero-history coefficients, correcting the
+                    # nonzero-history ones encountered on the way
+                    while k <= se:
+                        zz = _JPEG_ZZ[k]
+                        if cf[zz] != 0:
+                            bit_ = read_bit()
+                            if bit_ is None:
+                                return False
+                            if bit_:
+                                correct(cf, zz)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s and k <= se:
+                        cf[_JPEG_ZZ[k]] = newval
+                    k += 1
+            if eobrun > 0:
+                # EOB covers the rest of this band: correction bits for
+                # the remaining nonzero-history coefficients
+                while k <= se:
+                    zz = _JPEG_ZZ[k]
+                    if cf[zz] != 0:
+                        bit_ = read_bit()
+                        if bit_ is None:
+                            return False
+                        if bit_:
+                            correct(cf, zz)
+                    k += 1
+                eobrun -= 1
+            return True
+
+        preds = {cid: 0 for cid, _, _ in scomps}
+        unit_i = 0  # restart counting: MCUs (interleaved) / blocks
+
+        def maybe_restart() -> bool:
+            nonlocal preds, eobrun
+            if ri and unit_i and unit_i % ri == 0:
+                if not expect_restart():
+                    return False
+                preds = {cid: 0 for cid in preds}
+                eobrun = 0
+            return True
+
+        if len(scomps) > 1:
+            # interleaved (DC) scan: MCU order over all scan components
+            for my in range(mch):
+                for mx in range(mcw):
+                    if not maybe_restart():
+                        return None
+                    for cid, td, _ta in scomps:
+                        hc, vc = by_id[cid]
+                        for by in range(vc):
+                            for bx in range(hc):
+                                cf = None
+                                if cid == luma_id:
+                                    bi = (my * vc + by) * nbx + (mx * hc + bx)
+                                    cf = coef[bi]
+                                if not decode_dc(cf, cid, td, preds):
+                                    return None
+                    unit_i += 1
+        else:
+            # single-component scan: non-interleaved block order over
+            # the component's own ceil dimensions (T.81 A.2.2)
+            cid, td, ta = scomps[0]
+            hc, vc = by_id[cid]
+            # blocks over the component's ceil sample dims (T.81 A.2.2)
+            cbw = (-(-(w * hc) // h_max) + 7) // 8
+            cbh = (-(-(h * vc) // v_max) + 7) // 8
+            ac_tab = huff.get((1, ta)) if not is_dc else None
+            if not is_dc and ac_tab is None:
+                return None
+            for by in range(cbh):
+                for bx in range(cbw):
+                    if not maybe_restart():
+                        return None
+                    cf = None
+                    if cid == luma_id:
+                        cf = coef[by * nbx + bx]
+                    if is_dc:
+                        if not decode_dc(cf, cid, td, preds):
+                            return None
+                    elif cf is not None:
+                        if ah == 0:
+                            if not decode_ac_first(cf, ac_tab):
+                                return None
+                        else:
+                            if not decode_ac_refine(cf, ac_tab):
+                                return None
+                    unit_i += 1
+        if bit:
+            bpos += 1
+        return _skip_entropy(bpos)
+
+    pos = 2
+    while pos + 2 <= n:
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 2 > n:
+            return None
+        seg_len = int.from_bytes(b[pos : pos + 2], "big")
+        if seg_len < 2 or pos + seg_len > n:
+            return None
+        seg = b[pos + 2 : pos + seg_len]
+        if marker == 0xDB:
+            _jpeg_parse_dqt(seg, qt)
+        elif marker == 0xC4:
+            _jpeg_parse_dht(seg, huff)
+        elif marker == 0xDD:
+            if len(seg) < 2:
+                return None
+            ri = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xC2:  # SOF2: Huffman progressive
+            if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
+                return None
+            if seg[0] != 8 or frame is not None:
+                return None
+            fh = int.from_bytes(seg[1:3], "big")
+            fw = int.from_bytes(seg[3:5], "big")
+            comps = []
+            for c in range(seg[5]):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
+            if not fw or not fh or not comps:
+                return None
+            h_max = max(c[1] for c in comps)
+            v_max = max(c[2] for c in comps)
+            mcw = -(-fw // (8 * h_max))
+            mch = -(-fh // (8 * v_max))
+            _cid0, h0, v0, _tq0 = comps[0]
+            nbx, nby = mcw * h0, mch * v0
+            geom = (fw, fh, comps, h_max, v_max, mcw, mch, nbx, nby)
+            frame = (fw, fh, comps)
+            coef = [[0] * 64 for _ in range(nbx * nby)]
+        elif marker in (
+            0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+        ):
+            return None  # sequential handled by the baseline decoder;
+            # arithmetic / lossless / hierarchical out of scope
+        elif marker == 0xDA:
+            if frame is None:
+                return None
+            n_scans += 1
+            if n_scans > 256:  # progression sanity bound
+                return None
+            if len(seg) < 1 or len(seg) < 4 + 2 * seg[0]:
+                return None
+            ns = seg[0]
+            scomps = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F)
+                for c in range(ns)
             ]
-            for y in range(h)
-            for x in range(w)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            luma_id = frame[2][0][0]
+            data_start = pos + seg_len
+            if ss > 0 and (len(scomps) != 1 or scomps[0][0] != luma_id):
+                # non-luma AC scan: step over without decoding
+                pos = _skip_entropy(data_start)
+                continue
+            nxt = _decode_scan(scomps, ss, se, ah, al, data_start)
+            if nxt is None:
+                return None
+            pos = nxt
+            continue
+        pos += seg_len
+    if frame is None or not dc_seen:
+        return None
+    w, h, comps = frame
+    _cid0, h0, v0, tq0 = comps[0]
+    if tq0 not in qt:
+        return None
+    q = qt[tq0]
+    _, _, _, h_max, v_max, mcw, mch, nbx, nby = geom
+
+    cos_k = [
+        [
+            (0.3535533905932738 if u == 0 else 0.5)
+            * math.cos((2 * x + 1) * u * math.pi / 16)
+            for x in range(8)
         ]
+        for u in range(8)
+    ]
+    pw, ph = nbx * 8, nby * 8
+    plane = [0] * (pw * ph)
+    qnat = [0] * 64
+    for k in range(64):
+        qnat[_JPEG_ZZ[k]] = q[k]
+    for nb_y in range(nby):
+        for nb_x in range(nbx):
+            cf = coef[nb_y * nbx + nb_x]
+            dq = [cf[i] * qnat[i] for i in range(64)]
+            tmp = [
+                [
+                    sum(cos_k[u][x] * dq[v * 8 + u] for u in range(8))
+                    for x in range(8)
+                ]
+                for v in range(8)
+            ]
+            y0, x0 = nb_y * 8, nb_x * 8
+            for y in range(8):
+                row = (y0 + y) * pw + x0
+                for x in range(8):
+                    val = int(
+                        round(sum(cos_k[v][y] * tmp[v][x] for v in range(8)))
+                    ) + 128
+                    plane[row + x] = 0 if val < 0 else 255 if val > 255 else val
+    px = _jpeg_luma_pixels(plane, pw, ph, w, h, h0, v0, h_max, v_max)
     return int(w), int(h), px
 
 
@@ -598,7 +1092,11 @@ def _decode_gray_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
             return None
     raw = bytes(b)
     img = _png_gray_pixels(raw)
-    return img if img is not None else _jpeg_gray_pixels(raw)
+    if img is None:
+        img = _jpeg_gray_pixels(raw)
+    if img is None:
+        img = _jpeg_progressive_gray_pixels(raw)
+    return img
 
 
 def _gif_gray_frames(b: bytes) -> tuple[int, int, list[list[int]]] | None:
@@ -1088,11 +1586,12 @@ ORDER BY asset_id"""
 
 def _sniff_format(b: bytes) -> str:
     """Container sniff from magic bytes, splitting JPEG by frame type
-    (the decode-capability boundary: baseline/extended-sequential SOF0/1
-    have a stdlib pixel decoder, progressive SOF2 and the exotic frames
-    do not).  'other' for anything unrecognized — on the synthetic
-    corpus (utf-8 text payloads) that is every row, which is what keeps
-    the coverage gate's SQL twin exact."""
+    (the decode-capability boundary: baseline/extended-sequential
+    SOF0/1 and progressive SOF2 have stdlib pixel decoders since r14;
+    the exotic frames — arithmetic, lossless, hierarchical — do not).
+    'other' for anything unrecognized — on the synthetic corpus (utf-8
+    text payloads) that is every row, which is what keeps the coverage
+    gate's SQL twin exact."""
     b = bytes(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
