@@ -3631,38 +3631,27 @@ ORACLES["corpus_bpe_heldout_fertility"] = text.bpe_heldout_fertility_oracle(
 # order (still runnable, just outside the 50-entry hard gate this round).
 # ---------------------------------------------------------------------------
 
-# Queries changed or added in the CURRENT round (13) — spliced at the
+# Queries changed or added in the CURRENT round (14) — spliced at the
 # very front of the window so they get a fresh verdict:
-#  - dedup_pq_code_stats (VERDICT r12 task 4): bucket-occupancy
-#    telemetry for the PQ-code dedup tier — per-subspace (m, code)
-#    histogram, cap drops, induced candidate-pair work;
-#  - multimodal_decode_coverage (VERDICT r12 task 5): per-modality x
-#    sniffed-format real-decode rates over the asset table;
-#  - ann_pq_recall_report: measured recall@k of the persisted PQ index
-#    vs exact brute force (deterministic both sides, oracle-exact);
-#  - ann_ivfpq_residual_batch_from_layout: batched serving over the
-#    canonical residual index (|Q| queries, one code-table pass), and
-#    ann_ivfpq_residual_recall: its measured recall@k vs brute force
-#    (the probe/recall tradeoff readout);
-#  - dedup_embedding_ladder: per-tier embedding near-dup counts (the
-#    blocking-strategy recall comparison, vector-side ladder), and
-#    dedup_semantic_from_layout: the SemDeDup sweep over the persisted
-#    IVF index (no Lloyd passes at sweep time), and
-#    dedup_pq_code_stats_from_layout: the occupancy report over the
-#    frozen code table (the deployment form);
-#  - corpus_top_terms_tfidf re-gate (VERDICT r12 task 3): the token
-#    explode is now bounded_persist'd so its two consumers share one
-#    corpus scan.
+#  - corpus_bm25_postings_append_topk / corpus_trigram_heldout_appended
+#    (VERDICT r13 task 4): serving reads over crawl-delta-APPENDED
+#    lexical layouts, hash-checked against the one-pass full-corpus
+#    oracles — the driver proves append==rebuild itself;
+#  - dedup_embedding_ladder re-gate (VERDICT r13 task 1): the exact
+#    tier is now per-label capped with an n_capped_ids telemetry
+#    column (schema change — needs a fresh verdict);
+#  - corpus_trigram_heldout_from_layout re-gate: layout readers now
+#    LSM-merge per-segment partial count rows (plan change);
+#  - multimodal_decode_coverage re-gate + dedup_image_dhash_assets
+#    re-gate (VERDICT r13 task 7): the image pixel-decode dispatch
+#    gained the stdlib progressive-JPEG (SOF2) decoder.
 ROUND_NEW: list[str] = [
-    "dedup_pq_code_stats",
-    "multimodal_decode_coverage",
-    "ann_pq_recall_report",
-    "ann_ivfpq_residual_batch_from_layout",
-    "ann_ivfpq_residual_recall",
+    "corpus_bm25_postings_append_topk",
+    "corpus_trigram_heldout_appended",
     "dedup_embedding_ladder",
-    "dedup_semantic_from_layout",
-    "dedup_pq_code_stats_from_layout",
-    "corpus_top_terms_tfidf",
+    "corpus_trigram_heldout_from_layout",
+    "multimodal_decode_coverage",
+    "dedup_image_dhash_assets",
 ]
 
 # The stale backlog, oldest verdict first.  THIS LIST IS GENERATED,
@@ -3673,53 +3662,57 @@ ROUND_NEW: list[str] = [
 # ROUND_NEW until the 50-slot window is full.  No query names belong
 # in this comment — the script is the only source of truth.
 DRIVER_PRIORITY: list[str] = [
-    # --- r9-stale (33, verdict_histogram.py output, insertion order) ---
-    "list_objects_flagship",
-    "list_objects_no_delim",
-    "part_base_offsets",
-    "object_checksums",
-    "dedup_exact",
-    "multipart_etag",
-    "objects_latest_version",
-    "orphan_chunk_gc",
-    "payload_digest_verify",
-    "get_object_point",
-    "object_reassembly_verify",
-    "dedup_embedding_cosine",
-    "corpus_term_doc_freq",
-    "events_top_users_per_type",
-    "events_heavy_hitters",
-    "events_hourly_anomalies",
-    "events_hourly_gapfill",
-    "events_funnel",
-    "events_asof_last_click",
-    "events_trailing_hour_count",
-    "usage_grouping_sets",
-    "corpus_temperature_mix_weights",
-    "corpus_temperature_sample_mix",
-    "corpus_decontaminate_semantic",
-    "corpus_leakage_safe_split",
-    "corpus_bigram_lm",
-    "corpus_gate_report",
-    "corpus_mix_plan",
-    "corpus_repetition_stats",
-    "corpus_bm25_topk",
-    "corpus_bm25_postings_topk",
-    "corpus_hybrid_search_rrf",
-    "corpus_rerank_stub",
-    # --- oldest r10-stale (8 of 47, same source) ---
-    "list_objects_root",
-    "list_objects_paged",
-    "bucket_usage",
-    "complete_upload_validate",
-    "events_hourly_rollup",
-    "events_sliding_activity",
-    "events_dedup_first",
-    "events_sessionize",
+    # --- r10-stale (all 39, verdict_histogram.py output, insertion order) ---
+    "q3_top_unshipped",
+    "q5_region_revenue",
+    "q14_promo_revenue",
+    "text_token_count_bpe",
+    "text_quality_score",
+    "text_language_id",
+    "text_fingerprint",
+    "dedup_jaccard_pairs",
+    "dedup_lsh_bucket_stats",
+    "corpus_source_overlap",
+    "ann_brute_force_topk",
+    "ann_label_centroids",
+    "cors_preflight",
+    "objects_upsert_merge",
+    "objects_delete_where",
+    "objects_bulk_delete",
+    "chunk_ingest_explode",
+    "tenant_usage_rollup",
+    "post_policy_validate",
+    "events_value_percentiles",
+    "dedup_embedding_lsh",
+    "corpus_profile",
+    "corpus_decontaminate_bloom",
+    "corpus_duplicate_span_intervals",
+    "corpus_source_vocab_overlap",
+    "corpus_cluster_prototypes",
+    "corpus_mmr_rerank",
+    "corpus_duplicate_spans",
+    "corpus_mask_duplicate_spans",
+    "acl_edn_grants",
+    "dedup_semantic",
+    "ann_projected_topk",
+    "corpus_perplexity_filter",
+    "corpus_tokenizer_fertility",
+    "corpus_semantic_topics",
+    "dedup_semantic_clusters",
+    "corpus_chunk_windows",
+    "s3_resolve_operations",
+    "events_api_traffic",
+    # --- oldest r11-stale (5 of 44, same source) ---
+    "bucket_by_tenant",
+    "fetch_bucket",
+    "objects_page",
+    "object_descriptor",
+    "aborted_upload_gc",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (all were green in r9/r10), and 9 + 33 + 8 fills the window.
+# canary (all were green in r10/r11), and 6 + 39 + 5 fills the window;
+# after r14 no query's last verdict is older than r11.
 GREEN_CORE: list[str] = []
 
 
