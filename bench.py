@@ -102,6 +102,18 @@ HEADLINERS = [
     # round-13: the embedding dedup ladder — four blocking strategies,
     # one per-snapshot readout (the vector-side dedup_ladder_report)
     "dedup_embedding_ladder",
+    # round-14 (VERDICT r13 task 5): the recall reports are the
+    # per-index-version deployment gate for both persisted ANN
+    # families — track their cost like any serving query (one
+    # brute-force corpus scan for the whole query sample + one batched
+    # serving read)
+    "ann_pq_recall_report",
+    "ann_ivfpq_residual_recall",
+    # round-14 (VERDICT r13 task 4): serving reads over crawl-delta
+    # APPENDED lexical layouts — same serving shape as their one-pass
+    # twins, so any drift between the pairs is segment-merge overhead
+    "corpus_bm25_postings_append_topk",
+    "corpus_trigram_heldout_appended",
 ]
 
 # entries whose r11 spread exceeded ~50% run extra repeats (VERDICT r11
