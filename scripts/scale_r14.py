@@ -1,0 +1,216 @@
+"""SCALE_r14 measurement (VERDICT r13 tasks 1, 4, 5, 6).
+
+1. 10x growth lines (sf0.1 -> replicated sf1, warm medians of 3 — the
+   r9+ protocol) for every operator new or rewritten in r14, PLUS the
+   two r13 gates the judge flagged as missing their 10x lines:
+   dedup_embedding_ladder (now with the bounded exact tier — task 1's
+   done-condition) and ann_pq_recall_report (task 5).
+2. Lexical-layout append-vs-rebuild economics (task 4): appending a
+   10% crawl delta to the BM25 postings layout and to the trigram
+   gram layout vs rebuilding each from scratch, at both scales — the
+   lexical twin of SCALE_r13 §2's residual-IVFADC table.
+3. SemDeDup with k grown ~ n (task 6): one sweep measurement at sf1
+   with n_clusters scaled so expected cell occupancy matches the
+   sf0.1 default (k = n / target_cell), recording the
+   deployment-recipe economics (frozen-layout sweep vs in-query
+   train+sweep) instead of the fixed-k toy artifact SCALE_r13 noted.
+
+Usage: python scripts/scale_r14.py [sf01_dir] [sf1_dir]
+Prints one JSON line per measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import SparkSession
+
+
+def timed(fn, repeats=3):
+    fn()  # warmup
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(round(time.perf_counter() - t0, 3))
+    return round(statistics.median(samples), 3), samples
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf1 = sys.argv[2] if len(sys.argv) > 2 else ".scale/sf1"
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "32g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions import retrieval, similarity, text
+    from pithos_spark.registry import _TRI_LM_PRED, QUERIES
+    from pithos_spark.tables import load_tables
+
+    # --- 1. 10x growth lines ------------------------------------------------
+    names = [
+        "dedup_embedding_ladder",       # r13 gap + the r14 tier fix
+        "ann_pq_recall_report",         # r13 gap
+        "corpus_bm25_postings_append_topk",
+        "corpus_trigram_heldout_appended",
+        "corpus_trigram_heldout_from_layout",  # rewritten: LSM merge
+        "multimodal_decode_coverage",   # dispatch gained SOF2
+    ]
+    for name in names:
+        fn = QUERIES[name]
+        m01, _ = timed(lambda: noop(fn(spark, sf01)))
+        m1, _ = timed(lambda: noop(fn(spark, sf1)))
+        print(json.dumps({
+            "measure": "scale_growth",
+            "query": name,
+            "sf0.1_s": m01,
+            "sf1_s": m1,
+            "growth_10x": round(m1 / max(m01, 1e-9), 2),
+        }), flush=True)
+
+    # --- 2. lexical append vs rebuild ----------------------------------------
+    for sf_name, sf_dir in [("sf0.1", sf01), ("sf1", sf1)]:
+        docs = load_tables(spark, sf_dir)["documents"]
+        base = docs.filter(F.col("doc_id") % 10 != 0)
+        delta = docs.filter(F.col("doc_id") % 10 == 0)
+
+        # BM25 postings layout
+        root = tempfile.mkdtemp(prefix=f"scale_r14_postings_{sf_name}_")
+        i = [0]
+
+        def rebuild_postings():
+            retrieval.write_postings_layout(docs, f"{root}/full_{i[0]}")
+            i[0] += 1
+
+        m_rebuild, _ = timed(rebuild_postings)
+        # each timed sample appends the delta to a FRESH base layout
+        # (append mutates the target): base re-saves happen untimed
+        j = [0]
+
+        def build_base():
+            retrieval.write_postings_layout(base, f"{root}/base_{j[0]}")
+
+        build_base()
+        samples = []
+        for s_i in range(4):
+            t0 = time.perf_counter()
+            retrieval.append_to_postings_layout(delta, f"{root}/base_{j[0]}")
+            samples.append(round(time.perf_counter() - t0, 3))
+            if s_i < 3:
+                j[0] += 1
+                build_base()
+        m_append = round(statistics.median(samples[1:]), 3)
+        print(json.dumps({
+            "measure": "postings_append_vs_rebuild",
+            "sf": sf_name,
+            "append_10pct_median_s": m_append,
+            "append_samples": samples,
+            "rebuild_full_median_s": m_rebuild,
+            "speedup": round(m_rebuild / max(m_append, 1e-9), 2),
+        }), flush=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+        # trigram gram layout (LM slice only, as the gate builds it)
+        lm = docs.filter(_TRI_LM_PRED)
+        lm_base = lm.filter(F.col("doc_id") % 40 != 0)
+        lm_delta = lm.filter(F.col("doc_id") % 40 == 0)
+        root = tempfile.mkdtemp(prefix=f"scale_r14_trigram_{sf_name}_")
+        i = [0]
+
+        def rebuild_trigram():
+            text.write_trigram_lm_layout(lm, f"{root}/full_{i[0]}")
+            i[0] += 1
+
+        m_rebuild, _ = timed(rebuild_trigram)
+        j = [0]
+
+        def build_tri_base():
+            text.write_trigram_lm_layout(lm_base, f"{root}/base_{j[0]}")
+
+        build_tri_base()
+        samples = []
+        for s_i in range(4):
+            t0 = time.perf_counter()
+            text.append_to_trigram_lm_layout(lm_delta, f"{root}/base_{j[0]}")
+            samples.append(round(time.perf_counter() - t0, 3))
+            if s_i < 3:
+                j[0] += 1
+                build_tri_base()
+        m_append = round(statistics.median(samples[1:]), 3)
+        print(json.dumps({
+            "measure": "trigram_append_vs_rebuild",
+            "sf": sf_name,
+            "append_25pct_of_lm_median_s": m_append,
+            "append_samples": samples,
+            "rebuild_full_median_s": m_rebuild,
+            "speedup": round(m_rebuild / max(m_append, 1e-9), 2),
+        }), flush=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+    # --- 3. SemDeDup with k grown ~ n (task 6) --------------------------------
+    # sf0.1 default: n=2000, k=64 -> target cell ~31.25.  At sf1
+    # (n=20000) the deployment recipe scales k to ~n/31.25 = 640.
+    emb1 = load_tables(spark, sf1)["embeddings"]
+    n1 = emb1.count()
+    k_scaled = max(64, round(n1 / 31.25))
+    root = tempfile.mkdtemp(prefix="scale_r14_sem_")
+
+    def build_layout():
+        assigned, centers = similarity.build_ivf_lloyd_index(
+            emb1, k_scaled, 2
+        )
+        similarity.save_ivf_index(assigned, centers, f"{root}/idx")
+
+    t0 = time.perf_counter()
+    build_layout()
+    build_s = round(time.perf_counter() - t0, 3)
+
+    m_sweep, _ = timed(lambda: noop(
+        similarity.semantic_dedup_pairs_from_layout(spark, f"{root}/idx")
+    ))
+    m_inquery, _ = timed(lambda: noop(
+        similarity.semantic_dedup_pairs(emb1, k_scaled, 2)
+    ))
+    # fixed-k context line (the SCALE_r13 toy artifact, for contrast)
+    m_fixed, _ = timed(lambda: noop(
+        similarity.semantic_dedup_pairs(emb1, 64, 2)
+    ))
+    print(json.dumps({
+        "measure": "semdedup_scaled_k",
+        "sf": "sf1",
+        "n_vectors": n1,
+        "k_scaled": k_scaled,
+        "one_time_build_s": build_s,
+        "sweep_from_layout_median_s": m_sweep,
+        "in_query_train_plus_sweep_median_s": m_inquery,
+        "fixed_k64_in_query_median_s": m_fixed,
+        "lloyd_saving_x": round(m_inquery / max(m_sweep, 1e-9), 2),
+    }), flush=True)
+    shutil.rmtree(root, ignore_errors=True)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
