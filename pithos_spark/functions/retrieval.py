@@ -152,16 +152,23 @@ def build_postings(documents: DataFrame) -> DataFrame:
 
 def write_postings_layout(documents: DataFrame, path: str) -> None:
     """The retrieval analog of store.write_objects_layout: materialize
-    the inverted index range-partitioned by term and sorted within
-    files, so a query's term filter becomes row-group skipping over a
+    the inverted index hash-clustered by term and sorted within files,
+    so a query's term filter becomes row-group skipping over a
     contiguous posting list instead of a full-corpus tokenize.  Corpus
     stats (n_docs, total_len — what every BM25 score needs) persist
     alongside as a 1-row table.  Build cost is one pass over the
     corpus; every query thereafter reads only its own terms' postings.
+
+    r14 note: this used ``repartitionByRange``, whose RangePartitioner
+    runs a SAMPLING JOB over the child — i.e. a second full corpus
+    tokenize per build.  Hash-clustering (``repartition`` on term)
+    places each term's whole posting list in one file's sorted run
+    exactly the same for the pushed ``term IN`` min/max skipping, with
+    no sampling pass — one tokenize instead of two.
     """
     p = build_postings(documents)
     (
-        p.repartitionByRange("term", "doc_id")
+        p.repartition("term")
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
         .parquet(f"{path}/postings")
@@ -196,14 +203,16 @@ def append_to_postings_layout(delta_documents: DataFrame, path: str) -> None:
     test in tests/test_layout.py).  Updates to EXISTING doc_ids are
     out of scope — those go through a rebuild, same as the ANN layouts.
 
-    The delta's rows are range-partitioned and sorted by (term, doc_id)
-    within the appended files, so the pushed ``term IN (...)`` filter
-    keeps row-group skipping inside every segment."""
+    The delta's rows are hash-clustered on term and sorted by
+    (term, doc_id) within the appended files, so the pushed
+    ``term IN (...)`` filter keeps row-group skipping inside every
+    segment (and, unlike ``repartitionByRange``, the clustering needs
+    no sampling job — the delta is tokenized exactly once)."""
     spark = delta_documents.sparkSession
     old = spark.read.parquet(f"{path}/stats").collect()[0]
     p = build_postings(delta_documents)
     (
-        p.repartitionByRange("term", "doc_id")
+        p.repartition("term")
         .sortWithinPartitions("term", "doc_id")
         .write.mode("append")
         .parquet(f"{path}/postings")
@@ -223,7 +232,7 @@ def append_to_postings_layout(delta_documents: DataFrame, path: str) -> None:
             ],
             "n_docs long, total_len long",
         )
-        .coalesce(1)
+        .repartition(1)
         .write.mode("overwrite")
         .parquet(f"{path}/stats")
     )

@@ -1422,11 +1422,11 @@ def save_pq_index(
         [(m, c, v) for (m, c), v in sorted(codebooks.items())],
         "m int, code int, centroid_q array<bigint>",
     )
-    cb_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    cb_df.repartition(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     spark.createDataFrame(
         [(m_sub, k_codes, scale, dim)],
         "m_sub int, k_codes int, scale int, dim int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def load_pq_index(spark, path: str):
@@ -2219,11 +2219,11 @@ def save_ivfpq_residual_index(
     spark.createDataFrame(
         [(m, c, v) for (m, c), v in sorted(codebooks.items())],
         "m int, code int, centroid_q array<bigint>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     spark.createDataFrame(
         [(n_clusters, m_sub, k_codes, scale, dim)],
         "n_clusters int, m_sub int, k_codes int, scale int, dim int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def append_to_ivfpq_residual_index(

@@ -1321,7 +1321,7 @@ def write_classifier_weights_layout(
     of re-running the corpus-sized training explode in-query."""
     train_classifier_weights(
         labeled_documents, n_features, smoothing
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/weights")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/weights")
 
 
 def quality_classifier_from_layout(
@@ -1844,7 +1844,7 @@ def write_trigram_lm_layout(
             )
         lm_documents.sparkSession.createDataFrame(
             [(n_total, n_buckets)], "n_total long, n_buckets int"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+        ).repartition(1).write.mode("overwrite").parquet(f"{path}/stats")
     finally:
         tri_lm.unpersist()
 
@@ -1889,7 +1889,7 @@ def append_to_trigram_lm_layout(
         spark.createDataFrame(
             [(int(stats["n_total"]) + d_total, n_buckets)],
             "n_total long, n_buckets int",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+        ).repartition(1).write.mode("overwrite").parquet(f"{path}/stats")
     finally:
         tri.unpersist()
 

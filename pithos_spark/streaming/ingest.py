@@ -1,0 +1,218 @@
+"""Streaming layout maintenance: the crawl arrives as a STREAM.
+
+Batch form: a daily crawl delta lands and
+``retrieval.append_to_postings_layout`` folds it in (VERDICT r13 task
+4).  This module is the Structured Streaming twin for the continuous
+version of the same ingest — micro-batches of new documents keep the
+BM25 postings layout serveable without ever rebuilding it.
+
+Replay safety is the design constraint (the same one
+streaming_decode_coverage documents): foreachBatch is at-least-once,
+and duplicated POSTING rows are worse than duplicated telemetry rows —
+they corrupt tf/df and every score downstream.  A plain
+``mode("append")`` into the layout is therefore wrong for a stream.
+Instead each micro-batch writes its postings into an idempotent
+per-batch STAGING directory (``staged/ingest_batch=<id>`` via
+``mode("overwrite")`` — a replayed batch rewrites the same directory
+with the same deterministic contents, so duplicates cannot exist), and
+its additive stats row into a batch-tagged table the reader dedups on
+``batch_id``.  Serving unions base + staged segments; a compaction
+step folds staged segments into the base layout and refreshes stats
+(the LSM contract the trigram gram layout's read-merge uses).
+
+Reference framing: the reference treats ingest as mutate-in-place
+against Cassandra (src/io/pithos/meta.clj:153-251 upserts); a Spark
+layout is immutable files, so "mutate" decomposes into idempotent
+segment writes + unioned reads + compaction — same results, replay
+safe, delta-linear.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def streaming_postings_ingest(
+    new_documents_stream,
+    layout_path: str,
+    checkpoint: str,
+):
+    """Maintain the postings layout from a stream of NEW documents:
+    each micro-batch tokenizes its documents (one delta-linear
+    ``build_postings`` pass, hash-clustered on term and sorted within
+    the segment so the pushed ``term IN`` filter row-group-skips
+    inside it) and writes
+
+    - ``{layout}/staged/ingest_batch=<id>`` — the segment's posting
+      rows, ``mode("overwrite")`` so a replayed batch is idempotent;
+    - one (batch_id, n_docs, total_len) row under
+      ``{layout}/staged_stats`` — additive counters, deduped by
+      batch_id at read (at-least-once append, deterministic row).
+
+    Serving reads through :func:`bm25_topk_with_staged`; fold segments
+    into the base with :func:`compact_staged_postings`.  Assumes the
+    stream carries genuinely new doc_ids (the batch append's contract —
+    updates go through a rebuild)."""
+    from pithos_spark.functions.retrieval import _tokens, build_postings
+
+    def _ingest(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        (
+            build_postings(batch_df)
+            .repartition("term")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{layout_path}/staged/ingest_batch={batch_id}")
+        )
+        toks = batch_df.select(F.size(_tokens(F.col("text"))).alias("_n"))
+        (
+            toks.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.coalesce(F.sum("_n"), F.lit(0))
+                .cast("long")
+                .alias("total_len"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{layout_path}/staged_stats")
+        )
+
+    return (
+        new_documents_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _staged_parts(spark, layout_path: str):
+    """(staged postings or None, staged stats 1-row agg or None) —
+    shared by the serving read and compaction."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        staged = spark.read.parquet(f"{layout_path}/staged").drop(
+            "ingest_batch"
+        )
+    except AnalysisException:
+        return None, None
+    try:
+        raw = spark.read.parquet(f"{layout_path}/staged_stats")
+    except AnalysisException:
+        return staged, None
+    stats = raw.dropDuplicates(["batch_id"]).agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("total_len"), F.lit(0))
+        .cast("long")
+        .alias("total_len"),
+    )
+    return staged, stats
+
+
+def bm25_topk_with_staged(
+    spark,
+    layout_path: str,
+    terms: tuple[str, ...] | None = None,
+    k: int = 20,
+):
+    """BM25 serving over base + staged segments: same scoring tail as
+    ``retrieval.bm25_topk_from_postings`` (df derived from the unioned
+    posting rows, so staged documents participate exactly), stats =
+    base counters + deduped staged counters.  Bit-identical to the
+    batch path over the union of documents (tested across trigger
+    splits and after compaction)."""
+    from pithos_spark.functions.retrieval import (
+        DEFAULT_TERMS,
+        IDF_SCALE,
+        NORM_SCALE,
+    )
+
+    terms = terms or DEFAULT_TERMS
+    post = spark.read.parquet(f"{layout_path}/postings")
+    stats = spark.read.parquet(f"{layout_path}/stats")
+    staged, staged_stats = _staged_parts(spark, layout_path)
+    if staged is not None:
+        post = post.unionByName(staged)
+    if staged_stats is not None:
+        stats = (
+            stats.crossJoin(
+                staged_stats.select(
+                    F.col("n_docs").alias("_dn"),
+                    F.col("total_len").alias("_dl"),
+                )
+            )  # 1x1: both sides are single-row stats
+            .select(
+                (F.col("n_docs") + F.col("_dn")).alias("n_docs"),
+                (F.col("total_len") + F.col("_dl")).alias("total_len"),
+            )
+        )
+    post = post.filter(F.col("term").isin(list(terms)))
+    df_per_term = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        post.join(F.broadcast(df_per_term), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf_q",
+            F.expr(
+                f"((2 * (n_docs - df) + 1) * {IDF_SCALE}) div (2 * df + 1)"
+            ),
+        )
+        .withColumn(
+            "term_score_q",
+            F.expr(
+                f"(22 * tf * idf_q * {NORM_SCALE}) div "
+                "(10 * tf * total_len + 3 * total_len + 9 * dl * n_docs)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_score_q").alias("score_q"))
+        .orderBy(F.col("score_q").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def compact_staged_postings(spark, layout_path: str) -> int:
+    """Fold the staged segments into the base layout: append the staged
+    posting rows (re-sorted per segment write, appended once), add the
+    deduped staged counters into the base stats, then drop the staging
+    area.  Returns the number of staged posting rows folded.  After
+    compaction ``bm25_topk_from_postings`` over the base alone equals
+    the pre-compaction staged read (tested)."""
+    import shutil
+
+    staged, staged_stats = _staged_parts(spark, layout_path)
+    if staged is None:
+        return 0
+    n = staged.count()
+    (
+        staged.repartition("term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("append")
+        .parquet(f"{layout_path}/postings")
+    )
+    old = spark.read.parquet(f"{layout_path}/stats").collect()[0]
+    add = (
+        staged_stats.collect()[0]
+        if staged_stats is not None
+        else {"n_docs": 0, "total_len": 0}
+    )
+    (
+        spark.createDataFrame(
+            [
+                (
+                    int(old["n_docs"]) + int(add["n_docs"]),
+                    int(old["total_len"]) + int(add["total_len"]),
+                )
+            ],
+            "n_docs long, total_len long",
+        )
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(f"{layout_path}/stats")
+    )
+    shutil.rmtree(f"{layout_path}/staged", ignore_errors=True)
+    shutil.rmtree(f"{layout_path}/staged_stats", ignore_errors=True)
+    return n

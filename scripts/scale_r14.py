@@ -15,8 +15,12 @@
    deployment-recipe economics (frozen-layout sweep vs in-query
    train+sweep) instead of the fixed-k toy artifact SCALE_r13 noted.
 
-Usage: python scripts/scale_r14.py [sf01_dir] [sf1_dir]
-Prints one JSON line per measurement.
+Usage: python scripts/scale_r14.py [sf01_dir] [sf1_dir] [section]
+section in {growth, append, semdedup, all} (default all).  The append
+section was re-run after the r14 small-table-write fix (repartition(1)
+instead of coalesce(1) — see SCALE_r14 §2 note) and the
+sampling-free postings clustering; SCALE_r14.md records the post-fix
+numbers.
 """
 
 from __future__ import annotations
@@ -50,6 +54,7 @@ def noop(df):
 def main():
     sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf1 = sys.argv[2] if len(sys.argv) > 2 else ".scale/sf1"
+    section = sys.argv[3] if len(sys.argv) > 3 else "all"
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -69,7 +74,7 @@ def main():
     from pithos_spark.tables import load_tables
 
     # --- 1. 10x growth lines ------------------------------------------------
-    names = [
+    names = [] if section not in ("growth", "all") else [
         "dedup_embedding_ladder",       # r13 gap + the r14 tier fix
         "ann_pq_recall_report",         # r13 gap
         "corpus_bm25_postings_append_topk",
@@ -90,7 +95,8 @@ def main():
         }), flush=True)
 
     # --- 2. lexical append vs rebuild ----------------------------------------
-    for sf_name, sf_dir in [("sf0.1", sf01), ("sf1", sf1)]:
+    sections_2 = [("sf0.1", sf01), ("sf1", sf1)] if section in ("append", "all") else []
+    for sf_name, sf_dir in sections_2:
         docs = load_tables(spark, sf_dir)["documents"]
         base = docs.filter(F.col("doc_id") % 10 != 0)
         delta = docs.filter(F.col("doc_id") % 10 == 0)
@@ -161,7 +167,7 @@ def main():
         print(json.dumps({
             "measure": "trigram_append_vs_rebuild",
             "sf": sf_name,
-            "append_25pct_of_lm_median_s": m_append,
+            "append_10pct_of_lm_median_s": m_append,
             "append_samples": samples,
             "rebuild_full_median_s": m_rebuild,
             "speedup": round(m_rebuild / max(m_append, 1e-9), 2),
@@ -171,6 +177,9 @@ def main():
     # --- 3. SemDeDup with k grown ~ n (task 6) --------------------------------
     # sf0.1 default: n=2000, k=64 -> target cell ~31.25.  At sf1
     # (n=20000) the deployment recipe scales k to ~n/31.25 = 640.
+    if section not in ("semdedup", "all"):
+        spark.stop()
+        return
     emb1 = load_tables(spark, sf1)["embeddings"]
     n1 = emb1.count()
     k_scaled = max(64, round(n1 / 31.25))

@@ -1373,3 +1373,114 @@ def test_streaming_ivfpq_residual_serve_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) == len(ids) * 10
+
+
+def test_streaming_postings_ingest_matches_batch(spark, tmp_path):
+    """Crawl-as-a-stream postings maintenance (r14): build the base
+    layout on half the corpus, stream the other half in several
+    micro-batches, and the staged serving read must equal the one-pass
+    batch layout over the FULL corpus — then compaction folds the
+    segments into the base and the plain batch serving path returns
+    the same rows."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions import retrieval
+    from pithos_spark.streaming.ingest import (
+        bm25_topk_with_staged,
+        compact_staged_postings,
+        streaming_postings_ingest,
+    )
+
+    docs = T.load_tables(spark, SF_SMOKE)["documents"]
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+
+    layout = str(tmp_path / "postings_layout")
+    retrieval.write_postings_layout(base, layout)
+    full_layout = str(tmp_path / "postings_full")
+    retrieval.write_postings_layout(docs, full_layout)
+    want = [
+        tuple(r)
+        for r in retrieval.bm25_topk_from_postings(spark, full_layout).collect()
+    ]
+
+    src = str(tmp_path / "delta_src")
+    delta.repartition(3).write.parquet(src)  # 3 files -> 3 micro-batches
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_postings_ingest(
+        stream, layout, str(tmp_path / "ckpt_postings")
+    )
+    q.awaitTermination(120)
+
+    got = [tuple(r) for r in bm25_topk_with_staged(spark, layout).collect()]
+    assert got == want and len(got) == 20
+    # stats: base counters + deduped staged counters == full build's
+    fs = spark.read.parquet(f"{full_layout}/stats").collect()[0]
+    staged_stats = spark.read.parquet(f"{layout}/staged_stats")
+    bs = spark.read.parquet(f"{layout}/stats").collect()[0]
+    agg = staged_stats.dropDuplicates(["batch_id"]).agg(
+        F.sum("n_docs"), F.sum("total_len")
+    ).collect()[0]
+    assert (bs["n_docs"] + agg[0], bs["total_len"] + agg[1]) == (
+        fs["n_docs"], fs["total_len"],
+    )
+
+    # compaction: segments fold into the base, plain serving read agrees
+    folded = compact_staged_postings(spark, layout)
+    assert folded > 0
+    after = [
+        tuple(r)
+        for r in retrieval.bm25_topk_from_postings(spark, layout).collect()
+    ]
+    assert after == want
+    # staging area is gone; a second compaction is a no-op
+    assert compact_staged_postings(spark, layout) == 0
+
+
+def test_streaming_postings_ingest_replay_is_idempotent(spark, tmp_path):
+    """At-least-once replay: re-running a micro-batch writer with the
+    same batch_id must leave the staged segment byte-identical (the
+    overwrite-per-batch-directory contract), and the stats reader
+    drops the duplicated batch-tagged row."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions import retrieval
+    from pithos_spark.streaming.ingest import (
+        bm25_topk_with_staged,
+        streaming_postings_ingest,
+    )
+
+    docs = T.load_tables(spark, SF_SMOKE)["documents"]
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    layout = str(tmp_path / "postings_layout_replay")
+    retrieval.write_postings_layout(base, layout)
+
+    src = str(tmp_path / "delta_src_replay")
+    delta.write.parquet(src)
+    for ckpt in ("ckpt_a", "ckpt_b"):  # fresh checkpoint -> batch 0 replays
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = streaming_postings_ingest(stream, layout, str(tmp_path / ckpt))
+        q.awaitTermination(120)
+
+    # segment rows did not duplicate (overwrite is idempotent)
+    staged = spark.read.parquet(f"{layout}/staged")
+    assert staged.count() == staged.dropDuplicates().count()
+    # the duplicated stats row is dropped by the batch_id dedup
+    raw = spark.read.parquet(f"{layout}/staged_stats")
+    assert raw.count() == 2  # two appends...
+    assert raw.dropDuplicates(["batch_id"]).count() == 1  # ...one batch
+    full_layout = str(tmp_path / "postings_full_replay")
+    retrieval.write_postings_layout(docs, full_layout)
+    want = [
+        tuple(r)
+        for r in retrieval.bm25_topk_from_postings(spark, full_layout).collect()
+    ]
+    got = [tuple(r) for r in bm25_topk_with_staged(spark, layout).collect()]
+    assert got == want
