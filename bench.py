@@ -281,7 +281,14 @@ def main() -> None:
 
     # the r12 one-time layout builds, benched like build_postings_layout:
     # what a deployment pays once per corpus/LM version so the serving
-    # headliners above read frozen tables
+    # headliners above read frozen tables.
+    # r14 expected step-change DOWN on build_trigram_lm_layout,
+    # build_pq_index, build_ivfpq_residual_index and
+    # build_postings_layout: the small-table writes (stats / codebooks
+    # / meta) dropped a ~4.5 s coalesce(1)-on-Python-relation tax
+    # (SCALE_r14 §2), and the postings build no longer pays
+    # repartitionByRange's sampling double-tokenize — faster medians
+    # here are the fix landing, not drift
     from pithos_spark.functions.similarity import (
         save_ivfpq_residual_index,
         save_pq_index,

@@ -3599,6 +3599,28 @@ ORACLES["corpus_trigram_heldout_appended"] = text.trigram_heldout_score_oracle(
     score_pred=_TRI_SCORE_PRED, lm_pred=_TRI_LM_PRED
 )
 
+# the probe-pruned layout read as its own driver gate (r14): scoring a
+# SMALL probe slice reads only the gram-bucket partitions the probe's
+# grams hash into (static b IN PartitionFilters, plan-pinned in
+# tests/test_plans.py) — and the oracle is the full derive-on-read
+# heldout oracle restricted to the probe, so the driver hash-proves
+# that pruning cannot change a score (a pruned-away bucket holds only
+# grams the probe never joins).
+_TRI_PROBE_PRED = "doc_id % 16 = 1"  # disjoint from the LM slice (%4=0)
+
+
+def _trigram_probe_pruned(spark, sf_dir):
+    docs = T.load_tables(spark, sf_dir)["documents"]
+    return text.trigram_probe_from_layout(
+        docs.filter(_TRI_PROBE_PRED), _trigram_layout_path(spark, sf_dir)
+    )
+
+
+QUERIES["corpus_trigram_probe_pruned"] = _trigram_probe_pruned
+ORACLES["corpus_trigram_probe_pruned"] = text.trigram_heldout_score_oracle(
+    score_pred=_TRI_PROBE_PRED, lm_pred=_TRI_LM_PRED
+)
+
 
 # frozen-tokenizer gate (r11): BPE trained on the held-out 1/4 slice,
 # applied to the 3/4 corpus — per-source fertility under a tokenizer
@@ -3641,17 +3663,20 @@ ORACLES["corpus_bpe_heldout_fertility"] = text.bpe_heldout_fertility_oracle(
 #    tier is now per-label capped with an n_capped_ids telemetry
 #    column (schema change — needs a fresh verdict);
 #  - corpus_trigram_heldout_from_layout re-gate: layout readers now
-#    LSM-merge per-segment partial count rows (plan change);
-#  - multimodal_decode_coverage re-gate + dedup_image_dhash_assets
-#    re-gate (VERDICT r13 task 7): the image pixel-decode dispatch
-#    gained the stdlib progressive-JPEG (SOF2) decoder.
+#    LSM-merge per-segment partial count rows (plan change), and
+#    corpus_trigram_probe_pruned: the probe-pruned layout read gains
+#    its own oracle gate (pruning hash-proven score-neutral);
+#  - multimodal_decode_coverage re-gate (VERDICT r13 task 7): the
+#    image pixel-decode dispatch gained the stdlib progressive-JPEG
+#    (SOF2) decoder (dedup_image_dhash_assets shares the dispatch but
+#    its synthetic-corpus results are unchanged; it rotates normally).
 ROUND_NEW: list[str] = [
     "corpus_bm25_postings_append_topk",
     "corpus_trigram_heldout_appended",
     "dedup_embedding_ladder",
     "corpus_trigram_heldout_from_layout",
+    "corpus_trigram_probe_pruned",
     "multimodal_decode_coverage",
-    "dedup_image_dhash_assets",
 ]
 
 # The stale backlog, oldest verdict first.  THIS LIST IS GENERATED,
