@@ -216,3 +216,182 @@ def compact_staged_postings(spark, layout_path: str) -> int:
     shutil.rmtree(f"{layout_path}/staged", ignore_errors=True)
     shutil.rmtree(f"{layout_path}/staged_stats", ignore_errors=True)
     return n
+
+
+def streaming_trigram_ingest(
+    new_lm_documents_stream,
+    layout_path: str,
+    checkpoint: str,
+):
+    """Maintain the trigram gram layout from a stream of new LM
+    documents — the gram-table twin of :func:`streaming_postings_ingest`,
+    and the continuous form of ``text.append_to_trigram_lm_layout``.
+
+    Each micro-batch derives its five gram count tables (delta-linear),
+    hashes them into the layout's FROZEN bucket count, and writes them
+    under ``{table}/staged/ingest_batch=<id>/b=<bucket>`` via
+    ``mode("overwrite")`` — idempotent under at-least-once replay, same
+    argument as the postings twin.  Its window count lands as a
+    batch-tagged row under ``{layout}/staged_stats`` (deduped at read).
+    The batch readers' LSM merge already sums arbitrary per-segment
+    partial rows, so serving needs no new math — just the staged union
+    (:func:`trigram_heldout_with_staged`); compaction folds staged
+    segments in with ``mode("append")`` ONCE (safe there: compaction is
+    a driver-invoked batch step, not a replayed stream callback)."""
+    from pithos_spark.functions.text import (
+        _TRIGRAM_COUNT_TABLES,
+        _trigram_counts,
+        _trigram_windows,
+    )
+
+    def _ingest(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        stats = spark.read.parquet(f"{layout_path}/stats").collect()[0]
+        n_buckets = int(stats["n_buckets"])
+        tri = _trigram_windows(batch_df).persist()
+        try:
+            d_total = tri.count()
+            for key, cnt in _TRIGRAM_COUNT_TABLES:
+                (
+                    _trigram_counts(tri)[cnt]
+                    .withColumn(
+                        "b", F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
+                    )
+                    .repartition("b")
+                    .sortWithinPartitions(key)
+                    .write.mode("overwrite")
+                    .partitionBy("b")
+                    .parquet(
+                        f"{layout_path}/{cnt}_staged/ingest_batch={batch_id}"
+                    )
+                )
+            (
+                spark.range(1)
+                .select(
+                    F.lit(int(d_total)).alias("n_total"),
+                    F.lit(int(batch_id)).alias("batch_id"),
+                )
+                .write.mode("append")
+                .parquet(f"{layout_path}/staged_stats")
+            )
+        finally:
+            tri.unpersist()
+
+    return (
+        new_lm_documents_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def trigram_heldout_with_staged(
+    documents,
+    layout_path: str,
+    l3: int = 500,
+    l2: int = 300,
+    l1: int = 200,
+    low: int = 60,
+    high: int = 400,
+):
+    """Held-out scoring over base + staged gram segments: each count
+    table unions its staged partials before the LSM merge (which
+    already sums per-segment rows per gram), and n_total adds the
+    deduped staged window counts.  Equal to the one-pass layout over
+    the union of LM documents (tested across trigger splits and after
+    compaction)."""
+    from pyspark.errors import AnalysisException
+
+    from pithos_spark.functions.text import (
+        _TRIGRAM_COUNT_TABLES,
+        _load_trigram_layout,
+        _merge_segment_counts,
+        _trigram_score,
+        _trigram_windows,
+    )
+    from pithos_spark.plans.helpers import bounded_persist
+
+    spark = documents.sparkSession
+    counts, n_total, _ = _load_trigram_layout(spark, layout_path)
+    counts = {cnt: df.drop("b") for cnt, df in counts.items()}
+    for _key, cnt in _TRIGRAM_COUNT_TABLES:
+        try:
+            staged = spark.read.parquet(f"{layout_path}/{cnt}_staged").drop(
+                "ingest_batch", "b"
+            )
+        except AnalysisException:
+            continue
+        counts[cnt] = counts[cnt].unionByName(staged)
+    try:
+        raw = spark.read.parquet(f"{layout_path}/staged_stats")
+        add = (
+            raw.dropDuplicates(["batch_id"])
+            .agg(F.coalesce(F.sum("n_total"), F.lit(0)).alias("t"))
+            .collect()[0]["t"]
+        )
+        n_total += int(add)
+    except AnalysisException:
+        pass
+    tri_score = bounded_persist(
+        _trigram_windows(documents), "streaming_ingest.tri_score"
+    )
+    return _trigram_score(
+        tri_score, _merge_segment_counts(counts), n_total, l3, l2, l1,
+        low, high,
+    )
+
+
+def compact_staged_trigram(spark, layout_path: str) -> int:
+    """Fold staged gram segments into the base tables (one
+    ``mode("append")`` per count table — the rows keep their frozen
+    bucket values, so they land in the existing ``b=`` directories),
+    add the deduped staged window counts into stats, and drop the
+    staging areas.  Returns the number of staged gram rows folded."""
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    from pithos_spark.functions.text import _TRIGRAM_COUNT_TABLES
+
+    folded = 0
+    for key, cnt in _TRIGRAM_COUNT_TABLES:
+        try:
+            staged = spark.read.parquet(f"{layout_path}/{cnt}_staged").drop(
+                "ingest_batch"
+            )
+        except AnalysisException:
+            continue
+        folded += staged.count()
+        (
+            staged.repartition("b")
+            .sortWithinPartitions(key)
+            .write.mode("append")
+            .partitionBy("b")
+            .parquet(f"{layout_path}/{cnt}")
+        )
+        shutil.rmtree(f"{layout_path}/{cnt}_staged", ignore_errors=True)
+    try:
+        raw = spark.read.parquet(f"{layout_path}/staged_stats")
+    except AnalysisException:
+        return folded
+    add = (
+        raw.dropDuplicates(["batch_id"])
+        .agg(F.coalesce(F.sum("n_total"), F.lit(0)).alias("t"))
+        .collect()[0]["t"]
+    )
+    old = spark.read.parquet(f"{layout_path}/stats").collect()[0]
+    (
+        spark.range(1)
+        .select(
+            (F.lit(int(old["n_total"])) + F.lit(int(add)))
+            .cast("long")
+            .alias("n_total"),
+            F.lit(int(old["n_buckets"])).cast("int").alias("n_buckets"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{layout_path}/stats")
+    )
+    shutil.rmtree(f"{layout_path}/staged_stats", ignore_errors=True)
+    return folded

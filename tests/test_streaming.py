@@ -1484,3 +1484,71 @@ def test_streaming_postings_ingest_replay_is_idempotent(spark, tmp_path):
     ]
     got = [tuple(r) for r in bm25_topk_with_staged(spark, layout).collect()]
     assert got == want
+
+
+def test_streaming_trigram_ingest_matches_batch(spark, tmp_path):
+    """Gram-layout twin of the postings stream test: base layout on
+    90% of the LM slice, the rest streamed in micro-batches; the
+    staged serving read must equal the one-pass layout over the full
+    LM, and compaction folds the segments so the plain layout read
+    agrees — probe pruning still works on the compacted layout."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions import text
+    from pithos_spark.streaming.ingest import (
+        compact_staged_trigram,
+        streaming_trigram_ingest,
+        trigram_heldout_with_staged,
+    )
+
+    docs = T.load_tables(spark, SF_SMOKE)["documents"]
+    lm = docs.filter("doc_id % 4 = 0")
+    score = docs.filter("doc_id % 4 <> 0")
+    layout = str(tmp_path / "trigram_layout")
+    text.write_trigram_lm_layout(lm.filter("doc_id % 40 <> 0"), layout)
+    full_layout = str(tmp_path / "trigram_full")
+    text.write_trigram_lm_layout(lm, full_layout)
+    want = [
+        tuple(r)
+        for r in text.trigram_heldout_from_layout(score, full_layout).collect()
+    ]
+
+    src = str(tmp_path / "lm_delta_src")
+    lm.filter("doc_id % 40 = 0").repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_trigram_ingest(stream, layout, str(tmp_path / "ckpt_tri"))
+    q.awaitTermination(120)
+
+    got = [
+        tuple(r)
+        for r in trigram_heldout_with_staged(score, layout).collect()
+    ]
+    assert got == want and len(got) > 0
+
+    folded = compact_staged_trigram(spark, layout)
+    assert folded > 0
+    after = [
+        tuple(r)
+        for r in text.trigram_heldout_from_layout(score, layout).collect()
+    ]
+    assert after == want
+    # frozen buckets: compacted stats equal the one-pass build's
+    gs = spark.read.parquet(f"{layout}/stats").collect()[0]
+    ws = spark.read.parquet(f"{full_layout}/stats").collect()[0]
+    assert (gs["n_total"], gs["n_buckets"]) == (ws["n_total"], ws["n_buckets"])
+    # probe pruning on the compacted (appended) layout still agrees
+    probe = score.filter("doc_id % 16 = 1")
+    gp = [
+        tuple(r) for r in text.trigram_probe_from_layout(probe, layout).collect()
+    ]
+    wp = [
+        tuple(r)
+        for r in text.trigram_probe_from_layout(probe, full_layout).collect()
+    ]
+    assert gp == wp and len(gp) > 0
+    assert compact_staged_trigram(spark, layout) == 0
