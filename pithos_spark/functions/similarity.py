@@ -776,6 +776,46 @@ def save_ivf_index(
     centers.write.mode("overwrite").parquet(f"{path}/centers")
 
 
+def append_to_ivf_index(
+    new_embeddings: DataFrame, path: str, scale: int = 1000
+) -> None:
+    """Frozen-centroid append for the persisted IVF index (r14 — the
+    last persisted layout without a maintenance path; PQ and
+    residual-IVFADC got theirs in r13, postings/grams in r14): newly
+    ingested vectors assign to the STORED centers (assignment is
+    row-local, so ingest order and batch boundaries cannot matter) and
+    land inside the existing cluster partition directories — no Lloyd
+    passes, work linear in the delta.  Every reader of the layout
+    works on the grown index unchanged: the SemDeDup sweep
+    (:func:`semantic_dedup_pairs_from_layout`) sees the new vectors in
+    their cells, and probe reads keep pruning because the cluster
+    value set is frozen with the centers.  Same contract/caveat as the
+    other appends: centroids drift as the corpus grows — retrain per
+    major corpus version, append within one."""
+    spark = new_embeddings.sparkSession
+    centers = {
+        int(r["cluster"]): [int(v) for v in r["centroid_q"]]
+        for r in spark.read.parquet(f"{path}/centers").collect()
+    }
+    qv = new_embeddings.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _quantized(F.col("embedding"), scale).alias("q"),
+    )
+    (
+        qv.select(
+            "vec_id",
+            "label",
+            "embedding",
+            _lloyd_assign(qv, centers).alias("cluster"),
+        )
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(f"{path}/assigned")
+    )
+
+
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Load a persisted IVF index: (assigned corpus, centers table).
     The assigned side keeps its cluster partitioning, so ivf_query's

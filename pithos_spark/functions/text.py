@@ -1920,6 +1920,90 @@ def _load_trigram_layout(spark, path: str):
     return counts, int(stats["n_total"]), int(stats["n_buckets"])
 
 
+def trigram_segment_stats(spark, path: str) -> DataFrame:
+    """LSM segment-occupancy telemetry for the gram layout (r14): per
+    count table, how many gram keys it holds, how many stored partial
+    rows, and the max / average segments per gram (rows per key).  On
+    a one-pass layout every line reads n_keys == n_rows with max 1; an
+    appended layout's average climbing toward its segment count prices
+    exactly what the read merge (:func:`_merge_segment_counts`) pays
+    per query and says when to compact — the compaction-sizing
+    readout, playing the role dedup_shingle_df_stats plays for the
+    posting join and pq_code_bucket_stats for the code tier.  The
+    average is integer permille (1000 * n_rows div n_keys) so the
+    report is oracle-exact.  Cost: one map-side-combinable aggregation
+    per count table over the layout files; output is 5 rows."""
+    counts, _, _ = _load_trigram_layout(spark, path)
+    out = None
+    for key, cnt in _TRIGRAM_COUNT_TABLES:
+        per_key = counts[cnt].groupBy(key).agg(
+            F.count(F.lit(1)).alias("_segs")
+        )
+        t = per_key.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("_segs").cast("long").alias("n_rows"),
+            F.max("_segs").cast("long").alias("max_segments"),
+        ).select(
+            F.lit(cnt).alias("gram_table"),
+            "n_keys",
+            "n_rows",
+            "max_segments",
+            F.expr("(1000 * n_rows) div n_keys").alias(
+                "avg_segments_x1000"
+            ),
+        )
+        out = t if out is None else out.unionByName(t)
+    return out.orderBy("gram_table")
+
+
+def trigram_segment_stats_oracle(base_pred: str, delta_pred: str) -> str:
+    """DuckDB twin of :func:`trigram_segment_stats` over a layout built
+    as write(base_pred docs) + one append(delta_pred docs): each count
+    table then holds one partial row per gram per slice it appears in,
+    so segments-per-gram derives straight from the two slices' distinct
+    gram sets — no layout files needed on the oracle side."""
+
+    def tri_cte(name: str, pred: str) -> str:
+        return f"""{name}_toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents WHERE {pred}
+), {name}_tri AS (
+    SELECT array_to_string(t[i:i+2], ' ') AS tri,
+           array_to_string(t[i:i+1], ' ') AS ctx2,
+           array_to_string(t[i+1:i+2], ' ') AS bi,
+           t[i+1] AS ctx1,
+           t[i+2] AS w3
+    FROM (SELECT t, unnest(range(1, len(t) - 1)) AS i
+          FROM {name}_toks WHERE len(t) >= 3)
+)"""
+
+    arms = []
+    for key, cnt in _TRIGRAM_COUNT_TABLES:
+        arms.append(f"""\
+SELECT '{cnt}' AS gram_table,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(segs) AS BIGINT) AS n_rows,
+       CAST(max(segs) AS BIGINT) AS max_segments,
+       CAST((1000 * sum(segs)) // count(*) AS BIGINT)
+           AS avg_segments_x1000
+FROM (
+    SELECT g, count(*) AS segs FROM (
+        SELECT DISTINCT {key} AS g FROM base_tri
+        UNION ALL
+        SELECT DISTINCT {key} AS g FROM delta_tri
+    ) u GROUP BY g
+) s""")
+    return (
+        "WITH "
+        + tri_cte("base", base_pred)
+        + ", "
+        + tri_cte("delta", delta_pred)
+        + "\n"
+        + "\nUNION ALL\n".join(arms)
+        + "\nORDER BY gram_table"
+    )
+
+
 def trigram_heldout_from_layout(
     documents: DataFrame,
     path: str,

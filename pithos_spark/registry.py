@@ -3599,6 +3599,26 @@ ORACLES["corpus_trigram_heldout_appended"] = text.trigram_heldout_score_oracle(
     score_pred=_TRI_SCORE_PRED, lm_pred=_TRI_LM_PRED
 )
 
+
+# LSM segment-occupancy telemetry over the appended gram layout (r14):
+# per count table, gram keys vs stored partial rows and max/avg
+# segments per gram — what the read merge pays per query and the
+# compaction-sizing readout.  The oracle derives segments-per-gram
+# from the base/delta slices' distinct gram sets directly, so the
+# driver hash-proves the layout holds EXACTLY one partial row per gram
+# per segment it appears in (queued for the r15 window).
+def _trigram_segment_stats(spark, sf_dir):
+    return text.trigram_segment_stats(
+        spark, _trigram_append_path(spark, sf_dir)
+    )
+
+
+QUERIES["corpus_trigram_segment_stats"] = _trigram_segment_stats
+ORACLES["corpus_trigram_segment_stats"] = text.trigram_segment_stats_oracle(
+    base_pred=f"({_TRI_LM_PRED}) AND doc_id % 40 <> 0",
+    delta_pred="doc_id % 40 = 0",
+)
+
 # the probe-pruned layout read as its own driver gate (r14): scoring a
 # SMALL probe slice reads only the gram-bucket partitions the probe's
 # grams hash into (static b IN PartitionFilters, plan-pinned in

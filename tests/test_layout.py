@@ -516,3 +516,74 @@ def test_trigram_incremental_append_equals_one_pass(spark, layout_dir):
         for r in text.trigram_probe_from_layout(probe, full_path).collect()
     ]
     assert gp == wp and len(gp) > 0
+
+
+@pytest.mark.slow
+def test_ivf_incremental_append_equals_one_pass(spark, layout_dir):
+    """append_to_ivf_index with frozen centers: build the IVF index on
+    3/4 of the vectors, append the remaining 1/4 in two batches, and
+    the stored assignment must equal one-pass assignment of the FULL
+    corpus under the same frozen centers — and the SemDeDup sweep over
+    the grown layout must equal the sweep over that one-pass
+    assignment (the layout's main consumer)."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions import similarity
+    from pithos_spark.functions.similarity import (
+        _lloyd_assign,
+        _quantized,
+        _semantic_pairs_from_assigned,
+    )
+
+    emb = T.load_tables(spark, SF_ORACLE)["embeddings"]
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    path = f"{layout_dir}/ivf_incr"
+    assigned, centers_df = similarity.build_ivf_lloyd_index(base, 16, 2)
+    similarity.save_ivf_index(assigned, centers_df, path)
+    similarity.append_to_ivf_index(
+        emb.filter((F.col("vec_id") % 4 == 3) & (F.col("vec_id") % 8 == 3)),
+        path,
+    )
+    similarity.append_to_ivf_index(
+        emb.filter((F.col("vec_id") % 4 == 3) & (F.col("vec_id") % 8 == 7)),
+        path,
+    )
+    stored, stored_centers = similarity.load_ivf_index(spark, path)
+    # appended rows land in existing cluster directories only
+    assert stored.select("cluster").distinct().count() <= centers_df.count()
+    assert stored.select("vec_id").distinct().count() == emb.count()
+    # one-pass reference under the SAME frozen centers
+    centers = {
+        int(r["cluster"]): [int(v) for v in r["centroid_q"]]
+        for r in stored_centers.collect()
+    }
+    qv = emb.select(
+        "vec_id", "label", "embedding",
+        _quantized(F.col("embedding"), 1000).alias("q"),
+    )
+    want_assign = {
+        (r["vec_id"], r["cluster"])
+        for r in qv.select(
+            "vec_id", _lloyd_assign(qv, centers).alias("cluster")
+        ).collect()
+    }
+    got_assign = {
+        (r["vec_id"], r["cluster"]) for r in stored.select("vec_id", "cluster").collect()
+    }
+    assert got_assign == want_assign
+    # the sweep over the grown layout == sweep over one-pass assignment
+    one_pass = qv.select(
+        "vec_id", "embedding", _lloyd_assign(qv, centers).alias("cluster")
+    )
+    got = [
+        tuple(r)
+        for r in similarity.semantic_dedup_pairs_from_layout(
+            spark, path
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in _semantic_pairs_from_assigned(one_pass, 300_000, 500).collect()
+    ]
+    assert got == want and len(got) > 0
