@@ -541,7 +541,9 @@ def _jpeg_gray_pixels(b: bytes) -> tuple[int, int, list[int]] | None:
             if ri and mcu_i and mcu_i % ri == 0:
                 if bit:
                     bit = 0
-                    bpos += 1
+                    # a partially-consumed byte that padded to 0xFF
+                    # carries a stuffed 0x00 before the marker
+                    bpos += 2 if b[bpos] == 0xFF else 1
                 if (
                     bpos + 1 >= n
                     or b[bpos] != 0xFF
@@ -743,7 +745,9 @@ def _jpeg_progressive_gray_pixels(
             nonlocal bpos, bit
             if bit:
                 bit = 0
-                bpos += 1
+                # a partially-consumed byte that padded to 0xFF carries
+                # a stuffed 0x00 before the marker (T.81 B.1.1.5)
+                bpos += 2 if b[bpos] == 0xFF else 1
             if (
                 bpos + 1 >= n
                 or b[bpos] != 0xFF

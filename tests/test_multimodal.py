@@ -1010,28 +1010,44 @@ def _progressive_jpeg_bytes(
                 zz = blocks[cid][(by, bx)]
                 pending = []  # correction bits for nonzero-history coefs
                 run = 0
+                # last newly-nonzero index: ZRLs past it fold into EOB
+                eob_k = max(
+                    (
+                        k
+                        for k in range(ss, se + 1)
+                        if abs(zz[k]) >> al == 1
+                    ),
+                    default=None,
+                )
                 for k in range(ss, se + 1):
                     m = abs(zz[k])
                     t, hist = m >> al, m >> (al + 1)
-                    if hist:
-                        pending.append(t & 1)
-                    elif t == 0:
+                    if t == 0:
                         run += 1
-                    else:  # newly nonzero at this precision: |t| == 1
-                        while run >= 16:
-                            ln, code = ac_codes[0xF0]
-                            bw.put(ln, code)
-                            for bit_ in pending:
-                                bw.put(1, bit_)
-                            pending = []
-                            run -= 16
-                        ln, code = ac_codes[(run << 4) | 1]
+                        continue
+                    # flush pending ZRLs BEFORE buffering this
+                    # coefficient's bit (T.81 G.1.2.3 / libjpeg order:
+                    # a correction bit is never buffered across a
+                    # pending run > 15, so the decoder finds it during
+                    # the symbol whose advance passes its position)
+                    while run >= 16 and eob_k is not None and k <= eob_k:
+                        ln, code = ac_codes[0xF0]
                         bw.put(ln, code)
-                        bw.put(1, 1 if zz[k] > 0 else 0)
                         for bit_ in pending:
                             bw.put(1, bit_)
                         pending = []
-                        run = 0
+                        run -= 16
+                    if hist:
+                        pending.append(t & 1)
+                        continue
+                    # newly nonzero at this precision: |t| == 1
+                    ln, code = ac_codes[(run << 4) | 1]
+                    bw.put(ln, code)
+                    bw.put(1, 1 if zz[k] > 0 else 0)
+                    for bit_ in pending:
+                        bw.put(1, bit_)
+                    pending = []
+                    run = 0
                 if run > 0 or pending:
                     ln, code = ac_codes[0x00]  # EOB, then the tail bits
                     bw.put(ln, code)
@@ -1340,3 +1356,38 @@ def test_pixel_decoders_total_on_arbitrary_bytes():
                 assert out is None or len(out) == 3
 
     check()
+
+
+def test_progressive_jpeg_roundtrip_fuzz():
+    """Randomized roundtrip sweep for the SOF2 decoder: random grids,
+    odd dimensions, all modes, varying split points and approximation
+    depths — every progression must reconstruct the baseline stream's
+    exact luma (coefficient-exact by construction)."""
+    import random
+
+    from pithos_spark.sources.multimodal import (
+        _jpeg_gray_pixels,
+        _jpeg_progressive_gray_pixels,
+    )
+
+    rng = random.Random(77)
+    for trial in range(16):
+        rows, cols = rng.randint(2, 7), rng.randint(2, 7)
+        w = rng.randint(9, 40)
+        h = rng.randint(9, 40)
+        vals = _grid_vals(rows, cols, seed=trial)
+        mode = rng.choice(["gray", "444", "420"])
+        kw = dict(
+            mode=mode,
+            dc_al=rng.randint(0, 2),
+            ac_al=rng.randint(0, 2),
+            split=rng.choice([1, 5, 20, 62]),
+            restart=rng.choice([0, 0, 1, 3]),
+        )
+        base = _jpeg_gray_pixels(_jpeg_bytes(vals, rows, cols, w, h))
+        got = _jpeg_progressive_gray_pixels(
+            _progressive_jpeg_bytes(vals, rows, cols, w, h, **kw)
+        )
+        assert got is not None, (trial, kw)
+        assert got[:2] == (w, h), (trial, kw)
+        assert got[2] == base[2], (trial, kw, mode)
