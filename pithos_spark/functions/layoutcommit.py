@@ -1,0 +1,176 @@
+"""Crash-safe commit protocol for mutable persisted layouts.
+
+VERDICT r14 task 1: the staged-segment compactions
+(``streaming/ingest.py``) appended staged rows into the base layout,
+overwrote the stats table, THEN removed the staging directories — so a
+crash between the append and the rmtree left the folded rows visible in
+BOTH base and staging (the staged-union read double-counts immediately)
+and re-running compaction appended them a second time, permanently.
+
+The fix is the pointer-file commit used by LSM storage engines (the
+LevelDB/RocksDB ``CURRENT`` → MANIFEST shape, applied to parquet
+directories).  A mutable layout becomes a sequence of immutable
+GENERATIONS:
+
+- generation 0 is the layout as built (tables directly under the layout
+  root — unchanged on-disk shape, so every existing layout stays
+  readable);
+- a compaction writes a complete new generation (fully merged tables +
+  stats + the set of staged batch ids it folded) under
+  ``<layout>/_fold_tmp``, renames it to ``<layout>/fold_gen_<k>``, and
+  then atomically points ``<layout>/CURRENT`` at it (write-temp +
+  ``os.rename`` — atomic on POSIX and HDFS);
+- readers resolve ``CURRENT`` first (absent → generation 0) and read
+  exactly one generation, so at every instant they see either the old
+  state or the new one, never a mix;
+- staged segments whose batch id appears in the live generation's
+  ``folded_batches`` table are garbage awaiting cleanup, and every
+  reader masks them — which is what makes the crash window between the
+  pointer swap and the staged rmtree harmless, and a re-run of
+  compaction a pure cleanup.
+
+Nothing here is reachable from an executor: these are driver-side
+metadata operations on a handful of tiny files, same tier as the
+layouts' 1-row stats reads.  The ``os``-level calls bind this to a
+POSIX-rename filesystem (local disk here; HDFS renames are atomic too
+— an object store would swap the pointer through its conditional-put
+instead).
+
+The reference mutates metadata in place through Cassandra upserts
+(src/io/pithos/meta.clj:153-251) and gets atomicity from the database;
+a Spark layout is bare files, so the atomicity has to come from this
+pointer swap.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+CURRENT = "CURRENT"
+FOLD_TMP = "_fold_tmp"
+FOLD_GEN_PREFIX = "fold_gen_"
+
+
+def write_tiny_table(df, path: str, mode: str = "overwrite") -> None:
+    """Write a driver-built tiny table (1-row stats, K-row codebooks,
+    folded-batch lists) as a single file.
+
+    ALWAYS use this instead of spelling the write out:
+    ``coalesce(1)`` on a ``createDataFrame`` local relation collapses
+    all 32 slice partitions into ONE output task that re-opens each
+    slice's Python worker serially — a measured ~4.5-5.7 s tax per
+    small-table write (SCALE_r14 §2; the bug recurred across nine
+    hand-replicated call sites, hence this helper).  ``repartition(1)``
+    keeps the slices parallel and pays one trivial shuffle.
+    tests/test_plans.py greps the package for ``coalesce(1)`` so the
+    regression class cannot silently return.
+    """
+    df.repartition(1).write.mode(mode).parquet(path)
+
+
+def read_current(layout_path: str) -> str:
+    """The live generation's root: ``layout_path`` itself until the
+    first committed fold, afterwards ``layout_path/fold_gen_<k>``.
+    One tiny file read; every layout reader calls this first."""
+    try:
+        with open(os.path.join(layout_path, CURRENT)) as f:
+            rel = f.read().strip()
+    except FileNotFoundError:
+        return layout_path
+    return os.path.join(layout_path, rel) if rel else layout_path
+
+
+def commit_current(layout_path: str, gen_rel: str) -> None:
+    """Atomically point the layout at a fully-written generation
+    directory.  THE commit point: readers resolve through
+    :func:`read_current`, so everything before this call is invisible
+    to them and everything after it is garbage collection."""
+    tmp = os.path.join(layout_path, CURRENT + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(gen_rel)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(layout_path, CURRENT))
+
+
+def next_gen_rel(layout_path: str) -> str:
+    """Name for the next generation directory.  Skips every existing
+    ``fold_gen_<k>`` — including orphans from a fold that crashed after
+    the rename but before the pointer swap (those stay on disk as
+    garbage; correctness only ever depends on the one CURRENT names)."""
+    k = 0
+    for name in os.listdir(layout_path):
+        if name.startswith(FOLD_GEN_PREFIX):
+            try:
+                k = max(k, int(name[len(FOLD_GEN_PREFIX):]) + 1)
+            except ValueError:
+                continue
+    return f"{FOLD_GEN_PREFIX}{k}"
+
+
+def staged_segment_keys(layout_path: str, staged: str = "staged") -> list[str]:
+    """Keys of the INSTALLED staged segment directories.  Directory
+    names are the source of truth: a segment is installed by a single
+    ``os.rename`` (see :func:`install_staged_segment`), so a directory
+    that exists is complete — there is no partially-visible state.
+
+    A key is ``<checkpoint-token>-<batch_id>``, not the bare
+    Structured Streaming batch id: batch ids restart at 0 for every
+    fresh checkpoint, so a bare-id fold mask would silently swallow a
+    NEW stream's first segments; the checkpoint token (stable across
+    restarts and replays of the same checkpoint, distinct across
+    streams) is what makes the mask collision-free."""
+    root = os.path.join(layout_path, staged)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("seg="):
+            out.append(name.split("=", 1)[1])
+    return sorted(out)
+
+
+def install_staged_segment(tmp_dir: str, final_dir: str) -> None:
+    """Publish a completely-written staged segment with one atomic
+    rename.  If the destination already exists the segment was
+    installed by an earlier attempt of the same (deterministic,
+    at-least-once) micro-batch and the new copy is byte-equivalent —
+    drop it.  Either way, after this call the destination is complete
+    and the temp dir is gone."""
+    if os.path.exists(final_dir):
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return
+    os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+    os.rename(tmp_dir, final_dir)
+
+
+def segment_token(checkpoint: str) -> str:
+    """Stable token identifying one stream's staging namespace: derived
+    from the checkpoint path, so a replayed or restarted query (same
+    checkpoint) re-targets the same segment directories (idempotent
+    overwrite), while a fresh checkpoint — whose batch ids restart at
+    0 — can never collide with a folded mask entry from an earlier
+    stream."""
+    import hashlib
+
+    return hashlib.md5(
+        os.path.abspath(checkpoint).encode()
+    ).hexdigest()[:8]
+
+
+def folded_segment_keys(spark, gen_root: str) -> set[str]:
+    """Staged segment keys already folded into the generation at
+    ``gen_root`` — the reader-side mask that makes a crash between the
+    pointer swap and the staged cleanup harmless.  Bounded: the fold
+    writes only keys whose staged directories still existed at fold
+    time, so this table is one fold's worth of strings, not history."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(
+            os.path.join(gen_root, "folded_segments")
+        ).collect()
+    except AnalysisException:
+        return set()
+    return {str(r["seg"]) for r in rows}

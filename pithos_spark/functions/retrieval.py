@@ -207,22 +207,36 @@ def append_to_postings_layout(delta_documents: DataFrame, path: str) -> None:
     (term, doc_id) within the appended files, so the pushed
     ``term IN (...)`` filter keeps row-group skipping inside every
     segment (and, unlike ``repartitionByRange``, the clustering needs
-    no sampling job — the delta is tokenized exactly once)."""
+    no sampling job — the delta is tokenized exactly once).
+
+    Resolves the layout's live generation first
+    (layoutcommit.read_current), so appends compose with compacted
+    layouts.  Retry caveat: this batch form appends straight into the
+    live postings table, so re-running it after a mid-append crash
+    doubles the delta — an at-least-once source must go through the
+    staged path (streaming/ingest.py), whose per-batch installs are
+    idempotent."""
+    from pithos_spark.functions.layoutcommit import (
+        read_current,
+        write_tiny_table,
+    )
+
     spark = delta_documents.sparkSession
-    old = spark.read.parquet(f"{path}/stats").collect()[0]
+    root = read_current(path)
+    old = spark.read.parquet(f"{root}/stats").collect()[0]
     p = build_postings(delta_documents)
     (
         p.repartition("term")
         .sortWithinPartitions("term", "doc_id")
         .write.mode("append")
-        .parquet(f"{path}/postings")
+        .parquet(f"{root}/postings")
     )
     toks = delta_documents.select(F.size(_tokens(F.col("text"))).alias("_n"))
     d = toks.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("total_len"),
     ).collect()[0]
-    (
+    write_tiny_table(
         spark.createDataFrame(
             [
                 (
@@ -231,10 +245,8 @@ def append_to_postings_layout(delta_documents: DataFrame, path: str) -> None:
                 )
             ],
             "n_docs long, total_len long",
-        )
-        .repartition(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/stats")
+        ),
+        f"{root}/stats",
     )
 
 
@@ -250,11 +262,16 @@ def bm25_topk_from_postings(
     terms' posting lists — `.explain` shows the `term IN (...)` filter
     pushed into the parquet scan, and the term-range layout makes that
     row-group skipping, not a full read.  The production serving shape:
-    build once on ingest, query forever."""
-    post = spark.read.parquet(f"{path}/postings").filter(
+    build once on ingest, query forever.  Reads the layout's live
+    generation (layoutcommit.read_current — one tiny pointer-file
+    read), so it serves compacted layouts transparently."""
+    from pithos_spark.functions.layoutcommit import read_current
+
+    root = read_current(path)
+    post = spark.read.parquet(f"{root}/postings").filter(
         F.col("term").isin(list(terms))
     )
-    stats = spark.read.parquet(f"{path}/stats")
+    stats = spark.read.parquet(f"{root}/stats")
     df_per_term = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         post.join(F.broadcast(df_per_term), "term")

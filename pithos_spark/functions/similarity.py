@@ -25,6 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from pithos_spark.functions.dedup import portable_hash60, portable_hash60_sql
+from pithos_spark.functions.layoutcommit import write_tiny_table
 
 
 def _quantized(col: F.Column, scale: int = 1000) -> F.Column:
@@ -1462,11 +1463,14 @@ def save_pq_index(
         [(m, c, v) for (m, c), v in sorted(codebooks.items())],
         "m int, code int, centroid_q array<bigint>",
     )
-    cb_df.repartition(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-    spark.createDataFrame(
-        [(m_sub, k_codes, scale, dim)],
-        "m_sub int, k_codes int, scale int, dim int",
-    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+    write_tiny_table(cb_df, f"{path}/codebooks")
+    write_tiny_table(
+        spark.createDataFrame(
+            [(m_sub, k_codes, scale, dim)],
+            "m_sub int, k_codes int, scale int, dim int",
+        ),
+        f"{path}/meta",
+    )
 
 
 def load_pq_index(spark, path: str):
@@ -2256,14 +2260,20 @@ def save_ivfpq_residual_index(
         .parquet(f"{path}/codes")
     )
     centers.write.mode("overwrite").parquet(f"{path}/centers")
-    spark.createDataFrame(
-        [(m, c, v) for (m, c), v in sorted(codebooks.items())],
-        "m int, code int, centroid_q array<bigint>",
-    ).repartition(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-    spark.createDataFrame(
-        [(n_clusters, m_sub, k_codes, scale, dim)],
-        "n_clusters int, m_sub int, k_codes int, scale int, dim int",
-    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+    write_tiny_table(
+        spark.createDataFrame(
+            [(m, c, v) for (m, c), v in sorted(codebooks.items())],
+            "m int, code int, centroid_q array<bigint>",
+        ),
+        f"{path}/codebooks",
+    )
+    write_tiny_table(
+        spark.createDataFrame(
+            [(n_clusters, m_sub, k_codes, scale, dim)],
+            "n_clusters int, m_sub int, k_codes int, scale int, dim int",
+        ),
+        f"{path}/meta",
+    )
 
 
 def append_to_ivfpq_residual_index(

@@ -1319,9 +1319,12 @@ def write_classifier_weights_layout(
     Training scans the labeled corpus ONCE; every scoring run
     thereafter reads the tiny stored table and broadcasts it, instead
     of re-running the corpus-sized training explode in-query."""
-    train_classifier_weights(
-        labeled_documents, n_features, smoothing
-    ).repartition(1).write.mode("overwrite").parquet(f"{path}/weights")
+    from pithos_spark.functions.layoutcommit import write_tiny_table
+
+    write_tiny_table(
+        train_classifier_weights(labeled_documents, n_features, smoothing),
+        f"{path}/weights",
+    )
 
 
 def quality_classifier_from_layout(
@@ -1842,9 +1845,17 @@ def write_trigram_lm_layout(
                 .partitionBy("b")
                 .parquet(f"{path}/{cnt}")
             )
-        lm_documents.sparkSession.createDataFrame(
-            [(n_total, n_buckets)], "n_total long, n_buckets int"
-        ).repartition(1).write.mode("overwrite").parquet(f"{path}/stats")
+        from pithos_spark.functions.layoutcommit import write_tiny_table
+
+        # n_segments=1: a fresh build holds exactly one partial row per
+        # gram, so readers may skip the LSM merge (fast path below)
+        write_tiny_table(
+            lm_documents.sparkSession.createDataFrame(
+                [(n_total, n_buckets, 1)],
+                "n_total long, n_buckets int, n_segments int",
+            ),
+            f"{path}/stats",
+        )
     finally:
         tri_lm.unpersist()
 
@@ -1869,9 +1880,20 @@ def append_to_trigram_lm_layout(
     appends unchanged: frozen n_buckets means a gram's partition never
     moves, and appended files land inside existing ``b=`` directories.
     Assumes a non-empty base layout (the empty-LM n_total clamp is a
-    build-time concern)."""
+    build-time concern).  Resolves the layout's live generation first
+    (layoutcommit.read_current), so appends compose with compacted
+    layouts.  Retry caveat: this batch form appends straight into the
+    live tables, so re-running it after a mid-append crash doubles the
+    delta — an at-least-once source must go through the staged path
+    (streaming/ingest.py), whose per-batch installs are idempotent."""
+    from pithos_spark.functions.layoutcommit import (
+        read_current,
+        write_tiny_table,
+    )
+
     spark = delta_lm_documents.sparkSession
-    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    root = read_current(path)
+    stats = spark.read.parquet(f"{root}/stats").collect()[0]
     n_buckets = int(stats["n_buckets"])
     tri = _trigram_windows(delta_lm_documents).persist()
     try:
@@ -1884,12 +1906,19 @@ def append_to_trigram_lm_layout(
                 .sortWithinPartitions(key)
                 .write.mode("append")
                 .partitionBy("b")
-                .parquet(f"{path}/{cnt}")
+                .parquet(f"{root}/{cnt}")
             )
-        spark.createDataFrame(
-            [(int(stats["n_total"]) + d_total, n_buckets)],
-            "n_total long, n_buckets int",
-        ).repartition(1).write.mode("overwrite").parquet(f"{path}/stats")
+        write_tiny_table(
+            spark.createDataFrame(
+                [(
+                    int(stats["n_total"]) + d_total,
+                    n_buckets,
+                    _n_segments_of(stats) + 1,
+                )],
+                "n_total long, n_buckets int, n_segments int",
+            ),
+            f"{root}/stats",
+        )
     finally:
         tri.unpersist()
 
@@ -1911,13 +1940,35 @@ def _merge_segment_counts(
     }
 
 
+def _n_segments_of(stats_row) -> int:
+    """Segment count from a stats row; 0 (= unknown, always merge) for
+    layouts written before the column existed."""
+    try:
+        return int(stats_row["n_segments"])
+    except (KeyError, TypeError, ValueError):
+        return 0
+
+
 def _load_trigram_layout(spark, path: str):
+    """(count tables, n_total, n_buckets, n_segments) of the layout's
+    LIVE generation (layoutcommit.read_current — compaction swaps a
+    pointer file, never mutates tables in place).  n_segments == 1
+    means every gram holds exactly one count row, so readers skip the
+    LSM merge."""
+    from pithos_spark.functions.layoutcommit import read_current
+
+    root = read_current(path)
     counts = {
-        cnt: spark.read.parquet(f"{path}/{cnt}")
+        cnt: spark.read.parquet(f"{root}/{cnt}")
         for _, cnt in _TRIGRAM_COUNT_TABLES
     }
-    stats = spark.read.parquet(f"{path}/stats").collect()[0]
-    return counts, int(stats["n_total"]), int(stats["n_buckets"])
+    stats = spark.read.parquet(f"{root}/stats").collect()[0]
+    return (
+        counts,
+        int(stats["n_total"]),
+        int(stats["n_buckets"]),
+        _n_segments_of(stats),
+    )
 
 
 def trigram_segment_stats(spark, path: str) -> DataFrame:
@@ -1932,8 +1983,13 @@ def trigram_segment_stats(spark, path: str) -> DataFrame:
     posting join and pq_code_bucket_stats for the code tier.  The
     average is integer permille (1000 * n_rows div n_keys) so the
     report is oracle-exact.  Cost: one map-side-combinable aggregation
-    per count table over the layout files; output is 5 rows."""
-    counts, _, _ = _load_trigram_layout(spark, path)
+    per count table over the layout files; output is 5 rows.
+
+    The number an operator acts on is ``avg_segments_x1000``: fold when
+    it crosses COMPACT_WHEN_AVG_SEGMENTS_X1000
+    (streaming/ingest.py — derived from the measured per-segment
+    serving tax vs compaction cost, SCALE_r15)."""
+    counts, _, _, _ = _load_trigram_layout(spark, path)
     out = None
     for key, cnt in _TRIGRAM_COUNT_TABLES:
         per_key = counts[cnt].groupBy(key).agg(
@@ -2017,14 +2073,21 @@ def trigram_heldout_from_layout(
     layout — bit-identical to :func:`trigram_heldout_score` over the
     same LM slice (both run :func:`_trigram_score`; the stored counts
     are value-identical to the derived ones), but the LM side is a
-    parquet read instead of a per-run corpus shuffle."""
+    parquet read instead of a per-run corpus shuffle.
+
+    One-segment fast path (VERDICT r14 task 5): the LSM read-merge is
+    pure tax on a layout whose grams hold one row each (fresh build or
+    post-compaction — stats says so via n_segments), so it only runs
+    on genuinely multi-segment layouts; there the merge aggregate is
+    keyed on the same gram the scoring join shuffles on, and AQE reuses
+    the exchange (pinned in tests/test_plans.py)."""
     from pithos_spark.plans.helpers import bounded_persist
 
     spark = documents.sparkSession
-    counts, n_total, _ = _load_trigram_layout(spark, path)
-    counts = _merge_segment_counts(
-        {cnt: df.drop("b") for cnt, df in counts.items()}
-    )
+    counts, n_total, _, n_segments = _load_trigram_layout(spark, path)
+    counts = {cnt: df.drop("b") for cnt, df in counts.items()}
+    if n_segments != 1:
+        counts = _merge_segment_counts(counts)
     tri_score = bounded_persist(
         _trigram_windows(documents), "trigram_layout.tri_score"
     )
@@ -2056,7 +2119,9 @@ def trigram_probe_from_layout(
     from pithos_spark.plans.helpers import bounded_persist
 
     spark = probe_documents.sparkSession
-    counts, n_total, n_buckets = _load_trigram_layout(spark, path)
+    counts, n_total, n_buckets, n_segments = _load_trigram_layout(
+        spark, path
+    )
     tri_probe = bounded_persist(
         _trigram_windows(probe_documents), "trigram_layout.tri_probe"
     )
@@ -2073,9 +2138,12 @@ def trigram_probe_from_layout(
         pruned[cnt] = (
             counts[cnt].filter(F.col("b").isin(buckets)).drop("b")
         )
+    # same one-segment fast path as trigram_heldout_from_layout
+    if n_segments != 1:
+        pruned = _merge_segment_counts(pruned)
     return _trigram_score(
         tri_probe,
-        _merge_segment_counts(pruned),
+        pruned,
         n_total,
         l3,
         l2,

@@ -11,25 +11,72 @@ streaming_decode_coverage documents): foreachBatch is at-least-once,
 and duplicated POSTING rows are worse than duplicated telemetry rows —
 they corrupt tf/df and every score downstream.  A plain
 ``mode("append")`` into the layout is therefore wrong for a stream.
-Instead each micro-batch writes its postings into an idempotent
-per-batch STAGING directory (``staged/ingest_batch=<id>`` via
-``mode("overwrite")`` — a replayed batch rewrites the same directory
-with the same deterministic contents, so duplicates cannot exist), and
-its additive stats row into a batch-tagged table the reader dedups on
-``batch_id``.  Serving unions base + staged segments; a compaction
-step folds staged segments into the base layout and refreshes stats
-(the LSM contract the trigram gram layout's read-merge uses).
+Instead each micro-batch writes its rows into a per-segment STAGING
+directory — completely, under a temp name, then INSTALLED with one
+atomic rename (``layoutcommit.install_staged_segment``), so a replayed
+batch either finds its segment already installed (skip) or installs a
+byte-equivalent one; a segment directory that exists is always whole.
+Segments are keyed ``<checkpoint-token>-<batch_id>`` because bare
+batch ids restart at 0 per checkpoint (``layoutcommit.segment_token``).
+Each segment's additive stats row lands in a seg-tagged table the
+reader dedups on ``seg`` — and if the crash fell between the install
+and the stats append, the reader DERIVES the missing segment's
+counters from the staged rows instead of serving drifted scores
+(ADVICE r14).
+
+Serving unions base + staged segments; COMPACTION folds staged
+segments into the base.  Compaction is crash-idempotent (VERDICT r14
+task 1) via the generation-pointer commit in
+``functions/layoutcommit.py``: it writes a complete, fully-MERGED new
+generation to a temp dir, renames it into place, and atomically swaps
+the layout's ``CURRENT`` pointer.  Staged segments it folded are
+recorded in the generation's ``folded_segments`` table and masked by
+every reader, so the window between the pointer swap and the staged
+cleanup double-counts nothing, and a re-run of compaction after ANY
+crash point is pure recovery: before the swap it redoes the fold;
+after it, it only finishes the cleanup.  Because the fold fully merges
+per-gram partial rows, a compacted trigram layout returns to
+``n_segments == 1`` and the readers' LSM merge fast-path turns back on.
+
+When to compact: fold when ``trigram_segment_stats``'s
+``avg_segments_x1000`` crosses :data:`COMPACT_WHEN_AVG_SEGMENTS_X1000`
+(derivation in SCALE_r15).
 
 Reference framing: the reference treats ingest as mutate-in-place
-against Cassandra (src/io/pithos/meta.clj:153-251 upserts); a Spark
-layout is immutable files, so "mutate" decomposes into idempotent
-segment writes + unioned reads + compaction — same results, replay
-safe, delta-linear.
+against Cassandra (src/io/pithos/meta.clj:153-251 upserts) and gets
+atomicity from the database; a Spark layout is immutable files, so
+"mutate" decomposes into idempotent segment installs + unioned reads +
+pointer-committed compaction — same results, replay safe, delta-linear
+on the ingest path.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import pyspark.sql.functions as F
+
+from pithos_spark.functions.layoutcommit import (
+    FOLD_TMP,
+    commit_current,
+    folded_segment_keys,
+    install_staged_segment,
+    next_gen_rel,
+    read_current,
+    segment_token,
+    staged_segment_keys,
+    write_tiny_table,
+)
+
+# Fold when a gram holds this many segments on average (x1000 — the
+# integer-permille scale trigram_segment_stats reports).  Derivation
+# (SCALE_r15): each extra staged segment adds a roughly constant slice
+# to every merged serving read, while one fold costs about two
+# one-pass builds amortized over every read until the next fold; at
+# the measured numbers a fold pays for itself within tens of reads
+# once grams average ~2 partial rows, so that is the operator default.
+COMPACT_WHEN_AVG_SEGMENTS_X1000 = 2000
 
 
 def streaming_postings_ingest(
@@ -41,13 +88,17 @@ def streaming_postings_ingest(
     each micro-batch tokenizes its documents (one delta-linear
     ``build_postings`` pass, hash-clustered on term and sorted within
     the segment so the pushed ``term IN`` filter row-group-skips
-    inside it) and writes
+    inside it) and
 
-    - ``{layout}/staged/ingest_batch=<id>`` — the segment's posting
-      rows, ``mode("overwrite")`` so a replayed batch is idempotent;
-    - one (batch_id, n_docs, total_len) row under
-      ``{layout}/staged_stats`` — additive counters, deduped by
-      batch_id at read (at-least-once append, deterministic row).
+    - writes the segment's posting rows COMPLETELY under
+      ``{layout}/staged_tmp/seg=<key>``, then installs them at
+      ``{layout}/staged/seg=<key>`` with one atomic rename —
+      idempotent under at-least-once replay, and no reader can ever see
+      a half-written segment;
+    - appends one (n_docs, total_len, seg) row under
+      ``{layout}/staged_stats`` — additive counters, deduped by seg at
+      read (and re-derivable from the rows if this append is the step
+      a crash ate).
 
     Serving reads through :func:`bm25_topk_with_staged`; fold segments
     into the base with :func:`compact_staged_postings`.  Assumes the
@@ -55,16 +106,21 @@ def streaming_postings_ingest(
     updates go through a rebuild)."""
     from pithos_spark.functions.retrieval import _tokens, build_postings
 
+    token = segment_token(checkpoint)
+
     def _ingest(batch_df, batch_id):
         if batch_df.isEmpty():
             return
+        seg = f"{token}-{batch_id}"
+        tmp = f"{layout_path}/staged_tmp/seg={seg}"
         (
             build_postings(batch_df)
             .repartition("term")
             .sortWithinPartitions("term", "doc_id")
             .write.mode("overwrite")
-            .parquet(f"{layout_path}/staged/ingest_batch={batch_id}")
+            .parquet(tmp)
         )
+        install_staged_segment(tmp, f"{layout_path}/staged/seg={seg}")
         toks = batch_df.select(F.size(_tokens(F.col("text"))).alias("_n"))
         (
             toks.agg(
@@ -73,7 +129,7 @@ def streaming_postings_ingest(
                 .cast("long")
                 .alias("total_len"),
             )
-            .withColumn("batch_id", F.lit(batch_id))
+            .withColumn("seg", F.lit(seg))
             .write.mode("append")
             .parquet(f"{layout_path}/staged_stats")
         )
@@ -86,28 +142,64 @@ def streaming_postings_ingest(
     )
 
 
-def _staged_parts(spark, layout_path: str):
-    """(staged postings or None, staged stats 1-row agg or None) —
-    shared by the serving read and compaction."""
+def _live_staged_segs(spark, layout_path: str, gen_root: str) -> list[str]:
+    """Installed staged segment keys NOT yet folded into the live
+    generation.  Folded-but-still-present segments are garbage awaiting
+    cleanup (the crash window after the pointer swap) and are masked
+    here — the masking is what makes that window harmless."""
+    folded = folded_segment_keys(spark, gen_root)
+    return [s for s in staged_segment_keys(layout_path) if s not in folded]
+
+
+def _staged_postings(spark, layout_path: str, live: list[str]):
+    """The live staged posting rows, ``seg`` kept for per-segment
+    attribution."""
+    return spark.read.parquet(f"{layout_path}/staged").filter(
+        F.col("seg").isin(list(live))
+    )
+
+
+def _staged_postings_counters(
+    spark, layout_path: str, staged, live: list[str]
+) -> tuple[int, int]:
+    """(n_docs, total_len) contributed by the live staged segments:
+    the deduped seg-tagged stats rows where present, DERIVED from the
+    segment's own rows for any segment whose stats append a crash ate
+    (ADVICE r14 — serving base counters against unioned staged rows
+    drifts every idf/length norm).  Derivation counts distinct
+    (doc_id, dl) pairs, so a document with zero tokens — which has no
+    posting rows and affects no score — is the one thing it can't see.
+    Driver-side cost: a per-segment-count list of 3-column rows."""
     from pyspark.errors import AnalysisException
 
     try:
-        staged = spark.read.parquet(f"{layout_path}/staged").drop(
-            "ingest_batch"
+        rows = (
+            spark.read.parquet(f"{layout_path}/staged_stats")
+            .dropDuplicates(["seg"])
+            .filter(F.col("seg").isin(list(live)))
+            .collect()
         )
     except AnalysisException:
-        return None, None
-    try:
-        raw = spark.read.parquet(f"{layout_path}/staged_stats")
-    except AnalysisException:
-        return staged, None
-    stats = raw.dropDuplicates(["batch_id"]).agg(
-        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
-        F.coalesce(F.sum("total_len"), F.lit(0))
-        .cast("long")
-        .alias("total_len"),
-    )
-    return staged, stats
+        rows = []
+    n_docs = sum(int(r["n_docs"]) for r in rows)
+    total_len = sum(int(r["total_len"]) for r in rows)
+    missing = sorted(set(live) - {str(r["seg"]) for r in rows})
+    if missing:
+        d = (
+            staged.filter(F.col("seg").isin(missing))
+            .select("doc_id", "dl")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0))
+                .cast("long")
+                .alias("total_len"),
+            )
+            .collect()[0]
+        )
+        n_docs += int(d["n_docs"])
+        total_len += int(d["total_len"])
+    return n_docs, total_len
 
 
 def bm25_topk_with_staged(
@@ -119,9 +211,11 @@ def bm25_topk_with_staged(
     """BM25 serving over base + staged segments: same scoring tail as
     ``retrieval.bm25_topk_from_postings`` (df derived from the unioned
     posting rows, so staged documents participate exactly), stats =
-    base counters + deduped staged counters.  Bit-identical to the
-    batch path over the union of documents (tested across trigger
-    splits and after compaction)."""
+    the live generation's counters + the staged segments' (stats rows
+    or row-derived — never base-only against unioned rows).
+    Bit-identical to the batch path over the union of documents
+    (tested across trigger splits, after compaction, and across every
+    injected crash point)."""
     from pithos_spark.functions.retrieval import (
         DEFAULT_TERMS,
         IDF_SCALE,
@@ -129,23 +223,19 @@ def bm25_topk_with_staged(
     )
 
     terms = terms or DEFAULT_TERMS
-    post = spark.read.parquet(f"{layout_path}/postings")
-    stats = spark.read.parquet(f"{layout_path}/stats")
-    staged, staged_stats = _staged_parts(spark, layout_path)
-    if staged is not None:
-        post = post.unionByName(staged)
-    if staged_stats is not None:
-        stats = (
-            stats.crossJoin(
-                staged_stats.select(
-                    F.col("n_docs").alias("_dn"),
-                    F.col("total_len").alias("_dl"),
-                )
-            )  # 1x1: both sides are single-row stats
-            .select(
-                (F.col("n_docs") + F.col("_dn")).alias("n_docs"),
-                (F.col("total_len") + F.col("_dl")).alias("total_len"),
-            )
+    root = read_current(layout_path)
+    post = spark.read.parquet(f"{root}/postings")
+    stats = spark.read.parquet(f"{root}/stats")
+    live = _live_staged_segs(spark, layout_path, root)
+    if live:
+        staged = _staged_postings(spark, layout_path, live)
+        dn, dl_sum = _staged_postings_counters(
+            spark, layout_path, staged, live
+        )
+        post = post.unionByName(staged.drop("seg"))
+        stats = stats.select(
+            (F.col("n_docs") + F.lit(dn)).alias("n_docs"),
+            (F.col("total_len") + F.lit(dl_sum)).alias("total_len"),
         )
     post = post.filter(F.col("term").isin(list(terms)))
     df_per_term = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -174,47 +264,89 @@ def bm25_topk_with_staged(
     )
 
 
-def compact_staged_postings(spark, layout_path: str) -> int:
-    """Fold the staged segments into the base layout: append the staged
-    posting rows (re-sorted per segment write, appended once), add the
-    deduped staged counters into the base stats, then drop the staging
-    area.  Returns the number of staged posting rows folded.  After
-    compaction ``bm25_topk_from_postings`` over the base alone equals
-    the pre-compaction staged read (tested)."""
-    import shutil
-
-    staged, staged_stats = _staged_parts(spark, layout_path)
-    if staged is None:
-        return 0
-    n = staged.count()
-    (
-        staged.repartition("term")
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode("append")
-        .parquet(f"{layout_path}/postings")
-    )
-    old = spark.read.parquet(f"{layout_path}/stats").collect()[0]
-    add = (
-        staged_stats.collect()[0]
-        if staged_stats is not None
-        else {"n_docs": 0, "total_len": 0}
-    )
-    (
-        spark.createDataFrame(
-            [
-                (
-                    int(old["n_docs"]) + int(add["n_docs"]),
-                    int(old["total_len"]) + int(add["total_len"]),
-                )
-            ],
-            "n_docs long, total_len long",
+def _gc_staged(layout_path: str, segs: list[str]) -> None:
+    """Remove folded staged segments (plus any leftover fold temp).
+    Pure garbage collection — every reader already masks these keys via
+    the live generation's folded_segments table, so a crash anywhere in
+    here changes nothing and a re-run finishes the job."""
+    shutil.rmtree(f"{layout_path}/{FOLD_TMP}", ignore_errors=True)
+    shutil.rmtree(f"{layout_path}/staged_tmp", ignore_errors=True)
+    for s in segs:
+        shutil.rmtree(
+            f"{layout_path}/staged/seg={s}", ignore_errors=True
         )
-        .repartition(1)
-        .write.mode("overwrite")
-        .parquet(f"{layout_path}/stats")
+    d = f"{layout_path}/staged"
+    if os.path.isdir(d) and not os.listdir(d):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _folded_segments_df(spark, layout_path: str, gen_root: str, live):
+    """Contents for the new generation's folded_segments table: the
+    keys folded by THIS fold, plus previously-folded keys whose segment
+    dirs a crashed cleanup left behind (their rows are already in the
+    base; the mask must outlive the directories)."""
+    prev = folded_segment_keys(spark, gen_root)
+    keep = sorted(
+        set(str(s) for s in live)
+        | {s for s in staged_segment_keys(layout_path) if s in prev}
     )
-    shutil.rmtree(f"{layout_path}/staged", ignore_errors=True)
-    shutil.rmtree(f"{layout_path}/staged_stats", ignore_errors=True)
+    return spark.createDataFrame([(s,) for s in keep], "seg string")
+
+
+def compact_staged_postings(spark, layout_path: str) -> int:
+    """Fold the staged segments into the layout — crash-idempotently
+    (VERDICT r14 task 1).  Writes a COMPLETE new generation
+    (re-clustered merged postings + refreshed stats + the folded
+    segment keys) under a temp dir, renames it to ``fold_gen_<k>``, and
+    atomically swaps the ``CURRENT`` pointer; staged cleanup afterwards
+    is pure GC because readers mask folded keys.  Killed at any point,
+    a re-run either redoes the fold from intact inputs (pointer still
+    on the old generation) or just finishes the cleanup (pointer
+    already swapped).  Returns the number of staged posting rows
+    folded.
+
+    Cost model: the fold rewrites base+staged — O(layout), the classic
+    LSM major compaction — while the per-batch ingest stays
+    delta-linear; run it at the :data:`COMPACT_WHEN_AVG_SEGMENTS_X1000`
+    cadence, not per batch.  Superseded generations stay on disk as
+    garbage for an external janitor (never read once CURRENT moves)."""
+    root = read_current(layout_path)
+    live = _live_staged_segs(spark, layout_path, root)
+    if not live:
+        _gc_staged(
+            layout_path, sorted(folded_segment_keys(spark, root))
+        )
+        return 0
+    staged = _staged_postings(spark, layout_path, live)
+    n = staged.count()
+    dn, dl_sum = _staged_postings_counters(spark, layout_path, staged, live)
+    old = spark.read.parquet(f"{root}/stats").collect()[0]
+
+    tmp = f"{layout_path}/{FOLD_TMP}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    base = spark.read.parquet(f"{root}/postings")
+    (
+        base.unionByName(staged.drop("seg"))
+        .repartition("term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/postings")
+    )
+    write_tiny_table(
+        spark.createDataFrame(
+            [(int(old["n_docs"]) + dn, int(old["total_len"]) + dl_sum)],
+            "n_docs long, total_len long",
+        ),
+        f"{tmp}/stats",
+    )
+    write_tiny_table(
+        _folded_segments_df(spark, layout_path, root, live),
+        f"{tmp}/folded_segments",
+    )
+    gen = next_gen_rel(layout_path)
+    os.rename(tmp, f"{layout_path}/{gen}")
+    commit_current(layout_path, gen)  # THE commit point
+    _gc_staged(layout_path, live)
     return n
 
 
@@ -228,28 +360,38 @@ def streaming_trigram_ingest(
     and the continuous form of ``text.append_to_trigram_lm_layout``.
 
     Each micro-batch derives its five gram count tables (delta-linear),
-    hashes them into the layout's FROZEN bucket count, and writes them
-    under ``{table}/staged/ingest_batch=<id>/b=<bucket>`` via
-    ``mode("overwrite")`` — idempotent under at-least-once replay, same
-    argument as the postings twin.  Its window count lands as a
-    batch-tagged row under ``{layout}/staged_stats`` (deduped at read).
-    The batch readers' LSM merge already sums arbitrary per-segment
-    partial rows, so serving needs no new math — just the staged union
-    (:func:`trigram_heldout_with_staged`); compaction folds staged
-    segments in with ``mode("append")`` ONCE (safe there: compaction is
-    a driver-invoked batch step, not a replayed stream callback)."""
+    hashes them into the layout's FROZEN bucket count, and writes ALL
+    FIVE under one temp segment dir
+    (``{layout}/staged_tmp/seg=<key>/<cnt>/b=<bucket>``), then installs
+    the whole segment with one atomic rename to
+    ``{layout}/staged/seg=<key>`` — so a segment directory that exists
+    always holds five complete, mutually-consistent tables (the old
+    per-table staging could crash with two of five written).  Its
+    window count lands as a seg-tagged row under
+    ``{layout}/staged_stats`` (deduped at read; re-derivable from the
+    segment's c3 sums if the crash ate the append).  The batch readers'
+    LSM merge already sums arbitrary per-segment partial rows, so
+    serving needs no new math — just the staged union
+    (:func:`trigram_heldout_with_staged`); compaction
+    (:func:`compact_staged_trigram`) folds everything into a fully
+    merged new generation."""
     from pithos_spark.functions.text import (
         _TRIGRAM_COUNT_TABLES,
         _trigram_counts,
         _trigram_windows,
     )
 
+    token = segment_token(checkpoint)
+
     def _ingest(batch_df, batch_id):
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        stats = spark.read.parquet(f"{layout_path}/stats").collect()[0]
+        root = read_current(layout_path)
+        stats = spark.read.parquet(f"{root}/stats").collect()[0]
         n_buckets = int(stats["n_buckets"])
+        seg = f"{token}-{batch_id}"
+        tmp = f"{layout_path}/staged_tmp/seg={seg}"
         tri = _trigram_windows(batch_df).persist()
         try:
             d_total = tri.count()
@@ -263,15 +405,14 @@ def streaming_trigram_ingest(
                     .sortWithinPartitions(key)
                     .write.mode("overwrite")
                     .partitionBy("b")
-                    .parquet(
-                        f"{layout_path}/{cnt}_staged/ingest_batch={batch_id}"
-                    )
+                    .parquet(f"{tmp}/{cnt}")
                 )
+            install_staged_segment(tmp, f"{layout_path}/staged/seg={seg}")
             (
                 spark.range(1)
                 .select(
                     F.lit(int(d_total)).alias("n_total"),
-                    F.lit(int(batch_id)).alias("batch_id"),
+                    F.lit(seg).alias("seg"),
                 )
                 .write.mode("append")
                 .parquet(f"{layout_path}/staged_stats")
@@ -287,6 +428,61 @@ def streaming_trigram_ingest(
     )
 
 
+def _staged_trigram_tables(spark, layout_path: str, live: list[str]):
+    """Per-count-table union of the live staged segments' rows (``b``
+    and attribution dropped — the LSM merge keys on the gram).  Reads
+    by explicit per-segment path: a segment dir exists iff its five
+    tables are complete (single-rename install), so no partial segment
+    can leak in.  One read per segment dir (a multi-root read trips
+    Spark's conflicting-directory-structures check on the ``b=``
+    partitions); the union is over the handful of not-yet-folded
+    segments."""
+    from pithos_spark.functions.text import _TRIGRAM_COUNT_TABLES
+
+    out: dict = {}
+    for _key, cnt in _TRIGRAM_COUNT_TABLES:
+        parts = [
+            spark.read.parquet(
+                f"{layout_path}/staged/seg={s}/{cnt}"
+            ).drop("b")
+            for s in live
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        out[cnt] = df
+    return out
+
+
+def _staged_trigram_total(spark, layout_path: str, live: list[str]) -> int:
+    """Window count contributed by the live staged segments: deduped
+    seg-tagged stats rows, DERIVED exactly for any segment missing one
+    (a trigram segment's n_total equals the sum of its c3 counts — the
+    c3 table groups every window by its trigram, so unlike the postings
+    derivation this one has no blind spot)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = (
+            spark.read.parquet(f"{layout_path}/staged_stats")
+            .dropDuplicates(["seg"])
+            .filter(F.col("seg").isin(list(live)))
+            .collect()
+        )
+    except AnalysisException:
+        rows = []
+    total = sum(int(r["n_total"]) for r in rows)
+    missing = sorted(set(live) - {str(r["seg"]) for r in rows})
+    for s in missing:
+        d = (
+            spark.read.parquet(f"{layout_path}/staged/seg={s}/c3")
+            .agg(F.coalesce(F.sum("c3"), F.lit(0)).alias("t"))
+            .collect()[0]["t"]
+        )
+        total += int(d)
+    return total
+
+
 def trigram_heldout_with_staged(
     documents,
     layout_path: str,
@@ -299,13 +495,11 @@ def trigram_heldout_with_staged(
     """Held-out scoring over base + staged gram segments: each count
     table unions its staged partials before the LSM merge (which
     already sums per-segment rows per gram), and n_total adds the
-    deduped staged window counts.  Equal to the one-pass layout over
-    the union of LM documents (tested across trigger splits and after
-    compaction)."""
-    from pyspark.errors import AnalysisException
-
+    staged window counts (stats rows or exactly re-derived).  Equal to
+    the one-pass layout over the union of LM documents (tested across
+    trigger splits, after compaction, and across every injected crash
+    point)."""
     from pithos_spark.functions.text import (
-        _TRIGRAM_COUNT_TABLES,
         _load_trigram_layout,
         _merge_segment_counts,
         _trigram_score,
@@ -314,84 +508,90 @@ def trigram_heldout_with_staged(
     from pithos_spark.plans.helpers import bounded_persist
 
     spark = documents.sparkSession
-    counts, n_total, _ = _load_trigram_layout(spark, layout_path)
+    counts, n_total, _, n_segments = _load_trigram_layout(
+        spark, layout_path
+    )
     counts = {cnt: df.drop("b") for cnt, df in counts.items()}
-    for _key, cnt in _TRIGRAM_COUNT_TABLES:
-        try:
-            staged = spark.read.parquet(f"{layout_path}/{cnt}_staged").drop(
-                "ingest_batch", "b"
-            )
-        except AnalysisException:
-            continue
-        counts[cnt] = counts[cnt].unionByName(staged)
-    try:
-        raw = spark.read.parquet(f"{layout_path}/staged_stats")
-        add = (
-            raw.dropDuplicates(["batch_id"])
-            .agg(F.coalesce(F.sum("n_total"), F.lit(0)).alias("t"))
-            .collect()[0]["t"]
-        )
-        n_total += int(add)
-    except AnalysisException:
-        pass
+    live = _live_staged_segs(spark, layout_path, read_current(layout_path))
+    if live:
+        staged = _staged_trigram_tables(spark, layout_path, live)
+        counts = {
+            cnt: counts[cnt].unionByName(staged[cnt]) for cnt in counts
+        }
+        n_total += _staged_trigram_total(spark, layout_path, live)
+    if live or n_segments != 1:
+        counts = _merge_segment_counts(counts)
     tri_score = bounded_persist(
         _trigram_windows(documents), "streaming_ingest.tri_score"
     )
     return _trigram_score(
-        tri_score, _merge_segment_counts(counts), n_total, l3, l2, l1,
-        low, high,
+        tri_score, counts, n_total, l3, l2, l1, low, high,
     )
 
 
 def compact_staged_trigram(spark, layout_path: str) -> int:
-    """Fold staged gram segments into the base tables (one
-    ``mode("append")`` per count table — the rows keep their frozen
-    bucket values, so they land in the existing ``b=`` directories),
-    add the deduped staged window counts into stats, and drop the
-    staging areas.  Returns the number of staged gram rows folded."""
-    import shutil
+    """Fold staged gram segments into a fully-MERGED new generation —
+    the same pointer-committed protocol as
+    :func:`compact_staged_postings`, plus a real LSM payoff: the fold
+    groupBy-sums every gram's partial rows (base segments from batch
+    appends included), so the compacted layout is back to one row per
+    gram (``n_segments == 1``) and the readers' merge fast-path
+    re-engages.  Buckets stay frozen (recomputed from the same
+    murmur3 expression, so every gram lands back in its partition and
+    probe pruning is untouched).  Returns the number of staged gram
+    rows folded."""
+    from pithos_spark.functions.text import (
+        _TRIGRAM_COUNT_TABLES,
+        _load_trigram_layout,
+    )
 
-    from pyspark.errors import AnalysisException
+    root = read_current(layout_path)
+    live = _live_staged_segs(spark, layout_path, root)
+    if not live:
+        _gc_staged(
+            layout_path, sorted(folded_segment_keys(spark, root))
+        )
+        return 0
+    counts, n_total, n_buckets, _ = _load_trigram_layout(
+        spark, layout_path
+    )
+    staged = _staged_trigram_tables(spark, layout_path, live)
+    folded = sum(df.count() for df in staged.values())
+    n_total += _staged_trigram_total(spark, layout_path, live)
 
-    from pithos_spark.functions.text import _TRIGRAM_COUNT_TABLES
-
-    folded = 0
+    tmp = f"{layout_path}/{FOLD_TMP}"
+    shutil.rmtree(tmp, ignore_errors=True)
     for key, cnt in _TRIGRAM_COUNT_TABLES:
-        try:
-            staged = spark.read.parquet(f"{layout_path}/{cnt}_staged").drop(
-                "ingest_batch"
-            )
-        except AnalysisException:
-            continue
-        folded += staged.count()
+        merged = (
+            counts[cnt]
+            .drop("b")
+            .unionByName(staged[cnt])
+            .groupBy(key)
+            .agg(F.sum(cnt).cast("long").alias(cnt))
+        )
         (
-            staged.repartition("b")
+            merged.withColumn(
+                "b", F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
+            )
+            .repartition("b")
             .sortWithinPartitions(key)
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("b")
-            .parquet(f"{layout_path}/{cnt}")
+            .parquet(f"{tmp}/{cnt}")
         )
-        shutil.rmtree(f"{layout_path}/{cnt}_staged", ignore_errors=True)
-    try:
-        raw = spark.read.parquet(f"{layout_path}/staged_stats")
-    except AnalysisException:
-        return folded
-    add = (
-        raw.dropDuplicates(["batch_id"])
-        .agg(F.coalesce(F.sum("n_total"), F.lit(0)).alias("t"))
-        .collect()[0]["t"]
+    write_tiny_table(
+        spark.createDataFrame(
+            [(int(n_total), int(n_buckets), 1)],
+            "n_total long, n_buckets int, n_segments int",
+        ),
+        f"{tmp}/stats",
     )
-    old = spark.read.parquet(f"{layout_path}/stats").collect()[0]
-    (
-        spark.range(1)
-        .select(
-            (F.lit(int(old["n_total"])) + F.lit(int(add)))
-            .cast("long")
-            .alias("n_total"),
-            F.lit(int(old["n_buckets"])).cast("int").alias("n_buckets"),
-        )
-        .write.mode("overwrite")
-        .parquet(f"{layout_path}/stats")
+    write_tiny_table(
+        _folded_segments_df(spark, layout_path, root, live),
+        f"{tmp}/folded_segments",
     )
-    shutil.rmtree(f"{layout_path}/staged_stats", ignore_errors=True)
+    gen = next_gen_rel(layout_path)
+    os.rename(tmp, f"{layout_path}/{gen}")
+    commit_current(layout_path, gen)  # THE commit point
+    _gc_staged(layout_path, live)
     return folded

@@ -1423,7 +1423,7 @@ def test_streaming_postings_ingest_matches_batch(spark, tmp_path):
     fs = spark.read.parquet(f"{full_layout}/stats").collect()[0]
     staged_stats = spark.read.parquet(f"{layout}/staged_stats")
     bs = spark.read.parquet(f"{layout}/stats").collect()[0]
-    agg = staged_stats.dropDuplicates(["batch_id"]).agg(
+    agg = staged_stats.dropDuplicates(["seg"]).agg(
         F.sum("n_docs"), F.sum("total_len")
     ).collect()[0]
     assert (bs["n_docs"] + agg[0], bs["total_len"] + agg[1]) == (
@@ -1443,10 +1443,18 @@ def test_streaming_postings_ingest_matches_batch(spark, tmp_path):
 
 
 def test_streaming_postings_ingest_replay_is_idempotent(spark, tmp_path):
-    """At-least-once replay: re-running a micro-batch writer with the
-    same batch_id must leave the staged segment byte-identical (the
-    overwrite-per-batch-directory contract), and the stats reader
-    drops the duplicated batch-tagged row."""
+    """At-least-once replay: a GENUINE Structured Streaming replay —
+    same checkpoint, batch 0's commit marker deleted so the restarted
+    query re-executes the batch with the SAME batch id — must leave
+    the staged segment directory byte-identical (the install rename
+    finds it already present and skips), and the stats reader drops
+    the duplicated seg-tagged row.  (A re-run under a FRESH checkpoint
+    is deliberately NOT deduplicated: batch ids restart at 0 per
+    checkpoint, so a fresh checkpoint is a new stream whose segments
+    must never collide with an old stream's fold mask — that is why
+    segment keys carry the checkpoint token.)"""
+    import os
+
     import pyspark.sql.functions as F
 
     from pithos_spark import tables as T
@@ -1464,18 +1472,28 @@ def test_streaming_postings_ingest_replay_is_idempotent(spark, tmp_path):
 
     src = str(tmp_path / "delta_src_replay")
     delta.write.parquet(src)
-    for ckpt in ("ckpt_a", "ckpt_b"):  # fresh checkpoint -> batch 0 replays
-        stream = spark.readStream.schema(docs.schema).parquet(src)
-        q = streaming_postings_ingest(stream, layout, str(tmp_path / ckpt))
-        q.awaitTermination(120)
+    ckpt = str(tmp_path / "ckpt_replay")
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = streaming_postings_ingest(stream, layout, ckpt)
+    q.awaitTermination(120)
+    q.stop()  # release the checkpoint before the restarted query takes it
+    # simulate the foreachBatch crash-after-write: the sink side effects
+    # happened but the batch was never committed, so a restart replays
+    # batch 0 under the same id (the at-least-once contract)
+    os.remove(f"{ckpt}/commits/0")
+    os.remove(f"{ckpt}/commits/.0.crc")  # its Hadoop checksum twin
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = streaming_postings_ingest(stream, layout, ckpt)
+    q.awaitTermination(120)
 
-    # segment rows did not duplicate (overwrite is idempotent)
+    # one segment only, rows not duplicated (install found it present)
     staged = spark.read.parquet(f"{layout}/staged")
+    assert staged.select("seg").distinct().count() == 1
     assert staged.count() == staged.dropDuplicates().count()
-    # the duplicated stats row is dropped by the batch_id dedup
+    # the duplicated stats row is dropped by the seg dedup
     raw = spark.read.parquet(f"{layout}/staged_stats")
     assert raw.count() == 2  # two appends...
-    assert raw.dropDuplicates(["batch_id"]).count() == 1  # ...one batch
+    assert raw.dropDuplicates(["seg"]).count() == 1  # ...one segment
     full_layout = str(tmp_path / "postings_full_replay")
     retrieval.write_postings_layout(docs, full_layout)
     want = [
@@ -1537,10 +1555,14 @@ def test_streaming_trigram_ingest_matches_batch(spark, tmp_path):
         for r in text.trigram_heldout_from_layout(score, layout).collect()
     ]
     assert after == want
-    # frozen buckets: compacted stats equal the one-pass build's
-    gs = spark.read.parquet(f"{layout}/stats").collect()[0]
+    # frozen buckets: compacted stats equal the one-pass build's, and
+    # the fold's full merge restored the one-segment fast path
+    from pithos_spark.functions.layoutcommit import read_current
+
+    gs = spark.read.parquet(f"{read_current(layout)}/stats").collect()[0]
     ws = spark.read.parquet(f"{full_layout}/stats").collect()[0]
     assert (gs["n_total"], gs["n_buckets"]) == (ws["n_total"], ws["n_buckets"])
+    assert gs["n_segments"] == 1
     # probe pruning on the compacted (appended) layout still agrees
     probe = score.filter("doc_id % 16 = 1")
     gp = [
