@@ -1574,3 +1574,226 @@ def test_streaming_trigram_ingest_matches_batch(spark, tmp_path):
     ]
     assert gp == wp and len(gp) > 0
     assert compact_staged_trigram(spark, layout) == 0
+
+
+# --- compaction crash-injection (VERDICT r14 task 1) -----------------------
+#
+# The three crash windows of the generation-pointer fold, in commit
+# order; each names the module function whose invocation marks the
+# window's END, so monkeypatching it to raise kills the fold exactly
+# there:
+#   before_rename  — merged generation fully written under _fold_tmp,
+#                    not yet installed (next_gen_rel is called just
+#                    before the install rename);
+#   before_commit  — generation dir installed, CURRENT still on the
+#                    old generation;
+#   before_cleanup — CURRENT swapped, staged segments still on disk
+#                    (the exact window that double-counted in r14).
+_CRASH_POINTS = ["next_gen_rel", "commit_current", "_gc_staged"]
+
+
+def _boom(*_a, **_kw):
+    raise RuntimeError("injected crash")
+
+
+def test_compact_staged_postings_crash_recovery(spark, tmp_path):
+    """Kill compaction in each crash window in turn (with fresh staged
+    segments ingested between rounds): the torn state must still serve
+    bit-identically to the one-pass oracle over the documents ingested
+    so far — no double count, no loss — and re-running compaction must
+    recover completely (fold applied or cleaned up, both serving paths
+    agree, further compaction a no-op)."""
+    import pyspark.sql.functions as F
+    import pytest as _pt
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions import retrieval
+    import pithos_spark.streaming.ingest as ing
+
+    docs = T.load_tables(spark, SF_SMOKE)["documents"]
+    layout = str(tmp_path / "postings_crash")
+    retrieval.write_postings_layout(docs.filter("doc_id % 4 = 0"), layout)
+
+    deltas = ["doc_id % 4 = 1", "doc_id % 4 = 2", "doc_id % 4 = 3"]
+    sofar = ["doc_id % 4 <= 1", "doc_id % 4 <= 2", "doc_id >= 0"]
+    for i, (crash_fn, dpred, cpred) in enumerate(
+        zip(_CRASH_POINTS, deltas, sofar)
+    ):
+        src = str(tmp_path / f"pc_src_{i}")
+        docs.filter(dpred).write.parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = ing.streaming_postings_ingest(
+            stream, layout, str(tmp_path / f"pc_ckpt_{i}")
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+        full = str(tmp_path / f"pc_full_{i}")
+        retrieval.write_postings_layout(docs.filter(cpred), full)
+        want = [
+            tuple(r)
+            for r in retrieval.bm25_topk_from_postings(spark, full).collect()
+        ]
+
+        mp = _pt.MonkeyPatch()
+        mp.setattr(ing, crash_fn, _boom)
+        with _pt.raises(RuntimeError, match="injected crash"):
+            ing.compact_staged_postings(spark, layout)
+        mp.undo()
+
+        # the torn state serves exactly — the r14 double-count window
+        got = [
+            tuple(r)
+            for r in ing.bm25_topk_with_staged(spark, layout).collect()
+        ]
+        assert got == want, f"torn serve after crash at {crash_fn}"
+
+        # recovery: a plain re-run finishes (or redoes) the fold
+        ing.compact_staged_postings(spark, layout)
+        after = [
+            tuple(r)
+            for r in retrieval.bm25_topk_from_postings(
+                spark, layout
+            ).collect()
+        ]
+        assert after == want, f"recovered base serve after {crash_fn}"
+        assert [
+            tuple(r)
+            for r in ing.bm25_topk_with_staged(spark, layout).collect()
+        ] == want
+        assert ing.compact_staged_postings(spark, layout) == 0
+
+
+def test_compact_staged_trigram_crash_recovery(spark, tmp_path):
+    """Gram-layout twin of the postings crash matrix: every crash
+    window serves exactly and recovers to a fully-merged generation
+    (n_segments == 1, merge fast path re-engaged)."""
+    import pyspark.sql.functions as F
+    import pytest as _pt
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions import text
+    from pithos_spark.functions.layoutcommit import read_current
+    import pithos_spark.streaming.ingest as ing
+
+    docs = T.load_tables(spark, SF_SMOKE)["documents"]
+    lm = docs.filter("doc_id % 4 = 0")
+    score = docs.filter("doc_id % 4 <> 0")
+    layout = str(tmp_path / "trigram_crash")
+    base_pred = "doc_id % 40 NOT IN (0, 12, 20)"
+    text.write_trigram_lm_layout(lm.filter(base_pred), layout)
+
+    deltas = ["doc_id % 40 = 0", "doc_id % 40 = 12", "doc_id % 40 = 20"]
+    sofar = [
+        "doc_id % 40 <> 12 AND doc_id % 40 <> 20",
+        "doc_id % 40 <> 20",
+        "doc_id >= 0",
+    ]
+    for i, (crash_fn, dpred, cpred) in enumerate(
+        zip(_CRASH_POINTS, deltas, sofar)
+    ):
+        src = str(tmp_path / f"tc_src_{i}")
+        lm.filter(dpred).write.parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = ing.streaming_trigram_ingest(
+            stream, layout, str(tmp_path / f"tc_ckpt_{i}")
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+        full = str(tmp_path / f"tc_full_{i}")
+        text.write_trigram_lm_layout(lm.filter(cpred), full)
+        want = [
+            tuple(r)
+            for r in text.trigram_heldout_from_layout(score, full).collect()
+        ]
+
+        mp = _pt.MonkeyPatch()
+        mp.setattr(ing, crash_fn, _boom)
+        with _pt.raises(RuntimeError, match="injected crash"):
+            ing.compact_staged_trigram(spark, layout)
+        mp.undo()
+
+        got = [
+            tuple(r)
+            for r in ing.trigram_heldout_with_staged(score, layout).collect()
+        ]
+        assert got == want, f"torn serve after crash at {crash_fn}"
+
+        ing.compact_staged_trigram(spark, layout)
+        after = [
+            tuple(r)
+            for r in text.trigram_heldout_from_layout(score, layout).collect()
+        ]
+        assert after == want, f"recovered serve after {crash_fn}"
+        gs = spark.read.parquet(f"{read_current(layout)}/stats").collect()[0]
+        assert gs["n_segments"] == 1
+        assert ing.compact_staged_trigram(spark, layout) == 0
+
+
+def test_staged_serving_derives_missing_stats(spark, tmp_path):
+    """ADVICE r14: if the per-segment stats append is the step a crash
+    ate, the staged serving reads must derive the counters from the
+    segment's own rows instead of serving base counters against
+    unioned rows (drifted idf / length norms / n_total)."""
+    import shutil as _sh
+
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions import retrieval, text
+    import pithos_spark.streaming.ingest as ing
+
+    docs = T.load_tables(spark, SF_SMOKE)["documents"]
+    # postings: derivation sees distinct (doc_id, dl) pairs, so keep
+    # the delta to documents with at least one token
+    toked = docs.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 1)
+    base = toked.filter("doc_id % 2 = 0")
+    delta = toked.filter("doc_id % 2 = 1")
+    p_layout = str(tmp_path / "postings_nostats")
+    retrieval.write_postings_layout(base, p_layout)
+    src = str(tmp_path / "ns_src")
+    delta.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = ing.streaming_postings_ingest(
+        stream, p_layout, str(tmp_path / "ns_ckpt")
+    )
+    q.awaitTermination(120)
+    q.stop()
+    _sh.rmtree(f"{p_layout}/staged_stats")  # the crash artifact
+    full = str(tmp_path / "ns_full")
+    retrieval.write_postings_layout(toked, full)
+    want = [
+        tuple(r)
+        for r in retrieval.bm25_topk_from_postings(spark, full).collect()
+    ]
+    got = [
+        tuple(r) for r in ing.bm25_topk_with_staged(spark, p_layout).collect()
+    ]
+    assert got == want
+
+    # trigram: n_total re-derives exactly from the segment's c3 sums
+    lm = docs.filter("doc_id % 4 = 0")
+    score = docs.filter("doc_id % 4 <> 0")
+    t_layout = str(tmp_path / "trigram_nostats")
+    text.write_trigram_lm_layout(lm.filter("doc_id % 40 <> 0"), t_layout)
+    tsrc = str(tmp_path / "tns_src")
+    lm.filter("doc_id % 40 = 0").write.parquet(tsrc)
+    stream = spark.readStream.schema(docs.schema).parquet(tsrc)
+    q = ing.streaming_trigram_ingest(
+        stream, t_layout, str(tmp_path / "tns_ckpt")
+    )
+    q.awaitTermination(120)
+    q.stop()
+    _sh.rmtree(f"{t_layout}/staged_stats")
+    t_full = str(tmp_path / "tns_full")
+    text.write_trigram_lm_layout(lm, t_full)
+    t_want = [
+        tuple(r)
+        for r in text.trigram_heldout_from_layout(score, t_full).collect()
+    ]
+    t_got = [
+        tuple(r)
+        for r in ing.trigram_heldout_with_staged(score, t_layout).collect()
+    ]
+    assert t_got == t_want
