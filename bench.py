@@ -145,6 +145,11 @@ EXTRA_REPEATS = {
     # proactively per the >50% rule
     "part_base_offsets": 9,
     "corpus_bm25_postings_append_topk": 9,
+    # r14 artifact spread 55.6% (VERDICT r14 task 3 — its sibling got
+    # extra repeats that round, this one was the recurring off-by-one;
+    # tests/test_bench_output.py now enforces the >50% rule from the
+    # on-disk artifacts so the omission class is test-caught)
+    "corpus_trigram_heldout_appended": 9,
 }
 
 # 5 repeats (r10, was 3): with the untimed warmup lap all samples are
@@ -354,7 +359,16 @@ def main() -> None:
     spark.stop()
     shutil.rmtree(layout, ignore_errors=True)
 
-    for line in bench_output_lines(runs, medians, sf):
+    lines = bench_output_lines(runs, medians, sf)
+    # Persist the FULL diagnostics next to the repo artifacts: the
+    # driver's 2000-char tail capture truncates the diagnostics line's
+    # head, so without this file the >50%-spread EXTRA_REPEATS rule
+    # (tests/test_bench_output.py) could only see the spread_pct
+    # entries that happened to survive the cut.
+    Path(__file__).resolve().parent.joinpath("BENCH_DIAG.json").write_text(
+        lines[0] + "\n"
+    )
+    for line in lines:
         print(line)
 
 

@@ -760,11 +760,16 @@ def save_ivf_index(
     centers: DataFrame,
     path: str,
     cluster_col: str = "cluster",
+    scale: int = 1000,
 ) -> None:
     """Persist an IVF index as tables: the assigned corpus written
     PARTITIONED BY the cluster id (probing a list = reading one
     directory — partition pruning does the candidate selection at
-    100 TB) and the centers as a plain (tiny) parquet dim.
+    100 TB), the centers as a plain (tiny) parquet dim, and a 1-row
+    meta table pinning the build-time quantization ``scale`` —
+    ADVICE r14: without it, :func:`append_to_ivf_index` trusted a
+    caller-supplied scale, and a mismatched value silently assigned
+    new vectors against wrongly-scaled query points.
 
     This is the 'build once at ingest, probe many' contract made
     durable: index build cost is paid once per corpus version, queries
@@ -775,10 +780,16 @@ def save_ivf_index(
         w = w.partitionBy(part_col)
     w.parquet(f"{path}/assigned")
     centers.write.mode("overwrite").parquet(f"{path}/centers")
+    write_tiny_table(
+        assigned.sparkSession.createDataFrame(
+            [(int(scale),)], "scale int"
+        ),
+        f"{path}/meta",
+    )
 
 
 def append_to_ivf_index(
-    new_embeddings: DataFrame, path: str, scale: int = 1000
+    new_embeddings: DataFrame, path: str, scale: int | None = None
 ) -> None:
     """Frozen-centroid append for the persisted IVF index (r14 — the
     last persisted layout without a maintenance path; PQ and
@@ -792,8 +803,30 @@ def append_to_ivf_index(
     their cells, and probe reads keep pruning because the cluster
     value set is frozen with the centers.  Same contract/caveat as the
     other appends: centroids drift as the corpus grows — retrain per
-    major corpus version, append within one."""
+    major corpus version, append within one.
+
+    The quantization scale comes from the layout's meta table (written
+    at save time), never from the caller: pass ``scale`` only for
+    pre-meta layouts (it is rejected if it contradicts the stored
+    value — ADVICE r14's silent-misassignment fix)."""
+    from pyspark.errors import AnalysisException
+
     spark = new_embeddings.sparkSession
+    try:
+        stored = int(
+            spark.read.parquet(f"{path}/meta").collect()[0]["scale"]
+        )
+    except AnalysisException:
+        stored = None
+    if stored is not None:
+        if scale is not None and int(scale) != stored:
+            raise ValueError(
+                f"append_to_ivf_index: scale={scale} contradicts the "
+                f"layout's build-time scale {stored} ({path}/meta)"
+            )
+        scale = stored
+    elif scale is None:
+        scale = 1000  # pre-meta layout, build-time default
     centers = {
         int(r["cluster"]): [int(v) for v in r["centroid_q"]]
         for r in spark.read.parquet(f"{path}/centers").collect()

@@ -3673,30 +3673,26 @@ ORACLES["corpus_bpe_heldout_fertility"] = text.bpe_heldout_fertility_oracle(
 # order (still runnable, just outside the 50-entry hard gate this round).
 # ---------------------------------------------------------------------------
 
-# Queries changed or added in the CURRENT round (14) — spliced at the
-# very front of the window so they get a fresh verdict:
-#  - corpus_bm25_postings_append_topk / corpus_trigram_heldout_appended
-#    (VERDICT r13 task 4): serving reads over crawl-delta-APPENDED
-#    lexical layouts, hash-checked against the one-pass full-corpus
-#    oracles — the driver proves append==rebuild itself;
-#  - dedup_embedding_ladder re-gate (VERDICT r13 task 1): the exact
-#    tier is now per-label capped with an n_capped_ids telemetry
-#    column (schema change — needs a fresh verdict);
-#  - corpus_trigram_heldout_from_layout re-gate: layout readers now
-#    LSM-merge per-segment partial count rows (plan change), and
-#    corpus_trigram_probe_pruned: the probe-pruned layout read gains
-#    its own oracle gate (pruning hash-proven score-neutral);
-#  - multimodal_decode_coverage re-gate (VERDICT r13 task 7): the
-#    image pixel-decode dispatch gained the stdlib progressive-JPEG
-#    (SOF2) decoder (dedup_image_dhash_assets shares the dispatch but
-#    its synthetic-corpus results are unchanged; it rotates normally).
+# Queries changed or added in the CURRENT round (15) — spliced at the
+# very front of the window so they get a fresh verdict.  All five are
+# re-gates forced by the crash-safe layout-commit work (VERDICT r14
+# task 1/5):
+#  - corpus_trigram_heldout_from_layout / corpus_trigram_probe_pruned:
+#    layout readers resolve the CURRENT generation pointer and take a
+#    one-segment FAST PATH that skips the LSM merge entirely on fresh
+#    or compacted layouts (plan change, pinned in tests/test_plans.py);
+#  - corpus_trigram_heldout_appended: the appended layout's stats row
+#    gained n_segments and its read re-engages the merge only when >1;
+#  - corpus_bm25_postings_append_topk: append + serving now resolve
+#    the generation pointer (behavior-identical on fresh layouts,
+#    re-gated because the code path changed);
+#  - corpus_trigram_segment_stats rides at the head of
+#    DRIVER_PRIORITY (never driver-verified — VERDICT r14 task 2).
 ROUND_NEW: list[str] = [
-    "corpus_bm25_postings_append_topk",
-    "corpus_trigram_heldout_appended",
-    "dedup_embedding_ladder",
     "corpus_trigram_heldout_from_layout",
     "corpus_trigram_probe_pruned",
-    "multimodal_decode_coverage",
+    "corpus_trigram_heldout_appended",
+    "corpus_bm25_postings_append_topk",
 ]
 
 # The stale backlog, oldest verdict first.  THIS LIST IS GENERATED,
@@ -3707,57 +3703,60 @@ ROUND_NEW: list[str] = [
 # ROUND_NEW until the 50-slot window is full.  No query names belong
 # in this comment — the script is the only source of truth.
 DRIVER_PRIORITY: list[str] = [
-    # --- r10-stale (all 39, verdict_histogram.py output, insertion order) ---
-    "q3_top_unshipped",
-    "q5_region_revenue",
-    "q14_promo_revenue",
-    "text_token_count_bpe",
-    "text_quality_score",
-    "text_language_id",
-    "text_fingerprint",
-    "dedup_jaccard_pairs",
-    "dedup_lsh_bucket_stats",
-    "corpus_source_overlap",
-    "ann_brute_force_topk",
-    "ann_label_centroids",
-    "cors_preflight",
-    "objects_upsert_merge",
-    "objects_delete_where",
-    "objects_bulk_delete",
-    "chunk_ingest_explode",
-    "tenant_usage_rollup",
-    "post_policy_validate",
-    "events_value_percentiles",
-    "dedup_embedding_lsh",
-    "corpus_profile",
-    "corpus_decontaminate_bloom",
-    "corpus_duplicate_span_intervals",
-    "corpus_source_vocab_overlap",
-    "corpus_cluster_prototypes",
-    "corpus_mmr_rerank",
-    "corpus_duplicate_spans",
-    "corpus_mask_duplicate_spans",
-    "acl_edn_grants",
-    "dedup_semantic",
-    "ann_projected_topk",
-    "corpus_perplexity_filter",
-    "corpus_tokenizer_fertility",
-    "corpus_semantic_topics",
-    "dedup_semantic_clusters",
-    "corpus_chunk_windows",
-    "s3_resolve_operations",
-    "events_api_traffic",
-    # --- oldest r11-stale (5 of 44, same source) ---
-    "bucket_by_tenant",
-    "fetch_bucket",
-    "objects_page",
-    "object_descriptor",
-    "aborted_upload_gc",
+    # --- never verified (r14 registration; VERDICT r14 task 2) ---
+    "corpus_trigram_segment_stats",
+    # --- r11-stale (all 39, verdict_histogram.py output, insertion order) ---
+    "range_read_chunks",
+    "dedup_duplicate_clusters",
+    "dedup_keep_best",
+    "dedup_incremental",
+    "dedup_incremental_containment",
+    "dedup_ladder_report",
+    "dedup_shingle_df_stats",
+    "dedup_simhash_pairs",
+    "dedup_image_dhash",
+    "dedup_audio_fingerprint_assets",
+    "dedup_video_frames_assets",
+    "ann_ivfpq_topk",
+    "multimodal_resize",
+    "acl_read_grants",
+    "acl_authorized_buckets",
+    "acl_merged_grants",
+    "buckets_object_presence",
+    "list_uploads_prefix",
+    "upload_details",
+    "copy_range_rebase",
+    "bucket_name_validation",
+    "events_json_extract",
+    "ann_ivf_topk",
+    "events_heavy_hitters_merged",
+    "events_watermark_lateness",
+    "events_retention",
+    "list_object_uploads",
+    "events_type_pivot",
+    "corpus_curation_pipeline",
+    "corpus_bpe_train",
+    "corpus_bpe_segment_stats",
+    "corpus_novelty_scores",
+    "corpus_pack_sequences",
+    "dedup_containment",
+    "corpus_epoch_shuffle",
+    "corpus_quality_classifier",
+    "corpus_quality_classifier_trained",
+    "dedup_audio_fingerprint",
+    "dedup_video_frames",
+    # --- oldest r12-stale (6 of 48, same source) ---
+    "q1_pricing_summary",
+    "text_token_stats",
+    "dedup_minhash_lsh",
+    "dedup_image_dhash_assets",
+    "ann_lsh_topk",
+    "ann_pq_topk",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (all were green in r10/r11), and 6 + 39 + 5 fills the window;
-# after r14 no query's last verdict is older than r11.
+# canary (all were green in r11/r12), and 4 + 1 + 39 + 6 fills the
+# window; after r15 no query's last verdict is older than r12.
 GREEN_CORE: list[str] = []
 
 

@@ -1017,8 +1017,15 @@ def _jpeg_progressive_gray_pixels(
             ah, al = a >> 4, a & 0x0F
             luma_id = frame[2][0][0]
             data_start = pos + seg_len
-            if ss > 0 and (len(scomps) != 1 or scomps[0][0] != luma_id):
-                # non-luma AC scan: step over without decoding
+            if ss > 0 and len(scomps) != 1:
+                # illegal per T.81 G.1.1 (progressive AC scans are
+                # single-component): REJECT rather than byte-skip —
+                # skipping would decode a plausible-looking image with
+                # the luma AC coefficients missing instead of falling
+                # back to the flagged stand-in (ADVICE r14)
+                return None
+            if ss > 0 and scomps[0][0] != luma_id:
+                # legal non-luma AC scan: step over without decoding
                 pos = _skip_entropy(data_start)
                 continue
             nxt = _decode_scan(scomps, ss, se, ah, al, data_start)

@@ -84,3 +84,53 @@ def test_diagnostics_line_spread_pct_matches_runs():
     expect = round(100 * (max(s) - min(s)) / 120.55, 1)
     assert diag["spread_pct"][name] == expect
     assert diag["first_warm"][name] == s[0]
+
+
+def test_high_spread_queries_get_extra_repeats():
+    """VERDICT r14 task 3: the bench's own rule — any query whose
+    last-artifact spread exceeded 50% runs extra repeats — kept being
+    applied to one query and not its sibling (three rounds running).
+    Enforce it from the on-disk artifacts: the full diagnostics dump
+    (BENCH_DIAG.json, written by bench.main since r15) plus whatever
+    spread_pct entries survive in the newest BENCH_r*.json tail (the
+    2000-char capture keeps the diagnostics line's TAIL, which is the
+    spread_pct dict).  Median floor 0.25 s: far below it the spread
+    denominator makes scheduler jitter read as hundreds of percent and
+    the bench's own docstring says to judge those by absolute range."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    spreads: dict[str, float] = {}
+    medians: dict[str, float] = {}
+
+    benches = sorted(root.glob("BENCH_r*.json"))
+    if benches:
+        art = json.loads(benches[-1].read_text())
+        parsed = art.get("parsed") or {}
+        medians.update(parsed.get("queries") or {})
+        tail = art.get("tail") or ""
+        frag = tail.split("\n", 1)[0]
+        if "spread_pct" in frag:
+            frag = frag.split("spread_pct", 1)[1]
+        for name, val in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', frag):
+            spreads[name] = float(val)
+
+    diag_file = root / "BENCH_DIAG.json"
+    if diag_file.exists():
+        diag = json.loads(diag_file.read_text())
+        spreads.update(diag.get("spread_pct", {}))
+        for name, s in diag.get("runs", {}).items():
+            medians[name] = sorted(s)[len(s) // 2]
+
+    offenders = [
+        n
+        for n, v in spreads.items()
+        if v > 50
+        and medians.get(n, 1.0) >= 0.25
+        and n not in bench.EXTRA_REPEATS
+    ]
+    assert offenders == [], (
+        f"queries with >50% last-artifact spread missing from "
+        f"EXTRA_REPEATS: {offenders}"
+    )

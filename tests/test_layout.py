@@ -587,3 +587,49 @@ def test_ivf_incremental_append_equals_one_pass(spark, layout_dir):
         for r in _semantic_pairs_from_assigned(one_pass, 300_000, 500).collect()
     ]
     assert got == want and len(got) > 0
+
+
+@pytest.mark.slow
+def test_ivf_append_reads_scale_from_meta(spark, layout_dir):
+    """ADVICE r14: the IVF layout persists its build-time quantization
+    scale; append assigns with the STORED scale when the caller passes
+    none, and a contradicting explicit scale is rejected instead of
+    silently assigning new vectors against wrongly-scaled centroids."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions import similarity
+    from pithos_spark.functions.similarity import _lloyd_assign, _quantized
+
+    emb = T.load_tables(spark, SF_ORACLE)["embeddings"]
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    delta = emb.filter(F.col("vec_id") % 4 == 3)
+    path = f"{layout_dir}/ivf_meta_scale"
+    assigned, centers_df = similarity.build_ivf_lloyd_index(
+        base, 8, 1, scale=500
+    )
+    similarity.save_ivf_index(assigned, centers_df, path, scale=500)
+
+    with pytest.raises(ValueError, match="contradicts"):
+        similarity.append_to_ivf_index(delta, path, scale=1000)
+
+    similarity.append_to_ivf_index(delta, path)  # scale from meta
+    stored, stored_centers = similarity.load_ivf_index(spark, path)
+    centers = {
+        int(r["cluster"]): [int(v) for v in r["centroid_q"]]
+        for r in stored_centers.collect()
+    }
+    qv = emb.select(
+        "vec_id", "embedding", _quantized(F.col("embedding"), 500).alias("q")
+    )
+    want = {
+        (r["vec_id"], r["cluster"])
+        for r in qv.select(
+            "vec_id", _lloyd_assign(qv, centers).alias("cluster")
+        ).collect()
+    }
+    got = {
+        (r["vec_id"], r["cluster"])
+        for r in stored.select("vec_id", "cluster").collect()
+    }
+    assert got == want

@@ -1391,3 +1391,41 @@ def test_progressive_jpeg_roundtrip_fuzz():
         assert got is not None, (trial, kw)
         assert got[:2] == (w, h), (trial, kw)
         assert got[2] == base[2], (trial, kw, mode)
+
+
+def test_progressive_multicomponent_ac_scan_rejected():
+    """ADVICE r14: a progressive AC scan with ns > 1 is illegal per
+    T.81 G.1.1.  The dispatch used to byte-skip such a scan as
+    "non-luma", silently decoding a coefficient-missing but
+    plausible-looking image; it must REJECT the stream (None -> the
+    flagged stand-in) instead."""
+    from pithos_spark.sources.multimodal import (
+        _jpeg_progressive_gray_pixels,
+    )
+
+    vals = _grid_vals(4, 4, seed=11)
+    raw = bytearray(_progressive_jpeg_bytes(vals, 4, 4, 16, 16))
+    assert _jpeg_progressive_gray_pixels(bytes(raw)) is not None
+
+    # splice a second component entry into the first AC SOS header
+    i = 0
+    patched = None
+    while i < len(raw) - 1:
+        if raw[i] == 0xFF and raw[i + 1] == 0xDA:
+            ns = raw[i + 4]
+            ss = raw[i + 5 + 2 * ns]
+            if ss > 0:
+                seg_len = (raw[i + 2] << 8) | raw[i + 3]
+                extra = bytes([2, raw[i + 6]])  # cid=2, same tables
+                patched = (
+                    bytes(raw[: i + 2])
+                    + (seg_len + 2).to_bytes(2, "big")
+                    + bytes([ns + 1])
+                    + bytes(raw[i + 5 : i + 5 + 2 * ns])
+                    + extra
+                    + bytes(raw[i + 5 + 2 * ns :])
+                )
+                break
+        i += 1
+    assert patched is not None, "no AC scan found to patch"
+    assert _jpeg_progressive_gray_pixels(patched) is None

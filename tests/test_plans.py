@@ -649,3 +649,71 @@ def test_decode_coverage_shuffles_partials_not_assets(spark, tables):
     ex = _re.search(r"Exchange hashpartitioning\(media_type[^\n]*", plan)
     assert ex is not None, plan
     assert "payload" not in ex.group(0), ex.group(0)
+
+
+def test_trigram_layout_merge_fast_path_and_single_exchange(
+    spark, tables, tmp_path
+):
+    """VERDICT r14 task 5, both halves.
+
+    (a) Fast path: on a one-segment layout (fresh build — stats says
+    n_segments == 1) the LSM read-merge must not run at all: no
+    ``sum(c3`` aggregate anywhere in the executed plan, so the r14
+    merge rewrite costs a compacted/fresh layout nothing.
+
+    (b) On a genuinely appended layout the merge runs, and its
+    aggregate introduces exactly ONE hash exchange on ``tri`` in the
+    final adaptive plan — the merged counts then flow into the scoring
+    join (broadcast at this scale; at SMJ scale the agg's
+    hashpartitioning satisfies the join requirement) without a second
+    re-shuffle of the same rows."""
+    from pithos_spark.functions import text
+    from pithos_spark.plans.helpers import reset_persist_slots
+
+    docs = tables["documents"]
+    lm = docs.filter("doc_id % 4 = 0")
+    score = docs.filter("doc_id % 4 <> 0")
+
+    def final_plan(df):
+        df.collect()  # AQE: materialize so the final plan is real
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.split("== Initial Plan ==")[0]
+
+    fresh = str(tmp_path / "tri_fast_fresh")
+    text.write_trigram_lm_layout(lm.filter("doc_id % 40 <> 0"), fresh)
+    reset_persist_slots()
+    plan = final_plan(text.trigram_heldout_from_layout(score, fresh))
+    assert "sum(c3" not in plan, plan
+
+    appended = str(tmp_path / "tri_fast_appended")
+    text.write_trigram_lm_layout(lm.filter("doc_id % 40 <> 0"), appended)
+    text.append_to_trigram_lm_layout(lm.filter("doc_id % 40 = 0"), appended)
+    reset_persist_slots()
+    plan = final_plan(text.trigram_heldout_from_layout(score, appended))
+    assert "sum(c3" in plan, plan
+    tri_exchanges = {
+        m
+        for m in re.findall(
+            r"Exchange hashpartitioning\(tri#\d+[^\[]*\[plan_id=(\d+)\]",
+            plan,
+        )
+    }
+    assert len(tri_exchanges) == 1, plan
+
+
+def test_no_coalesce_1_in_package():
+    """VERDICT r14 task 7: ``coalesce(1)`` on a driver-built local
+    relation serializes all 32 slice partitions through ONE output
+    task that re-opens each slice's Python worker (~4.5-5.7 s per
+    small-table write, SCALE_r14 §2).  Every tiny-table write goes
+    through layoutcommit.write_tiny_table (repartition(1)); this grep
+    keeps the regression class out of the package for good."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "pithos_spark"
+    offenders = [  # the dot matches the call form, not docstring prose
+        str(p)
+        for p in root.rglob("*.py")
+        if ".coalesce(1)" in p.read_text()
+    ]
+    assert offenders == [], offenders
