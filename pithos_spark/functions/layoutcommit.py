@@ -165,12 +165,7 @@ def folded_segment_keys(spark, gen_root: str) -> set[str]:
     pointer swap and the staged cleanup harmless.  Bounded: the fold
     writes only keys whose staged directories still existed at fold
     time, so this table is one fold's worth of strings, not history."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        rows = spark.read.parquet(
-            os.path.join(gen_root, "folded_segments")
-        ).collect()
-    except AnalysisException:
+    d = os.path.join(gen_root, "folded_segments")
+    if not os.path.isdir(d):  # also keeps Spark's probe WARN out of logs
         return set()
-    return {str(r["seg"]) for r in rows}
+    return {str(r["seg"]) for r in spark.read.parquet(d).collect()}

@@ -1988,11 +1988,24 @@ def trigram_segment_stats(spark, path: str) -> DataFrame:
     The number an operator acts on is ``avg_segments_x1000``: fold when
     it crosses COMPACT_WHEN_AVG_SEGMENTS_X1000
     (streaming/ingest.py — derived from the measured per-segment
-    serving tax vs compaction cost, SCALE_r15)."""
+    serving tax vs compaction cost, SCALE_r15).  This form reads the
+    BASE tables (batch appends land there); for a layout fed by the
+    STREAMING ingest, whose not-yet-folded rows live in staged
+    segments, use
+    ``streaming.ingest.trigram_segment_stats_with_staged`` — same
+    report over base ∪ staged, the numbers compaction would actually
+    merge."""
     counts, _, _, _ = _load_trigram_layout(spark, path)
+    return _segment_stats_from_counts(counts)
+
+
+def _segment_stats_from_counts(counts: dict[str, DataFrame]) -> DataFrame:
+    """The occupancy aggregation shared by the base-only and
+    staged-aware segment-stats forms."""
+    key_of = {cnt: key for key, cnt in _TRIGRAM_COUNT_TABLES}
     out = None
-    for key, cnt in _TRIGRAM_COUNT_TABLES:
-        per_key = counts[cnt].groupBy(key).agg(
+    for _key, cnt in _TRIGRAM_COUNT_TABLES:
+        per_key = counts[cnt].groupBy(key_of[cnt]).agg(
             F.count(F.lit(1)).alias("_segs")
         )
         t = per_key.agg(

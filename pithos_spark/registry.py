@@ -2940,6 +2940,98 @@ QUERIES["corpus_bm25_postings_append_topk"] = _bm25_postings_appended
 ORACLES["corpus_bm25_postings_append_topk"] = (
     _retrieval_mod.bm25_topk_oracle()
 )
+
+# STREAMED crawl ingest gates (r15, VERDICT r14 task 1's machinery under
+# the driver's own hash check): the layout is built on 90% of the
+# corpus and the other 10% arrives as a real Structured Streaming run
+# (two micro-batches -> two staged segments, installed by atomic
+# rename).  `staged` serves the base+staged union; `compacted` folds
+# the segments through the crash-safe generation-pointer commit and
+# serves the PLAIN layout read, which resolves the CURRENT pointer to
+# the new generation.  Both score against the FULL-corpus one-pass
+# oracle, so the driver itself proves stream==batch and fold==rebuild.
+_STAGED_POSTINGS_CACHE: dict = {}
+
+
+def _staged_postings_path(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STAGED_POSTINGS_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        import pyspark.sql.functions as F
+
+        root = tempfile.mkdtemp(prefix="postings_staged_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        docs = T.load_tables(spark, sf_dir)["documents"]
+        layout = f"{root}/layout"
+        _retrieval_mod.write_postings_layout(
+            docs.filter(F.col("doc_id") % 10 != 0), layout
+        )
+        src = f"{root}/delta_src"
+        docs.filter(F.col("doc_id") % 10 == 0).repartition(2).write.parquet(
+            src
+        )
+        from pithos_spark.streaming import ingest as _ing
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = _ing.streaming_postings_ingest(stream, layout, f"{root}/ckpt")
+        q.awaitTermination(600)
+        q.stop()
+        _STAGED_POSTINGS_CACHE[key] = layout
+    return _STAGED_POSTINGS_CACHE[key]
+
+
+def _bm25_postings_staged(spark, sf_dir):
+    from pithos_spark.streaming import ingest as _ing
+
+    return _ing.bm25_topk_with_staged(
+        spark, _staged_postings_path(spark, sf_dir)
+    )
+
+
+QUERIES["corpus_bm25_postings_staged_topk"] = _bm25_postings_staged
+ORACLES["corpus_bm25_postings_staged_topk"] = (
+    _retrieval_mod.bm25_topk_oracle()
+)
+
+_COMPACTED_POSTINGS_CACHE: dict = {}
+
+
+def _compacted_postings_path(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _COMPACTED_POSTINGS_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from pithos_spark.streaming import ingest as _ing
+
+        staged = _staged_postings_path(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="postings_compacted_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        layout = f"{root}/layout"
+        shutil.copytree(staged, layout)
+        _ing.compact_staged_postings(spark, layout)
+        _COMPACTED_POSTINGS_CACHE[key] = layout
+    return _COMPACTED_POSTINGS_CACHE[key]
+
+
+def _bm25_postings_compacted(spark, sf_dir):
+    return _retrieval_mod.bm25_topk_from_postings(
+        spark, _compacted_postings_path(spark, sf_dir)
+    )
+
+
+QUERIES["corpus_bm25_postings_compacted_topk"] = _bm25_postings_compacted
+ORACLES["corpus_bm25_postings_compacted_topk"] = (
+    _retrieval_mod.bm25_topk_oracle()
+)
 QUERIES["corpus_hybrid_search_rrf"] = _hybrid
 ORACLES["corpus_hybrid_search_rrf"] = _retrieval_mod.hybrid_rrf_topk_oracle()
 
@@ -3619,6 +3711,58 @@ ORACLES["corpus_trigram_segment_stats"] = text.trigram_segment_stats_oracle(
     delta_pred="doc_id % 40 = 0",
 )
 
+
+# STREAMED gram-table ingest gate (r15 — the trigram twin of
+# corpus_bm25_postings_staged_topk): base layout on the LM slice minus
+# a 2.5% delta, the delta arrives as a two-micro-batch stream into
+# atomic staged segments, and held-out scoring over base ∪ staged must
+# hash-match the one-pass full-LM oracle — stream==batch proven by the
+# driver itself.
+_TRIGRAM_STAGED_CACHE: dict = {}
+
+
+def _trigram_staged_path(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TRIGRAM_STAGED_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from pithos_spark.streaming import ingest as _ing
+
+        root = tempfile.mkdtemp(prefix="trigram_staged_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        lm = T.load_tables(spark, sf_dir)["documents"].filter(_TRI_LM_PRED)
+        layout = f"{root}/layout"
+        text.write_trigram_lm_layout(lm.filter("doc_id % 40 <> 0"), layout)
+        src = f"{root}/delta_src"
+        lm.filter("doc_id % 40 = 0").repartition(2).write.parquet(src)
+        stream = (
+            spark.readStream.schema(lm.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = _ing.streaming_trigram_ingest(stream, layout, f"{root}/ckpt")
+        q.awaitTermination(600)
+        q.stop()
+        _TRIGRAM_STAGED_CACHE[key] = layout
+    return _TRIGRAM_STAGED_CACHE[key]
+
+
+def _trigram_heldout_staged(spark, sf_dir):
+    from pithos_spark.streaming import ingest as _ing
+
+    docs = T.load_tables(spark, sf_dir)["documents"]
+    return _ing.trigram_heldout_with_staged(
+        docs.filter(_TRI_SCORE_PRED), _trigram_staged_path(spark, sf_dir)
+    )
+
+
+QUERIES["corpus_trigram_heldout_staged"] = _trigram_heldout_staged
+ORACLES["corpus_trigram_heldout_staged"] = text.trigram_heldout_score_oracle(
+    score_pred=_TRI_SCORE_PRED, lm_pred=_TRI_LM_PRED
+)
+
 # the probe-pruned layout read as its own driver gate (r14): scoring a
 # SMALL probe slice reads only the gram-bucket partitions the probe's
 # grams hash into (static b IN PartitionFilters, plan-pinned in
@@ -3688,7 +3832,16 @@ ORACLES["corpus_bpe_heldout_fertility"] = text.bpe_heldout_fertility_oracle(
 #    re-gated because the code path changed);
 #  - corpus_trigram_segment_stats rides at the head of
 #    DRIVER_PRIORITY (never driver-verified — VERDICT r14 task 2).
+#  - corpus_bm25_postings_staged_topk / corpus_trigram_heldout_staged /
+#    corpus_bm25_postings_compacted_topk are NEW r15 gates: a real
+#    Structured Streaming ingest staging two segments, served via the
+#    staged union (and, for `compacted`, folded through the
+#    crash-safe generation commit and served via the plain read) —
+#    each hash-checked against the one-pass full-corpus oracle.
 ROUND_NEW: list[str] = [
+    "corpus_bm25_postings_staged_topk",
+    "corpus_trigram_heldout_staged",
+    "corpus_bm25_postings_compacted_topk",
     "corpus_trigram_heldout_from_layout",
     "corpus_trigram_probe_pruned",
     "corpus_trigram_heldout_appended",
@@ -3745,17 +3898,14 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_quality_classifier_trained",
     "dedup_audio_fingerprint",
     "dedup_video_frames",
-    # --- oldest r12-stale (6 of 48, same source) ---
+    # --- oldest r12-stale (3 of 48, same source) ---
     "q1_pricing_summary",
     "text_token_stats",
     "dedup_minhash_lsh",
-    "dedup_image_dhash_assets",
-    "ann_lsh_topk",
-    "ann_pq_topk",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (all were green in r11/r12), and 4 + 1 + 39 + 6 fills the
+# canary (all were green in r11/r12), and 7 + 1 + 39 + 3 fills the
 # window; after r15 no query's last verdict is older than r12.
 GREEN_CORE: list[str] = []
 

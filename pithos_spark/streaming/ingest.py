@@ -69,13 +69,16 @@ from pithos_spark.functions.layoutcommit import (
     write_tiny_table,
 )
 
-# Fold when a gram holds this many segments on average (x1000 — the
-# integer-permille scale trigram_segment_stats reports).  Derivation
-# (SCALE_r15): each extra staged segment adds a roughly constant slice
-# to every merged serving read, while one fold costs about two
-# one-pass builds amortized over every read until the next fold; at
-# the measured numbers a fold pays for itself within tens of reads
-# once grams average ~2 partial rows, so that is the operator default.
+# Fold when the staged-aware segment report's MAX avg_segments_x1000
+# (trigram_segment_stats_with_staged; in practice its cw3 row — the
+# unigram vocabulary saturates, so that row counts segments directly)
+# reaches this value, i.e. as soon as ~one full staged generation sits
+# on the base.  Measured derivation (SCALE_r15 §2-4, sf0.1): each
+# staged segment taxes a merged serving read ~0.34 s and the
+# crash-safe fold costs ~12 s (~2.8x one layout build, and NOT larger
+# at sf1 — the gram tables are vocabulary-sized), so folding at 2
+# segments breaks even within ~18 reads and everything after is win.
+# Raise it only for write-dominated layouts (<~10 reads per delta).
 COMPACT_WHEN_AVG_SEGMENTS_X1000 = 2000
 
 
@@ -268,16 +271,22 @@ def _gc_staged(layout_path: str, segs: list[str]) -> None:
     """Remove folded staged segments (plus any leftover fold temp).
     Pure garbage collection — every reader already masks these keys via
     the live generation's folded_segments table, so a crash anywhere in
-    here changes nothing and a re-run finishes the job."""
+    here changes nothing and a re-run finishes the job.  Temp cleanup
+    is scoped to the folded keys: a concurrently-ingesting micro-batch
+    may be mid-write under ``staged_tmp/seg=<other>`` (an abandoned
+    temp from a crashed ingest is harmless — its replay overwrites
+    it)."""
     shutil.rmtree(f"{layout_path}/{FOLD_TMP}", ignore_errors=True)
-    shutil.rmtree(f"{layout_path}/staged_tmp", ignore_errors=True)
     for s in segs:
+        shutil.rmtree(
+            f"{layout_path}/staged_tmp/seg={s}", ignore_errors=True
+        )
         shutil.rmtree(
             f"{layout_path}/staged/seg={s}", ignore_errors=True
         )
-    d = f"{layout_path}/staged"
-    if os.path.isdir(d) and not os.listdir(d):
-        shutil.rmtree(d, ignore_errors=True)
+    for d in (f"{layout_path}/staged", f"{layout_path}/staged_tmp"):
+        if os.path.isdir(d) and not os.listdir(d):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def _folded_segments_df(spark, layout_path: str, gen_root: str, live):
@@ -527,6 +536,31 @@ def trigram_heldout_with_staged(
     return _trigram_score(
         tri_score, counts, n_total, l3, l2, l1, low, high,
     )
+
+
+def trigram_segment_stats_with_staged(spark, layout_path: str):
+    """Staged-aware LSM occupancy telemetry: the same 5-row report as
+    ``text.trigram_segment_stats`` computed over base ∪ live staged
+    segments — i.e. over exactly the partial rows a merged serving
+    read sums and a fold would collapse.  On a layout with no staged
+    segments the two reports are identical.  This is the readout the
+    :data:`COMPACT_WHEN_AVG_SEGMENTS_X1000` policy consumes for
+    stream-fed layouts (batch appends show up in the base form
+    already)."""
+    from pithos_spark.functions.text import (
+        _load_trigram_layout,
+        _segment_stats_from_counts,
+    )
+
+    counts, _, _, _ = _load_trigram_layout(spark, layout_path)
+    counts = {cnt: df.drop("b") for cnt, df in counts.items()}
+    live = _live_staged_segs(spark, layout_path, read_current(layout_path))
+    if live:
+        staged = _staged_trigram_tables(spark, layout_path, live)
+        counts = {
+            cnt: counts[cnt].unionByName(staged[cnt]) for cnt in counts
+        }
+    return _segment_stats_from_counts(counts)
 
 
 def compact_staged_trigram(spark, layout_path: str) -> int:

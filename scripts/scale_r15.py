@@ -1,0 +1,267 @@
+"""SCALE_r15 measurement (VERDICT r14 task 4 + What's-missing #2).
+
+The r14 round shipped streaming lexical ingest (staged segments +
+compaction) with equivalence tests but no measured economics; r15 made
+the compaction crash-safe (generation-pointer fold) and added the
+one-segment read fast path.  This script prices the whole lifecycle so
+the telemetry (`trigram_segment_stats.avg_segments_x1000`) maps to an
+operator decision:
+
+1. ``ingest`` — per-micro-batch staged-segment cost: stream a 10%
+   crawl delta into the base layout in N micro-batches, for both
+   lexical layouts, at sf0.1 and the replicated sf1.
+2. ``tax`` — staged-union serving cost vs number of staged segments
+   (0 / 2 / 4 / 8) for both layouts, plus trigram_segment_stats's own
+   runtime and the avg_segments_x1000 it reports at each state.
+3. ``fold`` — one crash-safe compaction at 8 staged segments (cost of
+   the generation rewrite) and the post-fold serving time (merge fast
+   path re-engaged) — the two numbers whose ratio sets
+   COMPACT_WHEN_AVG_SEGMENTS_X1000 (streaming/ingest.py).
+
+Usage: python scripts/scale_r15.py [sf01_dir] [sf1_dir] [section]
+section in {ingest, tax, fold, all} (default all).  Emits JSON lines;
+SCALE_r15.md reproduces them with the derivation.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import SparkSession
+
+
+def timed(fn, repeats=3):
+    fn()  # warmup
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(round(time.perf_counter() - t0, 3))
+    return round(statistics.median(samples), 3)
+
+
+def noop(df):
+    df.foreach(lambda _r: None)
+
+
+def _session():
+    return (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+
+
+def _stream_delta(spark, schema, src, layout, ckpt, which):
+    from pithos_spark.streaming import ingest as ing
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    fn = (
+        ing.streaming_postings_ingest
+        if which == "postings"
+        else ing.streaming_trigram_ingest
+    )
+    t0 = time.perf_counter()
+    q = fn(stream, layout, ckpt)
+    q.awaitTermination(1800)
+    q.stop()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _build_bases(spark, docs, work, tag):
+    """Base layouts on the 90% slice; returns (postings_base, trigram_base,
+    lm, score, delta_docs, delta_lm)."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions import retrieval, text
+
+    p_base = f"{work}/postings_base_{tag}"
+    retrieval.write_postings_layout(
+        docs.filter(F.col("doc_id") % 10 != 0), p_base
+    )
+    lm = docs.filter("doc_id % 4 = 0")
+    score = docs.filter("doc_id % 4 <> 0")
+    t_base = f"{work}/trigram_base_{tag}"
+    text.write_trigram_lm_layout(lm.filter("doc_id % 40 <> 0"), t_base)
+    return (
+        p_base,
+        t_base,
+        lm,
+        score,
+        docs.filter(F.col("doc_id") % 10 == 0),
+        lm.filter("doc_id % 40 = 0"),
+    )
+
+
+def section_ingest(spark, sf_name, docs, work):
+    p_base, t_base, _lm, _score, delta, delta_lm = _build_bases(
+        spark, docs, work, f"ing_{sf_name}"
+    )
+    n_batches = 4
+    src = f"{work}/ing_delta_{sf_name}"
+    delta.repartition(n_batches).write.parquet(src)
+    total = _stream_delta(
+        spark, docs.schema, src, p_base, f"{work}/ing_ck_p_{sf_name}",
+        "postings",
+    )
+    print(json.dumps({
+        "section": "ingest", "layout": "postings", "sf": sf_name,
+        "n_batches": n_batches, "total_s": total,
+        "per_batch_s": round(total / n_batches, 3),
+        "delta_docs": delta.count(),
+    }), flush=True)
+    tsrc = f"{work}/ing_tdelta_{sf_name}"
+    delta_lm.repartition(n_batches).write.parquet(tsrc)
+    total = _stream_delta(
+        spark, docs.schema, tsrc, t_base, f"{work}/ing_ck_t_{sf_name}",
+        "trigram",
+    )
+    print(json.dumps({
+        "section": "ingest", "layout": "trigram", "sf": sf_name,
+        "n_batches": n_batches, "total_s": total,
+        "per_batch_s": round(total / n_batches, 3),
+        "delta_docs": delta_lm.count(),
+    }), flush=True)
+
+
+def section_tax(spark, sf_name, docs, work):
+    from pithos_spark.functions import text
+    from pithos_spark.plans.helpers import reset_persist_slots
+    from pithos_spark.streaming import ingest as ing
+
+    p_base, t_base, _lm, score, delta, delta_lm = _build_bases(
+        spark, docs, work, f"tax_{sf_name}"
+    )
+    for segs in (0, 2, 4, 8):
+        p_lay = f"{work}/p_tax_{sf_name}_{segs}"
+        t_lay = f"{work}/t_tax_{sf_name}_{segs}"
+        shutil.copytree(p_base, p_lay)
+        shutil.copytree(t_base, t_lay)
+        if segs:
+            src = f"{work}/p_tax_src_{sf_name}_{segs}"
+            delta.repartition(segs).write.parquet(src)
+            _stream_delta(
+                spark, docs.schema, src, p_lay,
+                f"{work}/p_tax_ck_{sf_name}_{segs}", "postings",
+            )
+            tsrc = f"{work}/t_tax_src_{sf_name}_{segs}"
+            delta_lm.repartition(segs).write.parquet(tsrc)
+            _stream_delta(
+                spark, docs.schema, tsrc, t_lay,
+                f"{work}/t_tax_ck_{sf_name}_{segs}", "trigram",
+            )
+        p_t = timed(
+            lambda: noop(ing.bm25_topk_with_staged(spark, p_lay))
+        )
+
+        def _serve_t():
+            reset_persist_slots()
+            noop(ing.trigram_heldout_with_staged(score, t_lay))
+
+        t_t = timed(_serve_t)
+        stats_t = timed(
+            lambda: noop(
+                ing.trigram_segment_stats_with_staged(spark, t_lay)
+            )
+        )
+        avg = {
+            r["gram_table"]: int(r["avg_segments_x1000"])
+            for r in ing.trigram_segment_stats_with_staged(
+                spark, t_lay
+            ).collect()
+        }
+        print(json.dumps({
+            "section": "tax", "sf": sf_name, "staged_segments": segs,
+            "postings_serve_s": p_t, "trigram_serve_s": t_t,
+            "segment_stats_s": stats_t,
+            "avg_segments_x1000_c3": avg.get("c3"),
+            "avg_segments_x1000_cw3": avg.get("cw3"),
+        }), flush=True)
+
+
+def section_fold(spark, sf_name, docs, work):
+    from pithos_spark.functions import retrieval, text
+    from pithos_spark.plans.helpers import reset_persist_slots
+    from pithos_spark.streaming import ingest as ing
+
+    p_base, t_base, _lm, score, delta, delta_lm = _build_bases(
+        spark, docs, work, f"fold_{sf_name}"
+    )
+    segs = 8
+    src = f"{work}/p_fold_src_{sf_name}"
+    delta.repartition(segs).write.parquet(src)
+    _stream_delta(
+        spark, docs.schema, src, p_base,
+        f"{work}/p_fold_ck_{sf_name}", "postings",
+    )
+    tsrc = f"{work}/t_fold_src_{sf_name}"
+    delta_lm.repartition(segs).write.parquet(tsrc)
+    _stream_delta(
+        spark, docs.schema, tsrc, t_base,
+        f"{work}/t_fold_ck_{sf_name}", "trigram",
+    )
+
+    t0 = time.perf_counter()
+    folded_p = ing.compact_staged_postings(spark, p_base)
+    p_fold_s = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    folded_t = ing.compact_staged_trigram(spark, t_base)
+    t_fold_s = round(time.perf_counter() - t0, 3)
+
+    p_after = timed(
+        lambda: noop(retrieval.bm25_topk_from_postings(spark, p_base))
+    )
+
+    def _serve_t():
+        reset_persist_slots()
+        noop(text.trigram_heldout_from_layout(score, t_base))
+
+    t_after = timed(_serve_t)
+    print(json.dumps({
+        "section": "fold", "sf": sf_name, "staged_segments": segs,
+        "postings_fold_s": p_fold_s, "postings_rows_folded": folded_p,
+        "trigram_fold_s": t_fold_s, "trigram_rows_folded": folded_t,
+        "postings_serve_after_s": p_after,
+        "trigram_serve_after_s": t_after,
+    }), flush=True)
+
+
+def main():
+    sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf1 = sys.argv[2] if len(sys.argv) > 2 else ".scale/sf1"
+    section = sys.argv[3] if len(sys.argv) > 3 else "all"
+    import tempfile
+
+    from pithos_spark import tables as T
+
+    spark = _session()
+    work = tempfile.mkdtemp(prefix="scale_r15_")
+    try:
+        for sf_name, sf_dir in (("sf0.1", sf01), ("sf1", sf1)):
+            docs = T.load_tables(spark, sf_dir)["documents"]
+            if section in ("ingest", "all"):
+                section_ingest(spark, sf_name, docs, work)
+            if section in ("tax", "all"):
+                section_tax(spark, sf_name, docs, work)
+            if section in ("fold", "all"):
+                section_fold(spark, sf_name, docs, work)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

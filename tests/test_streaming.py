@@ -1548,6 +1548,23 @@ def test_streaming_trigram_ingest_matches_batch(spark, tmp_path):
     ]
     assert got == want and len(got) > 0
 
+    # staged-aware occupancy telemetry sees the staged partial rows the
+    # base-only form cannot (the compaction-policy readout for streams)
+    from pithos_spark.streaming.ingest import (
+        trigram_segment_stats_with_staged,
+    )
+
+    pre = {
+        r["gram_table"]: r["avg_segments_x1000"]
+        for r in trigram_segment_stats_with_staged(spark, layout).collect()
+    }
+    base_only = {
+        r["gram_table"]: r["avg_segments_x1000"]
+        for r in text.trigram_segment_stats(spark, layout).collect()
+    }
+    assert all(v == 1000 for v in base_only.values())  # staged invisible
+    assert any(v > 1000 for v in pre.values())  # ...but really there
+
     folded = compact_staged_trigram(spark, layout)
     assert folded > 0
     after = [
@@ -1574,6 +1591,12 @@ def test_streaming_trigram_ingest_matches_batch(spark, tmp_path):
     ]
     assert gp == wp and len(gp) > 0
     assert compact_staged_trigram(spark, layout) == 0
+    # post-fold both telemetry forms agree: one row per gram again
+    post = {
+        r["gram_table"]: r["avg_segments_x1000"]
+        for r in trigram_segment_stats_with_staged(spark, layout).collect()
+    }
+    assert all(v == 1000 for v in post.values())
 
 
 # --- compaction crash-injection (VERDICT r14 task 1) -----------------------
