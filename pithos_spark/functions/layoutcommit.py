@@ -23,8 +23,8 @@ GENERATIONS:
 - readers resolve ``CURRENT`` first (absent → generation 0) and read
   exactly one generation, so at every instant they see either the old
   state or the new one, never a mix;
-- staged segments whose batch id appears in the live generation's
-  ``folded_batches`` table are garbage awaiting cleanup, and every
+- staged segments whose key appears in the live generation's
+  ``folded_segments`` table are garbage awaiting cleanup, and every
   reader masks them — which is what makes the crash window between the
   pointer swap and the staged rmtree harmless, and a re-run of
   compaction a pure cleanup.
@@ -169,3 +169,46 @@ def folded_segment_keys(spark, gen_root: str) -> set[str]:
     if not os.path.isdir(d):  # also keeps Spark's probe WARN out of logs
         return set()
     return {str(r["seg"]) for r in spark.read.parquet(d).collect()}
+
+
+APPEND_PENDING = "_append_pending"
+
+
+def begin_append(gen_root: str) -> None:
+    """Drop the torn-append marker before a multi-step BATCH append
+    (row append + stats overwrite).  The batch append path is fast and
+    simple but not crash-atomic; the marker turns its crash window
+    from silently-drifted scores (rows visible against stale stats)
+    into a loud refusal at read time.  At-least-once sources should
+    use the staged streaming path instead, which needs no marker."""
+    with open(os.path.join(gen_root, APPEND_PENDING), "w") as f:
+        f.write(
+            "batch append in progress; if this file outlives the job, "
+            "the layout is torn — rebuild it or restore the tables\n"
+        )
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def end_append(gen_root: str) -> None:
+    """Clear the torn-append marker — the append's last step."""
+    try:
+        os.remove(os.path.join(gen_root, APPEND_PENDING))
+    except FileNotFoundError:
+        pass
+
+
+def assert_not_torn(gen_root: str) -> None:
+    """Refuse to serve a layout whose last batch append never
+    finished: its appended rows are visible against pre-append stats
+    (postings) or a pre-append n_total (grams), so every score drifts.
+    Raising here is the difference between an operational incident and
+    a silent data-quality one."""
+    if os.path.exists(os.path.join(gen_root, APPEND_PENDING)):
+        raise RuntimeError(
+            f"layout at {gen_root} is torn: a batch append crashed "
+            "between its row append and its stats refresh "
+            f"({APPEND_PENDING} present). Rebuild the layout (or "
+            "restore tables from the previous generation); re-running "
+            "the append would double the delta."
+        )

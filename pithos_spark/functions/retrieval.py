@@ -182,6 +182,9 @@ def write_postings_layout(documents: DataFrame, path: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{path}/stats")
     )
+    from pithos_spark.functions.layoutcommit import end_append
+
+    end_append(path)  # a rebuild is the documented torn-append recovery
 
 
 def append_to_postings_layout(delta_documents: DataFrame, path: str) -> None:
@@ -217,6 +220,8 @@ def append_to_postings_layout(delta_documents: DataFrame, path: str) -> None:
     staged path (streaming/ingest.py), whose per-batch installs are
     idempotent."""
     from pithos_spark.functions.layoutcommit import (
+        begin_append,
+        end_append,
         read_current,
         write_tiny_table,
     )
@@ -225,6 +230,7 @@ def append_to_postings_layout(delta_documents: DataFrame, path: str) -> None:
     root = read_current(path)
     old = spark.read.parquet(f"{root}/stats").collect()[0]
     p = build_postings(delta_documents)
+    begin_append(root)  # torn-append marker: cleared after the stats write
     (
         p.repartition("term")
         .sortWithinPartitions("term", "doc_id")
@@ -248,6 +254,7 @@ def append_to_postings_layout(delta_documents: DataFrame, path: str) -> None:
         ),
         f"{root}/stats",
     )
+    end_append(root)
 
 
 def bm25_topk_from_postings(
@@ -265,9 +272,13 @@ def bm25_topk_from_postings(
     build once on ingest, query forever.  Reads the layout's live
     generation (layoutcommit.read_current — one tiny pointer-file
     read), so it serves compacted layouts transparently."""
-    from pithos_spark.functions.layoutcommit import read_current
+    from pithos_spark.functions.layoutcommit import (
+        assert_not_torn,
+        read_current,
+    )
 
     root = read_current(path)
+    assert_not_torn(root)
     post = spark.read.parquet(f"{root}/postings").filter(
         F.col("term").isin(list(terms))
     )

@@ -1845,7 +1845,10 @@ def write_trigram_lm_layout(
                 .partitionBy("b")
                 .parquet(f"{path}/{cnt}")
             )
-        from pithos_spark.functions.layoutcommit import write_tiny_table
+        from pithos_spark.functions.layoutcommit import (
+            end_append,
+            write_tiny_table,
+        )
 
         # n_segments=1: a fresh build holds exactly one partial row per
         # gram, so readers may skip the LSM merge (fast path below)
@@ -1856,6 +1859,7 @@ def write_trigram_lm_layout(
             ),
             f"{path}/stats",
         )
+        end_append(path)  # a rebuild is the documented torn-append recovery
     finally:
         tri_lm.unpersist()
 
@@ -1887,6 +1891,8 @@ def append_to_trigram_lm_layout(
     delta — an at-least-once source must go through the staged path
     (streaming/ingest.py), whose per-batch installs are idempotent."""
     from pithos_spark.functions.layoutcommit import (
+        begin_append,
+        end_append,
         read_current,
         write_tiny_table,
     )
@@ -1898,6 +1904,7 @@ def append_to_trigram_lm_layout(
     tri = _trigram_windows(delta_lm_documents).persist()
     try:
         d_total = tri.count()
+        begin_append(root)  # torn-append marker, cleared after stats
         for key, cnt in _TRIGRAM_COUNT_TABLES:
             (
                 _trigram_counts(tri)[cnt]
@@ -1919,6 +1926,7 @@ def append_to_trigram_lm_layout(
             ),
             f"{root}/stats",
         )
+        end_append(root)
     finally:
         tri.unpersist()
 
@@ -1955,9 +1963,13 @@ def _load_trigram_layout(spark, path: str):
     pointer file, never mutates tables in place).  n_segments == 1
     means every gram holds exactly one count row, so readers skip the
     LSM merge."""
-    from pithos_spark.functions.layoutcommit import read_current
+    from pithos_spark.functions.layoutcommit import (
+        assert_not_torn,
+        read_current,
+    )
 
     root = read_current(path)
+    assert_not_torn(root)
     counts = {
         cnt: spark.read.parquet(f"{root}/{cnt}")
         for _, cnt in _TRIGRAM_COUNT_TABLES

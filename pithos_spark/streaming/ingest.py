@@ -59,6 +59,7 @@ import pyspark.sql.functions as F
 
 from pithos_spark.functions.layoutcommit import (
     FOLD_TMP,
+    assert_not_torn,
     commit_current,
     folded_segment_keys,
     install_staged_segment,
@@ -227,6 +228,7 @@ def bm25_topk_with_staged(
 
     terms = terms or DEFAULT_TERMS
     root = read_current(layout_path)
+    assert_not_torn(root)
     post = spark.read.parquet(f"{root}/postings")
     stats = spark.read.parquet(f"{root}/stats")
     live = _live_staged_segs(spark, layout_path, root)
@@ -320,6 +322,7 @@ def compact_staged_postings(spark, layout_path: str) -> int:
     cadence, not per batch.  Superseded generations stay on disk as
     garbage for an external janitor (never read once CURRENT moves)."""
     root = read_current(layout_path)
+    assert_not_torn(root)  # never bake a torn base into a generation
     live = _live_staged_segs(spark, layout_path, root)
     if not live:
         _gc_staged(

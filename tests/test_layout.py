@@ -633,3 +633,76 @@ def test_ivf_append_reads_scale_from_meta(spark, layout_dir):
         for r in stored.select("vec_id", "cluster").collect()
     }
     assert got == want
+
+
+@pytest.mark.slow
+def test_batch_append_tear_is_detected(spark, tmp_path, monkeypatch):
+    """The BATCH append paths (row append + stats overwrite) are not
+    crash-atomic by design — the staged streaming path is the
+    crash-safe ingest.  What they must never do is serve silently
+    drifted scores: a crash between the row append and the stats write
+    leaves the _append_pending marker, every reader refuses loudly,
+    and a rebuild (the documented recovery) clears it."""
+    import pyspark.sql.functions as F
+
+    import pithos_spark.functions.layoutcommit as lc
+    from pithos_spark import tables as T
+    from pithos_spark.functions import retrieval, text
+    from pithos_spark.streaming.ingest import bm25_topk_with_staged
+
+    docs = T.load_tables(spark, SF_ORACLE)["documents"]
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+
+    def _boom(*_a, **_kw):
+        raise RuntimeError("injected crash")
+
+    p_layout = str(tmp_path / "postings_torn")
+    retrieval.write_postings_layout(base, p_layout)
+    monkeypatch.setattr(lc, "write_tiny_table", _boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        retrieval.append_to_postings_layout(delta, p_layout)
+    monkeypatch.undo()
+    with pytest.raises(RuntimeError, match="torn"):
+        retrieval.bm25_topk_from_postings(spark, p_layout).collect()
+    with pytest.raises(RuntimeError, match="torn"):
+        bm25_topk_with_staged(spark, p_layout).collect()
+    # rebuild = recovery: the marker clears and serving matches a
+    # one-pass full-corpus layout
+    retrieval.write_postings_layout(docs, p_layout)
+    fresh = str(tmp_path / "postings_fresh")
+    retrieval.write_postings_layout(docs, fresh)
+    assert [
+        tuple(r)
+        for r in retrieval.bm25_topk_from_postings(spark, p_layout).collect()
+    ] == [
+        tuple(r)
+        for r in retrieval.bm25_topk_from_postings(spark, fresh).collect()
+    ]
+
+    lm = docs.filter("doc_id % 4 = 0")
+    score = docs.filter("doc_id % 4 <> 0")
+    t_layout = str(tmp_path / "trigram_torn")
+    text.write_trigram_lm_layout(lm.filter("doc_id % 40 <> 0"), t_layout)
+    monkeypatch.setattr(lc, "write_tiny_table", _boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        text.append_to_trigram_lm_layout(lm.filter("doc_id % 40 = 0"), t_layout)
+    monkeypatch.undo()
+    with pytest.raises(RuntimeError, match="torn"):
+        text.trigram_heldout_from_layout(score, t_layout).collect()
+    text.write_trigram_lm_layout(lm, t_layout)  # rebuild clears it
+    t_fresh = str(tmp_path / "trigram_fresh")
+    text.write_trigram_lm_layout(lm, t_fresh)
+    from pithos_spark.plans.helpers import reset_persist_slots
+
+    reset_persist_slots()
+    got = [
+        tuple(r)
+        for r in text.trigram_heldout_from_layout(score, t_layout).collect()
+    ]
+    reset_persist_slots()
+    want = [
+        tuple(r)
+        for r in text.trigram_heldout_from_layout(score, t_fresh).collect()
+    ]
+    assert got == want and len(got) > 0
