@@ -566,6 +566,33 @@ def trigram_segment_stats_with_staged(spark, layout_path: str):
     return _segment_stats_from_counts(counts)
 
 
+def compact_trigram_if_needed(
+    spark,
+    layout_path: str,
+    threshold_x1000: int = COMPACT_WHEN_AVG_SEGMENTS_X1000,
+) -> int:
+    """The SCALE_r15 compaction policy as code: read the staged-aware
+    occupancy report, fold iff its MAX ``avg_segments_x1000`` (across
+    the five gram tables — in practice the unigram row, a direct
+    segment counter) has reached ``threshold_x1000``.  Returns the
+    rows folded (0 = below threshold or nothing staged).  Run it after
+    each ingest burst; at the measured numbers (SCALE_r15 §3-4) a fold
+    triggered at the default threshold pays for itself within ~18
+    serving reads."""
+    worst = max(
+        (
+            int(r["avg_segments_x1000"])
+            for r in trigram_segment_stats_with_staged(
+                spark, layout_path
+            ).collect()
+        ),
+        default=0,
+    )
+    if worst < threshold_x1000:
+        return 0
+    return compact_staged_trigram(spark, layout_path)
+
+
 def compact_staged_trigram(spark, layout_path: str) -> int:
     """Fold staged gram segments into a fully-MERGED new generation —
     the same pointer-committed protocol as

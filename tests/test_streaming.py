@@ -1820,3 +1820,58 @@ def test_staged_serving_derives_missing_stats(spark, tmp_path):
         for r in ing.trigram_heldout_with_staged(score, t_layout).collect()
     ]
     assert t_got == t_want
+
+
+def test_compact_trigram_if_needed_policy(spark, tmp_path):
+    """The SCALE_r15 policy helper: below the occupancy threshold it
+    does nothing; at/above it, it folds and serving returns to the
+    one-segment fast path — scores unchanged either way."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions import text
+    from pithos_spark.functions.layoutcommit import read_current
+    from pithos_spark.streaming.ingest import (
+        compact_trigram_if_needed,
+        streaming_trigram_ingest,
+        trigram_heldout_with_staged,
+    )
+
+    docs = T.load_tables(spark, SF_SMOKE)["documents"]
+    lm = docs.filter("doc_id % 4 = 0")
+    score = docs.filter("doc_id % 4 <> 0")
+    layout = str(tmp_path / "trigram_policy")
+    text.write_trigram_lm_layout(lm.filter("doc_id % 40 <> 0"), layout)
+    src = str(tmp_path / "policy_src")
+    lm.filter("doc_id % 40 = 0").repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_trigram_ingest(stream, layout, str(tmp_path / "policy_ck"))
+    q.awaitTermination(120)
+    q.stop()
+
+    want = [
+        tuple(r)
+        for r in trigram_heldout_with_staged(score, layout).collect()
+    ]
+    # two staged segments put the unigram row at ~3000; a sky-high
+    # threshold must not fold...
+    assert compact_trigram_if_needed(spark, layout, 99_000) == 0
+    assert os.path.isdir(f"{layout}/staged")
+    # ...the default (2000) must
+    folded = compact_trigram_if_needed(spark, layout)
+    assert folded > 0
+    gs = spark.read.parquet(f"{read_current(layout)}/stats").collect()[0]
+    assert gs["n_segments"] == 1
+    got = [
+        tuple(r)
+        for r in trigram_heldout_with_staged(score, layout).collect()
+    ]
+    assert got == want
+    # idempotent: nothing left to fold
+    assert compact_trigram_if_needed(spark, layout) == 0
