@@ -146,17 +146,41 @@ def install_staged_segment(tmp_dir: str, final_dir: str) -> None:
 
 
 def segment_token(checkpoint: str) -> str:
-    """Stable token identifying one stream's staging namespace: derived
-    from the checkpoint path, so a replayed or restarted query (same
-    checkpoint) re-targets the same segment directories (idempotent
-    overwrite), while a fresh checkpoint — whose batch ids restart at
-    0 — can never collide with a folded mask entry from an earlier
-    stream."""
-    import hashlib
+    """Stable token identifying one stream's staging namespace — a
+    token FILE living inside the checkpoint directory, NOT a hash of
+    its path (ADVICE r15): deleting a checkpoint and restarting the
+    stream at the same path restarts batch ids at 0, and a
+    path-derived token would reuse seg keys already present in the
+    live generation's folded mask — readers would mask the new
+    stream's freshly-installed segments and compaction would GC them
+    (silent data loss).  The file shares the checkpoint's lifetime:
+    a restart or replay of the SAME checkpoint reads the same token
+    back (segment installs stay idempotent), while a recreated
+    checkpoint mints a fresh token that can never collide with a
+    folded mask entry.
 
-    return hashlib.md5(
-        os.path.abspath(checkpoint).encode()
-    ).hexdigest()[:8]
+    Creation is crash/concurrency-safe: the token is written complete
+    to a temp file, then published with ``os.link`` (fails if the
+    token already exists — the loser reads the winner's value), so a
+    visible token file is always whole."""
+    import uuid
+
+    os.makedirs(checkpoint, exist_ok=True)
+    tok_path = os.path.join(checkpoint, "_pithos_segment_token")
+    if not os.path.exists(tok_path):
+        tmp = f"{tok_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(uuid.uuid4().hex[:12])
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, tok_path)
+        except FileExistsError:
+            pass
+        finally:
+            os.remove(tmp)
+    with open(tok_path) as f:
+        return f.read().strip()
 
 
 def folded_segment_keys(spark, gen_root: str) -> set[str]:
@@ -169,6 +193,107 @@ def folded_segment_keys(spark, gen_root: str) -> set[str]:
     if not os.path.isdir(d):  # also keeps Spark's probe WARN out of logs
         return set()
     return {str(r["seg"]) for r in spark.read.parquet(d).collect()}
+
+
+def gc_generations(layout_path: str) -> int:
+    """Reclaim superseded generations (VERDICT r15 task 5 — the
+    'garbage for an external janitor' caveat, now in-engine): delete
+    every ``fold_gen_<k>`` directory the CURRENT pointer does not
+    name, plus any leftover fold scratch dir.  Each fold writes a
+    COMPLETE copy of the layout, so without this a daily-compacted
+    layout doubles its footprint per fold forever.
+
+    Correctness: readers resolve CURRENT exactly once per read and
+    never hold a path into a non-CURRENT generation, so these
+    directories are unreachable the instant the pointer swaps — the
+    standard LSM compaction-GC contract (a reader that resolved the
+    OLD generation before the swap must finish before its files
+    vanish; Spark actions materialize eagerly, so the exposure is one
+    in-flight job, same as any engine's).  Generation 0's tables under
+    the layout root are kept: CURRENT may be absent (gen 0 live), and
+    a rebuild overwrites them in place.  Returns the number of
+    directories removed; a crash mid-GC leaves skippable orphans a
+    re-run finishes.
+
+    When a fold generation is live, generation 0's leftovers under the
+    layout root (its table directories and any stale torn marker) are
+    reclaimed too — post-fold disk holds exactly ONE generation.  The
+    staging namespace (``staged*``) is never touched here: that is
+    ``_gc_staged``'s job, scoped to folded keys so concurrent ingest
+    survives."""
+    cur = os.path.abspath(read_current(layout_path))
+    if not os.path.isdir(cur):  # broken pointer: refuse to GC anything
+        return 0
+    gen0_live = cur == os.path.abspath(layout_path)
+    keep = {
+        CURRENT,
+        "staged",
+        "staged_tmp",
+        "staged_stats",
+        "staged_stats_tmp",
+    }
+    n = 0
+    for name in os.listdir(layout_path):
+        full = os.path.join(layout_path, name)
+        if name in keep or os.path.abspath(full) == cur:
+            continue
+        if name.startswith(FOLD_GEN_PREFIX) or name == FOLD_TMP:
+            shutil.rmtree(full, ignore_errors=True)
+            n += 1
+        elif not gen0_live:
+            try:
+                if os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                else:
+                    os.remove(full)
+                n += 1
+            except OSError:
+                pass
+    return n
+
+
+def finalize_rebuild(layout_path: str) -> None:
+    """Make a from-scratch rebuild at the layout ROOT (generation 0)
+    the live state, whatever the layout's prior history (ADVICE r15).
+
+    ``write_*_layout`` writes generation-0 tables directly under
+    ``layout_path`` — but on a previously-compacted layout CURRENT
+    still names an old ``fold_gen_<k>``, so readers would never see
+    the rebuild, and the torn-append marker that PROMPTED the rebuild
+    (it lives at the old generation's root) would never clear: the
+    documented "rebuild is the recovery" would silently not recover.
+    Ordered for the crash windows:
+
+    1. clear any torn marker at generation 0 (the rebuild just wrote
+       complete tables there);
+    2. delete CURRENT — the atomic cutover (absent pointer resolves to
+       generation 0);
+    3. garbage-collect everything the rebuild supersedes: old
+       ``fold_gen_*`` generations (their torn markers go with them),
+       the fold scratch dir, and the staging area (``staged/``,
+       ``staged_stats/``).
+
+    A crash between 1 and 2 leaves the old generation live (and still
+    refusing if torn) with the rebuild invisible — re-run the rebuild.
+    A crash between 2 and 3 leaves skippable orphans (``next_gen_rel``
+    skips them; no reader can resolve to them).  Not safe concurrent
+    with an ACTIVE streaming ingest into the same layout — a rebuild
+    replaces the staged history by construction.
+    """
+    end_append(layout_path)
+    try:
+        os.remove(os.path.join(layout_path, CURRENT))
+    except FileNotFoundError:
+        pass
+    for name in os.listdir(layout_path):
+        if (
+            name.startswith(FOLD_GEN_PREFIX)
+            or name == FOLD_TMP
+            or name in ("staged", "staged_stats")
+        ):
+            shutil.rmtree(
+                os.path.join(layout_path, name), ignore_errors=True
+            )
 
 
 APPEND_PENDING = "_append_pending"

@@ -182,9 +182,13 @@ def write_postings_layout(documents: DataFrame, path: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{path}/stats")
     )
-    from pithos_spark.functions.layoutcommit import end_append
+    from pithos_spark.functions.layoutcommit import finalize_rebuild
 
-    end_append(path)  # a rebuild is the documented torn-append recovery
+    # a rebuild is the documented torn-append recovery: cut CURRENT
+    # back to this fresh generation 0 and GC old generations/staging,
+    # so the recovery works on previously-compacted layouts too
+    # (ADVICE r15)
+    finalize_rebuild(path)
 
 
 def append_to_postings_layout(delta_documents: DataFrame, path: str) -> None:

@@ -25,7 +25,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from pithos_spark.functions.dedup import portable_hash60, portable_hash60_sql
-from pithos_spark.functions.layoutcommit import write_tiny_table
+from pithos_spark.functions.layoutcommit import (
+    assert_not_torn,
+    begin_append,
+    end_append,
+    write_tiny_table,
+)
 
 
 def _quantized(col: F.Column, scale: int = 1000) -> F.Column:
@@ -786,6 +791,7 @@ def save_ivf_index(
         ),
         f"{path}/meta",
     )
+    end_append(path)  # a rebuild is the documented torn-append recovery
 
 
 def append_to_ivf_index(
@@ -837,6 +843,14 @@ def append_to_ivf_index(
         "embedding",
         _quantized(F.col("embedding"), scale).alias("q"),
     )
+    # torn-append marker (VERDICT r15 task 4 — the postings/trigram
+    # contract extended to the ANN layouts): a crash mid-append leaves
+    # a partially-visible delta, and a retry would double-append
+    # assignment rows (duplicate vec_id candidates in every dedup
+    # sweep); the marker turns both into a loud read-time refusal, and
+    # a rebuild (save_ivf_index) is the documented recovery
+    assert_not_torn(path)
+    begin_append(path)
     (
         qv.select(
             "vec_id",
@@ -848,12 +862,16 @@ def append_to_ivf_index(
         .partitionBy("cluster")
         .parquet(f"{path}/assigned")
     )
+    end_append(path)
 
 
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Load a persisted IVF index: (assigned corpus, centers table).
     The assigned side keeps its cluster partitioning, so ivf_query's
-    probe filter prunes directories, not rows."""
+    probe filter prunes directories, not rows.  Refuses a layout whose
+    last batch append never finished (torn marker — VERDICT r15
+    task 4)."""
+    assert_not_torn(path)
     return (
         spark.read.parquet(f"{path}/assigned"),
         spark.read.parquet(f"{path}/centers"),
@@ -1504,10 +1522,14 @@ def save_pq_index(
         ),
         f"{path}/meta",
     )
+    end_append(path)  # a rebuild is the documented torn-append recovery
 
 
 def load_pq_index(spark, path: str):
-    """Load a persisted PQ index: (codes, codebooks df, meta row)."""
+    """Load a persisted PQ index: (codes, codebooks df, meta row).
+    Refuses a layout whose last batch append never finished (torn
+    marker — VERDICT r15 task 4)."""
+    assert_not_torn(path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     return (
         spark.read.parquet(f"{path}/codes"),
@@ -1539,12 +1561,19 @@ def append_to_pq_index(new_embeddings: DataFrame, path: str) -> None:
         int(meta["scale"]),
         int(meta["dim"]),
     ).join(new_embeddings.select("vec_id", "label"), "vec_id")
+    # torn-append marker (VERDICT r15 task 4): a crash mid-append
+    # leaves a partially-visible code delta and a retry double-appends
+    # code rows — duplicate vec_id rows in every dedup tier and
+    # duplicate result rows in top-k.  load_pq_index refuses while the
+    # marker stands; rebuild (save_pq_index) is the recovery.
+    begin_append(path)
     (
         codes.repartitionByRange("vec_id", "m")
         .sortWithinPartitions("vec_id", "m")
         .write.mode("append")
         .parquet(f"{path}/codes")
     )
+    end_append(path)
 
 
 def pq_topk_from_layout(
@@ -2307,6 +2336,7 @@ def save_ivfpq_residual_index(
         ),
         f"{path}/meta",
     )
+    end_append(path)  # a rebuild is the documented torn-append recovery
 
 
 def append_to_ivfpq_residual_index(
@@ -2326,6 +2356,7 @@ def append_to_ivfpq_residual_index(
     production quantizer: when the distribution moves, retrain via
     :func:`save_ivfpq_residual_index`."""
     spark = new_embeddings.sparkSession
+    assert_not_torn(path)  # never append onto a torn layout
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     centers_df = spark.read.parquet(f"{path}/centers")
     centers = {
@@ -2355,6 +2386,10 @@ def append_to_ivfpq_residual_index(
     codes = _pq_subvectors_from_q(
         rqv.select("vec_id", "q"), m_sub, dim
     ).select("vec_id", "m", _pq_assign(codebooks, m_sub, k_eff).alias("code"))
+    # torn-append marker (VERDICT r15 task 4): see append_to_pq_index —
+    # every serving entry refuses while the marker stands; rebuild
+    # (save_ivfpq_residual_index) is the recovery
+    begin_append(path)
     (
         codes.join(rqv.select("vec_id", "cluster"), "vec_id")
         .join(new_embeddings.select("vec_id", "label"), "vec_id")
@@ -2364,6 +2399,7 @@ def append_to_ivfpq_residual_index(
         .partitionBy("cluster")
         .parquet(f"{path}/codes")
     )
+    end_append(path)
 
 
 def ivfpq_residual_topk_from_layout(
@@ -2380,6 +2416,7 @@ def ivfpq_residual_topk_from_layout(
     query pays only the probe-pruned code read plus the tiny exact
     rerank."""
     spark = embeddings.sparkSession
+    assert_not_torn(path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     qv = embeddings.select(
         "vec_id",
@@ -2430,6 +2467,7 @@ def ivfpq_residual_batch_topk_from_layout(
     from pyspark.sql import Window
 
     spark = embeddings.sparkSession
+    assert_not_torn(path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     m_sub, scale, dim = (
         int(meta["m_sub"]), int(meta["scale"]), int(meta["dim"])
@@ -2532,6 +2570,7 @@ def ivfpq_residual_filtered_topk_from_layout(
     :func:`_ivfpq_residual_serve` tail, so engine-exact against the
     label-extended oracle."""
     spark = embeddings.sparkSession
+    assert_not_torn(path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     qv = embeddings.select(
         "vec_id",

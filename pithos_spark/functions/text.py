@@ -1827,13 +1827,18 @@ def write_trigram_lm_layout(
     try:
         n_total = max(tri_lm.count(), 1)
         if n_buckets is None:
-            # auto-size with the LM (SCALE_r12 §3): target ~1M gram
-            # rows per bucket so a skipped bucket is worth skipping,
-            # floor 32 (test scale), cap 4096 (directory-count sanity).
+            # auto-size with the LM (SCALE_r12 §3, re-floored per
+            # VERDICT r15 task 2): the old floor of 32 made a sf0.1
+            # layout 5 tables × 32 near-empty `b=` directories, and the
+            # measured serving median was SLOWER than re-deriving the
+            # counts — pure file-open overhead.  Floor 4, and double
+            # only while every bucket would still hold ≥50k gram rows
+            # AFTER the doubling (so a skipped bucket is always worth
+            # its directory).  Cap 4096 (directory-count sanity).
             # Power of two only for predictability; pruning works for
             # any value since probe and writer share the expression.
-            n_buckets = 32
-            while n_buckets < 4096 and n_total // n_buckets > 1_000_000:
+            n_buckets = 4
+            while n_buckets < 4096 and n_total // (2 * n_buckets) >= 50_000:
                 n_buckets *= 2
         for key, cnt in _TRIGRAM_COUNT_TABLES:
             (
@@ -1846,7 +1851,7 @@ def write_trigram_lm_layout(
                 .parquet(f"{path}/{cnt}")
             )
         from pithos_spark.functions.layoutcommit import (
-            end_append,
+            finalize_rebuild,
             write_tiny_table,
         )
 
@@ -1859,7 +1864,11 @@ def write_trigram_lm_layout(
             ),
             f"{path}/stats",
         )
-        end_append(path)  # a rebuild is the documented torn-append recovery
+        # a rebuild is the documented torn-append recovery: cut CURRENT
+        # back to this fresh generation 0 and GC old generations and
+        # staging, so recovery works on compacted layouts too (ADVICE
+        # r15)
+        finalize_rebuild(path)
     finally:
         tri_lm.unpersist()
 
@@ -1915,12 +1924,18 @@ def append_to_trigram_lm_layout(
                 .partitionBy("b")
                 .parquet(f"{root}/{cnt}")
             )
+        # preserve "unknown" (0): a pre-n_segments-column layout may
+        # already hold several partial rows per gram, so writing 1 here
+        # would let readers take the no-merge fast path over duplicate
+        # gram rows and silently corrupt every score — 0 keeps forcing
+        # the LSM merge (ADVICE r15)
+        base_segs = _n_segments_of(stats)
         write_tiny_table(
             spark.createDataFrame(
                 [(
                     int(stats["n_total"]) + d_total,
                     n_buckets,
-                    _n_segments_of(stats) + 1,
+                    base_segs + 1 if base_segs else 0,
                 )],
                 "n_total long, n_buckets int, n_segments int",
             ),

@@ -3817,35 +3817,41 @@ ORACLES["corpus_bpe_heldout_fertility"] = text.bpe_heldout_fertility_oracle(
 # order (still runnable, just outside the 50-entry hard gate this round).
 # ---------------------------------------------------------------------------
 
-# Queries changed or added in the CURRENT round (15) — spliced at the
-# very front of the window so they get a fresh verdict.  All five are
-# re-gates forced by the crash-safe layout-commit work (VERDICT r14
-# task 1/5):
-#  - corpus_trigram_heldout_from_layout / corpus_trigram_probe_pruned:
-#    layout readers resolve the CURRENT generation pointer and take a
-#    one-segment FAST PATH that skips the LSM merge entirely on fresh
-#    or compacted layouts (plan change, pinned in tests/test_plans.py);
-#  - corpus_trigram_heldout_appended: the appended layout's stats row
-#    gained n_segments and its read re-engages the merge only when >1;
-#  - corpus_bm25_postings_append_topk: append + serving now resolve
-#    the generation pointer (behavior-identical on fresh layouts,
-#    re-gated because the code path changed);
-#  - corpus_trigram_segment_stats rides at the head of
-#    DRIVER_PRIORITY (never driver-verified — VERDICT r14 task 2).
-#  - corpus_bm25_postings_staged_topk / corpus_trigram_heldout_staged /
-#    corpus_bm25_postings_compacted_topk are NEW r15 gates: a real
-#    Structured Streaming ingest staging two segments, served via the
-#    staged union (and, for `compacted`, folded through the
-#    crash-safe generation commit and served via the plain read) —
-#    each hash-checked against the one-pass full-corpus oracle.
+# Queries changed or added in the CURRENT round (16) — spliced at the
+# very front of the window so they get a fresh verdict.  All ten are
+# re-gates forced by this round's layout-lifecycle work:
+#  - corpus_trigram_heldout_from_layout / corpus_trigram_probe_pruned /
+#    corpus_trigram_segment_stats: the gram layout's bucket auto-size
+#    floor dropped 32 -> 4 (VERDICT r15 task 2 — the sf0.1 layout was
+#    all file-open overhead), so the bench/registry layout is written
+#    with a different n_buckets; the registry fast path is now
+#    plan-pinned (tests/test_plans.py);
+#  - corpus_trigram_heldout_appended: append_to_trigram_lm_layout now
+#    preserves an unknown segment count instead of minting
+#    n_segments=1 (ADVICE r15 high);
+#  - corpus_trigram_heldout_staged / corpus_bm25_postings_staged_topk:
+#    both staged serving reads now go through the unified
+#    _staged_tables/_staged_counters reader (r14 task 8 stretch);
+#  - corpus_bm25_postings_compacted_topk: compaction now GCs
+#    superseded generations and rewrites staged_stats (task 5 +
+#    ADVICE r15);
+#  - corpus_bm25_postings_append_topk: write_postings_layout ends in
+#    finalize_rebuild (pointer cut + staging GC — ADVICE r15);
+#  - ann_pq_topk_from_layout / ann_ivfpq_residual_from_layout: their
+#    load/serve entries gained the torn-append marker check (task 4) —
+#    and both are r12-stale and on the r15 perf-weak list, so this
+#    re-gate doubles as their re-measure.
 ROUND_NEW: list[str] = [
-    "corpus_bm25_postings_staged_topk",
-    "corpus_trigram_heldout_staged",
-    "corpus_bm25_postings_compacted_topk",
     "corpus_trigram_heldout_from_layout",
     "corpus_trigram_probe_pruned",
+    "corpus_trigram_segment_stats",
     "corpus_trigram_heldout_appended",
+    "corpus_trigram_heldout_staged",
+    "corpus_bm25_postings_staged_topk",
+    "corpus_bm25_postings_compacted_topk",
     "corpus_bm25_postings_append_topk",
+    "ann_pq_topk_from_layout",
+    "ann_ivfpq_residual_from_layout",
 ]
 
 # The stale backlog, oldest verdict first.  THIS LIST IS GENERATED,
@@ -3856,57 +3862,56 @@ ROUND_NEW: list[str] = [
 # ROUND_NEW until the 50-slot window is full.  No query names belong
 # in this comment — the script is the only source of truth.
 DRIVER_PRIORITY: list[str] = [
-    # --- never verified (r14 registration; VERDICT r14 task 2) ---
-    "corpus_trigram_segment_stats",
-    # --- r11-stale (all 39, verdict_histogram.py output, insertion order) ---
-    "range_read_chunks",
-    "dedup_duplicate_clusters",
-    "dedup_keep_best",
-    "dedup_incremental",
-    "dedup_incremental_containment",
-    "dedup_ladder_report",
-    "dedup_shingle_df_stats",
-    "dedup_simhash_pairs",
-    "dedup_image_dhash",
-    "dedup_audio_fingerprint_assets",
-    "dedup_video_frames_assets",
-    "ann_ivfpq_topk",
-    "multimodal_resize",
-    "acl_read_grants",
-    "acl_authorized_buckets",
-    "acl_merged_grants",
-    "buckets_object_presence",
-    "list_uploads_prefix",
-    "upload_details",
-    "copy_range_rebase",
-    "bucket_name_validation",
-    "events_json_extract",
-    "ann_ivf_topk",
-    "events_heavy_hitters_merged",
-    "events_watermark_lateness",
-    "events_retention",
-    "list_object_uploads",
-    "events_type_pivot",
-    "corpus_curation_pipeline",
-    "corpus_bpe_train",
-    "corpus_bpe_segment_stats",
-    "corpus_novelty_scores",
-    "corpus_pack_sequences",
-    "dedup_containment",
-    "corpus_epoch_shuffle",
-    "corpus_quality_classifier",
-    "corpus_quality_classifier_trained",
-    "dedup_audio_fingerprint",
-    "dedup_video_frames",
-    # --- oldest r12-stale (3 of 48, same source) ---
-    "q1_pricing_summary",
-    "text_token_stats",
-    "dedup_minhash_lsh",
+    # --- r12-stale (40 of 45; the two from that cohort already in
+    # ROUND_NEW, plus the last three — corpus_trigram_interp,
+    # corpus_trigram_heldout, corpus_bpe_heldout_fertility — lead the
+    # r17 queue) ---
+    "dedup_image_dhash_assets",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_pq_batch_from_layout",
+    "ann_filtered_topk",
+    "ann_pq_filtered_from_layout",
+    "ann_ivfpq_filtered_from_layout",
+    "dedup_pq_code_pairs",
+    "ann_ivf_cluster_stats",
+    "ann_ivfpq_residual_topk",
+    "multimodal_features",
+    "q7_nation_pair_volume",
+    "q10_returned_items",
+    "ann_batch_topk",
+    "ann_ivf_lloyd_topk",
+    "ann_lsh_batch_topk",
+    "multimodal_frame_sample",
+    "q18_large_orders",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_qty_revenue",
+    "q19_special_revenue",
+    "q22_idle_rich_customers",
+    "q2_cheapest_supplier",
+    "q4_priority_order_check",
+    "q9_product_profit",
+    "q11_important_brands",
+    "q12_priority_shipping",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "corpus_pii_redact",
+    "corpus_shard_assign",
+    "corpus_decontaminate",
+    "corpus_sample_mix",
+    "metadata_header_filter",
+    "scalar_conversions",
+    "corpus_quality_classifier_from_layout",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (all were green in r11/r12), and 7 + 1 + 39 + 3 fills the
-# window; after r15 no query's last verdict is older than r12.
+# canary (all were green in r12), and 10 + 40 fills the window; after
+# r16 no query's last verdict is older than r12's final three
+# stragglers (they lead r17's queue).
 GREEN_CORE: list[str] = []
 
 

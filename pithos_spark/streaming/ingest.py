@@ -62,6 +62,7 @@ from pithos_spark.functions.layoutcommit import (
     assert_not_torn,
     commit_current,
     folded_segment_keys,
+    gc_generations,
     install_staged_segment,
     next_gen_rel,
     read_current,
@@ -155,25 +156,49 @@ def _live_staged_segs(spark, layout_path: str, gen_root: str) -> list[str]:
     return [s for s in staged_segment_keys(layout_path) if s not in folded]
 
 
-def _staged_postings(spark, layout_path: str, live: list[str]):
-    """The live staged posting rows, ``seg`` kept for per-segment
-    attribution."""
-    return spark.read.parquet(f"{layout_path}/staged").filter(
-        F.col("seg").isin(list(live))
-    )
+def _staged_tables(
+    spark, layout_path: str, live: list[str], tables: tuple = (None,)
+) -> dict:
+    """THE staged reader (VERDICT r14 task 8 stretch, finished r16):
+    one parameterized per-segment union shared by both layout
+    families.  ``tables`` names the sub-tables inside each segment dir
+    (``None`` = the segment dir itself is the table — the postings
+    shape; the trigram shape passes its five count-table names).
+
+    Reads by explicit per-segment path: a segment dir exists iff its
+    tables are complete (single-rename install), so no partial segment
+    can leak in — and a multi-root partitioned read would trip Spark's
+    conflicting-directory-structures check on the trigram ``b=``
+    partitions anyway.  Each row carries a ``seg`` attribution column
+    (the partition-column twin of the old partition-discovery read);
+    the union is over the handful of not-yet-folded segments."""
+    out: dict = {}
+    for t in tables:
+        parts = []
+        for s in live:
+            p = f"{layout_path}/staged/seg={s}" + (f"/{t}" if t else "")
+            df = spark.read.parquet(p)
+            if t:
+                df = df.drop("b")
+            parts.append(df.withColumn("seg", F.lit(s)))
+        df = parts[0]
+        for part in parts[1:]:
+            df = df.unionByName(part)
+        out[t] = df
+    return out
 
 
-def _staged_postings_counters(
-    spark, layout_path: str, staged, live: list[str]
-) -> tuple[int, int]:
-    """(n_docs, total_len) contributed by the live staged segments:
-    the deduped seg-tagged stats rows where present, DERIVED from the
-    segment's own rows for any segment whose stats append a crash ate
-    (ADVICE r14 — serving base counters against unioned staged rows
-    drifts every idf/length norm).  Derivation counts distinct
-    (doc_id, dl) pairs, so a document with zero tokens — which has no
-    posting rows and affects no score — is the one thing it can't see.
-    Driver-side cost: a per-segment-count list of 3-column rows."""
+def _staged_counters(
+    spark, layout_path: str, live: list[str], cols: tuple, derive
+) -> dict:
+    """Shared staged-stats readout (the other half of the task-8
+    unification): the deduped seg-tagged counter rows for the live
+    segments, with any segment whose stats append a crash ate DERIVED
+    from the segment's own rows (ADVICE r14 — serving base counters
+    against unioned staged rows drifts every score).  ``cols`` are the
+    additive counter columns; ``derive(missing_segs)`` returns their
+    exact values for stats-less segments.  Driver-side cost: a
+    per-segment list of tiny rows."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -185,11 +210,32 @@ def _staged_postings_counters(
         )
     except AnalysisException:
         rows = []
-    n_docs = sum(int(r["n_docs"]) for r in rows)
-    total_len = sum(int(r["total_len"]) for r in rows)
+    out = {c: sum(int(r[c]) for r in rows) for c in cols}
     missing = sorted(set(live) - {str(r["seg"]) for r in rows})
     if missing:
-        d = (
+        d = derive(missing)
+        for c in cols:
+            out[c] += int(d[c])
+    return out
+
+
+def _staged_postings(spark, layout_path: str, live: list[str]):
+    """The live staged posting rows, ``seg`` kept for per-segment
+    attribution."""
+    return _staged_tables(spark, layout_path, live)[None]
+
+
+def _staged_postings_counters(
+    spark, layout_path: str, staged, live: list[str]
+) -> tuple[int, int]:
+    """(n_docs, total_len) contributed by the live staged segments.
+    The derivation for stats-less segments counts distinct
+    (doc_id, dl) pairs, so a document with zero tokens — which has no
+    posting rows and affects no score — is the one thing it can't
+    see."""
+
+    def derive(missing):
+        return (
             staged.filter(F.col("seg").isin(missing))
             .select("doc_id", "dl")
             .distinct()
@@ -201,9 +247,11 @@ def _staged_postings_counters(
             )
             .collect()[0]
         )
-        n_docs += int(d["n_docs"])
-        total_len += int(d["total_len"])
-    return n_docs, total_len
+
+    c = _staged_counters(
+        spark, layout_path, live, ("n_docs", "total_len"), derive
+    )
+    return c["n_docs"], c["total_len"]
 
 
 def bm25_topk_with_staged(
@@ -287,8 +335,54 @@ def _gc_staged(layout_path: str, segs: list[str]) -> None:
             f"{layout_path}/staged/seg={s}", ignore_errors=True
         )
     for d in (f"{layout_path}/staged", f"{layout_path}/staged_tmp"):
-        if os.path.isdir(d) and not os.listdir(d):
-            shutil.rmtree(d, ignore_errors=True)
+        # os.rmdir, NOT listdir-then-rmtree (ADVICE r15): a concurrent
+        # micro-batch can rename its segment in between an emptiness
+        # check and a recursive delete, losing a committed (therefore
+        # never-replayed) segment.  rmdir is atomic — it fails with
+        # ENOTEMPTY if the install won the race.
+        try:
+            os.rmdir(d)
+        except OSError:
+            pass
+
+
+def _gc_staged_stats(spark, layout_path: str) -> None:
+    """Bound the staged_stats table (ADVICE r15): ingest appends one
+    small parquet file per micro-batch and nothing ever removed rows
+    for folded segments, so the table — and every staged serving
+    read's dedup scan over it — grew without bound.  After a fold,
+    rewrite it down to rows whose segment is still installed
+    (write-temp + swap).  Races are benign by the reader's own
+    contract: a stats row appended between the snapshot and the swap
+    is lost, and the reader then DERIVES that segment's counters from
+    its rows (:func:`_staged_counters`' crash-ate-the-stats path —
+    exact for trigram, zero-token-doc blind spot for postings)."""
+    from pyspark.errors import AnalysisException
+
+    stats_dir = f"{layout_path}/staged_stats"
+    tmp = f"{layout_path}/staged_stats_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    live = staged_segment_keys(layout_path)
+    if not live:
+        shutil.rmtree(stats_dir, ignore_errors=True)
+        return
+    try:
+        keep = (
+            spark.read.parquet(stats_dir)
+            .filter(F.col("seg").isin(list(live)))
+            .dropDuplicates(["seg"])
+        )
+        write_tiny_table(keep, tmp)
+    except AnalysisException:
+        return  # no stats table (readers derive) — nothing to bound
+    shutil.rmtree(stats_dir, ignore_errors=True)
+    try:
+        os.rename(tmp, stats_dir)
+    except OSError:
+        # a concurrent ingest recreated stats_dir between the delete
+        # and the rename: its row is live and ours are derivable —
+        # leave it; the temp dir is cleared on the next fold
+        pass
 
 
 def _folded_segments_df(spark, layout_path: str, gen_root: str, live):
@@ -319,8 +413,9 @@ def compact_staged_postings(spark, layout_path: str) -> int:
     Cost model: the fold rewrites base+staged — O(layout), the classic
     LSM major compaction — while the per-batch ingest stays
     delta-linear; run it at the :data:`COMPACT_WHEN_AVG_SEGMENTS_X1000`
-    cadence, not per batch.  Superseded generations stay on disk as
-    garbage for an external janitor (never read once CURRENT moves)."""
+    cadence, not per batch.  Superseded generations are reclaimed
+    in-engine after the swap (``gc_generations`` — VERDICT r15 task 5;
+    never read once CURRENT moves)."""
     root = read_current(layout_path)
     assert_not_torn(root)  # never bake a torn base into a generation
     live = _live_staged_segs(spark, layout_path, root)
@@ -328,6 +423,8 @@ def compact_staged_postings(spark, layout_path: str) -> int:
         _gc_staged(
             layout_path, sorted(folded_segment_keys(spark, root))
         )
+        _gc_staged_stats(spark, layout_path)
+        gc_generations(layout_path)
         return 0
     staged = _staged_postings(spark, layout_path, live)
     n = staged.count()
@@ -359,6 +456,8 @@ def compact_staged_postings(spark, layout_path: str) -> int:
     os.rename(tmp, f"{layout_path}/{gen}")
     commit_current(layout_path, gen)  # THE commit point
     _gc_staged(layout_path, live)
+    _gc_staged_stats(spark, layout_path)
+    gc_generations(layout_path)
     return n
 
 
@@ -442,57 +541,40 @@ def streaming_trigram_ingest(
 
 def _staged_trigram_tables(spark, layout_path: str, live: list[str]):
     """Per-count-table union of the live staged segments' rows (``b``
-    and attribution dropped — the LSM merge keys on the gram).  Reads
-    by explicit per-segment path: a segment dir exists iff its five
-    tables are complete (single-rename install), so no partial segment
-    can leak in.  One read per segment dir (a multi-root read trips
-    Spark's conflicting-directory-structures check on the ``b=``
-    partitions); the union is over the handful of not-yet-folded
-    segments."""
+    and attribution dropped — the LSM merge keys on the gram); the
+    shared :func:`_staged_tables` reader with the five gram tables."""
     from pithos_spark.functions.text import _TRIGRAM_COUNT_TABLES
 
-    out: dict = {}
-    for _key, cnt in _TRIGRAM_COUNT_TABLES:
-        parts = [
-            spark.read.parquet(
-                f"{layout_path}/staged/seg={s}/{cnt}"
-            ).drop("b")
-            for s in live
-        ]
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        out[cnt] = df
-    return out
+    staged = _staged_tables(
+        spark,
+        layout_path,
+        live,
+        tuple(cnt for _key, cnt in _TRIGRAM_COUNT_TABLES),
+    )
+    return {cnt: df.drop("seg") for cnt, df in staged.items()}
 
 
 def _staged_trigram_total(spark, layout_path: str, live: list[str]) -> int:
-    """Window count contributed by the live staged segments: deduped
-    seg-tagged stats rows, DERIVED exactly for any segment missing one
-    (a trigram segment's n_total equals the sum of its c3 counts — the
-    c3 table groups every window by its trigram, so unlike the postings
-    derivation this one has no blind spot)."""
-    from pyspark.errors import AnalysisException
+    """Window count contributed by the live staged segments: the
+    shared :func:`_staged_counters` readout; the derivation for a
+    stats-less segment is exact (a trigram segment's n_total equals
+    the sum of its c3 counts — the c3 table groups every window by its
+    trigram, so unlike the postings derivation this one has no blind
+    spot)."""
 
-    try:
-        rows = (
-            spark.read.parquet(f"{layout_path}/staged_stats")
-            .dropDuplicates(["seg"])
-            .filter(F.col("seg").isin(list(live)))
-            .collect()
-        )
-    except AnalysisException:
-        rows = []
-    total = sum(int(r["n_total"]) for r in rows)
-    missing = sorted(set(live) - {str(r["seg"]) for r in rows})
-    for s in missing:
-        d = (
-            spark.read.parquet(f"{layout_path}/staged/seg={s}/c3")
-            .agg(F.coalesce(F.sum("c3"), F.lit(0)).alias("t"))
-            .collect()[0]["t"]
-        )
-        total += int(d)
-    return total
+    def derive(missing):
+        total = 0
+        for s in missing:
+            total += int(
+                spark.read.parquet(f"{layout_path}/staged/seg={s}/c3")
+                .agg(F.coalesce(F.sum("c3"), F.lit(0)).alias("t"))
+                .collect()[0]["t"]
+            )
+        return {"n_total": total}
+
+    return _staged_counters(
+        spark, layout_path, live, ("n_total",), derive
+    )["n_total"]
 
 
 def trigram_heldout_with_staged(
@@ -658,4 +740,6 @@ def compact_staged_trigram(spark, layout_path: str) -> int:
     os.rename(tmp, f"{layout_path}/{gen}")
     commit_current(layout_path, gen)  # THE commit point
     _gc_staged(layout_path, live)
+    _gc_staged_stats(spark, layout_path)
+    gc_generations(layout_path)
     return folded

@@ -1,0 +1,178 @@
+"""SCALE_r16 measurement (VERDICT r15 task 7 + task 2's sizing fix).
+
+The lexical layouts got their lifecycle economics in SCALE_r15; the
+PQ / residual-IVFADC serving family never had its from_layout
+vs in-query crossover measured at sf1, and r15's bench medians for
+exactly that family doubled on a loaded box.  This script prices, on a
+quiet box:
+
+1. ``ann`` — for each persisted ANN index (PQ, residual IVFADC): the
+   one-time build cost, the from_layout single-query serve, the
+   from_layout 8-query batched serve, and the in-query twin (train +
+   serve in one plan) — at sf0.1 and the replicated sf1.  The
+   crossover (builds amortized over N reads) is the build-once /
+   probe-many claim, measured.
+2. ``trigram`` — the task-2 bucket-floor fix, priced: serving medians
+   of trigram_heldout_from_layout vs its derive-on-read twin at sf0.1
+   and sf1, plus the auto-sized n_buckets the writer chose — the
+   regression gate is from_layout <= derive-on-read at sf0.1.
+
+Usage: python scripts/scale_r16.py [sf01_dir] [sf1_dir] [section]
+section in {ann, trigram, all} (default all).  Emits JSON lines;
+SCALE_r16.md reproduces them with the derivation.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import SparkSession
+
+
+def timed(fn, repeats=5):
+    fn()  # warmup
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(round(time.perf_counter() - t0, 3))
+    return round(statistics.median(samples), 3), samples
+
+
+def once(fn):
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
+
+def noop(df):
+    df.foreach(lambda _r: None)
+
+
+def _session():
+    return (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+
+
+def emit(**kv):
+    print(json.dumps(kv, separators=(",", ":")), flush=True)
+
+
+def section_ann(spark, sf_dir: str, sf_label: str):
+    from pithos_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb.persist()
+    emb.count()
+    qids = [0, 2, 4, 6, 8, 10, 12, 14]
+
+    # --- plain PQ ---
+    pq_path = tempfile.mkdtemp(prefix=f"sc16_pq_{sf_label}_")
+    build_s = once(lambda: sim.save_pq_index(emb, pq_path))
+    serve_m, serve_s = timed(
+        lambda: noop(sim.pq_topk_from_layout(emb, pq_path, 0, 10))
+    )
+    batch_m, _ = timed(
+        lambda: noop(sim.pq_batch_topk_from_layout(emb, pq_path, qids, 10))
+    )
+    inq_m, _ = timed(lambda: noop(sim.pq_topk(emb, 0, 10)), repeats=3)
+    emit(
+        section="ann", index="pq", sf=sf_label, build_s=build_s,
+        serve_from_layout_s=serve_m, serve_samples=serve_s,
+        batch8_from_layout_s=batch_m, in_query_s=inq_m,
+        crossover_reads=(
+            round(build_s / max(inq_m - serve_m, 0.001), 1)
+            if inq_m > serve_m else None
+        ),
+    )
+
+    # --- residual IVFADC ---
+    rq_path = tempfile.mkdtemp(prefix=f"sc16_ivfpq_{sf_label}_")
+    build_s = once(lambda: sim.save_ivfpq_residual_index(emb, rq_path))
+    serve_m, serve_s = timed(
+        lambda: noop(
+            sim.ivfpq_residual_topk_from_layout(emb, rq_path, 0, 10)
+        )
+    )
+    batch_m, _ = timed(
+        lambda: noop(
+            sim.ivfpq_residual_batch_topk_from_layout(
+                emb, rq_path, qids, 10
+            )
+        )
+    )
+    inq_m, _ = timed(
+        lambda: noop(sim.ivfpq_residual_topk(emb, 0, 10)), repeats=3
+    )
+    emit(
+        section="ann", index="ivfpq_residual", sf=sf_label,
+        build_s=build_s, serve_from_layout_s=serve_m,
+        serve_samples=serve_s, batch8_from_layout_s=batch_m,
+        in_query_s=inq_m,
+        crossover_reads=(
+            round(build_s / max(inq_m - serve_m, 0.001), 1)
+            if inq_m > serve_m else None
+        ),
+    )
+    emb.unpersist()
+
+
+def section_trigram(spark, sf_dir: str, sf_label: str):
+    from pithos_spark.functions import text
+    from pithos_spark.plans.helpers import reset_persist_slots
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = docs.filter("doc_id % 4 = 0")
+    score = docs.filter("doc_id % 4 <> 0")
+    path = tempfile.mkdtemp(prefix=f"sc16_tri_{sf_label}_")
+    build_s = once(lambda: text.write_trigram_lm_layout(lm, path))
+    n_buckets = int(
+        spark.read.parquet(f"{path}/stats").collect()[0]["n_buckets"]
+    )
+
+    def from_layout():
+        reset_persist_slots()
+        noop(text.trigram_heldout_from_layout(score, path))
+
+    def derive():
+        reset_persist_slots()
+        noop(text.trigram_heldout_score(score, lm))
+
+    fl_m, fl_s = timed(from_layout)
+    dr_m, dr_s = timed(derive)
+    emit(
+        section="trigram", sf=sf_label, build_s=build_s,
+        n_buckets=n_buckets, from_layout_s=fl_m,
+        from_layout_samples=fl_s, derive_on_read_s=dr_m,
+        derive_samples=dr_s,
+    )
+
+
+def main():
+    sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf1 = sys.argv[2] if len(sys.argv) > 2 else ".scale/sf1"
+    section = sys.argv[3] if len(sys.argv) > 3 else "all"
+    spark = _session()
+    spark.sparkContext.setLogLevel("ERROR")
+    for label, d in (("sf0.1", sf01), ("sf1", sf1)):
+        if section in ("ann", "all"):
+            section_ann(spark, d, label)
+        if section in ("trigram", "all"):
+            section_trigram(spark, d, label)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -706,3 +706,249 @@ def test_batch_append_tear_is_detected(spark, tmp_path, monkeypatch):
         for r in text.trigram_heldout_from_layout(score, t_fresh).collect()
     ]
     assert got == want and len(got) > 0
+
+
+@pytest.mark.slow
+def test_ann_append_tear_is_detected(spark, tmp_path, monkeypatch):
+    """VERDICT r15 task 4: the three ANN layout appends get the same
+    torn-marker contract as postings/grams.  Kill each append before
+    its marker clears (the worst window — delta rows already visible):
+    every serving entry refuses loudly, a RETRY of the append refuses
+    too (it would double-append code/assignment rows — duplicate
+    vec_id candidates in every dedup tier and duplicate top-k rows),
+    and a rebuild serves bit-identical to a one-pass index."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions import similarity as sim
+
+    emb = T.load_tables(spark, SF_ORACLE)["embeddings"]
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    delta = emb.filter(F.col("vec_id") % 4 == 3)
+
+    def _boom(*_a, **_kw):
+        raise RuntimeError("injected crash")
+
+    # --- PQ ---------------------------------------------------------
+    path = str(tmp_path / "pq_torn")
+    sim.save_pq_index(base, path)
+    monkeypatch.setattr(sim, "end_append", _boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sim.append_to_pq_index(delta, path)
+    monkeypatch.undo()
+    with pytest.raises(RuntimeError, match="torn"):
+        sim.pq_topk_from_layout(emb, path, 0, 10).collect()
+    with pytest.raises(RuntimeError, match="torn"):
+        sim.pq_code_bucket_stats_from_layout(spark, path).collect()
+    with pytest.raises(RuntimeError, match="torn"):
+        sim.append_to_pq_index(delta, path)  # retry would double-append
+    sim.save_pq_index(emb, path)  # rebuild = recovery
+    fresh = str(tmp_path / "pq_fresh")
+    sim.save_pq_index(emb, fresh)
+    assert [
+        tuple(r) for r in sim.pq_topk_from_layout(emb, path, 0, 10).collect()
+    ] == [
+        tuple(r) for r in sim.pq_topk_from_layout(emb, fresh, 0, 10).collect()
+    ]
+
+    # --- IVF --------------------------------------------------------
+    path = str(tmp_path / "ivf_torn")
+    assigned, centers = sim.build_ivf_lloyd_index(base, 8, 1)
+    sim.save_ivf_index(assigned, centers, path)
+    monkeypatch.setattr(sim, "end_append", _boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sim.append_to_ivf_index(delta, path)
+    monkeypatch.undo()
+    with pytest.raises(RuntimeError, match="torn"):
+        sim.load_ivf_index(spark, path)
+    with pytest.raises(RuntimeError, match="torn"):
+        sim.semantic_dedup_pairs_from_layout(spark, path).collect()
+    with pytest.raises(RuntimeError, match="torn"):
+        sim.append_to_ivf_index(delta, path)
+    a_full, c_full = sim.build_ivf_lloyd_index(emb, 8, 1)
+    sim.save_ivf_index(a_full, c_full, path)  # rebuild = recovery
+    fresh = str(tmp_path / "ivf_fresh")
+    sim.save_ivf_index(a_full, c_full, fresh)
+    assert [
+        tuple(r)
+        for r in sim.semantic_dedup_pairs_from_layout(spark, path).collect()
+    ] == [
+        tuple(r)
+        for r in sim.semantic_dedup_pairs_from_layout(spark, fresh).collect()
+    ]
+
+    # --- residual IVFADC ---------------------------------------------
+    path = str(tmp_path / "ivfpq_torn")
+    sim.save_ivfpq_residual_index(base, path)
+    monkeypatch.setattr(sim, "end_append", _boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sim.append_to_ivfpq_residual_index(delta, path)
+    monkeypatch.undo()
+    with pytest.raises(RuntimeError, match="torn"):
+        sim.ivfpq_residual_topk_from_layout(emb, path, 0, 10).collect()
+    with pytest.raises(RuntimeError, match="torn"):
+        sim.ivfpq_residual_batch_topk_from_layout(
+            emb, path, [0, 1], 10
+        ).collect()
+    with pytest.raises(RuntimeError, match="torn"):
+        sim.append_to_ivfpq_residual_index(delta, path)
+    sim.save_ivfpq_residual_index(emb, path)  # rebuild = recovery
+    fresh = str(tmp_path / "ivfpq_fresh")
+    sim.save_ivfpq_residual_index(emb, fresh)
+    assert [
+        tuple(r)
+        for r in sim.ivfpq_residual_topk_from_layout(
+            emb, path, 0, 10
+        ).collect()
+    ] == [
+        tuple(r)
+        for r in sim.ivfpq_residual_topk_from_layout(
+            emb, fresh, 0, 10
+        ).collect()
+    ]
+
+
+@pytest.mark.slow
+def test_rebuild_resets_compacted_layout(spark, tmp_path, monkeypatch):
+    """ADVICE r15: 'rebuild the layout' is the documented torn-append
+    recovery — but on a previously-COMPACTED layout the old CURRENT
+    pointer kept readers on the superseded generation (where the torn
+    marker lives), so the rebuild never became visible and the refusal
+    never cleared.  write_*_layout must cut the pointer back to its
+    fresh generation 0 and GC the old generations and staging."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    import pithos_spark.functions.layoutcommit as lc
+    import pithos_spark.streaming.ingest as ing
+    from pithos_spark import tables as T
+    from pithos_spark.functions import retrieval
+
+    docs = T.load_tables(spark, SF_ORACLE)["documents"]
+    layout = str(tmp_path / "postings_rebuild")
+    retrieval.write_postings_layout(
+        docs.filter("doc_id % 4 = 0"), layout
+    )
+    # stage one segment and compact: CURRENT now names fold_gen_0
+    src = str(tmp_path / "rebuild_src")
+    docs.filter("doc_id % 4 = 1").write.parquet(src)
+    q = ing.streaming_postings_ingest(
+        spark.readStream.schema(docs.schema).parquet(src),
+        layout,
+        str(tmp_path / "rebuild_ckpt"),
+    )
+    q.awaitTermination(120)
+    q.stop()
+    ing.compact_staged_postings(spark, layout)
+    root = lc.read_current(layout)
+    assert root != layout and "fold_gen_" in root
+
+    # tear an append at the live (fold) generation
+    monkeypatch.setattr(lc, "write_tiny_table", _torn_boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        retrieval.append_to_postings_layout(
+            docs.filter("doc_id % 4 = 2"), layout
+        )
+    monkeypatch.undo()
+    with pytest.raises(RuntimeError, match="torn"):
+        retrieval.bm25_topk_from_postings(spark, layout).collect()
+
+    # rebuild — must become visible AND clear the refusal
+    retrieval.write_postings_layout(docs, layout)
+    assert lc.read_current(layout) == layout  # pointer cut to gen 0
+    assert not os.path.exists(f"{layout}/CURRENT")
+    leftovers = [
+        n
+        for n in os.listdir(layout)
+        if n.startswith("fold_gen_") or n.startswith("staged")
+    ]
+    assert leftovers == [], leftovers
+    fresh = str(tmp_path / "postings_rebuild_fresh")
+    retrieval.write_postings_layout(docs, fresh)
+    assert [
+        tuple(r)
+        for r in retrieval.bm25_topk_from_postings(spark, layout).collect()
+    ] == [
+        tuple(r)
+        for r in retrieval.bm25_topk_from_postings(spark, fresh).collect()
+    ]
+
+
+def _torn_boom(*_a, **_kw):
+    raise RuntimeError("injected crash")
+
+
+def test_segment_token_survives_restart_not_recreation(tmp_path):
+    """ADVICE r15: the staging token must be stable across restarts of
+    the SAME checkpoint (segment installs stay idempotent) but FRESH
+    for a recreated checkpoint at the same path — a path-derived token
+    reused seg keys already in a live generation's folded mask, so a
+    recreated stream's segments were masked at read and GC'd at
+    compaction (silent loss)."""
+    import shutil as _sh
+
+    from pithos_spark.functions.layoutcommit import segment_token
+
+    ckpt = str(tmp_path / "ckpt")
+    t1 = segment_token(ckpt)
+    assert t1 and segment_token(ckpt) == t1  # restart: same token
+    _sh.rmtree(ckpt)
+    t2 = segment_token(ckpt)  # recreated checkpoint: new namespace
+    assert t2 and t2 != t1
+
+
+@pytest.mark.slow
+def test_trigram_append_preserves_unknown_segment_count(
+    spark, tmp_path
+):
+    """ADVICE r15 (high): a layout written before the n_segments
+    column existed reads as 'unknown' (0 = always merge).  One append
+    must NOT turn that into n_segments=1 — the layout may already hold
+    several partial rows per gram, and the one-segment fast path would
+    skip the LSM merge and fan out every scoring join.  Unknown stays
+    unknown (0), the merge keeps running, and scores match a one-pass
+    rebuild."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark import tables as T
+    from pithos_spark.functions import text
+    from pithos_spark.functions.layoutcommit import write_tiny_table
+    from pithos_spark.plans.helpers import reset_persist_slots
+
+    docs = T.load_tables(spark, SF_ORACLE)["documents"]
+    lm = docs.filter("doc_id % 4 = 0")
+    score = docs.filter("doc_id % 4 <> 0")
+    path = str(tmp_path / "tri_premeta")
+    # a pre-n_segments layout that ALREADY holds two partials per gram
+    text.write_trigram_lm_layout(lm.filter("doc_id % 40 <> 0"), path)
+    text.append_to_trigram_lm_layout(
+        lm.filter("doc_id % 40 = 0 and doc_id % 80 = 0"), path
+    )
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    write_tiny_table(
+        spark.createDataFrame(
+            [(int(stats["n_total"]), int(stats["n_buckets"]))],
+            "n_total long, n_buckets int",
+        ),
+        f"{path}/stats",
+    )
+    # the append under test, onto the pre-meta (unknown-segments) layout
+    text.append_to_trigram_lm_layout(
+        lm.filter("doc_id % 40 = 0 and doc_id % 80 <> 0"), path
+    )
+    after = spark.read.parquet(f"{path}/stats").collect()[0]
+    assert int(after["n_segments"]) == 0  # unknown stays unknown
+    full = str(tmp_path / "tri_premeta_full")
+    text.write_trigram_lm_layout(lm, full)
+    reset_persist_slots()
+    got = [
+        tuple(r)
+        for r in text.trigram_heldout_from_layout(score, path).collect()
+    ]
+    reset_persist_slots()
+    want = [
+        tuple(r)
+        for r in text.trigram_heldout_from_layout(score, full).collect()
+    ]
+    assert got == want and len(got) > 0

@@ -537,7 +537,13 @@ def test_trigram_probe_prunes_gram_buckets(spark, tables, tmp_path):
 
     path = str(tmp_path / "trigram_lm_layout")
     docs = tables["documents"]
-    text.write_trigram_lm_layout(docs.filter("doc_id % 4 = 0"), path)
+    # n_buckets pinned at 32: the auto-size floor is now 4 for tiny LMs
+    # (VERDICT r15 task 2), which a one-document probe can saturate —
+    # the pruning DEMONSTRATION needs enough buckets that the probe's
+    # gram set provably misses some
+    text.write_trigram_lm_layout(
+        docs.filter("doc_id % 4 = 0"), path, n_buckets=32
+    )
     probe = docs.filter("doc_id = 1")
     plan = _plan(text.trigram_probe_from_layout(probe, path))
     pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
@@ -699,6 +705,37 @@ def test_trigram_layout_merge_fast_path_and_single_exchange(
         )
     }
     assert len(tri_exchanges) == 1, plan
+
+
+def test_registry_trigram_from_layout_takes_fast_path(spark):
+    """VERDICT r15 task 2: the r14 fast path was proven on hand-built
+    layouts while the BENCH median doubled anyway — so pin it on the
+    EXACT registry callable the bench times.  The registry's layout is
+    a fresh build (n_segments == 1), so the executed plan of
+    ``corpus_trigram_heldout_from_layout`` must contain no LSM-merge
+    aggregate (no ``sum(c3``), and the layout the registry cached must
+    carry the small-LM bucket floor (auto-size ≤ a handful of ``b=``
+    dirs at oracle scale — the 32-dir floor was the r15 serving tax)."""
+    from pithos_spark import registry
+    from pithos_spark.plans.helpers import reset_persist_slots
+
+    reset_persist_slots()
+    df = registry.QUERIES["corpus_trigram_heldout_from_layout"](
+        spark, SF_ORACLE
+    )
+    df.collect()  # AQE: materialize so the final plan is real
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "sum(c3" not in plan, plan
+
+    # the cached layout the bench serves from: stats must record the
+    # re-floored bucket count (a sf0.01 LM is far under 100k grams)
+    path = registry._TRIGRAM_LAYOUT_CACHE[
+        (spark.sparkContext.applicationId, SF_ORACLE)
+    ]
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    assert int(stats["n_buckets"]) <= 8, stats
+    assert int(stats["n_segments"]) == 1, stats
 
 
 def test_no_coalesce_1_in_package():

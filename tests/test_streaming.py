@@ -1875,3 +1875,74 @@ def test_compact_trigram_if_needed_policy(spark, tmp_path):
     assert got == want
     # idempotent: nothing left to fold
     assert compact_trigram_if_needed(spark, layout) == 0
+
+
+def test_generation_gc_and_staged_stats_bounded(spark, tmp_path, monkeypatch):
+    """VERDICT r15 task 5 + ADVICE r15: compaction reclaims its own
+    garbage.  After each fold commits, (a) disk holds exactly ONE
+    generation — every superseded ``fold_gen_*`` and, once a fold
+    generation is live, generation 0's table leftovers are gone; (b)
+    the ``staged_stats`` table is rewritten down to live rows (here:
+    gone — nothing staged survives the fold), so it no longer grows by
+    one file per micro-batch forever; and (c) a reader serving BETWEEN
+    the pointer swap and the GC (the mid-cleanup window) sees exact
+    results."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    import pithos_spark.streaming.ingest as ing
+    from pithos_spark import tables as T
+    from pithos_spark.functions import retrieval
+    from pithos_spark.functions.layoutcommit import read_current
+
+    docs = T.load_tables(spark, SF_SMOKE)["documents"]
+    layout = str(tmp_path / "postings_gc")
+    retrieval.write_postings_layout(docs.filter("doc_id % 3 = 0"), layout)
+
+    mid_gc_reads = []
+    real_gc = ing.gc_generations
+
+    def gc_with_mid_read(path):
+        # a reader in the swap→GC window: must serve exactly
+        mid_gc_reads.append(
+            [tuple(r) for r in ing.bm25_topk_with_staged(spark, layout).collect()]
+        )
+        return real_gc(path)
+
+    monkeypatch.setattr(ing, "gc_generations", gc_with_mid_read)
+
+    for i, dpred, cpred in (
+        (0, "doc_id % 3 = 1", "doc_id % 3 <= 1"),
+        (1, "doc_id % 3 = 2", "doc_id >= 0"),
+    ):
+        src = str(tmp_path / f"gc_src_{i}")
+        docs.filter(dpred).write.parquet(src)
+        q = ing.streaming_postings_ingest(
+            spark.readStream.schema(docs.schema).parquet(src),
+            layout,
+            str(tmp_path / f"gc_ckpt_{i}"),
+        )
+        q.awaitTermination(120)
+        q.stop()
+        assert ing.compact_staged_postings(spark, layout) > 0
+
+        full = str(tmp_path / f"gc_full_{i}")
+        retrieval.write_postings_layout(docs.filter(cpred), full)
+        want = [
+            tuple(r)
+            for r in retrieval.bm25_topk_from_postings(spark, full).collect()
+        ]
+        assert mid_gc_reads[-1] == want  # the mid-GC reader was exact
+        assert [
+            tuple(r)
+            for r in retrieval.bm25_topk_from_postings(spark, layout).collect()
+        ] == want
+
+        # exactly one generation on disk: the CURRENT fold dir + the
+        # pointer file; gen-0 leftovers and older folds reclaimed
+        cur = os.path.basename(read_current(layout))
+        names = sorted(os.listdir(layout))
+        assert names == ["CURRENT", cur], names
+        # staged_stats no longer accretes one file per batch forever
+        assert not os.path.exists(f"{layout}/staged_stats")
