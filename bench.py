@@ -172,6 +172,23 @@ EXTRA_REPEATS = {
     "corpus_quality_classifier_trained": 9,
     "multimodal_decode_coverage": 9,
     "materialize_objects_layout": 9,
+    # r15 driver artifact (VERDICT r15 task 1): 78.2 / 62.5 / 56.9 /
+    # 56.6 / 52.2 / 50.2% spreads — the ANN from_layout pair doubles as
+    # the re-measure for the r15 serving-median doubling (task 3)
+    "build_trigram_lm_layout": 9,
+    "q14_promo_revenue": 9,
+    "dedup_pq_code_stats": 9,
+    "ann_ivfpq_residual_from_layout": 9,
+    "ann_pq_topk_from_layout": 9,
+    "bucket_usage": 9,
+    # r16 first pass: 80.7 / 82.7 / 65.6 / 53.9 / 58.4% — all five are
+    # first-time offenders (sub-5 s medians, same shared-box jitter
+    # class as the rest of this dict)
+    "list_objects_root": 9,
+    "ann_pq_recall_report": 9,
+    "ann_ivfpq_residual_recall": 9,
+    "corpus_bm25_postings_staged_topk": 9,
+    "build_ivfpq_residual_index": 9,
 }
 
 # 5 repeats (r10, was 3): with the untimed warmup lap all samples are
