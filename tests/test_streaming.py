@@ -1612,7 +1612,16 @@ def test_streaming_trigram_ingest_matches_batch(spark, tmp_path):
 #                    old generation;
 #   before_cleanup — CURRENT swapped, staged segments still on disk
 #                    (the exact window that double-counted in r14).
-_CRASH_POINTS = ["next_gen_rel", "commit_current", "_gc_staged"]
+# the five driver-side steps of a fold, in order: crash at each one
+# (r16 added the two GC steps — staged_stats rewrite and superseded-
+# generation reclaim — to the matrix when they joined the fold)
+_CRASH_POINTS = [
+    "next_gen_rel",
+    "commit_current",
+    "_gc_staged",
+    "_gc_staged_stats",
+    "gc_generations",
+]
 
 
 def _boom(*_a, **_kw):
@@ -1637,8 +1646,20 @@ def test_compact_staged_postings_crash_recovery(spark, tmp_path):
     layout = str(tmp_path / "postings_crash")
     retrieval.write_postings_layout(docs.filter("doc_id % 4 = 0"), layout)
 
-    deltas = ["doc_id % 4 = 1", "doc_id % 4 = 2", "doc_id % 4 = 3"]
-    sofar = ["doc_id % 4 <= 1", "doc_id % 4 <= 2", "doc_id >= 0"]
+    deltas = [
+        "doc_id % 8 = 1",
+        "doc_id % 8 = 5",
+        "doc_id % 8 = 2",
+        "doc_id % 8 = 6",
+        "doc_id % 4 = 3",
+    ]
+    sofar = [
+        "doc_id % 4 = 0 or doc_id % 8 = 1",
+        "doc_id % 4 <= 1",
+        "doc_id % 4 <= 1 or doc_id % 8 = 2",
+        "doc_id % 4 <= 2",
+        "doc_id >= 0",
+    ]
     for i, (crash_fn, dpred, cpred) in enumerate(
         zip(_CRASH_POINTS, deltas, sofar)
     ):
@@ -1703,13 +1724,21 @@ def test_compact_staged_trigram_crash_recovery(spark, tmp_path):
     lm = docs.filter("doc_id % 4 = 0")
     score = docs.filter("doc_id % 4 <> 0")
     layout = str(tmp_path / "trigram_crash")
-    base_pred = "doc_id % 40 NOT IN (0, 12, 20)"
+    base_pred = "doc_id % 40 NOT IN (0, 4, 12, 20, 28)"
     text.write_trigram_lm_layout(lm.filter(base_pred), layout)
 
-    deltas = ["doc_id % 40 = 0", "doc_id % 40 = 12", "doc_id % 40 = 20"]
+    deltas = [
+        "doc_id % 40 = 0",
+        "doc_id % 40 = 4",
+        "doc_id % 40 = 12",
+        "doc_id % 40 = 20",
+        "doc_id % 40 = 28",
+    ]
     sofar = [
-        "doc_id % 40 <> 12 AND doc_id % 40 <> 20",
-        "doc_id % 40 <> 20",
+        "doc_id % 40 NOT IN (4, 12, 20, 28)",
+        "doc_id % 40 NOT IN (12, 20, 28)",
+        "doc_id % 40 NOT IN (20, 28)",
+        "doc_id % 40 <> 28",
         "doc_id >= 0",
     ]
     for i, (crash_fn, dpred, cpred) in enumerate(
