@@ -123,6 +123,13 @@ HEADLINERS = [
     # the staged-union tax SCALE_r15 §2 prices.
     "corpus_bm25_postings_staged_topk",
     "corpus_trigram_heldout_staged",
+    # round-16: streamed PQ-index maintenance — the staged-union ANN
+    # serve (base codes + streamed staged code segments).  Same warmup
+    # contract as the lexical staged gates: the one-time stream runs
+    # in the registry cache builder during the untimed lap, samples
+    # time only the staged-union read; the delta vs
+    # ann_pq_topk_from_layout is the vector staged-union tax.
+    "ann_pq_topk_staged",
 ]
 
 # entries whose r11 spread exceeded ~50% run extra repeats (VERDICT r11
@@ -189,6 +196,12 @@ EXTRA_REPEATS = {
     "ann_ivfpq_residual_recall": 9,
     "corpus_bm25_postings_staged_topk": 9,
     "build_ivfpq_residual_index": 9,
+    # r16 second pass: 50.5 / 53.2 / 51.6% on sub-second medians —
+    # the same shared-box jitter class (judge by absolute range per
+    # the sub-0.5 s note above)
+    "list_objects_flagship": 9,
+    "object_checksums": 9,
+    "dedup_exact": 9,
 }
 
 # 5 repeats (r10, was 3): with the untimed warmup lap all samples are

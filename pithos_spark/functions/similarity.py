@@ -1522,18 +1522,29 @@ def save_pq_index(
         ),
         f"{path}/meta",
     )
-    end_append(path)  # a rebuild is the documented torn-append recovery
+    # a rebuild is the documented torn-append recovery; on a
+    # previously-compacted layout this also cuts CURRENT back to the
+    # fresh generation 0 and GCs old generations/staging (ADVICE r15)
+    from pithos_spark.functions.layoutcommit import finalize_rebuild
+
+    finalize_rebuild(path)
 
 
 def load_pq_index(spark, path: str):
-    """Load a persisted PQ index: (codes, codebooks df, meta row).
+    """Load a persisted PQ index: (codes, codebooks df, meta row) of
+    the layout's LIVE generation (layoutcommit.read_current — the
+    streamed-ingest compaction swaps a pointer file, never mutates
+    tables in place; a never-compacted layout resolves to itself).
     Refuses a layout whose last batch append never finished (torn
     marker — VERDICT r15 task 4)."""
-    assert_not_torn(path)
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    from pithos_spark.functions.layoutcommit import read_current
+
+    root = read_current(path)
+    assert_not_torn(root)
+    meta = spark.read.parquet(f"{root}/meta").collect()[0]
     return (
-        spark.read.parquet(f"{path}/codes"),
-        spark.read.parquet(f"{path}/codebooks"),
+        spark.read.parquet(f"{root}/codes"),
+        spark.read.parquet(f"{root}/codebooks"),
         meta,
     )
 
@@ -1565,15 +1576,22 @@ def append_to_pq_index(new_embeddings: DataFrame, path: str) -> None:
     # leaves a partially-visible code delta and a retry double-appends
     # code rows — duplicate vec_id rows in every dedup tier and
     # duplicate result rows in top-k.  load_pq_index refuses while the
-    # marker stands; rebuild (save_pq_index) is the recovery.
-    begin_append(path)
+    # marker stands; rebuild (save_pq_index) is the recovery.  Appends
+    # land in the LIVE generation (read_current), composing with
+    # compacted layouts; an at-least-once source must use the staged
+    # streaming path (streaming/ingest.streaming_pq_index_ingest)
+    # instead — its per-batch installs are idempotent.
+    from pithos_spark.functions.layoutcommit import read_current
+
+    root = read_current(path)
+    begin_append(root)
     (
         codes.repartitionByRange("vec_id", "m")
         .sortWithinPartitions("vec_id", "m")
         .write.mode("append")
-        .parquet(f"{path}/codes")
+        .parquet(f"{root}/codes")
     )
-    end_append(path)
+    end_append(root)
 
 
 def pq_topk_from_layout(
@@ -1838,6 +1856,7 @@ def _pq_cte_sql(
     dim: int,
     standalone: bool = True,
     qv_name: str = "qv",
+    train_pred: str | None = None,
 ) -> str:
     """DuckDB CTE prefix unrolling the joint per-subspace Lloyd PQ
     build (build_pq_codebooks) through ``codes`` (vec_id, m, code) —
@@ -1849,7 +1868,15 @@ def _pq_cte_sql(
     opening its own WITH — so the block composes after
     :func:`_lloyd_cte_sql` (whose CTEs use the same family names) for
     the IVF-PQ oracles.  ``qv_name`` picks that source CTE — the
-    residual form trains over ``rqv`` (vec - assigned centroid)."""
+    residual form trains over ``rqv`` (vec - assigned centroid).
+
+    ``train_pred`` (r16) restricts the TRAINING corpus (seeds + every
+    Lloyd pass) to the vectors matching the predicate, while the final
+    ``codes`` CTE still encodes EVERY vector against the trained
+    centroids — the oracle form of frozen-codebook index maintenance
+    (save_pq_index(base) + append/staged-ingest of the rest encodes
+    exactly this way, since encoding is row-local).  ``None`` keeps
+    the historical full-corpus SQL byte-identical."""
     h = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT"
     d = dim // m_sub
     p = "" if standalone else "p"
@@ -1865,11 +1892,20 @@ WITH qv AS (
         if standalone
         else ", "
     )
+    tqv = qv  # the training-vector CTE the Lloyd passes draw from
+    tqv_cte = ""
+    seed_where = ""
+    if train_pred is not None:
+        tqv = f"{p}tqv"
+        tqv_cte = f"""{p}tqv AS (
+    SELECT * FROM {qv} WHERE {train_pred}
+), """
+        seed_where = f"\n    WHERE {train_pred}"
     parts = [
         f"""\
-{head}{p}seeds AS (
+{head}{tqv_cte}{p}seeds AS (
     SELECT vec_id, row_number() OVER (ORDER BY {h}, vec_id) - 1 AS code
-    FROM embeddings
+    FROM embeddings{seed_where}
     QUALIFY row_number() OVER (ORDER BY {h}, vec_id) <= {k_codes}
 ), {p}cent0 AS (
     SELECT s.code, (g.i - 1) // {d} AS m, (g.i - 1) % {d} AS pos,
@@ -1883,7 +1919,7 @@ WITH qv AS (
     SELECT q.vec_id, c.m, c.code,
            sum((q.q[c.m * {d} + c.pos + 1] - c.c)
                * (q.q[c.m * {d} + c.pos + 1] - c.c)) AS dd
-    FROM {qv} q, {p}cent{j} c GROUP BY 1, 2, 3
+    FROM {tqv} q, {p}cent{j} c GROUP BY 1, 2, 3
 ), {p}assign{j} AS (
     SELECT vec_id, m, code FROM {p}dist{j}
     QUALIFY row_number() OVER (PARTITION BY vec_id, m
@@ -1891,7 +1927,7 @@ WITH qv AS (
 ), {p}sums{j} AS (
     SELECT a.m, a.code, g.i - 1 AS pos,
            CAST(sum(q.q[a.m * {d} + g.i]) AS BIGINT) AS s, count(*) AS n
-    FROM {p}assign{j} a JOIN {qv} q USING (vec_id), generate_series(1, {d}) g(i)
+    FROM {p}assign{j} a JOIN {tqv} q USING (vec_id), generate_series(1, {d}) g(i)
     GROUP BY 1, 2, 3
 ), {p}cent{j + 1} AS (
     SELECT m, code, pos, (s - ((s % n + n) % n)) // n AS c FROM {p}sums{j}
@@ -1924,12 +1960,19 @@ def pq_topk_oracle(
     n_iter: int = 2,
     rerank: int = 4,
     dim: int = 64,
+    train_pred: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`pq_topk`: the joint Lloyd build unrolled
     (_pq_cte_sql), the ADC lookup table, estimate sums, the rerank cut
-    and the exact-dot rerank — bit-identical to the Spark plan."""
+    and the exact-dot rerank — bit-identical to the Spark plan.
+
+    With ``train_pred``, the twin of frozen-codebook maintenance:
+    codebooks trained on the matching slice, every vector encoded —
+    what save_pq_index(base) + appended/staged deltas serve."""
     d = dim // m_sub
-    return _pq_cte_sql(m_sub, k_codes, n_iter, dim) + f""", lut AS (
+    return _pq_cte_sql(
+        m_sub, k_codes, n_iter, dim, train_pred=train_pred
+    ) + f""", lut AS (
     SELECT c.m, c.code,
            CAST(sum(c.c * q.q[c.m * {d} + c.pos + 1]) AS BIGINT) AS pdot
     FROM cent{n_iter} c,

@@ -690,6 +690,104 @@ ORACLES["ann_pq_batch_from_layout"] = similarity.pq_batch_topk_oracle(
     _PQ_BATCH_IDS, 10
 )
 
+# streamed PQ-index maintenance (r16) — the vector twin of the staged
+# postings gates: codebooks trained on 3/4 of the vectors
+# (save_pq_index), the remaining 1/4 streamed in as micro-batches of
+# staged code segments (streaming_pq_index_ingest — idempotent atomic
+# installs, the replay-safe form of append_to_pq_index), served via
+# the staged union; the `compacted` twin folds the segments through
+# the crash-safe generation commit and serves via the plain layout
+# read.  Oracle: the PQ twin with train_pred — Lloyd over the base
+# slice only, every vector encoded against the frozen centroids —
+# which is exactly what frozen-codebook maintenance computes, so the
+# driver hash-proves streamed-ingest == one-pass frozen encode end to
+# end.
+_PQ_STAGED_PRED = "vec_id % 4 <> 3"
+_STAGED_PQ_CACHE: dict = {}
+
+
+def _staged_pq_path(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STAGED_PQ_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="pq_staged_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        emb = T.load_tables(spark, sf_dir)["embeddings"]
+        layout = f"{root}/layout"
+        similarity.save_pq_index(emb.filter(_PQ_STAGED_PRED), layout)
+        src = f"{root}/delta_src"
+        emb.filter(f"NOT ({_PQ_STAGED_PRED})").repartition(
+            2
+        ).write.parquet(src)
+        from pithos_spark.streaming import ingest as _ing
+
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = _ing.streaming_pq_index_ingest(stream, layout, f"{root}/ckpt")
+        q.awaitTermination(600)
+        q.stop()
+        _STAGED_PQ_CACHE[key] = layout
+    return _STAGED_PQ_CACHE[key]
+
+
+def _pq_topk_staged(spark, sf_dir):
+    from pithos_spark.streaming import ingest as _ing
+
+    return _ing.pq_topk_with_staged(
+        T.load_tables(spark, sf_dir)["embeddings"],
+        _staged_pq_path(spark, sf_dir),
+        0,
+        10,
+    )
+
+
+QUERIES["ann_pq_topk_staged"] = _pq_topk_staged
+ORACLES["ann_pq_topk_staged"] = similarity.pq_topk_oracle(
+    0, 10, train_pred=_PQ_STAGED_PRED
+)
+
+_COMPACTED_PQ_CACHE: dict = {}
+
+
+def _compacted_pq_path(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _COMPACTED_PQ_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from pithos_spark.streaming import ingest as _ing
+
+        staged = _staged_pq_path(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="pq_compacted_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        layout = f"{root}/layout"
+        shutil.copytree(staged, layout)
+        _ing.compact_staged_pq(spark, layout)
+        _COMPACTED_PQ_CACHE[key] = layout
+    return _COMPACTED_PQ_CACHE[key]
+
+
+def _pq_topk_compacted(spark, sf_dir):
+    return similarity.pq_topk_from_layout(
+        T.load_tables(spark, sf_dir)["embeddings"],
+        _compacted_pq_path(spark, sf_dir),
+        0,
+        10,
+    )
+
+
+QUERIES["ann_pq_topk_compacted"] = _pq_topk_compacted
+ORACLES["ann_pq_topk_compacted"] = similarity.pq_topk_oracle(
+    0, 10, train_pred=_PQ_STAGED_PRED
+)
+
 
 # measured recall@k of the persisted PQ index vs exact brute force
 # (r13): the index-quality readout a deployment runs on a query sample
@@ -3842,6 +3940,11 @@ ORACLES["corpus_bpe_heldout_fertility"] = text.bpe_heldout_fertility_oracle(
 #    and both are r12-stale and on the r15 perf-weak list, so this
 #    re-gate doubles as their re-measure.
 ROUND_NEW: list[str] = [
+    # NEW r16 gates: streamed PQ-index maintenance (staged code
+    # segments + pointer-committed fold), hash-proven against the
+    # train_pred oracle (frozen-codebook one-pass encode)
+    "ann_pq_topk_staged",
+    "ann_pq_topk_compacted",
     "corpus_trigram_heldout_from_layout",
     "corpus_trigram_probe_pruned",
     "corpus_trigram_segment_stats",
@@ -3862,8 +3965,9 @@ ROUND_NEW: list[str] = [
 # ROUND_NEW until the 50-slot window is full.  No query names belong
 # in this comment — the script is the only source of truth.
 DRIVER_PRIORITY: list[str] = [
-    # --- r12-stale (40 of 45; the two from that cohort already in
-    # ROUND_NEW, plus the last three — corpus_trigram_interp,
+    # --- r12-stale (38 of 45; the two from that cohort already in
+    # ROUND_NEW, plus the last five — scalar_conversions,
+    # corpus_quality_classifier_from_layout, corpus_trigram_interp,
     # corpus_trigram_heldout, corpus_bpe_heldout_fertility — lead the
     # r17 queue) ---
     "dedup_image_dhash_assets",
@@ -3904,8 +4008,6 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_decontaminate",
     "corpus_sample_mix",
     "metadata_header_filter",
-    "scalar_conversions",
-    "corpus_quality_classifier_from_layout",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a

@@ -743,3 +743,159 @@ def compact_staged_trigram(spark, layout_path: str) -> int:
     _gc_staged_stats(spark, layout_path)
     gc_generations(layout_path)
     return folded
+
+
+def streaming_pq_index_ingest(
+    new_embeddings_stream,
+    layout_path: str,
+    checkpoint: str,
+):
+    """Maintain the persisted PQ index from a stream of newly-ingested
+    vectors — the vector twin of :func:`streaming_postings_ingest`,
+    and the replay-safe form of ``similarity.append_to_pq_index``
+    (whose bare batch append doubles the delta if an at-least-once
+    source retries it — the flaw ``streaming_pq_encode``'s plain sink
+    append documents).
+
+    Each micro-batch encodes its vectors against the index's FROZEN
+    codebooks (an M × K collect per batch — constant-size, the same
+    read the batch append pays), writes the (vec_id, m, code, label)
+    rows COMPLETELY under ``{layout}/staged_tmp/seg=<key>``, and
+    installs them at ``{layout}/staged/seg=<key>`` with one atomic
+    rename — idempotent under replay, no half-visible segment.  No
+    stats row is needed: unlike the lexical layouts the PQ index
+    carries no additive corpus counters (meta is frozen build
+    parameters), so the segment rows ARE the whole delta.
+
+    Serving reads through :func:`pq_topk_with_staged`; fold segments
+    into a new generation with :func:`compact_staged_pq`.  Assumes the
+    stream carries genuinely new vec_ids (updates go through a
+    rebuild) and that codebook drift is handled by periodic retrain,
+    as for any frozen production quantizer."""
+    from pithos_spark.functions.similarity import load_pq_index, pq_encode
+
+    token = segment_token(checkpoint)
+
+    def _ingest(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        _, cb_df, meta = load_pq_index(spark, layout_path)
+        codebooks = {
+            (int(r["m"]), int(r["code"])): [int(v) for v in r["centroid_q"]]
+            for r in cb_df.collect()
+        }
+        seg = f"{token}-{batch_id}"
+        tmp = f"{layout_path}/staged_tmp/seg={seg}"
+        codes = pq_encode(
+            batch_df,
+            codebooks,
+            int(meta["m_sub"]),
+            int(meta["scale"]),
+            int(meta["dim"]),
+        ).join(batch_df.select("vec_id", "label"), "vec_id")
+        (
+            codes.repartitionByRange("vec_id", "m")
+            .sortWithinPartitions("vec_id", "m")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        install_staged_segment(tmp, f"{layout_path}/staged/seg={seg}")
+
+    return (
+        new_embeddings_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def pq_topk_with_staged(
+    embeddings,
+    layout_path: str,
+    query_vec_id: int,
+    k: int = 10,
+    rerank: int = 4,
+):
+    """PQ ANN over base + staged code segments: the staged rows union
+    under the same ADC estimate / rerank tail (``pq_serve_topk``), so
+    a vector streamed in is searchable before any fold.  Bit-identical
+    to serving a layout whose codes were all encoded in one pass with
+    the same frozen codebooks (encoding is row-local; staged vec_ids
+    are disjoint from the base's by the ingest contract — no merge
+    arithmetic, unlike the gram layout).  Scale: the staged union adds
+    delta-sized scans below the same broadcast LUT join; everything
+    else is the serving plan the plain read produces."""
+    from pithos_spark.functions.similarity import (
+        load_pq_index,
+        pq_serve_topk,
+    )
+
+    spark = embeddings.sparkSession
+    codes, cb_df, meta = load_pq_index(spark, layout_path)
+    live = _live_staged_segs(
+        spark, layout_path, read_current(layout_path)
+    )
+    if live:
+        staged = _staged_tables(spark, layout_path, live)[None]
+        codes = codes.unionByName(staged.drop("seg"))
+    return pq_serve_topk(
+        embeddings,
+        codes,
+        cb_df,
+        query_vec_id,
+        k,
+        int(meta["m_sub"]),
+        rerank,
+        int(meta["scale"]),
+        int(meta["dim"]),
+    )
+
+
+def compact_staged_pq(spark, layout_path: str) -> int:
+    """Fold staged code segments into the PQ layout — the same
+    pointer-committed, crash-idempotent protocol as
+    :func:`compact_staged_postings`: a COMPLETE new generation
+    (re-clustered merged codes + copied codebooks/meta + the folded
+    segment keys) under a temp dir, one rename, one atomic CURRENT
+    swap, then pure GC (staged dirs, staged stats, superseded
+    generations).  Code rows are disjoint across segments (new
+    vec_ids), so the fold is file hygiene — restoring the vec_id-range
+    clustering the rerank probe's row-group skipping wants — not a
+    merge.  Returns the number of staged code rows folded."""
+    root = read_current(layout_path)
+    assert_not_torn(root)  # never bake a torn base into a generation
+    live = _live_staged_segs(spark, layout_path, root)
+    if not live:
+        _gc_staged(
+            layout_path, sorted(folded_segment_keys(spark, root))
+        )
+        _gc_staged_stats(spark, layout_path)
+        gc_generations(layout_path)
+        return 0
+    staged = _staged_tables(spark, layout_path, live)[None].drop("seg")
+    n = staged.count()
+    base = spark.read.parquet(f"{root}/codes")
+
+    tmp = f"{layout_path}/{FOLD_TMP}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        base.unionByName(staged)
+        .repartitionByRange("vec_id", "m")
+        .sortWithinPartitions("vec_id", "m")
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/codes")
+    )
+    write_tiny_table(spark.read.parquet(f"{root}/codebooks"), f"{tmp}/codebooks")
+    write_tiny_table(spark.read.parquet(f"{root}/meta"), f"{tmp}/meta")
+    write_tiny_table(
+        _folded_segments_df(spark, layout_path, root, live),
+        f"{tmp}/folded_segments",
+    )
+    gen = next_gen_rel(layout_path)
+    os.rename(tmp, f"{layout_path}/{gen}")
+    commit_current(layout_path, gen)  # THE commit point
+    _gc_staged(layout_path, live)
+    _gc_staged_stats(spark, layout_path)
+    gc_generations(layout_path)
+    return n

@@ -1975,3 +1975,73 @@ def test_generation_gc_and_staged_stats_bounded(spark, tmp_path, monkeypatch):
         assert names == ["CURRENT", cur], names
         # staged_stats no longer accretes one file per batch forever
         assert not os.path.exists(f"{layout}/staged_stats")
+
+
+def test_streaming_pq_index_ingest_matches_batch(spark, tmp_path):
+    """Vector twin of the postings stream test (r16): codebooks
+    trained on 3/4 of the vectors, the remaining 1/4 streamed in as
+    micro-batches of staged code segments.  The staged serve must
+    equal the batch-append layout (itself proven equal to a one-pass
+    frozen-codebook encode in test_layout.py); compaction then folds
+    the segments through the generation commit, the plain layout read
+    returns the same rows, and disk holds exactly one generation."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    import pithos_spark.streaming.ingest as ing
+    from pithos_spark import tables as T
+    from pithos_spark.functions import similarity as sim
+    from pithos_spark.functions.layoutcommit import read_current
+
+    emb = T.load_tables(spark, SF_SMOKE)["embeddings"]
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    delta = emb.filter(F.col("vec_id") % 4 == 3)
+
+    layout = str(tmp_path / "pq_layout")
+    sim.save_pq_index(base, layout)
+    ref = str(tmp_path / "pq_ref")
+    sim.save_pq_index(base, ref)
+    sim.append_to_pq_index(delta, ref)
+    want = [
+        tuple(r) for r in sim.pq_topk_from_layout(emb, ref, 0, 10).collect()
+    ]
+
+    src = str(tmp_path / "pq_delta_src")
+    delta.repartition(3).write.parquet(src)  # 3 files -> 3 micro-batches
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ing.streaming_pq_index_ingest(
+        stream, layout, str(tmp_path / "pq_ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = [
+        tuple(r)
+        for r in ing.pq_topk_with_staged(emb, layout, 0, 10).collect()
+    ]
+    assert got == want and len(got) == 10
+    # every delta vector is searchable, exactly once, before any fold
+    staged = spark.read.parquet(f"{layout}/staged")
+    n_staged_rows = staged.count()
+    assert staged.select("vec_id").distinct().count() == delta.count()
+
+    folded = ing.compact_staged_pq(spark, layout)
+    assert folded == n_staged_rows
+    assert [
+        tuple(r)
+        for r in sim.pq_topk_from_layout(emb, layout, 0, 10).collect()
+    ] == want
+    # the staged-aware read over the compacted layout agrees (no live
+    # segments left to union)
+    assert [
+        tuple(r)
+        for r in ing.pq_topk_with_staged(emb, layout, 0, 10).collect()
+    ] == want
+    # exactly one generation on disk (gc_generations ran in the fold)
+    cur = os.path.basename(read_current(layout))
+    assert sorted(os.listdir(layout)) == ["CURRENT", cur]
+    assert ing.compact_staged_pq(spark, layout) == 0
