@@ -130,6 +130,10 @@ HEADLINERS = [
     # time only the staged-union read; the delta vs
     # ann_pq_topk_from_layout is the vector staged-union tax.
     "ann_pq_topk_staged",
+    # ...and the same staged serve for the CANONICAL residual-IVFADC
+    # index (staged rows filtered by row where the base prunes by
+    # cluster partition — the tax the fold deletes)
+    "ann_ivfpq_residual_staged",
 ]
 
 # entries whose r11 spread exceeded ~50% run extra repeats (VERDICT r11
@@ -202,6 +206,15 @@ EXTRA_REPEATS = {
     "list_objects_flagship": 9,
     "object_checksums": 9,
     "dedup_exact": 9,
+    # r16 third pass: 59.3% on a 0.83 s median (its bucket-refloored
+    # read is now fast enough to sit in the jitter class)
+    "corpus_trigram_heldout_from_layout": 9,
+    # r16 fourth pass (run under a loaded box — geomean 1.47x across
+    # all 45 common queries, load average 3.5 during, 0.07 after):
+    # 72.0 / 87.9% — the new staged ANN serves join their whole
+    # serving family in this dict
+    "ann_pq_topk_staged": 9,
+    "ann_ivfpq_residual_staged": 9,
 }
 
 # 5 repeats (r10, was 3): with the untimed warmup lap all samples are

@@ -29,6 +29,7 @@ from pithos_spark.functions.layoutcommit import (
     assert_not_torn,
     begin_append,
     end_append,
+    read_current,
     write_tiny_table,
 )
 
@@ -1074,13 +1075,33 @@ FROM occ CROSS JOIN n
 ORDER BY probe_rank"""
 
 
-def _lloyd_cte_sql(n_clusters: int, n_iter: int, dim: int) -> str:
+def _lloyd_cte_sql(
+    n_clusters: int,
+    n_iter: int,
+    dim: int,
+    train_pred: str | None = None,
+) -> str:
     """Shared DuckDB CTE prefix unrolling the Lloyd build
     (build_ivf_lloyd_index) through ``final_assign`` — deterministic
     seeds, integer distances, floor-div centroid updates, empty-cluster
     carry-over.  Consumed by ivf_lloyd_topk_oracle (probe tail) and
-    semantic_dedup_pairs_oracle (pair tail)."""
+    semantic_dedup_pairs_oracle (pair tail).
+
+    ``train_pred`` (r16) restricts the TRAINING corpus (seeds + every
+    Lloyd pass) while ``final_assign`` still assigns EVERY vector to
+    the trained centroids — the oracle form of frozen-centroid index
+    maintenance (assignment is row-local).  ``None`` keeps the
+    historical full-corpus SQL byte-identical."""
     h = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT"
+    tqv = "qv"
+    tqv_cte = ""
+    seed_where = ""
+    if train_pred is not None:
+        tqv = "tqv"
+        tqv_cte = f"""tqv AS (
+    SELECT * FROM qv WHERE {train_pred}
+), """
+        seed_where = f"\n    WHERE {train_pred}"
     parts = [
         f"""\
 WITH qv AS (
@@ -1088,9 +1109,9 @@ WITH qv AS (
            list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
     FROM embeddings
-), seeds AS (
+), {tqv_cte}seeds AS (
     SELECT vec_id, row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cluster
-    FROM embeddings
+    FROM embeddings{seed_where}
     QUALIFY row_number() OVER (ORDER BY {h}, vec_id) <= {n_clusters}
 ), cent0 AS (
     SELECT s.cluster, g.i - 1 AS pos, q.q[g.i] AS c
@@ -1102,14 +1123,14 @@ WITH qv AS (
             f""", dist{j} AS (
     SELECT q.vec_id, c.cluster,
            sum((q.q[c.pos + 1] - c.c) * (q.q[c.pos + 1] - c.c)) AS d
-    FROM qv q, cent{j} c GROUP BY 1, 2
+    FROM {tqv} q, cent{j} c GROUP BY 1, 2
 ), assign{j} AS (
     SELECT vec_id, cluster FROM dist{j}
     QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1
 ), sums{j} AS (
     SELECT a.cluster, g.i - 1 AS pos,
            CAST(sum(q.q[g.i]) AS BIGINT) AS s, count(*) AS n
-    FROM assign{j} a JOIN qv q USING (vec_id), generate_series(1, {dim}) g(i)
+    FROM assign{j} a JOIN {tqv} q USING (vec_id), generate_series(1, {dim}) g(i)
     GROUP BY 1, 2
 ), cent{j + 1} AS (
     SELECT cluster, pos, (s - ((s % n + n) % n)) // n AS c FROM sums{j}
@@ -1537,8 +1558,6 @@ def load_pq_index(spark, path: str):
     tables in place; a never-compacted layout resolves to itself).
     Refuses a layout whose last batch append never finished (torn
     marker — VERDICT r15 task 4)."""
-    from pithos_spark.functions.layoutcommit import read_current
-
     root = read_current(path)
     assert_not_torn(root)
     meta = spark.read.parquet(f"{root}/meta").collect()[0]
@@ -1581,8 +1600,6 @@ def append_to_pq_index(new_embeddings: DataFrame, path: str) -> None:
     # compacted layouts; an at-least-once source must use the staged
     # streaming path (streaming/ingest.streaming_pq_index_ingest)
     # instead — its per-batch installs are idempotent.
-    from pithos_spark.functions.layoutcommit import read_current
-
     root = read_current(path)
     begin_append(root)
     (
@@ -2379,7 +2396,12 @@ def save_ivfpq_residual_index(
         ),
         f"{path}/meta",
     )
-    end_append(path)  # a rebuild is the documented torn-append recovery
+    # a rebuild is the documented torn-append recovery; on a
+    # previously-compacted layout this also cuts CURRENT back to the
+    # fresh generation 0 and GCs old generations/staging
+    from pithos_spark.functions.layoutcommit import finalize_rebuild
+
+    finalize_rebuild(path)
 
 
 def append_to_ivfpq_residual_index(
@@ -2399,16 +2421,42 @@ def append_to_ivfpq_residual_index(
     production quantizer: when the distribution moves, retrain via
     :func:`save_ivfpq_residual_index`."""
     spark = new_embeddings.sparkSession
+    path = read_current(path)  # append into the live generation
     assert_not_torn(path)  # never append onto a torn layout
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    centers_df = spark.read.parquet(f"{path}/centers")
+    codes = ivfpq_residual_encode_delta(spark, new_embeddings, path)
+    # torn-append marker (VERDICT r15 task 4): see append_to_pq_index —
+    # every serving entry refuses while the marker stands; rebuild
+    # (save_ivfpq_residual_index) is the recovery
+    begin_append(path)
+    (
+        codes.repartition("cluster")
+        .sortWithinPartitions("vec_id", "m")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(f"{path}/codes")
+    )
+    end_append(path)
+
+
+def ivfpq_residual_encode_delta(
+    spark, new_embeddings: DataFrame, gen_root: str
+) -> DataFrame:
+    """Frozen-artifact encode of a delta against the layout generation
+    at ``gen_root``: assign each new vector to its nearest STORED
+    coarse centroid, encode the residual against the STORED codebooks,
+    and return (vec_id, m, code, cluster, label) rows.  Row-local
+    given the frozen artifacts — shared by the batch append above and
+    the staged streaming ingest
+    (``streaming/ingest.streaming_ivfpq_residual_ingest``)."""
+    meta = spark.read.parquet(f"{gen_root}/meta").collect()[0]
+    centers_df = spark.read.parquet(f"{gen_root}/centers")
     centers = {
         int(r["cluster"]): [int(v) for v in r["centroid_q"]]
         for r in centers_df.collect()
     }
     codebooks = {
         (int(r["m"]), int(r["code"])): [int(v) for v in r["centroid_q"]]
-        for r in spark.read.parquet(f"{path}/codebooks").collect()
+        for r in spark.read.parquet(f"{gen_root}/codebooks").collect()
     }
     scale, dim, m_sub = int(meta["scale"]), int(meta["dim"]), int(meta["m_sub"])
     qv = new_embeddings.select(
@@ -2429,20 +2477,9 @@ def append_to_ivfpq_residual_index(
     codes = _pq_subvectors_from_q(
         rqv.select("vec_id", "q"), m_sub, dim
     ).select("vec_id", "m", _pq_assign(codebooks, m_sub, k_eff).alias("code"))
-    # torn-append marker (VERDICT r15 task 4): see append_to_pq_index —
-    # every serving entry refuses while the marker stands; rebuild
-    # (save_ivfpq_residual_index) is the recovery
-    begin_append(path)
-    (
-        codes.join(rqv.select("vec_id", "cluster"), "vec_id")
-        .join(new_embeddings.select("vec_id", "label"), "vec_id")
-        .repartition("cluster")
-        .sortWithinPartitions("vec_id", "m")
-        .write.mode("append")
-        .partitionBy("cluster")
-        .parquet(f"{path}/codes")
+    return codes.join(rqv.select("vec_id", "cluster"), "vec_id").join(
+        new_embeddings.select("vec_id", "label"), "vec_id"
     )
-    end_append(path)
 
 
 def ivfpq_residual_topk_from_layout(
@@ -2459,6 +2496,7 @@ def ivfpq_residual_topk_from_layout(
     query pays only the probe-pruned code read plus the tiny exact
     rerank."""
     spark = embeddings.sparkSession
+    path = read_current(path)  # live generation (compaction-aware)
     assert_not_torn(path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     qv = embeddings.select(
@@ -2510,6 +2548,7 @@ def ivfpq_residual_batch_topk_from_layout(
     from pyspark.sql import Window
 
     spark = embeddings.sparkSession
+    path = read_current(path)  # live generation (compaction-aware)
     assert_not_torn(path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     m_sub, scale, dim = (
@@ -2613,6 +2652,7 @@ def ivfpq_residual_filtered_topk_from_layout(
     :func:`_ivfpq_residual_serve` tail, so engine-exact against the
     label-extended oracle."""
     spark = embeddings.sparkSession
+    path = read_current(path)  # live generation (compaction-aware)
     assert_not_torn(path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     qv = embeddings.select(
@@ -2651,13 +2691,19 @@ def ivfpq_residual_topk_oracle(
     rerank: int = 4,
     dim: int = 64,
     label: int | None = None,
+    train_pred: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`ivfpq_residual_topk`: the Lloyd unroll,
     the residual-vector CTE (vec - assigned centroid), the prefixed PQ
     unroll trained OVER rqv, the probe ranking with per-cluster
     centroid dot terms, the in-list ADC estimate (+ centroid term) and
     the exact-dot tail.  ``label`` restricts the estimate to the
-    metadata slice (the filtered layout gate)."""
+    metadata slice (the filtered layout gate).
+
+    With ``train_pred`` (r16), the twin of frozen-artifact
+    maintenance: coarse centroids AND residual codebooks trained on
+    the matching slice only, every vector assigned/encoded — what
+    save_ivfpq_residual_index(base) + appended/staged deltas serve."""
     d = dim // m_sub
     label_clause = (
         ""
@@ -2666,7 +2712,7 @@ def ivfpq_residual_topk_oracle(
              f" WHERE label = {label})"
     )
     return (
-        _lloyd_cte_sql(n_clusters, n_iter, dim)
+        _lloyd_cte_sql(n_clusters, n_iter, dim, train_pred=train_pred)
         + f""", rqv AS MATERIALIZED (
     SELECT q.vec_id, list(q.q[c.pos + 1] - c.c ORDER BY c.pos) AS q
     FROM qv q
@@ -2675,7 +2721,13 @@ def ivfpq_residual_topk_oracle(
     GROUP BY q.vec_id
 )"""
         + _pq_cte_sql(
-            m_sub, k_codes, pq_iter, dim, standalone=False, qv_name="rqv"
+            m_sub,
+            k_codes,
+            pq_iter,
+            dim,
+            standalone=False,
+            qv_name="rqv",
+            train_pred=train_pred,
         )
         + f""", cdist AS (
     SELECT c.cluster,

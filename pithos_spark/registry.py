@@ -788,6 +788,103 @@ ORACLES["ann_pq_topk_compacted"] = similarity.pq_topk_oracle(
     0, 10, train_pred=_PQ_STAGED_PRED
 )
 
+# the same streamed lifecycle for the CANONICAL serving index (r16):
+# residual IVFADC with coarse centroids AND residual codebooks frozen
+# at build time, the delta streamed in as staged code segments
+# (cluster carried as a column; the fold restores the directory
+# partitioning).  Oracle: the residual twin with train_pred on BOTH
+# Lloyd unrolls.
+_STAGED_IVFPQ_CACHE: dict = {}
+
+
+def _staged_ivfpq_path(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STAGED_IVFPQ_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="ivfpq_staged_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        emb = T.load_tables(spark, sf_dir)["embeddings"]
+        layout = f"{root}/layout"
+        similarity.save_ivfpq_residual_index(
+            emb.filter(_PQ_STAGED_PRED), layout
+        )
+        src = f"{root}/delta_src"
+        emb.filter(f"NOT ({_PQ_STAGED_PRED})").repartition(
+            2
+        ).write.parquet(src)
+        from pithos_spark.streaming import ingest as _ing
+
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = _ing.streaming_ivfpq_residual_ingest(
+            stream, layout, f"{root}/ckpt"
+        )
+        q.awaitTermination(600)
+        q.stop()
+        _STAGED_IVFPQ_CACHE[key] = layout
+    return _STAGED_IVFPQ_CACHE[key]
+
+
+def _ivfpq_residual_staged(spark, sf_dir):
+    from pithos_spark.streaming import ingest as _ing
+
+    return _ing.ivfpq_residual_topk_with_staged(
+        T.load_tables(spark, sf_dir)["embeddings"],
+        _staged_ivfpq_path(spark, sf_dir),
+        0,
+        10,
+    )
+
+
+QUERIES["ann_ivfpq_residual_staged"] = _ivfpq_residual_staged
+ORACLES["ann_ivfpq_residual_staged"] = similarity.ivfpq_residual_topk_oracle(
+    0, 10, train_pred=_PQ_STAGED_PRED
+)
+
+_COMPACTED_IVFPQ_CACHE: dict = {}
+
+
+def _compacted_ivfpq_path(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _COMPACTED_IVFPQ_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from pithos_spark.streaming import ingest as _ing
+
+        staged = _staged_ivfpq_path(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="ivfpq_compacted_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        layout = f"{root}/layout"
+        shutil.copytree(staged, layout)
+        _ing.compact_staged_ivfpq_residual(spark, layout)
+        _COMPACTED_IVFPQ_CACHE[key] = layout
+    return _COMPACTED_IVFPQ_CACHE[key]
+
+
+def _ivfpq_residual_compacted(spark, sf_dir):
+    return similarity.ivfpq_residual_topk_from_layout(
+        T.load_tables(spark, sf_dir)["embeddings"],
+        _compacted_ivfpq_path(spark, sf_dir),
+        0,
+        10,
+    )
+
+
+QUERIES["ann_ivfpq_residual_compacted"] = _ivfpq_residual_compacted
+ORACLES["ann_ivfpq_residual_compacted"] = (
+    similarity.ivfpq_residual_topk_oracle(
+        0, 10, train_pred=_PQ_STAGED_PRED
+    )
+)
+
 
 # measured recall@k of the persisted PQ index vs exact brute force
 # (r13): the index-quality readout a deployment runs on a query sample
@@ -3945,6 +4042,8 @@ ROUND_NEW: list[str] = [
     # train_pred oracle (frozen-codebook one-pass encode)
     "ann_pq_topk_staged",
     "ann_pq_topk_compacted",
+    "ann_ivfpq_residual_staged",
+    "ann_ivfpq_residual_compacted",
     "corpus_trigram_heldout_from_layout",
     "corpus_trigram_probe_pruned",
     "corpus_trigram_segment_stats",
@@ -3965,11 +4064,11 @@ ROUND_NEW: list[str] = [
 # ROUND_NEW until the 50-slot window is full.  No query names belong
 # in this comment — the script is the only source of truth.
 DRIVER_PRIORITY: list[str] = [
-    # --- r12-stale (38 of 45; the two from that cohort already in
-    # ROUND_NEW, plus the last five — scalar_conversions,
-    # corpus_quality_classifier_from_layout, corpus_trigram_interp,
-    # corpus_trigram_heldout, corpus_bpe_heldout_fertility — lead the
-    # r17 queue) ---
+    # --- r12-stale (36 of 45; the two from that cohort already in
+    # ROUND_NEW, plus the last seven — corpus_sample_mix, metadata_header_filter,
+    # scalar_conversions, corpus_quality_classifier_from_layout,
+    # corpus_trigram_interp, corpus_trigram_heldout,
+    # corpus_bpe_heldout_fertility and onward — lead the r17 queue) ---
     "dedup_image_dhash_assets",
     "ann_lsh_topk",
     "ann_pq_topk",
@@ -4006,8 +4105,6 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_pii_redact",
     "corpus_shard_assign",
     "corpus_decontaminate",
-    "corpus_sample_mix",
-    "metadata_header_filter",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a

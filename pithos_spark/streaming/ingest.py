@@ -899,3 +899,155 @@ def compact_staged_pq(spark, layout_path: str) -> int:
     _gc_staged_stats(spark, layout_path)
     gc_generations(layout_path)
     return n
+
+
+def streaming_ivfpq_residual_ingest(
+    new_embeddings_stream,
+    layout_path: str,
+    checkpoint: str,
+):
+    """Maintain the canonical residual-IVFADC serving index from a
+    stream of newly-ingested vectors — the
+    :func:`streaming_pq_index_ingest` twin for the index deployments
+    actually serve, and the replay-safe form of
+    ``similarity.append_to_ivfpq_residual_index``.
+
+    Each micro-batch assigns its vectors to the FROZEN coarse
+    centroids and encodes the residuals against the FROZEN codebooks
+    (``similarity.ivfpq_residual_encode_delta`` — the exact delta
+    encode the batch append uses), writes the (vec_id, m, code,
+    cluster, label) rows COMPLETELY under a temp segment dir, and
+    installs them with one atomic rename.  ``cluster`` rides as a
+    plain column inside the segment (partitioning into directories is
+    the FOLD's job); the staged rows are delta-sized, so serving
+    filters them by row where the base prunes by partition — the same
+    asymmetry as the lexical layouts' staged unions.  No stats row:
+    the index carries no additive corpus counters."""
+    from pithos_spark.functions.similarity import (
+        ivfpq_residual_encode_delta,
+    )
+
+    token = segment_token(checkpoint)
+
+    def _ingest(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        root = read_current(layout_path)
+        assert_not_torn(root)
+        seg = f"{token}-{batch_id}"
+        tmp = f"{layout_path}/staged_tmp/seg={seg}"
+        codes = ivfpq_residual_encode_delta(spark, batch_df, root)
+        (
+            codes.repartition("cluster")
+            .sortWithinPartitions("vec_id", "m")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        install_staged_segment(tmp, f"{layout_path}/staged/seg={seg}")
+
+    return (
+        new_embeddings_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ivfpq_residual_topk_with_staged(
+    embeddings,
+    layout_path: str,
+    query_vec_id: int,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 4,
+):
+    """Residual IVFADC over base + staged code segments: the staged
+    rows (cluster carried as a column) union under the same
+    probe-rank / residual-LUT / exact-rerank tail
+    (``_ivfpq_residual_serve``), so a vector streamed in is searchable
+    before any fold.  Bit-identical to a layout whose codes were all
+    encoded in one pass with the same frozen centers+codebooks
+    (assignment and encoding are row-local; staged vec_ids are
+    disjoint from the base's by the ingest contract)."""
+    from pithos_spark.functions.similarity import (
+        _ivfpq_residual_serve,
+        _quantized,
+    )
+
+    spark = embeddings.sparkSession
+    root = read_current(layout_path)
+    assert_not_torn(root)
+    meta = spark.read.parquet(f"{root}/meta").collect()[0]
+    codes = spark.read.parquet(f"{root}/codes")
+    live = _live_staged_segs(
+        spark, layout_path, read_current(layout_path)
+    )
+    if live:
+        staged = _staged_tables(spark, layout_path, live)[None]
+        codes = codes.unionByName(staged.drop("seg"))
+    qv = embeddings.select(
+        "vec_id",
+        "label",
+        _quantized(F.col("embedding"), int(meta["scale"])).alias("q"),
+    )
+    return _ivfpq_residual_serve(
+        qv,
+        codes,
+        spark.read.parquet(f"{root}/centers"),
+        spark.read.parquet(f"{root}/codebooks"),
+        query_vec_id,
+        k,
+        n_probe,
+        rerank,
+        int(meta["dim"]),
+        int(meta["m_sub"]),
+    )
+
+
+def compact_staged_ivfpq_residual(spark, layout_path: str) -> int:
+    """Fold staged residual-code segments into a new generation — the
+    :func:`compact_staged_pq` protocol with the cluster partitioning
+    restored on the way through (the fold's payoff here: staged rows
+    served by row filter go back to directory-pruned reads).  Returns
+    the number of staged code rows folded."""
+    root = read_current(layout_path)
+    assert_not_torn(root)
+    live = _live_staged_segs(spark, layout_path, root)
+    if not live:
+        _gc_staged(
+            layout_path, sorted(folded_segment_keys(spark, root))
+        )
+        _gc_staged_stats(spark, layout_path)
+        gc_generations(layout_path)
+        return 0
+    staged = _staged_tables(spark, layout_path, live)[None].drop("seg")
+    n = staged.count()
+    base = spark.read.parquet(f"{root}/codes")
+
+    tmp = f"{layout_path}/{FOLD_TMP}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        base.unionByName(staged)
+        .repartition("cluster")
+        .sortWithinPartitions("vec_id", "m")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{tmp}/codes")
+    )
+    write_tiny_table(spark.read.parquet(f"{root}/centers"), f"{tmp}/centers")
+    write_tiny_table(
+        spark.read.parquet(f"{root}/codebooks"), f"{tmp}/codebooks"
+    )
+    write_tiny_table(spark.read.parquet(f"{root}/meta"), f"{tmp}/meta")
+    write_tiny_table(
+        _folded_segments_df(spark, layout_path, root, live),
+        f"{tmp}/folded_segments",
+    )
+    gen = next_gen_rel(layout_path)
+    os.rename(tmp, f"{layout_path}/{gen}")
+    commit_current(layout_path, gen)  # THE commit point
+    _gc_staged(layout_path, live)
+    _gc_staged_stats(spark, layout_path)
+    gc_generations(layout_path)
+    return n

@@ -2045,3 +2045,83 @@ def test_streaming_pq_index_ingest_matches_batch(spark, tmp_path):
     cur = os.path.basename(read_current(layout))
     assert sorted(os.listdir(layout)) == ["CURRENT", cur]
     assert ing.compact_staged_pq(spark, layout) == 0
+
+
+def test_streaming_ivfpq_residual_ingest_matches_batch(spark, tmp_path):
+    """Canonical-index twin of the PQ stream test (r16): coarse
+    centroids + residual codebooks trained on 3/4 of the vectors, the
+    remaining 1/4 streamed in as staged code segments.  The staged
+    serve must equal the batch-append layout (proven equal to a
+    one-pass frozen encode in test_layout.py); the fold restores the
+    cluster directory partitioning, the plain layout read agrees, and
+    disk holds exactly one generation."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    import pithos_spark.streaming.ingest as ing
+    from pithos_spark import tables as T
+    from pithos_spark.functions import similarity as sim
+    from pithos_spark.functions.layoutcommit import read_current
+
+    emb = T.load_tables(spark, SF_SMOKE)["embeddings"]
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    delta = emb.filter(F.col("vec_id") % 4 == 3)
+
+    layout = str(tmp_path / "ivfpq_layout")
+    sim.save_ivfpq_residual_index(base, layout)
+    ref = str(tmp_path / "ivfpq_ref")
+    sim.save_ivfpq_residual_index(base, ref)
+    sim.append_to_ivfpq_residual_index(delta, ref)
+    want = [
+        tuple(r)
+        for r in sim.ivfpq_residual_topk_from_layout(
+            emb, ref, 0, 10
+        ).collect()
+    ]
+
+    src = str(tmp_path / "ivfpq_delta_src")
+    delta.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ing.streaming_ivfpq_residual_ingest(
+        stream, layout, str(tmp_path / "ivfpq_ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = [
+        tuple(r)
+        for r in ing.ivfpq_residual_topk_with_staged(
+            emb, layout, 0, 10
+        ).collect()
+    ]
+    assert got == want and len(got) == 10
+    staged = spark.read.parquet(f"{layout}/staged")
+    n_staged_rows = staged.count()
+    assert staged.select("vec_id").distinct().count() == delta.count()
+
+    folded = ing.compact_staged_ivfpq_residual(spark, layout)
+    assert folded == n_staged_rows
+    assert [
+        tuple(r)
+        for r in sim.ivfpq_residual_topk_from_layout(
+            emb, layout, 0, 10
+        ).collect()
+    ] == want
+    assert [
+        tuple(r)
+        for r in ing.ivfpq_residual_topk_with_staged(
+            emb, layout, 0, 10
+        ).collect()
+    ] == want
+    # the fold restored the cluster directory partitioning
+    root = read_current(layout)
+    assert any(
+        d.startswith("cluster=") for d in os.listdir(f"{root}/codes")
+    )
+    cur = os.path.basename(root)
+    assert sorted(os.listdir(layout)) == ["CURRENT", cur]
+    assert ing.compact_staged_ivfpq_residual(spark, layout) == 0
