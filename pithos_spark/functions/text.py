@@ -1809,9 +1809,10 @@ def write_trigram_lm_layout(
     from the LM slice, each written PARTITIONED BY a murmur3 gram
     bucket (``pmod(hash(key), n_buckets)``) and sorted by key within
     files, plus a 1-row totals table (n_total, n_buckets).
-    ``n_buckets=None`` (default) self-sizes with the LM — ~1M gram rows
-    per bucket, floor 32, cap 4096 — so probe pruning stays worth its
-    bucket-set collects as the LM grows (SCALE_r12 §3); readers take
+    ``n_buckets=None`` (default) self-sizes with the LM — ≥50k gram
+    rows per bucket, floor 4, cap 4096 (SCALE_r16 §3; the r12 floor of
+    32 made small layouts all file-open overhead) — so probe pruning
+    stays worth its bucket-set collects as the LM grows; readers take
     the actual value from the stats table, never from a default.
 
     At 100 TB the LM count tables are vocabulary-sized — too big to
