@@ -215,7 +215,69 @@ EXTRA_REPEATS = {
     # serving family in this dict
     "ann_pq_topk_staged": 9,
     "ann_ivfpq_residual_staged": 9,
+    # r16 shipped artifact: 53% spread on a 0.91 s median with only 5
+    # repeats — the one offender that stranded the r16 suite red
+    # (VERDICT r16 task 1).  The post-hoc ratchet below
+    # (auto_rerun_offenders) now makes this dict advisory: fresh
+    # offenders are re-run to AUTO_RERUN_TARGET inside the same bench
+    # invocation, so a new entry here records history rather than
+    # being the only line of defense.
+    "ann_ivfpq_residual_batch_from_layout": 9,
 }
+
+# Self-enforcing spread rule (VERDICT r16 task 1): after the first
+# pass, bench.main recomputes spread_pct from its own run arrays and
+# re-runs any query over AUTO_RERUN_SPREAD_PCT with a median at or
+# above AUTO_RERUN_MEDIAN_FLOOR until it has AUTO_RERUN_TARGET
+# samples — BEFORE writing artifacts.  This closes the three-round
+# failure class where the final bench run minted a fresh >50%-spread
+# offender after EXTRA_REPEATS was last ratcheted (r14: 1 query,
+# r15: 6, r16: 1).  The floor matches tests/test_bench_output.py:
+# far below 0.25 s the spread denominator makes scheduler jitter read
+# as hundreds of percent.
+AUTO_RERUN_TARGET = 9
+AUTO_RERUN_SPREAD_PCT = 50.0
+AUTO_RERUN_MEDIAN_FLOOR = 0.25
+
+
+def auto_rerun_offenders(
+    runs: dict[str, list[float]],
+    medians: dict[str, float],
+    runners: dict,
+    *,
+    target: int = AUTO_RERUN_TARGET,
+    spread_threshold: float = AUTO_RERUN_SPREAD_PCT,
+    median_floor: float = AUTO_RERUN_MEDIAN_FLOOR,
+) -> list[str]:
+    """Re-run under-sampled high-spread queries in place.
+
+    For every entry in ``runs`` whose first-pass spread_pct
+    ((max-min)/median) exceeds ``spread_threshold`` AND whose median is
+    at or above ``median_floor`` AND which has fewer than ``target``
+    samples, invoke ``runners[name]`` (a zero-arg callable returning
+    one elapsed-seconds sample) until the sample list reaches
+    ``target``, then recompute the median.  Mutates ``runs`` and
+    ``medians``; returns the names re-run so main can log them.
+    Entries with no runner (shouldn't happen in main, but defensive)
+    are skipped rather than crashing the bench.
+    """
+    reran: list[str] = []
+    for name in list(runs):
+        samples = runs[name]
+        med = statistics.median(samples)
+        spread = 100 * (max(samples) - min(samples)) / max(med, 1e-9)
+        runner = runners.get(name)
+        if (
+            spread > spread_threshold
+            and med >= median_floor
+            and len(samples) < target
+            and runner is not None
+        ):
+            while len(samples) < target:
+                samples.append(round(runner(), 3))
+            medians[name] = round(statistics.median(samples), 3)
+            reran.append(name)
+    return reran
 
 # 5 repeats (r10, was 3): with the untimed warmup lap all samples are
 # warm, and the r9 round-over-round drift showed median-of-3 still
@@ -245,6 +307,12 @@ def _run_noop(df) -> None:
     # driver-side transfer, so timings measure the engine, not
     # row-to-Python conversion
     df.write.format("noop").mode("overwrite").save()
+
+
+def _timed(thunk) -> float:
+    t0 = time.perf_counter()
+    thunk()
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
@@ -305,9 +373,19 @@ def main() -> None:
 
     medians: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    # one zero-arg sampler per benched name, kept so the post-pass
+    # auto-rerun (VERDICT r16 task 1) can take extra samples of any
+    # fresh >50%-spread offender before artifacts are written
+    runners: dict = {}
+    cleanup_dirs: list[str] = []
 
+    import itertools
     import shutil
     import tempfile
+
+    # rerun dests start at 100 so they never collide with first-pass
+    # layout_{i} directories
+    _dest_seq = itertools.count(100)
 
     from pithos_spark.functions.retrieval import write_postings_layout
     from pithos_spark.registry import _postings_path
@@ -328,11 +406,10 @@ def main() -> None:
         if name not in QUERIES:
             continue
         fn = QUERIES[name]
+        runners[name] = lambda fn=fn: _timed(lambda: _run_noop(fn(spark, sf_dir)))
         samples: list[float] = []
         for _ in range(max(REPEATS, EXTRA_REPEATS.get(name, 0))):
-            t0 = time.perf_counter()
-            _run_noop(fn(spark, sf_dir))
-            samples.append(round(time.perf_counter() - t0, 3))
+            samples.append(runners[name]())
         runs[name] = samples
         medians[name] = round(statistics.median(samples), 3)
 
@@ -343,6 +420,12 @@ def main() -> None:
     # task 2); the serving cache was warmed untimed up top, so the
     # corpus_bm25_postings_topk headliner timed only the serving read
     pbuild = tempfile.mkdtemp(prefix="bench_postings_")
+    cleanup_dirs.append(pbuild)
+    runners["build_postings_layout"] = lambda: _timed(
+        lambda: write_postings_layout(
+            warm["documents"], f"{pbuild}/layout_{next(_dest_seq)}"
+        )
+    )
     pbuild_samples: list[float] = []
     for i in range(max(REPEATS, EXTRA_REPEATS.get("build_postings_layout", 0))):
         t0 = time.perf_counter()
@@ -352,7 +435,6 @@ def main() -> None:
     medians["build_postings_layout"] = round(
         statistics.median(pbuild_samples), 3
     )
-    shutil.rmtree(pbuild, ignore_errors=True)
 
     # the r12 one-time layout builds, benched like build_postings_layout:
     # what a deployment pays once per corpus/LM version so the serving
@@ -388,6 +470,10 @@ def main() -> None:
         ),
     ]:
         bdir = tempfile.mkdtemp(prefix=f"bench_{bname}_")
+        cleanup_dirs.append(bdir)
+        runners[bname] = lambda builder=builder, bdir=bdir: _timed(
+            lambda: builder(f"{bdir}/layout_{next(_dest_seq)}")
+        )
         bsamples: list[float] = []
         for i in range(max(REPEATS, EXTRA_REPEATS.get(bname, 0))):
             t0 = time.perf_counter()
@@ -395,7 +481,6 @@ def main() -> None:
             bsamples.append(round(time.perf_counter() - t0, 3))
         runs[bname] = bsamples
         medians[bname] = round(statistics.median(bsamples), 3)
-        shutil.rmtree(bdir, ignore_errors=True)
 
     # the production path: listing against the partitioned+sorted objects
     # layout (what a deployed store would serve reads from) — shows the
@@ -405,6 +490,12 @@ def main() -> None:
     from pithos_spark.sources.store import write_objects_layout
 
     layout = tempfile.mkdtemp(prefix="bench_layout_")
+    cleanup_dirs.append(layout)
+    runners["materialize_objects_layout"] = lambda: _timed(
+        lambda: write_objects_layout(
+            PT.objects_df(warm), f"{layout}/objects_{next(_dest_seq)}"
+        )
+    )
     mat_samples: list[float] = []
     for i in range(
         max(REPEATS, EXTRA_REPEATS.get("materialize_objects_layout", 0))
@@ -416,15 +507,33 @@ def main() -> None:
     runs["materialize_objects_layout"] = mat_samples
     medians["materialize_objects_layout"] = round(statistics.median(mat_samples), 3)
     stored = spark.read.parquet(f"{layout}/objects_0")
+    runners["list_objects_materialized"] = lambda: _timed(
+        lambda: _run_noop(
+            list_objects(stored, "NATION_2", "1-URGENT/", "/", None, 100)
+        )
+    )
     list_samples: list[float] = []
     for _ in range(max(REPEATS, EXTRA_REPEATS.get("list_objects_materialized", 0))):
-        t0 = time.perf_counter()
-        _run_noop(list_objects(stored, "NATION_2", "1-URGENT/", "/", None, 100))
-        list_samples.append(round(time.perf_counter() - t0, 3))
+        list_samples.append(runners["list_objects_materialized"]())
     runs["list_objects_materialized"] = list_samples
     medians["list_objects_materialized"] = round(statistics.median(list_samples), 3)
+
+    # self-enforcing spread ratchet (VERDICT r16 task 1): any fresh
+    # offender the passes above minted gets re-sampled to
+    # AUTO_RERUN_TARGET right now, while the session and temp layouts
+    # are still alive — so the written artifacts can never show an
+    # under-repeated >50%-spread query again
+    reran = auto_rerun_offenders(runs, medians, runners)
+    if reran:
+        print(
+            f"auto-rerun (spread>{AUTO_RERUN_SPREAD_PCT:.0f}%, "
+            f"median>={AUTO_RERUN_MEDIAN_FLOOR}s): {sorted(reran)}",
+            file=sys.stderr,
+        )
+
     spark.stop()
-    shutil.rmtree(layout, ignore_errors=True)
+    for d in cleanup_dirs:
+        shutil.rmtree(d, ignore_errors=True)
 
     lines = bench_output_lines(runs, medians, sf)
     # Persist the FULL diagnostics next to the repo artifacts: the
