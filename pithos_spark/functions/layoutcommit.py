@@ -205,11 +205,19 @@ def gc_generations(layout_path: str) -> int:
 
     Correctness: readers resolve CURRENT exactly once per read and
     never hold a path into a non-CURRENT generation, so these
-    directories are unreachable the instant the pointer swaps — the
-    standard LSM compaction-GC contract (a reader that resolved the
-    OLD generation before the swap must finish before its files
-    vanish; Spark actions materialize eagerly, so the exposure is one
-    in-flight job, same as any engine's).  Generation 0's tables under
+    directories are unreachable to any NEW resolution the instant the
+    pointer swaps — the standard LSM compaction-GC contract.  The
+    caller-visible caveat (ADVICE r16): every serving entry returns a
+    LAZY DataFrame whose plan is pinned to the resolved generation's
+    file paths, so "a reader must finish before its files vanish"
+    means the DataFrame must be MATERIALIZED (collected / written)
+    before a fold runs GC — a plan held across a fold raises
+    FileNotFound at action time (or yields silent partial results if
+    ``spark.sql.files.ignoreMissingFiles`` is set).  That is the
+    documented contract: serve-then-fold, never fold-then-collect;
+    deployments that need plans to survive folds should keep the
+    superseded generation for a grace cycle via an external janitor
+    instead of calling this immediately.  Generation 0's tables under
     the layout root are kept: CURRENT may be absent (gen 0 live), and
     a rebuild overwrites them in place.  Returns the number of
     directories removed; a crash mid-GC leaves skippable orphans a
@@ -270,8 +278,10 @@ def finalize_rebuild(layout_path: str) -> None:
        generation 0);
     3. garbage-collect everything the rebuild supersedes: old
        ``fold_gen_*`` generations (their torn markers go with them),
-       the fold scratch dir, and the staging area (``staged/``,
-       ``staged_stats/``).
+       the fold scratch dir, and the staging area — including the
+       ``*_tmp`` halves, so half-written segment dirs from a crashed
+       ingest don't outlive the rebuild as permanent garbage (ADVICE
+       r16).
 
     A crash between 1 and 2 leaves the old generation live (and still
     refusing if torn) with the rebuild invisible — re-run the rebuild.
@@ -289,7 +299,7 @@ def finalize_rebuild(layout_path: str) -> None:
         if (
             name.startswith(FOLD_GEN_PREFIX)
             or name == FOLD_TMP
-            or name in ("staged", "staged_stats")
+            or name in ("staged", "staged_tmp", "staged_stats", "staged_stats_tmp")
         ):
             shutil.rmtree(
                 os.path.join(layout_path, name), ignore_errors=True

@@ -780,6 +780,8 @@ def save_ivf_index(
     This is the 'build once at ingest, probe many' contract made
     durable: index build cost is paid once per corpus version, queries
     across sessions/jobs just load."""
+    from pithos_spark.functions.layoutcommit import finalize_rebuild
+
     part_col = cluster_col if cluster_col in assigned.columns else None
     w = assigned.write.mode("overwrite")
     if part_col:
@@ -792,7 +794,12 @@ def save_ivf_index(
         ),
         f"{path}/meta",
     )
-    end_append(path)  # a rebuild is the documented torn-append recovery
+    # a rebuild is the documented torn-append recovery; finalize cuts
+    # the CURRENT pointer back to generation 0 and GCs old fold
+    # generations + staging — rebuild parity with every other
+    # persisted layout (VERDICT r16 task 7, now real rather than the
+    # documented plain-IVF exception)
+    finalize_rebuild(path)
 
 
 def append_to_ivf_index(
@@ -816,33 +823,9 @@ def append_to_ivf_index(
     at save time), never from the caller: pass ``scale`` only for
     pre-meta layouts (it is rejected if it contradicts the stored
     value — ADVICE r14's silent-misassignment fix)."""
-    from pyspark.errors import AnalysisException
-
-    spark = new_embeddings.sparkSession
-    try:
-        stored = int(
-            spark.read.parquet(f"{path}/meta").collect()[0]["scale"]
-        )
-    except AnalysisException:
-        stored = None
-    if stored is not None:
-        if scale is not None and int(scale) != stored:
-            raise ValueError(
-                f"append_to_ivf_index: scale={scale} contradicts the "
-                f"layout's build-time scale {stored} ({path}/meta)"
-            )
-        scale = stored
-    elif scale is None:
-        scale = 1000  # pre-meta layout, build-time default
-    centers = {
-        int(r["cluster"]): [int(v) for v in r["centroid_q"]]
-        for r in spark.read.parquet(f"{path}/centers").collect()
-    }
-    qv = new_embeddings.select(
-        "vec_id",
-        "label",
-        "embedding",
-        _quantized(F.col("embedding"), scale).alias("q"),
+    path = read_current(path)  # append into the live generation
+    delta = ivf_assign_delta(
+        new_embeddings.sparkSession, new_embeddings, path, scale
     )
     # torn-append marker (VERDICT r15 task 4 — the postings/trigram
     # contract extended to the ANN layouts): a crash mid-append leaves
@@ -853,29 +836,78 @@ def append_to_ivf_index(
     assert_not_torn(path)
     begin_append(path)
     (
-        qv.select(
-            "vec_id",
-            "label",
-            "embedding",
-            _lloyd_assign(qv, centers).alias("cluster"),
-        )
-        .write.mode("append")
+        delta.write.mode("append")
         .partitionBy("cluster")
         .parquet(f"{path}/assigned")
     )
     end_append(path)
 
 
-def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """Load a persisted IVF index: (assigned corpus, centers table).
-    The assigned side keeps its cluster partitioning, so ivf_query's
-    probe filter prunes directories, not rows.  Refuses a layout whose
-    last batch append never finished (torn marker — VERDICT r15
-    task 4)."""
-    assert_not_torn(path)
+def ivf_assign_delta(
+    spark, new_embeddings: DataFrame, gen_root: str, scale: int | None = None
+) -> DataFrame:
+    """Assign newly-ingested vectors against the FROZEN centers of the
+    generation at ``gen_root``: (vec_id, label, embedding, cluster)
+    rows, work linear in the delta, no Lloyd passes — the exact
+    row-local assignment :func:`append_to_ivf_index` appends and
+    ``streaming/ingest.streaming_ivf_ingest`` stages (the plain-IVF
+    twin of :func:`ivfpq_residual_encode_delta`).  The quantization
+    scale comes from the layout's meta table; ``scale`` is accepted
+    only for pre-meta layouts and rejected on contradiction (ADVICE
+    r14)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        stored = int(
+            spark.read.parquet(f"{gen_root}/meta").collect()[0]["scale"]
+        )
+    except AnalysisException:
+        stored = None
+    if stored is not None:
+        if scale is not None and int(scale) != stored:
+            raise ValueError(
+                f"ivf_assign_delta: scale={scale} contradicts the "
+                f"layout's build-time scale {stored} ({gen_root}/meta)"
+            )
+        scale = stored
+    elif scale is None:
+        scale = 1000  # pre-meta layout, build-time default
+    centers = {
+        int(r["cluster"]): [int(v) for v in r["centroid_q"]]
+        for r in spark.read.parquet(f"{gen_root}/centers").collect()
+    }
+    qv = new_embeddings.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _quantized(F.col("embedding"), scale).alias("q"),
+    )
+    return qv.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _lloyd_assign(qv, centers).alias("cluster"),
+    )
+
+
+def load_ivf_index(
+    spark, path: str, root: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted IVF index: (assigned corpus, centers table) of
+    the layout's LIVE generation (layoutcommit.read_current — the
+    streamed-ingest compaction swaps a pointer file; a never-compacted
+    layout resolves to itself).  The assigned side keeps its cluster
+    partitioning, so ivf_query's probe filter prunes directories, not
+    rows.  Refuses a layout whose last batch append never finished
+    (torn marker — VERDICT r15 task 4).  ``root`` lets a staged-aware
+    caller pass an already-resolved generation (the
+    fold-between-two-resolutions race — see :func:`load_pq_index`)."""
+    if root is None:
+        root = read_current(path)
+    assert_not_torn(root)
     return (
-        spark.read.parquet(f"{path}/assigned"),
-        spark.read.parquet(f"{path}/centers"),
+        spark.read.parquet(f"{root}/assigned"),
+        spark.read.parquet(f"{root}/centers"),
     )
 
 
@@ -1551,14 +1583,22 @@ def save_pq_index(
     finalize_rebuild(path)
 
 
-def load_pq_index(spark, path: str):
+def load_pq_index(spark, path: str, root: str | None = None):
     """Load a persisted PQ index: (codes, codebooks df, meta row) of
     the layout's LIVE generation (layoutcommit.read_current — the
     streamed-ingest compaction swaps a pointer file, never mutates
     tables in place; a never-compacted layout resolves to itself).
     Refuses a layout whose last batch append never finished (torn
-    marker — VERDICT r15 task 4)."""
-    root = read_current(path)
+    marker — VERDICT r15 task 4).
+
+    ``root`` lets a staged-aware caller pass an already-resolved
+    generation so the whole serve reads ONE generation: resolving
+    CURRENT once for the base and again for the staged mask races a
+    concurrent fold — segments folded between the two reads would be
+    masked out while their rows exist only in the newer base (ADVICE
+    r16)."""
+    if root is None:
+        root = read_current(path)
     assert_not_torn(root)
     meta = spark.read.parquet(f"{root}/meta").collect()[0]
     return (

@@ -1973,18 +1973,24 @@ def _n_segments_of(stats_row) -> int:
         return 0
 
 
-def _load_trigram_layout(spark, path: str):
+def _load_trigram_layout(spark, path: str, root: str | None = None):
     """(count tables, n_total, n_buckets, n_segments) of the layout's
     LIVE generation (layoutcommit.read_current — compaction swaps a
     pointer file, never mutates tables in place).  n_segments == 1
     means every gram holds exactly one count row, so readers skip the
-    LSM merge."""
+    LSM merge.
+
+    ``root`` lets a staged-aware caller pass an already-resolved
+    generation so base and staged mask read ONE generation (the
+    fold-between-two-resolutions race, ADVICE r16 — see
+    similarity.load_pq_index)."""
     from pithos_spark.functions.layoutcommit import (
         assert_not_torn,
         read_current,
     )
 
-    root = read_current(path)
+    if root is None:
+        root = read_current(path)
     assert_not_torn(root)
     counts = {
         cnt: spark.read.parquet(f"{root}/{cnt}")

@@ -4012,48 +4012,24 @@ ORACLES["corpus_bpe_heldout_fertility"] = text.bpe_heldout_fertility_oracle(
 # order (still runnable, just outside the 50-entry hard gate this round).
 # ---------------------------------------------------------------------------
 
-# Queries changed or added in the CURRENT round (16) — spliced at the
-# very front of the window so they get a fresh verdict.  All ten are
-# re-gates forced by this round's layout-lifecycle work:
-#  - corpus_trigram_heldout_from_layout / corpus_trigram_probe_pruned /
-#    corpus_trigram_segment_stats: the gram layout's bucket auto-size
-#    floor dropped 32 -> 4 (VERDICT r15 task 2 — the sf0.1 layout was
-#    all file-open overhead), so the bench/registry layout is written
-#    with a different n_buckets; the registry fast path is now
-#    plan-pinned (tests/test_plans.py);
-#  - corpus_trigram_heldout_appended: append_to_trigram_lm_layout now
-#    preserves an unknown segment count instead of minting
-#    n_segments=1 (ADVICE r15 high);
-#  - corpus_trigram_heldout_staged / corpus_bm25_postings_staged_topk:
-#    both staged serving reads now go through the unified
-#    _staged_tables/_staged_counters reader (r14 task 8 stretch);
-#  - corpus_bm25_postings_compacted_topk: compaction now GCs
-#    superseded generations and rewrites staged_stats (task 5 +
-#    ADVICE r15);
-#  - corpus_bm25_postings_append_topk: write_postings_layout ends in
-#    finalize_rebuild (pointer cut + staging GC — ADVICE r15);
-#  - ann_pq_topk_from_layout / ann_ivfpq_residual_from_layout: their
-#    load/serve entries gained the torn-append marker check (task 4) —
-#    and both are r12-stale and on the r15 perf-weak list, so this
-#    re-gate doubles as their re-measure.
+# Queries changed or added in the CURRENT round (17) — spliced at the
+# very front of the window so they get a fresh verdict.  All six are
+# re-gates forced by this round's concurrency fixes (ADVICE r16):
+#  - ann_pq_topk_staged / ann_ivfpq_residual_staged /
+#    corpus_trigram_heldout_staged: the staged serves now resolve the
+#    CURRENT generation ONCE and thread it through both the base read
+#    and the staged mask (the fold-between-two-resolutions race);
+#  - ann_pq_topk_compacted / ann_ivfpq_residual_compacted /
+#    corpus_bm25_postings_compacted_topk: the post-fold staged_stats
+#    GC is now file-level (never deletes files it didn't snapshot), so
+#    a concurrent ingest's stats row can no longer be destroyed.
 ROUND_NEW: list[str] = [
-    # NEW r16 gates: streamed PQ-index maintenance (staged code
-    # segments + pointer-committed fold), hash-proven against the
-    # train_pred oracle (frozen-codebook one-pass encode)
     "ann_pq_topk_staged",
-    "ann_pq_topk_compacted",
     "ann_ivfpq_residual_staged",
-    "ann_ivfpq_residual_compacted",
-    "corpus_trigram_heldout_from_layout",
-    "corpus_trigram_probe_pruned",
-    "corpus_trigram_segment_stats",
-    "corpus_trigram_heldout_appended",
     "corpus_trigram_heldout_staged",
-    "corpus_bm25_postings_staged_topk",
+    "ann_pq_topk_compacted",
+    "ann_ivfpq_residual_compacted",
     "corpus_bm25_postings_compacted_topk",
-    "corpus_bm25_postings_append_topk",
-    "ann_pq_topk_from_layout",
-    "ann_ivfpq_residual_from_layout",
 ]
 
 # The stale backlog, oldest verdict first.  THIS LIST IS GENERATED,
@@ -4064,53 +4040,62 @@ ROUND_NEW: list[str] = [
 # ROUND_NEW until the 50-slot window is full.  No query names belong
 # in this comment — the script is the only source of truth.
 DRIVER_PRIORITY: list[str] = [
-    # --- r12-stale (36 of 45; the two from that cohort already in
-    # ROUND_NEW, plus the last seven — corpus_sample_mix, metadata_header_filter,
-    # scalar_conversions, corpus_quality_classifier_from_layout,
-    # corpus_trigram_interp, corpus_trigram_heldout,
-    # corpus_bpe_heldout_fertility and onward — lead the r17 queue) ---
-    "dedup_image_dhash_assets",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "ann_pq_batch_from_layout",
-    "ann_filtered_topk",
-    "ann_pq_filtered_from_layout",
-    "ann_ivfpq_filtered_from_layout",
-    "dedup_pq_code_pairs",
-    "ann_ivf_cluster_stats",
-    "ann_ivfpq_residual_topk",
-    "multimodal_features",
-    "q7_nation_pair_volume",
-    "q10_returned_items",
-    "ann_batch_topk",
-    "ann_ivf_lloyd_topk",
-    "ann_lsh_batch_topk",
-    "multimodal_frame_sample",
-    "q18_large_orders",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_qty_revenue",
-    "q19_special_revenue",
-    "q22_idle_rich_customers",
-    "q2_cheapest_supplier",
-    "q4_priority_order_check",
-    "q9_product_profit",
-    "q11_important_brands",
-    "q12_priority_shipping",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "corpus_pii_redact",
-    "corpus_shard_assign",
-    "corpus_decontaminate",
+    # --- the whole r12-stale cohort (7) — r15 task 6's "nothing
+    # staler than r13" target, displaced by r16's lifecycle re-gates,
+    # finally drained (VERDICT r16 task 2) ---
+    "corpus_sample_mix",
+    "metadata_header_filter",
+    "scalar_conversions",
+    "corpus_quality_classifier_from_layout",
+    "corpus_trigram_interp",
+    "corpus_trigram_heldout",
+    "corpus_bpe_heldout_fertility",
+    # --- r13-stale, registry insertion order (37 of 48; the 11
+    # remaining — corpus_decontaminate_semantic onward per
+    # scripts/verdict_histogram.py — lead the r18 queue) ---
+    "list_objects_root",
+    "list_objects_flagship",
+    "list_objects_paged",
+    "list_objects_no_delim",
+    "bucket_usage",
+    "part_base_offsets",
+    "complete_upload_validate",
+    "object_checksums",
+    "events_hourly_rollup",
+    "events_sliding_activity",
+    "events_dedup_first",
+    "events_sessionize",
+    "dedup_exact",
+    "ann_pq_recall_report",
+    "dedup_pq_code_stats",
+    "dedup_pq_code_stats_from_layout",
+    "ann_ivfpq_residual_batch_from_layout",
+    "ann_ivfpq_residual_recall",
+    "multipart_etag",
+    "objects_latest_version",
+    "orphan_chunk_gc",
+    "payload_digest_verify",
+    "get_object_point",
+    "object_reassembly_verify",
+    "dedup_embedding_cosine",
+    "corpus_term_doc_freq",
+    "corpus_top_terms_tfidf",
+    "events_top_users_per_type",
+    "events_heavy_hitters",
+    "events_hourly_anomalies",
+    "events_hourly_gapfill",
+    "events_funnel",
+    "events_asof_last_click",
+    "events_trailing_hour_count",
+    "usage_grouping_sets",
+    "corpus_temperature_mix_weights",
+    "corpus_temperature_sample_mix",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (all were green in r12), and 10 + 40 fills the window; after
-# r16 no query's last verdict is older than r12's final three
-# stragglers (they lead r17's queue).
+# canary (none has ever failed), and 6 ROUND_NEW + 44 DRIVER_PRIORITY
+# fills the 50-slot window exactly; after r17 nothing is staler than
+# r13, and the 11 r13 leftovers lead r18's queue.
 GREEN_CORE: list[str] = []
 
 

@@ -351,38 +351,87 @@ def _gc_staged_stats(spark, layout_path: str) -> None:
     small parquet file per micro-batch and nothing ever removed rows
     for folded segments, so the table — and every staged serving
     read's dedup scan over it — grew without bound.  After a fold,
-    rewrite it down to rows whose segment is still installed
-    (write-temp + swap).  Races are benign by the reader's own
-    contract: a stats row appended between the snapshot and the swap
-    is lost, and the reader then DERIVES that segment's counters from
-    its rows (:func:`_staged_counters`' crash-ate-the-stats path —
-    exact for trigram, zero-token-doc blind spot for postings)."""
-    from pyspark.errors import AnalysisException
+    compact it down to rows whose segment is still installed.
 
+    File-level, never directory-level (ADVICE r16): the old
+    rmtree+rename swap could permanently destroy a stats row a
+    concurrent ingest appended between the snapshot and the swap — and
+    for postings the reader's derivation fallback cannot see
+    zero-token documents, so that segment's n_docs would undercount
+    forever.  Instead: snapshot the data FILES first, compact the live
+    rows FROM THAT SNAPSHOT into new files moved INTO the directory,
+    then delete only the snapshotted files.  A file appended after the
+    snapshot is never touched; ingest appends a segment's stats row
+    only AFTER installing its directory (so a row present in the
+    snapshot has its segment visible to the live listing taken after
+    it).  Readers dedupe by ``seg`` (:func:`_staged_counters`), so the
+    crash window between move-in and delete — duplicate rows per
+    segment — is read-transparent, and a re-run finishes the
+    cleanup."""
     stats_dir = f"{layout_path}/staged_stats"
     tmp = f"{layout_path}/staged_stats_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    live = staged_segment_keys(layout_path)
-    if not live:
-        shutil.rmtree(stats_dir, ignore_errors=True)
-        return
     try:
+        snapshot = [
+            f
+            for f in os.listdir(stats_dir)
+            if not f.startswith((".", "_"))
+        ]
+    except FileNotFoundError:
+        return  # no stats table (readers derive) — nothing to bound
+    if not snapshot:
+        # empty table: clear writer markers (_SUCCESS etc. — excluded
+        # from the data snapshot, recreated by any later append), then
+        # atomic rmdir (fails harmlessly with ENOTEMPTY if a
+        # concurrent append just landed — same rationale as
+        # _gc_staged's rmdir)
+        for f in os.listdir(stats_dir):
+            if f.startswith((".", "_")):
+                try:
+                    os.remove(os.path.join(stats_dir, f))
+                except OSError:
+                    pass
+        try:
+            os.rmdir(stats_dir)
+        except OSError:
+            pass
+        return
+    # live listed AFTER the file snapshot: any row whose segment was
+    # installed later lives in a post-snapshot file we never delete
+    live = staged_segment_keys(layout_path)
+    paths = [os.path.join(stats_dir, f) for f in snapshot]
+    if live:
         keep = (
-            spark.read.parquet(stats_dir)
+            spark.read.parquet(*paths)
             .filter(F.col("seg").isin(list(live)))
             .dropDuplicates(["seg"])
         )
         write_tiny_table(keep, tmp)
-    except AnalysisException:
-        return  # no stats table (readers derive) — nothing to bound
-    shutil.rmtree(stats_dir, ignore_errors=True)
-    try:
-        os.rename(tmp, stats_dir)
-    except OSError:
-        # a concurrent ingest recreated stats_dir between the delete
-        # and the rename: its row is live and ours are derivable —
-        # leave it; the temp dir is cleared on the next fold
-        pass
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp, f), os.path.join(stats_dir, f)
+                )
+    for p in paths:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+    shutil.rmtree(tmp, ignore_errors=True)
+    if not live:
+        # nothing kept: clear writer markers and take the directory
+        # down too (atomic rmdir — ENOTEMPTY if a concurrent append
+        # just landed, in which case its files are live and stay)
+        for f in os.listdir(stats_dir):
+            if f.startswith((".", "_")):
+                try:
+                    os.remove(os.path.join(stats_dir, f))
+                except OSError:
+                    pass
+        try:
+            os.rmdir(stats_dir)
+        except OSError:
+            pass
 
 
 def _folded_segments_df(spark, layout_path: str, gen_root: str, live):
@@ -602,11 +651,16 @@ def trigram_heldout_with_staged(
     from pithos_spark.plans.helpers import bounded_persist
 
     spark = documents.sparkSession
+    # resolve the generation ONCE and thread it through both the base
+    # read and the staged mask — two resolutions race a concurrent
+    # fold (segments folded in between would be masked out while their
+    # rows exist only in the newer base; ADVICE r16)
+    root = read_current(layout_path)
     counts, n_total, _, n_segments = _load_trigram_layout(
-        spark, layout_path
+        spark, layout_path, root
     )
     counts = {cnt: df.drop("b") for cnt, df in counts.items()}
-    live = _live_staged_segs(spark, layout_path, read_current(layout_path))
+    live = _live_staged_segs(spark, layout_path, root)
     if live:
         staged = _staged_trigram_tables(spark, layout_path, live)
         counts = {
@@ -637,9 +691,12 @@ def trigram_segment_stats_with_staged(spark, layout_path: str):
         _segment_stats_from_counts,
     )
 
-    counts, _, _, _ = _load_trigram_layout(spark, layout_path)
+    # one resolution for base + staged mask (same race note as
+    # trigram_score_with_staged)
+    root = read_current(layout_path)
+    counts, _, _, _ = _load_trigram_layout(spark, layout_path, root)
     counts = {cnt: df.drop("b") for cnt, df in counts.items()}
-    live = _live_staged_segs(spark, layout_path, read_current(layout_path))
+    live = _live_staged_segs(spark, layout_path, root)
     if live:
         staged = _staged_trigram_tables(spark, layout_path, live)
         counts = {
@@ -697,9 +754,11 @@ def compact_staged_trigram(spark, layout_path: str) -> int:
         _gc_staged(
             layout_path, sorted(folded_segment_keys(spark, root))
         )
+        _gc_staged_stats(spark, layout_path)
+        gc_generations(layout_path)
         return 0
     counts, n_total, n_buckets, _ = _load_trigram_layout(
-        spark, layout_path
+        spark, layout_path, root
     )
     staged = _staged_trigram_tables(spark, layout_path, live)
     folded = sum(df.count() for df in staged.values())
@@ -832,10 +891,13 @@ def pq_topk_with_staged(
     )
 
     spark = embeddings.sparkSession
-    codes, cb_df, meta = load_pq_index(spark, layout_path)
-    live = _live_staged_segs(
-        spark, layout_path, read_current(layout_path)
-    )
+    # one resolution for base + staged mask: resolving CURRENT twice
+    # races a concurrent fold — segments folded between the reads
+    # would be masked while their rows live only in the newer base
+    # (ADVICE r16; bm25_topk_with_staged has always threaded root)
+    root = read_current(layout_path)
+    codes, cb_df, meta = load_pq_index(spark, layout_path, root)
+    live = _live_staged_segs(spark, layout_path, root)
     if live:
         staged = _staged_tables(spark, layout_path, live)[None]
         codes = codes.unionByName(staged.drop("seg"))
@@ -980,9 +1042,9 @@ def ivfpq_residual_topk_with_staged(
     assert_not_torn(root)
     meta = spark.read.parquet(f"{root}/meta").collect()[0]
     codes = spark.read.parquet(f"{root}/codes")
-    live = _live_staged_segs(
-        spark, layout_path, read_current(layout_path)
-    )
+    # reuse the root resolved above — a second resolution races a
+    # concurrent fold (ADVICE r16, see pq_topk_with_staged)
+    live = _live_staged_segs(spark, layout_path, root)
     if live:
         staged = _staged_tables(spark, layout_path, live)[None]
         codes = codes.unionByName(staged.drop("seg"))
@@ -1039,6 +1101,173 @@ def compact_staged_ivfpq_residual(spark, layout_path: str) -> int:
     write_tiny_table(
         spark.read.parquet(f"{root}/codebooks"), f"{tmp}/codebooks"
     )
+    write_tiny_table(spark.read.parquet(f"{root}/meta"), f"{tmp}/meta")
+    write_tiny_table(
+        _folded_segments_df(spark, layout_path, root, live),
+        f"{tmp}/folded_segments",
+    )
+    gen = next_gen_rel(layout_path)
+    os.rename(tmp, f"{layout_path}/{gen}")
+    commit_current(layout_path, gen)  # THE commit point
+    _gc_staged(layout_path, live)
+    _gc_staged_stats(spark, layout_path)
+    gc_generations(layout_path)
+    return n
+
+
+def streaming_ivf_ingest(
+    new_embeddings_stream,
+    layout_path: str,
+    checkpoint: str,
+):
+    """Maintain the persisted plain-IVF index (full embedding rows
+    partitioned by trained cluster — the SemDeDup sweep's input) from
+    a stream of newly-ingested vectors: the last persisted ANN layout
+    to get the staged lifecycle (VERDICT r16 task 4 — PQ and
+    residual-IVFADC got theirs in r16), and the replay-safe form of
+    ``similarity.append_to_ivf_index`` (whose bare batch append
+    doubles the delta if an at-least-once source retries it).
+
+    Each micro-batch assigns its vectors to the live generation's
+    FROZEN centers (``similarity.ivf_assign_delta`` — row-local, the
+    exact assignment the batch append writes), writes the (vec_id,
+    label, embedding, cluster) rows COMPLETELY under a temp segment
+    dir, and installs them with one atomic rename.  ``cluster`` rides
+    as a plain column inside the segment (directory partitioning is
+    the FOLD's job); no stats row — the index carries no additive
+    corpus counters.  Serving reads through
+    :func:`ivf_assigned_with_staged` /
+    :func:`semantic_dedup_pairs_with_staged`; fold with
+    :func:`compact_staged_ivf`."""
+    from pithos_spark.functions.similarity import ivf_assign_delta
+
+    token = segment_token(checkpoint)
+
+    def _ingest(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        root = read_current(layout_path)
+        assert_not_torn(root)
+        seg = f"{token}-{batch_id}"
+        tmp = f"{layout_path}/staged_tmp/seg={seg}"
+        assigned = ivf_assign_delta(spark, batch_df, root)
+        (
+            assigned.repartition("cluster")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        install_staged_segment(tmp, f"{layout_path}/staged/seg={seg}")
+
+    return (
+        new_embeddings_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ivf_assigned_with_staged(spark, layout_path: str):
+    """THE staged-aware plain-IVF reader: (assigned base ∪ live staged
+    segments, centers) — one generation resolution threaded through
+    both the base read and the staged mask (the
+    fold-between-two-resolutions race, ADVICE r16).  Every plain-IVF
+    consumer (probe, SemDeDup sweep) takes the assigned table + the
+    centers, so this pair IS the staged serving surface; staged rows
+    are filtered by row where the base prunes by cluster partition —
+    the same delta-sized asymmetry as the other staged unions, which
+    the fold deletes."""
+    from pithos_spark.functions.similarity import load_ivf_index
+
+    root = read_current(layout_path)
+    assigned, centers = load_ivf_index(spark, layout_path, root)
+    live = _live_staged_segs(spark, layout_path, root)
+    if live:
+        staged = _staged_tables(spark, layout_path, live)[None]
+        assigned = assigned.unionByName(staged.drop("seg"))
+    return assigned, centers
+
+
+def ivf_topk_with_staged(
+    spark,
+    layout_path: str,
+    query_vec_id: int,
+    k: int = 10,
+    n_probe: int = 2,
+):
+    """IVF probe over base + staged assignment segments: a vector
+    streamed in is searchable (and probeable as a query) before any
+    fold.  Bit-identical to a layout whose vectors were all assigned
+    in one pass against the same frozen centers (assignment is
+    row-local; staged vec_ids are disjoint from the base's by the
+    ingest contract)."""
+    from pithos_spark.functions.similarity import ivf_query
+
+    assigned, centers = ivf_assigned_with_staged(spark, layout_path)
+    return ivf_query(
+        assigned,
+        centers,
+        query_vec_id,
+        k,
+        n_probe,
+        cluster_col="cluster",
+        metric="l2",
+    ).drop("query_id")
+
+
+def semantic_dedup_pairs_with_staged(
+    spark,
+    layout_path: str,
+    threshold_q: int = 300_000,
+    max_cluster: int = 500,
+):
+    """SemDeDup sweep over base + staged assignment segments — the
+    staged-aware form of
+    ``similarity.semantic_dedup_pairs_from_layout``: a crawl delta's
+    vectors join the in-cluster pair scan before any fold, so the
+    dedup sweep of a growing corpus never waits on compaction."""
+    from pithos_spark.functions.similarity import (
+        _semantic_pairs_from_assigned,
+    )
+
+    assigned, _ = ivf_assigned_with_staged(spark, layout_path)
+    return _semantic_pairs_from_assigned(assigned, threshold_q, max_cluster)
+
+
+def compact_staged_ivf(spark, layout_path: str) -> int:
+    """Fold staged assignment segments into a new plain-IVF generation
+    — the :func:`compact_staged_ivfpq_residual` protocol verbatim
+    (complete generation under a temp dir, one rename, one atomic
+    CURRENT swap, pure GC), restoring the cluster directory
+    partitioning on the way through so probe reads go back to
+    partition pruning.  Returns the number of staged assignment rows
+    folded."""
+    root = read_current(layout_path)
+    assert_not_torn(root)
+    live = _live_staged_segs(spark, layout_path, root)
+    if not live:
+        _gc_staged(
+            layout_path, sorted(folded_segment_keys(spark, root))
+        )
+        _gc_staged_stats(spark, layout_path)
+        gc_generations(layout_path)
+        return 0
+    staged = _staged_tables(spark, layout_path, live)[None].drop("seg")
+    n = staged.count()
+    base = spark.read.parquet(f"{root}/assigned")
+
+    tmp = f"{layout_path}/{FOLD_TMP}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        base.unionByName(staged)
+        .repartition("cluster")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{tmp}/assigned")
+    )
+    write_tiny_table(spark.read.parquet(f"{root}/centers"), f"{tmp}/centers")
     write_tiny_table(spark.read.parquet(f"{root}/meta"), f"{tmp}/meta")
     write_tiny_table(
         _folded_segments_df(spark, layout_path, root, live),

@@ -1,0 +1,186 @@
+"""SCALE_r17 measurement (VERDICT r16 tasks 5 + 6).
+
+SCALE_r16 §4 priced the staged-union serving tax for the streamed ANN
+segments at sf0.1 only; the lexical layouts got their full
+fold-payback table at sf1 in SCALE_r15.  This script completes the
+economics story for the vector layouts — PQ, residual IVFADC, and the
+plain-IVF index that gained the staged lifecycle this round:
+
+1. build the base index on 3/4 of the corpus;
+2. stream the remaining 1/4 in as ~8 staged segments
+   (``streaming_*_ingest``, maxFilesPerTrigger=1);
+3. measure the staged-union serve median, the on-disk layout bytes
+   (base + staged), the one-shot fold cost (``compact_staged_*``),
+   the post-fold serve median, and the post-fold layout bytes —
+   the before/after footprint line that puts a number on the
+   "storage is O(layout), not O(layout x folds)" GC claim
+   (task 6);
+4. payback_reads = fold_s / (staged_serve_s - folded_serve_s): how
+   many serves amortize the fold.
+
+Usage: python scripts/scale_r17.py [sf01_dir] [sf1_dir]
+Emits JSON lines; SCALE_r17.md reproduces them with the derivation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import SparkSession
+
+
+def timed(fn, repeats=5):
+    fn()  # warmup
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(round(time.perf_counter() - t0, 3))
+    return round(statistics.median(samples), 3), samples
+
+
+def once(fn):
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
+
+def noop(df):
+    df.foreach(lambda _r: None)
+
+
+def du_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _session():
+    return (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+
+
+def emit(**kv):
+    print(json.dumps(kv, separators=(",", ":")), flush=True)
+
+
+def _stream_delta(spark, ing_fn, delta, layout, tag):
+    """Stage the delta as ~8 micro-batch segments via the real
+    streamed-ingest path (availableNow + maxFilesPerTrigger=1)."""
+    src = tempfile.mkdtemp(prefix=f"sc17_src_{tag}_")
+    ckpt = tempfile.mkdtemp(prefix=f"sc17_ckpt_{tag}_")
+    delta.repartition(8).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ing_fn(stream, layout, ckpt)
+    q.awaitTermination(600)
+    q.stop()
+
+
+def section_ann_fold(spark, sf_dir: str, sf_label: str):
+    import pithos_spark.streaming.ingest as ing
+    from pithos_spark.functions import similarity as sim
+    from pithos_spark.functions.layoutcommit import staged_segment_keys
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    emb.count()
+    base = emb.filter("vec_id % 4 != 3")
+    delta = emb.filter("vec_id % 4 = 3")
+
+    plans = [
+        (
+            "pq",
+            lambda p: sim.save_pq_index(base, p),
+            ing.streaming_pq_index_ingest,
+            lambda p: noop(ing.pq_topk_with_staged(emb, p, 0, 10)),
+            ing.compact_staged_pq,
+        ),
+        (
+            "ivfpq_residual",
+            lambda p: sim.save_ivfpq_residual_index(base, p),
+            ing.streaming_ivfpq_residual_ingest,
+            lambda p: noop(
+                ing.ivfpq_residual_topk_with_staged(emb, p, 0, 10)
+            ),
+            ing.compact_staged_ivfpq_residual,
+        ),
+        (
+            "ivf_plain",
+            lambda p: _save_ivf(sim, base, p),
+            ing.streaming_ivf_ingest,
+            lambda p: noop(ing.ivf_topk_with_staged(spark, p, 0, 10)),
+            ing.compact_staged_ivf,
+        ),
+    ]
+    for name, build, ing_fn, serve, compact in plans:
+        layout = tempfile.mkdtemp(prefix=f"sc17_{name}_{sf_label}_")
+        build_s = once(lambda: build(layout))
+        base_bytes = du_bytes(layout)
+        _stream_delta(spark, ing_fn, delta, layout, name)
+        n_segs = len(staged_segment_keys(layout))
+        staged_bytes = du_bytes(layout)
+        staged_serve_m, staged_samples = timed(lambda: serve(layout))
+        fold_s = once(lambda: compact(spark, layout))
+        folded_bytes = du_bytes(layout)
+        folded_serve_m, folded_samples = timed(lambda: serve(layout))
+        tax = round(staged_serve_m - folded_serve_m, 3)
+        emit(
+            section="ann_fold",
+            index=name,
+            sf=sf_label,
+            base_build_s=build_s,
+            staged_segments=n_segs,
+            staged_serve_s=staged_serve_m,
+            staged_serve_samples=staged_samples,
+            fold_s=fold_s,
+            folded_serve_s=folded_serve_m,
+            folded_serve_samples=folded_samples,
+            per_serve_tax_s=tax,
+            payback_reads=(
+                round(fold_s / tax, 1) if tax > 0.005 else None
+            ),
+            base_bytes=base_bytes,
+            staged_bytes=staged_bytes,
+            folded_bytes=folded_bytes,
+        )
+    emb.unpersist()
+
+
+def _save_ivf(sim, base, path):
+    assigned, centers = sim.build_ivf_lloyd_index(base, 16, 2)
+    sim.save_ivf_index(assigned, centers, path)
+
+
+def main():
+    sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf1 = sys.argv[2] if len(sys.argv) > 2 else ".scale/sf1"
+    spark = _session()
+    spark.sparkContext.setLogLevel("ERROR")
+    for label, d in (("sf0.1", sf01), ("sf1", sf1)):
+        section_ann_fold(spark, d, label)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

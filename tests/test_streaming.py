@@ -2125,3 +2125,167 @@ def test_streaming_ivfpq_residual_ingest_matches_batch(spark, tmp_path):
     cur = os.path.basename(root)
     assert sorted(os.listdir(layout)) == ["CURRENT", cur]
     assert ing.compact_staged_ivfpq_residual(spark, layout) == 0
+
+
+def test_streaming_ivf_ingest_matches_batch(spark, tmp_path):
+    """Plain-IVF twin of the PQ/residual stream tests (r17 — VERDICT
+    r16 task 4 closed the last lifecycle asymmetry): centers trained
+    on 3/4 of the vectors, the remaining 1/4 streamed in as staged
+    assignment segments.  Both staged serves (probe topk + SemDeDup
+    sweep) must equal the batch-append layout; the fold restores the
+    cluster directory partitioning, the plain layout read agrees, and
+    disk holds exactly one generation."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    import pithos_spark.streaming.ingest as ing
+    from pithos_spark import tables as T
+    from pithos_spark.functions import similarity as sim
+    from pithos_spark.functions.layoutcommit import read_current
+
+    emb = T.load_tables(spark, SF_SMOKE)["embeddings"]
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    delta = emb.filter(F.col("vec_id") % 4 == 3)
+
+    assigned, centers = sim.build_ivf_lloyd_index(base, 8, 2)
+    layout = str(tmp_path / "ivf_layout")
+    sim.save_ivf_index(assigned, centers, layout)
+    ref = str(tmp_path / "ivf_ref")
+    sim.save_ivf_index(assigned, centers, ref)
+    sim.append_to_ivf_index(delta, ref)
+
+    def serve_topk(path):
+        a, c = sim.load_ivf_index(spark, path)
+        return [
+            tuple(r)
+            for r in sim.ivf_query(
+                a, c, 0, 10, 2, cluster_col="cluster", metric="l2"
+            )
+            .drop("query_id")
+            .collect()
+        ]
+
+    want = serve_topk(ref)
+    want_pairs = [
+        tuple(r)
+        for r in sim.semantic_dedup_pairs_from_layout(spark, ref).collect()
+    ]
+
+    src = str(tmp_path / "ivf_delta_src")
+    delta.repartition(3).write.parquet(src)  # 3 files -> 3 micro-batches
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ing.streaming_ivf_ingest(stream, layout, str(tmp_path / "ivf_ckpt"))
+    q.awaitTermination(120)
+
+    got = [
+        tuple(r)
+        for r in ing.ivf_topk_with_staged(spark, layout, 0, 10).collect()
+    ]
+    assert got == want and len(got) == 10
+    assert [
+        tuple(r)
+        for r in ing.semantic_dedup_pairs_with_staged(spark, layout).collect()
+    ] == want_pairs
+    # every delta vector is searchable, exactly once, before any fold
+    staged = spark.read.parquet(f"{layout}/staged")
+    n_staged_rows = staged.count()
+    assert staged.select("vec_id").distinct().count() == delta.count()
+
+    folded = ing.compact_staged_ivf(spark, layout)
+    assert folded == n_staged_rows
+    assert serve_topk(layout) == want
+    assert [
+        tuple(r)
+        for r in ing.ivf_topk_with_staged(spark, layout, 0, 10).collect()
+    ] == want
+    assert [
+        tuple(r)
+        for r in sim.semantic_dedup_pairs_from_layout(
+            spark, layout
+        ).collect()
+    ] == want_pairs
+    # the fold restored the cluster directory partitioning
+    root = read_current(layout)
+    assert any(
+        d.startswith("cluster=") for d in os.listdir(f"{root}/assigned")
+    )
+    cur = os.path.basename(root)
+    assert sorted(os.listdir(layout)) == ["CURRENT", cur]
+    assert ing.compact_staged_ivf(spark, layout) == 0
+
+
+def test_compact_staged_ivf_crash_recovery(spark, tmp_path):
+    """Plain-IVF entry in the compaction crash matrix: kill the fold
+    at each driver-side step in turn (fresh staged segments ingested
+    between rounds); the torn state must still serve bit-identically
+    to a batch-append reference over the vectors ingested so far, and
+    a re-run must recover completely."""
+    import pyspark.sql.functions as F
+    import pytest as _pt
+
+    import pithos_spark.streaming.ingest as ing
+    from pithos_spark import tables as T
+    from pithos_spark.functions import similarity as sim
+
+    emb = T.load_tables(spark, SF_SMOKE)["embeddings"]
+    base = emb.filter(F.col("vec_id") % 8 == 0)
+    assigned, centers = sim.build_ivf_lloyd_index(base, 8, 2)
+    layout = str(tmp_path / "ivf_crash")
+    sim.save_ivf_index(assigned, centers, layout)
+    ref = str(tmp_path / "ivf_crash_ref")
+    sim.save_ivf_index(assigned, centers, ref)
+
+    def serve_topk(path):
+        a, c = sim.load_ivf_index(spark, path)
+        return [
+            tuple(r)
+            for r in sim.ivf_query(
+                a, c, 0, 10, 2, cluster_col="cluster", metric="l2"
+            )
+            .drop("query_id")
+            .collect()
+        ]
+
+    deltas = [f"vec_id % 8 = {m}" for m in (1, 2, 3, 4, 5)]
+    for i, (crash_fn, dpred) in enumerate(zip(_CRASH_POINTS, deltas)):
+        delta = emb.filter(dpred)
+        src = str(tmp_path / f"ic_src_{i}")
+        delta.write.parquet(src)
+        stream = spark.readStream.schema(emb.schema).parquet(src)
+        q = ing.streaming_ivf_ingest(
+            stream, layout, str(tmp_path / f"ic_ckpt_{i}")
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+        sim.append_to_ivf_index(delta, ref)
+        want = serve_topk(ref)
+
+        mp = _pt.MonkeyPatch()
+        mp.setattr(ing, crash_fn, _boom)
+        with _pt.raises(RuntimeError, match="injected crash"):
+            ing.compact_staged_ivf(spark, layout)
+        mp.undo()
+
+        # the torn state serves exactly — no double count, no loss
+        got = [
+            tuple(r)
+            for r in ing.ivf_topk_with_staged(spark, layout, 0, 10).collect()
+        ]
+        assert got == want, f"torn serve after crash at {crash_fn}"
+
+        # recovery: a plain re-run finishes (or redoes) the fold
+        ing.compact_staged_ivf(spark, layout)
+        assert serve_topk(layout) == want, (
+            f"recovered base serve after {crash_fn}"
+        )
+        assert [
+            tuple(r)
+            for r in ing.ivf_topk_with_staged(spark, layout, 0, 10).collect()
+        ] == want
+        assert ing.compact_staged_ivf(spark, layout) == 0
