@@ -1696,10 +1696,26 @@ def pq_batch_topk_from_layout(
 
     Output (query_id, vec_id, label, est_dot, dot_q), top-k per query,
     ordered by (query_id, dot_q desc, vec_id)."""
-    from pyspark.sql import Window
-
     spark = embeddings.sparkSession
     codes, cb_df, meta = load_pq_index(spark, path)
+    return _pq_batch_serve(embeddings, codes, cb_df, meta, query_ids, k, rerank)
+
+
+def _pq_batch_serve(
+    embeddings: DataFrame,
+    codes: DataFrame,
+    cb_df: DataFrame,
+    meta,
+    query_ids: list[int],
+    k: int,
+    rerank: int,
+) -> DataFrame:
+    """The batched-PQ serving plan over an already-resolved code table
+    — split out (r17) so the staged-union twin
+    (``streaming/ingest.pq_batch_topk_with_staged``) reuses the exact
+    plan over base ∪ staged codes."""
+    from pyspark.sql import Window
+
     m_sub, scale, dim = (
         int(meta["m_sub"]), int(meta["scale"]), int(meta["dim"])
     )
@@ -2585,18 +2601,38 @@ def ivfpq_residual_batch_topk_from_layout(
     parallelize across the cluster.  Output (query_id, vec_id, label,
     est_dot, dot_q), top-k per query, ordered by (query_id, dot_q desc,
     vec_id)."""
-    from pyspark.sql import Window
-
     spark = embeddings.sparkSession
     path = read_current(path)  # live generation (compaction-aware)
     assert_not_torn(path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    m_sub, scale, dim = (
-        int(meta["m_sub"]), int(meta["scale"]), int(meta["dim"])
-    )
     codes = spark.read.parquet(f"{path}/codes")
     centers = spark.read.parquet(f"{path}/centers")
     cb_df = spark.read.parquet(f"{path}/codebooks")
+    return _ivfpq_residual_batch_serve(
+        embeddings, codes, centers, cb_df, meta, query_ids, k, n_probe, rerank
+    )
+
+
+def _ivfpq_residual_batch_serve(
+    embeddings: DataFrame,
+    codes: DataFrame,
+    centers: DataFrame,
+    cb_df: DataFrame,
+    meta,
+    query_ids: list[int],
+    k: int,
+    n_probe: int,
+    rerank: int,
+) -> DataFrame:
+    """The batched residual-IVFADC serving plan over already-resolved
+    index tables — split out (r17) so the staged-union twin
+    (``streaming/ingest.ivfpq_residual_batch_with_staged``) reuses the
+    exact plan over base ∪ staged codes."""
+    from pyspark.sql import Window
+
+    m_sub, scale, dim = (
+        int(meta["m_sub"]), int(meta["scale"]), int(meta["dim"])
+    )
     qv = embeddings.select(
         "vec_id", "label", _quantized(F.col("embedding"), scale).alias("q")
     )

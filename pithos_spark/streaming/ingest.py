@@ -914,6 +914,37 @@ def pq_topk_with_staged(
     )
 
 
+def pq_batch_topk_with_staged(
+    embeddings,
+    layout_path: str,
+    query_ids: list,
+    k: int = 10,
+    rerank: int = 4,
+):
+    """Batched PQ ANN over base + staged code segments — the
+    production query-stream shape (many queries, ONE pass over the
+    codes) serving a layout with un-folded streamed deltas: the staged
+    rows union under the same |Q|-keyed broadcast-LUT plan
+    (``similarity._pq_batch_serve``), so each query's rows stay
+    bit-identical to the single-query staged serve.  Same
+    one-generation-resolution contract as :func:`pq_topk_with_staged`."""
+    from pithos_spark.functions.similarity import (
+        _pq_batch_serve,
+        load_pq_index,
+    )
+
+    spark = embeddings.sparkSession
+    root = read_current(layout_path)
+    codes, cb_df, meta = load_pq_index(spark, layout_path, root)
+    live = _live_staged_segs(spark, layout_path, root)
+    if live:
+        staged = _staged_tables(spark, layout_path, live)[None]
+        codes = codes.unionByName(staged.drop("seg"))
+    return _pq_batch_serve(
+        embeddings, codes, cb_df, meta, query_ids, k, rerank
+    )
+
+
 def compact_staged_pq(spark, layout_path: str) -> int:
     """Fold staged code segments into the PQ layout — the same
     pointer-committed, crash-idempotent protocol as
@@ -1233,6 +1264,105 @@ def semantic_dedup_pairs_with_staged(
 
     assigned, _ = ivf_assigned_with_staged(spark, layout_path)
     return _semantic_pairs_from_assigned(assigned, threshold_q, max_cluster)
+
+
+def ivfpq_residual_batch_with_staged(
+    embeddings,
+    layout_path: str,
+    query_ids: list,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 4,
+):
+    """Batched residual-IVFADC over base + staged code segments — the
+    canonical index's query-stream shape with un-folded streamed
+    deltas: staged rows (cluster as a column) union under the same
+    per-query probe / |Q|-keyed residual-LUT / exact-rerank plan
+    (``similarity._ivfpq_residual_batch_serve``).  The probe join
+    filters staged rows by value where the base prunes by partition —
+    the usual delta-sized asymmetry the fold deletes."""
+    from pithos_spark.functions.similarity import (
+        _ivfpq_residual_batch_serve,
+    )
+
+    spark = embeddings.sparkSession
+    root = read_current(layout_path)
+    assert_not_torn(root)
+    meta = spark.read.parquet(f"{root}/meta").collect()[0]
+    codes = spark.read.parquet(f"{root}/codes")
+    live = _live_staged_segs(spark, layout_path, root)
+    if live:
+        staged = _staged_tables(spark, layout_path, live)[None]
+        codes = codes.unionByName(staged.drop("seg"))
+    return _ivfpq_residual_batch_serve(
+        embeddings,
+        codes,
+        spark.read.parquet(f"{root}/centers"),
+        spark.read.parquet(f"{root}/codebooks"),
+        meta,
+        query_ids,
+        k,
+        n_probe,
+        rerank,
+    )
+
+
+# SCALE_r17 §1: the ANN segments have no read-merge arithmetic (their
+# serving tax is pure per-segment scan/union overhead, measured
+# ~0.09 s/segment/serve, flat sf0.1->sf1), and a fold costs ~2 s at
+# both scales — so folding pays for itself within ~3 serves at 8 live
+# segments.  Segment COUNT is therefore the right trigger, unlike the
+# gram layout's per-gram occupancy knob.
+COMPACT_ANN_WHEN_SEGMENTS = 4
+
+
+def ann_fold_due(
+    spark,
+    layout_path: str,
+    min_segments: int = COMPACT_ANN_WHEN_SEGMENTS,
+) -> bool:
+    """True when an ANN layout has accumulated enough live staged
+    segments that a fold amortizes within a handful of serves
+    (SCALE_r17 §3).  One directory listing + the folded-mask read —
+    cheap enough to run after every ingest burst."""
+    root = read_current(layout_path)
+    return len(_live_staged_segs(spark, layout_path, root)) >= min_segments
+
+
+def compact_staged_pq_if_needed(
+    spark,
+    layout_path: str,
+    min_segments: int = COMPACT_ANN_WHEN_SEGMENTS,
+) -> int:
+    """The SCALE_r17 ANN compaction policy as code, PQ form: fold iff
+    ``min_segments`` staged segments are live.  Returns rows folded
+    (0 = below threshold)."""
+    if not ann_fold_due(spark, layout_path, min_segments):
+        return 0
+    return compact_staged_pq(spark, layout_path)
+
+
+def compact_staged_ivfpq_residual_if_needed(
+    spark,
+    layout_path: str,
+    min_segments: int = COMPACT_ANN_WHEN_SEGMENTS,
+) -> int:
+    """:func:`compact_staged_pq_if_needed` for the canonical residual
+    index."""
+    if not ann_fold_due(spark, layout_path, min_segments):
+        return 0
+    return compact_staged_ivfpq_residual(spark, layout_path)
+
+
+def compact_staged_ivf_if_needed(
+    spark,
+    layout_path: str,
+    min_segments: int = COMPACT_ANN_WHEN_SEGMENTS,
+) -> int:
+    """:func:`compact_staged_pq_if_needed` for the plain-IVF index."""
+    if not ann_fold_due(spark, layout_path, min_segments):
+        return 0
+    return compact_staged_ivf(spark, layout_path)
 
 
 def compact_staged_ivf(spark, layout_path: str) -> int:

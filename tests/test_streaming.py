@@ -2024,6 +2024,20 @@ def test_streaming_pq_index_ingest_matches_batch(spark, tmp_path):
         for r in ing.pq_topk_with_staged(emb, layout, 0, 10).collect()
     ]
     assert got == want and len(got) == 10
+    # the batched staged serve (r17) equals the batch read over the
+    # batch-append reference — the query-stream shape works pre-fold
+    want_b = [
+        tuple(r)
+        for r in sim.pq_batch_topk_from_layout(
+            emb, ref, [0, 2, 4], 10
+        ).collect()
+    ]
+    assert [
+        tuple(r)
+        for r in ing.pq_batch_topk_with_staged(
+            emb, layout, [0, 2, 4], 10
+        ).collect()
+    ] == want_b
     # every delta vector is searchable, exactly once, before any fold
     staged = spark.read.parquet(f"{layout}/staged")
     n_staged_rows = staged.count()
@@ -2041,6 +2055,13 @@ def test_streaming_pq_index_ingest_matches_batch(spark, tmp_path):
         tuple(r)
         for r in ing.pq_topk_with_staged(emb, layout, 0, 10).collect()
     ] == want
+    # ...and the batched staged serve over the compacted layout
+    assert [
+        tuple(r)
+        for r in ing.pq_batch_topk_with_staged(
+            emb, layout, [0, 2, 4], 10
+        ).collect()
+    ] == want_b
     # exactly one generation on disk (gc_generations ran in the fold)
     cur = os.path.basename(read_current(layout))
     assert sorted(os.listdir(layout)) == ["CURRENT", cur]
@@ -2099,6 +2120,20 @@ def test_streaming_ivfpq_residual_ingest_matches_batch(spark, tmp_path):
         ).collect()
     ]
     assert got == want and len(got) == 10
+    # the batched staged serve (r17) equals the batch read over the
+    # batch-append reference
+    want_b = [
+        tuple(r)
+        for r in sim.ivfpq_residual_batch_topk_from_layout(
+            emb, ref, [0, 2, 4], 10
+        ).collect()
+    ]
+    assert [
+        tuple(r)
+        for r in ing.ivfpq_residual_batch_with_staged(
+            emb, layout, [0, 2, 4], 10
+        ).collect()
+    ] == want_b
     staged = spark.read.parquet(f"{layout}/staged")
     n_staged_rows = staged.count()
     assert staged.select("vec_id").distinct().count() == delta.count()
@@ -2117,6 +2152,12 @@ def test_streaming_ivfpq_residual_ingest_matches_batch(spark, tmp_path):
             emb, layout, 0, 10
         ).collect()
     ] == want
+    assert [
+        tuple(r)
+        for r in ing.ivfpq_residual_batch_with_staged(
+            emb, layout, [0, 2, 4], 10
+        ).collect()
+    ] == want_b
     # the fold restored the cluster directory partitioning
     root = read_current(layout)
     assert any(
@@ -2217,6 +2258,31 @@ def test_streaming_ivf_ingest_matches_batch(spark, tmp_path):
     cur = os.path.basename(root)
     assert sorted(os.listdir(layout)) == ["CURRENT", cur]
     assert ing.compact_staged_ivf(spark, layout) == 0
+
+
+def test_ann_fold_policy_trigger(tmp_path):
+    """SCALE_r17 §3 policy as code: the ANN fold trigger keys on live
+    staged segment COUNT (no read-merge arithmetic to weigh, unlike
+    the gram knob).  Below threshold the *_if_needed forms return 0
+    without touching Spark or the layout; the folded-mask exclusion
+    still applies (a folded-but-undeleted segment is not live)."""
+    import os
+
+    import pithos_spark.streaming.ingest as ing
+
+    layout = str(tmp_path / "ann_layout")
+    os.makedirs(f"{layout}/staged")
+    for i in range(ing.COMPACT_ANN_WHEN_SEGMENTS - 1):
+        os.makedirs(f"{layout}/staged/seg=tok-{i}")
+    assert not ing.ann_fold_due(None, layout)
+    assert ing.compact_staged_pq_if_needed(None, layout) == 0
+    assert ing.compact_staged_ivfpq_residual_if_needed(None, layout) == 0
+    assert ing.compact_staged_ivf_if_needed(None, layout) == 0
+
+    os.makedirs(f"{layout}/staged/seg=tok-last")
+    assert ing.ann_fold_due(None, layout)
+    # a custom threshold moves the line
+    assert not ing.ann_fold_due(None, layout, min_segments=99)
 
 
 def test_compact_staged_ivf_crash_recovery(spark, tmp_path):
