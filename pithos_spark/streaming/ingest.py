@@ -1316,6 +1316,34 @@ def ivfpq_residual_batch_with_staged(
 COMPACT_ANN_WHEN_SEGMENTS = 4
 
 
+def ann_staged_stats(spark, layout_path: str):
+    """Staged-state telemetry for an ANN layout — the readout the
+    :data:`COMPACT_ANN_WHEN_SEGMENTS` policy acts on, playing the role
+    ``trigram_segment_stats_with_staged`` plays for the gram layout
+    (every other blocking/layout strategy ships its sizing report;
+    until r17 the ANN staged state had only the policy bool).  One row
+    per LIVE staged segment with its row count, plus the segment total
+    and the fold-due verdict; layout-agnostic (PQ code rows, residual
+    code rows, or plain-IVF assignment rows alike).  Cost: one
+    aggregation over the delta-sized segments; empty layout -> empty
+    report."""
+    root = read_current(layout_path)
+    live = _live_staged_segs(spark, layout_path, root)
+    schema = "seg string, rows long, n_live_segments int, fold_due boolean"
+    if not live:
+        return spark.createDataFrame([], schema)
+    staged = _staged_tables(spark, layout_path, live)[None]
+    return (
+        staged.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .withColumn("n_live_segments", F.lit(len(live)))
+        .withColumn(
+            "fold_due", F.lit(len(live) >= COMPACT_ANN_WHEN_SEGMENTS)
+        )
+        .orderBy("seg")
+    )
+
+
 def ann_fold_due(
     spark,
     layout_path: str,

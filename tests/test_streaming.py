@@ -2236,6 +2236,15 @@ def test_streaming_ivf_ingest_matches_batch(spark, tmp_path):
     staged = spark.read.parquet(f"{layout}/staged")
     n_staged_rows = staged.count()
     assert staged.select("vec_id").distinct().count() == delta.count()
+    # the staged telemetry report (r17): one row per live segment,
+    # counts summing to the staged rows, fold verdict per the policy
+    stats = ing.ann_staged_stats(spark, layout).collect()
+    assert len(stats) == 3
+    assert sum(int(r["rows"]) for r in stats) == n_staged_rows
+    assert all(
+        bool(r["fold_due"]) == (3 >= ing.COMPACT_ANN_WHEN_SEGMENTS)
+        for r in stats
+    )
 
     folded = ing.compact_staged_ivf(spark, layout)
     assert folded == n_staged_rows
@@ -2258,6 +2267,8 @@ def test_streaming_ivf_ingest_matches_batch(spark, tmp_path):
     cur = os.path.basename(root)
     assert sorted(os.listdir(layout)) == ["CURRENT", cur]
     assert ing.compact_staged_ivf(spark, layout) == 0
+    # post-fold the telemetry report is empty (nothing staged)
+    assert ing.ann_staged_stats(spark, layout).count() == 0
 
 
 def test_ann_fold_policy_trigger(tmp_path):
