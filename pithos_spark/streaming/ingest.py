@@ -219,24 +219,36 @@ def _staged_counters(
     return out
 
 
-def _staged_postings(spark, layout_path: str, live: list[str]):
-    """The live staged posting rows, ``seg`` kept for per-segment
-    attribution."""
-    return _staged_tables(spark, layout_path, live)[None]
+def _staged_rows(spark, layout_path: str, live: list[str]):
+    """All live staged segments' rows in ONE multi-path scan — the
+    serving fast path for the single-table (postings / ANN code /
+    assignment) segment shape, whose consumers drop per-segment
+    attribution anyway.  One scan node with N paths replaces N
+    scan+union subplans, deleting the per-segment serving tax
+    (~0.09 s/segment measured, SCALE_r17 §1 — subplan/file-open
+    overhead, not data volume).  Safe because these segment dirs are
+    FLAT parquet directories (no partition subdirs), so the multi-root
+    conflicting-directory-structures check that forces the trigram
+    layout's per-segment reads never applies; readers that DO need
+    attribution (``_staged_counters`` derivations, occupancy
+    telemetry) keep using :func:`_staged_tables`."""
+    return spark.read.parquet(
+        *[f"{layout_path}/staged/seg={s}" for s in live]
+    )
 
 
 def _staged_postings_counters(
-    spark, layout_path: str, staged, live: list[str]
+    spark, layout_path: str, live: list[str]
 ) -> tuple[int, int]:
     """(n_docs, total_len) contributed by the live staged segments.
     The derivation for stats-less segments counts distinct
-    (doc_id, dl) pairs, so a document with zero tokens — which has no
-    posting rows and affects no score — is the one thing it can't
-    see."""
+    (doc_id, dl) pairs over exactly those segments' rows (read by
+    path), so a document with zero tokens — which has no posting rows
+    and affects no score — is the one thing it can't see."""
 
     def derive(missing):
         return (
-            staged.filter(F.col("seg").isin(missing))
+            _staged_rows(spark, layout_path, missing)
             .select("doc_id", "dl")
             .distinct()
             .agg(
@@ -281,11 +293,8 @@ def bm25_topk_with_staged(
     stats = spark.read.parquet(f"{root}/stats")
     live = _live_staged_segs(spark, layout_path, root)
     if live:
-        staged = _staged_postings(spark, layout_path, live)
-        dn, dl_sum = _staged_postings_counters(
-            spark, layout_path, staged, live
-        )
-        post = post.unionByName(staged.drop("seg"))
+        dn, dl_sum = _staged_postings_counters(spark, layout_path, live)
+        post = post.unionByName(_staged_rows(spark, layout_path, live))
         stats = stats.select(
             (F.col("n_docs") + F.lit(dn)).alias("n_docs"),
             (F.col("total_len") + F.lit(dl_sum)).alias("total_len"),
@@ -475,16 +484,16 @@ def compact_staged_postings(spark, layout_path: str) -> int:
         _gc_staged_stats(spark, layout_path)
         gc_generations(layout_path)
         return 0
-    staged = _staged_postings(spark, layout_path, live)
+    staged = _staged_rows(spark, layout_path, live)
     n = staged.count()
-    dn, dl_sum = _staged_postings_counters(spark, layout_path, staged, live)
+    dn, dl_sum = _staged_postings_counters(spark, layout_path, live)
     old = spark.read.parquet(f"{root}/stats").collect()[0]
 
     tmp = f"{layout_path}/{FOLD_TMP}"
     shutil.rmtree(tmp, ignore_errors=True)
     base = spark.read.parquet(f"{root}/postings")
     (
-        base.unionByName(staged.drop("seg"))
+        base.unionByName(staged)
         .repartition("term")
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
@@ -899,8 +908,7 @@ def pq_topk_with_staged(
     codes, cb_df, meta = load_pq_index(spark, layout_path, root)
     live = _live_staged_segs(spark, layout_path, root)
     if live:
-        staged = _staged_tables(spark, layout_path, live)[None]
-        codes = codes.unionByName(staged.drop("seg"))
+        codes = codes.unionByName(_staged_rows(spark, layout_path, live))
     return pq_serve_topk(
         embeddings,
         codes,
@@ -938,8 +946,7 @@ def pq_batch_topk_with_staged(
     codes, cb_df, meta = load_pq_index(spark, layout_path, root)
     live = _live_staged_segs(spark, layout_path, root)
     if live:
-        staged = _staged_tables(spark, layout_path, live)[None]
-        codes = codes.unionByName(staged.drop("seg"))
+        codes = codes.unionByName(_staged_rows(spark, layout_path, live))
     return _pq_batch_serve(
         embeddings, codes, cb_df, meta, query_ids, k, rerank
     )
@@ -966,7 +973,7 @@ def compact_staged_pq(spark, layout_path: str) -> int:
         _gc_staged_stats(spark, layout_path)
         gc_generations(layout_path)
         return 0
-    staged = _staged_tables(spark, layout_path, live)[None].drop("seg")
+    staged = _staged_rows(spark, layout_path, live)
     n = staged.count()
     base = spark.read.parquet(f"{root}/codes")
 
@@ -1077,8 +1084,7 @@ def ivfpq_residual_topk_with_staged(
     # concurrent fold (ADVICE r16, see pq_topk_with_staged)
     live = _live_staged_segs(spark, layout_path, root)
     if live:
-        staged = _staged_tables(spark, layout_path, live)[None]
-        codes = codes.unionByName(staged.drop("seg"))
+        codes = codes.unionByName(_staged_rows(spark, layout_path, live))
     qv = embeddings.select(
         "vec_id",
         "label",
@@ -1114,7 +1120,7 @@ def compact_staged_ivfpq_residual(spark, layout_path: str) -> int:
         _gc_staged_stats(spark, layout_path)
         gc_generations(layout_path)
         return 0
-    staged = _staged_tables(spark, layout_path, live)[None].drop("seg")
+    staged = _staged_rows(spark, layout_path, live)
     n = staged.count()
     base = spark.read.parquet(f"{root}/codes")
 
@@ -1215,8 +1221,7 @@ def ivf_assigned_with_staged(spark, layout_path: str):
     assigned, centers = load_ivf_index(spark, layout_path, root)
     live = _live_staged_segs(spark, layout_path, root)
     if live:
-        staged = _staged_tables(spark, layout_path, live)[None]
-        assigned = assigned.unionByName(staged.drop("seg"))
+        assigned = assigned.unionByName(_staged_rows(spark, layout_path, live))
     return assigned, centers
 
 
@@ -1292,8 +1297,7 @@ def ivfpq_residual_batch_with_staged(
     codes = spark.read.parquet(f"{root}/codes")
     live = _live_staged_segs(spark, layout_path, root)
     if live:
-        staged = _staged_tables(spark, layout_path, live)[None]
-        codes = codes.unionByName(staged.drop("seg"))
+        codes = codes.unionByName(_staged_rows(spark, layout_path, live))
     return _ivfpq_residual_batch_serve(
         embeddings,
         codes,
@@ -1411,7 +1415,7 @@ def compact_staged_ivf(spark, layout_path: str) -> int:
         _gc_staged_stats(spark, layout_path)
         gc_generations(layout_path)
         return 0
-    staged = _staged_tables(spark, layout_path, live)[None].drop("seg")
+    staged = _staged_rows(spark, layout_path, live)
     n = staged.count()
     base = spark.read.parquet(f"{root}/assigned")
 
