@@ -156,36 +156,28 @@ def _live_staged_segs(spark, layout_path: str, gen_root: str) -> list[str]:
     return [s for s in staged_segment_keys(layout_path) if s not in folded]
 
 
-def _staged_tables(
-    spark, layout_path: str, live: list[str], tables: tuple = (None,)
-) -> dict:
-    """THE staged reader (VERDICT r14 task 8 stretch, finished r16):
-    one parameterized per-segment union shared by both layout
-    families.  ``tables`` names the sub-tables inside each segment dir
-    (``None`` = the segment dir itself is the table — the postings
-    shape; the trigram shape passes its five count-table names).
+def _staged_segments_attributed(spark, layout_path: str, live: list[str]):
+    """The live segments' rows WITH a ``seg`` attribution column — one
+    scan per segment, because attribution is the point.  Serving paths
+    use the single-scan fast paths instead (:func:`_staged_rows` for
+    the flat postings/ANN shape, :func:`_staged_trigram_tables` for
+    the gram tables); this per-segment union remains for the readers
+    that genuinely key on the segment (:func:`ann_staged_stats`; the
+    counter derivations read their missing segments by path).
 
     Reads by explicit per-segment path: a segment dir exists iff its
     tables are complete (single-rename install), so no partial segment
-    can leak in — and a multi-root partitioned read would trip Spark's
-    conflicting-directory-structures check on the trigram ``b=``
-    partitions anyway.  Each row carries a ``seg`` attribution column
-    (the partition-column twin of the old partition-discovery read);
-    the union is over the handful of not-yet-folded segments."""
-    out: dict = {}
-    for t in tables:
-        parts = []
-        for s in live:
-            p = f"{layout_path}/staged/seg={s}" + (f"/{t}" if t else "")
-            df = spark.read.parquet(p)
-            if t:
-                df = df.drop("b")
-            parts.append(df.withColumn("seg", F.lit(s)))
-        df = parts[0]
-        for part in parts[1:]:
-            df = df.unionByName(part)
-        out[t] = df
-    return out
+    can leak in."""
+    parts = [
+        spark.read.parquet(f"{layout_path}/staged/seg={s}").withColumn(
+            "seg", F.lit(s)
+        )
+        for s in live
+    ]
+    df = parts[0]
+    for part in parts[1:]:
+        df = df.unionByName(part)
+    return df
 
 
 def _staged_counters(
@@ -231,7 +223,7 @@ def _staged_rows(spark, layout_path: str, live: list[str]):
     conflicting-directory-structures check that forces the trigram
     layout's per-segment reads never applies; readers that DO need
     attribution (``_staged_counters`` derivations, occupancy
-    telemetry) keep using :func:`_staged_tables`."""
+    telemetry) keep using :func:`_staged_segments_attributed`."""
     return spark.read.parquet(
         *[f"{layout_path}/staged/seg={s}" for s in live]
     )
@@ -598,18 +590,23 @@ def streaming_trigram_ingest(
 
 
 def _staged_trigram_tables(spark, layout_path: str, live: list[str]):
-    """Per-count-table union of the live staged segments' rows (``b``
-    and attribution dropped — the LSM merge keys on the gram); the
-    shared :func:`_staged_tables` reader with the five gram tables."""
+    """Per-count-table rows of the live staged segments, ONE recursive
+    multi-path scan per table (the gram twin of :func:`_staged_rows`,
+    r17): every consumer drops both ``b`` and the segment attribution
+    (the LSM merge keys on the gram), so instead of N scan+union
+    subplans per table the ``b=`` partition dirs are simply not
+    inferred — ``recursiveFileLookup`` reads the leaf files of all N
+    segment table dirs as one scan, sidestepping the
+    conflicting-directory-structures check that blocks partitioned
+    multi-root unions.  5 scans total instead of 5 x N."""
     from pithos_spark.functions.text import _TRIGRAM_COUNT_TABLES
 
-    staged = _staged_tables(
-        spark,
-        layout_path,
-        live,
-        tuple(cnt for _key, cnt in _TRIGRAM_COUNT_TABLES),
-    )
-    return {cnt: df.drop("seg") for cnt, df in staged.items()}
+    return {
+        cnt: spark.read.option("recursiveFileLookup", "true").parquet(
+            *[f"{layout_path}/staged/seg={s}/{cnt}" for s in live]
+        )
+        for _key, cnt in _TRIGRAM_COUNT_TABLES
+    }
 
 
 def _staged_trigram_total(spark, layout_path: str, live: list[str]) -> int:
@@ -1336,7 +1333,7 @@ def ann_staged_stats(spark, layout_path: str):
     schema = "seg string, rows long, n_live_segments int, fold_due boolean"
     if not live:
         return spark.createDataFrame([], schema)
-    staged = _staged_tables(spark, layout_path, live)[None]
+    staged = _staged_segments_attributed(spark, layout_path, live)
     return (
         staged.groupBy("seg")
         .agg(F.count(F.lit(1)).alias("rows"))
