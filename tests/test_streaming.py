@@ -2271,6 +2271,101 @@ def test_streaming_ivf_ingest_matches_batch(spark, tmp_path):
     assert ing.ann_staged_stats(spark, layout).count() == 0
 
 
+def test_staged_serves_resolve_generation_once(spark, tmp_path, monkeypatch):
+    """ADVICE r16 (medium) regression pin: a staged serve that
+    resolves CURRENT twice — once for the base read, once for the
+    staged mask — races a concurrent fold (segments folded between
+    the two resolutions are masked while their rows exist only in the
+    newer base).  Count the resolutions during plan construction:
+    exactly ONE, threaded through both reads."""
+    import pyspark.sql.functions as F
+
+    import pithos_spark.streaming.ingest as ing
+    from pithos_spark import tables as T
+    from pithos_spark.functions import similarity as sim
+    from pithos_spark.functions import text as txt
+
+    emb = T.load_tables(spark, SF_SMOKE)["embeddings"]
+    layout = str(tmp_path / "pq_once")
+    sim.save_pq_index(emb.filter("vec_id % 2 = 0"), layout)
+    src = str(tmp_path / "pq_once_src")
+    emb.filter("vec_id % 2 = 1").write.parquet(src)
+    q = ing.streaming_pq_index_ingest(
+        spark.readStream.schema(emb.schema).parquet(src),
+        layout,
+        str(tmp_path / "pq_once_ckpt"),
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    calls = []
+    real = ing.read_current
+
+    def counting(path):
+        calls.append(path)
+        return real(path)
+
+    monkeypatch.setattr(ing, "read_current", counting)
+    # the loaders must not re-resolve either (root is threaded in)
+    monkeypatch.setattr(
+        sim, "read_current", lambda p: (_ for _ in ()).throw(
+            AssertionError("loader re-resolved CURRENT")
+        )
+    )
+    ing.pq_topk_with_staged(emb, layout, 0, 10)  # plan construction
+    assert len(calls) == 1, calls
+
+    docs = T.load_tables(spark, SF_SMOKE)["documents"]
+    tri = str(tmp_path / "tri_once")
+    txt.write_trigram_lm_layout(docs.filter("doc_id % 2 = 0"), tri)
+    calls.clear()
+    ing.trigram_segment_stats_with_staged(spark, tri)
+    assert len(calls) == 1, calls
+
+
+def test_gc_staged_stats_survives_concurrent_append(spark, tmp_path, monkeypatch):
+    """ADVICE r16 regression pin for the file-level staged-stats GC:
+    a stats row a concurrent ingest appends between the GC's file
+    snapshot and its cleanup must SURVIVE (the old rmtree+swap
+    destroyed it — and for postings the derivation fallback can't see
+    zero-token docs, so that loss was a permanent score drift).
+    Deterministic interleaving: the concurrent append is injected
+    inside staged_segment_keys, which _gc_staged_stats calls AFTER
+    snapshotting the data files."""
+    import os
+
+    import pithos_spark.streaming.ingest as ing
+
+    layout = str(tmp_path / "race_layout")
+    os.makedirs(f"{layout}/staged/seg=live1")
+
+    def stats_row(seg, val, mode="append"):
+        (
+            spark.createDataFrame([(seg, val)], "seg string, n_docs long")
+            .repartition(1)
+            .write.mode(mode)
+            .parquet(f"{layout}/staged_stats")
+        )
+
+    stats_row("folded_old", 5)  # row for an already-folded segment
+
+    real = ing.staged_segment_keys
+
+    def keys_with_concurrent_append(path, staged="staged"):
+        stats_row("live1", 7)  # the racing ingest's append
+        return real(path, staged)
+
+    monkeypatch.setattr(ing, "staged_segment_keys", keys_with_concurrent_append)
+    ing._gc_staged_stats(spark, layout)
+
+    rows = {
+        (r["seg"], int(r["n_docs"]))
+        for r in spark.read.parquet(f"{layout}/staged_stats").collect()
+    }
+    assert ("live1", 7) in rows, rows  # the concurrent row survived
+    assert not any(s == "folded_old" for s, _ in rows)  # GC still GCs
+
+
 def test_ann_fold_policy_trigger(tmp_path):
     """SCALE_r17 §3 policy as code: the ANN fold trigger keys on live
     staged segment COUNT (no read-merge arithmetic to weigh, unlike
