@@ -4001,6 +4001,167 @@ ORACLES["corpus_bpe_heldout_fertility"] = text.bpe_heldout_fertility_oracle(
 
 
 # ---------------------------------------------------------------------------
+# r17: the objects listing layout's LSM lifecycle — streamed mutation
+# segments (upserts, inserts, tombstones) served through a
+# last-write-wins merge, then folded.  The mutation batches are a
+# DETERMINISTIC function of the objects table so the DuckDB oracle can
+# replay the final state as a CTE; tests/test_streaming.py proves the
+# streamed state equals the batch MERGE/DELETE ops and survives the
+# crash matrix, these gates hash-check the end state + listing.
+# ---------------------------------------------------------------------------
+
+
+def objects_lsm_mutations(base: DataFrame):
+    """The two demo mutation batches over an objects table (shared by
+    the LSM gates, their oracle CTE, and the lifecycle tests): batch 1
+    upserts every inode%7==3 key (size+1000, re-checksummed '-v2') and
+    inserts a 9-INSERTED/<inode> key per inode%13==7 row; batch 2
+    tombstones inode%11==5 and re-upserts inode%21==3 (size+2000,
+    '-v3') — overriding batch 1 for the overlap, so cross-segment
+    last-write-wins is exercised.  A key appears at most once per
+    batch (the ingest contract)."""
+    import pyspark.sql.functions as F
+
+    ik = F.col("inode").cast("long")
+    up1 = (
+        base.filter(ik % 7 == 3)
+        .withColumn("size", F.col("size") + 1000)
+        .withColumn(
+            "checksum", F.md5(F.concat(F.col("inode"), F.lit("-v2")))
+        )
+    )
+    ins1 = base.filter(ik % 13 == 7).withColumn(
+        "object", F.concat(F.lit("9-INSERTED/"), F.col("inode"))
+    )
+    batch1 = up1.unionByName(ins1).withColumn("_tombstone", F.lit(False))
+    tomb2 = base.filter(ik % 11 == 5).withColumn("_tombstone", F.lit(True))
+    up2 = (
+        base.filter((ik % 7 == 3) & (ik % 3 == 0) & ~(ik % 11 == 5))
+        .withColumn("size", F.col("size") + 2000)
+        .withColumn(
+            "checksum", F.md5(F.concat(F.col("inode"), F.lit("-v3")))
+        )
+        .withColumn("_tombstone", F.lit(False))
+    )
+    return batch1, tomb2.unionByName(up2)
+
+
+# the SQL twin of the final LSM state (base -> mutations applied) —
+# composes over the model's `objects` CTE
+_LSM_STATE_CTE = """lsm_state AS (
+    SELECT bucket, object, inode,
+           CASE WHEN CAST(inode AS BIGINT) % 7 = 3
+                     AND CAST(inode AS BIGINT) % 3 = 0 THEN size + 2000
+                WHEN CAST(inode AS BIGINT) % 7 = 3 THEN size + 1000
+                ELSE size END AS size,
+           atime,
+           CASE WHEN CAST(inode AS BIGINT) % 7 = 3
+                     AND CAST(inode AS BIGINT) % 3 = 0
+                     THEN md5(inode || '-v3')
+                WHEN CAST(inode AS BIGINT) % 7 = 3
+                     THEN md5(inode || '-v2')
+                ELSE checksum END AS checksum,
+           acl, storageclass, owner
+    FROM objects WHERE CAST(inode AS BIGINT) % 11 <> 5
+    UNION ALL
+    SELECT bucket, '9-INSERTED/' || inode AS object, inode, size,
+           atime, checksum, acl, storageclass, owner
+    FROM objects WHERE CAST(inode AS BIGINT) % 13 = 7
+)"""
+
+_OBJECTS_LSM_CACHE: dict = {}
+
+
+def _objects_lsm_paths(spark, sf_dir):
+    """Session-cached pair of LSM objects layouts: one left STAGED
+    (base + the two streamed mutation segments, unfolded) and one
+    COMPACTED (same mutations, folded through the generation commit).
+    Built once per (session, sf)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _OBJECTS_LSM_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        import pithos_spark.streaming.ingest as _ing
+
+        base = T.objects_df(T.load_tables(spark, sf_dir))
+        batch1, batch2 = objects_lsm_mutations(base)
+
+        def build(fold: bool) -> str:
+            root = tempfile.mkdtemp(prefix="objects_lsm_")
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
+            layout = f"{root}/layout"
+            _ing.save_objects_layout(base, layout)
+            src = f"{root}/src"
+            ckpt = f"{root}/ckpt"
+            for batch in (batch1, batch2):
+                batch.write.mode("append").parquet(src)
+                q = _ing.streaming_objects_ingest(
+                    spark.readStream.schema(batch1.schema).parquet(src),
+                    layout,
+                    ckpt,
+                )
+                q.awaitTermination(120)
+                q.stop()
+            if fold:
+                _ing.compact_staged_objects(spark, layout)
+            return layout
+
+        _OBJECTS_LSM_CACHE[key] = (build(False), build(True))
+    return _OBJECTS_LSM_CACHE[key]
+
+
+def _objects_lsm_staged_listing(spark, sf_dir):
+    """Root ListObjects over the STAGED LSM view: streamed PUTs are
+    listable (the 9-INSERTED/ prefix appears), DELETEs unlistable,
+    upserts override — before any fold."""
+    import pithos_spark.streaming.ingest as _ing
+
+    staged, _ = _objects_lsm_paths(spark, sf_dir)
+    return _ing.list_objects_with_staged(
+        spark, staged, "NATION_2", "", "/", None, 1000
+    )
+
+
+QUERIES["objects_lsm_staged_listing"] = _objects_lsm_staged_listing
+ORACLES["objects_lsm_staged_listing"] = T.with_model(
+    ", "
+    + _LSM_STATE_CTE
+    + listing.list_objects_oracle(
+        bucket="NATION_2", prefix="", delimiter="/", max_keys=1000
+    ).replace("FROM objects WHERE", "FROM lsm_state WHERE", 1)
+)
+
+
+def _objects_lsm_compacted_state(spark, sf_dir):
+    """One bucket's full post-fold state: the compacted generation's
+    plain partitioned read (no merge window left in the plan)."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions.layoutcommit import read_current
+
+    _, compacted = _objects_lsm_paths(spark, sf_dir)
+    root = read_current(compacted)
+    return (
+        spark.read.parquet(f"{root}/objects")
+        .filter(F.col("bucket") == "NATION_0")
+        .select("bucket", "object", "inode", "size", "checksum")
+        .orderBy("object")
+    )
+
+
+QUERIES["objects_lsm_compacted_state"] = _objects_lsm_compacted_state
+ORACLES["objects_lsm_compacted_state"] = T.with_model(
+    ", "
+    + _LSM_STATE_CTE
+    + """
+SELECT bucket, object, inode, size, checksum FROM lsm_state
+WHERE bucket = 'NATION_0' ORDER BY object"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering.
 #
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of the mapping

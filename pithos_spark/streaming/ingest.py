@@ -61,6 +61,7 @@ from pithos_spark.functions.layoutcommit import (
     FOLD_TMP,
     assert_not_torn,
     commit_current,
+    finalize_rebuild,
     folded_segment_keys,
     gc_generations,
     install_staged_segment,
@@ -1428,6 +1429,198 @@ def compact_staged_ivf(spark, layout_path: str) -> int:
     )
     write_tiny_table(spark.read.parquet(f"{root}/centers"), f"{tmp}/centers")
     write_tiny_table(spark.read.parquet(f"{root}/meta"), f"{tmp}/meta")
+    write_tiny_table(
+        _folded_segments_df(spark, layout_path, root, live),
+        f"{tmp}/folded_segments",
+    )
+    gen = next_gen_rel(layout_path)
+    os.rename(tmp, f"{layout_path}/{gen}")
+    commit_current(layout_path, gen)  # THE commit point
+    _gc_staged(layout_path, live)
+    _gc_staged_stats(spark, layout_path)
+    gc_generations(layout_path)
+    return n
+
+
+# --- LSM lifecycle for the OBJECTS listing layout (r17) ---------------------
+#
+# The store-side serving layout (write_objects_layout: bucket-partitioned,
+# key-range-sorted — the reference's (bucket) partition key + object
+# clustering, meta.clj:45) was the last one-shot layout: a metadata delta
+# required a full rewrite.  Object mutations are UPSERTS and DELETES
+# (meta.clj:183-195), not disjoint appends, so its staged lifecycle is a
+# real LSM: newer segments SHADOW older rows per (bucket, object) and
+# tombstone rows delete — exactly the merge discipline the reference
+# delegates to Cassandra's own LSM.  Precedence is baked into the rows
+# (``_seq`` = micro-batch id) rather than derived from segment
+# attribution, so serving reads stay on the single multi-path scan.
+# Single-writer contract: one maintenance stream per layout, and fold
+# before recreating its checkpoint (a fresh checkpoint restarts batch
+# ids, so cross-checkpoint precedence is undefined — same class of
+# assumption as the other layouts' genuinely-new-keys contract, loudly
+# documented instead of silently wrong).
+
+OBJECTS_TOMBSTONE = "_tombstone"
+OBJECTS_SEQ = "_seq"
+
+
+def save_objects_layout(objects, layout_path: str) -> None:
+    """Versioned root for the LSM objects layout: the bucket-partitioned
+    listing table nested at ``{layout}/objects`` so the generation
+    pointer, staging namespace and fold generations live beside it
+    (``sources.store.write_objects_layout``'s flat form remains for
+    one-shot deployments).  Ends in finalize_rebuild — rebuild is the
+    recovery, as for every layout."""
+    from pithos_spark.sources.store import write_objects_layout
+
+    write_objects_layout(objects, f"{layout_path}/objects")
+    finalize_rebuild(layout_path)
+
+
+def streaming_objects_ingest(
+    mutation_stream,
+    layout_path: str,
+    checkpoint: str,
+):
+    """Maintain the objects listing layout from a stream of metadata
+    mutations — upsert rows in the objects schema plus a boolean
+    ``_tombstone`` column (True = delete this (bucket, object)).  Each
+    micro-batch stamps its rows with ``_seq`` = batch id (precedence,
+    valid for the checkpoint's lifetime) and installs them as one
+    idempotent staged segment — at-least-once replays find the segment
+    already installed, so a retried PUT/DELETE batch can never
+    double-apply.  A key must appear at most once per batch (the S3
+    API's per-request atomicity unit).  Serving reads through
+    :func:`objects_with_staged` / :func:`list_objects_with_staged`;
+    fold with :func:`compact_staged_objects`."""
+    token = segment_token(checkpoint)
+
+    def _ingest(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        seg = f"{token}-{batch_id}"
+        tmp = f"{layout_path}/staged_tmp/seg={seg}"
+        (
+            batch_df.withColumn(
+                OBJECTS_SEQ, F.lit(int(batch_id)).cast("long")
+            )
+            .repartition("bucket")
+            .sortWithinPartitions("bucket", "object")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        install_staged_segment(tmp, f"{layout_path}/staged/seg={seg}")
+
+    return (
+        mutation_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def objects_with_staged(spark, layout_path: str):
+    """The merged LSM view of the objects layout: base ∪ live staged
+    segments, last-write-wins per (bucket, object) (``_seq`` desc; the
+    base reads as seq -1), tombstones dropped after the merge so a
+    delete shadows every older version.  With no staged segments this
+    IS the base read — zero merge tax on a folded layout.
+
+    Scale: the merge window partitions by (bucket, object), and a
+    listing's bucket/key-range predicates push below the window
+    (bucket is a window partition key), so a single listing merges one
+    bucket's key range — base rows arrive partition-pruned and
+    row-group-skipped exactly as in the plain read, staged rows are
+    delta-sized."""
+    from pyspark.sql import Window
+
+    root = read_current(layout_path)
+    assert_not_torn(root)
+    base = spark.read.parquet(f"{root}/objects")
+    live = _live_staged_segs(spark, layout_path, root)
+    if not live:
+        return base
+    base = base.withColumn(OBJECTS_TOMBSTONE, F.lit(False)).withColumn(
+        OBJECTS_SEQ, F.lit(-1).cast("long")
+    )
+    merged = base.unionByName(
+        _staged_rows(spark, layout_path, live).select(*base.columns)
+    )
+    w = Window.partitionBy("bucket", "object").orderBy(
+        F.col(OBJECTS_SEQ).desc()
+    )
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (~F.col(OBJECTS_TOMBSTONE)))
+        .drop("_rn", OBJECTS_SEQ, OBJECTS_TOMBSTONE)
+    )
+
+
+def list_objects_with_staged(
+    spark,
+    layout_path: str,
+    bucket: str,
+    prefix: str = "",
+    delimiter: str | None = None,
+    marker: str | None = None,
+    max_keys: int = 1000,
+):
+    """ListObjects over the merged LSM view: a PUT streamed in is
+    listable (and a DELETE unlistable) before any fold — the serving
+    read a continuously-ingesting deployment runs between folds."""
+    from pithos_spark.operators.listing import list_objects
+
+    return list_objects(
+        objects_with_staged(spark, layout_path),
+        bucket,
+        prefix,
+        delimiter,
+        marker,
+        max_keys,
+    )
+
+
+def compact_staged_objects(spark, layout_path: str) -> int:
+    """Fold the staged mutation segments into a new generation: the
+    merged last-write-wins state (tombstones physically dropped —
+    the LSM major compaction reclaiming deleted keys) rewritten in the
+    base's bucket-partitioned, key-range-sorted listing shape, behind
+    the usual pointer commit + GC.  Returns the number of staged
+    mutation rows folded."""
+    from pyspark.sql import Window
+
+    from pithos_spark.sources.store import write_objects_layout
+
+    root = read_current(layout_path)
+    assert_not_torn(root)
+    live = _live_staged_segs(spark, layout_path, root)
+    if not live:
+        _gc_staged(
+            layout_path, sorted(folded_segment_keys(spark, root))
+        )
+        _gc_staged_stats(spark, layout_path)
+        gc_generations(layout_path)
+        return 0
+    staged = _staged_rows(spark, layout_path, live)
+    n = staged.count()
+    base = (
+        spark.read.parquet(f"{root}/objects")
+        .withColumn(OBJECTS_TOMBSTONE, F.lit(False))
+        .withColumn(OBJECTS_SEQ, F.lit(-1).cast("long"))
+    )
+    w = Window.partitionBy("bucket", "object").orderBy(
+        F.col(OBJECTS_SEQ).desc()
+    )
+    merged = (
+        base.unionByName(staged.select(*base.columns))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (~F.col(OBJECTS_TOMBSTONE)))
+        .drop("_rn", OBJECTS_SEQ, OBJECTS_TOMBSTONE)
+    )
+
+    tmp = f"{layout_path}/{FOLD_TMP}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_objects_layout(merged, f"{tmp}/objects")
     write_tiny_table(
         _folded_segments_df(spark, layout_path, root, live),
         f"{tmp}/folded_segments",

@@ -2461,3 +2461,171 @@ def test_compact_staged_ivf_crash_recovery(spark, tmp_path):
             for r in ing.ivf_topk_with_staged(spark, layout, 0, 10).collect()
         ] == want
         assert ing.compact_staged_ivf(spark, layout) == 0
+
+
+def _object_mutations(base):
+    """The registry's shared deterministic mutation batches (also the
+    LSM gates' oracle CTE) — imported so the lifecycle tests and the
+    hash gates exercise the identical fixture."""
+    from pithos_spark.registry import objects_lsm_mutations
+
+    return objects_lsm_mutations(base)
+
+
+def _apply_mutations_batch(base, batch1, batch2):
+    """The batch-op reference: merge_upsert/bulk_delete applied in
+    stream order — what the LSM serve must equal."""
+    from pithos_spark.sources.store import bulk_delete, merge_upsert
+
+    keys = ["bucket", "object"]
+    state = merge_upsert(base, batch1.filter("not _tombstone").drop("_tombstone"), keys)
+    state = merge_upsert(state, batch2.filter("not _tombstone").drop("_tombstone"), keys)
+    return bulk_delete(state, batch2.filter("_tombstone").select(*keys), keys)
+
+
+def test_streaming_objects_ingest_matches_batch(spark, tmp_path):
+    """The objects layout's LSM lifecycle (r17 — the last one-shot
+    layout): two streamed mutation segments (upserts, inserts,
+    tombstones, a cross-segment override) must serve — full merged
+    state AND the ListObjects plan over it — exactly the state the
+    batch MERGE/DELETE ops produce; the fold materializes that state
+    into a new generation and disk holds exactly one generation."""
+    import os
+
+    import pithos_spark.streaming.ingest as ing
+    from pithos_spark import tables as T
+    from pithos_spark.functions.layoutcommit import read_current
+    from pithos_spark.operators.listing import list_objects
+
+    base = T.objects_df(T.load_tables(spark, SF_SMOKE))
+    batch1, batch2 = _object_mutations(base)
+    ref = _apply_mutations_batch(base, batch1, batch2)
+    want_state = sorted(tuple(r) for r in ref.collect())
+    want_listing = [
+        tuple(r)
+        for r in list_objects(ref, "NATION_2", "", "/", None, 1000).collect()
+    ]
+
+    layout = str(tmp_path / "objects_lsm")
+    ing.save_objects_layout(base, layout)
+    src = str(tmp_path / "mut_src")
+    ckpt = str(tmp_path / "mut_ckpt")
+    batch1.write.mode("append").parquet(src)
+    q = ing.streaming_objects_ingest(
+        spark.readStream.schema(batch1.schema).parquet(src), layout, ckpt
+    )
+    q.awaitTermination(120)
+    q.stop()
+    batch2.write.mode("append").parquet(src)  # second stream run, same ckpt
+    q = ing.streaming_objects_ingest(
+        spark.readStream.schema(batch1.schema).parquet(src), layout, ckpt
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got_state = sorted(
+        tuple(r)
+        for r in ing.objects_with_staged(spark, layout)
+        .select(*ref.columns)
+        .collect()
+    )
+    assert got_state == want_state
+    assert [
+        tuple(r)
+        for r in ing.list_objects_with_staged(
+            spark, layout, "NATION_2", "", "/"
+        ).collect()
+    ] == want_listing
+    # the inserted prefix is listable and a tombstoned key is gone,
+    # pre-fold (not just equal-by-accident empty checks)
+    names = {r["name"] for r in ing.list_objects_with_staged(
+        spark, layout, "NATION_2", "", "/"
+    ).collect()}
+    assert "9-INSERTED/" in names
+
+    folded = ing.compact_staged_objects(spark, layout)
+    assert folded == batch1.count() + batch2.count()
+    root = read_current(layout)
+    post = spark.read.parquet(f"{root}/objects")
+    assert sorted(tuple(r) for r in post.select(*ref.columns).collect()) == want_state
+    assert [
+        tuple(r)
+        for r in ing.list_objects_with_staged(
+            spark, layout, "NATION_2", "", "/"
+        ).collect()
+    ] == want_listing
+    cur = os.path.basename(root)
+    assert sorted(os.listdir(layout)) == ["CURRENT", cur]
+    assert ing.compact_staged_objects(spark, layout) == 0
+
+
+def test_compact_staged_objects_crash_recovery(spark, tmp_path):
+    """Objects-layout entry in the compaction crash matrix: kill the
+    fold at each driver-side step (a fresh mutation segment streamed
+    in between rounds); the torn LSM state must still serve exactly
+    the batch-op reference — no double-apply, no lost tombstone — and
+    a re-run recovers completely."""
+    import pyspark.sql.functions as F
+    import pytest as _pt
+
+    import pithos_spark.streaming.ingest as ing
+    from pithos_spark import tables as T
+    from pithos_spark.functions.layoutcommit import read_current
+    from pithos_spark.sources.store import bulk_delete, merge_upsert
+
+    base = T.objects_df(T.load_tables(spark, SF_SMOKE))
+    layout = str(tmp_path / "objects_crash")
+    ing.save_objects_layout(base, layout)
+    keys = ["bucket", "object"]
+    ref = base
+    ik = F.col("inode").cast("long")
+
+    for i, crash_fn in enumerate(_CRASH_POINTS):
+        # a key appears at most once per batch (the ingest contract):
+        # keep the tombstone when a key would land in both halves
+        ups = (
+            base.filter((ik % 9 == i) & ~(ik % 17 == i))
+            .withColumn("size", F.col("size") + 100 * (i + 1))
+            .withColumn("_tombstone", F.lit(False))
+        )
+        tombs = base.filter(ik % 17 == i).withColumn(
+            "_tombstone", F.lit(True)
+        )
+        batch = ups.unionByName(tombs)
+        src = str(tmp_path / f"oc_src_{i}")
+        batch.write.parquet(src)
+        q = ing.streaming_objects_ingest(
+            spark.readStream.schema(batch.schema).parquet(src),
+            layout,
+            str(tmp_path / f"oc_ckpt_{i}"),
+        )
+        q.awaitTermination(120)
+        q.stop()
+        ref = bulk_delete(
+            merge_upsert(ref, ups.drop("_tombstone"), keys),
+            tombs.select(*keys),
+            keys,
+        )
+        want = sorted(tuple(r) for r in ref.collect())
+
+        mp = _pt.MonkeyPatch()
+        mp.setattr(ing, crash_fn, _boom)
+        with _pt.raises(RuntimeError, match="injected crash"):
+            ing.compact_staged_objects(spark, layout)
+        mp.undo()
+
+        got = sorted(
+            tuple(r)
+            for r in ing.objects_with_staged(spark, layout)
+            .select(*ref.columns)
+            .collect()
+        )
+        assert got == want, f"torn LSM serve after crash at {crash_fn}"
+
+        ing.compact_staged_objects(spark, layout)
+        root = read_current(layout)
+        post = spark.read.parquet(f"{root}/objects").select(*ref.columns)
+        assert sorted(tuple(r) for r in post.collect()) == want, (
+            f"recovered base after {crash_fn}"
+        )
+        assert ing.compact_staged_objects(spark, layout) == 0
