@@ -134,6 +134,14 @@ HEADLINERS = [
     # index (staged rows filtered by row where the base prunes by
     # cluster partition — the tax the fold deletes)
     "ann_ivfpq_residual_staged",
+    # round-17: the objects layout's LSM lifecycle — a root listing
+    # over base + two streamed mutation segments (last-write-wins
+    # merge under the pushed listing predicates).  The one-time
+    # layout+stream build runs in the registry cache builder during
+    # the untimed warmup lap, so samples time only the merged listing
+    # read; the delta vs list_objects_materialized is the un-folded
+    # LSM merge tax.
+    "objects_lsm_staged_listing",
 ]
 
 # entries whose r11 spread exceeded ~50% run extra repeats (VERDICT r11
