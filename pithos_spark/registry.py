@@ -4174,8 +4174,11 @@ WHERE bucket = 'NATION_0' ORDER BY object"""
 # ---------------------------------------------------------------------------
 
 # Queries changed or added in the CURRENT round (17) — spliced at the
-# very front of the window so they get a fresh verdict.  All six are
-# re-gates forced by this round's concurrency fixes (ADVICE r16):
+# very front of the window so they get a fresh verdict.  Two are NEW
+# gates (the objects listing layout's LSM lifecycle — a brand-new
+# operator pair must get its first driver verdict the round it
+# lands); the other six are re-gates forced by this round's
+# concurrency fixes (ADVICE r16):
 #  - ann_pq_topk_staged / ann_ivfpq_residual_staged /
 #    corpus_trigram_heldout_staged: the staged serves now resolve the
 #    CURRENT generation ONCE and thread it through both the base read
@@ -4185,6 +4188,8 @@ WHERE bucket = 'NATION_0' ORDER BY object"""
 #    GC is now file-level (never deletes files it didn't snapshot), so
 #    a concurrent ingest's stats row can no longer be destroyed.
 ROUND_NEW: list[str] = [
+    "objects_lsm_staged_listing",
+    "objects_lsm_compacted_state",
     "ann_pq_topk_staged",
     "ann_ivfpq_residual_staged",
     "corpus_trigram_heldout_staged",
@@ -4211,8 +4216,9 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_trigram_interp",
     "corpus_trigram_heldout",
     "corpus_bpe_heldout_fertility",
-    # --- r13-stale, registry insertion order (37 of 48; the 11
-    # remaining — corpus_decontaminate_semantic onward per
+    # --- r13-stale, registry insertion order (35 of 48; the 13
+    # remaining — corpus_temperature_mix_weights, its sample twin,
+    # then corpus_decontaminate_semantic onward per
     # scripts/verdict_histogram.py — lead the r18 queue) ---
     "list_objects_root",
     "list_objects_flagship",
@@ -4249,14 +4255,14 @@ DRIVER_PRIORITY: list[str] = [
     "events_asof_last_click",
     "events_trailing_hour_count",
     "usage_grouping_sets",
-    "corpus_temperature_mix_weights",
-    "corpus_temperature_sample_mix",
 ]
 
 # No canary slots again: every DRIVER_PRIORITY entry doubles as a
-# canary (none has ever failed), and 6 ROUND_NEW + 44 DRIVER_PRIORITY
+# canary (none has ever failed), and 8 ROUND_NEW + 42 DRIVER_PRIORITY
 # fills the 50-slot window exactly; after r17 nothing is staler than
-# r13, and the 11 r13 leftovers lead r18's queue.
+# r13, and the 13 r13 leftovers (corpus_temperature_mix_weights and
+# corpus_temperature_sample_mix joined the queue when the two NEW LSM
+# gates took their slots) lead r18's queue.
 GREEN_CORE: list[str] = []
 
 
