@@ -40,7 +40,13 @@ per-gram partial rows, a compacted trigram layout returns to
 
 When to compact: fold when ``trigram_segment_stats``'s
 ``avg_segments_x1000`` crosses :data:`COMPACT_WHEN_AVG_SEGMENTS_X1000`
-(derivation in SCALE_r15).
+(derivation in SCALE_r15).  The ANN and objects layouts key on live
+segment COUNT instead (:data:`COMPACT_ANN_WHEN_SEGMENTS` /
+:data:`COMPACT_OBJECTS_WHEN_SEGMENTS`, derivation in SCALE_r17 §3-4):
+since the single-scan staged read their tax is per-segment file
+overhead, not merge arithmetic, and each ships a telemetry readout
+(``ann_staged_stats`` / ``objects_staged_stats``) plus a
+``compact_staged_*_if_needed`` policy form.
 
 Reference framing: the reference treats ingest as mutate-in-place
 against Cassandra (src/io/pithos/meta.clj:153-251 upserts) and gets
@@ -163,8 +169,9 @@ def _staged_segments_attributed(spark, layout_path: str, live: list[str]):
     use the single-scan fast paths instead (:func:`_staged_rows` for
     the flat postings/ANN shape, :func:`_staged_trigram_tables` for
     the gram tables); this per-segment union remains for the readers
-    that genuinely key on the segment (:func:`ann_staged_stats`; the
-    counter derivations read their missing segments by path).
+    that genuinely key on the segment (:func:`ann_staged_stats`,
+    :func:`objects_staged_stats`; the counter derivations read their
+    missing segments by path).
 
     Reads by explicit per-segment path: a segment dir exists iff its
     tables are complete (single-rename install), so no partial segment
@@ -1632,3 +1639,72 @@ def compact_staged_objects(spark, layout_path: str) -> int:
     _gc_staged_stats(spark, layout_path)
     gc_generations(layout_path)
     return n
+
+
+# The objects fold trigger shares the ANN rationale — since the
+# single-scan staged read, both layouts' staged tax is per-segment
+# scan/file overhead, not merge arithmetic — so the knob starts at the
+# same conservative 4.  The objects fold has one motive the ANN folds
+# lack: it is the major compaction that physically reclaims tombstoned
+# keys (until it runs, every deleted object still costs a shadowed row
+# in the merge window), which is why the telemetry below reports the
+# tombstone count per segment alongside the row count.
+COMPACT_OBJECTS_WHEN_SEGMENTS = 4
+
+
+def objects_staged_stats(spark, layout_path: str):
+    """Staged-state telemetry for the objects LSM layout —
+    :func:`ann_staged_stats`'s role for the listing lifecycle.  One
+    row per LIVE staged mutation segment: its mutation row count, how
+    many of those are tombstones (the reclaim debt the next fold
+    pays), plus the live-segment total and the fold-due verdict.
+    Cost: one aggregation over the delta-sized segments."""
+    root = read_current(layout_path)
+    live = _live_staged_segs(spark, layout_path, root)
+    schema = (
+        "seg string, rows long, tombstones long, "
+        "n_live_segments int, fold_due boolean"
+    )
+    if not live:
+        return spark.createDataFrame([], schema)
+    staged = _staged_segments_attributed(spark, layout_path, live)
+    return (
+        staged.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col(OBJECTS_TOMBSTONE).cast("long")).alias(
+                "tombstones"
+            ),
+        )
+        .withColumn("n_live_segments", F.lit(len(live)))
+        .withColumn(
+            "fold_due",
+            F.lit(len(live) >= COMPACT_OBJECTS_WHEN_SEGMENTS),
+        )
+        .orderBy("seg")
+    )
+
+
+def objects_fold_due(
+    spark,
+    layout_path: str,
+    min_segments: int = COMPACT_OBJECTS_WHEN_SEGMENTS,
+) -> bool:
+    """True when the objects layout has accumulated enough live staged
+    mutation segments to fold.  The predicate itself is the
+    layout-agnostic live-segment count :func:`ann_fold_due` evaluates;
+    only the default knob differs by name."""
+    return ann_fold_due(spark, layout_path, min_segments)
+
+
+def compact_staged_objects_if_needed(
+    spark,
+    layout_path: str,
+    min_segments: int = COMPACT_OBJECTS_WHEN_SEGMENTS,
+) -> int:
+    """The objects-LSM compaction policy as code: fold iff
+    ``min_segments`` staged mutation segments are live.  Returns
+    mutation rows folded (0 = below threshold)."""
+    if not objects_fold_due(spark, layout_path, min_segments):
+        return 0
+    return compact_staged_objects(spark, layout_path)

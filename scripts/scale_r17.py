@@ -172,13 +172,107 @@ def _save_ivf(sim, base, path):
     sim.save_ivf_index(assigned, centers, path)
 
 
+def _objects_mutation_delta(base):
+    """A crawl-scale mutation delta over the objects table: ~1/4 of
+    keys touched — 3/16 upserted (size bumped, re-checksummed), 1/16
+    tombstoned — plus ~1/32 inserted keys under a fresh prefix.  One
+    row per key (the ingest contract), deterministic in the inode."""
+    from pyspark.sql import functions as F
+
+    ik = F.col("inode").cast("long")
+    ups = (
+        base.filter(ik % 16 < 3)
+        .withColumn("size", F.col("size") + 1000)
+        .withColumn(
+            "checksum", F.md5(F.concat(F.col("inode"), F.lit("-d")))
+        )
+        .withColumn("_tombstone", F.lit(False))
+    )
+    tomb = base.filter(ik % 16 == 3).withColumn("_tombstone", F.lit(True))
+    ins = (
+        base.filter(ik % 32 == 4)
+        .withColumn("object", F.concat(F.lit("9-NEW/"), F.col("inode")))
+        .withColumn("_tombstone", F.lit(False))
+    )
+    return ups.unionByName(tomb).unionByName(ins)
+
+
+def section_objects_fold(spark, sf_dir: str, sf_label: str):
+    """The objects listing layout's LSM fold economics (the layout
+    that gained the lifecycle in r17): serve = the bucket listing —
+    the production read — over the last-write-wins merge; fold = the
+    major compaction that also reclaims tombstoned keys.  The
+    whole-state merge scan is emitted alongside as the upper bound a
+    full-table consumer (usage rollup) pays."""
+    import pithos_spark.streaming.ingest as ing
+    from pithos_spark import tables as T
+    from pithos_spark.functions.layoutcommit import staged_segment_keys
+
+    base = T.objects_df(T.load_tables(spark, sf_dir))
+    delta = _objects_mutation_delta(base)
+    n_mut = delta.count()
+    n_tomb = delta.filter("_tombstone").count()
+    layout = tempfile.mkdtemp(prefix=f"sc17_objects_{sf_label}_")
+    build_s = once(lambda: ing.save_objects_layout(base, layout))
+    base_bytes = du_bytes(layout)
+    _stream_delta(
+        spark, ing.streaming_objects_ingest, delta, layout, "objects"
+    )
+    n_segs = len(staged_segment_keys(layout))
+    staged_bytes = du_bytes(layout)
+
+    def serve_listing():
+        noop(
+            ing.list_objects_with_staged(spark, layout, "NATION_0", "", "/")
+        )
+
+    def serve_state():
+        noop(ing.objects_with_staged(spark, layout))
+
+    staged_listing_m, staged_listing_samples = timed(serve_listing)
+    staged_state_m, _ = timed(serve_state)
+    fold_s = once(lambda: ing.compact_staged_objects(spark, layout))
+    folded_bytes = du_bytes(layout)
+    folded_listing_m, folded_listing_samples = timed(serve_listing)
+    folded_state_m, _ = timed(serve_state)
+    tax = round(staged_listing_m - folded_listing_m, 3)
+    emit(
+        section="objects_fold",
+        sf=sf_label,
+        base_build_s=build_s,
+        staged_segments=n_segs,
+        mutation_rows=n_mut,
+        tombstone_rows=n_tomb,
+        staged_listing_s=staged_listing_m,
+        staged_listing_samples=staged_listing_samples,
+        staged_state_s=staged_state_m,
+        fold_s=fold_s,
+        folded_listing_s=folded_listing_m,
+        folded_listing_samples=folded_listing_samples,
+        folded_state_s=folded_state_m,
+        per_listing_tax_s=tax,
+        payback_reads=(round(fold_s / tax, 1) if tax > 0.005 else None),
+        base_bytes=base_bytes,
+        staged_bytes=staged_bytes,
+        folded_bytes=folded_bytes,
+    )
+
+
+SECTIONS = {
+    "ann": section_ann_fold,
+    "objects": section_objects_fold,
+}
+
+
 def main():
     sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf1 = sys.argv[2] if len(sys.argv) > 2 else ".scale/sf1"
+    names = sys.argv[3].split(",") if len(sys.argv) > 3 else list(SECTIONS)
     spark = _session()
     spark.sparkContext.setLogLevel("ERROR")
     for label, d in (("sf0.1", sf01), ("sf1", sf1)):
-        section_ann_fold(spark, d, label)
+        for n in names:
+            SECTIONS[n](spark, d, label)
     spark.stop()
 
 

@@ -2384,6 +2384,9 @@ def test_ann_fold_policy_trigger(tmp_path):
     assert ing.compact_staged_pq_if_needed(None, layout) == 0
     assert ing.compact_staged_ivfpq_residual_if_needed(None, layout) == 0
     assert ing.compact_staged_ivf_if_needed(None, layout) == 0
+    # the objects knob rides the same live-segment predicate
+    assert not ing.objects_fold_due(None, layout)
+    assert ing.compact_staged_objects_if_needed(None, layout) == 0
 
     os.makedirs(f"{layout}/staged/seg=tok-last")
     assert ing.ann_fold_due(None, layout)
@@ -2543,8 +2546,29 @@ def test_streaming_objects_ingest_matches_batch(spark, tmp_path):
     ).collect()}
     assert "9-INSERTED/" in names
 
-    folded = ing.compact_staged_objects(spark, layout)
-    assert folded == batch1.count() + batch2.count()
+    # staged telemetry (the objects analog of ann_staged_stats): one
+    # row per live mutation segment, rows/tombstones summing to the
+    # batches' totals, fold verdict per the segment-count policy
+    n_mut = batch1.count() + batch2.count()
+    n_tomb = batch1.filter("_tombstone").count() + batch2.filter(
+        "_tombstone"
+    ).count()
+    stats = ing.objects_staged_stats(spark, layout).collect()
+    assert len(stats) == 2
+    assert sum(int(r["rows"]) for r in stats) == n_mut
+    assert sum(int(r["tombstones"]) for r in stats) == n_tomb
+    assert all(
+        bool(r["fold_due"]) == (2 >= ing.COMPACT_OBJECTS_WHEN_SEGMENTS)
+        for r in stats
+    )
+    # the policy form: below the default knob it declines to fold, at
+    # an explicit threshold it folds through the same protocol
+    assert not ing.objects_fold_due(spark, layout)
+    assert ing.compact_staged_objects_if_needed(spark, layout) == 0
+    folded = ing.compact_staged_objects_if_needed(
+        spark, layout, min_segments=2
+    )
+    assert folded == n_mut
     root = read_current(layout)
     post = spark.read.parquet(f"{root}/objects")
     assert sorted(tuple(r) for r in post.select(*ref.columns).collect()) == want_state
@@ -2557,6 +2581,8 @@ def test_streaming_objects_ingest_matches_batch(spark, tmp_path):
     cur = os.path.basename(root)
     assert sorted(os.listdir(layout)) == ["CURRENT", cur]
     assert ing.compact_staged_objects(spark, layout) == 0
+    # post-fold the telemetry report is empty (nothing staged)
+    assert ing.objects_staged_stats(spark, layout).count() == 0
 
 
 def test_compact_staged_objects_crash_recovery(spark, tmp_path):
