@@ -193,3 +193,38 @@ def test_auto_rerun_skips_entries_without_runner():
     medians = {"orphan": 0.45}
     assert bench.auto_rerun_offenders(runs, medians, {}) == []
     assert len(runs["orphan"]) == 5
+
+
+def test_box_canary_rides_the_diagnostics_line():
+    """The engine-independent box-speed canaries (bench.box_canary)
+    must land on the diagnostics line when provided — and NEVER on the
+    canonical line (its 2000-char tail budget is spoken for) — so two
+    rounds' medians can be normalized by their scan canaries before a
+    broad shift is read as an engine regression."""
+    runs, medians = _fake_runs()
+    box = {
+        "start": {"cpu_s": 0.31, "scan_s": 0.12, "load_1m": 0.05},
+        "end": {"cpu_s": 0.33, "scan_s": 0.13, "load_1m": 1.2},
+    }
+    diag, canonical = bench.bench_output_lines(runs, medians, "0.1", box=box)
+    assert json.loads(diag)["box"] == box
+    assert "box" not in json.loads(canonical)
+    # omitting it (unit-test callers) keeps the line shape unchanged
+    diag2, _ = bench.bench_output_lines(runs, medians, "0.1")
+    assert "box" not in json.loads(diag2)
+
+
+def test_shipped_artifact_carries_box_canaries():
+    """BENCH_DIAG.json as committed must include both bracket canaries
+    with the three probe fields — the artifact the next round's judge
+    normalizes against."""
+    from pathlib import Path
+
+    diag = json.loads(
+        (Path(bench.__file__).resolve().parent / "BENCH_DIAG.json").read_text()
+    )
+    assert "box" in diag, "re-run bench.py: artifact predates box_canary"
+    for end in ("start", "end"):
+        probe = diag["box"][end]
+        assert set(probe) == {"cpu_s", "scan_s", "load_1m"}
+        assert probe["cpu_s"] > 0 and probe["scan_s"] > 0
