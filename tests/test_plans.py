@@ -754,3 +754,55 @@ def test_no_coalesce_1_in_package():
         if ".coalesce(1)" in p.read_text()
     ]
     assert offenders == [], offenders
+
+
+def test_lsm_staged_listing_pushes_below_merge_window(spark, tables, tmp_path):
+    """PLANS.md r17 `list_objects_with_staged` audit, pinned: the
+    listing predicates must reach BOTH sides of the last-write-wins
+    merge — the base generation scan via bucket partition-directory
+    pruning plus the pushed object key range, the staged multi-path
+    scan via the same PushedFilters — and Spark must bound the merge
+    with WindowGroupLimit before the exchange.  If a change lifts the
+    filter above the window, a single listing starts merging the whole
+    table and the 100 TB claim in objects_with_staged's docstring is
+    gone."""
+    import pyspark.sql.functions as F
+
+    import pithos_spark.streaming.ingest as ing
+    from pithos_spark import tables as T
+    from pithos_spark.registry import objects_lsm_mutations
+
+    base = T.objects_df(tables)
+    layout = str(tmp_path / "objects_lsm_plan")
+    ing.save_objects_layout(base, layout)
+    # install the two demo mutation batches as staged segments by hand
+    # (the exact write streaming_objects_ingest's _ingest performs) —
+    # the plan shape is the point here, not the stream machinery
+    batch1, batch2 = objects_lsm_mutations(base)
+    for i, b in enumerate([batch1, batch2]):
+        seg = f"plan-{i}"
+        tmp = f"{layout}/staged_tmp/seg={seg}"
+        (
+            b.withColumn(ing.OBJECTS_SEQ, F.lit(i).cast("long"))
+            .repartition("bucket")
+            .sortWithinPartitions("bucket", "object")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        ing.install_staged_segment(tmp, f"{layout}/staged/seg={seg}")
+
+    df = ing.list_objects_with_staged(
+        spark, layout, "NATION_2", "1-URGENT/", "/"
+    )
+    plan = _plan(df)
+    # the rank<=1 of last-write-wins compiles to a group limit on both
+    # sides of the merge exchange, bounding its state
+    assert "WindowGroupLimit" in plan, plan
+    # base generation scan prunes the bucket partition directory
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*bucket[^\]]*NATION_2", plan
+    ), plan
+    # ...and the object key range reaches both scans as pushed filters
+    # (count the raw marker, not bracket captures — the plan printer
+    # truncates long PushedFilters lists with an ellipsis)
+    assert plan.count("GreaterThanOrEqual(object,1-URGE") >= 2, plan
