@@ -124,6 +124,25 @@ def write_objects_layout(
         .partitionBy("bucket")
         .parquet(path)
     )
+    # An EMPTY corpus — e.g. an LSM fold where every key was
+    # tombstoned (hypothesis-found, tests/test_lsm_property.py) —
+    # writes ZERO data files under partitionBy, leaving a directory no
+    # reader can infer a schema from.  Seed it with one zero-row file
+    # carrying the full schema (bucket as a data column; with no
+    # partition subdirs present, discovery yields the flat schema and
+    # listings/merges stay correct over the empty table).  The walk
+    # exits at the first parquet file, so non-empty layouts pay one
+    # directory listing.
+    import os
+
+    def _has_data_file(d: str) -> bool:
+        for root, _dirs, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    if not _has_data_file(path):
+        objects.limit(0).repartition(1).write.mode("append").parquet(path)
 
 
 def write_chunks_layout(
