@@ -57,7 +57,7 @@ _batch = st.dictionaries(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
-    base_keys=st.sets(st.sampled_from(KEYS), min_size=1, max_size=6),
+    base_keys=st.sets(st.sampled_from(KEYS), min_size=0, max_size=6),
     batches=st.lists(_batch, min_size=1, max_size=3),
 )
 def test_lsm_merge_matches_dict_oracle(spark, tmp_path_factory, base_keys, batches):
