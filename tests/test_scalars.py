@@ -116,3 +116,88 @@ def test_timestamp_formats_and_uridecode(spark):
     assert row["iso"].startswith("2024-03-05T06:07:08")
     assert row["rfc"] == "Tue, 05 Mar 2024 06:07:08 GMT"
     assert row["dec"] == "a/b c.txt"
+
+
+# -- property form of the range table (F14) ----------------------------------
+# The tabular cases above mirror operations_test.clj; hypothesis drives
+# the same documented contract ("clamped to the object size, ValueError
+# = the 416 path") across random bounds, sizes, and garbage strings —
+# constructive assertions per form, no second model to drift.
+
+
+def test_range_properties_explicit_form():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pithos_spark.functions.scalars import parse_range_header
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        a=st.integers(0, 10_000),
+        b=st.integers(0, 10_000),
+        size=st.integers(0, 10_000),
+    )
+    def check(a, b, size):
+        spec = f"bytes={a}-{b}"
+        if a >= size or a > b:
+            with pytest.raises(ValueError):
+                parse_range_header(spec, size)
+        else:
+            got = parse_range_header(spec, size)
+            assert got == (True, a, min(b + 1, size))
+            has, s, e = got
+            assert 0 <= s < e <= size  # always a non-empty in-bounds slice
+
+    check()
+
+
+def test_range_properties_open_and_suffix_forms():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pithos_spark.functions.scalars import parse_range_header
+
+    @settings(max_examples=300, deadline=None)
+    @given(n=st.integers(0, 10_000), size=st.integers(0, 10_000))
+    def check(n, size):
+        # open form bytes=N-: everything from N, 416 iff N is past EOF
+        if n >= size:
+            with pytest.raises(ValueError):
+                parse_range_header(f"bytes={n}-", size)
+        else:
+            assert parse_range_header(f"bytes={n}-", size) == (True, n, size)
+        # suffix form bytes=-N: last N bytes, clamped at 0; N=0 is 416
+        if n == 0:
+            with pytest.raises(ValueError):
+                parse_range_header("bytes=-0", size)
+        else:
+            assert parse_range_header(f"bytes=-{n}", size) == (
+                True,
+                max(size - n, 0),
+                size,
+            )
+
+    check()
+
+
+def test_range_garbage_never_parses_and_empty_passes_through():
+    from hypothesis import assume, given, settings
+    from hypothesis import strategies as st
+
+    from pithos_spark.functions.scalars import parse_range_header
+
+    import re as _re
+
+    @settings(max_examples=300, deadline=None)
+    @given(junk=st.text(max_size=24), size=st.integers(0, 1000))
+    def check(junk, size):
+        # anything that is not exactly the bytes=<digits>-<digits> shape
+        # (with at least one side) must raise, never mis-slice
+        assume(not _re.fullmatch(r"bytes=(\d*)-(\d*)", junk.strip()))
+        if not junk:
+            assert parse_range_header(junk, size) == (False, 0, size)
+        else:
+            with pytest.raises(ValueError):
+                parse_range_header(junk, size)
+
+    check()
