@@ -158,3 +158,35 @@ def test_chunk_ingest_roundtrip(spark, payloads, chunk_size):
     }
     for i, p in enumerate(payloads):
         assert rebuilt.get(i, "") == p, (i, chunk_size)
+
+
+def test_inc_prefix_range_equals_startswith():
+    """C1's load-bearing equivalence, per random unicode prefix/key —
+    including the 0x10FFFF increment-rollover branch: membership in the
+    pushed key range [prefix, inc_prefix(prefix)) must EQUAL
+    startswith(prefix).  The => direction is correctness (a key the
+    range excludes is a key the listing silently drops before the
+    regex ever sees it); the <= direction is tightness (the SARGable
+    pre-filter admits no stranger rows, so min/max skipping prunes
+    exactly the right row groups).  Python, Spark (UTF8String binary)
+    and DuckDB all compare strings in codepoint order, so the
+    driver-side check is the engine-order check."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # bias toward the rollover branch: sprinkle U+10FFFF and near-max
+    # scalars into otherwise ordinary text
+    chars = st.one_of(
+        st.characters(),
+        st.sampled_from(["\U0010FFFF", "\U0010FFFE", "￿", "a"]),
+    )
+    texts = st.text(alphabet=chars, max_size=6)
+
+    @settings(max_examples=500, deadline=None)
+    @given(prefix=texts, key=texts)
+    def check(prefix, key):
+        bound = inc_prefix(prefix)
+        in_range = key >= prefix and (bound is None or key < bound)
+        assert key.startswith(prefix) == in_range, (prefix, key, bound)
+
+    check()
