@@ -128,3 +128,86 @@ def test_cors_xml_escapes_user_supplied_values():
     rt = aclxml.xml_to_cors(doc)
     assert rt[0]["origins"] == ["https://a.com?x=1&y=<2>"]
     assert rt[0]["headers"] == ["x-<evil>"]
+
+
+# -- property forms (C14) -----------------------------------------------------
+# The fixtures above byte-match the reference; hypothesis widens the
+# same codec over arbitrary policies (XML-hostile characters included)
+# and arbitrary junk input.
+
+
+def _xml_text():
+    from hypothesis import strategies as st
+
+    # XML-representable text: no control chars / surrogates (a text
+    # node cannot carry them even escaped); keep the hostile ones
+    # (&, <, >, quotes) in heavy rotation via the sampled alphabet
+    return st.text(
+        alphabet=st.one_of(
+            st.characters(
+                blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FFF
+            ),
+            st.sampled_from(list("&<>\"'")),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+
+def _grantees():
+    from hypothesis import strategies as st
+
+    canonical = st.fixed_dictionaries(
+        {"ID": _xml_text(), "DisplayName": _xml_text()}
+    )
+    group = st.fixed_dictionaries(
+        {
+            "URI": st.one_of(
+                st.sampled_from(sorted(aclxml.KNOWN_URIS.values())),
+                _xml_text(),
+            ),
+            "DisplayName": _xml_text(),
+        }
+    )
+    return st.one_of(canonical, group)
+
+
+def test_acl_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    policies = st.dictionaries(
+        st.sampled_from(sorted(aclxml.VALID_PERMISSIONS)),
+        st.lists(_grantees(), min_size=1, max_size=3),
+        min_size=1,
+        max_size=3,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(policy=policies)
+    def check(policy):
+        assert aclxml.xml_to_acl(aclxml.acl_as_xml(policy)) == policy
+        # the indented render carries the same policy too
+        assert (
+            aclxml.xml_to_acl(aclxml.acl_as_xml(policy, indent=True))
+            == policy
+        )
+
+    check()
+
+
+def test_acl_parse_never_returns_garbage_on_junk():
+    from hypothesis import assume, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(junk=st.text(max_size=64))
+    def check(junk):
+        # anything that is not a well-formed AccessControlPolicy must
+        # raise the typed error (the S3 MalformedACLError path), never
+        # hand back a half-parsed policy
+        assume("AccessControlPolicy" not in junk)
+        with pytest.raises(aclxml.InvalidAclXml):
+            aclxml.xml_to_acl(junk)
+
+    check()
