@@ -201,3 +201,46 @@ def test_range_garbage_never_parses_and_empty_passes_through():
                 parse_range_header(junk, size)
 
     check()
+
+
+def test_to_bytes_property():
+    """C3 across random magnitudes/units/casings/whitespace — the
+    constructive contract: digits x unit multiplier, optional b/B,
+    anything else raises."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pithos_spark.functions.scalars import _UNITS, to_bytes
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        n=st.integers(0, 10**12),
+        unit=st.sampled_from(sorted(_UNITS)),
+        upper=st.booleans(),
+        suffix=st.sampled_from(["", "b", "B"]),
+        pad=st.sampled_from(["", " ", "  "]),
+    )
+    def check(n, unit, upper, suffix, pad):
+        u = unit.upper() if upper else unit
+        assert to_bytes(f"{pad}{n}{pad}{u}{suffix}{pad}") == n * _UNITS[unit]
+        assert to_bytes(n) == n  # int passthrough
+
+    check()
+
+
+def test_to_bytes_junk_raises():
+    from hypothesis import assume, given, settings
+    from hypothesis import strategies as st
+
+    import re as _re
+
+    from pithos_spark.functions.scalars import to_bytes
+
+    @settings(max_examples=200, deadline=None)
+    @given(junk=st.text(max_size=16))
+    def check(junk):
+        assume(not _re.fullmatch(r"\s*(\d+)\s*([kKmMgGtTpP]?)[bB]?\s*", junk))
+        with pytest.raises(ValueError):
+            to_bytes(junk)
+
+    check()
