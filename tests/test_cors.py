@@ -120,3 +120,59 @@ def test_cors1_fixture_wildcard_header_end_to_end(spark):
     r = _one(cors.preflight_response(req, rules))
     assert r["allowed"]
     assert r["allowed_headers"] == ["X-Whatever", "Authorization"]
+
+
+def test_origin_and_header_match_property(spark):
+    """F10/F11 cross-checked against a clean Python model — the Spark
+    exprs do 1-based substring arithmetic (instr/substring/substr),
+    exactly where off-by-ones hide.  Batched: hypothesis generates a
+    few hundred (value, pattern) pairs per example, ONE Spark job
+    evaluates both exprs over the whole batch."""
+    import pyspark.sql.functions as F
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pithos_spark.operators.cors import (
+        header_match_expr,
+        origin_match_expr,
+    )
+
+    piece = st.text(alphabet="abC.:/-", max_size=6)
+    # at most one * per pattern (the documented S3 contract)
+    pattern = st.one_of(
+        piece,
+        st.tuples(piece, piece).map(lambda t: f"{t[0]}*{t[1]}"),
+    )
+    pairs = st.lists(st.tuples(piece, pattern), min_size=1, max_size=200)
+
+    def origin_model(o, p):
+        if "*" not in p:
+            return o == p
+        pre, suf = p.split("*", 1)
+        return (
+            o.startswith(pre)
+            and o.endswith(suf)
+            and len(o) >= len(pre) + len(suf)
+        )
+
+    def header_model(h, p):
+        h, p = h.lower(), p.lower()
+        if "*" not in p:
+            return h == p
+        return h.startswith(p.split("*", 1)[0])
+
+    @settings(max_examples=5, deadline=None)
+    @given(batch=pairs)
+    def check(batch):
+        df = spark.createDataFrame(batch, "v string, p string")
+        rows = df.select(
+            "v",
+            "p",
+            origin_match_expr(F.col("v"), F.col("p")).alias("om"),
+            header_match_expr(F.col("v"), F.col("p")).alias("hm"),
+        ).collect()
+        for r in rows:
+            assert bool(r["om"]) == origin_model(r["v"], r["p"]), r
+            assert bool(r["hm"]) == header_model(r["v"], r["p"]), r
+
+    check()
