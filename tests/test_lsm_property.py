@@ -101,6 +101,25 @@ def test_lsm_merge_matches_dict_oracle(spark, tmp_path_factory, base_keys, batch
     got = served(ing.objects_with_staged(spark, layout))
     assert got == state, (base_keys, batches)
 
+    # ...and the LISTING serve over the un-folded merge must equal the
+    # pure listing oracle (tests/test_listing_property.py — the
+    # reference's make-fetcher semantics) applied to the merged dict:
+    # the two properties compose, pinning predicate pushdown below the
+    # merge window semantically, not just in the plan test
+    from tests.test_listing_property import oracle_list
+
+    for bucket in BUCKETS:
+        want = oracle_list(
+            [o for (b, o) in state if b == bucket], "", "/", None, 1000
+        )
+        listed = [
+            (r["entry_type"], r["name"])
+            for r in ing.list_objects_with_staged(
+                spark, layout, bucket, "", "/"
+            ).collect()
+        ]
+        assert listed == want, (bucket, base_keys, batches)
+
     # the fold must materialize the identical state (and drop
     # tombstoned keys physically — served equality covers the rows,
     # the lifecycle tests cover the disk shape)
