@@ -421,7 +421,10 @@ def complete_multipart_upload(
         validate_complete_manifest,
     )
 
-    manifest = xmlio.parse_complete_upload(manifest_xml)
+    try:
+        manifest = xmlio.parse_complete_upload(manifest_xml)
+    except ValueError as e:
+        return 400, xmlio.error_response("MalformedXML", str(e))
     if not manifest:
         return 400, xmlio.error_response(
             "MalformedXML", "empty CompleteMultipartUpload manifest"
@@ -1034,7 +1037,10 @@ def serve(
     if op == "get-bucket-requestpayment":
         return get_bucket_requestpayment(b)
     if op == "post-bucket-delete":
-        return 200, post_bucket_delete(objects, b, body)
+        try:
+            return 200, post_bucket_delete(objects, b, body)
+        except ValueError as e:
+            return 400, xmlio.error_response("MalformedXML", str(e))
     if op == "get-bucket-acl" and "grants" in model:
         from pithos_spark.operators import aclxml
 

@@ -310,8 +310,15 @@ ERROR_CODES = {
 
 
 def parse_delete_keys(body: str) -> list[str]:
-    """POST /?delete body -> key list (xml.clj:32-46)."""
-    root = ET.fromstring(body)
+    """POST /?delete body -> key list (xml.clj:32-46).  Raises
+    ValueError on a malformed document — serve() maps it to the 400
+    MalformedXML response, the same contract the ACL/CORS body parsers
+    carry (a raw ET.ParseError out of the dispatch is a crash, not an
+    S3 error)."""
+    try:
+        root = ET.fromstring(body)
+    except ET.ParseError as e:
+        raise ValueError("malformed Delete body") from e
     return [
         obj.findtext("Key")
         for obj in root.findall(".//Object")
@@ -321,13 +328,25 @@ def parse_delete_keys(body: str) -> list[str]:
 
 def parse_complete_upload(body: str) -> list[dict]:
     """CompleteMultipartUpload body -> [(partno, etag)] manifest
-    (xml.clj:48-64)."""
-    root = ET.fromstring(body)
+    (xml.clj:48-64).  Raises ValueError on malformed XML or a Part
+    without a numeric PartNumber (same MalformedXML contract as
+    parse_delete_keys)."""
+    try:
+        root = ET.fromstring(body)
+    except ET.ParseError as e:
+        raise ValueError("malformed CompleteMultipartUpload body") from e
     out = []
     for part in root.findall(".//Part"):
+        partno_text = part.findtext("PartNumber")
+        try:
+            partno = int(partno_text)
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                "malformed PartNumber in CompleteMultipartUpload body"
+            ) from e
         out.append(
             {
-                "partno": int(part.findtext("PartNumber")),
+                "partno": partno,
                 "etag": (part.findtext("ETag") or "").strip('"'),
             }
         )

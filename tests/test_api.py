@@ -1769,3 +1769,37 @@ def test_bounded_persist_evicts_dead_sessions(spark):
     assert other is not out and not out.storageLevel.useMemory
     other.unpersist()
     del H._PERSIST_SLOTS[(app, "slot-y")]
+
+
+def test_malformed_bodies_return_400_not_crash(model):
+    """A malformed POST /?delete or CompleteMultipartUpload body must
+    come back as 400 MalformedXML — the contract the ACL/CORS body
+    paths already carry — never as a raw ET.ParseError/TypeError out
+    of the dispatch (hypothesis-found via the parser fuzz in
+    tests/test_xmlio.py)."""
+    import pyspark.sql.functions as F
+
+    # truncated delete document, end-to-end through serve()
+    status, body = api.serve(
+        model, "POST", "/NATION_2", {"delete": ""},
+        body="<Delete><Object><Key>k</Key></Object", tenant="ASIA",
+    )
+    assert status == 400
+    assert ET.fromstring(body).findtext("Code") == "MalformedXML"
+
+    # Part without a numeric PartNumber, via the complete handler
+    status, body = api.complete_multipart_upload(
+        model["parts"], "bkt", "obj", "up-x",
+        "<CompleteMultipartUpload><Part><ETag>e</ETag></Part>"
+        "</CompleteMultipartUpload>",
+    )
+    assert status == 400
+    assert ET.fromstring(body).findtext("Code") == "MalformedXML"
+
+    # ...and through serve()'s post-object-uploadid route too
+    status, body = api.serve(
+        model, "POST", "/NATION_2/doc.bin", {"uploadid": "up-x"},
+        body="not xml at all", tenant="ASIA",
+    )
+    assert status == 400
+    assert ET.fromstring(body).findtext("Code") == "MalformedXML"

@@ -128,3 +128,43 @@ def test_error_taxonomy_complete_vs_reference():
 def test_string_to_sign_bytes_hex_rendering():
     # (map (partial format "%02x")) over the bytes, space-joined
     assert xmlio.string_to_sign_bytes("GET\n") == "47 45 54 0a"
+
+
+def test_body_parsers_raise_valueerror_on_junk():
+    """The request-body parsers must refuse malformed documents with
+    the typed error serve() maps to 400 MalformedXML — a raw
+    ET.ParseError (or TypeError on a PartNumber-less Part) escaping
+    the dispatch is a crash, not an S3 error.  Fuzzed: arbitrary
+    junk, truncated XML, and structurally-valid XML with broken
+    fields."""
+    import pytest
+    from hypothesis import assume, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(junk=st.text(max_size=48))
+    def check(junk):
+        assume(not junk.strip().startswith("<"))
+        with pytest.raises(ValueError):
+            xmlio.parse_delete_keys(junk)
+        with pytest.raises(ValueError):
+            xmlio.parse_complete_upload(junk)
+
+    check()
+    # structurally-valid XML, semantically broken manifests
+    for bad in (
+        "<CompleteMultipartUpload><Part><ETag>x</ETag></Part></CompleteMultipartUpload>",
+        "<CompleteMultipartUpload><Part><PartNumber>one</PartNumber></Part></CompleteMultipartUpload>",
+        "<Delete><Object><Key>k</Key></Object",
+    ):
+        with pytest.raises(ValueError):
+            if "Delete" in bad:
+                xmlio.parse_delete_keys(bad)
+            else:
+                xmlio.parse_complete_upload(bad)
+    # ...and a Part list that IS well-formed still parses
+    ok = (
+        "<CompleteMultipartUpload><Part><PartNumber>1</PartNumber>"
+        '<ETag>"e1"</ETag></Part></CompleteMultipartUpload>'
+    )
+    assert xmlio.parse_complete_upload(ok) == [{"partno": 1, "etag": "e1"}]
