@@ -144,3 +144,66 @@ def test_presigned_url_validation_order_and_expiry():
         {"Expires": bad_exp, "Signature": v2_sign(secret, bad_sts)}, secret,
         now_epoch=1700000001)
     assert (ok, err) == (False, "InternalError")
+
+
+def test_authenticate_never_raises_on_hostile_requests():
+    """The whole authenticate() surface is attacker-controlled
+    (Authorization header, query params, body) and serve() has no
+    catch-all: every input must come back as ((tenant, memberof),
+    refusal-or-None), never as an exception.  Three prior rounds
+    hardened individual corners (non-ASCII compare_digest, junk
+    Expires, declared-but-malformed AWS4-); this fuzz net pins the
+    invariant for all of them at once."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pithos_spark.operators.api import authenticate
+
+    ks = {"AK": {"secret": "s3cr3t", "tenant": "t1", "memberof": ("g",)}}
+    auth_headers = st.one_of(
+        st.text(max_size=40),
+        st.just("AWS AK:sig"),
+        st.text(max_size=20).map(lambda s: "AWS4-" + s),
+        st.text(max_size=12).map(lambda s: f"AWS AK:{s}"),
+        st.just(
+            "AWS4-HMAC-SHA256 Credential=AK/20240101/us/s3/aws4_request,"
+            " SignedHeaders=host, Signature=abc"
+        ),
+    )
+    params = st.dictionaries(
+        st.sampled_from(
+            ["expires", "awsaccesskeyid", "signature", "prefix", "x"]
+        ),
+        st.text(max_size=10),
+        max_size=3,
+    )
+    headers = st.dictionaries(
+        st.sampled_from(
+            ["content-md5", "content-type", "date", "x-amz-date",
+             "x-amz-content-sha256", "x-amz-meta-k"]
+        ),
+        st.text(max_size=12),
+        max_size=4,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        auth=auth_headers,
+        params=params,
+        headers=headers,
+        body=st.text(max_size=16),
+        now=st.one_of(st.none(), st.integers(0, 2**33)),
+    )
+    def check(auth, params, headers, body, now):
+        headers = dict(headers)
+        headers["Authorization"] = auth
+        (tenant, memberof), refusal = authenticate(
+            "GET", "/bkt/key", params, headers, body, ks, None, now
+        )
+        assert tenant is None or isinstance(tenant, str)
+        assert isinstance(memberof, tuple)
+        assert refusal is None or (
+            isinstance(refusal[0], int) and isinstance(refusal[1], str)
+        )
+
+    check()
