@@ -28,6 +28,21 @@ def _url_encode_entries(entries: list[dict]) -> list[dict]:
     return [{**e, "name": quote(e["name"], safe="/")} for e in entries]
 
 
+def _parse_max_keys(p: dict[str, str]) -> int:
+    """S3 contract for ?max-keys: a non-negative integer, 400
+    InvalidArgument otherwise.  Raises ValueError — serve() maps it
+    (a junk value crashing the listing plan with a raw int() error is
+    the same hostile-request class as a malformed body)."""
+    raw = p.get("max-keys", "1000")
+    try:
+        max_keys = int(raw)
+    except ValueError:
+        raise ValueError(f"invalid max-keys: {raw!r}") from None
+    if max_keys < 0:
+        raise ValueError(f"invalid max-keys: {raw!r}")
+    return max_keys
+
+
 def get_bucket(
     objects: DataFrame,
     bucket: str,
@@ -39,7 +54,7 @@ def get_bucket(
     prefix = p.get("prefix", "")
     delimiter = p.get("delimiter") or None
     marker = p.get("marker") or None
-    max_keys = int(p.get("max-keys", "1000"))
+    max_keys = _parse_max_keys(p)
 
     page = listing.list_objects(
         objects, bucket, prefix, delimiter, marker, max_keys + 1
@@ -63,7 +78,12 @@ def _v2_token_encode(name: str) -> str:
 def _v2_token_decode(token: str) -> str:
     import base64
 
-    return base64.urlsafe_b64decode(token.encode()).decode()
+    # validate=True: the default silently DISCARDS non-alphabet bytes,
+    # so pure junk like "!!!" would "decode" to an empty marker instead
+    # of being rejected as InvalidArgument
+    return base64.b64decode(
+        token.encode(), altchars=b"-_", validate=True
+    ).decode()
 
 
 def get_bucket_v2(
@@ -78,7 +98,7 @@ def get_bucket_v2(
     p = normalize_params(params)
     prefix = p.get("prefix", "")
     delimiter = p.get("delimiter") or None
-    max_keys = int(p.get("max-keys", "1000"))
+    max_keys = _parse_max_keys(p)
     token = p.get("continuation-token") or None
     start_after = p.get("start-after") or None
     if token:
@@ -86,9 +106,9 @@ def get_bucket_v2(
             marker = _v2_token_decode(token)
         except Exception:
             # S3: an unparseable continuation token is InvalidArgument
-            return xmlio.error_response(
-                "InvalidArgument", "invalid continuation token"
-            )
+            # (ValueError so serve() answers 400, not 200-with-an-Error
+            # -document as the old inline render did)
+            raise ValueError("invalid continuation token") from None
     else:
         marker = start_after
 
@@ -953,7 +973,16 @@ def serve(
     if op == "get-service":
         return 200, get_service(buckets, tenant or "")
     if op == "get-bucket":
-        return 200, get_bucket(objects, b, dict(params or {}))
+        p = dict(params or {})
+        try:
+            # ListObjectsV2 routes on ?list-type=2 (the V1 handler
+            # would silently ignore continuation-token, so a V2
+            # pagination walk would re-serve the first page forever)
+            if p.get("list-type") == "2":
+                return 200, get_bucket_v2(objects, b, p)
+            return 200, get_bucket(objects, b, p)
+        except ValueError as e:
+            return 400, xmlio.error_response("InvalidArgument", str(e))
     if op == "head-bucket":
         ok = buckets.filter(F.col("bucket") == b).limit(1).count() > 0
         return (200, {}) if ok else (404, {})
@@ -1008,7 +1037,13 @@ def serve(
         from pithos_spark.sources.store import merge_upsert
 
         upload_id = (params or {}).get("uploadid") or ""
-        partno = int((params or {}).get("partnumber") or "1")
+        raw_partno = (params or {}).get("partnumber") or "1"
+        try:
+            partno = int(raw_partno)
+        except ValueError:
+            return 400, xmlio.error_response(
+                "InvalidArgument", f"invalid partNumber: {raw_partno!r}"
+            )
         etag = hashlib.md5(body.encode()).hexdigest()
         spark = objects.sparkSession
         update = spark.createDataFrame(
@@ -1256,7 +1291,12 @@ def serve(
             [(f"{b}/{key}", body)], "inode string, payload string"
         )
         etag = hashlib.md5(body.encode()).hexdigest()
-        status = int(form.get("success_action_status") or "204")
+        try:
+            # S3 treats an unrecognized success_action_status as the
+            # default 204, it does not reject the upload
+            status = int(form.get("success_action_status") or "204")
+        except ValueError:
+            status = 204
         return status, {
             "ETag": f'"{etag}"',
             "chunks": chunk_ingest(payload_df),

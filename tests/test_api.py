@@ -494,10 +494,12 @@ def test_get_bucket_v2_bad_token(spark):
         "bucket string, object string, inode string, size long, "
         "atime string, checksum string",
     )
-    xml = api.get_bucket_v2(
-        objects, "b", {"continuation-token": "!!!not-base64!!!"}
-    )
-    assert ET.fromstring(xml).findtext("Code") == "InvalidArgument"
+    # raises the typed error serve() maps to 400 InvalidArgument (the
+    # old inline Error render came back 200 through the dispatch)
+    with pytest.raises(ValueError):
+        api.get_bucket_v2(
+            objects, "b", {"continuation-token": "!!!not-base64!!!"}
+        )
 
 
 @pytest.mark.slow
@@ -1803,3 +1805,59 @@ def test_malformed_bodies_return_400_not_crash(model):
     )
     assert status == 400
     assert ET.fromstring(body).findtext("Code") == "MalformedXML"
+
+
+def test_serve_routes_list_type_2_and_rejects_junk_params(model):
+    """ListObjectsV2 through the dispatch: serve() must route
+    ?list-type=2 to the V2 handler (the V1 handler ignores
+    continuation-token, so a V2 pagination walk through serve would
+    re-serve the first page forever), and junk max-keys /
+    continuation-token / partNumber must answer 400 InvalidArgument,
+    never a raw int()/base64 crash."""
+    ns = "{http://s3.amazonaws.com/doc/2006-03-01/}"
+    # V2 wiring: first page carries the V2 markers
+    status, xml = api.serve(
+        model, "GET", "/NATION_2",
+        {"list-type": "2", "max-keys": "5", "prefix": "1-URGENT/",
+         "delimiter": "/"},
+        tenant="ASIA",
+    )
+    assert status == 200
+    root = ET.fromstring(xml)
+    assert root.findtext(f"{ns}KeyCount") is not None
+    token = root.findtext(f"{ns}NextContinuationToken")
+    assert token
+    # ...and the token actually advances the walk through serve()
+    status, xml2 = api.serve(
+        model, "GET", "/NATION_2",
+        {"list-type": "2", "max-keys": "5", "prefix": "1-URGENT/",
+         "delimiter": "/", "continuation-token": token},
+        tenant="ASIA",
+    )
+    assert status == 200
+    first = lambda r: [  # noqa: E731
+        e.findtext(f"{ns}Key") or e.findtext(f"{ns}Prefix")
+        for e in list(r)
+        if e.tag.endswith("Contents") or e.tag.endswith("CommonPrefixes")
+    ]
+    page1, page2 = first(root), first(ET.fromstring(xml2))
+    assert page1 and page2 and set(page1).isdisjoint(page2)
+    assert min(page2) > max(page1)
+
+    # junk params -> 400 InvalidArgument through the dispatch
+    for params in (
+        {"max-keys": "zzz"},
+        {"max-keys": "-3"},
+        {"list-type": "2", "continuation-token": "!!!"},
+    ):
+        status, xml = api.serve(
+            model, "GET", "/NATION_2", params, tenant="ASIA"
+        )
+        assert status == 400, params
+        assert ET.fromstring(xml).findtext("Code") == "InvalidArgument"
+    status, xml = api.serve(
+        model, "PUT", "/NATION_2/doc.bin",
+        {"uploadid": "u1", "partnumber": "x"}, body="data", tenant="ASIA",
+    )
+    assert status == 400
+    assert ET.fromstring(xml).findtext("Code") == "InvalidArgument"
