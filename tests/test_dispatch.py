@@ -235,3 +235,42 @@ def test_dataframe_and_scalar_resolvers_agree(spark):
         )
         for f_ in ("operation", "target", "handler", "op_target", "perms", "cors"):
             assert r[f_] == want[f_], (r["method"], r["host"], r["uri"], r["action"], f_)
+
+
+def test_resolve_operation_total_on_hostile_uris():
+    """Totality net over HOSTILE request lines — empty/relative URIs,
+    repeated and trailing slashes, %-encoding, unicode, long paths,
+    junk params and hosts: resolve_operation must always return its
+    {operation, target, bucket, object} shape (serve() calls it before
+    any guard, so an exception here is an unauthenticated crash)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pithos_spark.operators.dispatch import resolve_operation
+
+    uris = st.one_of(
+        st.text(max_size=24),
+        st.text(alphabet="/%ab.", max_size=16),
+        st.just(""),
+        st.just("//"),
+        st.just("/b//k//"),
+        st.text(max_size=8).map(lambda s: "/" + s * 8),
+    )
+    hosts = st.one_of(
+        st.none(), st.text(max_size=16), st.just("b.s3.example.com")
+    )
+    params = st.dictionaries(st.text(max_size=8), st.one_of(
+        st.none(), st.text(max_size=6)), max_size=3)
+    methods = st.sampled_from(["GET", "PUT", "POST", "DELETE", "HEAD",
+                               "OPTIONS", "PATCH", "weird"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(methods, uris, params, hosts)
+    def prop(method, uri, params, host):
+        r = resolve_operation(method, uri, params, host=host)
+        assert {"operation", "target", "bucket", "object"} <= set(r)
+        assert isinstance(r["operation"], str)
+        if r["bucket"] is not None:
+            assert "/" not in r["bucket"]
+
+    prop()
