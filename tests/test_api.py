@@ -1861,3 +1861,52 @@ def test_serve_routes_list_type_2_and_rejects_junk_params(model):
     )
     assert status == 400
     assert ET.fromstring(xml).findtext("Code") == "InvalidArgument"
+
+
+def test_serve_total_over_hostile_requests(spark):
+    """Capstone net for the hostile-request class (this round fixed a
+    raw ET.ParseError, an int() crash, and a base64 laundering bug in
+    this surface): ANY request — real operations with junk parameter
+    values, junk bodies, weird paths — must come back as
+    (int status, payload), never as an exception out of serve()."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tiny = {
+        "buckets": spark.createDataFrame(
+            [("bkt", "t1", "2024-01-01")], "bucket string, tenant string, created string"
+        ),
+        "objects": spark.createDataFrame(
+            [("bkt", "a/k1", "1", 3, "2024-01-01", "h1")],
+            "bucket string, object string, inode string, size long,"
+            " atime string, checksum string",
+        ),
+        "parts": spark.createDataFrame(
+            [("a/k1", "u1", 1, 3, "e1")],
+            "object string, upload string, partno long, size long, etag string",
+        ),
+    }
+    methods = st.sampled_from(["GET", "PUT", "POST", "DELETE", "HEAD", "OPTIONS"])
+    uris = st.sampled_from(["/", "/bkt", "/bkt/", "/bkt/a/k1", "/nope/x", "//"])
+    pnames = st.sampled_from(
+        ["max-keys", "marker", "prefix", "delimiter", "list-type",
+         "continuation-token", "start-after", "uploadid", "partnumber",
+         "uploads", "delete", "acl", "range", "expires", "encoding-type"]
+    )
+    pvals = st.one_of(st.none(), st.text(max_size=8),
+                      st.sampled_from(["2", "-1", "zzz", "!!!", "0"]))
+    params = st.dictionaries(pnames, pvals, max_size=4)
+    bodies = st.one_of(st.just(""), st.text(max_size=32),
+                       st.just("<Delete><Object><Key>a/k1</Key></Object"))
+
+    @settings(max_examples=40, deadline=None)
+    @given(methods, uris, params, bodies)
+    def prop(method, uri, params, body):
+        status, payload = api.serve(
+            tiny, method, uri, params, body=body, tenant="t1"
+        )
+        assert isinstance(status, int) and 200 <= status < 600, (
+            method, uri, params,
+        )
+
+    prop()
