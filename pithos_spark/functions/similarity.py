@@ -954,6 +954,81 @@ def _lloyd_assign(qv: DataFrame, centers: dict[int, list[int]]) -> F.Column:
     return assign(F.col("q"))
 
 
+def _lloyd_round_sums(
+    qdf: DataFrame, centers: dict[int, list[int]]
+) -> dict[int, tuple[list[int], int]]:
+    """One Lloyd round's per-cluster component sums, FUSED: nearest-
+    centroid assignment and per-task partial sums happen in a single
+    Arrow pass over the quantized vectors, and only (cluster, partial
+    sum, n) rows — at most k per task — ever leave Python.
+
+    Replaces the assign-UDF + ``groupBy().applyInPandas`` round shape:
+    that exchange carried every row's full integer vector (grouped
+    Pandas execution does no map-side combine, guide §2.3) and every
+    row crossed the JVM<->Python boundary twice (once for the assign
+    projection, once for the grouped sums).  Here each task folds its
+    batches into a k x dim int64 accumulator and the driver combines
+    the <= k-per-task partials — int64 addition is associative and
+    commutative with no overflow at these magnitudes (|component| <=
+    scale, corpus rows < 2^40), so the combined sums are bit-identical
+    to the single-group sums, and the SQL twin is unchanged.
+
+    Returns {cluster: (component_sums, n_members)} for clusters with
+    at least one member."""
+    import numpy as np
+
+    ids = sorted(centers)
+    C = np.array([centers[c] for c in ids], dtype=np.int64)
+    norms = (C * C).sum(axis=1)
+    k = len(ids)
+    id_arr = np.array(ids, dtype=np.int64)
+
+    def partial(pdfs):
+        sums = np.zeros((k, C.shape[1]), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            # -2 Q C^T + |C|^2: |q|^2 is constant per row, so argmin
+            # equals the full L2 argmin; ties to the smallest cluster
+            # id (rows of C are id-sorted, np.argmin takes the first
+            # minimum) — same ORDER BY d, cluster as the SQL twin.
+            idx = np.argmin(-2 * (Q @ C.T) + norms, axis=1)
+            np.add.at(sums, idx, Q)
+            counts += np.bincount(idx, minlength=k)
+        live = np.nonzero(counts)[0]
+        if not live.size:
+            # an all-empty task must yield nothing: an empty list
+            # column would infer float64 and break the Arrow cast
+            return
+        yield pd.DataFrame(
+            {
+                "cluster": id_arr[live].astype("int32"),
+                "s": [sums[i].tolist() for i in live],
+                "n": counts[live],
+            }
+        )
+
+    rows = (
+        qdf.select("q")
+        .mapInPandas(partial, "cluster int, s array<long>, n long")
+        .collect()
+    )
+    agg: dict[int, tuple[list[int], int]] = {}
+    for r in rows:
+        c = int(r["cluster"])
+        if c in agg:
+            s0, n0 = agg[c]
+            agg[c] = (
+                [a + int(b) for a, b in zip(s0, r["s"])],
+                n0 + int(r["n"]),
+            )
+        else:
+            agg[c] = ([int(v) for v in r["s"]], int(r["n"]))
+    return agg
+
+
 def build_ivf_lloyd_index(
     embeddings: DataFrame,
     n_clusters: int = 16,
@@ -990,40 +1065,14 @@ def build_ivf_lloyd_index(
         .collect()
     )
     centers = {c: [int(v) for v in r["q"]] for c, r in enumerate(seed_rows)}
-    def _grouped_sums(pdf):
-        # vectorized per-cluster component sums — replaces the previous
-        # dim-way explode (rows x dim exploded rows per round) with one
-        # numpy column sum per cluster group; exact int64 arithmetic
-        import numpy as np
-        import pandas as pd_  # local alias; module-level pd also works
-
-        Q = np.stack(pdf["q"].to_numpy()).astype("int64")
-        return pd_.DataFrame(
-            {
-                "cluster": [int(pdf["cluster"].iloc[0])],
-                "s": [Q.sum(axis=0).tolist()],
-                "n": [int(Q.shape[0])],
-            }
-        )
-
     for _ in range(n_iter):
-        assigned = qv.select(
-            "vec_id", "q", _lloyd_assign(qv, centers).alias("cluster")
-        )
-        new_rows = (
-            assigned.groupBy("cluster")
-            .applyInPandas(
-                _grouped_sums, "cluster int, s array<long>, n long"
-            )
-            .collect()
-        )
+        sums = _lloyd_round_sums(qv, centers)
         updated: dict[int, list[int]] = {}
-        for r in new_rows:
-            n = int(r["n"])
+        for c, (s, n) in sums.items():
             # floor division, written to match the SQL twin's
             # (s - pmod(s, n)) div n identity exactly (Python // is
             # floor for any sign, so s // n is the same value)
-            updated[int(r["cluster"])] = [int(s) // n for s in r["s"]]
+            updated[c] = [v // n for v in s]
         # clusters that lost every member keep their previous centroid;
         # iterate the EXISTING centers (a corpus smaller than n_clusters
         # seeds fewer than n_clusters)
@@ -1286,6 +1335,59 @@ def _pq_assign(centers: dict, m_sub: int, k_codes: int):
     return assign(F.col("m"), F.col("subq"))
 
 
+def _pq_assign_all(centers: dict, m_sub: int, k_codes: int):
+    """All ``m_sub`` nearest-code ids for a FULL quantized vector in one
+    Arrow crossing: numpy reshape slices the subvectors (identical to
+    ``F.slice(q, m*d+1, d)``), each subspace runs the same
+    ``-2 Q C^T + |C|^2`` first-minimum argmin as :func:`_pq_assign`,
+    and the result is one ``array<int>`` of codes indexed by m.
+
+    The encode path pairs this with ``posexplode`` so the long-form
+    (vec_id, m, code) output is unchanged while the Python boundary
+    carries one row per VECTOR instead of one per (vector, subspace) —
+    m_sub x fewer crossings than the exploded form (guide §4)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    missing = [
+        (m, c)
+        for m in range(m_sub)
+        for c in range(k_codes)
+        if (m, c) not in centers
+    ]
+    if missing:
+        raise AssertionError(
+            f"PQ codebook has holes {missing[:8]}...: argmin row index "
+            "would diverge from code id"
+        )
+    C = np.stack(
+        [
+            [centers[(m, c)] for c in range(k_codes)]
+            for m in range(m_sub)
+        ]
+    ).astype(np.int64)
+    norms = (C * C).sum(axis=2)
+    d = C.shape[2]
+
+    @pandas_udf("array<int>")
+    def assign(qs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        Q = (
+            np.stack(qs.to_numpy())
+            .astype(np.int64)
+            .reshape(len(qs), m_sub, d)
+        )
+        out = np.empty((len(qs), m_sub), dtype=np.int32)
+        for m in range(m_sub):
+            out[:, m] = np.argmin(
+                -2 * (Q[:, m, :] @ C[m].T) + norms[m], axis=1
+            )
+        return pd.Series(list(out))
+
+    return assign(F.col("q"))
+
+
 def _pq_subvectors_from_q(qdf: DataFrame, m_sub: int, dim: int):
     """Long-form (vec_id, m, subq) from a prebuilt (vec_id, q) integer
     vector table — JVM-side slice + posexplode, the corpus-linear
@@ -1352,7 +1454,6 @@ def _build_pq_codebooks_q(
     from pithos_spark.functions.dedup import portable_hash60
 
     d = dim // m_sub
-    sub = _pq_subvectors_from_q(qdf, m_sub, dim)
     seed_rows = (
         qdf.select(
             "vec_id",
@@ -1370,38 +1471,91 @@ def _build_pq_codebooks_q(
             centers[(m, code)] = q[m * d : (m + 1) * d]
     k_eff = len(seed_rows)
 
-    def _grouped_sums(pdf):
-        import numpy as np
-
-        Q = np.stack(pdf["subq"].to_numpy()).astype("int64")
-        return pd.DataFrame(
-            {
-                "m": [int(pdf["m"].iloc[0])],
-                "code": [int(pdf["code"].iloc[0])],
-                "s": [Q.sum(axis=0).tolist()],
-                "n": [int(Q.shape[0])],
-            }
-        )
-
     for _ in range(n_iter):
-        assigned = sub.select(
-            "m", "subq", _pq_assign(centers, m_sub, k_eff).alias("code")
-        )
-        rows = (
-            assigned.groupBy("m", "code")
-            .applyInPandas(
-                _grouped_sums, "m int, code int, s array<long>, n long"
-            )
-            .collect()
-        )
+        sums = _pq_round_sums(qdf, centers, m_sub, k_eff, d)
         updated = {
-            (int(r["m"]), int(r["code"])): [
-                int(s) // int(r["n"]) for s in r["s"]
-            ]
-            for r in rows
+            mc: [v // n for v in s] for mc, (s, n) in sums.items()
         }
         centers = {mc: updated.get(mc, v) for mc, v in centers.items()}
     return centers
+
+
+def _pq_round_sums(
+    qdf: DataFrame, centers: dict, m_sub: int, k_codes: int, d: int
+) -> dict:
+    """One PQ training round's per-(subspace, code) component sums,
+    FUSED: the full quantized vector crosses into Python ONCE per row,
+    is sliced into its ``m_sub`` subvectors by a numpy reshape
+    (identical to ``F.slice(q, m*d+1, d)``), assigned per subspace by
+    the same ``-2 Q C^T + |C|^2`` first-minimum argmin as
+    :func:`_pq_assign`, and folded into a per-task (m_sub x k x d)
+    int64 accumulator.  Only <= m_sub*k partial rows leave each task.
+
+    Replaces the posexplode + assign-UDF + ``groupBy().applyInPandas``
+    round: that shape multiplied the Python-boundary rows by m_sub and
+    shuffled every subvector with no map-side combine (guide §2.3/§4).
+    Exact int64 partial sums; results are bit-identical and the
+    unrolled SQL twin is unchanged.
+
+    Returns {(m, code): (component_sums, n_members)} for non-empty
+    codes."""
+    import numpy as np
+
+    C = np.stack(
+        [
+            [centers[(m, c)] for c in range(k_codes)]
+            for m in range(m_sub)
+        ]
+    ).astype(np.int64)
+    norms = (C * C).sum(axis=2)
+
+    def partial(pdfs):
+        sums = np.zeros((m_sub, k_codes, d), dtype=np.int64)
+        counts = np.zeros((m_sub, k_codes), dtype=np.int64)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            Q = (
+                np.stack(pdf["q"].to_numpy())
+                .astype(np.int64)
+                .reshape(len(pdf), m_sub, d)
+            )
+            for m in range(m_sub):
+                Qm = Q[:, m, :]
+                idx = np.argmin(-2 * (Qm @ C[m].T) + norms[m], axis=1)
+                np.add.at(sums[m], idx, Qm)
+                counts[m] += np.bincount(idx, minlength=k_codes)
+        ms, cs = np.nonzero(counts)
+        if not ms.size:
+            # an all-empty task must yield nothing: an empty list
+            # column would infer float64 and break the Arrow cast
+            return
+        yield pd.DataFrame(
+            {
+                "m": ms.astype("int32"),
+                "code": cs.astype("int32"),
+                "s": [sums[m, c].tolist() for m, c in zip(ms, cs)],
+                "n": counts[ms, cs],
+            }
+        )
+
+    rows = (
+        qdf.select("q")
+        .mapInPandas(partial, "m int, code int, s array<long>, n long")
+        .collect()
+    )
+    agg: dict = {}
+    for r in rows:
+        mc = (int(r["m"]), int(r["code"]))
+        if mc in agg:
+            s0, n0 = agg[mc]
+            agg[mc] = (
+                [a + int(b) for a, b in zip(s0, r["s"])],
+                n0 + int(r["n"]),
+            )
+        else:
+            agg[mc] = ([int(v) for v in r["s"]], int(r["n"]))
+    return agg
 
 
 def pq_encode(
@@ -1410,16 +1564,31 @@ def pq_encode(
     m_sub: int = 8,
     scale: int = 1000,
     dim: int = 64,
+    extra: list[str] | None = None,
 ) -> DataFrame:
-    """Encode the corpus: (vec_id, m, code) — each vector reduced to
-    ``m_sub`` small code ids (the 32x-compressed representation a
-    100 TB deployment persists and serves from).  Long form rather
-    than an array column so the serving join stays a plain broadcast
-    equi-join on (m, code)."""
+    """Encode the corpus: (vec_id[, *extra], m, code) — each vector
+    reduced to ``m_sub`` small code ids (the 32x-compressed
+    representation a 100 TB deployment persists and serves from).
+    Long form rather than an array column so the serving join stays a
+    plain broadcast equi-join on (m, code).
+
+    ``extra`` columns of ``embeddings`` ride along row-locally (e.g.
+    ``label`` for the persisted layouts) — carrying them here is free
+    while re-attaching them downstream costs a corpus-wide join on
+    vec_id (guide §2.4).  Assignment is the wide one-crossing
+    :func:`_pq_assign_all` + posexplode; rows identical to the old
+    exploded per-subvector form."""
     k_eff = len({c for _, c in codebooks}) or 1
-    sub = _pq_subvectors(embeddings, m_sub, dim, scale)
-    return sub.select(
-        "vec_id", "m", _pq_assign(codebooks, m_sub, k_eff).alias("code")
+    cols = list(extra or [])
+    qdf = embeddings.select(
+        "vec_id", *cols, _quantized(F.col("embedding"), scale).alias("q")
+    )
+    return qdf.select(
+        "vec_id",
+        *cols,
+        F.posexplode(_pq_assign_all(codebooks, m_sub, k_eff)).alias(
+            "m", "code"
+        ),
     )
 
 
@@ -1553,9 +1722,12 @@ def save_pq_index(
     # codes carry the vector's metadata label: one small column per
     # code row buys filtered serving a PUSHED predicate on the code
     # scan itself (pq_filtered_topk_from_layout), instead of scanning
-    # the full embeddings table just to build the id slice
-    codes = pq_encode(embeddings, codebooks, m_sub, scale, dim).join(
-        embeddings.select("vec_id", "label"), "vec_id"
+    # the full embeddings table just to build the id slice.  label
+    # rides through the encode row-locally (pq_encode extra=) — the
+    # former re-attach join shuffled the 8x-exploded code table by
+    # vec_id just to pick the column back up (guide §2.4).
+    codes = pq_encode(
+        embeddings, codebooks, m_sub, scale, dim, extra=["label"]
     )
     (
         codes.repartitionByRange("vec_id", "m")
@@ -1630,7 +1802,8 @@ def append_to_pq_index(new_embeddings: DataFrame, path: str) -> None:
         int(meta["m_sub"]),
         int(meta["scale"]),
         int(meta["dim"]),
-    ).join(new_embeddings.select("vec_id", "label"), "vec_id")
+        extra=["label"],  # rides row-locally; re-attach join removed
+    )
     # torn-append marker (VERDICT r15 task 4): a crash mid-append
     # leaves a partially-visible code delta and a retry double-appends
     # code rows — duplicate vec_id rows in every dedup tier and
@@ -2274,26 +2447,37 @@ def ivfpq_residual_topk(
     qv = embeddings.select(
         "vec_id", "label", _quantized(F.col("embedding"), scale).alias("q")
     )
-    rqv = (
-        qv.join(assigned.select("vec_id", "cluster"), "vec_id")
-        .join(F.broadcast(centers), "cluster")
-        .select(
+    # residuals straight off the assigned rows — same join-free shape
+    # as save_ivfpq_residual_index (the former corpus-wide vec_id
+    # re-attach joins are gone; cluster rides along so codes_assigned
+    # is a projection, not a join)
+    from pithos_spark.plans.helpers import bounded_persist
+
+    rqv = bounded_persist(
+        assigned.join(F.broadcast(centers), "cluster").select(
             "vec_id",
+            "cluster",
             F.zip_with(
-                "q", "centroid_q", lambda a, b: a - b
+                _quantized(F.col("embedding"), scale),
+                F.col("centroid_q"),
+                lambda a, b: a - b,
             ).alias("q"),
-        )
+        ),
+        "ivfpq_residual_topk.rqv",
     )
     codebooks = _build_pq_codebooks_q(rqv, m_sub, k_codes, pq_iter, dim)
     k_eff = len({c for _, c in codebooks}) or 1
-    codes = _pq_subvectors_from_q(rqv, m_sub, dim).select(
-        "vec_id", "m", _pq_assign(codebooks, m_sub, k_eff).alias("code")
-    )
     cb_df = spark.createDataFrame(
         [(m, c, v) for (m, c), v in sorted(codebooks.items())],
         "m int, code int, centroid_q array<bigint>",
     )
-    codes_assigned = codes.join(assigned.select("vec_id", "cluster"), "vec_id")
+    codes_assigned = rqv.select(
+        "vec_id",
+        "cluster",
+        F.posexplode(_pq_assign_all(codebooks, m_sub, k_eff)).alias(
+            "m", "code"
+        ),
+    )
     return _ivfpq_residual_serve(
         qv, codes_assigned, centers, cb_df, query_vec_id,
         k, n_probe, rerank, dim, m_sub,
@@ -2406,32 +2590,50 @@ def save_ivfpq_residual_index(
     cluster + sorted by vec_id; ``{path}/centers`` (cluster,
     centroid_q); ``{path}/codebooks`` (m, code, centroid_q);
     ``{path}/meta`` (1 row of build parameters)."""
+    from pithos_spark.plans.helpers import bounded_persist
+
     spark = embeddings.sparkSession
     assigned, centers = build_ivf_lloyd_index(
         embeddings, n_clusters, n_iter, scale
     )
-    qv = embeddings.select(
-        "vec_id", _quantized(F.col("embedding"), scale).alias("q")
-    )
-    rqv = (
-        qv.join(assigned.select("vec_id", "cluster"), "vec_id")
-        .join(F.broadcast(centers), "cluster")
-        .select(
+    # residuals straight off the ASSIGNED rows: `assigned` already
+    # carries (vec_id, label, embedding, cluster), so quantizing
+    # inline and broadcast-joining the k-row centroid table on
+    # `cluster` produces the identical (vec - centroid) vectors
+    # WITHOUT the former corpus-wide vec_id re-attach join (guide
+    # §2.4).  label and cluster ride along so the code write below
+    # needs no joins either.  bounded_persist: the PQ trainer scans
+    # rqv once per round and the encode once more — without the
+    # persist each pass re-runs the Lloyd assignment UDF over the
+    # whole corpus (the plan embeds a fresh UDF instance per build, so
+    # the slot re-materializes per invocation, never across them).
+    rqv = bounded_persist(
+        assigned.join(F.broadcast(centers), "cluster").select(
             "vec_id",
-            F.zip_with("q", "centroid_q", lambda a, b: a - b).alias("q"),
-        )
+            "label",
+            "cluster",
+            F.zip_with(
+                _quantized(F.col("embedding"), scale),
+                F.col("centroid_q"),
+                lambda a, b: a - b,
+            ).alias("q"),
+        ),
+        "save_ivfpq_residual_index.rqv",
     )
     codebooks = _build_pq_codebooks_q(rqv, m_sub, k_codes, pq_iter, dim)
     k_eff = len({c for _, c in codebooks}) or 1
-    codes = _pq_subvectors_from_q(rqv, m_sub, dim).select(
-        "vec_id", "m", _pq_assign(codebooks, m_sub, k_eff).alias("code")
-    )
-    (
-        codes.join(assigned.select("vec_id", "cluster"), "vec_id")
+    codes = rqv.select(
+        "vec_id",
         # label rides in the code table for pushed filtered serving,
         # as in save_pq_index
-        .join(embeddings.select("vec_id", "label"), "vec_id")
-        .repartition("cluster")
+        "label",
+        "cluster",
+        F.posexplode(_pq_assign_all(codebooks, m_sub, k_eff)).alias(
+            "m", "code"
+        ),
+    )
+    (
+        codes.repartition("cluster")
         .sortWithinPartitions("vec_id", "m")
         .write.mode("overwrite")
         .partitionBy("cluster")
@@ -2500,7 +2702,7 @@ def ivfpq_residual_encode_delta(
     """Frozen-artifact encode of a delta against the layout generation
     at ``gen_root``: assign each new vector to its nearest STORED
     coarse centroid, encode the residual against the STORED codebooks,
-    and return (vec_id, m, code, cluster, label) rows.  Row-local
+    and return (vec_id, label, cluster, m, code) rows.  Row-local
     given the frozen artifacts — shared by the batch append above and
     the staged streaming ingest
     (``streaming/ingest.streaming_ivfpq_residual_ingest``)."""
@@ -2516,25 +2718,30 @@ def ivfpq_residual_encode_delta(
     }
     scale, dim, m_sub = int(meta["scale"]), int(meta["dim"]), int(meta["m_sub"])
     qv = new_embeddings.select(
-        "vec_id", _quantized(F.col("embedding"), scale).alias("q")
+        "vec_id", "label", _quantized(F.col("embedding"), scale).alias("q")
     )
     assigned = qv.select(
-        "vec_id", "q", _lloyd_assign(qv, centers).alias("cluster")
+        "vec_id", "label", "q", _lloyd_assign(qv, centers).alias("cluster")
     )
+    # label and cluster ride through the residual + encode row-locally;
+    # the former two re-attach joins on vec_id are gone (guide §2.4)
     rqv = (
         assigned.join(F.broadcast(centers_df), "cluster")
         .select(
             "vec_id",
+            "label",
             "cluster",
             F.zip_with("q", "centroid_q", lambda a, b: a - b).alias("q"),
         )
     )
     k_eff = len({c for _, c in codebooks}) or 1
-    codes = _pq_subvectors_from_q(
-        rqv.select("vec_id", "q"), m_sub, dim
-    ).select("vec_id", "m", _pq_assign(codebooks, m_sub, k_eff).alias("code"))
-    return codes.join(rqv.select("vec_id", "cluster"), "vec_id").join(
-        new_embeddings.select("vec_id", "label"), "vec_id"
+    return rqv.select(
+        "vec_id",
+        "label",
+        "cluster",
+        F.posexplode(_pq_assign_all(codebooks, m_sub, k_eff)).alias(
+            "m", "code"
+        ),
     )
 
 

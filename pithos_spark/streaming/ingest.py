@@ -866,7 +866,8 @@ def streaming_pq_index_ingest(
             int(meta["m_sub"]),
             int(meta["scale"]),
             int(meta["dim"]),
-        ).join(batch_df.select("vec_id", "label"), "vec_id")
+            extra=["label"],  # rides row-locally; re-attach join removed
+        )
         (
             codes.repartitionByRange("vec_id", "m")
             .sortWithinPartitions("vec_id", "m")
