@@ -1151,63 +1151,78 @@ def image_dhash_fingerprints(documents: DataFrame) -> DataFrame:
     nearest-neighbor sampling arithmetic, gradient bits, band packing,
     LSH, Hamming verify — is the real algorithm, unchanged.
 
-    Scale shape: one projection + a constant 72-row explode per image
-    (corpus-linear, no shuffle until the 8-band groupBy, which is
-    map-side combinable on doc_id), mirroring reference operator
-    structure at blob granularity (blob.clj chunks a payload the same
-    explode-then-regroup way)."""
+    Scale shape: ONE shuffle-free projection per image row — the
+    constant 8x9 grid is sampled, gradient-packed and banded by
+    row-local expressions (:func:`_stub_px_cols` +
+    :func:`_grad_band_cols`); no explode, window or groupBy anywhere
+    in the fingerprint (guide §2.4)."""
+    return _wide_to_long(_image_dhash_wide(documents), _DHASH_ROWS)
+
+
+def _stub_px_cols(grid: int) -> list[F.Column]:
+    """The deterministic ASCII stand-in pixel source as ``grid``
+    row-local column expressions over (text, n_px) — the same
+    ``ascii(substr(text, (g*n) DIV grid + 1, 1))`` value the exploded
+    form computed, with g a Python literal instead of an exploded row.
+    Replacing the constant explode + window + groupBy with a pure
+    projection removes every fingerprint-side shuffle (guide §2.4):
+    the grid is constant per row, so nothing about it needs a
+    partition boundary."""
+    return [
+        F.expr(
+            f"ascii(substr(text, CAST(({g} * n_px) DIV {grid} + 1 AS INT),"
+            " 1))"
+        )
+        for g in range(grid)
+    ]
+
+
+def _arr_px_cols(col: str, grid: int) -> list[F.Column]:
+    """The decoded-grid pixel source (an ``array<long>`` column from
+    ``sampled_*_grid_wide``) as ``grid`` row-local element lookups."""
+    return [F.col(col).getItem(g) for g in range(grid)]
+
+
+def _grad_band_cols(
+    px: list[F.Column], n_bands: int, n_cols: int
+) -> list[F.Column]:
+    """Horizontal-gradient band packing as row-local expressions: band
+    r = sum over c of (px[r*n_cols+c] < px[r*n_cols+c+1]) << c — the
+    same bits the lead()-window + groupBy form produced, per row."""
+    bands = []
+    for r in range(n_bands):
+        terms = [
+            F.when(
+                px[r * n_cols + c] < px[r * n_cols + c + 1],
+                F.lit(1 << c),
+            ).otherwise(F.lit(0))
+            for c in range(n_cols - 1)
+        ]
+        bands.append(sum(terms, F.lit(0)).cast("long").alias(f"b{r}"))
+    return bands
+
+
+def _wide_to_long(wide: DataFrame, n_bands: int) -> DataFrame:
+    """(doc_id, b0..bN) -> (doc_id, band, band_val): the long-form
+    fingerprint contract as a row-local posexplode of the wide form."""
+    return wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"b{i}") for i in range(n_bands)])
+        ).alias("band", "band_val"),
+    )
+
+
+def _image_dhash_wide(documents: DataFrame) -> DataFrame:
+    """Wide (doc_id, b0..b7) dHash over the ASCII stand-in pixel
+    source — one shuffle-free projection per image row."""
     grid = _DHASH_ROWS * _DHASH_COLS
     imgs = documents.filter(
         (F.col("doc_id") % 3 == 0) & (F.length("text") > 0)
     ).select("doc_id", "text", F.length("text").alias("n_px"))
-    pix = imgs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(grid - 1))).alias("g"),
-        "text",
-        "n_px",
-    ).select(
-        "doc_id",
-        "g",
-        F.expr(
-            f"ascii(substr(text, CAST((g * n_px) DIV {grid} + 1 AS INT), 1))"
-        ).alias("px"),
-    )
-    return _dhash_bands(pix)
-
-
-def _dhash_bands(pix: DataFrame) -> DataFrame:
-    """The dHash band computation over a sampled (doc_id, g, px) grid —
-    shared by the column-expression stand-in above and the
-    real-decoded-pixel path below, so the two differ ONLY in where the
-    pixels came from: g decomposes into (row, col), one bit per
-    horizontal gradient, packed as 8-bit band values per row."""
-    from pyspark.sql import Window
-
-    pix = pix.select(
-        "doc_id",
-        (F.col("g") / _DHASH_COLS).cast("int").alias("r"),
-        (F.col("g") % _DHASH_COLS).alias("c"),
-        "px",
-    )
-    wn = Window.partitionBy("doc_id", "r").orderBy("c")
-    bits = pix.withColumn("nx", F.lead("px").over(wn)).filter(
-        F.col("c") < _DHASH_COLS - 1
-    )
-    return (
-        bits.groupBy("doc_id", "r")
-        .agg(
-            F.sum(
-                # SQL-form shiftleft: the DataFrame helper requires a
-                # literal shift amount, the SQL function takes a column
-                F.when(
-                    F.col("px") < F.col("nx"),
-                    F.expr("shiftleft(1, CAST(c AS INT))"),
-                ).otherwise(F.lit(0))
-            )
-            .cast("long")
-            .alias("band_val")
-        )
-        .select("doc_id", F.col("r").alias("band"), "band_val")
+    px = _stub_px_cols(grid)
+    return imgs.select(
+        "doc_id", *_grad_band_cols(px, _DHASH_ROWS, _DHASH_COLS)
     )
 
 
@@ -1221,51 +1236,67 @@ def image_dhash_fingerprints_assets(assets: DataFrame) -> DataFrame:
     value-identical to :func:`image_dhash_fingerprints` (which stays
     the oracle-checkable twin: on a corpus with no decodable media the
     two produce THE SAME fingerprints, tested).  Everything downstream
-    of the pixel source is the shared :func:`_dhash_bands` /
+    of the pixel source is the shared :func:`_grad_band_cols` /
     :func:`_banded_hamming_pairs` machinery — VERDICT r10 task 2."""
-    from pithos_spark.sources.multimodal import sampled_pixel_grid
+    return _wide_to_long(_image_dhash_assets_wide(assets), _DHASH_ROWS)
 
-    pix = sampled_pixel_grid(
+
+def _image_dhash_assets_wide(assets: DataFrame) -> DataFrame:
+    """Wide (doc_id, b0..b7) dHash over the REAL decoded grid: the
+    decoder emits one array<long> row per asset, the band packing is a
+    row-local projection — no window/pivot/join shuffles."""
+    from pithos_spark.sources.multimodal import sampled_pixel_grid_wide
+
+    pix = sampled_pixel_grid_wide(
         assets.filter(F.col("media_type") == "image"),
         _DHASH_ROWS,
         _DHASH_COLS,
     )
-    return _dhash_bands(
-        pix.select(F.col("asset_id").alias("doc_id"), "g", "px")
+    px = _arr_px_cols("px", _DHASH_ROWS * _DHASH_COLS)
+    return pix.select(
+        F.col("asset_id").alias("doc_id"),
+        *_grad_band_cols(px, _DHASH_ROWS, _DHASH_COLS),
     )
 
 
 def _banded_hamming_pairs(
-    fps: DataFrame,
+    wide: DataFrame,
     n_bands: int,
     max_hamming: int,
     max_bucket: int,
     slot: str,
 ) -> DataFrame:
-    """The shared LSH skeleton of every perceptual tier: pivot the
-    (doc_id, band, band_val) fingerprint long-form wide, band-bucket
-    join, bucket cap, exact Hamming verify over all ``n_bands`` x 8-bit
-    bands.  Output (doc_a, doc_b, hamming), doc_a < doc_b, distinct.
+    """The shared LSH skeleton of every perceptual tier, over WIDE
+    (doc_id, b0..bN) fingerprints: posexplode to banded probe rows,
+    bucket cap, band-bucket self-join, exact Hamming verify over all
+    ``n_bands`` x 8-bit bands.  Output (doc_a, doc_b, hamming),
+    doc_a < doc_b, distinct.
 
-    The fingerprint DataFrame feeds BOTH the pivot and the banded probe
-    side, so it is wrapped in :func:`bounded_persist` (slot-keyed, at
-    most one live cached plan per call site) — without it the
-    decode + constant-explode + window pipeline ran twice per corpus
-    pass (ADVICE r10)."""
+    The former long-form skeleton pivoted (doc_id, band, band_val)
+    wide and joined it back to the long form — two aggregation
+    exchanges plus a corpus-wide join.  With the fingerprints computed
+    wide and row-locally upstream, the banded rows are a posexplode of
+    the SAME row (guide §2.4): the first shuffle left in the plan is
+    the bucket-cap window on (band, band_val), whose partitioning the
+    candidate self-join reuses.
+
+    The wide fingerprint still feeds both join sides, so it keeps the
+    slot-keyed :func:`bounded_persist` (one cached row per doc — 8x
+    smaller than the long form it replaces, ADVICE r10)."""
     from pithos_spark.plans.helpers import bounded_persist
 
-    fps = bounded_persist(fps, slot)
-    wide = (
-        fps.groupBy("doc_id")
-        .pivot("band", list(range(n_bands)))
-        .agg(F.first("band_val"))
-        .select(
-            "doc_id",
-            *[F.col(str(i)).alias(f"b{i}") for i in range(n_bands)],
-        )
-    )
+    bcols = [f"b{i}" for i in range(n_bands)]
+    wide = bounded_persist(wide, slot)
     banded = _cap_buckets(
-        fps.join(wide, "doc_id"), ["band", "band_val"], max_bucket
+        wide.select(
+            "doc_id",
+            *bcols,
+            F.posexplode(F.array(*[F.col(c) for c in bcols])).alias(
+                "band", "band_val"
+            ),
+        ),
+        ["band", "band_val"],
+        max_bucket,
     )
     a, b = banded.alias("a"), banded.alias("b")
     dist = sum(
@@ -1301,7 +1332,7 @@ def image_dhash_near_pairs(
     degenerate buckets (same guard as minhash/simhash), exact Hamming
     verify over the full 64 bits.  Output (doc_a, doc_b, hamming)."""
     return _banded_hamming_pairs(
-        image_dhash_fingerprints(documents),
+        _image_dhash_wide(documents),
         _DHASH_ROWS,
         max_hamming,
         max_bucket,
@@ -1318,7 +1349,7 @@ def image_dhash_near_pairs_assets(
     undecodable payloads take the stand-in and reproduce the stub
     tier's pairs exactly.  Output (doc_a, doc_b, hamming)."""
     return _banded_hamming_pairs(
-        image_dhash_fingerprints_assets(assets),
+        _image_dhash_assets_wide(assets),
         _DHASH_ROWS,
         max_hamming,
         max_bucket,
@@ -1500,64 +1531,48 @@ def audio_fingerprints(documents: DataFrame) -> DataFrame:
     framing, energy sums, difference bits, band packing, LSH, Hamming
     verify — is the real algorithm.
 
-    Scale shape: one projection + a constant 132-row explode per clip
-    (corpus-linear), frame energies via a map-side-combinable
-    (doc, frame) agg, difference bits via a doc-keyed window — no
-    corpus-wide shuffle until the banded candidate join."""
+    Scale shape: ONE shuffle-free projection per clip row — the
+    constant 33x4 sample grid, frame energies and difference bits are
+    row-local expressions (:func:`_afp_band_cols`); no explode,
+    aggregation or window anywhere in the fingerprint (guide §2.4)."""
+    return _wide_to_long(_afp_wide_stub(documents), _AFP_BANDS)
+
+
+def _afp_band_cols(px: list[F.Column]) -> list[F.Column]:
+    """Haitsma-Kalker band packing as row-local expressions over the
+    sampled amplitude columns: frame energies E[f] = sum of that
+    frame's ``_AFP_SAMPLES`` amplitudes, one bit per adjacent-frame
+    difference (E[f] < E[f+1]), 8 bits per band — the same values the
+    (doc,frame) agg + doc-window form produced, per row."""
+    energies = [
+        sum(
+            (px[f * _AFP_SAMPLES + s] for s in range(_AFP_SAMPLES)),
+            F.lit(0),
+        )
+        for f in range(_AFP_FRAMES)
+    ]
+    bands = []
+    for b in range(_AFP_BANDS):
+        terms = [
+            F.when(
+                energies[b * 8 + j] < energies[b * 8 + j + 1],
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+            for j in range(8)
+            if b * 8 + j < _AFP_FRAMES - 1
+        ]
+        bands.append(sum(terms, F.lit(0)).cast("long").alias(f"b{b}"))
+    return bands
+
+
+def _afp_wide_stub(documents: DataFrame) -> DataFrame:
+    """Wide (doc_id, b0..b3) audio fingerprint over the ASCII stand-in
+    amplitude source — one shuffle-free projection per clip row."""
     grid = _AFP_FRAMES * _AFP_SAMPLES
     clips = documents.filter(
         (F.col("doc_id") % 3 == 1) & (F.length("text") > 0)
     ).select("doc_id", "text", F.length("text").alias("n_px"))
-    samples = clips.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(grid - 1))).alias("g"),
-        "text",
-        "n_px",
-    ).select(
-        "doc_id",
-        "g",
-        F.expr(
-            f"ascii(substr(text, CAST((g * n_px) DIV {grid} + 1 AS INT), 1))"
-        ).alias("px"),
-    )
-    return _afp_bands(samples)
-
-
-def _afp_bands(samples: DataFrame) -> DataFrame:
-    """The Haitsma-Kalker band computation over sampled
-    (doc_id, g, px) amplitudes — shared by the column-expression
-    stand-in and the real PCM path: g decomposes into frames, frame
-    energies sum map-side-combinably, one bit per adjacent-frame
-    energy difference, packed 8 bits per band."""
-    from pyspark.sql import Window
-
-    energy = (
-        samples.select(
-            "doc_id",
-            (F.col("g") / _AFP_SAMPLES).cast("int").alias("f"),
-            F.col("px").alias("amp"),
-        )
-        .groupBy("doc_id", "f")
-        .agg(F.sum("amp").alias("e"))
-    )
-    wn = Window.partitionBy("doc_id").orderBy("f")
-    bits = energy.withColumn("nx", F.lead("e").over(wn)).filter(
-        F.col("f") < _AFP_FRAMES - 1
-    )
-    return (
-        bits.groupBy("doc_id", (F.col("f") / 8).cast("int").alias("band"))
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("e") < F.col("nx"),
-                    F.expr("shiftleft(1, CAST(f % 8 AS INT))"),
-                ).otherwise(F.lit(0))
-            )
-            .cast("long")
-            .alias("band_val")
-        )
-        .select("doc_id", "band", "band_val")
-    )
+    return clips.select("doc_id", *_afp_band_cols(_stub_px_cols(grid)))
 
 
 def audio_fingerprints_assets(assets: DataFrame) -> DataFrame:
@@ -1566,16 +1581,23 @@ def audio_fingerprints_assets(assets: DataFrame) -> DataFrame:
     decodable 16-bit PCM WAV payloads yield |amplitude| samples
     (``decoded=true``), everything else the ASCII stand-in identical to
     :func:`audio_fingerprints` (the oracle twin).  Downstream framing /
-    energy / difference bits are the shared :func:`_afp_bands`."""
-    from pithos_spark.sources.multimodal import sampled_pixel_grid
+    energy / difference bits are the shared :func:`_afp_band_cols`."""
+    return _wide_to_long(_afp_assets_wide(assets), _AFP_BANDS)
 
-    samples = sampled_pixel_grid(
+
+def _afp_assets_wide(assets: DataFrame) -> DataFrame:
+    """Wide (doc_id, b0..b3) audio fingerprint over the REAL decoded
+    sample grid — row-local band packing over the array column."""
+    from pithos_spark.sources.multimodal import sampled_pixel_grid_wide
+
+    samples = sampled_pixel_grid_wide(
         assets.filter(F.col("media_type") == "audio"),
         _AFP_FRAMES,
         _AFP_SAMPLES,
     )
-    return _afp_bands(
-        samples.select(F.col("asset_id").alias("doc_id"), "g", "px")
+    px = _arr_px_cols("px", _AFP_FRAMES * _AFP_SAMPLES)
+    return samples.select(
+        F.col("asset_id").alias("doc_id"), *_afp_band_cols(px)
     )
 
 
@@ -1587,7 +1609,7 @@ def audio_near_pairs(
     bucket cap against degenerate buckets, exact Hamming verify over
     the full 32 bits.  Output (doc_a, doc_b, hamming)."""
     return _banded_hamming_pairs(
-        audio_fingerprints(documents),
+        _afp_wide_stub(documents),
         _AFP_BANDS,
         max_hamming,
         max_bucket,
@@ -1603,7 +1625,7 @@ def audio_near_pairs_assets(
     (their frame-energy profiles agree), undecodable payloads reproduce
     the stub tier's pairs exactly.  Output (doc_a, doc_b, hamming)."""
     return _banded_hamming_pairs(
-        audio_fingerprints_assets(assets),
+        _afp_assets_wide(assets),
         _AFP_BANDS,
         max_hamming,
         max_bucket,
@@ -1682,56 +1704,22 @@ def video_fingerprints(documents: DataFrame) -> DataFrame:
     slots in at that one expression.  Framing, gradient bits, band
     packing, LSH and Hamming verify are the real algorithm, identical
     in contract to the image/audio tiers."""
+    return _wide_to_long(_vfp_wide_stub(documents), _VFP_FRAMES)
+
+
+def _vfp_wide_stub(documents: DataFrame) -> DataFrame:
+    """Wide (doc_id, b0..b7) frame-signature fingerprint over the
+    ASCII stand-in frame source — one shuffle-free projection per clip
+    row; the per-frame gradient packing is the same
+    :func:`_grad_band_cols` the image dHash uses (frames play the role
+    of rows)."""
     grid = _VFP_FRAMES * _VFP_COLS
     clips = documents.filter(
         (F.col("doc_id") % 3 == 2) & (F.length("text") > 0)
     ).select("doc_id", "text", F.length("text").alias("n_px"))
-    pix = clips.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(grid - 1))).alias("g"),
-        "text",
-        "n_px",
-    ).select(
-        "doc_id",
-        "g",
-        F.expr(
-            f"ascii(substr(text, CAST((g * n_px) DIV {grid} + 1 AS INT), 1))"
-        ).alias("px"),
-    )
-    return _vfp_bands(pix)
-
-
-def _vfp_bands(pix: DataFrame) -> DataFrame:
-    """The frame-signature band computation over a sampled
-    (doc_id, g, px) grid — shared by the column-expression stand-in and
-    the real frame-decode path: g decomposes into (frame, pixel), one
-    bit per within-frame horizontal gradient, one 8-bit band per
-    frame."""
-    from pyspark.sql import Window
-
-    pix = pix.select(
-        "doc_id",
-        (F.col("g") / _VFP_COLS).cast("int").alias("f"),
-        (F.col("g") % _VFP_COLS).alias("c"),
-        "px",
-    )
-    wn = Window.partitionBy("doc_id", "f").orderBy("c")
-    bits = pix.withColumn("nx", F.lead("px").over(wn)).filter(
-        F.col("c") < _VFP_COLS - 1
-    )
-    return (
-        bits.groupBy("doc_id", F.col("f").alias("band"))
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("px") < F.col("nx"),
-                    F.expr("shiftleft(1, CAST(c AS INT))"),
-                ).otherwise(F.lit(0))
-            )
-            .cast("long")
-            .alias("band_val")
-        )
-        .select("doc_id", "band", "band_val")
+    px = _stub_px_cols(grid)
+    return clips.select(
+        "doc_id", *_grad_band_cols(px, _VFP_FRAMES, _VFP_COLS)
     )
 
 
@@ -1745,16 +1733,25 @@ def video_fingerprints_assets(assets: DataFrame) -> DataFrame:
     payloads (including real MP4s — no stdlib frame decoder exists)
     take the ASCII stand-in identical to :func:`video_fingerprints`,
     the oracle twin.  Downstream banding is the shared
-    :func:`_vfp_bands`."""
-    from pithos_spark.sources.multimodal import sampled_frame_grid
+    :func:`_grad_band_cols`."""
+    return _wide_to_long(_vfp_assets_wide(assets), _VFP_FRAMES)
 
-    pix = sampled_frame_grid(
+
+def _vfp_assets_wide(assets: DataFrame) -> DataFrame:
+    """Wide (doc_id, b0..b7) frame-signature fingerprint over the REAL
+    decoded frame grid — row-local band packing over the array
+    column."""
+    from pithos_spark.sources.multimodal import sampled_frame_grid_wide
+
+    pix = sampled_frame_grid_wide(
         assets.filter(F.col("media_type") == "video"),
         _VFP_FRAMES,
         _VFP_COLS,
     )
-    return _vfp_bands(
-        pix.select(F.col("asset_id").alias("doc_id"), "g", "px")
+    px = _arr_px_cols("px", _VFP_FRAMES * _VFP_COLS)
+    return pix.select(
+        F.col("asset_id").alias("doc_id"),
+        *_grad_band_cols(px, _VFP_FRAMES, _VFP_COLS),
     )
 
 
@@ -1766,7 +1763,7 @@ def video_near_pairs(
     <= 7), bucket cap, exact 64-bit Hamming verify.
     Output (doc_a, doc_b, hamming)."""
     return _banded_hamming_pairs(
-        video_fingerprints(documents),
+        _vfp_wide_stub(documents),
         _VFP_FRAMES,
         max_hamming,
         max_bucket,
@@ -1783,7 +1780,7 @@ def video_near_pairs_assets(
     agrees), undecodable payloads reproduce the stub tier's pairs
     exactly.  Output (doc_a, doc_b, hamming)."""
     return _banded_hamming_pairs(
-        video_fingerprints_assets(assets),
+        _vfp_assets_wide(assets),
         _VFP_FRAMES,
         max_hamming,
         max_bucket,

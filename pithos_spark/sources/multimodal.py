@@ -1260,13 +1260,13 @@ def _decode_gray_frames(b: bytes) -> tuple[int, int, list[list[int]]] | None:
     return None
 
 
-def sampled_frame_grid(
+def sampled_frame_grid_wide(
     assets: DataFrame, n_frames: int, pixels_per_frame: int
 ) -> DataFrame:
-    """The VIDEO counterpart of :func:`sampled_pixel_grid`: per asset,
-    ``n_frames`` temporally-sampled frames x ``pixels_per_frame``
-    spatially-sampled grayscale values, as (asset_id, g, px, decoded)
-    rows with g = frame*pixels_per_frame + pixel.
+    """The VIDEO counterpart of :func:`sampled_pixel_grid_wide`: per
+    asset, ``n_frames`` temporally-sampled frames x ``pixels_per_frame``
+    spatially-sampled grayscale values as ONE (asset_id, px array<long>,
+    decoded) row with px[frame*pixels_per_frame + pixel].
 
     - decodable animation (PIL, or the stdlib GIF frame decoder):
       grid cell (f, c) reads frame (f*F)//n_frames at flat pixel
@@ -1285,8 +1285,7 @@ def sampled_frame_grid(
 
         for pdf in batches:
             ids: list[int] = []
-            gs: list[int] = []
-            pxs: list[int] = []
+            arrs: list[list[int]] = []
             dec: list[bool] = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 b = bytes(payload)
@@ -1311,21 +1310,36 @@ def sampled_frame_grid(
                         continue
                     vals = [ord(s[(g * n) // grid]) for g in range(grid)]
                     d = False
-                ids.extend([aid] * grid)
-                gs.extend(range(grid))
-                pxs.extend(vals)
-                dec.extend([d] * grid)
+                ids.append(aid)
+                arrs.append(vals)
+                dec.append(d)
+            if not ids:
+                # an all-empty task must yield nothing: an empty list
+                # column would infer float64 and break the Arrow cast
+                continue
             yield pd.DataFrame(
                 {
                     "asset_id": pd.array(ids, dtype="int64"),
-                    "g": pd.array(gs, dtype="int32"),
-                    "px": pd.array(pxs, dtype="int64"),
+                    "px": pd.Series(arrs, dtype="object"),
                     "decoded": pd.array(dec, dtype="bool"),
                 }
             )
 
     return assets.select("asset_id", "payload").mapInPandas(
-        sample_batches, PIXEL_GRID_SCHEMA
+        sample_batches, PIXEL_GRID_WIDE_SCHEMA
+    )
+
+
+def sampled_frame_grid(
+    assets: DataFrame, n_frames: int, pixels_per_frame: int
+) -> DataFrame:
+    """Long-form (asset_id, g, px, decoded) view of
+    :func:`sampled_frame_grid_wide` — a row-local posexplode, kept for
+    callers/tests that consume grid cells as rows."""
+    return sampled_frame_grid_wide(assets, n_frames, pixels_per_frame).select(
+        "asset_id",
+        F.posexplode("px").alias("g", "px"),
+        "decoded",
     )
 
 
@@ -1371,16 +1385,29 @@ PIXEL_GRID_SCHEMA = T.StructType(
     ]
 )
 
+PIXEL_GRID_WIDE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("px", T.ArrayType(T.LongType())),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
 
-def sampled_pixel_grid(
+
+def sampled_pixel_grid_wide(
     assets: DataFrame, grid_rows: int, grid_cols: int
 ) -> DataFrame:
     """The pixel source the perceptual dedup tiers fingerprint: per
     asset, ``grid_rows x grid_cols`` evenly-sampled intensity values as
-    (asset_id, g, px, decoded) rows — an Arrow-batched ``mapInPandas``
-    stage, one output row per grid cell (constant per asset, so the
-    stage is corpus-linear like the column-expression stand-in it
-    upgrades).
+    ONE (asset_id, px array<long>, decoded) row — an Arrow-batched
+    ``mapInPandas`` stage, one output ROW per asset (the decode loop
+    was always per-asset; emitting the grid as an array instead of
+    ``grid`` long-form rows keeps the Python boundary and every
+    downstream operator corpus-linear in ASSETS, not grid x assets,
+    and lets the band packing run as a row-local projection with no
+    window/groupBy shuffle — guide §2.3/§4).  The long-form
+    (asset_id, g, px, decoded) contract lives on in
+    :func:`sampled_pixel_grid`, a posexplode of this output.
 
     Per payload, the FIRST applicable source wins:
 
@@ -1411,8 +1438,7 @@ def sampled_pixel_grid(
 
         for pdf in batches:
             ids: list[int] = []
-            gs: list[int] = []
-            pxs: list[int] = []
+            arrs: list[list[int]] = []
             dec: list[bool] = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 b = bytes(payload)
@@ -1440,21 +1466,37 @@ def sampled_pixel_grid(
                             continue
                         vals = [ord(s[(g * n) // grid]) for g in range(grid)]
                         d = False
-                ids.extend([aid] * grid)
-                gs.extend(range(grid))
-                pxs.extend(vals)
-                dec.extend([d] * grid)
+                ids.append(aid)
+                arrs.append(vals)
+                dec.append(d)
+            if not ids:
+                # an all-empty task must yield nothing: an empty list
+                # column would infer float64 and break the Arrow cast
+                continue
             yield pd.DataFrame(
                 {
                     "asset_id": pd.array(ids, dtype="int64"),
-                    "g": pd.array(gs, dtype="int32"),
-                    "px": pd.array(pxs, dtype="int64"),
+                    "px": pd.Series(arrs, dtype="object"),
                     "decoded": pd.array(dec, dtype="bool"),
                 }
             )
 
     return assets.select("asset_id", "payload").mapInPandas(
-        sample_batches, PIXEL_GRID_SCHEMA
+        sample_batches, PIXEL_GRID_WIDE_SCHEMA
+    )
+
+
+def sampled_pixel_grid(
+    assets: DataFrame, grid_rows: int, grid_cols: int
+) -> DataFrame:
+    """Long-form (asset_id, g, px, decoded) view of
+    :func:`sampled_pixel_grid_wide` — a row-local posexplode, kept for
+    callers/tests that consume grid cells as rows.  The dedup tiers
+    consume the wide form directly."""
+    return sampled_pixel_grid_wide(assets, grid_rows, grid_cols).select(
+        "asset_id",
+        F.posexplode("px").alias("g", "px"),
+        "decoded",
     )
 
 
