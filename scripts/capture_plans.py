@@ -1,0 +1,55 @@
+"""Dump .explain("formatted") for named registry queries into plans/r17/.
+
+Usage: python scripts/capture_plans.py <suffix> [query ...]
+  suffix: "before" or "after" (file becomes plans/r17/<query>_<suffix>.txt)
+  no query args = every bench headliner that lives in the registry.
+
+Runs at the bench's scale factor dir ($SPARK_GRAFT_SF_DIR, default
+sf0.1) so the captured plans are the ones the bench times (layout
+builders in the registry cache fire as a side effect, exactly as the
+bench's warmup lap does).
+"""
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench  # noqa: E402
+from pithos_spark.registry import QUERIES  # noqa: E402
+
+
+def main() -> int:
+    suffix = sys.argv[1]
+    names = sys.argv[2:] or [n for n in bench.HEADLINERS if n in QUERIES]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r17"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    spark = bench.build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        fn = QUERIES.get(name)
+        if fn is None:
+            print(f"{name}: not in registry, skipped", flush=True)
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        except Exception as ex:  # noqa: BLE001 — record and continue
+            plan = f"ERROR {type(ex).__name__}: {ex}"
+        (out_dir / f"{name}_{suffix}.txt").write_text(plan)
+        print(f"{name}: {len(plan)} chars", flush=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,85 @@
+"""Per-component profiling of the expensive bench queries (guide §1).
+
+Times each tier/stage of the heavy queries with the noop sink at sf0.1
+on local[32], labelled via setJobDescription.  Median of 3 warm samples.
+"""
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import bench
+from pithos_spark.tables import load_tables
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+spark = bench.build_session(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+spark.sparkContext.setLogLevel("ERROR")
+tables = load_tables(spark, SF_DIR)
+docs = tables["documents"]
+emb = tables["embeddings"]
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed(name, thunk, reps=3):
+    spark.sparkContext.setJobDescription(name)
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        thunk()
+        samples.append(time.perf_counter() - t0)
+    spark.sparkContext.setJobDescription(None)
+    print(f"{name}: med={statistics.median(samples):.3f} runs={[round(s,3) for s in samples]}", flush=True)
+
+
+from pithos_spark.functions import dedup as D
+from pithos_spark.functions import similarity as S
+
+# warmup
+noop(D.exact_dedup(docs))
+
+# ---- dedup_ladder_report tiers ----
+timed("exact_dedup", lambda: noop(D.exact_dedup(docs)))
+timed("minhash_lsh_pairs", lambda: noop(D.minhash_lsh_pairs(docs)))
+timed("simhash_near_pairs", lambda: noop(D.simhash_near_pairs(docs)))
+timed("image_dhash_near_pairs", lambda: noop(D.image_dhash_near_pairs(docs, max_hamming=20)))
+timed("audio_near_pairs", lambda: noop(D.audio_near_pairs(docs, max_hamming=8)))
+timed("video_near_pairs", lambda: noop(D.video_near_pairs(docs, max_hamming=20)))
+timed("containment_cap20", lambda: noop(D.containment_pairs(docs, threshold_pct=50, max_shingle_df=20)))
+
+# fingerprint subparts
+timed("image_dhash_fingerprints", lambda: noop(D.image_dhash_fingerprints(docs)))
+timed("minhash_band_signatures", lambda: noop(D.lsh_band_signatures(docs)))
+timed("shingles_distinct", lambda: noop(D.shingles(docs, 3)))
+
+# ---- embedding ladder tiers ----
+timed("emb_lsh_dedup_pairs", lambda: noop(S.embedding_lsh_dedup_pairs(emb)))
+timed("pq_code_near_pairs", lambda: noop(S.pq_code_near_pairs(emb)))
+timed("semantic_dedup_pairs", lambda: noop(S.semantic_dedup_pairs(emb)))
+
+# ---- trainer cores ----
+timed("build_pq_codebooks", lambda: S.build_pq_codebooks(emb), reps=3)
+timed("build_ivf_lloyd_k16_i3", lambda: noop(S.build_ivf_lloyd_index(emb, 16, 3)[0]), reps=3)
+timed("build_ivf_lloyd_k64_i2", lambda: noop(S.build_ivf_lloyd_index(emb, 64, 2)[0]), reps=3)
+
+import tempfile
+import itertools
+seq = itertools.count()
+tmp = tempfile.mkdtemp(prefix="prof_")
+timed("save_pq_index", lambda: S.save_pq_index(emb, f"{tmp}/pq_{next(seq)}"))
+timed("save_ivfpq_residual_index", lambda: S.save_ivfpq_residual_index(emb, f"{tmp}/res_{next(seq)}"))
+
+# in-query PQ serving twin
+from pithos_spark.registry import QUERIES
+timed("ann_pq_topk", lambda: noop(QUERIES["ann_pq_topk"](spark, SF_DIR)))
+timed("dedup_pq_code_stats", lambda: noop(QUERIES["dedup_pq_code_stats"](spark, SF_DIR)))
+
+import shutil
+shutil.rmtree(tmp, ignore_errors=True)
+spark.stop()
+print("DONE")
