@@ -1986,8 +1986,12 @@ def _recall_vs_exact(
     exact = batch_topk(embeddings, query_ids, k).select(
         "query_id", "vec_id"
     )
+    # both top-k sides are |Q| x k rows BY CONSTRUCTION, but they sit
+    # behind aggregations whose size estimates the planner distrusts —
+    # without the hint each recall report paid a sort-merge join's two
+    # exchanges+sorts on k-row inputs (guide §3.1)
     hits = (
-        exact.join(approx, ["query_id", "vec_id"])
+        exact.join(F.broadcast(approx), ["query_id", "vec_id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
@@ -1997,7 +2001,7 @@ def _recall_vs_exact(
         .distinct()
     )
     return (
-        base.join(hits, "query_id", "left")
+        base.join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),

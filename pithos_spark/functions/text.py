@@ -1597,7 +1597,17 @@ def _trigram_score(
     """The scoring join shape over PREBUILT count tables — shared by
     the derive-on-read forms and :func:`trigram_heldout_from_layout`
     (which reads the counts from the materialized gram layout), so the
-    two are bit-identical by construction."""
+    two are bit-identical by construction.
+
+    Shape note (r17, measured): a vocab-split rewrite — score each
+    DISTINCT trigram once, then one (doc_id, tri) join — was tried and
+    REJECTED: at bench scale the count tables broadcast, so this
+    five-join chain never exchanges the window rows at all, while the
+    split's two extra aggregations cost +44% (A/B med 1.01 s vs
+    1.45 s at sf0.1).  At vocabularies too big to broadcast the joins
+    degrade to SMJs; the production answer there is the BUCKETED
+    layout (write_trigram_lm_layout) whose count-side partitioning the
+    scoring join reuses, not a different derive-on-read shape."""
     assert l3 + l2 + l1 == 1000, "interpolation weights must sum to 1000"
     scored = (
         tri_score.join(counts["c3"], "tri", "left")
@@ -1842,10 +1852,20 @@ def write_trigram_lm_layout(
             while n_buckets < 4096 and n_total // (2 * n_buckets) >= 50_000:
                 n_buckets *= 2
         for key, cnt in _TRIGRAM_COUNT_TABLES:
+            # ONE exchange per table: hash-repartitioning on the gram
+            # key into n_buckets partitions IS the bucket function —
+            # Spark's partition id is pmod(murmur3(key), n), the same
+            # expression as column b — so the count aggregation reuses
+            # the exchange (clustered on key) AND every task holds
+            # exactly its own b directory.  The former shape paid a
+            # second keyless repartition("b") exchange per table whose
+            # few distinct values spread over 200 partitions
+            # (guide §2.4/§2.5).
             (
-                _trigram_counts(tri_lm)[cnt]
+                tri_lm.repartition(n_buckets, F.col(key))
+                .groupBy(key)
+                .agg(F.count(F.lit(1)).alias(cnt))
                 .withColumn("b", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
-                .repartition("b")
                 .sortWithinPartitions(key)
                 .write.mode("overwrite")
                 .partitionBy("b")
@@ -1916,10 +1936,13 @@ def append_to_trigram_lm_layout(
         d_total = tri.count()
         begin_append(root)  # torn-append marker, cleared after stats
         for key, cnt in _TRIGRAM_COUNT_TABLES:
+            # one exchange: partition id == pmod(murmur3(key), n) == b
+            # (see write_trigram_lm_layout)
             (
-                _trigram_counts(tri)[cnt]
+                tri.repartition(n_buckets, F.col(key))
+                .groupBy(key)
+                .agg(F.count(F.lit(1)).alias(cnt))
                 .withColumn("b", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
-                .repartition("b")
                 .sortWithinPartitions(key)
                 .write.mode("append")
                 .partitionBy("b")

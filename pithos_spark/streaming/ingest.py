@@ -565,12 +565,15 @@ def streaming_trigram_ingest(
         try:
             d_total = tri.count()
             for key, cnt in _TRIGRAM_COUNT_TABLES:
+                # one exchange: partition id == pmod(murmur3(key), n)
+                # == b (see write_trigram_lm_layout)
                 (
-                    _trigram_counts(tri)[cnt]
+                    tri.repartition(n_buckets, F.col(key))
+                    .groupBy(key)
+                    .agg(F.count(F.lit(1)).alias(cnt))
                     .withColumn(
                         "b", F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
                     )
-                    .repartition("b")
                     .sortWithinPartitions(key)
                     .write.mode("overwrite")
                     .partitionBy("b")
@@ -781,10 +784,13 @@ def compact_staged_trigram(spark, layout_path: str) -> int:
     tmp = f"{layout_path}/{FOLD_TMP}"
     shutil.rmtree(tmp, ignore_errors=True)
     for key, cnt in _TRIGRAM_COUNT_TABLES:
+        # one exchange: partition id == pmod(murmur3(key), n) == b
+        # (see write_trigram_lm_layout)
         merged = (
             counts[cnt]
             .drop("b")
             .unionByName(staged[cnt])
+            .repartition(n_buckets, F.col(key))
             .groupBy(key)
             .agg(F.sum(cnt).cast("long").alias(cnt))
         )
@@ -792,7 +798,6 @@ def compact_staged_trigram(spark, layout_path: str) -> int:
             merged.withColumn(
                 "b", F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
             )
-            .repartition("b")
             .sortWithinPartitions(key)
             .write.mode("overwrite")
             .partitionBy("b")
