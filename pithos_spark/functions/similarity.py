@@ -3867,8 +3867,20 @@ def _semantic_pairs_from_assigned(
 ) -> DataFrame:
     """The SemDeDup pair tail over an ALREADY-ASSIGNED corpus
     (vec_id, embedding, cluster): hash-deterministic per-cluster cap,
-    in-cluster self-join, exact quantized dot — shared by the
-    train-in-query gate and the persisted-index sweep."""
+    then one integer Gram matmul per cluster — shared by the
+    train-in-query gate and the persisted-index sweep.
+
+    The pair dots run as ONE ``Q @ Q.T`` int64 GEMM per capped cluster
+    inside a grouped Arrow pass, replacing the in-cluster self-join
+    whose ``quantized_dot`` evaluated an interpreted zip_with/aggregate
+    expression per candidate pair (k x cap^2/2 pairs x dim multiplies,
+    one expression-tree walk each — guide §4.2: hand whole batches to
+    vectorized native code).  The cap bounds a group at ``max_cluster``
+    rows, so the grouped pass is safe at any corpus size, and the
+    groupBy reuses the cap window's cluster partitioning — exchange
+    count unchanged.  floor(x*1000) in float64 and int64 products are
+    IEEE/exact in both engines, so pairs and dot_q are bit-identical
+    to the join form (oracle-gated)."""
     from pithos_spark.functions.dedup import portable_hash60
     from pyspark.sql import Window
 
@@ -3881,23 +3893,35 @@ def _semantic_pairs_from_assigned(
         .filter(F.col("_bn") <= max_cluster)
         .drop("_bn")
     )
-    a = capped.alias("a")
-    b = capped.alias("b")
+
+    def pairs(pdf):
+        import numpy as np
+
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        # same value path as quantized_dot: cast double, *scale, floor
+        Q = np.floor(
+            np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+            * 1000
+        ).astype(np.int64)
+        G = Q @ Q.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        d = G[iu, ju]
+        keep = d >= threshold_q
+        cl = np.int32(pdf["cluster"].iloc[0])
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[keep]],
+                "vec_b": ids[ju[keep]],
+                "cluster": np.full(int(keep.sum()), cl, dtype=np.int32),
+                "dot_q": d[keep],
+            }
+        )
+
     return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.cluster").alias("cluster"),
-            quantized_dot(F.col("a.embedding"), F.col("b.embedding")).alias(
-                "dot_q"
-            ),
-        )
-        .filter(F.col("dot_q") >= threshold_q)
+        capped.groupBy("cluster")
+        .applyInPandas(pairs, "vec_a long, vec_b long, cluster int, dot_q long")
         .orderBy("vec_a", "vec_b")
     )
 
@@ -4030,26 +4054,36 @@ def embedding_dedup_ladder(
         "_bn", F.row_number().over(wl)
     )
     kept = ranked.filter(F.col("_bn") <= max_label)
-    a = kept.select(
-        F.col("vec_id").alias("vec_a"),
-        "label",
-        F.col("embedding").alias("emb_a"),
-    )
-    b = kept.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("emb_b"),
-    )
-    cosine_pairs = (
-        a.join(b, (a.label == b.label_b) & (F.col("vec_a") < F.col("vec_b")))
-        .select(quantized_dot(F.col("emb_a"), F.col("emb_b")).alias("dot_q"))
-        .filter(F.col("dot_q") >= threshold_q)
+
+    # one int64 Gram matmul per label block instead of a self-join
+    # evaluating an interpreted quantized_dot per candidate pair —
+    # the semantic tier's shape (guide §4.2); a block is <= max_label
+    # rows by the cap, so the grouped pass is bounded at any scale.
+    # The tier only reports a COUNT, so each block returns one row.
+    def _label_pair_count(pdf):
+        import numpy as np
+
+        n = len(pdf)
+        Q = np.floor(
+            np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1000
+        ).astype(np.int64)
+        G = Q @ Q.T
+        iu, ju = np.triu_indices(n, k=1)
+        return pd.DataFrame(
+            {"n": np.array([int((G[iu, ju] >= threshold_q).sum())], np.int64)}
+        )
+
+    cosine_pairs_n = (
+        kept.select("label", "embedding")
+        .groupBy("label")
+        .applyInPandas(_label_pair_count, "n long")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"))
     )
     dropped = ranked.filter(F.col("_bn") > max_label).agg(
         F.count(F.lit(1)).alias("d")
     )
     cosine = (
-        cosine_pairs.agg(F.count(F.lit(1)).alias("n"))
+        cosine_pairs_n
         .crossJoin(dropped)  # 1x1: two single-row aggregates
         .select(
             F.lit("cosine_label_block").alias("tier"),
