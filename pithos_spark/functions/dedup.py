@@ -191,11 +191,21 @@ def minhash_signatures(
     approximates a random permutation's first element, so
     P(min_a = min_b) = jaccard(a, b).
 
-    Computed as ``num_hashes`` min-aggregates over the RAW (multiset)
-    shingle rows — min is duplicate-insensitive, so the distinct
-    shuffle is skipped entirely, the partial mins combine map-side, and
-    the exchange carries 32 longs per doc, never a shingle string.
+    Computed over the RAW (multiset) shingle rows — min is
+    duplicate-insensitive, so the distinct shuffle is skipped entirely.
+    The md5-prefix hash is computed JVM-side once per shingle row; the
+    ``num_hashes`` multiply-add-mod mins then run as ONE vectorized
+    numpy pass per task over (doc_id, h0) rows (task-colocated per doc
+    by construction) — the simhash/Lloyd fusion shape (guide §4.2),
+    replacing
+    ``num_hashes`` interpreted min-aggregate expressions per shingle
+    row.  Exact: h0 < p and a < p keep every product below (p-1)^2 <
+    2^63, so int64 arithmetic is identical in numpy, the JVM and the
+    DuckDB twin; both operands of ``%`` are non-negative, so
+    remainder conventions agree.
     """
+    import numpy as np
+
     a_c, b_c = _mh_constants(num_hashes)
     # hash the (possibly long) shingle string ONCE; the k family members
     # are then integer multiply-add-mod over the 8-byte value — k x
@@ -203,13 +213,47 @@ def minhash_signatures(
     sh = shingles(documents, n, distinct=False).withColumn(
         "h0", portable_hash60(F.col("shingle")) % F.lit(_MH_P)
     )
-    mins = [
-        F.min(
-            (F.lit(a_c[i]) * F.col("h0") + F.lit(b_c[i])) % F.lit(_MH_P)
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*mins)
+
+    def signatures(pdfs):
+        import pandas as pd
+
+        A = np.array(a_c, dtype=np.int64)
+        B = np.array(b_c, dtype=np.int64)
+        acc: dict[int, object] = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            d = pdf["doc_id"].to_numpy().astype(np.int64)
+            h = pdf["h0"].to_numpy().astype(np.int64)
+            uniq, inv = np.unique(d, return_inverse=True)
+            H = (h[:, None] * A[None, :] + B[None, :]) % _MH_P
+            M = np.full((len(uniq), num_hashes), _MH_P, dtype=np.int64)
+            np.minimum.at(M, inv, H)
+            for i, doc in enumerate(uniq):
+                doc = int(doc)
+                if doc in acc:
+                    acc[doc] = np.minimum(acc[doc], M[i])
+                else:
+                    acc[doc] = M[i]
+        if not acc:
+            return
+        docs = np.fromiter(acc, dtype=np.int64, count=len(acc))
+        M = np.stack([acc[int(doc)] for doc in docs])
+        out = {"doc_id": docs}
+        for i in range(num_hashes):
+            out[f"mh_{i}"] = M[:, i]
+        yield pd.DataFrame(out)
+
+    schema = "doc_id long, " + ", ".join(
+        f"mh_{i} long" for i in range(num_hashes)
+    )
+    # NO shuffle: every shingle row of a document descends from that
+    # document's single input row through narrow ops (explode,
+    # projections), so a doc's rows are task-colocated by construction
+    # and the per-task pass emits complete per-doc signatures — the
+    # old 32-min aggregate's exchange (32 longs per doc) is gone
+    # outright (guide §2.4).
+    return sh.select("doc_id", "h0").mapInPandas(signatures, schema)
 
 
 def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
@@ -428,37 +472,67 @@ def simhash_fingerprints(documents: DataFrame, n: int = 2) -> DataFrame:
     so neither engine's overflow checks can fire.
 
     bit_j(doc) = sign of sum over shingle occurrences of (+1 if hash bit
-    j set else -1).  Expressed as: explode shingles -> per-bit
-    contribution via shift/mask -> groupBy doc -> per-bit sums ->
-    reassemble the word.  All integer column math; no UDF.
+    j set else -1).  The md5-prefix hash is computed JVM-side once per
+    shingle row; the 60 per-bit sums then run as ONE vectorized numpy
+    pass per task over (doc_id, h) rows (task-colocated per doc by
+    construction) — the same fusion shape the Lloyd trainers use
+    (guide §4.2):
+    the previous 60 ``sum(when(shiftright...))`` aggregate expressions
+    evaluated an interpreted 4-op tree per (row, bit) — 60x the corpus
+    shingle count — and measured 3.1 s at sf0.1 where the numpy bit
+    matrix is ~0.3 s.  Exact equivalence: sum over occurrences of +/-1
+    for bit j equals 2*S_j - N with S_j = sum of bit j and N the doc's
+    occurrence count — integer arithmetic, and the packed word is the
+    same sum of distinct powers of two the DuckDB twin builds.
     """
-    # materialize the hash ONCE per shingle row — referencing the hash
-    # expression inside all 60 aggregates would re-evaluate it per
-    # aggregate (no CSE across aggregate expressions): 60x the hash
-    # cost, measured 36s -> ~8s at sf0.1
+    import numpy as np
+
     sh = shingles(documents, n, distinct=False).withColumn(
         "h", portable_hash60(F.col("shingle"))
     )
-    h = F.col("h")
-    # one +1/-1 contribution column per bit; python loop because the
-    # shift amount must be a literal int in the DataFrame API
-    bit_terms = [
-        F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-            .otherwise(F.lit(-1))
-            .cast("long")
-        ).alias(f"bit_{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    per_doc = sh.groupBy("doc_id").agg(*bit_terms)
-    # distinct powers of two: sum == bitwise-or, and sum is what the
-    # DuckDB twin uses, so keep the two plans textually parallel
-    fp = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        fp = fp + F.when(
-            F.col(f"bit_{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
-        ).otherwise(F.lit(0).cast("long"))
-    return per_doc.select("doc_id", fp.alias("simhash"))
+
+    def fingerprints(pdfs):
+        import pandas as pd
+
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+        weights = (np.int64(1) << shifts).astype(np.int64)
+        acc: dict[int, tuple] = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            d = pdf["doc_id"].to_numpy().astype(np.int64)
+            h = pdf["h"].to_numpy().astype(np.int64)
+            uniq, inv, counts = np.unique(
+                d, return_inverse=True, return_counts=True
+            )
+            bits = ((h[:, None] >> shifts) & 1).astype(np.int64)
+            S = np.zeros((len(uniq), SIMHASH_BITS), dtype=np.int64)
+            np.add.at(S, inv, bits)
+            for i, doc in enumerate(uniq):
+                doc = int(doc)
+                if doc in acc:
+                    s0, n0 = acc[doc]
+                    acc[doc] = (s0 + S[i], n0 + int(counts[i]))
+                else:
+                    acc[doc] = (S[i], int(counts[i]))
+        if not acc:
+            return
+        docs = np.fromiter(acc, dtype=np.int64, count=len(acc))
+        S = np.stack([acc[int(doc)][0] for doc in docs])
+        N = np.array([acc[int(doc)][1] for doc in docs], dtype=np.int64)
+        fp = (((2 * S - N[:, None]) > 0).astype(np.int64) * weights).sum(
+            axis=1
+        )
+        yield pd.DataFrame({"doc_id": docs, "simhash": fp})
+
+    # NO shuffle: a doc's shingle rows are task-colocated by
+    # construction (narrow ops from one input row — see
+    # minhash_signatures), so per-task accumulation yields complete
+    # per-doc fingerprints and the old 60-sum aggregate's exchange is
+    # gone outright (guide §2.4).
+    return sh.select("doc_id", "h").mapInPandas(
+        fingerprints, "doc_id long, simhash long"
+    )
 
 
 def simhash_near_pairs(
@@ -1039,6 +1113,8 @@ def source_minhash_similarity(
     estimate (``est_jaccard_pct`` = floor(100 * n_agree / num_hashes))
     keeps the output oracle-exact.
     """
+    import numpy as np
+
     a_c, b_c = _mh_constants(num_hashes)
     base = documents.select("source", _tokens(F.col("text")).alias("_toks"))
     toks = F.col("_toks")
@@ -1047,13 +1123,51 @@ def source_minhash_similarity(
     sh = base.select("source", F.explode(grams).alias("shingle")).withColumn(
         "h0", portable_hash60(F.col("shingle")) % F.lit(_MH_P)
     )
-    mins = [
-        F.min(
-            (F.lit(a_c[i]) * F.col("h0") + F.lit(b_c[i])) % F.lit(_MH_P)
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy("source").agg(*mins)
+
+    # per-task numpy partial mins (sources span tasks, unlike doc-level
+    # signatures, so this is the partial-merge form of the minhash
+    # fusion: one vectorized pass per task replaces num_hashes
+    # interpreted min-expressions per shingle row, and the JVM merge
+    # agg below sees only tasks x sources partial rows — map-side
+    # combining preserved, exchange unchanged at sources x num_hashes
+    # longs; min of per-task mins == the global min, exact int64)
+    def partial_mins(pdfs):
+        import pandas as pd
+
+        A = np.array(a_c, dtype=np.int64)
+        B = np.array(b_c, dtype=np.int64)
+        acc: dict[str, object] = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            src = pdf["source"].to_numpy()
+            h = pdf["h0"].to_numpy().astype(np.int64)
+            uniq, inv = np.unique(src, return_inverse=True)
+            H = (h[:, None] * A[None, :] + B[None, :]) % _MH_P
+            M = np.full((len(uniq), num_hashes), _MH_P, dtype=np.int64)
+            np.minimum.at(M, inv, H)
+            for i, s in enumerate(uniq):
+                s = str(s)
+                if s in acc:
+                    acc[s] = np.minimum(acc[s], M[i])
+                else:
+                    acc[s] = M[i]
+        if not acc:
+            return
+        srcs = list(acc)
+        M = np.stack([acc[s] for s in srcs])
+        out = {"source": pd.Series(srcs, dtype="object")}
+        for i in range(num_hashes):
+            out[f"mh_{i}"] = M[:, i]
+        yield pd.DataFrame(out)
+
+    schema = "source string, " + ", ".join(
+        f"mh_{i} long" for i in range(num_hashes)
+    )
+    partials = sh.select("source", "h0").mapInPandas(partial_mins, schema)
+    sig = partials.groupBy("source").agg(
+        *[F.min(f"mh_{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+    )
     stack_args = ", ".join(f"{i}, mh_{i}" for i in range(num_hashes))
     sig_long = sig.selectExpr(
         "source", f"stack({num_hashes}, {stack_args}) AS (i, mh)"
