@@ -1543,17 +1543,24 @@ def containment_pairs(
     the measure is exact.
 
     Scale shape: shingle explode (corpus-linear) -> doc-frequency agg
-    (map-side combinable) -> posting-list self-join keyed on the
-    shingle string.  Because every surviving posting list has length
-    <= ``max_shingle_df``, total pair-generation work is bounded by
-    ``max_shingle_df * |postings|`` — LINEAR in corpus size for a
-    fixed cap, with no separate verify pass (the self-join IS the
-    exact intersection count).  The cap is the work/recall dial, the
-    same contract as ``_cap_buckets`` in the minhash/simhash tiers;
-    size it from the ``lsh_bucket_stats``-style df telemetry before a
-    100 TB pass (a flat, non-zipfian df distribution — every shingle
-    near the cap — degenerates to cap*n work; SCALE_r10.md measures
-    exactly that worst case on the replicated synthetic corpus).
+    (map-side combinable) -> hot-shingle anti-join -> POSTING LISTS
+    (collect_list per surviving shingle, bounded at
+    ``max_shingle_df`` entries because the hot anti-join runs first)
+    -> pair explode of each list against itself.  Because every
+    posting list has length <= ``max_shingle_df``, total
+    pair-generation work is bounded by ``max_shingle_df *
+    |postings|`` — LINEAR in corpus size for a fixed cap, with no
+    separate verify pass (the pair explode IS the exact intersection
+    count).  The list form replaces the r10-r16 posting SELF-JOIN:
+    identical pair multiset, but the corpus-wide (doc_id, shingle)
+    table is never broadcast and the join machinery drops out —
+    measured 4.6 s -> 3.2 s at sf0.1/cap20, result-identical.  The
+    cap is the work/recall dial, the same contract as
+    ``_cap_buckets`` in the minhash/simhash tiers; size it from the
+    ``lsh_bucket_stats``-style df telemetry before a 100 TB pass (a
+    flat, non-zipfian df distribution — every shingle near the cap —
+    degenerates to cap*n work; SCALE_r10.md measures exactly that
+    worst case on the replicated synthetic corpus).
 
     Output: (doc_a, doc_b, n_common, size_a, containment_pct) with
     containment_pct = floor(100 * n_common / size_a), doc_a != doc_b,
@@ -1561,27 +1568,39 @@ def containment_pairs(
     """
     from pithos_spark.plans.helpers import bounded_persist
 
-    sh = bounded_persist(shingles(documents, n), "containment_pairs.sh")
+    sh = shingles(documents, n)
     sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    uni = (
-        sh.join(F.broadcast(sdf.filter(F.col("df") > max_shingle_df)),
-                "shingle", "left_anti")
-        .select("doc_id", "shingle")
+    hot = F.broadcast(
+        sdf.filter(F.col("df") > max_shingle_df).select("shingle")
     )
-    uni = bounded_persist(uni, "containment_pairs.uni")
-    sizes = uni.groupBy("doc_id").agg(F.count(F.lit(1)).alias("size_a"))
+    # hot exclusion BEFORE collect_set keeps every list <= cap — the
+    # aggregation never materializes a boilerplate shingle's postings.
+    # collect_set over the RAW gram stream (multiplicity kept) folds
+    # the per-doc dedup into the same exchange as the posting build:
+    # one (shingle)-keyed exchange instead of distinct-by-(doc,gram)
+    # followed by collect_list-by-shingle.
+    posts = bounded_persist(
+        shingles(documents, n, distinct=False)
+        .join(hot, "shingle", "left_anti")
+        .groupBy("shingle")
+        .agg(F.collect_set("doc_id").alias("ds"))
+        .select("ds"),
+        "containment_pairs.posts",
+    )
+    sizes = (
+        posts.select(F.explode("ds").alias("doc_a"))
+        .groupBy("doc_a")
+        .agg(F.count(F.lit(1)).alias("size_a"))
+    )
     inter = (
-        uni.alias("a")
-        .join(uni.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        posts.select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        inter.join(sizes, "doc_a")
         .withColumn(
             "containment_pct",
             (F.col("n_common") * 100 / F.col("size_a")).cast("long"),
