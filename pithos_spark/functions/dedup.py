@@ -81,12 +81,9 @@ WITH toks AS (
 )"""
 
 
-def shingles(documents: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
-    """Word n-gram shingles per document: (doc_id, shingle).
-
-    ``distinct=True`` gives the set view (jaccard/minhash); ``False``
-    keeps multiplicity (simhash term weighting).  Built with
-    sequence+transform+explode — all JVM-side; no UDF.
+def _gram_array(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, _grams) with _grams the doc's word-n-gram array, built
+    with sequence+transform — all JVM-side; no UDF.
 
     The token array is materialized as a column BEFORE the gram
     transform: referencing the split() expression inside the lambda
@@ -97,8 +94,47 @@ def shingles(documents: DataFrame, n: int = 3, distinct: bool = True) -> DataFra
     toks = F.col("_toks")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    out = base.select("doc_id", F.explode(grams).alias("shingle"))
-    return out.distinct() if distinct else out
+    return base.select("doc_id", grams.alias("_grams"))
+
+
+def shingles(documents: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per document: (doc_id, shingle).
+
+    ``distinct=True`` gives the set view (jaccard/minhash); ``False``
+    keeps multiplicity (simhash term weighting).
+
+    A doc's grams all live in its own row, so the set view needs no
+    global ``distinct()``: ``array_distinct`` before the explode yields
+    the identical (doc_id, shingle) row set NARROWLY — the corpus-wide
+    (doc_id, shingle) exchange every consumer used to pay (and that
+    AQE then broadcast back, corpus-sized, in the verify joins)
+    disappears from all of minhash/jaccard/containment/df-stats
+    (guide §2.2).
+    """
+    grams = F.col("_grams")
+    out = _gram_array(documents, n).select(
+        "doc_id",
+        F.explode(F.array_distinct(grams) if distinct else grams).alias(
+            "shingle"
+        ),
+    )
+    return out
+
+
+def shingle_set_sizes(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, n_shingles) = |distinct shingle set| per doc — a pure
+    projection (no explode, no aggregation): the exchange-free twin of
+    ``shingles(...).groupBy(doc_id).count()``.  Docs whose token array
+    is null (null text) get a null count; such docs produce no shingle
+    rows either, so inner joins against shingle-derived pairs treat
+    both forms identically.
+    """
+    return _gram_array(documents, n).select(
+        "doc_id",
+        F.size(F.array_distinct(F.col("_grams"))).cast("long").alias(
+            "n_shingles"
+        ),
+    )
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
@@ -128,9 +164,17 @@ def jaccard_pairs(
     integer threshold.  The self-join key is the shingle string; hot
     shingles fan out — acceptable as the *verifier* for LSH candidates,
     not as the 100 TB candidate generator (that's minhash_lsh_pairs).
+
+    The shingle set is persisted for the life of the invocation: both
+    self-join branches consume it, and with the narrow
+    (array_distinct) shingle form there is no distinct exchange left
+    for ReuseExchange to share — without the persist each branch would
+    re-tokenize the corpus (measured +45% on the pair core at sf0.1).
     """
-    sh = shingles(documents, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    from pithos_spark.plans.helpers import bounded_persist
+
+    sh = bounded_persist(shingles(documents, n), "jaccard_pairs.sh")
+    sizes = shingle_set_sizes(documents, n)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -369,10 +413,10 @@ def minhash_lsh_pairs(
     # exact verification restricted to candidates — the full quadratic
     # jaccard never runs; intersection counts come from joining each
     # side's (distinct) shingle rows through the candidate pair list.
-    # The three uses of the distinct shingle set below canonicalize to
-    # the same subplan, so ReuseExchange executes its shuffle once.
+    # Set sizes are per-row projections (shingle_set_sizes) and the
+    # shingle sets are narrow explodes — no distinct exchange anywhere.
     sh = shingles(documents, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes = shingle_set_sizes(documents, n)
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
     inter = (
@@ -1592,15 +1636,41 @@ def containment_pairs(
         .groupBy("doc_a")
         .agg(F.count(F.lit(1)).alias("size_a"))
     )
-    inter = (
+    # n_common is symmetric, so only (doc_a < doc_b) pairs go through
+    # the count exchange — the mirrored direction is reconstructed
+    # AFTER the aggregation, halving the shuffled pair rows and the
+    # aggregation hash table (the pair-count exchange is the measured
+    # floor of this operator; guide §2.4: shuffle fewer bytes).  Both
+    # directions then face their own size_a threshold as before.
+    inter_half = (
         posts.select(F.explode("ds").alias("doc_a"), "ds")
         .select("doc_a", F.explode("ds").alias("doc_b"))
-        .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # mirror with a narrow explode, NOT a union — a union would plan
+    # the aggregation subtree twice (no cross-branch reuse)
+    inter = inter_half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a"), F.col("doc_b"), F.col("n_common")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_a"),
+                    F.col("doc_a").alias("doc_b"),
+                    F.col("n_common"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.n_common")
+    # sizes is one row per in-universe doc — broadcast it explicitly:
+    # without the hint AQE builds the hash table from the LEFT (inter)
+    # side, i.e. collects the near-unique pair aggregate (2.2M rows at
+    # sf0.1, corpus-scale at 100 TB) to the driver (guide §3.1).
     return (
-        inter.join(sizes, "doc_a")
+        inter.join(F.broadcast(sizes), "doc_a")
         .withColumn(
             "containment_pct",
             (F.col("n_common") * 100 / F.col("size_a")).cast("long"),

@@ -4091,20 +4091,25 @@ def embedding_dedup_ladder(
             F.col("d").cast("long").alias("n_capped_ids"),
         )
     )
+    # The pq_code and semantic_cluster tiers train their codebooks /
+    # Lloyd centers with eager driver-side collects DURING DataFrame
+    # construction, and the two trainers are independent — submitting
+    # them from a small thread pool overlaps their Spark jobs (guide
+    # §2.6: actions are only sequential because driver code calls them
+    # sequentially).  Each trainer is deterministic on its own, so
+    # thread scheduling cannot change any tier's result.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        pq_f = pool.submit(pq_code_near_pairs, embeddings, threshold_q=threshold_q)
+        sem_f = pool.submit(semantic_dedup_pairs, embeddings, threshold_q=threshold_q)
+        lsh_tier = embedding_lsh_dedup_pairs(embeddings, threshold_q=threshold_q)
+        pq_tier, sem_tier = pq_f.result(), sem_f.result()
     tiers = [
         cosine,
-        _count(
-            "lsh_bucket",
-            embedding_lsh_dedup_pairs(embeddings, threshold_q=threshold_q),
-        ),
-        _count(
-            "pq_code",
-            pq_code_near_pairs(embeddings, threshold_q=threshold_q),
-        ),
-        _count(
-            "semantic_cluster",
-            semantic_dedup_pairs(embeddings, threshold_q=threshold_q),
-        ),
+        _count("lsh_bucket", lsh_tier),
+        _count("pq_code", pq_tier),
+        _count("semantic_cluster", sem_tier),
     ]
     out = tiers[0]
     for t in tiers[1:]:

@@ -1,0 +1,53 @@
+"""Wave-3 profiling: the shingle-tier components (guide §1).
+
+Same methodology as profile_components_r17.py: noop sink, sf0.1,
+local[32], median of 3 warm samples, labelled jobs.
+"""
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import bench
+from pithos_spark.tables import load_tables
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+spark = bench.build_session(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+spark.sparkContext.setLogLevel("ERROR")
+tables = load_tables(spark, SF_DIR)
+docs = tables["documents"]
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed(name, thunk, reps=3):
+    spark.sparkContext.setJobDescription(name)
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        thunk()
+        samples.append(time.perf_counter() - t0)
+    spark.sparkContext.setJobDescription(None)
+    print(f"{name}: med={statistics.median(samples):.3f} runs={[round(s,3) for s in samples]}", flush=True)
+
+
+from pithos_spark.functions import dedup as D
+
+# warmup
+noop(D.exact_dedup(docs))
+
+timed("shingles_distinct", lambda: noop(D.shingles(docs, 3)))
+timed("minhash_lsh_pairs", lambda: noop(D.minhash_lsh_pairs(docs)))
+timed("jaccard_pairs", lambda: noop(D.jaccard_pairs(docs)))
+timed("containment_cap20", lambda: noop(D.containment_pairs(docs, threshold_pct=50, max_shingle_df=20)))
+timed("containment_cap200", lambda: noop(D.containment_pairs(docs)))
+timed("shingle_df_stats", lambda: noop(D.shingle_df_stats(docs)))
+timed("ladder_report", lambda: noop(D.dedup_ladder_report(docs)))
+
+spark.stop()
+print("DONE")
