@@ -166,21 +166,27 @@ def write_postings_layout(documents: DataFrame, path: str) -> None:
     exactly the same for the pushed ``term IN`` min/max skipping, with
     no sampling pass — one tokenize instead of two.
     """
+    from pithos_spark.plans.helpers import overlap_jobs
+
     p = build_postings(documents)
-    (
-        p.repartition("term")
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite")
-        .parquet(f"{path}/postings")
-    )
     toks = documents.select(F.size(_tokens(F.col("text"))).alias("_n"))
-    (
-        toks.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("_n").cast("long").alias("total_len"),
-        )
-        .write.mode("overwrite")
-        .parquet(f"{path}/stats")
+    # the postings write and the 1-row stats aggregate are independent
+    # jobs — overlapped (guide §2.6); finalize_rebuild runs after both
+    overlap_jobs(
+        lambda: (
+            p.repartition("term")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{path}/postings")
+        ),
+        lambda: (
+            toks.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("_n").cast("long").alias("total_len"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/stats")
+        ),
     )
     from pithos_spark.functions.layoutcommit import finalize_rebuild
 

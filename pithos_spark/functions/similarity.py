@@ -1729,23 +1729,30 @@ def save_pq_index(
     codes = pq_encode(
         embeddings, codebooks, m_sub, scale, dim, extra=["label"]
     )
-    (
-        codes.repartitionByRange("vec_id", "m")
-        .sortWithinPartitions("vec_id", "m")
-        .write.mode("overwrite")
-        .parquet(f"{path}/codes")
-    )
+    # the corpus code write and the two tiny tables are independent
+    # jobs — overlapped (guide §2.6); finalize_rebuild below runs only
+    # after all three settle
+    from pithos_spark.plans.helpers import overlap_jobs
+
     cb_df = spark.createDataFrame(
         [(m, c, v) for (m, c), v in sorted(codebooks.items())],
         "m int, code int, centroid_q array<bigint>",
     )
-    write_tiny_table(cb_df, f"{path}/codebooks")
-    write_tiny_table(
-        spark.createDataFrame(
-            [(m_sub, k_codes, scale, dim)],
-            "m_sub int, k_codes int, scale int, dim int",
+    overlap_jobs(
+        lambda: (
+            codes.repartitionByRange("vec_id", "m")
+            .sortWithinPartitions("vec_id", "m")
+            .write.mode("overwrite")
+            .parquet(f"{path}/codes")
         ),
-        f"{path}/meta",
+        lambda: write_tiny_table(cb_df, f"{path}/codebooks"),
+        lambda: write_tiny_table(
+            spark.createDataFrame(
+                [(m_sub, k_codes, scale, dim)],
+                "m_sub int, k_codes int, scale int, dim int",
+            ),
+            f"{path}/meta",
+        ),
     )
     # a rebuild is the documented torn-append recovery; on a
     # previously-compacted layout this also cuts CURRENT back to the
@@ -2636,27 +2643,34 @@ def save_ivfpq_residual_index(
             "m", "code"
         ),
     )
-    (
-        codes.repartition("cluster")
-        .sortWithinPartitions("vec_id", "m")
-        .write.mode("overwrite")
-        .partitionBy("cluster")
-        .parquet(f"{path}/codes")
-    )
-    centers.write.mode("overwrite").parquet(f"{path}/centers")
-    write_tiny_table(
-        spark.createDataFrame(
-            [(m, c, v) for (m, c), v in sorted(codebooks.items())],
-            "m int, code int, centroid_q array<bigint>",
+    # the four table writes are independent jobs over the persisted
+    # rqv / the k-row centers — overlapped (guide §2.6);
+    # finalize_rebuild below runs only after all four settle
+    from pithos_spark.plans.helpers import overlap_jobs
+
+    overlap_jobs(
+        lambda: (
+            codes.repartition("cluster")
+            .sortWithinPartitions("vec_id", "m")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{path}/codes")
         ),
-        f"{path}/codebooks",
-    )
-    write_tiny_table(
-        spark.createDataFrame(
-            [(n_clusters, m_sub, k_codes, scale, dim)],
-            "n_clusters int, m_sub int, k_codes int, scale int, dim int",
+        lambda: centers.write.mode("overwrite").parquet(f"{path}/centers"),
+        lambda: write_tiny_table(
+            spark.createDataFrame(
+                [(m, c, v) for (m, c), v in sorted(codebooks.items())],
+                "m int, code int, centroid_q array<bigint>",
+            ),
+            f"{path}/codebooks",
         ),
-        f"{path}/meta",
+        lambda: write_tiny_table(
+            spark.createDataFrame(
+                [(n_clusters, m_sub, k_codes, scale, dim)],
+                "n_clusters int, m_sub int, k_codes int, scale int, dim int",
+            ),
+            f"{path}/meta",
+        ),
     )
     # a rebuild is the documented torn-append recovery; on a
     # previously-compacted layout this also cuts CURRENT back to the

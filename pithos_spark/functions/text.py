@@ -1834,6 +1834,8 @@ def write_trigram_lm_layout(
     partitions its grams hash into — see
     :func:`trigram_probe_from_layout`'s partition-filter plan.
     """
+    from pithos_spark.plans.helpers import overlap_jobs
+
     tri_lm = _trigram_windows(lm_documents).persist()
     try:
         n_total = max(tri_lm.count(), 1)
@@ -1851,16 +1853,17 @@ def write_trigram_lm_layout(
             n_buckets = 4
             while n_buckets < 4096 and n_total // (2 * n_buckets) >= 50_000:
                 n_buckets *= 2
-        for key, cnt in _TRIGRAM_COUNT_TABLES:
-            # ONE exchange per table: hash-repartitioning on the gram
-            # key into n_buckets partitions IS the bucket function —
-            # Spark's partition id is pmod(murmur3(key), n), the same
-            # expression as column b — so the count aggregation reuses
-            # the exchange (clustered on key) AND every task holds
-            # exactly its own b directory.  The former shape paid a
-            # second keyless repartition("b") exchange per table whose
-            # few distinct values spread over 200 partitions
-            # (guide §2.4/§2.5).
+        # ONE exchange per table: hash-repartitioning on the gram
+        # key into n_buckets partitions IS the bucket function —
+        # Spark's partition id is pmod(murmur3(key), n), the same
+        # expression as column b — so the count aggregation reuses
+        # the exchange (clustered on key) AND every task holds
+        # exactly its own b directory.  The former shape paid a
+        # second keyless repartition("b") exchange per table whose
+        # few distinct values spread over 200 partitions
+        # (guide §2.4/§2.5).  The five table writes are independent
+        # jobs over the persisted windows — overlapped (guide §2.6).
+        def _write_one(key, cnt):
             (
                 tri_lm.repartition(n_buckets, F.col(key))
                 .groupBy(key)
@@ -1871,6 +1874,13 @@ def write_trigram_lm_layout(
                 .partitionBy("b")
                 .parquet(f"{path}/{cnt}")
             )
+
+        overlap_jobs(
+            *[
+                (lambda key=key, cnt=cnt: _write_one(key, cnt))
+                for key, cnt in _TRIGRAM_COUNT_TABLES
+            ]
+        )
         from pithos_spark.functions.layoutcommit import (
             finalize_rebuild,
             write_tiny_table,
@@ -1935,9 +1945,13 @@ def append_to_trigram_lm_layout(
     try:
         d_total = tri.count()
         begin_append(root)  # torn-append marker, cleared after stats
-        for key, cnt in _TRIGRAM_COUNT_TABLES:
-            # one exchange: partition id == pmod(murmur3(key), n) == b
-            # (see write_trigram_lm_layout)
+
+        # one exchange per table: partition id == pmod(murmur3(key), n)
+        # == b (see write_trigram_lm_layout); the five appends are
+        # independent jobs over the persisted delta windows, overlapped
+        # (guide §2.6) — all behind the same torn-append marker, so a
+        # crash with any subset written still reads as torn.
+        def _append_one(key, cnt):
             (
                 tri.repartition(n_buckets, F.col(key))
                 .groupBy(key)
@@ -1948,6 +1962,15 @@ def append_to_trigram_lm_layout(
                 .partitionBy("b")
                 .parquet(f"{root}/{cnt}")
             )
+
+        from pithos_spark.plans.helpers import overlap_jobs
+
+        overlap_jobs(
+            *[
+                (lambda key=key, cnt=cnt: _append_one(key, cnt))
+                for key, cnt in _TRIGRAM_COUNT_TABLES
+            ]
+        )
         # preserve "unknown" (0): a pre-n_segments-column layout may
         # already hold several partial rows per gram, so writing 1 here
         # would let readers take the no-merge fast path over duplicate
@@ -2195,16 +2218,24 @@ def trigram_probe_from_layout(
     tri_probe = bounded_persist(
         _trigram_windows(probe_documents), "trigram_layout.tri_probe"
     )
-    pruned = {}
-    for key, cnt in _TRIGRAM_COUNT_TABLES:
-        buckets = [
-            r["b"]
-            for r in tri_probe.select(
-                F.pmod(F.hash(F.col(key)), F.lit(n_buckets)).alias("b")
-            )
-            .distinct()
-            .collect()
+    # ALL five bucket sets in ONE driver job (collect_set per key over
+    # the persisted probe windows) instead of five sequential
+    # distinct().collect() round trips (guide §2.6/§5.1); each set is
+    # still bounded by n_buckets values by construction.
+    bucket_sets = tri_probe.select(
+        *[
+            F.pmod(F.hash(F.col(key)), F.lit(n_buckets)).alias(cnt)
+            for key, cnt in _TRIGRAM_COUNT_TABLES
         ]
+    ).agg(
+        *[
+            F.collect_set(cnt).alias(cnt)
+            for _key, cnt in _TRIGRAM_COUNT_TABLES
+        ]
+    ).collect()[0]
+    pruned = {}
+    for _key, cnt in _TRIGRAM_COUNT_TABLES:
+        buckets = [int(b) for b in bucket_sets[cnt]]
         pruned[cnt] = (
             counts[cnt].filter(F.col("b").isin(buckets)).drop("b")
         )

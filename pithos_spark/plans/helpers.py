@@ -151,3 +151,28 @@ def bounded_persist(df, slot: str):
         handle = df.persist()
         _PERSIST_SLOTS[key] = handle
     return handle
+
+
+def overlap_jobs(*thunks):
+    """Run independent driver-side Spark actions from a thread pool and
+    wait for all of them (guide §2.6: the scheduler happily runs
+    several jobs at once inside one application; actions are only
+    sequential because driver code calls them sequentially).  Used by
+    the multi-table layout writers, whose per-table write jobs share no
+    state beyond read-only (persisted) inputs — a later job's tasks
+    back-fill cores freed by an earlier job's tail.  The first raised
+    exception propagates after every submitted job has settled, so a
+    failed write never leaves a sibling mid-flight when the caller's
+    cleanup (temp-dir removal, torn-marker handling) runs."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(len(thunks), 1)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        errs = []
+        for f in futures:
+            try:
+                f.result()
+            except Exception as ex:  # noqa: BLE001 — collect, re-raise first
+                errs.append(ex)
+        if errs:
+            raise errs[0]

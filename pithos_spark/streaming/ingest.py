@@ -564,9 +564,12 @@ def streaming_trigram_ingest(
         tri = _trigram_windows(batch_df).persist()
         try:
             d_total = tri.count()
-            for key, cnt in _TRIGRAM_COUNT_TABLES:
-                # one exchange: partition id == pmod(murmur3(key), n)
-                # == b (see write_trigram_lm_layout)
+            # one exchange per table: partition id == pmod(murmur3(key),
+            # n) == b (see write_trigram_lm_layout); the five writes
+            # land in the TEMP segment dir and install atomically after
+            # all succeed, so overlapping them (guide §2.6) leaves the
+            # crash story unchanged — a partial tmp dir is discarded.
+            def _write_one(key, cnt):
                 (
                     tri.repartition(n_buckets, F.col(key))
                     .groupBy(key)
@@ -579,6 +582,15 @@ def streaming_trigram_ingest(
                     .partitionBy("b")
                     .parquet(f"{tmp}/{cnt}")
                 )
+
+            from pithos_spark.plans.helpers import overlap_jobs
+
+            overlap_jobs(
+                *[
+                    (lambda key=key, cnt=cnt: _write_one(key, cnt))
+                    for key, cnt in _TRIGRAM_COUNT_TABLES
+                ]
+            )
             install_staged_segment(tmp, f"{layout_path}/staged/seg={seg}")
             (
                 spark.range(1)
@@ -783,9 +795,11 @@ def compact_staged_trigram(spark, layout_path: str) -> int:
 
     tmp = f"{layout_path}/{FOLD_TMP}"
     shutil.rmtree(tmp, ignore_errors=True)
-    for key, cnt in _TRIGRAM_COUNT_TABLES:
-        # one exchange: partition id == pmod(murmur3(key), n) == b
-        # (see write_trigram_lm_layout)
+    # one exchange per table: partition id == pmod(murmur3(key), n)
+    # == b (see write_trigram_lm_layout); the five fold writes land in
+    # FOLD_TMP and commit via one pointer swap after all succeed, so
+    # overlapping them (guide §2.6) leaves crash recovery unchanged.
+    def _fold_one(key, cnt):
         merged = (
             counts[cnt]
             .drop("b")
@@ -803,6 +817,15 @@ def compact_staged_trigram(spark, layout_path: str) -> int:
             .partitionBy("b")
             .parquet(f"{tmp}/{cnt}")
         )
+
+    from pithos_spark.plans.helpers import overlap_jobs
+
+    overlap_jobs(
+        *[
+            (lambda key=key, cnt=cnt: _fold_one(key, cnt))
+            for key, cnt in _TRIGRAM_COUNT_TABLES
+        ]
+    )
     write_tiny_table(
         spark.createDataFrame(
             [(int(n_total), int(n_buckets), 1)],
