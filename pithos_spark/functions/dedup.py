@@ -81,20 +81,41 @@ WITH toks AS (
 )"""
 
 
-def _gram_array(documents: DataFrame, n: int) -> DataFrame:
-    """(doc_id, _grams) with _grams the doc's word-n-gram array, built
-    with sequence+transform — all JVM-side; no UDF.
+def _grams_expr(n: int) -> F.Column:
+    """The word-n-gram array expression over a materialized ``_toks``
+    column — all JVM-side; no UDF.
 
-    The token array is materialized as a column BEFORE the gram
-    transform: referencing the split() expression inside the lambda
-    would re-evaluate it once per gram (no CSE through higher-order
-    functions) — measured 4.8s -> 1.1s at sf0.1.
+    The token array must be a COLUMN (not the split() expression)
+    because referencing split() inside the lambda re-evaluates it once
+    per gram (no CSE through higher-order functions) — measured
+    4.8s -> 1.1s at sf0.1.
     """
-    base = documents.select("doc_id", _tokens(F.col("text")).alias("_toks"))
     toks = F.col("_toks")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return base.select("doc_id", grams.alias("_grams"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def _toks_base(documents: DataFrame) -> DataFrame:
+    return documents.select("doc_id", _tokens(F.col("text")).alias("_toks"))
+
+
+def _gram_array(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, _grams) with _grams the doc's word-n-gram array.
+
+    NOTE for explode consumers: do NOT explode the ``_grams``
+    ATTRIBUTE this returns — explode over a plain attribute triggers
+    InferFiltersFromGenerate's ``size(_grams) > 0`` filter, and filter
+    pushdown then substitutes the full tokenize+gram expression below
+    this projection, so every document pays tokenization TWICE (the
+    r17 simhash 2.1x regression, caught by plan diff: a
+    ``Filter size(transform(...split(text)...)) > 0`` appeared under
+    the Generate).  Explode ``_grams_expr(n)`` inline instead — an
+    expensive generator child keeps the rule from firing.  Plain
+    projections (``shingle_set_sizes``) are safe either way.
+    """
+    return _toks_base(documents).select(
+        "doc_id", _grams_expr(n).alias("_grams")
+    )
 
 
 def shingles(documents: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
@@ -109,16 +130,17 @@ def shingles(documents: DataFrame, n: int = 3, distinct: bool = True) -> DataFra
     (doc_id, shingle) exchange every consumer used to pay (and that
     AQE then broadcast back, corpus-sized, in the verify joins)
     disappears from all of minhash/jaccard/containment/df-stats
-    (guide §2.2).
+    (guide §2.2).  The gram expression stays INLINE in the explode —
+    see the _gram_array note for why exploding the materialized
+    attribute doubles the tokenize work.
     """
-    grams = F.col("_grams")
-    out = _gram_array(documents, n).select(
+    grams = _grams_expr(n)
+    return _toks_base(documents).select(
         "doc_id",
         F.explode(F.array_distinct(grams) if distinct else grams).alias(
             "shingle"
         ),
     )
-    return out
 
 
 def shingle_set_sizes(documents: DataFrame, n: int = 3) -> DataFrame:
@@ -2245,6 +2267,16 @@ def dedup_ladder_report(
     its own bucketed/banded candidate bounds, and the report is 7 rows
     regardless of corpus size.  Run it per crawl snapshot, not per
     query.
+
+    Execution note (r17): collecting the seven single-row tier
+    aggregations as concurrent thread-pool jobs (guide §2.6) was
+    measured A/B against this lazy union and came out NEUTRAL
+    (quiet-box interleaved medians 9.22 s union vs 9.45 s threaded at
+    sf0.1, scripts/profile_ladders_r17.py) — AQE already materializes
+    the union's independent shuffle stages concurrently inside the one
+    action, so extra driver threads only add scheduling overhead.  The
+    union form is kept: same speed, and the whole report stays one
+    declared lazy plan.
     """
     def _count(name, df):
         return df.agg(F.count(F.lit(1)).alias("n")).select(
