@@ -642,23 +642,80 @@ def batch_topk(
 
     Scale: one corpus scan regardless of |queries|; the rank shuffle is
     keyed by query_id so queries parallelize across the cluster.
+
+    Execution (r17, guide §4.2 + §2.3): the scoring core is one Arrow
+    pass computing each task's ``X @ Q.T`` int64 GEMM instead of a
+    broadcast join evaluating an interpreted ``quantized_dot`` per
+    (row, query) pair — the §3-GEMM recipe the blocked pair scorers
+    use, bit-identical because floor(x·1000) in float64 and int64
+    products are IEEE/exact in both engines.  Each task also keeps only
+    its LOCAL top-k per query under the final (dot desc, vec_id) order
+    — any global top-k row is inside its task's top-k by the same total
+    order — so the rank shuffle carries tasks x |Q| x k candidate rows
+    instead of corpus x |Q| scored rows.  The |Q|-row query collect is
+    bounded by construction (same class as the Lloyd K-row collects).
     """
+    import numpy as np
+
     from pyspark.sql import Window
 
-    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_embedding"),
+    q_rows = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .collect()
     )
-    scored = (
-        embeddings.join(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            quantized_dot(F.col("embedding"), F.col("query_embedding")).alias(
-                "dot_q"
-            ),
+    if not q_rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, dot_q long"
         )
+    qids = np.array([r["vec_id"] for r in q_rows], np.int64)
+    qmat = np.floor(
+        np.stack([np.asarray(r["embedding"], np.float64) for r in q_rows])
+        * 1000
+    ).astype(np.int64)
+
+    def _task_topk(it):
+        import pandas as pd
+
+        cand_q: list = []
+        cand_v: list = []
+        cand_d: list = []
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * 1000
+            ).astype(np.int64)
+            vids = pdf["vec_id"].to_numpy().astype(np.int64)
+            D = X @ qmat.T
+            for j in range(len(qids)):
+                mask = vids != qids[j]
+                vj, dj = vids[mask], D[mask, j]
+                if len(vj) > k:
+                    idx = np.lexsort((vj, -dj))[:k]
+                    vj, dj = vj[idx], dj[idx]
+                cand_q.append(np.full(len(vj), qids[j], np.int64))
+                cand_v.append(vj)
+                cand_d.append(dj)
+        if not cand_q:
+            return
+        cq = np.concatenate(cand_q)
+        cv = np.concatenate(cand_v)
+        cd = np.concatenate(cand_d)
+        keep = []
+        for j in range(len(qids)):
+            m = np.flatnonzero(cq == qids[j])
+            if len(m) > k:
+                m = m[np.lexsort((cv[m], -cd[m]))[:k]]
+            keep.append(m)
+        sel = np.concatenate(keep)
+        yield pd.DataFrame(
+            {"query_id": cq[sel], "vec_id": cv[sel], "dot_q": cd[sel]}
+        )
+
+    scored = embeddings.select("vec_id", "embedding").mapInPandas(
+        _task_topk, "query_id long, vec_id long, dot_q long"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dot_q").desc(), F.col("vec_id")
@@ -4125,6 +4182,12 @@ def embedding_dedup_ladder(
         _count("pq_code", pq_tier),
         _count("semantic_cluster", sem_tier),
     ]
+    # Execution note (r17): eagerly collecting the four single-row tier
+    # aggregations from a thread pool (guide §2.6) measured NEUTRAL vs
+    # this lazy union in the quiet-box interleaved A/B (3.05 s union vs
+    # 2.72 s threaded medians, pairwise mixed — within spread;
+    # scripts/profile_ladders_r17.py): AQE already overlaps the union's
+    # independent stages inside one action.  Kept lazy.
     out = tiers[0]
     for t in tiers[1:]:
         out = out.unionByName(t)

@@ -1,0 +1,221 @@
+"""Interleaved A/B for the r17 ladder-report overlap (guide §2.6):
+OLD = the seven-/four-branch lazy union executed as ONE action,
+NEW = the committed thread-pooled per-tier collects.
+
+Run on a quiet box: python scripts/profile_ladders_r17.py
+Prints one line per (variant, rep) and the medians, plus asserts the
+two variants return IDENTICAL rows.
+"""
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPS = int(os.environ.get("REPS", "5"))
+
+
+def old_ladder_report(documents, max_shingle_df=20):
+    """The pre-r17-wave4 form: lazy 7-branch union, one action."""
+    from pithos_spark.functions.dedup import (
+        audio_near_pairs,
+        containment_pairs,
+        exact_dedup,
+        image_dhash_near_pairs,
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+        video_near_pairs,
+    )
+
+    def _count(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("tier"), F.col("n").cast("long").alias("n_pairs")
+        )
+
+    exact = exact_dedup(documents).agg(
+        F.coalesce(F.sum(F.col("copies") - 1), F.lit(0)).cast("long").alias("n")
+    ).select(F.lit("exact_removable").alias("tier"), F.col("n").alias("n_pairs"))
+    tiers = [
+        exact,
+        _count("minhash_lsh", minhash_lsh_pairs(documents)),
+        _count("simhash", simhash_near_pairs(documents)),
+        _count("image_dhash", image_dhash_near_pairs(documents, max_hamming=20)),
+        _count("audio_fingerprint", audio_near_pairs(documents, max_hamming=8)),
+        _count("video_frames", video_near_pairs(documents, max_hamming=20)),
+        _count(
+            "containment",
+            containment_pairs(
+                documents, threshold_pct=50, max_shingle_df=max_shingle_df
+            ),
+        ),
+    ]
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("tier")
+
+
+def old_embedding_ladder(embeddings):
+    """The pre-r17-wave4 embedding ladder tail: lazy 4-branch union
+    (trainer overlap retained — it is inside the delegated calls)."""
+    import pithos_spark.functions.similarity as sim
+
+    # reuse the committed builder up to the tiers list by calling the
+    # delegated tier functions the way embedding_dedup_ladder does
+    from pyspark.sql import Window
+
+    threshold_q, max_label = 300_000, 500
+
+    def _count(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("tier"),
+            F.col("n").cast("long").alias("n_pairs"),
+            F.lit(0).cast("long").alias("n_capped_ids"),
+        )
+
+    wl = Window.partitionBy("label").orderBy(
+        sim.portable_hash60(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    ranked = embeddings.select("vec_id", "label", "embedding").withColumn(
+        "_bn", F.row_number().over(wl)
+    )
+    kept = ranked.filter(F.col("_bn") <= max_label)
+    import numpy as np
+    import pandas as pd
+
+    def _label_pair_count(pdf):
+        n = len(pdf)
+        Q = np.floor(
+            np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1000
+        ).astype(np.int64)
+        G = Q @ Q.T
+        iu, ju = np.triu_indices(n, k=1)
+        return pd.DataFrame(
+            {"n": np.array([int((G[iu, ju] >= threshold_q).sum())], np.int64)}
+        )
+
+    cosine_pairs_n = (
+        kept.select("label", "embedding")
+        .groupBy("label")
+        .applyInPandas(_label_pair_count, "n long")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"))
+    )
+    dropped = ranked.filter(F.col("_bn") > max_label).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    cosine = cosine_pairs_n.crossJoin(dropped).select(
+        F.lit("cosine_label_block").alias("tier"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("d").cast("long").alias("n_capped_ids"),
+    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        pq_f = pool.submit(sim.pq_code_near_pairs, embeddings, threshold_q=threshold_q)
+        sem_f = pool.submit(sim.semantic_dedup_pairs, embeddings, threshold_q=threshold_q)
+        lsh_tier = sim.embedding_lsh_dedup_pairs(embeddings, threshold_q=threshold_q)
+        pq_tier, sem_tier = pq_f.result(), sem_f.result()
+    tiers = [
+        cosine,
+        _count("lsh_bucket", lsh_tier),
+        _count("pq_code", pq_tier),
+        _count("semantic_cluster", sem_tier),
+    ]
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("tier")
+
+
+def old_batch_topk(embeddings, query_ids, k=5):
+    """Pre-r17-wave4 batch_topk: broadcast join + interpreted
+    quantized_dot per (row, query) pair, full corpus x |Q| rank input."""
+    from pyspark.sql import Window
+
+    from pithos_spark.functions.similarity import quantized_dot
+
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    scored = (
+        embeddings.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            quantized_dot(F.col("embedding"), F.col("query_embedding")).alias(
+                "dot_q"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.col("dot_q").desc(), "vec_id")
+    )
+
+
+def main():
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("profile-ladders-r17")
+        .config("spark.sql.shuffle.partitions", str(max(int(CPUS) * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from pithos_spark.functions.dedup import dedup_ladder_report
+    from pithos_spark.functions.similarity import embedding_dedup_ladder
+    from pithos_spark.tables import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    docs, emb = t["documents"], t["embeddings"]
+
+    from pithos_spark.functions.similarity import batch_topk
+
+    QIDS = [0, 7, 42, 99, 123]
+    cases = {
+        "ladder_old": lambda: old_ladder_report(docs),
+        "ladder_new": lambda: dedup_ladder_report(docs, max_shingle_df=20),
+        "embladder_old": lambda: old_embedding_ladder(emb),
+        "embladder_new": lambda: embedding_dedup_ladder(emb),
+        "batchtopk_old": lambda: old_batch_topk(emb, QIDS, k=10),
+        "batchtopk_new": lambda: batch_topk(emb, QIDS, k=10),
+    }
+    # row-equality check first (also warms everything)
+    rows = {}
+    for name, fn in cases.items():
+        rows[name] = sorted(tuple(r) for r in fn().collect())
+    for pair in ("ladder", "embladder", "batchtopk"):
+        assert rows[f"{pair}_old"] == rows[f"{pair}_new"], pair
+    print("rows identical:", rows["ladder_new"], rows["embladder_new"],
+          len(rows["batchtopk_new"]), flush=True)
+
+    samples = {k: [] for k in cases}
+    for rep in range(REPS):
+        for name, fn in cases.items():
+            spark.sparkContext.setJobDescription(f"{name} rep{rep}")
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            samples[name].append(dt)
+            print(f"{name} rep{rep}: {dt}", flush=True)
+    for name, ss in samples.items():
+        print(f"MEDIAN {name}: {statistics.median(ss)} {ss}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
