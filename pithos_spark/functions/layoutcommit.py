@@ -69,6 +69,22 @@ def write_tiny_table(df, path: str, mode: str = "overwrite") -> None:
     df.repartition(1).write.mode(mode).parquet(path)
 
 
+def read_tiny_rows(path: str) -> list[dict]:
+    """Driver-side read of a KB-sized layout table (1-row meta/stats,
+    fold masks, M x K codebooks) — value-identical to
+    ``spark.read.parquet(path).collect()`` (same parquet bytes; pyarrow
+    skips underscore-prefixed ``_SUCCESS`` files exactly as Spark
+    does), but without scheduling a distributed job: every serving
+    read was paying one full job round trip PER tiny table it
+    consulted (r17 guide §1 profile — ~40-90 ms each on a warm
+    local[32], pure scheduling), where pyarrow reads the same file in
+    ~1 ms on the driver.  Metadata this size is driver work by design;
+    the DATA tables stay distributed scans."""
+    import pyarrow.parquet as papq
+
+    return papq.read_table(path).to_pylist()
+
+
 def read_current(layout_path: str) -> str:
     """The live generation's root: ``layout_path`` itself until the
     first committed fold, afterwards ``layout_path/fold_gen_<k>``.
@@ -183,16 +199,18 @@ def segment_token(checkpoint: str) -> str:
         return f.read().strip()
 
 
-def folded_segment_keys(spark, gen_root: str) -> set[str]:
+def folded_segment_keys(gen_root: str) -> set[str]:
     """Staged segment keys already folded into the generation at
     ``gen_root`` — the reader-side mask that makes a crash between the
     pointer swap and the staged cleanup harmless.  Bounded: the fold
     writes only keys whose staged directories still existed at fold
-    time, so this table is one fold's worth of strings, not history."""
+    time, so this table is one fold's worth of strings, not history.
+    Read driver-side (:func:`read_tiny_rows`): one fold's worth of
+    key strings, consulted by EVERY staged serve."""
     d = os.path.join(gen_root, "folded_segments")
-    if not os.path.isdir(d):  # also keeps Spark's probe WARN out of logs
+    if not os.path.isdir(d):
         return set()
-    return {str(r["seg"]) for r in spark.read.parquet(d).collect()}
+    return {str(r["seg"]) for r in read_tiny_rows(d)}
 
 
 def gc_generations(layout_path: str) -> int:

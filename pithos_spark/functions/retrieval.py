@@ -233,12 +233,13 @@ def append_to_postings_layout(delta_documents: DataFrame, path: str) -> None:
         begin_append,
         end_append,
         read_current,
+        read_tiny_rows,
         write_tiny_table,
     )
 
     spark = delta_documents.sparkSession
     root = read_current(path)
-    old = spark.read.parquet(f"{root}/stats").collect()[0]
+    old = read_tiny_rows(f"{root}/stats")[0]
     p = build_postings(delta_documents)
     begin_append(root)  # torn-append marker: cleared after the stats write
     (

@@ -30,6 +30,7 @@ from pithos_spark.functions.layoutcommit import (
     begin_append,
     end_append,
     read_current,
+    read_tiny_rows,
     write_tiny_table,
 )
 
@@ -110,6 +111,7 @@ def hyperplane_buckets(
     scale: int = 1000,
     num_tables: int = 1,
     dim: int = 64,
+    keep_qv: bool = False,
 ) -> DataFrame:
     """Random-hyperplane LSH buckets: bit_p = sign(v . h_p) where
     component j of plane p is a deterministic pseudo-random value derived
@@ -131,6 +133,10 @@ def hyperplane_buckets(
     term of the round-5 bench profile for dedup_embedding_lsh).  The
     quantized vector is projected once and reused by all planes.
     ``dim`` must match the stored embedding width (testdata: 64).
+    ``keep_qv=True`` also emits the quantized projection as ``_qv`` so
+    a pair-scoring consumer can evaluate the exact dot on it directly
+    instead of re-quantizing both raw embeddings per candidate pair
+    (r17, guide §2.3).
     """
     base = embeddings.select(
         "vec_id",
@@ -158,9 +164,8 @@ def hyperplane_buckets(
             )
         tables.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
     tb = F.explode(F.array(*tables)).alias("tb")
-    return base.select("vec_id", "label", "embedding", tb).select(
-        "vec_id", "label", "embedding", "tb.table", "tb.bucket"
-    )
+    keep = ["vec_id", "label", "embedding"] + (["_qv"] if keep_qv else [])
+    return base.select(*keep, tb).select(*keep, "tb.table", "tb.bucket")
 
 
 def lsh_topk(
@@ -912,13 +917,11 @@ def ivf_assign_delta(
     scale comes from the layout's meta table; ``scale`` is accepted
     only for pre-meta layouts and rejected on contradiction (ADVICE
     r14)."""
-    from pyspark.errors import AnalysisException
+    import os
 
-    try:
-        stored = int(
-            spark.read.parquet(f"{gen_root}/meta").collect()[0]["scale"]
-        )
-    except AnalysisException:
+    if os.path.isdir(f"{gen_root}/meta"):
+        stored = int(read_tiny_rows(f"{gen_root}/meta")[0]["scale"])
+    else:  # pre-meta layout
         stored = None
     if stored is not None:
         if scale is not None and int(scale) != stored:
@@ -931,7 +934,7 @@ def ivf_assign_delta(
         scale = 1000  # pre-meta layout, build-time default
     centers = {
         int(r["cluster"]): [int(v) for v in r["centroid_q"]]
-        for r in spark.read.parquet(f"{gen_root}/centers").collect()
+        for r in read_tiny_rows(f"{gen_root}/centers")
     }
     qv = new_embeddings.select(
         "vec_id",
@@ -1836,7 +1839,9 @@ def load_pq_index(spark, path: str, root: str | None = None):
     if root is None:
         root = read_current(path)
     assert_not_torn(root)
-    meta = spark.read.parquet(f"{root}/meta").collect()[0]
+    # 1-row meta read driver-side: a distributed job per serve just to
+    # fetch four ints was pure scheduling overhead (r17, guide §1)
+    meta = read_tiny_rows(f"{root}/meta")[0]
     return (
         spark.read.parquet(f"{root}/codes"),
         spark.read.parquet(f"{root}/codebooks"),
@@ -1854,11 +1859,14 @@ def append_to_pq_index(new_embeddings: DataFrame, path: str) -> None:
     row-local given frozen codebooks.  Codebook DRIFT is the documented
     limitation, as for any frozen production quantizer: when the
     vector distribution moves, retrain via save_pq_index and re-encode."""
-    spark = new_embeddings.sparkSession
-    _, cb_df, meta = load_pq_index(spark, path)
+    # frozen codebooks + meta are KB-sized: driver-side reads of the
+    # live generation (no Spark jobs just to fetch the artifacts — r17)
+    gen = read_current(path)
+    assert_not_torn(gen)
+    meta = read_tiny_rows(f"{gen}/meta")[0]
     codebooks = {
         (int(r["m"]), int(r["code"])): [int(v) for v in r["centroid_q"]]
-        for r in cb_df.collect()
+        for r in read_tiny_rows(f"{gen}/codebooks")
     }
     codes = pq_encode(
         new_embeddings,
@@ -1876,16 +1884,18 @@ def append_to_pq_index(new_embeddings: DataFrame, path: str) -> None:
     # land in the LIVE generation (read_current), composing with
     # compacted layouts; an at-least-once source must use the staged
     # streaming path (streaming/ingest.streaming_pq_index_ingest)
-    # instead — its per-batch installs are idempotent.
-    root = read_current(path)
-    begin_append(root)
+    # instead — its per-batch installs are idempotent.  The append
+    # lands in the SAME generation the codebooks came from (one
+    # resolution above — a second read_current here could race a
+    # concurrent fold).
+    begin_append(gen)
     (
         codes.repartitionByRange("vec_id", "m")
         .sortWithinPartitions("vec_id", "m")
         .write.mode("append")
-        .parquet(f"{root}/codes")
+        .parquet(f"{gen}/codes")
     )
-    end_append(root)
+    end_append(gen)
 
 
 def pq_topk_from_layout(
@@ -2781,16 +2791,21 @@ def ivfpq_residual_encode_delta(
     given the frozen artifacts — shared by the batch append above and
     the staged streaming ingest
     (``streaming/ingest.streaming_ivfpq_residual_ingest``)."""
-    meta = spark.read.parquet(f"{gen_root}/meta").collect()[0]
-    centers_df = spark.read.parquet(f"{gen_root}/centers")
+    meta = read_tiny_rows(f"{gen_root}/meta")[0]
     centers = {
         int(r["cluster"]): [int(v) for v in r["centroid_q"]]
-        for r in centers_df.collect()
+        for r in read_tiny_rows(f"{gen_root}/centers")
     }
     codebooks = {
         (int(r["m"]), int(r["code"])): [int(v) for v in r["centroid_q"]]
-        for r in spark.read.parquet(f"{gen_root}/codebooks").collect()
+        for r in read_tiny_rows(f"{gen_root}/codebooks")
     }
+    # the residual join's k-row build side, from the same driver-read
+    # rows (a local relation — no parquet scan job per micro-batch)
+    centers_df = spark.createDataFrame(
+        [(c, v) for c, v in sorted(centers.items())],
+        "cluster int, centroid_q array<bigint>",
+    )
     scale, dim, m_sub = int(meta["scale"]), int(meta["dim"]), int(meta["m_sub"])
     qv = new_embeddings.select(
         "vec_id", "label", _quantized(F.col("embedding"), scale).alias("q")
@@ -2836,7 +2851,7 @@ def ivfpq_residual_topk_from_layout(
     spark = embeddings.sparkSession
     path = read_current(path)  # live generation (compaction-aware)
     assert_not_torn(path)
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = read_tiny_rows(f"{path}/meta")[0]
     qv = embeddings.select(
         "vec_id",
         "label",
@@ -2886,7 +2901,7 @@ def ivfpq_residual_batch_topk_from_layout(
     spark = embeddings.sparkSession
     path = read_current(path)  # live generation (compaction-aware)
     assert_not_torn(path)
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = read_tiny_rows(f"{path}/meta")[0]
     codes = spark.read.parquet(f"{path}/codes")
     centers = spark.read.parquet(f"{path}/centers")
     cb_df = spark.read.parquet(f"{path}/codebooks")
@@ -3012,7 +3027,7 @@ def ivfpq_residual_filtered_topk_from_layout(
     spark = embeddings.sparkSession
     path = read_current(path)  # live generation (compaction-aware)
     assert_not_torn(path)
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = read_tiny_rows(f"{path}/meta")[0]
     qv = embeddings.select(
         "vec_id",
         "label",
@@ -3378,7 +3393,17 @@ def embedding_lsh_dedup_pairs(
 
     if num_planes is None:
         num_planes = auto_planes(embeddings.count())
-    bucketed = hyperplane_buckets(embeddings, num_planes, num_tables=1)
+    # the pair scorer needs only (vec_id, bucket, _qv): carrying the
+    # quantized projection instead of the raw embedding (guide §2.3)
+    # narrows both self-join exchanges AND lets the exact dot run on
+    # the already-quantized vectors — the executed r17 before-plan
+    # showed floor(x*1000) re-evaluated over BOTH raw embeddings per
+    # candidate pair, inside the join condition and again in the
+    # project.  _bigint_dot(_qv, _qv) == quantized_dot(embedding,
+    # embedding) by definition (_qv IS the quantized transform).
+    bucketed = hyperplane_buckets(
+        embeddings, num_planes, num_tables=1, keep_qv=True
+    ).select("vec_id", "bucket", "_qv")
     wb = Window.partitionBy("bucket").orderBy(
         portable_hash60(F.col("vec_id").cast("string")), F.col("vec_id")
     )
@@ -3399,9 +3424,7 @@ def embedding_lsh_dedup_pairs(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.bucket").alias("bucket"),
-            quantized_dot(F.col("a.embedding"), F.col("b.embedding")).alias(
-                "dot_q"
-            ),
+            _bigint_dot(F.col("a._qv"), F.col("b._qv")).alias("dot_q"),
         )
         .filter(F.col("dot_q") >= threshold_q)
         .orderBy("vec_a", "vec_b")

@@ -1934,12 +1934,13 @@ def append_to_trigram_lm_layout(
         begin_append,
         end_append,
         read_current,
+        read_tiny_rows,
         write_tiny_table,
     )
 
     spark = delta_lm_documents.sparkSession
     root = read_current(path)
-    stats = spark.read.parquet(f"{root}/stats").collect()[0]
+    stats = read_tiny_rows(f"{root}/stats")[0]
     n_buckets = int(stats["n_buckets"])
     tri = _trigram_windows(delta_lm_documents).persist()
     try:
@@ -2033,6 +2034,7 @@ def _load_trigram_layout(spark, path: str, root: str | None = None):
     from pithos_spark.functions.layoutcommit import (
         assert_not_torn,
         read_current,
+        read_tiny_rows,
     )
 
     if root is None:
@@ -2042,7 +2044,7 @@ def _load_trigram_layout(spark, path: str, root: str | None = None):
         cnt: spark.read.parquet(f"{root}/{cnt}")
         for _, cnt in _TRIGRAM_COUNT_TABLES
     }
-    stats = spark.read.parquet(f"{root}/stats").collect()[0]
+    stats = read_tiny_rows(f"{root}/stats")[0]
     return (
         counts,
         int(stats["n_total"]),

@@ -73,6 +73,7 @@ from pithos_spark.functions.layoutcommit import (
     install_staged_segment,
     next_gen_rel,
     read_current,
+    read_tiny_rows,
     segment_token,
     staged_segment_keys,
     write_tiny_table,
@@ -154,12 +155,12 @@ def streaming_postings_ingest(
     )
 
 
-def _live_staged_segs(spark, layout_path: str, gen_root: str) -> list[str]:
+def _live_staged_segs(layout_path: str, gen_root: str) -> list[str]:
     """Installed staged segment keys NOT yet folded into the live
     generation.  Folded-but-still-present segments are garbage awaiting
     cleanup (the crash window after the pointer swap) and are masked
     here — the masking is what makes that window harmless."""
-    folded = folded_segment_keys(spark, gen_root)
+    folded = folded_segment_keys(gen_root)
     return [s for s in staged_segment_keys(layout_path) if s not in folded]
 
 
@@ -189,7 +190,7 @@ def _staged_segments_attributed(spark, layout_path: str, live: list[str]):
 
 
 def _staged_counters(
-    spark, layout_path: str, live: list[str], cols: tuple, derive
+    layout_path: str, live: list[str], cols: tuple, derive
 ) -> dict:
     """Shared staged-stats readout (the other half of the task-8
     unification): the deduped seg-tagged counter rows for the live
@@ -198,18 +199,23 @@ def _staged_counters(
     against unioned staged rows drifts every score).  ``cols`` are the
     additive counter columns; ``derive(missing_segs)`` returns their
     exact values for stats-less segments.  Driver-side cost: a
-    per-segment list of tiny rows."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        rows = (
-            spark.read.parquet(f"{layout_path}/staged_stats")
-            .dropDuplicates(["seg"])
-            .filter(F.col("seg").isin(list(live)))
-            .collect()
-        )
-    except AnalysisException:
-        rows = []
+    per-segment list of tiny rows, read with
+    :func:`layoutcommit.read_tiny_rows` — the table stays KB-sized
+    (one row per live segment, plus at most one replayed duplicate),
+    so the read costs no distributed job (r17)."""
+    stats_dir = f"{layout_path}/staged_stats"
+    live_set = set(live)
+    rows: list[dict] = []
+    if os.path.isdir(stats_dir):
+        seen: set[str] = set()
+        for r in read_tiny_rows(stats_dir):
+            s = str(r["seg"])
+            # first row per seg, as dropDuplicates(["seg"]) picked —
+            # replayed appends are byte-equivalent by the idempotent
+            # ingest contract, so the pick is value-free either way
+            if s in live_set and s not in seen:
+                seen.add(s)
+                rows.append(r)
     out = {c: sum(int(r[c]) for r in rows) for c in cols}
     missing = sorted(set(live) - {str(r["seg"]) for r in rows})
     if missing:
@@ -261,7 +267,7 @@ def _staged_postings_counters(
         )
 
     c = _staged_counters(
-        spark, layout_path, live, ("n_docs", "total_len"), derive
+        layout_path, live, ("n_docs", "total_len"), derive
     )
     return c["n_docs"], c["total_len"]
 
@@ -291,7 +297,7 @@ def bm25_topk_with_staged(
     assert_not_torn(root)
     post = spark.read.parquet(f"{root}/postings")
     stats = spark.read.parquet(f"{root}/stats")
-    live = _live_staged_segs(spark, layout_path, root)
+    live = _live_staged_segs(layout_path, root)
     if live:
         dn, dl_sum = _staged_postings_counters(spark, layout_path, live)
         post = post.unionByName(_staged_rows(spark, layout_path, live))
@@ -448,7 +454,7 @@ def _folded_segments_df(spark, layout_path: str, gen_root: str, live):
     keys folded by THIS fold, plus previously-folded keys whose segment
     dirs a crashed cleanup left behind (their rows are already in the
     base; the mask must outlive the directories)."""
-    prev = folded_segment_keys(spark, gen_root)
+    prev = folded_segment_keys(gen_root)
     keep = sorted(
         set(str(s) for s in live)
         | {s for s in staged_segment_keys(layout_path) if s in prev}
@@ -476,10 +482,10 @@ def compact_staged_postings(spark, layout_path: str) -> int:
     never read once CURRENT moves)."""
     root = read_current(layout_path)
     assert_not_torn(root)  # never bake a torn base into a generation
-    live = _live_staged_segs(spark, layout_path, root)
+    live = _live_staged_segs(layout_path, root)
     if not live:
         _gc_staged(
-            layout_path, sorted(folded_segment_keys(spark, root))
+            layout_path, sorted(folded_segment_keys(root))
         )
         _gc_staged_stats(spark, layout_path)
         gc_generations(layout_path)
@@ -487,7 +493,7 @@ def compact_staged_postings(spark, layout_path: str) -> int:
     staged = _staged_rows(spark, layout_path, live)
     n = staged.count()
     dn, dl_sum = _staged_postings_counters(spark, layout_path, live)
-    old = spark.read.parquet(f"{root}/stats").collect()[0]
+    old = read_tiny_rows(f"{root}/stats")[0]
 
     tmp = f"{layout_path}/{FOLD_TMP}"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -557,7 +563,7 @@ def streaming_trigram_ingest(
             return
         spark = batch_df.sparkSession
         root = read_current(layout_path)
-        stats = spark.read.parquet(f"{root}/stats").collect()[0]
+        stats = read_tiny_rows(f"{root}/stats")[0]
         n_buckets = int(stats["n_buckets"])
         seg = f"{token}-{batch_id}"
         tmp = f"{layout_path}/staged_tmp/seg={seg}"
@@ -651,7 +657,7 @@ def _staged_trigram_total(spark, layout_path: str, live: list[str]) -> int:
         return {"n_total": total}
 
     return _staged_counters(
-        spark, layout_path, live, ("n_total",), derive
+        layout_path, live, ("n_total",), derive
     )["n_total"]
 
 
@@ -689,7 +695,7 @@ def trigram_heldout_with_staged(
         spark, layout_path, root
     )
     counts = {cnt: df.drop("b") for cnt, df in counts.items()}
-    live = _live_staged_segs(spark, layout_path, root)
+    live = _live_staged_segs(layout_path, root)
     if live:
         staged = _staged_trigram_tables(spark, layout_path, live)
         counts = {
@@ -725,7 +731,7 @@ def trigram_segment_stats_with_staged(spark, layout_path: str):
     root = read_current(layout_path)
     counts, _, _, _ = _load_trigram_layout(spark, layout_path, root)
     counts = {cnt: df.drop("b") for cnt, df in counts.items()}
-    live = _live_staged_segs(spark, layout_path, root)
+    live = _live_staged_segs(layout_path, root)
     if live:
         staged = _staged_trigram_tables(spark, layout_path, live)
         counts = {
@@ -778,10 +784,10 @@ def compact_staged_trigram(spark, layout_path: str) -> int:
     )
 
     root = read_current(layout_path)
-    live = _live_staged_segs(spark, layout_path, root)
+    live = _live_staged_segs(layout_path, root)
     if not live:
         _gc_staged(
-            layout_path, sorted(folded_segment_keys(spark, root))
+            layout_path, sorted(folded_segment_keys(root))
         )
         _gc_staged_stats(spark, layout_path)
         gc_generations(layout_path)
@@ -873,18 +879,21 @@ def streaming_pq_index_ingest(
     stream carries genuinely new vec_ids (updates go through a
     rebuild) and that codebook drift is handled by periodic retrain,
     as for any frozen production quantizer."""
-    from pithos_spark.functions.similarity import load_pq_index, pq_encode
+    from pithos_spark.functions.similarity import pq_encode
 
     token = segment_token(checkpoint)
 
     def _ingest(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
-        _, cb_df, meta = load_pq_index(spark, layout_path)
+        # frozen codebooks + meta are KB-sized: read driver-side (one
+        # generation resolution, no per-batch Spark jobs — r17)
+        root = read_current(layout_path)
+        assert_not_torn(root)
+        meta = read_tiny_rows(f"{root}/meta")[0]
         codebooks = {
             (int(r["m"]), int(r["code"])): [int(v) for v in r["centroid_q"]]
-            for r in cb_df.collect()
+            for r in read_tiny_rows(f"{root}/codebooks")
         }
         seg = f"{token}-{batch_id}"
         tmp = f"{layout_path}/staged_tmp/seg={seg}"
@@ -940,7 +949,7 @@ def pq_topk_with_staged(
     # (ADVICE r16; bm25_topk_with_staged has always threaded root)
     root = read_current(layout_path)
     codes, cb_df, meta = load_pq_index(spark, layout_path, root)
-    live = _live_staged_segs(spark, layout_path, root)
+    live = _live_staged_segs(layout_path, root)
     if live:
         codes = codes.unionByName(_staged_rows(spark, layout_path, live))
     return pq_serve_topk(
@@ -978,7 +987,7 @@ def pq_batch_topk_with_staged(
     spark = embeddings.sparkSession
     root = read_current(layout_path)
     codes, cb_df, meta = load_pq_index(spark, layout_path, root)
-    live = _live_staged_segs(spark, layout_path, root)
+    live = _live_staged_segs(layout_path, root)
     if live:
         codes = codes.unionByName(_staged_rows(spark, layout_path, live))
     return _pq_batch_serve(
@@ -999,10 +1008,10 @@ def compact_staged_pq(spark, layout_path: str) -> int:
     merge.  Returns the number of staged code rows folded."""
     root = read_current(layout_path)
     assert_not_torn(root)  # never bake a torn base into a generation
-    live = _live_staged_segs(spark, layout_path, root)
+    live = _live_staged_segs(layout_path, root)
     if not live:
         _gc_staged(
-            layout_path, sorted(folded_segment_keys(spark, root))
+            layout_path, sorted(folded_segment_keys(root))
         )
         _gc_staged_stats(spark, layout_path)
         gc_generations(layout_path)
@@ -1112,11 +1121,11 @@ def ivfpq_residual_topk_with_staged(
     spark = embeddings.sparkSession
     root = read_current(layout_path)
     assert_not_torn(root)
-    meta = spark.read.parquet(f"{root}/meta").collect()[0]
+    meta = read_tiny_rows(f"{root}/meta")[0]
     codes = spark.read.parquet(f"{root}/codes")
     # reuse the root resolved above — a second resolution races a
     # concurrent fold (ADVICE r16, see pq_topk_with_staged)
-    live = _live_staged_segs(spark, layout_path, root)
+    live = _live_staged_segs(layout_path, root)
     if live:
         codes = codes.unionByName(_staged_rows(spark, layout_path, live))
     qv = embeddings.select(
@@ -1146,10 +1155,10 @@ def compact_staged_ivfpq_residual(spark, layout_path: str) -> int:
     the number of staged code rows folded."""
     root = read_current(layout_path)
     assert_not_torn(root)
-    live = _live_staged_segs(spark, layout_path, root)
+    live = _live_staged_segs(layout_path, root)
     if not live:
         _gc_staged(
-            layout_path, sorted(folded_segment_keys(spark, root))
+            layout_path, sorted(folded_segment_keys(root))
         )
         _gc_staged_stats(spark, layout_path)
         gc_generations(layout_path)
@@ -1253,7 +1262,7 @@ def ivf_assigned_with_staged(spark, layout_path: str):
 
     root = read_current(layout_path)
     assigned, centers = load_ivf_index(spark, layout_path, root)
-    live = _live_staged_segs(spark, layout_path, root)
+    live = _live_staged_segs(layout_path, root)
     if live:
         assigned = assigned.unionByName(_staged_rows(spark, layout_path, live))
     return assigned, centers
@@ -1327,9 +1336,9 @@ def ivfpq_residual_batch_with_staged(
     spark = embeddings.sparkSession
     root = read_current(layout_path)
     assert_not_torn(root)
-    meta = spark.read.parquet(f"{root}/meta").collect()[0]
+    meta = read_tiny_rows(f"{root}/meta")[0]
     codes = spark.read.parquet(f"{root}/codes")
-    live = _live_staged_segs(spark, layout_path, root)
+    live = _live_staged_segs(layout_path, root)
     if live:
         codes = codes.unionByName(_staged_rows(spark, layout_path, live))
     return _ivfpq_residual_batch_serve(
@@ -1366,7 +1375,7 @@ def ann_staged_stats(spark, layout_path: str):
     aggregation over the delta-sized segments; empty layout -> empty
     report."""
     root = read_current(layout_path)
-    live = _live_staged_segs(spark, layout_path, root)
+    live = _live_staged_segs(layout_path, root)
     schema = "seg string, rows long, n_live_segments int, fold_due boolean"
     if not live:
         return spark.createDataFrame([], schema)
@@ -1392,7 +1401,7 @@ def ann_fold_due(
     (SCALE_r17 §3).  One directory listing + the folded-mask read —
     cheap enough to run after every ingest burst."""
     root = read_current(layout_path)
-    return len(_live_staged_segs(spark, layout_path, root)) >= min_segments
+    return len(_live_staged_segs(layout_path, root)) >= min_segments
 
 
 def compact_staged_pq_if_needed(
@@ -1441,10 +1450,10 @@ def compact_staged_ivf(spark, layout_path: str) -> int:
     folded."""
     root = read_current(layout_path)
     assert_not_torn(root)
-    live = _live_staged_segs(spark, layout_path, root)
+    live = _live_staged_segs(layout_path, root)
     if not live:
         _gc_staged(
-            layout_path, sorted(folded_segment_keys(spark, root))
+            layout_path, sorted(folded_segment_keys(root))
         )
         _gc_staged_stats(spark, layout_path)
         gc_generations(layout_path)
@@ -1573,7 +1582,7 @@ def objects_with_staged(spark, layout_path: str):
     root = read_current(layout_path)
     assert_not_torn(root)
     base = spark.read.parquet(f"{root}/objects")
-    live = _live_staged_segs(spark, layout_path, root)
+    live = _live_staged_segs(layout_path, root)
     if not live:
         return base
     base = base.withColumn(OBJECTS_TOMBSTONE, F.lit(False)).withColumn(
@@ -1629,10 +1638,10 @@ def compact_staged_objects(spark, layout_path: str) -> int:
 
     root = read_current(layout_path)
     assert_not_torn(root)
-    live = _live_staged_segs(spark, layout_path, root)
+    live = _live_staged_segs(layout_path, root)
     if not live:
         _gc_staged(
-            layout_path, sorted(folded_segment_keys(spark, root))
+            layout_path, sorted(folded_segment_keys(root))
         )
         _gc_staged_stats(spark, layout_path)
         gc_generations(layout_path)
@@ -1689,7 +1698,7 @@ def objects_staged_stats(spark, layout_path: str):
     pays), plus the live-segment total and the fold-due verdict.
     Cost: one aggregation over the delta-sized segments."""
     root = read_current(layout_path)
-    live = _live_staged_segs(spark, layout_path, root)
+    live = _live_staged_segs(layout_path, root)
     schema = (
         "seg string, rows long, tombstones long, "
         "n_live_segments int, fold_due boolean"

@@ -1,0 +1,36 @@
+"""Deterministic evidence for the tiny-metadata serve reads (r17
+candidate B): count the Spark JOBS one serving query launches, via a
+per-query job group.  Wall clock on a shared box is noisy; the job
+count is exact and box-independent.
+Usage: python scripts/jobcount_r17.py name [name ...]
+"""
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import bench
+from bench import _run_noop
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+names = sys.argv[1:]
+spark = bench.build_session(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+spark.sparkContext.setLogLevel("ERROR")
+sc = spark.sparkContext
+
+from pithos_spark.registry import QUERIES
+from pithos_spark.tables import TPCH_TABLES, load_tables
+
+warm = load_tables(spark, SF_DIR)
+for t in TPCH_TABLES:
+    warm[t].limit(1).count()
+
+for name in names:
+    fn = QUERIES[name]
+    _run_noop(fn(spark, SF_DIR))  # warmup builds any layout untimed
+    sc.setJobGroup(f"jc_{name}", name)
+    _run_noop(fn(spark, SF_DIR))
+    sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(f"jc_{name}")
+    print(f"{name}: jobs={len(jobs)}", flush=True)

@@ -1,0 +1,40 @@
+"""Focused quiet-box spot check (guide §1): bench-style timing of a
+subset of headliners, to separate load noise from real regressions
+without paying a full bench pass.  Usage:
+    python scripts/spotcheck_r17.py name [name ...]
+"""
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import bench
+from bench import _run_noop
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = int(os.environ.get("SPOT_REPS", "5"))
+
+names = sys.argv[1:]
+spark = bench.build_session(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+spark.sparkContext.setLogLevel("ERROR")
+
+from pithos_spark.registry import QUERIES
+from pithos_spark.tables import TPCH_TABLES, load_tables
+
+warm = load_tables(spark, SF_DIR)
+for t in TPCH_TABLES:
+    warm[t].limit(1).count()
+
+print("canary:", bench.box_canary(spark, SF_DIR), flush=True)
+for name in names:
+    fn = QUERIES[name]
+    _run_noop(fn(spark, SF_DIR))  # untimed warmup
+    samples = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        _run_noop(fn(spark, SF_DIR))
+        samples.append(round(time.perf_counter() - t0, 3))
+    print(f"{name}: med={statistics.median(samples):.3f} {samples}", flush=True)
+print("canary-end:", bench.box_canary(spark, SF_DIR), flush=True)
