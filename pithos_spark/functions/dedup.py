@@ -196,7 +196,15 @@ def jaccard_pairs(
     from pithos_spark.plans.helpers import bounded_persist
 
     sh = bounded_persist(shingles(documents, n), "jaccard_pairs.sh")
-    sizes = shingle_set_sizes(documents, n)
+    # sizes from the SAME cache: count over the materialized distinct
+    # shingle rows is value-identical to the shingle_set_sizes
+    # projection (docs with shingle rows agree; docs without produce
+    # no rows in either form and inner joins drop them), and it costs
+    # one tiny partial-aggregated exchange instead of two more full
+    # corpus tokenize passes (r17, guide §2.2)
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -435,10 +443,21 @@ def minhash_lsh_pairs(
     # exact verification restricted to candidates — the full quadratic
     # jaccard never runs; intersection counts come from joining each
     # side's (distinct) shingle rows through the candidate pair list.
-    # Set sizes are per-row projections (shingle_set_sizes) and the
-    # shingle sets are narrow explodes — no distinct exchange anywhere.
-    sh = shingles(documents, n)
-    sizes = shingle_set_sizes(documents, n)
+    # The shingle set is persisted for the life of the invocation
+    # (r17, guide §2.2/§5): the two verify joins exchange on DIFFERENT
+    # keys (doc_a vs (doc_b, shingle)), so nothing is reusable between
+    # them and each consumed its own full corpus tokenize pass; sizes
+    # derive from the same cache (count over the materialized distinct
+    # rows — value-identical to the shingle_set_sizes projection, which
+    # cost two MORE full tokenize passes).  5 corpus tokenize passes
+    # per run -> 2 (signatures + one materialization), the jaccard
+    # precedent applied here.
+    from pithos_spark.plans.helpers import bounded_persist
+
+    sh = bounded_persist(shingles(documents, n), "minhash_lsh_pairs.sh")
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
     inter = (
