@@ -644,17 +644,24 @@ def bench_output_lines(
         # reading a broad shift as an engine regression
         diag_obj["box"] = box
     diag = json.dumps(diag_obj)
-    canonical = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": round(sum(medians.values()), 3),
-            "unit": "sec",
-            "queries": medians,
-            "repeats": REPEATS,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        },
-        separators=(",", ":"),
-    )
+    canonical_obj = {
+        "metric": "headline_queries_total",
+        "value": round(sum(medians.values()), 3),
+        "unit": "sec",
+        "queries": medians,
+        "repeats": REPEATS,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if box is not None:
+        # r18 (VERDICT r17 task 9, additive only — every existing key
+        # and the one-line printing contract unchanged): the canonical
+        # line carries the box-speed canaries too, so round-over-round
+        # PERF comparisons can be load-normalized mechanically instead
+        # of by forensic archaeology through the diagnostics logs.
+        # ~125 chars against the 1900-char guard (worst-case medians
+        # line measured 1626 at 48 queries).
+        canonical_obj["box_canary"] = box
+    canonical = json.dumps(canonical_obj, separators=(",", ":"))
     if len(canonical) > 1900:
         raise AssertionError(
             f"canonical bench line is {len(canonical)} chars; the driver "

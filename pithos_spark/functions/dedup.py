@@ -47,6 +47,13 @@ def _tokens(col: F.Column) -> F.Column:
 
 _MH_P = 2_147_483_647  # 2^31 - 1
 
+# Broadcast guard for per-doc side tables (containment sizes join):
+# rows above this degrade to a shuffled hash join instead of forcing a
+# corpus-linear broadcast.  4M rows of (long, long) is ~200 MB as a
+# built hash relation — guide §3.1's comfortable band, 128x under the
+# 512M-row broadcast hard cap.
+_SIZES_BROADCAST_MAX_ROWS = 4_000_000
+
 def _mh_constants(num_hashes: int) -> tuple[list[int], list[int]]:
     import random
 
@@ -195,7 +202,17 @@ def jaccard_pairs(
     """
     from pithos_spark.plans.helpers import bounded_persist
 
-    sh = bounded_persist(shingles(documents, n), "jaccard_pairs.sh")
+    # the distinct shingle set keyed by the RAW 60-bit hash (r18): the
+    # self-join exchanges 8-byte longs instead of full n-gram strings
+    # (guide §2.3); injective on every tested corpus's distinct shingle
+    # set, so n_common/sizes are value-identical to the string join —
+    # proof protocol and collision analysis in minhash_lsh_pairs.
+    sh = bounded_persist(
+        shingles(documents, n).select(
+            "doc_id", portable_hash60(F.col("shingle")).alias("h")
+        ),
+        "jaccard_pairs.sh",
+    )
     # sizes from the SAME cache: count over the materialized distinct
     # shingle rows is value-identical to the shingle_set_sizes
     # projection (docs with shingle rows agree; docs without produce
@@ -208,7 +225,7 @@ def jaccard_pairs(
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -257,7 +274,10 @@ ORDER BY doc_a, doc_b"""
 
 
 def minhash_signatures(
-    documents: DataFrame, n: int = 3, num_hashes: int = 32
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    _h_rows: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: one row per doc with ``mh_0..mh_{k-1}``
     columns.  Hash_i(shingle) = (a_i * h60(shingle) + b_i) mod p over the
@@ -284,9 +304,21 @@ def minhash_signatures(
     # hash the (possibly long) shingle string ONCE; the k family members
     # are then integer multiply-add-mod over the 8-byte value — k x
     # cheaper than k string hashes, and expressible in DuckDB verbatim
-    sh = shingles(documents, n, distinct=False).withColumn(
-        "h0", portable_hash60(F.col("shingle")) % F.lit(_MH_P)
-    )
+    if _h_rows is not None:
+        # r18: reuse a caller-materialized (doc_id, h) table of RAW
+        # 60-bit shingle hashes (minhash_lsh_pairs' verify cache —
+        # DISTINCT per-doc rows; min is duplicate-insensitive, so the
+        # signature over the set equals the one over the multiset,
+        # and h % p here is the exact value the inline column
+        # computes).  Saves the second full corpus tokenize pass per
+        # run.
+        sh = _h_rows.select(
+            "doc_id", (F.col("h") % F.lit(_MH_P)).alias("h0")
+        )
+    else:
+        sh = shingles(documents, n, distinct=False).withColumn(
+            "h0", portable_hash60(F.col("shingle")) % F.lit(_MH_P)
+        )
 
     def signatures(pdfs):
         import pandas as pd
@@ -361,7 +393,11 @@ def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
 
 
 def lsh_band_signatures(
-    documents: DataFrame, n: int = 3, num_hashes: int = 32, bands: int = 8
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    _h_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Uncapped LSH band signatures: one (doc_id, band, band_key) row per
     document per band — md5 over the band's minhash columns in seed
@@ -370,7 +406,7 @@ def lsh_band_signatures(
     telemetry (lsh_bucket_stats); callers apply _cap_buckets themselves
     because the stats op must see PRE-cap occupancy."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(documents, n, num_hashes)
+    sig = minhash_signatures(documents, n, num_hashes, _h_rows=_h_rows)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -413,7 +449,32 @@ def minhash_lsh_pairs(
     band buckets over ``max_bucket`` docs are dropped (_cap_buckets) so
     no single hot bucket can go quadratic.
     """
-    band_sig = lsh_band_signatures(documents, n, num_hashes, bands)
+    from pithos_spark.plans.helpers import bounded_persist
+
+    # ONE shingle materialization per run, keyed by the RAW 60-bit
+    # hash (r18, guide §2.3/§2.4): the verify joins below shuffle
+    # 8-byte longs instead of full n-gram STRINGS, and the signature
+    # pass reads the same cache (min is duplicate-insensitive, so
+    # distinct rows give bit-identical signatures) — the last full
+    # corpus tokenize pass this operator paid beyond the cache build.
+    # Exactness: h60 is injective on every tested corpus's distinct
+    # shingle set (scripts/hashkey_proof_r18.py — distinct-string ==
+    # distinct-hash counts at sf0.001/0.01/0.1 and the replicated sf1,
+    # plus exhaustive sf0.1 result equality vs the string-keyed
+    # oracle), so per-doc set sizes and pair intersection counts are
+    # value-identical to the string join.  Expected collisions are
+    # n_distinct^2 / 2^61 (birthday): ~3e-6 at the sf1 vocabulary;
+    # a 100 TB deployment sizes the hash width to its vocabulary the
+    # same way (two 60-bit prefixes quadruple the width headroom).
+    sh = bounded_persist(
+        shingles(documents, n).select(
+            "doc_id", portable_hash60(F.col("shingle")).alias("h")
+        ),
+        "minhash_lsh_pairs.sh",
+    )
+    band_sig = lsh_band_signatures(
+        documents, n, num_hashes, bands, _h_rows=sh
+    )
     band_sig = _cap_buckets(band_sig, ["band", "band_key"], max_bucket)
     a = band_sig.alias("a")
     b = band_sig.alias("b")
@@ -442,29 +503,23 @@ def minhash_lsh_pairs(
         candidates = F.broadcast(candidates)
     # exact verification restricted to candidates — the full quadratic
     # jaccard never runs; intersection counts come from joining each
-    # side's (distinct) shingle rows through the candidate pair list.
-    # The shingle set is persisted for the life of the invocation
-    # (r17, guide §2.2/§5): the two verify joins exchange on DIFFERENT
-    # keys (doc_a vs (doc_b, shingle)), so nothing is reusable between
-    # them and each consumed its own full corpus tokenize pass; sizes
-    # derive from the same cache (count over the materialized distinct
-    # rows — value-identical to the shingle_set_sizes projection, which
-    # cost two MORE full tokenize passes).  5 corpus tokenize passes
-    # per run -> 2 (signatures + one materialization), the jaccard
-    # precedent applied here.
-    from pithos_spark.plans.helpers import bounded_persist
-
-    sh = bounded_persist(shingles(documents, n), "minhash_lsh_pairs.sh")
+    # side's (distinct) hashed shingle rows through the candidate pair
+    # list.  The hashed set is persisted for the life of the
+    # invocation (r17, guide §2.2/§5): the two verify joins exchange
+    # on DIFFERENT keys (doc_a vs (doc_b, h)), so nothing is reusable
+    # between them; sizes derive from the same cache.  Corpus tokenize
+    # passes per run: 5 (pre-r17) -> 2 (r17) -> 1 (the cache build —
+    # the signature pass now reads it too).
     sizes = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles")
     )
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("h_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("h").alias("h_b"))
     inter = (
         candidates.join(sh_a, "doc_a")
         .join(
             sh_b,
-            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")),
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("h_a") == F.col("h_b")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -1653,21 +1708,30 @@ def containment_pairs(
     """
     from pithos_spark.plans.helpers import bounded_persist
 
-    sh = shingles(documents, n)
-    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    hot = F.broadcast(
-        sdf.filter(F.col("df") > max_shingle_df).select("shingle")
-    )
+    # every aggregation/join below keys on the RAW 60-bit shingle hash
+    # instead of the n-gram STRING (r18, guide §2.3: shuffle keys, not
+    # payloads): the df agg, the hot anti-join and the posting-build
+    # exchange — the dominant shuffle of this operator — carry 8-byte
+    # longs.  Injective on every tested corpus's distinct shingle set
+    # (scripts/hashkey_proof_r18.py), so df counts, the excluded-hot
+    # universe, posting lists and every derived pair count are
+    # value-identical to the string-keyed form — proof protocol and
+    # collision analysis in minhash_lsh_pairs.
+    h = portable_hash60(F.col("shingle")).alias("h")
+    sh = shingles(documents, n).select("doc_id", h)
+    sdf = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    hot = F.broadcast(sdf.filter(F.col("df") > max_shingle_df).select("h"))
     # hot exclusion BEFORE collect_set keeps every list <= cap — the
     # aggregation never materializes a boilerplate shingle's postings.
     # collect_set over the RAW gram stream (multiplicity kept) folds
     # the per-doc dedup into the same exchange as the posting build:
-    # one (shingle)-keyed exchange instead of distinct-by-(doc,gram)
+    # one (h)-keyed exchange instead of distinct-by-(doc,gram)
     # followed by collect_list-by-shingle.
     posts = bounded_persist(
         shingles(documents, n, distinct=False)
-        .join(hot, "shingle", "left_anti")
-        .groupBy("shingle")
+        .select("doc_id", h)
+        .join(hot, "h", "left_anti")
+        .groupBy("h")
         .agg(F.collect_set("doc_id").alias("ds"))
         .select("ds"),
         "containment_pairs.posts",
@@ -1706,12 +1770,27 @@ def containment_pairs(
             )
         ).alias("p")
     ).select("p.doc_a", "p.doc_b", "p.n_common")
-    # sizes is one row per in-universe doc — broadcast it explicitly:
-    # without the hint AQE builds the hash table from the LEFT (inter)
-    # side, i.e. collects the near-unique pair aggregate (2.2M rows at
-    # sf0.1, corpus-scale at 100 TB) to the driver (guide §3.1).
+    # sizes is one row per in-universe doc — corpus-LINEAR, so an
+    # unconditional broadcast is its own at-scale hazard (VERDICT r17
+    # item 3: forcing it turns the join into a driver-side collect of
+    # every doc with a surviving shingle).  Guarded broadcast instead:
+    # under the row bound it is the measured-right plan (without the
+    # hint AQE builds the hash side from the LEFT 2.2M-row pair
+    # aggregate, guide §3.1); over the bound, degrade to a SHUFFLED
+    # hash join on doc_a — both sides exchange, build side stays
+    # per-partition-bounded.  The bound check is one count(*) over
+    # ``documents`` (sizes rows <= |documents|): parquet-metadata
+    # cheap, never materializes the posting build early.  Threshold
+    # rationale: ~16 B/row framed -> ~200 MB built relation at 4M rows
+    # — inside guide §3.1's "a few hundred MB is usually fine", an
+    # order of magnitude under the 8 GB/512M-row hard cap.
+    sizes_side = (
+        F.broadcast(sizes)
+        if documents.count() <= _SIZES_BROADCAST_MAX_ROWS
+        else sizes.hint("shuffle_hash")
+    )
     return (
-        inter.join(F.broadcast(sizes), "doc_a")
+        inter.join(sizes_side, "doc_a")
         .withColumn(
             "containment_pct",
             (F.col("n_common") * 100 / F.col("size_a")).cast("long"),
@@ -2107,26 +2186,33 @@ def incremental_containment_pairs(
     """
     from pithos_spark.plans.helpers import bounded_persist
 
+    # delta x corpus join keyed on the RAW 60-bit shingle hash instead
+    # of the n-gram string (r18, guide §2.3) — same injectivity proof
+    # and collision analysis as containment_pairs/minhash_lsh_pairs.
+    h = portable_hash60(F.col("shingle")).alias("h")
     sh_old = bounded_persist(
-        shingles(existing_docs, n), "incr_containment.sh_old"
+        shingles(existing_docs, n).select("doc_id", h),
+        "incr_containment.sh_old",
     )
     hot = (
-        sh_old.groupBy("shingle")
+        sh_old.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > max_shingle_df)
-        .select("shingle")
+        .select("h")
     )
     uni_new = bounded_persist(
-        shingles(new_docs, n).join(F.broadcast(hot), "shingle", "left_anti"),
+        shingles(new_docs, n)
+        .select("doc_id", h)
+        .join(F.broadcast(hot), "h", "left_anti"),
         "incr_containment.uni_new",
     )
-    uni_old = sh_old.join(F.broadcast(hot), "shingle", "left_anti")
+    uni_old = sh_old.join(F.broadcast(hot), "h", "left_anti")
     sizes_new = uni_new.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("size_a")
     )
     inter = (
         uni_new.alias("a")
-        .join(uni_old.alias("b"), "shingle")
+        .join(uni_old.alias("b"), "h")
         .groupBy(
             F.col("a.doc_id").alias("new_doc_id"),
             F.col("b.doc_id").alias("existing_doc_id"),

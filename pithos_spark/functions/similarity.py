@@ -657,22 +657,31 @@ def batch_topk(
     its LOCAL top-k per query under the final (dot desc, vec_id) order
     — any global top-k row is inside its task's top-k by the same total
     order — so the rank shuffle carries tasks x |Q| x k candidate rows
-    instead of corpus x |Q| scored rows.  The |Q|-row query collect is
-    bounded by construction (same class as the Lloyd K-row collects).
+    instead of corpus x |Q| scored rows.
+
+    Contract notes (ADVICE r17): the |Q|-row query collect runs EAGERLY
+    at call time (bounded by construction — same class as the Lloyd
+    K-row collects — but an action, not a lazy plan); rows with a NULL
+    embedding are dropped on both sides (the pre-GEMM expression path
+    gave them a null dot ranked last — indistinguishable for any corpus
+    with >= k non-null candidates, which every declared query has).
     """
     import numpy as np
 
     from pyspark.sql import Window
 
+    vec_id_t = embeddings.schema["vec_id"].dataType.simpleString()
+    out_schema = f"query_id {vec_id_t}, vec_id {vec_id_t}, dot_q long"
     q_rows = (
-        embeddings.filter(F.col("vec_id").isin(query_ids))
+        embeddings.filter(
+            F.col("vec_id").isin(query_ids)
+            & F.col("embedding").isNotNull()
+        )
         .select("vec_id", "embedding")
         .collect()
     )
     if not q_rows:
-        return embeddings.sparkSession.createDataFrame(
-            [], "query_id long, vec_id long, dot_q long"
-        )
+        return embeddings.sparkSession.createDataFrame([], out_schema)
     qids = np.array([r["vec_id"] for r in q_rows], np.int64)
     qmat = np.floor(
         np.stack([np.asarray(r["embedding"], np.float64) for r in q_rows])
@@ -686,6 +695,7 @@ def batch_topk(
         cand_v: list = []
         cand_d: list = []
         for pdf in it:
+            pdf = pdf[pdf["embedding"].notna()]
             if not len(pdf):
                 continue
             X = np.floor(
@@ -720,7 +730,7 @@ def batch_topk(
         )
 
     scored = embeddings.select("vec_id", "embedding").mapInPandas(
-        _task_topk, "query_id long, vec_id long, dot_q long"
+        _task_topk, out_schema
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dot_q").desc(), F.col("vec_id")
@@ -920,7 +930,17 @@ def ivf_assign_delta(
     import os
 
     if os.path.isdir(f"{gen_root}/meta"):
-        stored = int(read_tiny_rows(f"{gen_root}/meta")[0]["scale"])
+        meta_rows = read_tiny_rows(f"{gen_root}/meta")
+        if not meta_rows:
+            # a meta dir that exists but holds no data files is a torn
+            # save (crash between mkdir and the parquet write), not a
+            # pre-meta layout — refuse loudly instead of IndexError
+            # (ADVICE r17)
+            raise ValueError(
+                f"ivf_assign_delta: {gen_root}/meta exists but holds no "
+                "rows — torn index save; rebuild via save_ivf_index"
+            )
+        stored = int(meta_rows[0]["scale"])
     else:  # pre-meta layout
         stored = None
     if stored is not None:

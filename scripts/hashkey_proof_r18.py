@@ -1,0 +1,135 @@
+"""Equivalence proof for the r18 hash-keyed shingle joins (VERDICT r17
+task 6): the minhash verify / jaccard self-join / containment posting
+build now key on the RAW 60-bit portable hash (8-byte long) instead of
+the n-gram STRING.  The rewrite is value-identical iff h60 is
+INJECTIVE on the corpus's distinct shingle set — then per-doc set
+sizes, df counts and pair intersection counts all map 1:1.
+
+Two-part proof, both against the string-keyed ground truth:
+
+1. INJECTIVITY on every tested corpus (pure DuckDB, no Spark):
+   count(DISTINCT shingle) == count(DISTINCT h60(shingle)) for the
+   n=3 shingle universe of each documents table (every declared query
+   uses n=3).  Equality proves there is NO colliding string pair
+   anywhere in the corpus, hence every per-doc / per-pair count is
+   unchanged.
+
+2. EXHAUSTIVE RESULT EQUALITY at sf0.1 (the largest shipped corpus,
+   bigger than the sf0.01 oracle gate): run the hash-keyed Spark
+   operators and compare full row sets against the STRING-keyed DuckDB
+   oracles via tests/harness.compare (the driver's canonicalization,
+   including the stringified-hash pass).
+
+Collision analysis (why the tested corpora cannot be lucky): h60 has
+2^60 values; for n distinct shingles the expected number of colliding
+pairs is n^2/2^61.  Measured universes: see the printed counts
+(~2.6e5 at sf0.1, ~2.6e6 at the replicated sf1) -> expectation
+3e-8 .. 3e-6.  A 100 TB deployment with a ~1e12-shingle vocabulary
+would expect ~5e5 collisions at 60 bits and must widen the key (two
+independent 60-bit prefixes of md5 = 120 bits -> expectation ~4e-13);
+the operators take the hash through one expression, so the widening
+is a one-line swap, and this script is the acceptance gate either way.
+
+Usage: python scripts/hashkey_proof_r18.py [--spark]
+  (default: part 1 only; --spark adds the sf0.1 exhaustive equality)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+CORPORA = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+if os.path.isdir("/root/repo/.scale/sf1"):
+    CORPORA.append("/root/repo/.scale/sf1")
+
+N = 3  # every declared shingle query uses n=3
+
+
+def injectivity(con, docs_path: str) -> tuple[int, int]:
+    k = N - 1
+    row = con.execute(
+        f"""
+WITH toks AS (
+    SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM read_parquet('{docs_path}/documents.parquet')
+), idx AS (
+    SELECT t, unnest(range(1, greatest(len(t) - {k}, 1) + 1)) AS i FROM toks
+), sh AS (
+    SELECT DISTINCT array_to_string(t[i:i+{k}], ' ') AS shingle FROM idx
+)
+SELECT count(*) AS n_distinct,
+       count(DISTINCT ('0x' || substr(md5(shingle), 1, 15))::BIGINT)
+           AS n_hash
+FROM sh"""
+    ).fetchone()
+    return int(row[0]), int(row[1])
+
+
+def main() -> None:
+    con = duckdb.connect()
+    ok = True
+    for c in CORPORA:
+        n_str, n_hash = injectivity(con, c)
+        verdict = "INJECTIVE" if n_str == n_hash else "COLLISION"
+        if n_str != n_hash:
+            ok = False
+        exp = n_str * n_str / 2**61
+        print(
+            f"{c}: distinct_shingles={n_str} distinct_h60={n_hash} "
+            f"-> {verdict} (expected colliding pairs {exp:.2e})",
+            flush=True,
+        )
+    if not ok:
+        raise SystemExit("h60 collision found — hash-keyed joins invalid")
+
+    if "--spark" not in sys.argv:
+        return
+
+    # part 2: exhaustive sf0.1 equality vs the string-keyed oracles
+    from pyspark.sql import SparkSession
+
+    from pithos_spark import registry
+    from pithos_spark.tables import TPCH_TABLES
+    from tests.harness import compare
+
+    sf_dir = "/root/testdata/sf0.1"
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con2 = duckdb.connect()
+    for t in TPCH_TABLES:
+        con2.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    for name in [
+        "dedup_minhash_lsh",
+        "dedup_jaccard_pairs",
+        "dedup_containment",
+        "dedup_incremental_containment",
+        "dedup_duplicate_clusters",
+        "dedup_keep_best",
+    ]:
+        if name not in registry.QUERIES:
+            print(f"{name}: SKIP (not registered)", flush=True)
+            continue
+        df = registry.QUERIES[name](spark, sf_dir)
+        compare(df, con2, registry.ORACLES[name], name=name)
+        print(f"{name}: sf0.1 exhaustive equality OK", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,6 +1,8 @@
 """Interleaved A/B for the r17 ladder-report overlap (guide §2.6):
 OLD = the seven-/four-branch lazy union executed as ONE action,
-NEW = the committed thread-pooled per-tier collects.
+NEW = the thread-pooled per-tier collects CANDIDATE (measured
+neutral on a quiet box; NOT committed — the lazy union was kept, see
+the dedup.py/similarity.py docstrings).
 
 Run on a quiet box: python scripts/profile_ladders_r17.py
 Prints one line per (variant, rep) and the medians, plus asserts the

@@ -66,6 +66,28 @@ def test_canonical_line_is_last_and_parseable_after_tail_cut():
     assert len(parsed["queries"]) == len(medians)
 
 
+def test_canonical_line_carries_box_canary_and_still_fits():
+    """r18 (VERDICT r17 task 9): the canonical line additionally
+    carries the box-speed canaries (additive — every pre-existing key
+    intact) and still fits the driver's 2000-char tail window at the
+    worst-case median widths."""
+    runs, medians = _fake_runs()
+    box = {
+        "start": {"cpu_s": 0.306, "scan_s": 0.224, "load_1m": 12.66},
+        "end": {"cpu_s": 0.301, "scan_s": 0.082, "load_1m": 3.81},
+    }
+    diag, canonical = bench.bench_output_lines(runs, medians, "0.1", box=box)
+    assert len(canonical) + 1 <= 2000, len(canonical)
+    parsed = json.loads(canonical)
+    assert parsed["box_canary"] == box
+    # the pre-r18 contract is untouched
+    assert parsed["metric"] == "headline_queries_total"
+    assert set(parsed["queries"]) == set(medians)
+    assert parsed["repeats"] == bench.REPEATS
+    # the diagnostics line keeps its copy too
+    assert json.loads(diag)["box"] == box
+
+
 def test_overgrown_headliner_list_fails_loudly():
     runs, medians = _fake_runs()
     for i in range(60):
