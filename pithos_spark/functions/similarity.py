@@ -579,11 +579,11 @@ def pq_filtered_topk_from_layout(
     (filtering code rows by their stored label selects exactly the
     slice's vec_ids, which is what the oracle's IN-subquery does)."""
     spark = embeddings.sparkSession
-    codes, cb_df, meta = load_pq_index(spark, path)
+    codes, codebooks, meta = load_pq_index(spark, path)
     return pq_serve_topk(
         embeddings,
         codes.filter(F.col("label") == label).drop("label"),
-        cb_df,
+        codebooks,
         query_vec_id,
         k,
         int(meta["m_sub"]),
@@ -1702,19 +1702,56 @@ def pq_topk(
         embeddings, m_sub, k_codes, n_iter, scale, dim
     )
     codes = pq_encode(embeddings, codebooks, m_sub, scale, dim)
-    cb_df = spark.createDataFrame(
-        [(m, c, v) for (m, c), v in sorted(codebooks.items())],
-        "m int, code int, centroid_q array<bigint>",
-    )
     return pq_serve_topk(
-        embeddings, codes, cb_df, query_vec_id, k, m_sub, rerank, scale, dim
+        embeddings, codes, codebooks, query_vec_id, k, m_sub, rerank, scale, dim
     )
+
+
+def _collect_query_qvs(
+    embeddings: DataFrame, query_ids: list[int], scale: int
+) -> dict[int, list[int]]:
+    """The query vectors' QUANTIZED values, collected once (r18, guide
+    §1/§2.6): one pushed-filter scan for all ids instead of one
+    broadcast-build scan per derived artifact.  The quantization runs
+    through the same `_quantized` Spark expression every serving plan
+    used inline, so the collected ints are bit-identical by
+    construction.  Bounded: |Q| rows, the Lloyd-collect class.  Query
+    ids with a null embedding are absent, exactly like the old inline
+    filters (a null quantized array produced no qsub/qrow rows)."""
+    rows = (
+        embeddings.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
+        .select("vec_id", _quantized(F.col("embedding"), scale).alias("q"))
+        .collect()
+    )
+    return {
+        int(r["vec_id"]): [int(v) for v in r["q"]]
+        for r in rows
+        if r["q"] is not None
+    }
+
+
+def _pq_lut_rows(
+    codebooks: dict, qq: list[int], m_sub: int, dim: int
+) -> list[tuple[int, int, int]]:
+    """ADC LUT values (m, code, pdot) computed driver-side: integer
+    dot of each M x K codebook centroid with the query's matching
+    subvector — Python int arithmetic over values < 2^31, exact and
+    equal to the former `_bigint_dot` expression (both are plain int64
+    multiply-adds).  M x K rows, KB-sized — metadata-class driver
+    work, emitted as a LocalRelation so the broadcast build launches
+    NO Spark job (the former form scheduled a scan + join job per
+    serve just to build these rows)."""
+    d = dim // m_sub
+    return [
+        (m, c, sum(a * b for a, b in zip(v, qq[m * d : (m + 1) * d])))
+        for (m, c), v in sorted(codebooks.items())
+    ]
 
 
 def pq_serve_topk(
     embeddings: DataFrame,
     codes: DataFrame,
-    cb_df: DataFrame,
+    codebooks: dict,
     query_vec_id: int,
     k: int = 10,
     m_sub: int = 8,
@@ -1725,17 +1762,32 @@ def pq_serve_topk(
     """The PQ serving tail over an ALREADY-BUILT index — shared by the
     train-in-query gate (:func:`pq_topk`) and the persisted layout
     (:func:`pq_topk_from_layout`), so both produce the identical plan:
-    query subvectors -> broadcast M x K ADC LUT -> one groupBy(vec_id)
-    sum over the code table -> rank-cut (TakeOrderedAndProject +
-    WindowGroupLimit, audited PLANS.md r11) -> exact quantized-dot
-    rerank of the ``rerank * k`` survivors."""
+    broadcast M x K ADC LUT -> one groupBy(vec_id) sum over the code
+    table -> rank-cut (TakeOrderedAndProject + WindowGroupLimit,
+    audited PLANS.md r11) -> exact quantized-dot rerank of the
+    ``rerank * k`` survivors.
+
+    r18 (guide §1, VERDICT r17 task 3): the query-side artifacts —
+    the quantized query vector and the LUT — are computed ONCE
+    driver-side from a single pushed-filter collect and emitted as
+    LocalRelations, so their broadcasts launch no jobs: the serve runs
+    3 fewer scheduling round trips per request (the old plan scanned
+    `embeddings` twice and `codebooks` once per serve just to rebuild
+    KB-sized query state).  Values are bit-identical: the quantized
+    vector is Spark's own `_quantized` output, and the LUT dot is
+    exact integer arithmetic in both engines."""
     from pyspark.sql import Window
 
-    qsub = _pq_subvectors(
-        embeddings.filter(F.col("vec_id") == query_vec_id), m_sub, dim, scale
-    ).select("m", F.col("subq").alias("qsub"))
-    lut = cb_df.join(F.broadcast(qsub), "m").select(
-        "m", "code", _bigint_dot(F.col("centroid_q"), F.col("qsub")).alias("pdot")
+    spark = embeddings.sparkSession
+    qq = _collect_query_qvs(embeddings, [query_vec_id], scale).get(
+        int(query_vec_id)
+    )
+    lut = spark.createDataFrame(
+        _pq_lut_rows(codebooks, qq, m_sub, dim) if qq is not None else [],
+        "m int, code int, pdot long",
+    )
+    qrow = spark.createDataFrame(
+        [(qq,)] if qq is not None else [], "qq array<bigint>"
     )
     est = (
         codes.filter(F.col("vec_id") != query_vec_id)
@@ -1751,9 +1803,6 @@ def pq_serve_topk(
     ).filter(F.col("_rk") <= rerank * k)
     qv = embeddings.select(
         "vec_id", "label", _quantized(F.col("embedding"), scale).alias("q")
-    )
-    qrow = qv.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("q").alias("qq")
     )
     return (
         cand.join(qv, "vec_id")
@@ -1843,7 +1892,7 @@ def save_pq_index(
 
 
 def load_pq_index(spark, path: str, root: str | None = None):
-    """Load a persisted PQ index: (codes, codebooks df, meta row) of
+    """Load a persisted PQ index: (codes df, codebooks dict, meta row) of
     the layout's LIVE generation (layoutcommit.read_current — the
     streamed-ingest compaction swaps a pointer file, never mutates
     tables in place; a never-compacted layout resolves to itself).
@@ -1860,11 +1909,19 @@ def load_pq_index(spark, path: str, root: str | None = None):
         root = read_current(path)
     assert_not_torn(root)
     # 1-row meta read driver-side: a distributed job per serve just to
-    # fetch four ints was pure scheduling overhead (r17, guide §1)
+    # fetch four ints was pure scheduling overhead (r17, guide §1).
+    # r18: the M x K codebooks are the same KB-class artifact — read
+    # driver-side too (the serving tail now computes the query LUT on
+    # the driver, so a distributed codebook scan per serve bought
+    # nothing but a job).  Same parquet bytes, same values.
     meta = read_tiny_rows(f"{root}/meta")[0]
+    codebooks = {
+        (int(r["m"]), int(r["code"])): [int(v) for v in r["centroid_q"]]
+        for r in read_tiny_rows(f"{root}/codebooks")
+    }
     return (
         spark.read.parquet(f"{root}/codes"),
-        spark.read.parquet(f"{root}/codebooks"),
+        codebooks,
         meta,
     )
 
@@ -1931,11 +1988,11 @@ def pq_topk_from_layout(
     codebooks), but the query pays ONLY the serving read: no Lloyd
     passes, no encode, just the code-table scan + broadcast LUT."""
     spark = embeddings.sparkSession
-    codes, cb_df, meta = load_pq_index(spark, path)
+    codes, codebooks, meta = load_pq_index(spark, path)
     return pq_serve_topk(
         embeddings,
         codes,
-        cb_df,
+        codebooks,
         query_vec_id,
         k,
         int(meta["m_sub"]),
@@ -1964,14 +2021,16 @@ def pq_batch_topk_from_layout(
     Output (query_id, vec_id, label, est_dot, dot_q), top-k per query,
     ordered by (query_id, dot_q desc, vec_id)."""
     spark = embeddings.sparkSession
-    codes, cb_df, meta = load_pq_index(spark, path)
-    return _pq_batch_serve(embeddings, codes, cb_df, meta, query_ids, k, rerank)
+    codes, codebooks, meta = load_pq_index(spark, path)
+    return _pq_batch_serve(
+        embeddings, codes, codebooks, meta, query_ids, k, rerank
+    )
 
 
 def _pq_batch_serve(
     embeddings: DataFrame,
     codes: DataFrame,
-    cb_df: DataFrame,
+    codebooks: dict,
     meta,
     query_ids: list[int],
     k: int,
@@ -1980,20 +2039,29 @@ def _pq_batch_serve(
     """The batched-PQ serving plan over an already-resolved code table
     — split out (r17) so the staged-union twin
     (``streaming/ingest.pq_batch_topk_with_staged``) reuses the exact
-    plan over base ∪ staged codes."""
+    plan over base ∪ staged codes.
+
+    r18: the |Q| quantized query vectors are collected once and the
+    |Q| x M x K LUT is computed driver-side (exact integer dots, the
+    pq_serve_topk note) — the query-side broadcasts are LocalRelations
+    and launch no jobs."""
     from pyspark.sql import Window
 
+    spark = embeddings.sparkSession
     m_sub, scale, dim = (
         int(meta["m_sub"]), int(meta["scale"]), int(meta["dim"])
     )
-    qsub = _pq_subvectors(
-        embeddings.filter(F.col("vec_id").isin(query_ids)), m_sub, dim, scale
-    ).select(F.col("vec_id").alias("query_id"), "m", F.col("subq").alias("qsub"))
-    lut = cb_df.join(F.broadcast(qsub), "m").select(
-        "query_id",
-        "m",
-        "code",
-        _bigint_dot(F.col("centroid_q"), F.col("qsub")).alias("pdot"),
+    qvs = _collect_query_qvs(embeddings, query_ids, scale)
+    lut = spark.createDataFrame(
+        [
+            (qid, m, c, pdot)
+            for qid, qq in sorted(qvs.items())
+            for (m, c, pdot) in _pq_lut_rows(codebooks, qq, m_sub, dim)
+        ],
+        "query_id long, m int, code int, pdot long",
+    )
+    qrows = spark.createDataFrame(
+        sorted(qvs.items()), "query_id long, qq array<bigint>"
     )
     est = (
         codes.join(F.broadcast(lut), ["m", "code"])
@@ -2011,9 +2079,6 @@ def _pq_batch_serve(
     )
     qv = embeddings.select(
         "vec_id", "label", _quantized(F.col("embedding"), scale).alias("q")
-    )
-    qrows = qv.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
     )
     ranked = (
         cand.join(qv, "vec_id")
@@ -2565,10 +2630,6 @@ def ivfpq_residual_topk(
     )
     codebooks = _build_pq_codebooks_q(rqv, m_sub, k_codes, pq_iter, dim)
     k_eff = len({c for _, c in codebooks}) or 1
-    cb_df = spark.createDataFrame(
-        [(m, c, v) for (m, c), v in sorted(codebooks.items())],
-        "m int, code int, centroid_q array<bigint>",
-    )
     codes_assigned = rqv.select(
         "vec_id",
         "cluster",
@@ -2576,17 +2637,46 @@ def ivfpq_residual_topk(
             "m", "code"
         ),
     )
+    # centers is a LocalRelation built from the trainer's collected
+    # centroids — .collect() here is job-free and hands the serve the
+    # same K x dim ints
+    centers_dict = {
+        int(r["cluster"]): [int(v) for v in r["centroid_q"]]
+        for r in centers.collect()
+    }
     return _ivfpq_residual_serve(
-        qv, codes_assigned, centers, cb_df, query_vec_id,
+        qv, codes_assigned, centers_dict, codebooks, query_vec_id,
         k, n_probe, rerank, dim, m_sub,
     )
+
+
+def _residual_probe_rows(
+    centers: dict, qq: list[int], n_probe: int
+) -> list[tuple[int, int]]:
+    """The query's ``n_probe`` coarse lists with their centroid dot
+    terms, computed driver-side over the K-row centers dict: cd =
+    sum((c_i - q_i)^2), cterm = dot(c, q) — exact Python int
+    arithmetic, ranked by the same (cd, cluster) total order the old
+    row_number window used.  K rows of metadata-class work; emitted as
+    a LocalRelation so the broadcast launches no job, and the probed
+    cluster ids become LITERALS the code scan can statically prune
+    partitions with (stronger than the former runtime join pruning)."""
+    scored = sorted(
+        (
+            sum((a - b) * (a - b) for a, b in zip(v, qq)),
+            c,
+            sum(a * b for a, b in zip(v, qq)),
+        )
+        for c, v in centers.items()
+    )
+    return [(c, cterm) for _cd, c, cterm in scored[:n_probe]]
 
 
 def _ivfpq_residual_serve(
     qv: DataFrame,
     codes_assigned: DataFrame,
-    centers: DataFrame,
-    cb_df: DataFrame,
+    centers: dict,
+    codebooks: dict,
     query_vec_id: int,
     k: int = 10,
     n_probe: int = 2,
@@ -2600,46 +2690,41 @@ def _ivfpq_residual_serve(
     rank coarse centroids for the query, keep ``n_probe`` lists, sum
     the broadcast residual-LUT hits plus the per-cluster centroid dot
     term, exact-rerank the top ``rerank * k``.  ``codes_assigned`` is
-    (vec_id, cluster, m, code); ``qv`` is (vec_id, label, q)."""
+    (vec_id, cluster, m, code); ``qv`` is (vec_id, label, q).
+
+    r18 (guide §1, VERDICT r17 task 3): ``centers`` and ``codebooks``
+    are the KB-sized driver artifacts (K rows / M x K rows); the
+    quantized query is collected once and the probe list + residual
+    LUT are computed driver-side in exact integer math, so the three
+    query-side broadcasts are LocalRelations (no build jobs) and the
+    probed clusters statically prune the partitioned code scan."""
     from pyspark.sql import Window
 
-    qrow = qv.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("q").alias("qq")
+    spark = qv.sparkSession
+    qq_rows = (
+        qv.filter(F.col("vec_id") == query_vec_id).select("q").collect()
     )
-    cd = F.aggregate(
-        F.zip_with(
-            F.col("centroid_q"), F.col("qq"), lambda a, b: (a - b) * (a - b)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    qq = (
+        [int(v) for v in qq_rows[0]["q"]]
+        if qq_rows and qq_rows[0]["q"] is not None
+        else None
     )
-    probes = (
-        centers.join(F.broadcast(qrow))
-        .select(
-            "cluster",
-            cd.alias("cd"),
-            _bigint_dot(F.col("centroid_q"), F.col("qq")).alias("cterm"),
-        )
-        .withColumn(
-            "_rn",
-            F.row_number().over(Window.orderBy(F.col("cd"), F.col("cluster"))),
-        )
-        .filter(F.col("_rn") <= n_probe)
-        .select("cluster", "cterm")
+    probe_rows = _residual_probe_rows(centers, qq, n_probe) if qq else []
+    probes = spark.createDataFrame(probe_rows, "cluster int, cterm long")
+    lut = spark.createDataFrame(
+        _pq_lut_rows(codebooks, qq, m_sub, dim) if qq else [],
+        "m int, code int, pdot long",
     )
-    d = dim // m_sub
-    qsub = qrow.select(
-        F.posexplode(
-            F.array(*[F.slice("qq", m * d + 1, d) for m in range(m_sub)])
-        ).alias("m", "qsub")
-    )
-    lut = cb_df.join(F.broadcast(qsub), "m").select(
-        "m",
-        "code",
-        _bigint_dot(F.col("centroid_q"), F.col("qsub")).alias("pdot"),
+    qrow = spark.createDataFrame(
+        [(qq,)] if qq else [], "qq array<bigint>"
     )
     est = (
         codes_assigned.filter(F.col("vec_id") != query_vec_id)
+        # the probe ids are literals: a static isin prunes the
+        # cluster-partitioned scan at planning time; the broadcast
+        # join then only attaches cterm (result-identical — the join
+        # already restricted to exactly these clusters)
+        .filter(F.col("cluster").isin([c for c, _ in probe_rows]))
         .join(F.broadcast(probes), "cluster")
         .join(F.broadcast(lut), ["m", "code"])
         .groupBy("vec_id")
@@ -2877,11 +2962,19 @@ def ivfpq_residual_topk_from_layout(
         "label",
         _quantized(F.col("embedding"), int(meta["scale"])).alias("q"),
     )
+    # centers/codebooks are KB-sized driver artifacts (r18, the r17
+    # meta-read precedent): read driver-side, no scan jobs per serve
     return _ivfpq_residual_serve(
         qv,
         spark.read.parquet(f"{path}/codes"),
-        spark.read.parquet(f"{path}/centers"),
-        spark.read.parquet(f"{path}/codebooks"),
+        {
+            int(r["cluster"]): [int(v) for v in r["centroid_q"]]
+            for r in read_tiny_rows(f"{path}/centers")
+        },
+        {
+            (int(r["m"]), int(r["code"])): [int(v) for v in r["centroid_q"]]
+            for r in read_tiny_rows(f"{path}/codebooks")
+        },
         query_vec_id,
         k,
         n_probe,
@@ -2923,18 +3016,26 @@ def ivfpq_residual_batch_topk_from_layout(
     assert_not_torn(path)
     meta = read_tiny_rows(f"{path}/meta")[0]
     codes = spark.read.parquet(f"{path}/codes")
-    centers = spark.read.parquet(f"{path}/centers")
-    cb_df = spark.read.parquet(f"{path}/codebooks")
+    # centers/codebooks are KB-sized driver artifacts (r18)
+    centers = {
+        int(r["cluster"]): [int(v) for v in r["centroid_q"]]
+        for r in read_tiny_rows(f"{path}/centers")
+    }
+    codebooks = {
+        (int(r["m"]), int(r["code"])): [int(v) for v in r["centroid_q"]]
+        for r in read_tiny_rows(f"{path}/codebooks")
+    }
     return _ivfpq_residual_batch_serve(
-        embeddings, codes, centers, cb_df, meta, query_ids, k, n_probe, rerank
+        embeddings, codes, centers, codebooks, meta, query_ids, k, n_probe,
+        rerank,
     )
 
 
 def _ivfpq_residual_batch_serve(
     embeddings: DataFrame,
     codes: DataFrame,
-    centers: DataFrame,
-    cb_df: DataFrame,
+    centers: dict,
+    codebooks: dict,
     meta,
     query_ids: list[int],
     k: int,
@@ -2944,55 +3045,47 @@ def _ivfpq_residual_batch_serve(
     """The batched residual-IVFADC serving plan over already-resolved
     index tables — split out (r17) so the staged-union twin
     (``streaming/ingest.ivfpq_residual_batch_with_staged``) reuses the
-    exact plan over base ∪ staged codes."""
+    exact plan over base ∪ staged codes.
+
+    r18: per-query probe lists and residual LUTs computed driver-side
+    from one |Q|-row collect (exact integer math, the
+    _ivfpq_residual_serve note); query-side broadcasts are
+    LocalRelations (no build jobs) and the union of probed clusters
+    statically prunes the partitioned code scan."""
     from pyspark.sql import Window
 
+    spark = embeddings.sparkSession
     m_sub, scale, dim = (
         int(meta["m_sub"]), int(meta["scale"]), int(meta["dim"])
     )
     qv = embeddings.select(
         "vec_id", "label", _quantized(F.col("embedding"), scale).alias("q")
     )
-    qrows = qv.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    qvs = _collect_query_qvs(embeddings, query_ids, scale)
+    qrows = spark.createDataFrame(
+        sorted(qvs.items()), "query_id long, qq array<bigint>"
     )
-    cd = F.aggregate(
-        F.zip_with(
-            F.col("centroid_q"), F.col("qq"), lambda a, b: (a - b) * (a - b)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    probe_rows = [
+        (qid, c, cterm)
+        for qid, qq in sorted(qvs.items())
+        for c, cterm in _residual_probe_rows(centers, qq, n_probe)
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cluster int, cterm long"
     )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("cd"), F.col("cluster")
-    )
-    probes = (
-        centers.join(F.broadcast(qrows))
-        .select(
-            "query_id",
-            "cluster",
-            cd.alias("cd"),
-            _bigint_dot(F.col("centroid_q"), F.col("qq")).alias("cterm"),
-        )
-        .withColumn("_rn", F.row_number().over(wp))
-        .filter(F.col("_rn") <= n_probe)
-        .select("query_id", "cluster", "cterm")
-    )
-    d = dim // m_sub
-    qsub = qrows.select(
-        "query_id",
-        F.posexplode(
-            F.array(*[F.slice("qq", m * d + 1, d) for m in range(m_sub)])
-        ).alias("m", "qsub"),
-    )
-    lut = cb_df.join(F.broadcast(qsub), "m").select(
-        "query_id",
-        "m",
-        "code",
-        _bigint_dot(F.col("centroid_q"), F.col("qsub")).alias("pdot"),
+    lut = spark.createDataFrame(
+        [
+            (qid, m, c, pdot)
+            for qid, qq in sorted(qvs.items())
+            for (m, c, pdot) in _pq_lut_rows(codebooks, qq, m_sub, dim)
+        ],
+        "query_id long, m int, code int, pdot long",
     )
     est = (
-        codes.join(F.broadcast(probes), "cluster")
+        codes.filter(
+            F.col("cluster").isin(sorted({c for _, c, _ in probe_rows}))
+        )
+        .join(F.broadcast(probes), "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(lut), ["query_id", "m", "code"])
         .groupBy("query_id", "vec_id")
@@ -3061,8 +3154,14 @@ def ivfpq_residual_filtered_topk_from_layout(
     return _ivfpq_residual_serve(
         qv,
         codes,
-        spark.read.parquet(f"{path}/centers"),
-        spark.read.parquet(f"{path}/codebooks"),
+        {
+            int(r["cluster"]): [int(v) for v in r["centroid_q"]]
+            for r in read_tiny_rows(f"{path}/centers")
+        },
+        {
+            (int(r["m"]), int(r["code"])): [int(v) for v in r["centroid_q"]]
+            for r in read_tiny_rows(f"{path}/codebooks")
+        },
         query_vec_id,
         k,
         n_probe,

@@ -2011,6 +2011,73 @@ def _merge_segment_counts(
     }
 
 
+def _merged_counts_read(spark, roots: dict[str, list[str]]):
+    """The LSM read-merge over ONE multi-directory scan (r18, guide
+    §1/§2.4 — VERDICT r17 task 3): all five gram count tables (base
+    generation + any staged segment dirs) are read in a single
+    ``recursiveFileLookup`` + ``mergeSchema`` scan — each parquet file
+    physically holds exactly one (key, count) column pair, so a row's
+    table is recoverable as "whichever count column is non-null" — and
+    summed per (table, gram) in ONE exchange that every per-table view
+    below shares via ReuseExchange.  The former shape paid one scan
+    per table per source (10 scans on a staged layout) plus five
+    independent merge exchanges: 25 scheduling round trips per staged
+    serve, each a stall opportunity (the r17 serving-family noise
+    cluster).
+
+    Values are identical to the per-table form: the tag is derived
+    from physical column presence, so groups are exactly the old
+    per-table groups (cross-table key collisions — a unigram string
+    equal to a ctx1 string — stay separated by the tag).  Trade-off,
+    measured and accepted: after the tagged aggregation the per-table
+    views are partitioned on (tag, key), which an at-SMJ-scale scoring
+    join cannot reuse as (key) clustering — one extra
+    vocabulary-bounded exchange per table there, against 5 corpus-wide
+    tri_score exchanges the join pays regardless (and at broadcast
+    scale, exactly the same broadcasts as before).  The probe path
+    keeps per-table partition-pruned reads (it needs the ``b``
+    column this scan drops)."""
+    from pithos_spark.plans.helpers import bounded_persist
+
+    key_cols = [key for key, _ in _TRIGRAM_COUNT_TABLES]
+    cnt_cols = [cnt for _, cnt in _TRIGRAM_COUNT_TABLES]
+    paths = [p for cnt in cnt_cols for p in roots[cnt]]
+    allr = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true")
+        .parquet(*paths)
+    )
+    # the merged table is persisted for the invocation: without it the
+    # per-table ``_kind`` filters push BELOW the aggregation (filters
+    # on grouping keys move through aggregates), each branch re-plans
+    # its own scan+exchange, and ReuseExchange has nothing identical to
+    # share (measured: 5 scans of all dirs, jobs UP not down).  The
+    # cache is vocabulary-bounded — the same size class the scoring
+    # joins broadcast — and lives only inside this invocation's plans
+    # (bounded_persist lifecycle).
+    merged = bounded_persist(
+        allr.select(
+            F.coalesce(
+                *[
+                    F.when(F.col(c).isNotNull(), F.lit(i))
+                    for i, c in enumerate(cnt_cols)
+                ]
+            ).alias("_kind"),
+            F.coalesce(*[F.col(k) for k in key_cols]).alias("_key"),
+            F.coalesce(*[F.col(c) for c in cnt_cols]).alias("_cnt"),
+        )
+        .groupBy("_kind", "_key")
+        .agg(F.sum("_cnt").cast("long").alias("_sum")),
+        "text.merged_counts",
+    )
+    return {
+        cnt: merged.filter(F.col("_kind") == i).select(
+            F.col("_key").alias(key), F.col("_sum").alias(cnt)
+        )
+        for i, (key, cnt) in enumerate(_TRIGRAM_COUNT_TABLES)
+    }
+
+
 def _n_segments_of(stats_row) -> int:
     """Segment count from a stats row; 0 (= unknown, always merge) for
     layouts written before the column existed."""
@@ -2173,16 +2240,24 @@ def trigram_heldout_from_layout(
     One-segment fast path (VERDICT r14 task 5): the LSM read-merge is
     pure tax on a layout whose grams hold one row each (fresh build or
     post-compaction — stats says so via n_segments), so it only runs
-    on genuinely multi-segment layouts; there the merge aggregate is
-    keyed on the same gram the scoring join shuffles on, and AQE reuses
-    the exchange (pinned in tests/test_plans.py)."""
+    on genuinely multi-segment layouts; there the merge runs as ONE
+    tagged scan+exchange over all five tables
+    (:func:`_merged_counts_read`, r18 — the former per-table merges
+    cost 5 scans + 5 exchanges = ~8 more scheduling round trips per
+    serve; pinned in tests/test_plans.py)."""
+    from pithos_spark.functions.layoutcommit import read_current
     from pithos_spark.plans.helpers import bounded_persist
 
     spark = documents.sparkSession
-    counts, n_total, _, n_segments = _load_trigram_layout(spark, path)
+    # ONE generation resolution threaded through both reads (the
+    # fold-between-two-resolutions race, ADVICE r16)
+    root = read_current(path)
+    counts, n_total, _, n_segments = _load_trigram_layout(spark, path, root)
     counts = {cnt: df.drop("b") for cnt, df in counts.items()}
     if n_segments != 1:
-        counts = _merge_segment_counts(counts)
+        counts = _merged_counts_read(
+            spark, {cnt: [f"{root}/{cnt}"] for _, cnt in _TRIGRAM_COUNT_TABLES}
+        )
     tri_score = bounded_persist(
         _trigram_windows(documents), "trigram_layout.tri_score"
     )

@@ -678,8 +678,9 @@ def trigram_heldout_with_staged(
     trigger splits, after compaction, and across every injected crash
     point)."""
     from pithos_spark.functions.text import (
+        _TRIGRAM_COUNT_TABLES,
         _load_trigram_layout,
-        _merge_segment_counts,
+        _merged_counts_read,
         _trigram_score,
         _trigram_windows,
     )
@@ -697,13 +698,20 @@ def trigram_heldout_with_staged(
     counts = {cnt: df.drop("b") for cnt, df in counts.items()}
     live = _live_staged_segs(layout_path, root)
     if live:
-        staged = _staged_trigram_tables(spark, layout_path, live)
-        counts = {
-            cnt: counts[cnt].unionByName(staged[cnt]) for cnt in counts
-        }
         n_total += _staged_trigram_total(spark, layout_path, live)
     if live or n_segments != 1:
-        counts = _merge_segment_counts(counts)
+        # base + staged segments of all five tables in ONE tagged
+        # scan+merge (r18, _merged_counts_read — the former shape paid
+        # 5 base scans + 5 staged scans + 5 merge exchanges: the
+        # 25-job staged serve of VERDICT r17 task 3)
+        counts = _merged_counts_read(
+            spark,
+            {
+                cnt: [f"{root}/{cnt}"]
+                + [f"{layout_path}/staged/seg={s}/{cnt}" for s in live]
+                for _, cnt in _TRIGRAM_COUNT_TABLES
+            },
+        )
     tri_score = bounded_persist(
         _trigram_windows(documents), "streaming_ingest.tri_score"
     )
@@ -948,14 +956,14 @@ def pq_topk_with_staged(
     # would be masked while their rows live only in the newer base
     # (ADVICE r16; bm25_topk_with_staged has always threaded root)
     root = read_current(layout_path)
-    codes, cb_df, meta = load_pq_index(spark, layout_path, root)
+    codes, codebooks, meta = load_pq_index(spark, layout_path, root)
     live = _live_staged_segs(layout_path, root)
     if live:
         codes = codes.unionByName(_staged_rows(spark, layout_path, live))
     return pq_serve_topk(
         embeddings,
         codes,
-        cb_df,
+        codebooks,
         query_vec_id,
         k,
         int(meta["m_sub"]),
@@ -986,12 +994,12 @@ def pq_batch_topk_with_staged(
 
     spark = embeddings.sparkSession
     root = read_current(layout_path)
-    codes, cb_df, meta = load_pq_index(spark, layout_path, root)
+    codes, codebooks, meta = load_pq_index(spark, layout_path, root)
     live = _live_staged_segs(layout_path, root)
     if live:
         codes = codes.unionByName(_staged_rows(spark, layout_path, live))
     return _pq_batch_serve(
-        embeddings, codes, cb_df, meta, query_ids, k, rerank
+        embeddings, codes, codebooks, meta, query_ids, k, rerank
     )
 
 
@@ -1136,8 +1144,14 @@ def ivfpq_residual_topk_with_staged(
     return _ivfpq_residual_serve(
         qv,
         codes,
-        spark.read.parquet(f"{root}/centers"),
-        spark.read.parquet(f"{root}/codebooks"),
+        {
+            int(r["cluster"]): [int(v) for v in r["centroid_q"]]
+            for r in read_tiny_rows(f"{root}/centers")
+        },
+        {
+            (int(r["m"]), int(r["code"])): [int(v) for v in r["centroid_q"]]
+            for r in read_tiny_rows(f"{root}/codebooks")
+        },
         query_vec_id,
         k,
         n_probe,
@@ -1344,8 +1358,14 @@ def ivfpq_residual_batch_with_staged(
     return _ivfpq_residual_batch_serve(
         embeddings,
         codes,
-        spark.read.parquet(f"{root}/centers"),
-        spark.read.parquet(f"{root}/codebooks"),
+        {
+            int(r["cluster"]): [int(v) for v in r["centroid_q"]]
+            for r in read_tiny_rows(f"{root}/centers")
+        },
+        {
+            (int(r["m"]), int(r["code"])): [int(v) for v in r["centroid_q"]]
+            for r in read_tiny_rows(f"{root}/codebooks")
+        },
         meta,
         query_ids,
         k,

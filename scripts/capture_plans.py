@@ -26,7 +26,7 @@ def main() -> int:
     names = sys.argv[2:] or [n for n in bench.HEADLINERS if n in QUERIES]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r17"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r18"
     out_dir.mkdir(parents=True, exist_ok=True)
 
     spark = bench.build_session(cpus)

@@ -667,12 +667,13 @@ def test_trigram_layout_merge_fast_path_and_single_exchange(
     ``sum(c3`` aggregate anywhere in the executed plan, so the r14
     merge rewrite costs a compacted/fresh layout nothing.
 
-    (b) On a genuinely appended layout the merge runs, and its
-    aggregate introduces exactly ONE hash exchange on ``tri`` in the
-    final adaptive plan — the merged counts then flow into the scoring
-    join (broadcast at this scale; at SMJ scale the agg's
-    hashpartitioning satisfies the join requirement) without a second
-    re-shuffle of the same rows."""
+    (b) On a genuinely appended layout the merge runs as the r18 FUSED
+    form (text._merged_counts_read): all five count tables in ONE
+    tagged scan + ONE hash exchange on (_kind, _key) — not five
+    per-table merges (the pre-r18 shape paid 5 scans + 5 exchanges =
+    ~8 more scheduling round trips per serve, the VERDICT r17 task 3
+    job-count cluster).  The merged cache then feeds the five
+    broadcast sides."""
     from pithos_spark.functions import text
     from pithos_spark.plans.helpers import reset_persist_slots
 
@@ -695,16 +696,38 @@ def test_trigram_layout_merge_fast_path_and_single_exchange(
     text.write_trigram_lm_layout(lm.filter("doc_id % 40 <> 0"), appended)
     text.append_to_trigram_lm_layout(lm.filter("doc_id % 40 = 0"), appended)
     reset_persist_slots()
-    plan = final_plan(text.trigram_heldout_from_layout(score, appended))
-    assert "sum(c3" in plan, plan
-    tri_exchanges = {
-        m
-        for m in re.findall(
-            r"Exchange hashpartitioning\(tri#\d+[^\[]*\[plan_id=(\d+)\]",
-            plan,
-        )
-    }
-    assert len(tri_exchanges) == 1, plan
+    df = text.trigram_heldout_from_layout(score, appended)
+    plan = final_plan(df)
+    # the merge runs — as the single tagged aggregate, not five
+    # per-table sum(c3)/sum(cbi)/... merges
+    assert "sum(c3" not in plan, plan
+    # the five count views read the ONE persisted merged table
+    merged_plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InMemoryTableScan" in merged_plan, merged_plan
+    # and the merge itself is a single (_kind, _key) exchange: probe
+    # the cached plan rather than the serving plan (the cache hides
+    # its build subtree behind InMemoryTableScan here)
+    from pithos_spark.functions.text import (
+        _TRIGRAM_COUNT_TABLES,
+        _merged_counts_read,
+    )
+    from pithos_spark.functions.layoutcommit import read_current
+
+    root = read_current(appended)
+    reset_persist_slots()
+    merged_counts = _merged_counts_read(
+        spark, {c: [f"{root}/{c}"] for _, c in _TRIGRAM_COUNT_TABLES}
+    )
+    build_plan = (
+        merged_counts["c3"]._jdf.queryExecution().executedPlan().toString()
+    )
+    kind_exchanges = re.findall(
+        r"Exchange hashpartitioning\(_kind#\d+", build_plan
+    )
+    assert len(kind_exchanges) == 1, build_plan
+    reset_persist_slots()
 
 
 def test_registry_trigram_from_layout_takes_fast_path(spark):
