@@ -1,0 +1,201 @@
+"""Component profiles at sf1 for VERDICT r17 tasks 7 + 8.
+
+Task 7 gate: is the hyperplane-bucketing expression tree (zip_with +
+aggregate per plane, interpreted higher-order lambdas) a material part
+of dedup_embedding_lsh at sf1?  Components timed with the noop sink:
+
+  - lsh/buckets: hyperplane_buckets(...)  (quantize + planes only)
+  - lsh/buckets_gemm: the candidate — same outputs via ONE mapInArrow
+    numpy pass (quantize in float64 like the expression, then an int64
+    (rows x dim) @ (dim x planes) matmul + sign-bit packing)
+  - lsh/capped:  buckets + the hot-bucket row_number cap
+  - lsh/full:    embedding_lsh_dedup_pairs (adds self-join + exact dot)
+  - lsh/gemm_equal: row-equality check buckets vs buckets_gemm (must
+    print equal=true for the candidate to be admissible)
+
+Task 8: corpus_duplicate_spans component split:
+
+  - spans/occurrences: _span_occurrences (tokenize + explode + md5 +
+    the single composite exchange)
+  - spans/pairs:       + the (span_hash, doc_id) row_number dedup
+  - spans/counts:      + the n_docs aggregate
+  - spans/full:        duplicate_spans (adds the join-back + sort)
+
+Methodology: bench.build_session, untimed warmup, median of 3 noop
+samples, canaries bracketing.  Usage:
+  SPARK_GRAFT_SF_DIR=.scale/sf1 SPARK_GRAFT_CPUS=32 \
+      python scripts/profile_r18.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+
+sys.path.insert(0, ".")
+
+import bench  # noqa: E402
+
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", ".scale/sf1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pithos_spark.tables import TPCH_TABLES, load_tables
+    from pithos_spark.functions.similarity import (
+        auto_planes,
+        embedding_lsh_dedup_pairs,
+        hyperplane_buckets,
+        portable_hash60,
+    )
+    from pithos_spark.functions.curate import (
+        _span_occurrences,
+        duplicate_spans,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = bench.build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    warm = load_tables(spark, sf_dir)
+    for name in TPCH_TABLES:
+        warm[name].limit(1).count()
+
+    emb = warm["embeddings"]
+    docs = warm["documents"]
+    planes = auto_planes(emb.count())
+
+    def lsh_buckets():
+        return hyperplane_buckets(emb, planes, num_tables=1, keep_qv=True).select(
+            "vec_id", "bucket", "_qv"
+        )
+
+    def lsh_buckets_gemm():
+        import numpy as np
+        import pyarrow as pa
+
+        from pithos_spark.functions.similarity import plane_weight
+
+        dim, scale = 64, 1000
+        W = np.array(
+            [[plane_weight(0, p, j) for j in range(dim)] for p in range(planes)],
+            dtype=np.int64,
+        )
+        shifts = 1 << np.arange(planes, dtype=np.int64)
+
+        def fn(it):
+            for batch in it:
+                vid = batch.column("vec_id")
+                e = batch.column("embedding")
+                if len(e) == 0:
+                    continue
+                assert e.null_count == 0
+                flat = np.asarray(e.flatten(), dtype=np.float32)
+                qv = np.floor(
+                    flat.astype(np.float64).reshape(-1, dim) * scale
+                ).astype(np.int64)
+                dots = qv @ W.T
+                bucket = ((dots > 0).astype(np.int64) * shifts).sum(axis=1)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        vid,
+                        pa.array(bucket.astype(np.int32)),
+                        pa.array(list(qv), pa.list_(pa.int64())),
+                    ],
+                    ["vec_id", "bucket", "_qv"],
+                )
+
+        return emb.select("vec_id", "embedding").mapInArrow(
+            fn, "vec_id long, bucket int, _qv array<bigint>"
+        )
+
+    def lsh_capped():
+        wb = Window.partitionBy("bucket").orderBy(
+            portable_hash60(F.col("vec_id").cast("string")), F.col("vec_id")
+        )
+        return (
+            lsh_buckets()
+            .withColumn("_bn", F.row_number().over(wb))
+            .filter(F.col("_bn") <= 10000)
+            .drop("_bn")
+        )
+
+    def spans_pairs():
+        rn = F.row_number().over(
+            Window.partitionBy("span_hash", "doc_id").orderBy("pos")
+        )
+        return (
+            _span_occurrences(docs, 10)
+            .withColumn("_rn", rn)
+            .filter(F.col("_rn") == 1)
+        )
+
+    def spans_counts():
+        return (
+            spans_pairs()
+            .groupBy("span_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") >= 2)
+        )
+
+    components = {
+        "lsh/buckets": lsh_buckets,
+        "lsh/buckets_gemm": lsh_buckets_gemm,
+        "lsh/capped": lsh_capped,
+        "lsh/full": lambda: embedding_lsh_dedup_pairs(emb),
+        "spans/occurrences": lambda: _span_occurrences(docs, 10),
+        "spans/pairs": spans_pairs,
+        "spans/counts": spans_counts,
+        "spans/full": lambda: duplicate_spans(docs),
+    }
+
+    for name, fn in components.items():
+        spark.sparkContext.setJobDescription(f"profile_r18 warmup: {name}")
+        bench._run_noop(fn())
+
+    box = {"start": bench.box_canary(spark, sf_dir)}
+    out: dict[str, dict] = {}
+    for name, fn in components.items():
+        spark.sparkContext.setJobDescription(f"profile_r18: {name}")
+        samples = [
+            bench._timed(lambda: bench._run_noop(fn())) for _ in range(REPS)
+        ]
+        out[name] = {
+            "median": round(statistics.median(samples), 3),
+            "runs": samples,
+        }
+    box["end"] = bench.box_canary(spark, sf_dir)
+
+    # admissibility: the GEMM candidate must be row-identical
+    a = {
+        r["vec_id"]: (r["bucket"], tuple(r["_qv"]))
+        for r in lsh_buckets().collect()
+    }
+    b = {
+        r["vec_id"]: (r["bucket"], tuple(r["_qv"]))
+        for r in lsh_buckets_gemm().collect()
+    }
+    gemm_equal = a == b
+
+    print(
+        json.dumps(
+            {
+                "metric": "profile_r18_components",
+                "sf_dir": sf_dir,
+                "cpus": int(cpus),
+                "planes": planes,
+                "components": out,
+                "gemm_equal": gemm_equal,
+                "box_canary": box,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

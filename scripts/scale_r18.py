@@ -1,0 +1,150 @@
+"""SCALE_r18 measurement (VERDICT r17 task 4).
+
+At sf0.1 every headliner is scheduling-floor bound: the r17 8c-vs-32c
+ratios ranged 0.18-3.55 on plan-identical queries, i.e. they measured
+the box, not the code.  This script runs the expensive-family
+headliners at sf1 (10x sf0.1, scripts/gen_scale.py) at BOTH core
+counts so the core-scaling ratio finally measures parallelism:
+
+  - trainer family: build_pq_index, build_ivfpq_residual_index
+  - ladder family: dedup_embedding_ladder, dedup_ladder_report (cap20,
+    same operating point as bench.py)
+  - containment/minhash: dedup_containment_cap20, dedup_minhash_lsh
+  - serving family: ann_pq_topk_from_layout,
+    ann_ivfpq_residual_from_layout, corpus_trigram_heldout_staged
+  - r18 profile targets: corpus_duplicate_spans (VERDICT task 8),
+    dedup_embedding_lsh (task 7 gate)
+
+Methodology matches bench.py exactly: registry callables, noop sink,
+untimed warmup lap (which also builds the serving layouts untimed),
+median of REPS warm samples, box canaries bracketing the run.
+
+Usage: SPARK_GRAFT_SF_DIR=.scale/sf1 SPARK_GRAFT_CPUS=32 \
+           python scripts/scale_r18.py
+Emits one JSON line; SCALE_r18.md reproduces the table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+
+sys.path.insert(0, ".")
+
+import bench  # noqa: E402  (the harness: build_session, canaries, noop)
+
+FAMILIES = [
+    "dedup_embedding_ladder",
+    "dedup_ladder_report",
+    "dedup_containment_cap20",
+    "dedup_minhash_lsh",
+    "ann_pq_topk_from_layout",
+    "ann_ivfpq_residual_from_layout",
+    "corpus_trigram_heldout_staged",
+    "corpus_duplicate_spans",
+    "dedup_embedding_lsh",
+]
+
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", ".scale/sf1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pithos_spark.registry import QUERIES
+    from pithos_spark.tables import TPCH_TABLES, load_tables
+    from pithos_spark.functions.dedup import (
+        containment_pairs,
+        dedup_ladder_report,
+    )
+
+    QUERIES = dict(QUERIES)
+    # the same cap-20 operating points bench.py pins (cap 200 never
+    # binds at these corpora; 20 both binds and bounds the join)
+    QUERIES["dedup_containment_cap20"] = lambda spark, sf: containment_pairs(
+        load_tables(spark, sf)["documents"], threshold_pct=50, max_shingle_df=20
+    )
+    QUERIES["dedup_ladder_report"] = lambda spark, sf: dedup_ladder_report(
+        load_tables(spark, sf)["documents"], max_shingle_df=20
+    )
+
+    spark = bench.build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    warm = load_tables(spark, sf_dir)
+    for name in TPCH_TABLES:
+        warm[name].limit(1).count()
+
+    # untimed warmup lap: JIT + the one-time layout builds the serving
+    # queries depend on (same contract as bench.py)
+    for name in FAMILIES:
+        spark.sparkContext.setJobDescription(f"scale_r18 warmup: {name}")
+        bench._run_noop(QUERIES[name](spark, sf_dir))
+
+    box = {"start": bench.box_canary(spark, sf_dir)}
+
+    runs: dict[str, list[float]] = {}
+    medians: dict[str, float] = {}
+    for name in FAMILIES:
+        spark.sparkContext.setJobDescription(f"scale_r18: {name}")
+        samples = []
+        for _ in range(REPS):
+            samples.append(
+                bench._timed(lambda: bench._run_noop(QUERIES[name](spark, sf_dir)))
+            )
+        runs[name] = samples
+        medians[name] = round(statistics.median(samples), 3)
+
+    # the one-time index builds, benched writer-style like bench.py
+    import itertools
+    import tempfile
+
+    from pithos_spark.functions.similarity import (
+        save_ivfpq_residual_index,
+        save_pq_index,
+    )
+
+    seq = itertools.count()
+    for bname, builder in [
+        ("build_pq_index", lambda d: save_pq_index(warm["embeddings"], d)),
+        (
+            "build_ivfpq_residual_index",
+            lambda d: save_ivfpq_residual_index(warm["embeddings"], d),
+        ),
+    ]:
+        bdir = tempfile.mkdtemp(prefix=f"scale18_{bname}_")
+        spark.sparkContext.setJobDescription(f"scale_r18: {bname}")
+        builder(f"{bdir}/warmup")  # untimed warmup
+        samples = []
+        for _ in range(REPS):
+            samples.append(
+                bench._timed(lambda: builder(f"{bdir}/layout_{next(seq)}"))
+            )
+        runs[bname] = samples
+        medians[bname] = round(statistics.median(samples), 3)
+        import shutil
+
+        shutil.rmtree(bdir, ignore_errors=True)
+
+    box["end"] = bench.box_canary(spark, sf_dir)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_r18_families",
+                "sf_dir": sf_dir,
+                "cpus": int(cpus),
+                "reps": REPS,
+                "medians": medians,
+                "runs": runs,
+                "box_canary": box,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

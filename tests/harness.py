@@ -79,6 +79,19 @@ def _driver_canon(pdf, side: str):
 
 
 def compare(spark_df, duck_con, oracle_sql: str, name: str = "?", expect_rows: bool = True):
+    # Persist across the two verification actions (collect for the
+    # value pass, toPandas for the driver-canon pass) so the query
+    # computes ONCE; both conversion paths still run on the computed
+    # rows, so neither check weakens.  Halves the Spark cost of every
+    # oracle test (the suite runs ~200 of them).
+    spark_df = spark_df.persist()
+    try:
+        return _compare_inner(spark_df, duck_con, oracle_sql, name, expect_rows)
+    finally:
+        spark_df.unpersist()
+
+
+def _compare_inner(spark_df, duck_con, oracle_sql: str, name: str, expect_rows: bool):
     mine_cols = list(spark_df.columns)
     mine_rows = [tuple(r) for r in spark_df.collect()]
 

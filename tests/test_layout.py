@@ -118,11 +118,13 @@ def test_pq_index_roundtrip_bit_identical(spark, layout_dir):
     emb = T.load_tables(spark, SF_ORACLE)["embeddings"]
     path = f"{layout_dir}/pq_index"
     similarity.save_pq_index(emb, path)
-    codes, cb_df, meta = similarity.load_pq_index(spark, path)
+    codes, codebooks, meta = similarity.load_pq_index(spark, path)
     assert (meta["m_sub"], meta["k_codes"], meta["scale"], meta["dim"]) == (
         8, 16, 1000, 64,
     )
-    assert cb_df.count() == 8 * 16
+    # codebooks are KB-class driver artifacts since r18: a dict keyed
+    # (m, code), one entry per centroid
+    assert len(codebooks) == 8 * 16
     got = [
         tuple(r) for r in similarity.pq_topk_from_layout(emb, path, 0, 10).collect()
     ]
@@ -233,11 +235,8 @@ def test_pq_index_incremental_append_equals_one_pass(spark, layout_dir):
         for r in similarity.pq_topk_from_layout(emb, path, 0, 10).collect()
     ]
     # one-pass reference: same codebooks (trained on base), full corpus
-    _, cb_df, meta = similarity.load_pq_index(spark, path)
-    codebooks = {
-        (int(r["m"]), int(r["code"])): [int(v) for v in r["centroid_q"]]
-        for r in cb_df.collect()
-    }
+    # (load_pq_index returns them as the driver-side dict since r18)
+    _, codebooks, meta = similarity.load_pq_index(spark, path)
     codes_full = similarity.pq_encode(
         emb, codebooks, int(meta["m_sub"]), int(meta["scale"]),
         int(meta["dim"]),
@@ -245,7 +244,7 @@ def test_pq_index_incremental_append_equals_one_pass(spark, layout_dir):
     want = [
         tuple(r)
         for r in similarity.pq_serve_topk(
-            emb, codes_full, cb_df, 0, 10, int(meta["m_sub"]),
+            emb, codes_full, codebooks, 0, 10, int(meta["m_sub"]),
             4, int(meta["scale"]), int(meta["dim"]),
         ).collect()
     ]
@@ -349,7 +348,8 @@ def test_ivfpq_residual_incremental_append_equals_one_pass(spark, layout_dir):
     want = [
         tuple(r)
         for r in _ivfpq_residual_serve(
-            qv, codes_full, centers_df, cb_df, 0, 10, 2, 4, dim, m_sub
+            # centers/codebooks are driver-side dicts since r18
+            qv, codes_full, centers, codebooks, 0, 10, 2, 4, dim, m_sub
         ).collect()
     ]
     assert got == want and len(got) == 10

@@ -86,12 +86,22 @@ def test_no_cartesian_products_in_registry_plans(spark):
     """Every registry query must be joinable without a cartesian blowup
     (the one intentional 1-row cross join — the ANN query side — is
     broadcast, which is fine)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pithos_spark.registry import QUERIES
 
-    for name, fn in sorted(QUERIES.items()):
-        df = fn(spark, SF_ORACLE)
-        plan = _plan(df)
-        assert "CartesianProduct" not in plan, name
+    # Several registry callables run eager driver-side training
+    # collects at construction time; submitting them from a thread
+    # pool overlaps those jobs (guide §2.6) — this sweep was the
+    # suite's single slowest test (149 s serial).  Plan text is
+    # assembled after all futures settle so failures stay attributed.
+    def _one(item):
+        name, fn = item
+        return name, _plan(fn(spark, SF_ORACLE))
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for name, plan in pool.map(_one, sorted(QUERIES.items())):
+            assert "CartesianProduct" not in plan, name
 
 
 def test_q6_pushes_all_predicates_to_scan(tables, spark):
