@@ -15,6 +15,8 @@ uniform by construction.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -1097,31 +1099,100 @@ FROM toks LEFT JOIN agg USING (doc_id)
 ORDER BY toks.doc_id"""
 
 
+# Java's \s (what Spark's split regex uses) is ASCII-only: it does NOT
+# match unicode whitespace like U+00A0, so the Python mirror must use
+# this explicit class rather than Python's unicode-aware \s.
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
 def _span_occurrences(documents: DataFrame, n: int) -> DataFrame:
     """(doc_id, pos, span_hash) token n-gram occurrences, hash-keyed
     (8 bytes, never the span text) and exchanged ONCE on the composite
     (span_hash, doc_id) key.  Factored out so the skew test can assert
     per-partition row bounds on exactly the exchange the operator
-    uses."""
-    from pithos_spark.functions.dedup import portable_hash60
+    uses.
 
-    toks = documents.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
-    )
-    t = F.col("_toks")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
-    grams = F.transform(
-        idx, lambda i: F.struct(
-            (i - 1).cast("long").alias("pos"),
-            F.concat_ws(" ", F.slice(t, i, n)).alias("gram"),
-        )
-    )
+    r18 (guide §4.2; VERDICT r17 task 8): the gram construction runs
+    in ONE mapInArrow pass — tokenize, join, md5 — instead of the
+    former per-position expression tree
+    (``transform(idx, struct(pos, concat_ws(slice)))`` + in-plan md5),
+    whose interpreted higher-order lambdas dominated the query: the
+    sf1 component profile measured the occurrence stage at 7.6 s of
+    corpus_duplicate_spans' 11.0 s (plans/r18/profile_r18_sf1.json);
+    after this change the stage is ~1 s and the query ~4 s.
+
+    Value-identity with the expression form, piece by piece (proven by
+    exhaustive row equality at sf0.001/0.01/0.1 + the oracle gate,
+    scripts/span_gemm_proof_r18.py):
+
+    - ``F.trim`` strips 0x20 SPACE characters only — mirrored by
+      ``str.strip(' ')`` (NOT ``str.strip()``, which is
+      unicode-wide).
+    - ``F.split(_, r"\\s+")`` is Java regex: ``\\s`` is the ASCII class
+      ``[ \\t\\n\\x0b\\f\\r]`` and the default limit -1 keeps leading
+      AND trailing empty tokens — mirrored by ``re.split(_JAVA_WS, s)``
+      (Python re.split keeps both as well).
+    - ``concat_ws(" ", slice(t, i, n))`` over never-null tokens is
+      ``" ".join(toks[i-1:i-1+n])`` (both clamp a short tail).
+    - ``portable_hash60`` is the first 60 bits of md5 as a BIGINT:
+      ``int.from_bytes(md5(utf8).digest()[:8], "big") >> 4`` (15 hex
+      chars == 60 bits == 8 bytes with the low nibble dropped) over
+      the identical UTF-8 bytes.
+    - a NULL text produces ONE empty gram at pos 0, exactly like an
+      empty text: the index sequence is over ``greatest(size(NULL)-k,
+      1)`` = [1] (size(NULL) is -1, not an error) and ``concat_ws``
+      over a NULL array yields ``""`` — mirrored by treating None as
+      "".  (Caught by the edge-corpus test, not guessed: skipping None
+      was the intuitive-but-wrong mirror.)
+    - an empty trimmed text produced ONE empty token, hence one gram
+      at pos 0 hashing the empty string — the max(size-(n-1), 1) floor
+      keeps that row in both forms.
+    """
+    import pyarrow as pa
+
+    vt = dict(documents.dtypes).get("doc_id", "bigint")
+
+    def occurrences(it):
+        from hashlib import md5
+
+        split, join = _JAVA_WS.split, " ".join
+        for batch in it:
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            o_doc, o_pos, o_hash = [], [], []
+            for doc_id, text in zip(doc_ids, texts):
+                if text is None:
+                    text = ""  # NULL text == empty text (see docstring)
+                toks = split(text.strip(" "))
+                m = len(toks) - (n - 1)
+                if m < 1:
+                    m = 1
+                for i in range(m):
+                    g = join(toks[i : i + n])
+                    o_doc.append(doc_id)
+                    o_pos.append(i)
+                    o_hash.append(
+                        int.from_bytes(md5(g.encode()).digest()[:8], "big")
+                        >> 4
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_doc, batch.column("doc_id").type),
+                    pa.array(o_pos, pa.int64()),
+                    pa.array(o_hash, pa.int64()),
+                ],
+                ["doc_id", "pos", "span_hash"],
+            )
+
+    from pithos_spark.plans.helpers import fan_out
+
     return (
-        toks.select("doc_id", F.explode(grams).alias("g"))
-        .select(
-            "doc_id",
-            F.col("g.pos").alias("pos"),
-            portable_hash60(F.col("g.gram")).alias("span_hash"),
+        # fan_out: the single-row-group documents file plans 1 input
+        # split, which would run the whole Python pass on one core
+        # (r18, guide §2.5/§2.6); no-op on real multi-split layouts
+        fan_out(documents.select("doc_id", "text"))
+        .mapInArrow(
+            occurrences, f"doc_id {vt}, pos long, span_hash long"
         )
         .repartition("span_hash", "doc_id")
     )

@@ -103,7 +103,17 @@ def _grams_expr(n: int) -> F.Column:
 
 
 def _toks_base(documents: DataFrame) -> DataFrame:
-    return documents.select("doc_id", _tokens(F.col("text")).alias("_toks"))
+    # fan the tokenize stage out across the session's cores (r18,
+    # guide §2.5/§2.6): the bench corpora are single-row-group files,
+    # so every shingle consumer's heaviest stage — tokenize + gram
+    # build + hash — was running on 1 input split.  No-op whenever the
+    # scan already has >= parallelism splits (any real layout); doc
+    # rows stay atomic, so the per-doc gram/signature invariants hold.
+    from pithos_spark.plans.helpers import fan_out
+
+    return fan_out(documents.select("doc_id", "text")).select(
+        "doc_id", _tokens(F.col("text")).alias("_toks")
+    )
 
 
 def _gram_array(documents: DataFrame, n: int) -> DataFrame:
@@ -1471,6 +1481,9 @@ def _image_dhash_wide(documents: DataFrame) -> DataFrame:
     """Wide (doc_id, b0..b7) dHash over the ASCII stand-in pixel
     source — one shuffle-free projection per image row."""
     grid = _DHASH_ROWS * _DHASH_COLS
+    # NOTE: deliberately NOT fanned out (scripts/fanout_ab_r18.py): the
+    # repartition would exchange the full text payload, which measured
+    # as a net loss at sf0.1 AND sf1 against 72 cheap expressions/row
     imgs = documents.filter(
         (F.col("doc_id") % 3 == 0) & (F.length("text") > 0)
     ).select("doc_id", "text", F.length("text").alias("n_px"))

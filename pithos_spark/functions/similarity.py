@@ -168,6 +168,113 @@ def hyperplane_buckets(
     return base.select(*keep, tb).select(*keep, "tb.table", "tb.bucket")
 
 
+def _hyperplane_buckets_gemm(
+    embeddings: DataFrame,
+    num_planes: int,
+    scale: int = 1000,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, bucket, _qv) — the single-table LSH bucketing as ONE
+    numpy pass (r18, guide §4.2; VERDICT r17 task 7): value-identical
+    to ``hyperplane_buckets(..., num_tables=1, keep_qv=True)
+    .select("vec_id", "bucket", "_qv")``, but the per-plane
+    zip_with + aggregate expression trees (interpreted higher-order
+    lambdas: planes x dim multiply-adds per row) become an int64
+    (rows x dim) @ (dim x planes) matmul per Arrow batch.
+
+    Exactness: quantization is ``floor(float64(x) * scale)`` — the
+    same IEEE ops `_quantized` runs (float32 -> float64 is exact, one
+    double multiply, floor) — and the plane dots are int64 products of
+    values < 2^31, exact in both forms.  Proven row-identical against
+    the expression form at sf0.001/0.01/0.1/sf1
+    (scripts/profile_r18.py gemm_equal) on top of the oracle gate.
+
+    Null/ragged semantics replicate the expression form exactly: a
+    NULL embedding yields (_qv NULL, bucket 0); a row whose length is
+    not ``dim`` (or with NULL elements) yields bucket 0 with _qv the
+    element-wise quantization — zip_with pads the shorter side with
+    NULL, so every plane dot is NULL and every sign test falls to the
+    otherwise(0) branch.  Those rows take a per-row Python fallback;
+    the clean fast path is the matmul.
+
+    ``bucket`` is int32 like the expression form (sum of int
+    literals), so downstream schemas — including the oracle-hashed
+    dedup_embedding_lsh output — are unchanged."""
+    vt = dict(embeddings.dtypes).get("vec_id", "bigint")
+    W = None  # built once per task, inside the closure
+
+    def fn(it):
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+
+        nonlocal W
+        if W is None:
+            W = np.array(
+                [
+                    [plane_weight(0, p, j) for j in range(dim)]
+                    for p in range(num_planes)
+                ],
+                dtype=np.int64,
+            )
+        shifts = 1 << np.arange(num_planes, dtype=np.int64)
+        for batch in it:
+            vid = batch.column("vec_id")
+            e = batch.column("embedding")
+            n = len(e)
+            if n == 0:
+                continue
+            offs = None
+            if e.null_count == 0:
+                ec = e.combine_chunks() if hasattr(e, "combine_chunks") else e
+                offs = np.diff(ec.offsets.to_numpy())
+            if (
+                offs is not None
+                and (offs == dim).all()
+                and ec.values.null_count == 0
+            ):
+                flat = np.asarray(ec.flatten(), dtype=np.float32)
+                qv = np.floor(
+                    flat.astype(np.float64).reshape(n, dim) * scale
+                ).astype(np.int64)
+                dots = qv @ W.T
+                bucket = ((dots > 0).astype(np.int64) * shifts).sum(axis=1)
+                qv_col = pa.array(list(qv), pa.list_(pa.int64()))
+            else:
+                # rare shape: replicate zip_with/aggregate NULL algebra
+                # row by row (NULL row -> _qv NULL; wrong length or a
+                # NULL element -> every plane dot NULL -> bucket 0)
+                rows = e.to_pylist()
+                qv_rows, bucket = [], np.zeros(n, dtype=np.int64)
+                for i, row in enumerate(rows):
+                    if row is None:
+                        qv_rows.append(None)
+                        continue
+                    q = [
+                        None if v is None else int(math.floor(v * scale))
+                        for v in row
+                    ]
+                    qv_rows.append(q)
+                    if len(q) == dim and all(v is not None for v in q):
+                        qa = np.array(q, dtype=np.int64)
+                        bucket[i] = int(
+                            (((W @ qa) > 0).astype(np.int64) * shifts).sum()
+                        )
+                qv_col = pa.array(qv_rows, pa.list_(pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [vid, pa.array(bucket.astype(np.int32)), qv_col],
+                ["vec_id", "bucket", "_qv"],
+            )
+
+    # NOTE: deliberately NOT fanned out (scripts/fanout_ab_r18.py): the
+    # GEMM is so cheap per row that repartitioning the vectors first
+    # measured as a net loss at every tested size (sf0.1 AND sf1)
+    return embeddings.select("vec_id", "embedding").mapInArrow(
+        fn, f"vec_id {vt}, bucket int, _qv array<bigint>"
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -3520,9 +3627,14 @@ def embedding_lsh_dedup_pairs(
     # candidate pair, inside the join condition and again in the
     # project.  _bigint_dot(_qv, _qv) == quantized_dot(embedding,
     # embedding) by definition (_qv IS the quantized transform).
-    bucketed = hyperplane_buckets(
-        embeddings, num_planes, num_tables=1, keep_qv=True
-    ).select("vec_id", "bucket", "_qv")
+    # r18 (guide §4.2, VERDICT r17 task 7): the bucketing runs as one
+    # numpy GEMM per Arrow batch instead of planes x dim interpreted
+    # zip_with/aggregate lambdas per row — value-identical
+    # (_hyperplane_buckets_gemm docstring has the exactness argument;
+    # equality proven at every SF incl. sf1).  In-process sf1 A/B:
+    # 10.6x on the bucketing stage, 2.4x on this whole query
+    # (plans/r18/profile_r18_sf1.json)
+    bucketed = _hyperplane_buckets_gemm(embeddings, num_planes)
     wb = Window.partitionBy("bucket").orderBy(
         portable_hash60(F.col("vec_id").cast("string")), F.col("vec_id")
     )

@@ -1523,8 +1523,14 @@ def trigram_interp_score(
 
 def _trigram_windows(documents: DataFrame) -> DataFrame:
     """Per-document trigram windows with every backoff key the
-    Jelinek-Mercer score needs: (doc_id, tri, ctx2, bi, ctx1, w3)."""
-    toks = documents.select(
+    Jelinek-Mercer score needs: (doc_id, tri, ctx2, bi, ctx1, w3).
+
+    fan_out (r18, guide §2.5/§2.6): the tokenize + window expression is
+    the heldout/LM paths' heaviest per-row stage, and single-row-group
+    corpora plan it onto 1-2 input splits; no-op on real layouts."""
+    from pithos_spark.plans.helpers import fan_out
+
+    toks = fan_out(documents.select("doc_id", "text")).select(
         "doc_id", _tokens(F.col("text")).alias("_toks")
     ).filter(F.size("_toks") >= 3)
     t = F.col("_toks")

@@ -153,6 +153,70 @@ def bounded_persist(df, slot: str):
     return handle
 
 
+# fan_out fires only when the fanned stage gets at least this much
+# input per target partition.  Calibrated by the order-balanced
+# in-process A/B (scripts/fanout_ab_r18.py, logs committed): at 18
+# KB/partition (sf0.1 documents) every consumer LOST 20-70% — the
+# exchange + 32-task overhead exceeds the single-task stage it
+# replaces — while at ~180 KB/partition (sf1) the tokenize-heavy
+# consumers won 1.7x (dedup_minhash_lsh 11.3 -> 6.6 s,
+# corpus_duplicate_spans 16.6 -> 9.9 s).  64 KB sits between the two
+# measured regimes on the loss side's margin.
+FAN_OUT_MIN_BYTES_PER_PART = 64 * 1024
+
+
+def fan_out(df, min_parts: int | None = None):
+    """Spread a CPU-heavy per-row stage across the session's task slots
+    when the upstream scan has fewer input splits than the session has
+    cores AND the input is big enough that per-task work dominates
+    task overhead (r18, guide §2.5 input skew / §2.6 idle capacity).
+
+    Motivation, measured: the bench corpora are single-row-group
+    parquet files, so every corpus scan plans 1-2 input partitions —
+    the document tokenize stages (gram build + hash, the engine's
+    heaviest per-row work) were running on 1 core of 32.  A parquet
+    row group is the split unit, so ``spark.sql.files.minPartitionNum``
+    cannot split them; the only fix is one small exchange of the BASE
+    rows before the heavy stage.
+
+    Two guards, both required (both measured in
+    scripts/fanout_ab_r18.py):
+
+    - **size**: below FAN_OUT_MIN_BYTES_PER_PART of estimated input
+      per target partition the exchange is pure loss — skip.  (The
+      vector-side stages never pay at any tested size once their
+      per-row work became one GEMM — they don't call this helper.)
+    - **splits**: a scan that already has >= parallelism input splits
+      (any real 100 TB layout) is a structural no-op — so no
+      production bytes are ever re-shuffled; the helper fires exactly
+      in the tiny-file / unsplittable-input regime the guide calls
+      out.
+
+    Round-robin repartition is deterministic under retries
+    (sort-before-repartition, SPARK-23207), rows stay atomic, and
+    every consumer is partition-placement independent (per-doc
+    explodes, keyed aggregations downstream).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est = None  # unanalyzable plan: fall through to the split guard
+    if est is not None:
+        # size-derived target: never fan wider than the input can feed
+        # (one exchange partition per FAN_OUT_MIN_BYTES_PER_PART of
+        # estimated input), capped at the session's parallelism
+        target = min(target, est // FAN_OUT_MIN_BYTES_PER_PART)
+    if target <= 1:
+        return df
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def overlap_jobs(*thunks):
     """Run independent driver-side Spark actions from a thread pool and
     wait for all of them (guide §2.6: the scheduler happily runs

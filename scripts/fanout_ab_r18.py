@@ -1,0 +1,122 @@
+"""In-process A/B for the r18 fan_out change (guide §1): alternating
+ON/OFF reps of each touched family in ONE session (order-balanced
+O/N/N/O), so box windows cancel.  OFF = fan_out monkeypatched to
+identity (call sites late-import `helpers.fan_out`, so the patch
+reaches every consumer).
+
+Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=32 \
+           python scripts/fanout_ab_r18.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+import bench  # noqa: E402
+import pithos_spark.plans.helpers as H  # noqa: E402
+
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))  # per arm
+REAL_FAN_OUT = H.fan_out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pithos_spark.registry import QUERIES
+    from pithos_spark.tables import TPCH_TABLES, load_tables
+    from pithos_spark.functions.similarity import save_pq_index
+
+    spark = bench.build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    warm = load_tables(spark, sf_dir)
+    for name in TPCH_TABLES:
+        warm[name].limit(1).count()
+
+    import itertools
+
+    seq = itertools.count()
+    bdir = tempfile.mkdtemp(prefix="fanout_ab_")
+
+    def build_pq(spark_, sf_):
+        class _W:  # writer thunk shaped like a query (noop-compatible)
+            def write(self):
+                raise RuntimeError
+
+        save_pq_index(warm["embeddings"], f"{bdir}/pq_{next(seq)}")
+        return None
+
+    families = {
+        "dedup_minhash_lsh": QUERIES["dedup_minhash_lsh"],
+        "corpus_trigram_heldout": QUERIES["corpus_trigram_heldout"],
+        "corpus_duplicate_spans": QUERIES["corpus_duplicate_spans"],
+        "dedup_image_dhash": QUERIES["dedup_image_dhash"],
+        "dedup_embedding_lsh": QUERIES["dedup_embedding_lsh"],
+        "ann_pq_topk": QUERIES["ann_pq_topk"],
+        "dedup_pq_code_stats": QUERIES["dedup_pq_code_stats"],
+        "build_pq_index": build_pq,
+    }
+
+    def run_once(fn):
+        def thunk():
+            out = fn(spark, sf_dir)
+            if out is not None:
+                bench._run_noop(out)
+
+        return bench._timed(thunk)
+
+    results = {}
+    box = {"start": bench.box_canary(spark, sf_dir)}
+    for name, fn in families.items():
+        # warm both arms untimed
+        H.fan_out = lambda df, min_parts=None: df
+        run_once(fn)
+        H.fan_out = REAL_FAN_OUT
+        run_once(fn)
+        on, off = [], []
+        for i in range(REPS):
+            order = ["off", "on", "on", "off"] if i % 2 == 0 else [
+                "on", "off", "off", "on"
+            ]
+            for arm in order[:2]:
+                H.fan_out = (
+                    REAL_FAN_OUT
+                    if arm == "on"
+                    else (lambda df, min_parts=None: df)
+                )
+                (on if arm == "on" else off).append(run_once(fn))
+        H.fan_out = REAL_FAN_OUT
+        results[name] = {
+            "on_median": round(statistics.median(on), 3),
+            "off_median": round(statistics.median(off), 3),
+            "on": on,
+            "off": off,
+        }
+        print(
+            f"{name}: on={results[name]['on_median']} "
+            f"off={results[name]['off_median']}",
+            flush=True,
+        )
+    box["end"] = bench.box_canary(spark, sf_dir)
+    print(
+        json.dumps(
+            {
+                "metric": "fanout_ab_r18",
+                "sf_dir": sf_dir,
+                "cpus": int(cpus),
+                "results": results,
+                "box_canary": box,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

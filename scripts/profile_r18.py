@@ -142,11 +142,71 @@ def main() -> None:
             .filter(F.col("n_docs") >= 2)
         )
 
+    def spans_occurrences_expr(n=10):
+        # the pre-r18 expression form, inline, so the old-vs-new ratio
+        # is measured IN-PROCESS (box windows shift multiple x between
+        # runs; in-process pairs are the only defensible comparison)
+        from pithos_spark.functions.dedup import portable_hash60
+
+        toks = docs.select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
+        )
+        t = F.col("_toks")
+        idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
+        grams = F.transform(
+            idx, lambda i: F.struct(
+                (i - 1).cast("long").alias("pos"),
+                F.concat_ws(" ", F.slice(t, i, n)).alias("gram"),
+            )
+        )
+        return (
+            toks.select("doc_id", F.explode(grams).alias("g"))
+            .select(
+                "doc_id",
+                F.col("g.pos").alias("pos"),
+                portable_hash60(F.col("g.gram")).alias("span_hash"),
+            )
+            .repartition("span_hash", "doc_id")
+        )
+
+    def lsh_full_expr(threshold_q=300_000, max_bucket=10000):
+        # the pre-r18 full dedup_embedding_lsh, inline (expression
+        # bucketing + the same cap/self-join/exact-dot tail)
+        from pithos_spark.functions.similarity import _bigint_dot
+
+        bucketed = lsh_buckets()
+        wb = Window.partitionBy("bucket").orderBy(
+            portable_hash60(F.col("vec_id").cast("string")), F.col("vec_id")
+        )
+        capped = (
+            bucketed.withColumn("_bn", F.row_number().over(wb))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+        a, b = capped.alias("a"), capped.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.col("a.bucket").alias("bucket"),
+                _bigint_dot(F.col("a._qv"), F.col("b._qv")).alias("dot_q"),
+            )
+            .filter(F.col("dot_q") >= threshold_q)
+            .orderBy("vec_a", "vec_b")
+        )
+
     components = {
         "lsh/buckets": lsh_buckets,
         "lsh/buckets_gemm": lsh_buckets_gemm,
         "lsh/capped": lsh_capped,
+        "lsh/full_expr": lsh_full_expr,
         "lsh/full": lambda: embedding_lsh_dedup_pairs(emb),
+        "spans/occurrences_expr": spans_occurrences_expr,
         "spans/occurrences": lambda: _span_occurrences(docs, 10),
         "spans/pairs": spans_pairs,
         "spans/counts": spans_counts,

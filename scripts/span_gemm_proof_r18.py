@@ -1,0 +1,119 @@
+"""Exhaustive row-equality proofs for the two r18 Arrow rewrites
+(VERDICT r17 tasks 7 + 8), old expression form vs new mapInArrow form,
+at every shipped SF (plus .scale/sf1 when present):
+
+1. `_span_occurrences` (curate.py): the former
+   transform/concat_ws(slice)/in-plan-md5 expression tree vs the
+   Python tokenize+md5 pass.  Both forms' full (doc_id, pos,
+   span_hash) row multisets must be identical — this covers
+   tokenization edge semantics (Spark trim = 0x20 only, Java \\s is
+   ASCII, limit -1 empties) and the 60-bit md5 mapping.
+
+2. `_hyperplane_buckets_gemm` (similarity.py): the per-plane
+   zip_with/aggregate expression tree vs the int64 GEMM.  Full
+   (vec_id, bucket, _qv) row sets must be identical — covers the
+   float64 quantization path and the sign-bit packing.
+
+Exit code 0 iff every comparison matches; prints one JSON line per SF.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+import bench  # noqa: E402
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+if os.path.isdir(".scale/sf1"):
+    SFS.append(".scale/sf1")
+
+
+def old_span_occurrences(documents, n: int):
+    """The pre-r18 expression form, verbatim."""
+    from pithos_spark.functions.dedup import portable_hash60
+
+    toks = documents.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
+    )
+    t = F.col("_toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
+    grams = F.transform(
+        idx, lambda i: F.struct(
+            (i - 1).cast("long").alias("pos"),
+            F.concat_ws(" ", F.slice(t, i, n)).alias("gram"),
+        )
+    )
+    return toks.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id",
+        F.col("g.pos").alias("pos"),
+        portable_hash60(F.col("g.gram")).alias("span_hash"),
+    )
+
+
+def main() -> None:
+    from pithos_spark.functions.curate import _span_occurrences
+    from pithos_spark.functions.similarity import (
+        _hyperplane_buckets_gemm,
+        auto_planes,
+        hyperplane_buckets,
+    )
+    from pithos_spark.tables import load_tables
+
+    spark = bench.build_session(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ok = True
+    for sf in SFS:
+        t = load_tables(spark, sf)
+        docs, emb = t["documents"], t["embeddings"]
+
+        span_old = sorted(
+            tuple(r) for r in old_span_occurrences(docs, 10).collect()
+        )
+        span_new = sorted(
+            tuple(r) for r in _span_occurrences(docs, 10).collect()
+        )
+        spans_equal = span_old == span_new
+
+        planes = auto_planes(emb.count())
+        lsh_old = {
+            r["vec_id"]: (r["bucket"], tuple(r["_qv"]) if r["_qv"] else None)
+            for r in hyperplane_buckets(
+                emb, planes, num_tables=1, keep_qv=True
+            )
+            .select("vec_id", "bucket", "_qv")
+            .collect()
+        }
+        lsh_new = {
+            r["vec_id"]: (r["bucket"], tuple(r["_qv"]) if r["_qv"] else None)
+            for r in _hyperplane_buckets_gemm(emb, planes).collect()
+        }
+        lsh_equal = lsh_old == lsh_new
+
+        print(
+            json.dumps(
+                {
+                    "sf": sf,
+                    "span_rows": len(span_new),
+                    "spans_equal": spans_equal,
+                    "lsh_rows": len(lsh_new),
+                    "planes": planes,
+                    "lsh_equal": lsh_equal,
+                }
+            ),
+            flush=True,
+        )
+        ok = ok and spans_equal and lsh_equal
+
+    spark.stop()
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

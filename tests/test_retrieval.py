@@ -1211,3 +1211,58 @@ def test_bpe_apply_equals_training_segmentation_property():
         assert applied == trained
 
     check()
+
+
+def test_span_occurrences_arrow_matches_expression_edges(spark):
+    """The r18 Arrow tokenize+hash pass must replicate the expression
+    form's exact edge semantics: Spark trim strips 0x20 only, Java \\s
+    is ASCII-only (U+00A0 is a token char, not a separator), split's
+    limit -1 keeps boundary empties, an empty trimmed text still emits
+    one gram (the empty string) at pos 0, and a NULL text behaves like
+    an empty one (size(NULL) is -1, concat_ws over NULL is "")."""
+    import pyspark.sql.functions as F
+
+    from pithos_spark.functions.curate import _span_occurrences
+    from pithos_spark.functions.dedup import portable_hash60
+
+    rows = [
+        (0, "a b c d e f g h i j k l"),       # normal, > n tokens
+        (1, "one two"),                        # shorter than n
+        (2, ""),                               # empty -> one empty gram
+        (3, None),                             # NULL -> no rows
+        (4, "  leading trailing  "),           # 0x20 trim both ends
+        (5, "\ttab lead b c"),                 # tab survives trim
+        (6, "a b c"),                     # NBSP is NOT a separator
+        (7, "x \t\n y   z\x0b"),               # mixed ASCII ws runs
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in _span_occurrences(docs, 10).collect())
+
+    # the pre-r18 expression form, inline
+    n = 10
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
+    )
+    t = F.col("_toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
+    grams = F.transform(
+        idx, lambda i: F.struct(
+            (i - 1).cast("long").alias("pos"),
+            F.concat_ws(" ", F.slice(t, i, n)).alias("gram"),
+        )
+    )
+    want = sorted(
+        tuple(r)
+        for r in toks.select("doc_id", F.explode(grams).alias("g"))
+        .select(
+            "doc_id",
+            F.col("g.pos").alias("pos"),
+            portable_hash60(F.col("g.gram")).alias("span_hash"),
+        )
+        .collect()
+    )
+    assert got == want
+    # NULL text == empty text: one empty-gram row each, same hash
+    null_rows = [(p, h) for d, p, h in got if d == 3]
+    empty_rows = [(p, h) for d, p, h in got if d == 2]
+    assert null_rows == empty_rows and len(empty_rows) == 1

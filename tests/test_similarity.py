@@ -747,3 +747,39 @@ def test_embedding_ladder_label_cap_binds_and_counts_drops(embeddings):
         assert capped[tier]["n_capped_ids"] == 0
         # delegated tiers are independent of the ladder-level cap
         assert capped[tier]["n_pairs"] == uncapped[tier]["n_pairs"]
+
+
+def test_hyperplane_gemm_matches_expression_on_edge_rows(spark):
+    """The r18 GEMM bucketing must replicate the expression form's NULL
+    algebra exactly: a NULL embedding -> (_qv NULL, bucket 0); a row
+    whose length is not dim (or with NULL elements) -> bucket 0 with
+    element-wise _qv — zip_with pads the short side with NULL, so every
+    plane dot is NULL and every sign test falls to otherwise(0)."""
+    from pithos_spark.functions.similarity import (
+        _hyperplane_buckets_gemm,
+        hyperplane_buckets,
+    )
+
+    rows = [
+        (0, 0, [0.3] * 32 + [-0.2] * 32),  # clean 64-dim row
+        (1, 0, None),                       # NULL embedding
+        (2, 0, [0.5] * 10),                 # ragged short
+        (3, 0, [0.5] * 70),                 # ragged long
+        (4, 0, [0.1] * 63 + [None]),        # NULL element at full length
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    want = {
+        r["vec_id"]: (r["bucket"], tuple(r["_qv"]) if r["_qv"] is not None else None)
+        for r in hyperplane_buckets(emb, 8, num_tables=1, keep_qv=True)
+        .select("vec_id", "bucket", "_qv")
+        .collect()
+    }
+    got = {
+        r["vec_id"]: (r["bucket"], tuple(r["_qv"]) if r["_qv"] is not None else None)
+        for r in _hyperplane_buckets_gemm(emb, 8).collect()
+    }
+    assert got == want
+    assert want[1][1] is None and got[1][0] == 0  # NULL row semantics
+    assert got[2][0] == 0 and got[3][0] == 0 and got[4][0] == 0
